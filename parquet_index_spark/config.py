@@ -1,0 +1,88 @@
+"""Config surface — same keys as the reference (IndexConf.scala:25-63).
+
+All values are read from ``spark.conf`` at call time so users can toggle
+behavior per-session exactly like the reference README documents
+(reference: README.md:94-101).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+METASTORE_LOCATION = "spark.sql.index.metastore"
+CREATE_IF_NOT_EXISTS = "spark.sql.index.createIfNotExists"
+NUM_PARTITIONS = "spark.sql.index.partitions"
+PARQUET_FILTER_ENABLED = "spark.sql.index.parquet.filter.enabled"
+PARQUET_FILTER_TYPE = "spark.sql.index.parquet.filter.type"
+PARQUET_FILTER_EAGER_LOADING = "spark.sql.index.parquet.filter.eagerLoading"
+
+# extension knobs (ours, not in the reference)
+DICT_MAX_SIZE = "spark.sql.index.parquet.filter.dict.maxSize"
+
+DEFAULT_METASTORE_DIR = "index_metastore"
+
+
+def _bool(v: str | bool | None, default: bool) -> bool:
+    if v is None:
+        return default
+    if isinstance(v, bool):
+        return v
+    return v.strip().lower() in ("1", "true", "yes")
+
+
+@dataclass
+class IndexConf:
+    """Snapshot of the index configuration for one operation."""
+
+    metastore_location: str
+    create_if_not_exists: bool
+    num_partitions: int
+    filter_enabled: bool
+    filter_type: str          # "bloom" | "dict"
+    filter_eager_loading: bool
+    dict_max_size: int
+
+    @classmethod
+    def from_spark(cls, spark: SparkSession) -> "IndexConf":
+        conf = spark.conf
+
+        def get(key: str, default: str | None = None) -> str | None:
+            try:
+                return conf.get(key, default)
+            except Exception:
+                return default
+
+        location = get(METASTORE_LOCATION)
+        if not location:
+            # reference defaults to ./index_metastore resolved against cwd
+            # (Metastore.scala:78-115)
+            location = os.path.abspath(DEFAULT_METASTORE_DIR)
+
+        num_partitions = get(NUM_PARTITIONS)
+        if num_partitions is None:
+            # min(defaultParallelism * 3, shuffle.partitions), reference
+            # ParquetMetastoreSupport.scala:279-287
+            parallelism = spark.sparkContext.defaultParallelism
+            shuffle = int(get("spark.sql.shuffle.partitions", "200") or 200)
+            num = max(1, min(parallelism * 3, shuffle))
+        else:
+            num = max(1, int(num_partitions))
+
+        filter_type = (get(PARQUET_FILTER_TYPE, "bloom") or "bloom").lower()
+        if filter_type not in ("bloom", "dict"):
+            raise ValueError(
+                f"Unsupported {PARQUET_FILTER_TYPE}={filter_type}, "
+                "expected 'bloom' or 'dict'")
+
+        return cls(
+            metastore_location=location,
+            create_if_not_exists=_bool(get(CREATE_IF_NOT_EXISTS), False),
+            num_partitions=num,
+            filter_enabled=_bool(get(PARQUET_FILTER_ENABLED), True),
+            filter_type=filter_type,
+            filter_eager_loading=_bool(get(PARQUET_FILTER_EAGER_LOADING), False),
+            dict_max_size=int(get(DICT_MAX_SIZE, "4096") or 4096),
+        )

@@ -1,0 +1,382 @@
+"""Index management DSL + the indexed-table query surface.
+
+Mirrors the reference Python API exactly — class and method names follow
+python/src/lightcopy/index.py:196-371 (QueryContext, DataFrameIndexManager,
+Create/Exists/DeleteIndexCommand with mode/indexBy/indexByAll/table/parquet)
+— so reference examples like
+
+    context = QueryContext(spark)
+    context.index.create.mode("overwrite").indexBy("a", "b").parquet(path)
+    df = context.index.parquet(path)
+    df.filter("a = 1").collect()
+    context.index.delete.parquet(path)
+
+run unchanged. The query path is pre-planned pruning (SURVEY §3.2 mapping):
+compile the predicate against the metadata, read the surviving files with
+stock ``spark.read.parquet``, re-apply the full predicate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Union
+
+from pyspark.sql import Column as SparkColumn
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from parquet_index_spark import collector, predicates as P, types as ityp
+from parquet_index_spark.catalog import resolve_catalog_table
+from parquet_index_spark.config import IndexConf
+from parquet_index_spark.metastore import (
+    FILES_FILE, METADATA_FILE, STATS_DIR,
+    IndexMetadata, IndexNotFoundError, LocationSpec, Metastore,
+)
+from parquet_index_spark.pruning import prune_files
+
+
+class PruneInfo:
+    """Outcome of the last pruning pass — for tests and observability.
+
+    The reference only *logs* pruning effectiveness
+    (ParquetIndex.scala:133-139); we expose it programmatically so tests can
+    assert files-scanned counts (BASELINE.md file-skip reproduction)."""
+
+    def __init__(self, total_files: int, selected_files: int, pruned: bool):
+        self.total_files = total_files
+        self.selected_files = selected_files
+        self.pruned = pruned
+
+    def __repr__(self):
+        return (f"PruneInfo(total={self.total_files}, "
+                f"selected={self.selected_files}, pruned={self.pruned})")
+
+
+class IndexedDataFrame:
+    """Thin handle over an indexed table.
+
+    ``.filter`` / ``.where`` go through index pruning and return a plain
+    pyspark DataFrame; every other DataFrame attribute delegates to the
+    full-table scan (whose schema comes from the metastore, not from
+    re-listing + footer reads — the reference's headline latency win,
+    README.md:9-14)."""
+
+    def __init__(self, spark: SparkSession, metadata: IndexMetadata,
+                 manager: "DataFrameIndexManager"):
+        self._spark = spark
+        self._metadata = metadata
+        self._manager = manager
+        self._full_df: Optional[DataFrame] = None
+
+    @property
+    def df(self) -> DataFrame:
+        if self._full_df is None:
+            self._full_df = (self._spark.read
+                             .schema(self._metadata.data_schema)
+                             .parquet(self._metadata.table_path))
+        return self._full_df
+
+    def filter(self, predicate: Union[str, P.Predicate, SparkColumn]) -> DataFrame:
+        ast, residual = self._compile(predicate)
+        if ast is None:
+            self._manager.last_prune_info = PruneInfo(
+                len(self._metadata.all_file_paths()),
+                len(self._metadata.all_file_paths()), pruned=False)
+            return self.df.filter(residual)
+        ctx = self._metadata.context()
+        survivors = prune_files(ast, ctx)
+        all_paths = self._metadata.all_file_paths()
+        self._manager.last_prune_info = PruneInfo(
+            len(all_paths), len(survivors), pruned=True)
+        if len(survivors) == len(all_paths):
+            return self.df.filter(residual)
+        if not survivors:
+            empty = self._spark.createDataFrame([], self._metadata.data_schema)
+            return empty.filter(residual)
+        reader = (self._spark.read
+                  .schema(self._metadata.data_schema)
+                  .option("basePath", self._metadata.table_path))
+        paths = [self._metadata.abs_path(p) for p in survivors]
+        return reader.parquet(*paths).filter(residual)
+
+    where = filter
+
+    def _compile(self, predicate):
+        """-> (ast | None, spark residual). ast None => no pruning possible."""
+        if isinstance(predicate, P.Predicate):
+            return predicate, predicate.to_spark()
+        if isinstance(predicate, str):
+            residual = F.expr(predicate)
+            try:
+                return P.parse_sql_predicate(predicate), residual
+            except P.SqlParseError:
+                return None, residual
+        if isinstance(predicate, SparkColumn):
+            return None, predicate
+        raise TypeError(f"Unsupported predicate type: {type(predicate)}")
+
+    def __getattr__(self, name: str):
+        return getattr(self.df, name)
+
+
+class CreateIndexCommand:
+    """spark.index.create.mode(m).indexBy(cols).parquet(path|table)
+    (reference: index.py:30-121, DataFrameIndexManager.scala:135-254)."""
+
+    def __init__(self, manager: "DataFrameIndexManager"):
+        self._manager = manager
+        self._mode = "error"
+        self._columns: Optional[List[str]] = None  # None => indexByAll
+
+    def mode(self, value: str) -> "CreateIndexCommand":
+        self._mode = value
+        return self
+
+    def indexBy(self, *columns) -> "CreateIndexCommand":
+        if len(columns) == 1 and isinstance(columns[0], (list, tuple)):
+            columns = tuple(columns[0])
+        if not columns:
+            raise ValueError("indexBy requires at least one column")
+        if not all(isinstance(c, str) for c in columns):
+            raise TypeError("indexBy columns must be strings")
+        self._columns = list(columns)
+        return self
+
+    def indexByAll(self) -> "CreateIndexCommand":
+        self._columns = None
+        return self
+
+    def parquet(self, path: str) -> None:
+        self._manager._create_index(path, self._mode, self._columns,
+                                    dataspace="source")
+
+    def table(self, table_name: str) -> None:
+        info = resolve_catalog_table(self._manager.spark, table_name)
+        self._manager._create_index(info.location, self._mode, self._columns,
+                                    dataspace="catalog")
+
+
+class ExistsIndexCommand:
+    def __init__(self, manager: "DataFrameIndexManager"):
+        self._manager = manager
+
+    def parquet(self, path: str) -> bool:
+        return self._manager._exists_index(path, dataspace="source")
+
+    def table(self, table_name: str) -> bool:
+        info = resolve_catalog_table(self._manager.spark, table_name)
+        return self._manager._exists_index(info.location, dataspace="catalog")
+
+
+class DeleteIndexCommand:
+    def __init__(self, manager: "DataFrameIndexManager"):
+        self._manager = manager
+
+    def parquet(self, path: str) -> None:
+        self._manager._delete_index(path, dataspace="source")
+
+    def table(self, table_name: str) -> None:
+        info = resolve_catalog_table(self._manager.spark, table_name)
+        self._manager._delete_index(info.location, dataspace="catalog")
+
+
+class DataFrameIndexManager:
+    """Entry point for all index operations (reference: index.py:196-331)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._format = "parquet"
+        self._options: Dict[str, str] = {}
+        self.last_prune_info: Optional[PruneInfo] = None
+
+    # -- builder plumbing (reference: index.py:230-268) --------------------
+    def format(self, source: str) -> "DataFrameIndexManager":
+        if source.lower() != "parquet":
+            raise ValueError(
+                f"Source {source!r} is not supported; only parquet "
+                "(reference supports parquet only, README.md:40-47)")
+        self._format = "parquet"
+        return self
+
+    def option(self, key: str, value: Any) -> "DataFrameIndexManager":
+        self._options[key.lower()] = str(value)
+        return self
+
+    def options(self, opts: Dict[str, Any]) -> "DataFrameIndexManager":
+        for k, v in opts.items():
+            self.option(k, v)
+        return self
+
+    # -- load (reference: index.py:270-301) --------------------------------
+    def parquet(self, path: str) -> IndexedDataFrame:
+        return self.load(path)
+
+    def table(self, table_name: str) -> IndexedDataFrame:
+        info = resolve_catalog_table(self.spark, table_name)
+        return self._load_index(info.location, dataspace="catalog")
+
+    def load(self, path: Optional[str] = None) -> IndexedDataFrame:
+        if path is None:
+            path = self._options.get("path")
+        if path is None:
+            raise ValueError("path is required")
+        return self._load_index(path, dataspace="source")
+
+    # -- commands (reference: index.py:303-331) ----------------------------
+    @property
+    def create(self) -> CreateIndexCommand:
+        return CreateIndexCommand(self)
+
+    @property
+    def exists(self) -> ExistsIndexCommand:
+        return ExistsIndexCommand(self)
+
+    @property
+    def delete(self) -> DeleteIndexCommand:
+        return DeleteIndexCommand(self)
+
+    # -- internals ---------------------------------------------------------
+    def _conf(self) -> IndexConf:
+        return IndexConf.from_spark(self.spark)
+
+    def _metastore(self, conf: IndexConf) -> Metastore:
+        return _metastore_for(self.spark, conf.metastore_location)
+
+    def _create_index(self, path: str, mode: str,
+                      columns: Optional[List[str]], dataspace: str) -> None:
+        conf = self._conf()
+        metastore = self._metastore(conf)
+        spec = LocationSpec(path, dataspace=dataspace)
+        table_root = spec.table_path
+
+        # schema inference: Spark merges per-file footers + partition
+        # discovery (SURVEY §1.3 mapping)
+        data_schema = self.spark.read.parquet(table_root).schema
+        files, part_cols = collector.list_table_files(table_root)
+        partition_columns: Dict[str, str] = {}
+        for pcol in part_cols:
+            f = data_schema[pcol] if pcol in data_schema.fieldNames() else None
+            kind = ityp.kind_of_spark_type(f.dataType) if f else None
+            if kind is None:
+                kind = ityp.infer_partition_kind(
+                    [fi["partition_values"].get(pcol) for fi in files])
+            partition_columns[pcol] = kind
+
+        index_columns = self._resolve_index_columns(
+            data_schema, partition_columns, columns)
+
+        def writer(index_dir: str) -> None:
+            stats_dir = os.path.join(index_dir, STATS_DIR)
+            summaries = collector.run_stats_job(
+                self.spark, table_root, files, stats_dir,
+                index_cols=list(index_columns.items()),
+                filter_enabled=conf.filter_enabled,
+                filter_type=conf.filter_type,
+                dict_max_size=conf.dict_max_size,
+                num_partitions=conf.num_partitions)
+            files_table = pa.Table.from_pylist(
+                summaries, schema=collector.FILES_SCHEMA)
+            pq.write_table(files_table, os.path.join(index_dir, FILES_FILE))
+            meta = {
+                "version": 1,
+                "table_path": table_root,
+                "data_schema": data_schema.jsonValue(),
+                "index_columns": list(index_columns.items()),
+                "partition_columns": list(partition_columns.items()),
+                "filter_type": conf.filter_type if conf.filter_enabled else None,
+            }
+            with open(os.path.join(index_dir, METADATA_FILE), "w") as fh:
+                json.dump(meta, fh, indent=1)
+
+        metastore.create(spec, mode, writer)
+
+    @staticmethod
+    def _resolve_index_columns(data_schema, partition_columns: Dict[str, str],
+                               columns: Optional[List[str]]) -> Dict[str, str]:
+        """Validate/infer index columns (ParquetSchemaUtils.scala:40-65;
+        partition columns rejected per ParquetMetastoreSupport.scala:111-117)."""
+        out: Dict[str, str] = {}
+        if columns is None:
+            for f in data_schema.fields:
+                if f.name in partition_columns:
+                    continue
+                kind = ityp.kind_of_spark_type(f.dataType)
+                if kind is not None:
+                    out[f.name] = kind
+            if not out:
+                raise ValueError(
+                    "indexByAll found no supported columns "
+                    "(supported: int, bigint, string, date, timestamp)")
+            return out
+        names = set(data_schema.fieldNames())
+        if len(set(columns)) != len(columns):
+            raise ValueError(f"Duplicate index columns in {columns}")
+        for c in columns:
+            if c in partition_columns:
+                raise ValueError(
+                    f"Column {c!r} is a partition column and cannot be "
+                    "indexed (ParquetMetastoreSupport.scala:111-117)")
+            if c not in names:
+                raise ValueError(f"Column {c!r} does not exist in schema "
+                                 f"{data_schema.simpleString()}")
+            kind = ityp.kind_of_spark_type(data_schema[c].dataType)
+            if kind is None:
+                raise ValueError(
+                    f"Column {c!r} has unsupported type "
+                    f"{data_schema[c].dataType.simpleString()}; supported: "
+                    "int, bigint, string, date, timestamp "
+                    "(ParquetSchemaUtils.scala:32-54)")
+            out[c] = kind
+        return out
+
+    def _exists_index(self, path: str, dataspace: str) -> bool:
+        conf = self._conf()
+        return self._metastore(conf).exists(LocationSpec(path, dataspace=dataspace))
+
+    def _delete_index(self, path: str, dataspace: str) -> None:
+        conf = self._conf()
+        self._metastore(conf).delete(LocationSpec(path, dataspace=dataspace))
+
+    def _load_index(self, path: str, dataspace: str) -> IndexedDataFrame:
+        conf = self._conf()
+        metastore = self._metastore(conf)
+        spec = LocationSpec(path, dataspace=dataspace)
+        if not metastore.exists(spec) and conf.create_if_not_exists:
+            # auto-create over all columns (IndexedDataSource.scala:69-72)
+            self._create_index(path, "error", None, dataspace)
+        metadata = metastore.load(spec, filter_eager=conf.filter_eager_loading)
+        return IndexedDataFrame(self.spark, metadata, self)
+
+
+# per-(session, location) metastore singletons (Metastore.scala:283-286)
+_METASTORES: Dict[tuple, Metastore] = {}
+
+
+def _metastore_for(spark: SparkSession, location: str) -> Metastore:
+    key = (id(spark), os.path.abspath(location))
+    ms = _METASTORES.get(key)
+    if ms is None:
+        ms = Metastore(location)
+        _METASTORES[key] = ms
+    return ms
+
+
+class QueryContext:
+    """Session wrapper: ``QueryContext(spark).index`` (reference:
+    index.py:332-371)."""
+
+    def __init__(self, session: SparkSession):
+        self._spark = session
+        self._manager = DataFrameIndexManager(session)
+
+    @property
+    def spark_session(self) -> SparkSession:
+        return self._spark
+
+    @property
+    def index(self) -> DataFrameIndexManager:
+        return self._manager

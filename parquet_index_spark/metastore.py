@@ -1,0 +1,274 @@
+"""Filesystem metastore: per-table index metadata with an atomic-ish commit.
+
+Layout (mirrors the reference, Metastore.scala:254-261):
+
+    {metastore}/{dataspace}/{identifier}/{scheme}/{table-path}/
+        _SUCCESS                -- commit marker (Metastore.scala:268-276)
+        _table_metadata.json    -- schema + index/partition columns
+        stats/part-*.parquet    -- per (file, block, column) statistics,
+                                   written by executors (collector.py)
+        files.parquet           -- per-file summary + partition values
+
+dataspace = "source" | "catalog"; identifier = "parquet"; scheme from the
+table URI. SaveMode semantics on create and rollback-on-failure follow
+Metastore.scala:131-179; existence = dir + _SUCCESS (240-248); loads go
+through a small per-session cache (60-65: Guava 16 entries / 12h TTL —
+ours is a 16-entry LRU dict, invalidated on create/delete).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections import OrderedDict
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from pyspark.sql import types as T
+
+from parquet_index_spark import types as ityp
+from parquet_index_spark.pruning import BlockStatsContext, ColumnBlockStats
+from parquet_index_spark.statistics import BloomFilter, DictFilter, MembershipFilter
+
+SUCCESS_FILE = "_SUCCESS"
+METADATA_FILE = "_table_metadata.json"
+STATS_DIR = "stats"
+FILES_FILE = "files.parquet"
+
+CACHE_MAX_ENTRIES = 16
+
+
+class IndexError_(Exception):
+    pass
+
+
+class IndexNotFoundError(IndexError_):
+    pass
+
+
+class IndexExistsError(IndexError_):
+    pass
+
+
+class LocationSpec:
+    """source|catalog dataspace + table path (IndexLocationSpec.scala:63-78)."""
+
+    def __init__(self, table_path: str, dataspace: str = "source",
+                 identifier: str = "parquet"):
+        self.table_path = os.path.abspath(table_path)
+        self.dataspace = dataspace
+        self.identifier = identifier
+
+    def relative_dir(self) -> str:
+        scheme = "file"
+        return os.path.join(self.dataspace, self.identifier, scheme,
+                            self.table_path.lstrip(os.sep))
+
+
+class IndexMetadata:
+    """Loaded index for one table; prunes files and reconstructs the scan."""
+
+    def __init__(self, index_dir: str, meta: dict, files: pd.DataFrame,
+                 filter_eager: bool = False):
+        self.index_dir = index_dir
+        self.table_path = meta["table_path"]
+        self.data_schema = T.StructType.fromJson(meta["data_schema"])
+        self.index_columns: Dict[str, str] = dict(meta["index_columns"])
+        self.partition_columns: Dict[str, str] = dict(meta["partition_columns"])
+        self.filter_type: Optional[str] = meta.get("filter_type")
+        self.files = files  # path, size, blocks, rows, partition_json
+        self._stats_table = None
+        self._ctx: Optional[BlockStatsContext] = None
+        self._filter_eager = filter_eager
+
+    # -- lazy loading ------------------------------------------------------
+    def _load_stats(self):
+        if self._stats_table is None:
+            stats_path = os.path.join(self.index_dir, STATS_DIR)
+            self._stats_table = pq.read_table(stats_path)
+        return self._stats_table
+
+    def context(self) -> BlockStatsContext:
+        if self._ctx is None:
+            self._ctx = self._build_context()
+            if self._filter_eager:
+                for c in self.index_columns:
+                    self._ctx.membership(c)
+        return self._ctx
+
+    def _build_context(self) -> BlockStatsContext:
+        stats = self._load_stats().to_pandas()
+        # canonical block order: (path, block); every indexed column has one
+        # row per block, so slicing per column yields aligned arrays
+        base = stats[["path", "block", "rows"]].drop_duplicates().sort_values(
+            ["path", "block"], kind="mergesort").reset_index(drop=True)
+        n = len(base)
+        file_paths = list(self.files["path"])
+        path_to_id = {p: i for i, p in enumerate(file_paths)}
+        file_ids = base["path"].map(path_to_id).to_numpy(dtype=np.int64)
+        rows = base["rows"].to_numpy(dtype=np.int64)
+        block_key = pd.MultiIndex.from_frame(base[["path", "block"]])
+
+        columns: Dict[str, ColumnBlockStats] = {}
+        self._membership_frames: Dict[str, pd.DataFrame] = {}
+        for col, kind in self.index_columns.items():
+            sub = stats[stats["column"] == col].set_index(["path", "block"])
+            sub = sub.reindex(block_key)
+            has = sub["has_stats"].fillna(False).to_numpy(dtype=bool)
+            nulls = sub["nulls"].fillna(-1).to_numpy(dtype=np.int64)
+            if kind == ityp.STRING:
+                min_s = np.array(
+                    [x if isinstance(x, str) else None for x in sub["min_str"]],
+                    dtype=object)
+                max_s = np.array(
+                    [x if isinstance(x, str) else None for x in sub["max_str"]],
+                    dtype=object)
+                cbs = ColumnBlockStats(kind, has, nulls, None, None, min_s, max_s)
+            else:
+                min_l = sub["min_long"].fillna(0).to_numpy(dtype=np.int64)
+                max_l = sub["max_long"].fillna(0).to_numpy(dtype=np.int64)
+                cbs = ColumnBlockStats(kind, has, nulls, min_l, max_l, None, None)
+            columns[col] = cbs
+            self._membership_frames[col] = sub[["dict_long", "dict_str", "bloom"]]
+
+        # partition columns become exact pseudo-stats: min == max == value
+        # (unifies the reference's separate partition pruning,
+        # ParquetIndex.scala:112-145, with the block fold)
+        if self.partition_columns:
+            pvals_per_file = [json.loads(pj) for pj in self.files["partition_json"]]
+            for pcol, pkind in self.partition_columns.items():
+                raw = [pv.get(pcol) for pv in pvals_per_file]
+                parsed = [None if r is None or r == "__HIVE_DEFAULT_PARTITION__"
+                          else ityp.parse_partition_value(r, pkind) for r in raw]
+                per_block = [parsed[fid] for fid in file_ids]
+                has = np.array([v is not None for v in per_block], dtype=bool)
+                nulls = np.where(has, 0, rows)
+                if pkind == ityp.STRING:
+                    arr = np.array(per_block, dtype=object)
+                    cbs = ColumnBlockStats(pkind, has, nulls, None, None, arr, arr)
+                else:
+                    arr = np.array([0 if v is None else v for v in per_block],
+                                   dtype=np.int64)
+                    cbs = ColumnBlockStats(pkind, has, nulls, arr, arr, None, None)
+                columns[pcol] = cbs
+
+        return BlockStatsContext(n, rows, file_ids, file_paths, columns,
+                                 membership_loader=self._load_membership)
+
+    def _load_membership(self, column: str) -> Optional[list]:
+        """Build per-block MembershipFilter list for a column (lazy)."""
+        frame = getattr(self, "_membership_frames", {}).get(column)
+        if frame is None:
+            return None
+        out: list = []
+        any_filter = False
+        for _, row in frame.iterrows():
+            dict_vals = row["dict_long"]
+            if dict_vals is None or (isinstance(dict_vals, float)) or \
+               (hasattr(dict_vals, "__len__") and len(dict_vals) == 0):
+                dict_vals = row["dict_str"]
+            bloom_bytes = row["bloom"]
+            mf = None
+            if dict_vals is not None and not isinstance(dict_vals, float) and \
+               hasattr(dict_vals, "__len__") and len(dict_vals) > 0:
+                mf = MembershipFilter(DictFilter(set(dict_vals)), None)
+            elif isinstance(bloom_bytes, (bytes, bytearray)) and len(bloom_bytes) > 0:
+                mf = MembershipFilter(None, BloomFilter.from_bytes(bytes(bloom_bytes)))
+            if mf is not None:
+                any_filter = True
+            out.append(mf)
+        return out if any_filter else None
+
+    # -- helpers -----------------------------------------------------------
+    def all_file_paths(self) -> List[str]:
+        return list(self.files["path"])
+
+    def abs_path(self, relpath: str) -> str:
+        return os.path.join(self.table_path, relpath)
+
+
+class Metastore:
+    """Metastore lifecycle: resolve/create/exists/delete/load + cache."""
+
+    def __init__(self, location: str):
+        self.location = os.path.abspath(location)
+        os.makedirs(self.location, exist_ok=True)
+        if not os.access(self.location, os.R_OK | os.W_OK | os.X_OK):
+            raise PermissionError(
+                f"Metastore {self.location} must be readable/writable "
+                "(Metastore.scala:78-115 semantics)")
+        self._cache: "OrderedDict[str, IndexMetadata]" = OrderedDict()
+
+    def index_dir(self, spec: LocationSpec) -> str:
+        return os.path.join(self.location, spec.relative_dir())
+
+    # -- lifecycle ---------------------------------------------------------
+    def create(self, spec: LocationSpec, mode: str, writer) -> None:
+        """SaveMode-aware create: runs ``writer(index_dir)`` then commits
+        ``_SUCCESS``; deletes the dir on failure (Metastore.scala:131-179)."""
+        mode = (mode or "error").lower()
+        if mode == "errorifexists":
+            mode = "error"
+        if mode not in ("overwrite", "error", "ignore", "append"):
+            raise ValueError(f"Unsupported mode {mode}")
+        path = self.index_dir(spec)
+        exists = os.path.isdir(path)
+        if exists:
+            if mode == "error":
+                raise IndexExistsError(
+                    f"Index already exists for {spec.table_path} at {path}")
+            if mode == "ignore":
+                return
+            if mode == "append":
+                raise ValueError(
+                    "Append mode is not supported for index create "
+                    "(reference behaves the same: Metastore.scala:131-179)")
+            # overwrite
+            shutil.rmtree(path)
+        self.invalidate(path)
+        os.makedirs(path, exist_ok=True)
+        try:
+            writer(path)
+            with open(os.path.join(path, SUCCESS_FILE), "w") as fh:
+                fh.write(str(int(time.time() * 1000)))
+        except BaseException:
+            shutil.rmtree(path, ignore_errors=True)
+            raise
+
+    def exists(self, spec: LocationSpec) -> bool:
+        path = self.index_dir(spec)
+        return os.path.isdir(path) and \
+            os.path.isfile(os.path.join(path, SUCCESS_FILE))
+
+    def delete(self, spec: LocationSpec) -> None:
+        path = self.index_dir(spec)
+        self.invalidate(path)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+
+    def load(self, spec: LocationSpec, filter_eager: bool = False) -> IndexMetadata:
+        path = self.index_dir(spec)
+        cached = self._cache.get(path)
+        if cached is not None:
+            self._cache.move_to_end(path)
+            return cached
+        if not self.exists(spec):
+            raise IndexNotFoundError(
+                f"No index found for {spec.table_path}; "
+                f"expected {path}/{SUCCESS_FILE}")
+        with open(os.path.join(path, METADATA_FILE)) as fh:
+            meta = json.load(fh)
+        files = pq.read_table(os.path.join(path, FILES_FILE)).to_pandas()
+        md = IndexMetadata(path, meta, files, filter_eager=filter_eager)
+        self._cache[path] = md
+        while len(self._cache) > CACHE_MAX_ENTRIES:
+            self._cache.popitem(last=False)
+        return md
+
+    def invalidate(self, index_dir: str) -> None:
+        self._cache.pop(index_dir, None)

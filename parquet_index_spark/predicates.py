@@ -1,0 +1,521 @@
+"""Predicate AST, DSL (``col``), and SQL parser.
+
+The reference receives ``org.apache.spark.sql.sources.Filter`` trees from
+Catalyst and folds them against statistics (ParquetIndexFilters.scala:52-137).
+PySpark cannot intercept Catalyst planning without JVM code, so we accept the
+predicate *before* planning in one of three forms:
+
+1. our DSL:       ``t.filter((col("a") == 5) & (col("d") > "1995-01-01"))``
+2. a SQL string:  ``t.filter("a = 5 AND d > DATE '1995-01-01'")``
+3. a pyspark Column — opaque: no pruning, full (still correct) scan.
+
+All three re-apply the *complete* predicate on the pruned DataFrame, so the
+index fold only needs to be sound (never prune a file that could contain a
+matching row) — same contract as the reference's residual FilterExec
+(IndexSourceStrategy.scala:111-112).
+
+Divergence from the reference, deliberate: the reference folds
+``Not(Trivial(true)) => Trivial(false)`` (ParquetIndexFilters.scala:118-123),
+which is unsound for approximate statistics (``NOT (a = 5)`` would prune a
+block whose min<=5<=max even though it holds other values). We instead push
+``NOT`` to the leaves with exact complement rules (De Morgan + SQL
+three-valued-logic-aware negation of each comparison).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Sequence, Union
+
+from pyspark.sql import Column as SparkColumn
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+class Predicate:
+    """Base class for predicate AST nodes."""
+
+    def __and__(self, other: "Predicate") -> "Predicate":
+        return And((self, _as_pred(other)))
+
+    def __or__(self, other: "Predicate") -> "Predicate":
+        return Or((self, _as_pred(other)))
+
+    def __invert__(self) -> "Predicate":
+        return Not(self)
+
+    # no __bool__: catching `and`/`or` misuse
+    def __bool__(self):
+        raise TypeError(
+            "Cannot convert Predicate to bool; use & | ~ instead of and/or/not")
+
+    def to_spark(self) -> SparkColumn:
+        raise NotImplementedError
+
+
+def _as_pred(p: Any) -> "Predicate":
+    if isinstance(p, Predicate):
+        return p
+    raise TypeError(f"expected Predicate, got {type(p)}")
+
+
+def _lit_to_spark(v: Any) -> SparkColumn:
+    return F.lit(v)
+
+
+@dataclass(frozen=True)
+class Eq(Predicate):
+    column: str
+    value: Any
+
+    def to_spark(self) -> SparkColumn:
+        return F.col(self.column) == _lit_to_spark(self.value)
+
+
+@dataclass(frozen=True)
+class Ne(Predicate):
+    column: str
+    value: Any
+
+    def to_spark(self) -> SparkColumn:
+        return F.col(self.column) != _lit_to_spark(self.value)
+
+
+@dataclass(frozen=True)
+class In(Predicate):
+    column: str
+    values: tuple
+
+    def to_spark(self) -> SparkColumn:
+        return F.col(self.column).isin(list(self.values))
+
+
+@dataclass(frozen=True)
+class IsNull(Predicate):
+    column: str
+
+    def to_spark(self) -> SparkColumn:
+        return F.col(self.column).isNull()
+
+
+@dataclass(frozen=True)
+class IsNotNull(Predicate):
+    column: str
+
+    def to_spark(self) -> SparkColumn:
+        return F.col(self.column).isNotNull()
+
+
+@dataclass(frozen=True)
+class Gt(Predicate):
+    column: str
+    value: Any
+
+    def to_spark(self) -> SparkColumn:
+        return F.col(self.column) > _lit_to_spark(self.value)
+
+
+@dataclass(frozen=True)
+class Ge(Predicate):
+    column: str
+    value: Any
+
+    def to_spark(self) -> SparkColumn:
+        return F.col(self.column) >= _lit_to_spark(self.value)
+
+
+@dataclass(frozen=True)
+class Lt(Predicate):
+    column: str
+    value: Any
+
+    def to_spark(self) -> SparkColumn:
+        return F.col(self.column) < _lit_to_spark(self.value)
+
+
+@dataclass(frozen=True)
+class Le(Predicate):
+    column: str
+    value: Any
+
+    def to_spark(self) -> SparkColumn:
+        return F.col(self.column) <= _lit_to_spark(self.value)
+
+
+@dataclass(frozen=True)
+class And(Predicate):
+    children: tuple
+
+    def to_spark(self) -> SparkColumn:
+        out = self.children[0].to_spark()
+        for c in self.children[1:]:
+            out = out & c.to_spark()
+        return out
+
+
+@dataclass(frozen=True)
+class Or(Predicate):
+    children: tuple
+
+    def to_spark(self) -> SparkColumn:
+        out = self.children[0].to_spark()
+        for c in self.children[1:]:
+            out = out | c.to_spark()
+        return out
+
+
+@dataclass(frozen=True)
+class Not(Predicate):
+    child: Predicate
+
+    def to_spark(self) -> SparkColumn:
+        return ~self.child.to_spark()
+
+
+@dataclass(frozen=True)
+class Trivial(Predicate):
+    """Constant-result predicate (reference: sources/filters.scala:23-33)."""
+    value: bool
+
+    def to_spark(self) -> SparkColumn:
+        return F.lit(self.value)
+
+
+@dataclass(frozen=True)
+class Unsupported(Predicate):
+    """A predicate the index cannot fold (LIKE, startswith, UDF, ...).
+
+    Folds to "scan the file" (reference: ParquetIndexFilters.scala:128-136);
+    still convertible to a Spark Column for residual evaluation.
+    """
+    builder: Callable[[], SparkColumn] = field(compare=False)
+    description: str = ""
+
+    def to_spark(self) -> SparkColumn:
+        return self.builder()
+
+
+# ---------------------------------------------------------------------------
+# DSL
+# ---------------------------------------------------------------------------
+
+class ColumnRef:
+    """``col("name")`` — builds Predicate nodes with python operators."""
+
+    def __init__(self, name: str):
+        self._name = name
+
+    def __eq__(self, other: Any) -> Predicate:  # type: ignore[override]
+        if other is None:
+            return IsNull(self._name)
+        return Eq(self._name, other)
+
+    def __ne__(self, other: Any) -> Predicate:  # type: ignore[override]
+        if other is None:
+            return IsNotNull(self._name)
+        return Ne(self._name, other)
+
+    def __gt__(self, other: Any) -> Predicate:
+        return Gt(self._name, other)
+
+    def __ge__(self, other: Any) -> Predicate:
+        return Ge(self._name, other)
+
+    def __lt__(self, other: Any) -> Predicate:
+        return Lt(self._name, other)
+
+    def __le__(self, other: Any) -> Predicate:
+        return Le(self._name, other)
+
+    def isin(self, *values: Any) -> Predicate:
+        if len(values) == 1 and isinstance(values[0], (list, tuple, set)):
+            values = tuple(values[0])
+        return In(self._name, tuple(values))
+
+    def isNull(self) -> Predicate:
+        return IsNull(self._name)
+
+    def isNotNull(self) -> Predicate:
+        return IsNotNull(self._name)
+
+    def between(self, low: Any, high: Any) -> Predicate:
+        return And((Ge(self._name, low), Le(self._name, high)))
+
+    def startswith(self, s: str) -> Predicate:
+        name = self._name
+        return Unsupported(lambda: F.col(name).startswith(s), f"startswith({name})")
+
+    def endswith(self, s: str) -> Predicate:
+        name = self._name
+        return Unsupported(lambda: F.col(name).endswith(s), f"endswith({name})")
+
+    def contains(self, s: str) -> Predicate:
+        name = self._name
+        return Unsupported(lambda: F.col(name).contains(s), f"contains({name})")
+
+    def like(self, pattern: str) -> Predicate:
+        name = self._name
+        return Unsupported(lambda: F.col(name).like(pattern), f"like({name})")
+
+
+def col(name: str) -> ColumnRef:
+    return ColumnRef(name)
+
+
+def lit(value: Any) -> Any:
+    """Identity helper for symmetry with pyspark; literals are plain values."""
+    return value
+
+
+# ---------------------------------------------------------------------------
+# NOT push-down (sound negation)
+# ---------------------------------------------------------------------------
+
+def push_not_down(p: Predicate, negate: bool = False) -> Predicate:
+    """Rewrite the tree so no ``Not`` nodes remain above foldable leaves.
+
+    Negation uses SQL filter semantics: a filter keeps rows where the
+    predicate is TRUE, so ``NOT (a > v)`` keeps exactly the rows with
+    non-null ``a <= v`` — i.e. ``Le``.
+    """
+    if isinstance(p, Not):
+        return push_not_down(p.child, not negate)
+    if isinstance(p, And):
+        kids = tuple(push_not_down(c, negate) for c in p.children)
+        return Or(kids) if negate else And(kids)
+    if isinstance(p, Or):
+        kids = tuple(push_not_down(c, negate) for c in p.children)
+        return And(kids) if negate else Or(kids)
+    if not negate:
+        return p
+    if isinstance(p, Eq):
+        return Ne(p.column, p.value)
+    if isinstance(p, Ne):
+        return Eq(p.column, p.value)
+    if isinstance(p, In):
+        return And(tuple(Ne(p.column, v) for v in p.values)) if p.values else Trivial(True)
+    if isinstance(p, IsNull):
+        return IsNotNull(p.column)
+    if isinstance(p, IsNotNull):
+        return IsNull(p.column)
+    if isinstance(p, Gt):
+        return Le(p.column, p.value)
+    if isinstance(p, Ge):
+        return Lt(p.column, p.value)
+    if isinstance(p, Lt):
+        return Ge(p.column, p.value)
+    if isinstance(p, Le):
+        return Gt(p.column, p.value)
+    if isinstance(p, Trivial):
+        return Trivial(not p.value)
+    if isinstance(p, Unsupported):
+        # NOT over an unfoldable leaf: conservatively scan
+        return Unsupported(lambda: ~p.builder(), f"not({p.description})")
+    raise TypeError(f"cannot negate {p!r}")
+
+
+def referenced_columns(p: Predicate) -> set:
+    if isinstance(p, (Eq, Ne, In, IsNull, IsNotNull, Gt, Ge, Lt, Le)):
+        return {p.column}
+    if isinstance(p, (And, Or)):
+        out: set = set()
+        for c in p.children:
+            out |= referenced_columns(c)
+        return out
+    if isinstance(p, Not):
+        return referenced_columns(p.child)
+    return set()
+
+
+# ---------------------------------------------------------------------------
+# SQL predicate parser (restricted WHERE-clause grammar)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(?:
+      (?P<ts>TIMESTAMP\s*'[^']*')
+    | (?P<date>DATE\s*'[^']*')
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<num>-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"AND", "OR", "NOT", "IN", "IS", "NULL", "BETWEEN", "LIKE",
+             "TRUE", "FALSE", "DATE", "TIMESTAMP"}
+
+
+class SqlParseError(ValueError):
+    pass
+
+
+def _tokenize(sql: str) -> list:
+    tokens = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            if sql[pos:].strip() == "":
+                break
+            raise SqlParseError(f"cannot tokenize at: {sql[pos:pos + 30]!r}")
+        pos = m.end()
+        if m.lastgroup == "ident":
+            text = m.group("ident")
+            if text.upper() in _KEYWORDS:
+                tokens.append(("kw", text.upper()))
+            else:
+                tokens.append(("ident", text))
+        elif m.lastgroup == "str":
+            raw = m.group("str")[1:-1].replace("''", "'")
+            tokens.append(("str", raw))
+        elif m.lastgroup == "num":
+            raw = m.group("num")
+            tokens.append(("num", float(raw) if ("." in raw or "e" in raw or "E" in raw) else int(raw)))
+        elif m.lastgroup == "date":
+            raw = m.group("date")
+            inner = raw[raw.index("'") + 1:-1]
+            tokens.append(("date", _dt.date.fromisoformat(inner)))
+        elif m.lastgroup == "ts":
+            raw = m.group("ts")
+            inner = raw[raw.index("'") + 1:-1]
+            tokens.append(("timestamp", _dt.datetime.fromisoformat(inner)))
+        else:
+            tokens.append(("op", m.group("op")))
+    return tokens
+
+
+class _Parser:
+    def __init__(self, tokens: list, sql: str):
+        self.toks = tokens
+        self.i = 0
+        self.sql = sql
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, ttype: str, value: Any = None):
+        t = self.next()
+        if t[0] != ttype or (value is not None and t[1] != value):
+            raise SqlParseError(f"expected {ttype} {value}, got {t} in {self.sql!r}")
+        return t
+
+    def parse(self) -> Predicate:
+        p = self.or_expr()
+        if self.i != len(self.toks):
+            raise SqlParseError(f"trailing tokens {self.toks[self.i:]} in {self.sql!r}")
+        return p
+
+    def or_expr(self) -> Predicate:
+        parts = [self.and_expr()]
+        while self.peek() == ("kw", "OR"):
+            self.next()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else Or(tuple(parts))
+
+    def and_expr(self) -> Predicate:
+        parts = [self.not_expr()]
+        while self.peek() == ("kw", "AND"):
+            self.next()
+            parts.append(self.not_expr())
+        return parts[0] if len(parts) == 1 else And(tuple(parts))
+
+    def not_expr(self) -> Predicate:
+        if self.peek() == ("kw", "NOT"):
+            self.next()
+            return Not(self.not_expr())
+        return self.primary()
+
+    def primary(self) -> Predicate:
+        ttype, tval = self.peek()
+        if (ttype, tval) == ("op", "("):
+            self.next()
+            p = self.or_expr()
+            self.expect("op", ")")
+            return p
+        if (ttype, tval) == ("kw", "TRUE"):
+            self.next()
+            return Trivial(True)
+        if (ttype, tval) == ("kw", "FALSE"):
+            self.next()
+            return Trivial(False)
+        return self.comparison()
+
+    def literal(self) -> Any:
+        ttype, tval = self.next()
+        if ttype in ("num", "str", "date", "timestamp"):
+            return tval
+        if (ttype, tval) == ("kw", "NULL"):
+            return None
+        raise SqlParseError(f"expected literal, got {(ttype, tval)} in {self.sql!r}")
+
+    def comparison(self) -> Predicate:
+        ttype, name = self.next()
+        if ttype != "ident":
+            raise SqlParseError(f"expected column name, got {(ttype, name)} in {self.sql!r}")
+        ttype, tval = self.peek()
+        if ttype == "op" and tval in ("=", "!=", "<>", "<", "<=", ">", ">="):
+            self.next()
+            value = self.literal()
+            if value is None:
+                # `a = NULL` is never true; keep Spark semantics via residual
+                return Trivial(False) if tval == "=" else Trivial(False)
+            table = {"=": Eq, "!=": Ne, "<>": Ne, "<": Lt, "<=": Le, ">": Gt, ">=": Ge}
+            return table[tval](name, value)
+        if (ttype, tval) == ("kw", "IS"):
+            self.next()
+            if self.peek() == ("kw", "NOT"):
+                self.next()
+                self.expect("kw", "NULL")
+                return IsNotNull(name)
+            self.expect("kw", "NULL")
+            return IsNull(name)
+        negated = False
+        if (ttype, tval) == ("kw", "NOT"):
+            self.next()
+            negated = True
+            ttype, tval = self.peek()
+        if (ttype, tval) == ("kw", "IN"):
+            self.next()
+            self.expect("op", "(")
+            values = [self.literal()]
+            while self.peek() == ("op", ","):
+                self.next()
+                values.append(self.literal())
+            self.expect("op", ")")
+            node: Predicate = In(name, tuple(v for v in values if v is not None))
+            return Not(node) if negated else node
+        if (ttype, tval) == ("kw", "BETWEEN"):
+            self.next()
+            low = self.literal()
+            self.expect("kw", "AND")
+            high = self.literal()
+            node = And((Ge(name, low), Le(name, high)))
+            return Not(node) if negated else node
+        if (ttype, tval) == ("kw", "LIKE"):
+            self.next()
+            pattern = self.literal()
+            node = Unsupported(lambda: F.col(name).like(pattern), f"like({name})")
+            return Not(node) if negated else node
+        raise SqlParseError(f"unsupported predicate on {name!r} in {self.sql!r}")
+
+
+def parse_sql_predicate(sql: str) -> Predicate:
+    """Parse a restricted SQL WHERE-clause into the predicate AST.
+
+    Raises SqlParseError for syntax outside the supported grammar; callers
+    fall back to an unpruned (but still correct) scan in that case.
+    """
+    return _Parser(_tokenize(sql), sql).parse()

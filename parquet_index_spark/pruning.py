@@ -1,0 +1,234 @@
+"""Vectorized predicate fold over block statistics — the file-skipping core.
+
+Reproduces the semantics of the reference's fold algebra
+(ParquetIndexFilters.scala:52-137) and per-type statistics boundary rules
+(ColumnStatistics.scala:26-159):
+
+- a file survives iff ANY of its blocks might match (per-block OR,
+  ParquetIndexFilters.scala:29-46);
+- a file with zero blocks (empty parquet) is always skipped (ibid:42-45);
+- Eq/In consult min/max then, if present, the membership filter
+  (ibid:54-75);
+- Gt matches iff max > v; Ge iff max >= v; Lt iff min < v; Le iff min <= v
+  (the open/closed boundary rules of ibid:80-101);
+- all-null blocks (`has_stats == False`) fail every comparison
+  (ColumnStatistics.scala:165-206, the `isSet` guard);
+- predicates on unindexed columns and unsupported shapes fold to
+  "scan" (ibid:128-136).
+
+Unlike the reference this fold is *vectorized*: one numpy pass over all
+blocks of all files instead of a per-file future pool
+(ParquetIndex.scala:158-185) — at 100 TB the metadata is millions of rows
+and per-file Python loops would dominate query latency.
+
+Negation is handled soundly by push-down (see predicates.push_not_down) —
+deliberate divergence from ParquetIndexFilters.scala:118-123.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from parquet_index_spark import predicates as P
+from parquet_index_spark import types as ityp
+from parquet_index_spark.statistics import MembershipFilter
+
+
+class ColumnBlockStats:
+    """Aligned per-block stats arrays for one indexed (or partition) column."""
+
+    __slots__ = ("kind", "has", "nulls", "min_l", "max_l", "min_s", "max_s")
+
+    def __init__(self, kind: str, has: np.ndarray, nulls: np.ndarray,
+                 min_l: Optional[np.ndarray], max_l: Optional[np.ndarray],
+                 min_s: Optional[np.ndarray], max_s: Optional[np.ndarray]):
+        self.kind = kind
+        self.has = has          # bool[n]: min/max present (not all-null)
+        self.nulls = nulls      # int64[n]: null count, -1 => unknown
+        self.min_l = min_l      # int64[n] (long-space) or None for strings
+        self.max_l = max_l
+        self.min_s = min_s      # object[n] of str or None for numerics
+        self.max_s = max_s
+
+
+class BlockStatsContext:
+    """All blocks of a table, columnar; the pruner's evaluation context."""
+
+    def __init__(self, n_blocks: int, rows: np.ndarray, file_ids: np.ndarray,
+                 file_paths: List[str],
+                 columns: Dict[str, ColumnBlockStats],
+                 membership_loader: Optional[Callable[[str], Optional[list]]] = None):
+        self.n = n_blocks
+        self.rows = rows            # int64[n]
+        self.file_ids = file_ids    # int64[n] index into file_paths
+        self.file_paths = file_paths
+        self.columns = columns
+        # membership_loader(col) -> list[MembershipFilter|None] aligned with
+        # blocks, or None when the column has no filter statistics. Lazy:
+        # only invoked when an Eq/In actually needs it (reference lazy
+        # readData, ColumnFilterStatistics.scala:122-135).
+        self._membership_loader = membership_loader
+        self._membership_cache: Dict[str, Optional[list]] = {}
+
+    def membership(self, column: str) -> Optional[list]:
+        if column not in self._membership_cache:
+            loader = self._membership_loader
+            self._membership_cache[column] = loader(column) if loader else None
+        return self._membership_cache[column]
+
+
+def _true(ctx: BlockStatsContext) -> np.ndarray:
+    return np.ones(ctx.n, dtype=bool)
+
+
+def _false(ctx: BlockStatsContext) -> np.ndarray:
+    return np.zeros(ctx.n, dtype=bool)
+
+
+def _norm_literal(value, kind: str):
+    """Literal → stat space; None on un-coercible literal (=> scan)."""
+    try:
+        return ityp.literal_to_stat_value(value, kind)
+    except (TypeError, ValueError):
+        return None
+
+
+def _cmp_arrays(stats: ColumnBlockStats, v, op: str) -> np.ndarray:
+    """Elementwise op between a block-stats bound and a normalized literal."""
+    if stats.kind == ityp.STRING:
+        src = stats.min_s if op in ("min_lt", "min_le") else stats.max_s
+        # object array with None where has_stats is False; mask afterwards
+        filled = np.array([x if x is not None else "" for x in src], dtype=object)
+        if op == "min_lt":
+            return np.array([x < v for x in filled], dtype=bool)
+        if op == "min_le":
+            return np.array([x <= v for x in filled], dtype=bool)
+        if op == "max_gt":
+            return np.array([x > v for x in filled], dtype=bool)
+        return np.array([x >= v for x in filled], dtype=bool)
+    if op == "min_lt":
+        return stats.min_l < v
+    if op == "min_le":
+        return stats.min_l <= v
+    if op == "max_gt":
+        return stats.max_l > v
+    return stats.max_l >= v
+
+
+def _contains(stats: ColumnBlockStats, v) -> np.ndarray:
+    """Null-tolerant contains: has_stats && min <= v <= max
+    (ColumnStatistics.scala:97-107)."""
+    return stats.has & _cmp_arrays(stats, v, "min_le") & _cmp_arrays(stats, v, "max_ge")
+
+
+def _apply_membership(ctx: BlockStatsContext, column: str, kind: str,
+                      result: np.ndarray, values: list) -> np.ndarray:
+    """Refine an Eq/In range-match with membership filters where available."""
+    if not result.any():
+        return result
+    filters = ctx.membership(column)
+    if filters is None:
+        return result
+    idxs = np.nonzero(result)[0]
+    for i in idxs:
+        f = filters[i]
+        if f is None:
+            continue
+        if not any(f.might_contain(v, kind) for v in values):
+            result[i] = False
+    return result
+
+
+def evaluate(pred: P.Predicate, ctx: BlockStatsContext) -> np.ndarray:
+    """Fold predicate → bool[n_blocks] "block might contain a matching row"."""
+    pred = P.push_not_down(pred)
+    return _eval(pred, ctx)
+
+
+def _eval(pred: P.Predicate, ctx: BlockStatsContext) -> np.ndarray:
+    if isinstance(pred, P.And):
+        out = _true(ctx)
+        for c in pred.children:
+            out &= _eval(c, ctx)
+            if not out.any():
+                break
+        return out
+    if isinstance(pred, P.Or):
+        out = _false(ctx)
+        for c in pred.children:
+            out |= _eval(c, ctx)
+            if out.all():
+                break
+        return out
+    if isinstance(pred, P.Trivial):
+        return _true(ctx) if pred.value else _false(ctx)
+    if isinstance(pred, P.Unsupported):
+        return _true(ctx)
+    if isinstance(pred, P.Not):
+        # push_not_down leaves Not only above Unsupported leaves
+        return _true(ctx)
+
+    stats = ctx.columns.get(pred.column)
+    if stats is None:
+        return _true(ctx)  # unindexed column => scan (ParquetIndexFilters.scala:37-39)
+    kind = stats.kind
+
+    if isinstance(pred, P.Eq):
+        v = _norm_literal(pred.value, kind)
+        if v is None:
+            return _true(ctx)
+        out = _contains(stats, v)
+        return _apply_membership(ctx, pred.column, kind, out, [v])
+    if isinstance(pred, P.In):
+        vs = [nv for nv in (_norm_literal(x, kind) for x in pred.values) if nv is not None]
+        if len(vs) != len(pred.values):
+            return _true(ctx)  # some literal un-coercible => conservative
+        if not vs:
+            return _false(ctx)
+        out = _false(ctx)
+        for v in vs:
+            out |= _contains(stats, v)
+        return _apply_membership(ctx, pred.column, kind, out, vs)
+    if isinstance(pred, P.Ne):
+        v = _norm_literal(pred.value, kind)
+        if v is None:
+            return _true(ctx)
+        # a block matches `c != v` iff it has a non-null value different
+        # from v: not(min == max == v)
+        if kind == ityp.STRING:
+            min_eq = np.array([x == v for x in stats.min_s], dtype=bool)
+            max_eq = np.array([x == v for x in stats.max_s], dtype=bool)
+        else:
+            min_eq = stats.min_l == v
+            max_eq = stats.max_l == v
+        return stats.has & ~(min_eq & max_eq)
+    if isinstance(pred, P.IsNull):
+        return (stats.nulls > 0) | (stats.nulls == -1)
+    if isinstance(pred, P.IsNotNull):
+        known = stats.nulls >= 0
+        return np.where(known, ctx.rows - np.maximum(stats.nulls, 0) > 0, ctx.rows > 0)
+    if isinstance(pred, P.Gt):
+        v = _norm_literal(pred.value, kind)
+        return _true(ctx) if v is None else stats.has & _cmp_arrays(stats, v, "max_gt")
+    if isinstance(pred, P.Ge):
+        v = _norm_literal(pred.value, kind)
+        return _true(ctx) if v is None else stats.has & _cmp_arrays(stats, v, "max_ge")
+    if isinstance(pred, P.Lt):
+        v = _norm_literal(pred.value, kind)
+        return _true(ctx) if v is None else stats.has & _cmp_arrays(stats, v, "min_lt")
+    if isinstance(pred, P.Le):
+        v = _norm_literal(pred.value, kind)
+        return _true(ctx) if v is None else stats.has & _cmp_arrays(stats, v, "min_le")
+    return _true(ctx)
+
+
+def prune_files(pred: P.Predicate, ctx: BlockStatsContext) -> List[str]:
+    """Files whose ANY block might match. Empty files (no blocks) skipped."""
+    block_match = evaluate(pred, ctx)
+    if ctx.n == 0:
+        return []
+    matched = np.zeros(len(ctx.file_paths), dtype=bool)
+    matched[ctx.file_ids[block_match]] = True
+    return [p for p, m in zip(ctx.file_paths, matched) if m]

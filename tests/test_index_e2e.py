@@ -1,0 +1,179 @@
+"""End-to-end differential tests: indexed read vs plain read must agree.
+
+Port of the reference's workhorse pattern (IndexSuite.scala:233-360:
+checkAnswer(spark.index.parquet(p).filter(f), spark.read.parquet(p).filter(f)))
+plus pruning-effectiveness assertions the reference only logs.
+"""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_index_spark import QueryContext, col
+from parquet_index_spark.metastore import IndexExistsError, IndexNotFoundError
+
+from tests.conftest import SF_SMOKE, assert_same_rows
+
+LINEITEM = os.path.join(SF_SMOKE, "lineitem.parquet")
+
+
+@pytest.fixture()
+def multi_file_table(spark, tmp_table_dir):
+    """lineitem sf0.001 split into 8 files so pruning has something to skip."""
+    path = os.path.join(tmp_table_dir, "lineitem8")
+    (spark.read.parquet(LINEITEM)
+     .repartitionByRange(8, "l_orderkey")
+     .write.parquet(path))
+    return path
+
+
+@pytest.fixture()
+def ctx(spark, tmp_metastore):
+    return QueryContext(spark)
+
+
+class TestLifecycle:
+    def test_create_exists_delete(self, spark, ctx, multi_file_table):
+        assert not ctx.index.exists.parquet(multi_file_table)
+        ctx.index.create.indexBy("l_orderkey").parquet(multi_file_table)
+        assert ctx.index.exists.parquet(multi_file_table)
+        ctx.index.delete.parquet(multi_file_table)
+        assert not ctx.index.exists.parquet(multi_file_table)
+
+    def test_mode_error(self, ctx, multi_file_table):
+        ctx.index.create.indexBy("l_orderkey").parquet(multi_file_table)
+        with pytest.raises(IndexExistsError):
+            ctx.index.create.mode("error").indexBy("l_orderkey").parquet(multi_file_table)
+
+    def test_mode_ignore_and_overwrite(self, ctx, multi_file_table):
+        ctx.index.create.indexBy("l_orderkey").parquet(multi_file_table)
+        ctx.index.create.mode("ignore").indexBy("l_orderkey").parquet(multi_file_table)
+        ctx.index.create.mode("overwrite").indexBy("l_orderkey", "l_returnflag") \
+            .parquet(multi_file_table)
+        assert ctx.index.exists.parquet(multi_file_table)
+
+    def test_load_missing_raises(self, ctx, multi_file_table):
+        with pytest.raises(IndexNotFoundError):
+            ctx.index.parquet(multi_file_table)
+
+    def test_delete_missing_is_noop(self, ctx, multi_file_table):
+        ctx.index.delete.parquet(multi_file_table)  # no raise
+
+    def test_unsupported_column_type_rejected(self, ctx, multi_file_table):
+        with pytest.raises(ValueError, match="unsupported type"):
+            ctx.index.create.indexBy("l_quantity").parquet(multi_file_table)
+
+    def test_missing_column_rejected(self, ctx, multi_file_table):
+        with pytest.raises(ValueError, match="does not exist"):
+            ctx.index.create.indexBy("nope").parquet(multi_file_table)
+
+
+class TestDifferential:
+    @pytest.fixture(autouse=True)
+    def _index(self, ctx, multi_file_table):
+        ctx.index.create.mode("overwrite") \
+            .indexBy("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate") \
+            .parquet(multi_file_table)
+        self.ctx = ctx
+        self.path = multi_file_table
+
+    def _check(self, spark, predicate_sql):
+        indexed = self.ctx.index.parquet(self.path).filter(predicate_sql)
+        plain = spark.read.parquet(self.path).filter(predicate_sql)
+        assert_same_rows(indexed, plain)
+
+    def test_eq_long(self, spark):
+        self._check(spark, "l_orderkey = 1")
+
+    def test_eq_no_match(self, spark):
+        self._check(spark, "l_orderkey = -42")
+        info = self.ctx.index.last_prune_info
+        assert info.selected_files == 0
+
+    def test_in(self, spark):
+        self._check(spark, "l_orderkey IN (1, 5, 100000000)")
+
+    def test_range_and(self, spark):
+        self._check(spark, "l_orderkey > 100 AND l_orderkey <= 500")
+
+    def test_or(self, spark):
+        self._check(spark, "l_orderkey = 1 OR l_orderkey = 5000")
+
+    def test_not_eq_is_sound(self, spark):
+        # reference folds Not unsoundly (ParquetIndexFilters.scala:118-123);
+        # we must return every row with l_orderkey != 1
+        self._check(spark, "NOT (l_orderkey = 1)")
+
+    def test_string_eq(self, spark):
+        self._check(spark, "l_returnflag = 'R'")
+
+    def test_timestamp_range(self, spark):
+        self._check(spark, "l_shipdate > TIMESTAMP '1995-06-01 00:00:00'")
+
+    def test_between(self, spark):
+        self._check(spark, "l_linenumber BETWEEN 2 AND 3")
+
+    def test_is_null(self, spark):
+        self._check(spark, "l_returnflag IS NULL")
+
+    def test_is_not_null(self, spark):
+        self._check(spark, "l_orderkey IS NOT NULL")
+
+    def test_unindexed_column_passthrough(self, spark):
+        self._check(spark, "l_quantity > 30.0")
+
+    def test_mixed_indexed_unindexed(self, spark):
+        self._check(spark, "l_orderkey < 500 AND l_quantity > 30.0")
+
+    def test_like_passthrough(self, spark):
+        self._check(spark, "l_returnflag LIKE 'R%'")
+
+    def test_dsl_predicate(self, spark):
+        indexed = self.ctx.index.parquet(self.path).filter(
+            (col("l_orderkey") == 1) | (col("l_linenumber") > 5))
+        plain = spark.read.parquet(self.path).filter(
+            (F.col("l_orderkey") == 1) | (F.col("l_linenumber") > 5))
+        assert_same_rows(indexed, plain)
+
+    def test_spark_column_predicate_no_pruning(self, spark):
+        indexed = self.ctx.index.parquet(self.path).filter(
+            F.col("l_orderkey") == 1)
+        plain = spark.read.parquet(self.path).filter(F.col("l_orderkey") == 1)
+        assert_same_rows(indexed, plain)
+        assert self.ctx.index.last_prune_info.pruned is False
+
+    def test_dsl_date_literal_on_timestamp(self, spark):
+        indexed = self.ctx.index.parquet(self.path).filter(
+            col("l_shipdate") > datetime.datetime(1995, 6, 1))
+        plain = spark.read.parquet(self.path).filter(
+            F.col("l_shipdate") > F.lit(datetime.datetime(1995, 6, 1)))
+        assert_same_rows(indexed, plain)
+
+
+class TestPruningEffectiveness:
+    def test_point_query_prunes_files(self, spark, ctx, multi_file_table):
+        ctx.index.create.mode("overwrite").indexBy("l_orderkey") \
+            .parquet(multi_file_table)
+        t = ctx.index.parquet(multi_file_table)
+        t.filter("l_orderkey = 1").collect()
+        info = ctx.index.last_prune_info
+        # range-partitioned by l_orderkey: a point query must hit 1 file
+        assert info.total_files == 8
+        assert info.selected_files == 1
+
+    def test_full_scan_when_unindexed(self, spark, ctx, multi_file_table):
+        ctx.index.create.mode("overwrite").indexBy("l_orderkey") \
+            .parquet(multi_file_table)
+        t = ctx.index.parquet(multi_file_table)
+        t.filter("l_quantity > 0.0").collect()
+        assert ctx.index.last_prune_info.selected_files == 8
+
+    def test_unfiltered_operations_delegate(self, spark, ctx, multi_file_table):
+        ctx.index.create.mode("overwrite").indexBy("l_orderkey") \
+            .parquet(multi_file_table)
+        t = ctx.index.parquet(multi_file_table)
+        assert t.count() == spark.read.parquet(multi_file_table).count()
+        assert set(t.schema.fieldNames()) == \
+            set(spark.read.parquet(multi_file_table).schema.fieldNames())
