@@ -1,0 +1,111 @@
+"""SQL predicate parser unit tests — no Spark session needed for parsing."""
+
+import datetime
+
+import pytest
+
+from parquet_index_spark import predicates as P
+from parquet_index_spark.predicates import parse_sql_predicate, SqlParseError
+
+
+class TestParser:
+    def test_eq_number(self):
+        assert parse_sql_predicate("a = 5") == P.Eq("a", 5)
+
+    def test_eq_string(self):
+        assert parse_sql_predicate("a = 'x''y'") == P.Eq("a", "x'y")
+
+    def test_comparisons(self):
+        assert parse_sql_predicate("a <> 5") == P.Ne("a", 5)
+        assert parse_sql_predicate("a != 5") == P.Ne("a", 5)
+        assert parse_sql_predicate("a < 5") == P.Lt("a", 5)
+        assert parse_sql_predicate("a <= 5") == P.Le("a", 5)
+        assert parse_sql_predicate("a > 5") == P.Gt("a", 5)
+        assert parse_sql_predicate("a >= 5") == P.Ge("a", 5)
+
+    def test_float_literal(self):
+        assert parse_sql_predicate("a > 30.5") == P.Gt("a", 30.5)
+
+    def test_negative_number(self):
+        assert parse_sql_predicate("a = -42") == P.Eq("a", -42)
+
+    def test_date_literal(self):
+        assert parse_sql_predicate("d = DATE '1995-06-01'") == \
+            P.Eq("d", datetime.date(1995, 6, 1))
+
+    def test_timestamp_literal(self):
+        assert parse_sql_predicate("t > TIMESTAMP '1995-06-01 12:30:00'") == \
+            P.Gt("t", datetime.datetime(1995, 6, 1, 12, 30))
+
+    def test_in(self):
+        assert parse_sql_predicate("a IN (1, 2, 3)") == P.In("a", (1, 2, 3))
+
+    def test_not_in(self):
+        assert parse_sql_predicate("a NOT IN (1, 2)") == P.Not(P.In("a", (1, 2)))
+
+    def test_is_null(self):
+        assert parse_sql_predicate("a IS NULL") == P.IsNull("a")
+        assert parse_sql_predicate("a IS NOT NULL") == P.IsNotNull("a")
+
+    def test_between(self):
+        assert parse_sql_predicate("a BETWEEN 1 AND 5") == \
+            P.And((P.Ge("a", 1), P.Le("a", 5)))
+
+    def test_and_or_precedence(self):
+        p = parse_sql_predicate("a = 1 OR b = 2 AND c = 3")
+        assert p == P.Or((P.Eq("a", 1), P.And((P.Eq("b", 2), P.Eq("c", 3)))))
+
+    def test_parens(self):
+        p = parse_sql_predicate("(a = 1 OR b = 2) AND c = 3")
+        assert p == P.And((P.Or((P.Eq("a", 1), P.Eq("b", 2))), P.Eq("c", 3)))
+
+    def test_not(self):
+        assert parse_sql_predicate("NOT a = 1") == P.Not(P.Eq("a", 1))
+        assert parse_sql_predicate("NOT (a = 1 AND b = 2)") == \
+            P.Not(P.And((P.Eq("a", 1), P.Eq("b", 2))))
+
+    def test_like_is_unsupported_leaf(self):
+        p = parse_sql_predicate("a LIKE 'x%'")
+        assert isinstance(p, P.Unsupported)
+
+    def test_keywords_case_insensitive(self):
+        assert parse_sql_predicate("a in (1) and b is null") == \
+            P.And((P.In("a", (1,)), P.IsNull("b")))
+
+    def test_true_false(self):
+        assert parse_sql_predicate("TRUE") == P.Trivial(True)
+        assert parse_sql_predicate("a = 1 AND FALSE") == \
+            P.And((P.Eq("a", 1), P.Trivial(False)))
+
+    @pytest.mark.parametrize("bad", [
+        "a ==== 5", "a +", "func(a) = 1", "a = b", "l_quantity * 2 > 5",
+        "", "a = ", "(a = 1", "CAST(a AS INT) = 1",
+    ])
+    def test_rejects_out_of_grammar(self, bad):
+        with pytest.raises(SqlParseError):
+            parse_sql_predicate(bad)
+
+
+class TestPushNotDown:
+    def test_leaves(self):
+        f = P.push_not_down
+        assert f(P.Not(P.Eq("a", 1))) == P.Ne("a", 1)
+        assert f(P.Not(P.Ne("a", 1))) == P.Eq("a", 1)
+        assert f(P.Not(P.Gt("a", 1))) == P.Le("a", 1)
+        assert f(P.Not(P.Ge("a", 1))) == P.Lt("a", 1)
+        assert f(P.Not(P.Lt("a", 1))) == P.Ge("a", 1)
+        assert f(P.Not(P.Le("a", 1))) == P.Gt("a", 1)
+        assert f(P.Not(P.IsNull("a"))) == P.IsNotNull("a")
+        assert f(P.Not(P.Not(P.Eq("a", 1)))) == P.Eq("a", 1)
+
+    def test_not_in_becomes_conjunction_of_ne(self):
+        assert P.push_not_down(P.Not(P.In("a", (1, 2)))) == \
+            P.And((P.Ne("a", 1), P.Ne("a", 2)))
+
+    def test_de_morgan(self):
+        p = P.Not(P.And((P.Eq("a", 1), P.Gt("b", 2))))
+        assert P.push_not_down(p) == P.Or((P.Ne("a", 1), P.Le("b", 2)))
+
+    def test_referenced_columns(self):
+        p = P.And((P.Eq("a", 1), P.Or((P.Gt("b", 2), P.IsNull("c")))))
+        assert P.referenced_columns(p) == {"a", "b", "c"}
