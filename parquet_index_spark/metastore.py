@@ -90,7 +90,15 @@ class IndexMetadata:
     def _load_stats(self):
         if self._stats_table is None:
             stats_path = os.path.join(self.index_dir, STATS_DIR)
-            self._stats_table = pq.read_table(stats_path)
+            has_shards = os.path.isdir(stats_path) and any(
+                f.endswith(".parquet") for f in os.listdir(stats_path))
+            if has_shards:
+                self._stats_table = pq.read_table(stats_path)
+            else:
+                # empty table / all files empty => no stats shards written
+                from parquet_index_spark.collector import STATS_SCHEMA
+                import pyarrow as pa
+                self._stats_table = pa.Table.from_pylist([], schema=STATS_SCHEMA)
         return self._stats_table
 
     def context(self) -> BlockStatsContext:
