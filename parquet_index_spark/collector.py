@@ -39,6 +39,14 @@ from parquet_index_spark.statistics import build_filters
 
 NULLS_UNKNOWN = -1
 
+# relpath sentinel for a table that IS a single parquet file
+SELF_FILE = ""
+
+
+def resolve_file(table_root: str, relpath: str) -> str:
+    """Absolute path of a table file; table_root itself for single-file tables."""
+    return table_root if relpath == SELF_FILE else os.path.join(table_root, relpath)
+
 STATS_SCHEMA = pa.schema([
     ("path", pa.string()),        # file path relative to table root
     ("block", pa.int32()),        # row-group ordinal within the file
@@ -80,7 +88,7 @@ def list_table_files(root: str) -> tuple:
     files = []
     part_cols: list = []
     if os.path.isfile(root):
-        files.append({"path": os.path.basename(root),
+        files.append({"path": SELF_FILE,
                       "size": os.path.getsize(root),
                       "partition_values": {}})
         return files, part_cols
@@ -219,7 +227,7 @@ def collect_partition(task_index: int, tasks: Iterable[dict], table_root: str,
     summaries = []
     for task in tasks:
         relpath = task["path"]
-        abs_path = os.path.join(table_root, relpath)
+        abs_path = resolve_file(table_root, relpath)
         if filter_enabled and index_cols:
             rows, blocks, total = _scan_stats_for_file(
                 abs_path, relpath, index_cols, filter_type, dict_max_size)

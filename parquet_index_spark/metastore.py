@@ -197,7 +197,8 @@ class IndexMetadata:
         return list(self.files["path"])
 
     def abs_path(self, relpath: str) -> str:
-        return os.path.join(self.table_path, relpath)
+        from parquet_index_spark.collector import resolve_file
+        return resolve_file(self.table_path, relpath)
 
 
 class Metastore:

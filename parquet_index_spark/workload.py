@@ -1,0 +1,475 @@
+"""The engine's query workload: index-layer queries, delegated relational
+queries, and data-pipeline extension operators — each paired with an ANSI-SQL
+oracle that DuckDB can run on the same parquet tables.
+
+Conventions for oracle parity (driver hashes values after sorting columns by
+name):
+- every computed column is aliased identically in Spark and SQL;
+- money aggregates go through DECIMAL casts *before* summing so both engines
+  produce exact, order-independent results (double sums are order-dependent
+  across engines);
+- double outputs are rounded; rankings break ties by key so order-dependent
+  limits are deterministic;
+- timestamps are cast to DATE when used as group keys.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_index_spark.manager import QueryContext
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_CTX_CACHE: Dict[int, QueryContext] = {}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Session settings the workload depends on.
+
+    - nanosAsLong: the events table stores parquet TIMESTAMP(NANOS), which
+      Spark 4 refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]); with
+      this flag it surfaces as nanoseconds-since-epoch int64 and all event
+      time logic stays in exact long arithmetic (no tz ambiguity either).
+    - AQE on: runtime coalescing/skew handling for the delegated queries.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _indexed(spark: SparkSession, sf_dir: str, table: str, cols: list):
+    """Load table through the index layer (create index on first use)."""
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if not ctx.index.exists.parquet(path):
+        ctx.index.create.mode("ignore").indexBy(*cols).parquet(path)
+    return ctx.index.parquet(path)
+
+
+def _dec(col: str, p: int = 18, s: int = 2):
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# index-layer queries (SURVEY §2A through the pruned scan)
+# ---------------------------------------------------------------------------
+
+def idx_point_lookup(spark, sf_dir):
+    t = _indexed(spark, sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"])
+    return (t.filter("l_orderkey = 1000")
+            .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                    "l_quantity", "l_extendedprice", "l_returnflag"))
+
+
+IDX_POINT_SQL = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_returnflag
+FROM lineitem WHERE l_orderkey = 1000
+"""
+
+
+def idx_range_scan(spark, sf_dir):
+    t = _indexed(spark, sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"])
+    return (t.filter("l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' "
+                     "AND l_shipdate < TIMESTAMP '1998-03-01 00:00:00' "
+                     "AND l_linenumber = 1")
+            .select("l_orderkey",
+                    F.to_date("l_shipdate").alias("ship_date"),
+                    "l_linenumber"))
+
+
+IDX_RANGE_SQL = """
+SELECT l_orderkey, CAST(l_shipdate AS DATE) AS ship_date, l_linenumber
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-03-01 00:00:00'
+  AND l_linenumber = 1
+"""
+
+
+def idx_in_or_composite(spark, sf_dir):
+    t = _indexed(spark, sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"])
+    return (t.filter("(l_orderkey IN (42, 4242, 9999) OR l_returnflag = 'R') "
+                     "AND l_linenumber <= 3")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum(_dec("l_quantity")).alias("sum_qty"))
+            .orderBy("l_returnflag"))
+
+
+IDX_IN_OR_SQL = """
+SELECT l_returnflag, count(*) AS cnt,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+FROM lineitem
+WHERE (l_orderkey IN (42, 4242, 9999) OR l_returnflag = 'R')
+  AND l_linenumber <= 3
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def idx_not_range(spark, sf_dir):
+    t = _indexed(spark, sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"])
+    return (t.filter("NOT (l_linenumber BETWEEN 2 AND 7) AND l_orderkey < 500")
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+IDX_NOT_RANGE_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE NOT (l_linenumber BETWEEN 2 AND 7) AND l_orderkey < 500
+"""
+
+
+def idx_orders_priority(spark, sf_dir):
+    t = _indexed(spark, sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderstatus",
+                  "o_orderdate", "o_orderpriority"])
+    return (t.filter("o_orderpriority = '1-URGENT' "
+                     "AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'")
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum(_dec("o_totalprice")).alias("sum_price"))
+            .orderBy("o_orderstatus"))
+
+
+IDX_ORDERS_SQL = """
+SELECT o_orderstatus, count(*) AS cnt,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def idx_events_point(spark, sf_dir):
+    t = _indexed(spark, sf_dir, "events",
+                 ["event_id", "user_id", "event_type"])
+    return (t.filter("user_id = 42 AND event_type = 'click'")
+            .select("event_id", "user_id", "event_type", "value"))
+
+
+IDX_EVENTS_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE user_id = 42 AND event_type = 'click'
+"""
+
+
+# ---------------------------------------------------------------------------
+# delegated relational queries (SURVEY §2B)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape over the pruned-capable lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
+    charge = disc_price * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax", 12, 2))
+    return (li.filter("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(_dec("l_quantity")).alias("sum_qty"),
+                 F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+                 F.sum(disc_price).alias("sum_disc_price"),
+                 F.sum(charge).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS sum_disc_price,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+           * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    orders = _t(spark, sf_dir, "orders").filter(
+        "o_orderdate < TIMESTAMP '1998-03-15 00:00:00'")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        "l_shipdate > TIMESTAMP '1998-03-15 00:00:00'")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"))
+            .agg(F.sum(revenue).alias("revenue"))
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10))
+
+
+Q3_SQL = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue per nation where customer and supplier share
+    the nation. Small dims broadcast explicitly."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, (li.l_suppkey == supp.s_suppkey) &
+                        (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(revenue).alias("revenue"))
+            .orderBy(F.desc("revenue"), "n_name"))
+
+
+Q5_SQL = """
+SELECT n_name,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+                      "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+                      "AND l_discount BETWEEN 0.02 AND 0.09 "
+                      "AND l_quantity < 24")
+            .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount", 12, 2))
+                 .alias("revenue"),
+                 F.count("*").alias("n_rows")))
+
+
+Q6_SQL = """
+SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(12,2))) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.09
+  AND l_quantity < 24
+"""
+
+
+def top3_orders_per_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter("o_custkey < 100")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rank", F.row_number().over(w))
+            .filter("rank <= 3")
+            .select("o_custkey", "o_orderkey", "rank",
+                    F.round("o_totalprice", 2).alias("price")))
+
+
+TOP3_SQL = """
+SELECT o_custkey, o_orderkey, rank, round(o_totalprice, 2) AS price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders WHERE o_custkey < 100
+) WHERE rank <= 3
+"""
+
+
+def cumulative_spend(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter("o_custkey < 50")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.to_date("o_orderdate"), "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).alias("cum_spend")))
+
+
+CUMSUM_SQL = """
+SELECT o_custkey, o_orderkey,
+       sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend
+FROM orders WHERE o_custkey < 50
+"""
+
+
+def rollup_sales(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum(_dec("l_quantity")).alias("sum_qty"))
+            .orderBy(F.asc_nulls_first("l_returnflag"),
+                     F.asc_nulls_first("l_linestatus")))
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def distinct_parts_per_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("distinct_parts"),
+                 F.countDistinct("l_suppkey").alias("distinct_supps"))
+            .orderBy("l_returnflag"))
+
+
+DISTINCT_SQL = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+       count(DISTINCT l_suppkey) AS distinct_supps
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def setop_active_building_buyers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter("c_mktsegment = 'BUILDING'").select("c_custkey")
+    big = (orders.filter("o_totalprice > 300000")
+           .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    return building.intersect(big).orderBy("c_custkey")
+
+
+SETOP_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+ORDER BY c_custkey
+"""
+
+
+def scalar_functions_showcase(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter("p_partkey <= 200")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        (F.col("p_size") * 2 + 1).alias("size_calc"),
+        F.round("p_retailprice", 1).alias("price_r"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"))
+
+
+SCALAR_SQL = """
+SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 8) AS name_prefix,
+       length(p_name) AS name_len, p_size * 2 + 1 AS size_calc,
+       round(p_retailprice, 1) AS price_r,
+       concat_ws('|', p_brand, p_type) AS brand_type
+FROM part WHERE p_partkey <= 200
+"""
+
+
+def sessionize_events(spark, sf_dir):
+    """30-minute-gap sessionization over the events stream (batch form;
+    the streaming variant lives in parquet_index_spark.streaming).
+
+    ``ts`` is int64 nanoseconds (see ensure_session_confs), so the gap test
+    is exact long arithmetic — identical semantics in the DuckDB oracle via
+    epoch_us."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = F.col("ts") - F.col("prev_ts")
+    return (ev.withColumn("prev_ts", F.lag("ts").over(w))
+            .withColumn("new_session",
+                        F.when(F.col("prev_ts").isNull() |
+                               (gap_ns > 1800 * 1_000_000_000), 1)
+                        .otherwise(0))
+            .groupBy("user_id")
+            .agg(F.sum("new_session").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
+SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
+    "idx_point_lookup": (idx_point_lookup, IDX_POINT_SQL),
+    "idx_range_scan": (idx_range_scan, IDX_RANGE_SQL),
+    "idx_in_or_composite": (idx_in_or_composite, IDX_IN_OR_SQL),
+    "idx_not_range": (idx_not_range, IDX_NOT_RANGE_SQL),
+    "idx_orders_priority": (idx_orders_priority, IDX_ORDERS_SQL),
+    "idx_events_point": (idx_events_point, IDX_EVENTS_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_nation_volume": (q5_nation_volume, Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "top3_orders_per_customer": (top3_orders_per_customer, TOP3_SQL),
+    "cumulative_spend": (cumulative_spend, CUMSUM_SQL),
+    "rollup_sales": (rollup_sales, ROLLUP_SQL),
+    "distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_SQL),
+    "setop_active_building_buyers": (setop_active_building_buyers, SETOP_SQL),
+    "scalar_functions_showcase": (scalar_functions_showcase, SCALAR_SQL),
+    "sessionize_events": (sessionize_events, SESSION_SQL),
+}

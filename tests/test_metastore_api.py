@@ -1,0 +1,189 @@
+"""Metastore protocol, config surface, and catalog-table API tests.
+
+Reference coverage model: MetastoreSuite.scala (39 tests: lifecycle,
+permissions, cache), IndexSuite catalog-table cases (887-1008), Python API
+plumbing (python/test/test_index.py).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from parquet_index_spark import QueryContext
+from parquet_index_spark.config import IndexConf
+from parquet_index_spark.metastore import (
+    LocationSpec, Metastore, IndexExistsError, SUCCESS_FILE,
+)
+from tests.conftest import assert_same_rows
+
+
+@pytest.fixture()
+def ctx(spark, tmp_metastore):
+    return QueryContext(spark)
+
+
+class TestMetastoreProtocol:
+    def test_layout(self, ctx, tmp_metastore, spark, tmp_table_dir):
+        path = os.path.join(tmp_table_dir, "t")
+        spark.range(10).write.parquet(path)
+        ctx.index.create.indexBy("id").parquet(path)
+        # {store}/{dataspace}/{identifier}/{scheme}/{path} (Metastore.scala:254-261)
+        expected = os.path.join(
+            tmp_metastore, "source", "parquet", "file", path.lstrip(os.sep))
+        assert os.path.isdir(expected)
+        assert os.path.isfile(os.path.join(expected, SUCCESS_FILE))
+        assert os.path.isfile(os.path.join(expected, "_table_metadata.json"))
+
+    def test_no_success_marker_means_not_exists(self, ctx, spark,
+                                                tmp_metastore, tmp_table_dir):
+        path = os.path.join(tmp_table_dir, "t")
+        spark.range(10).write.parquet(path)
+        ctx.index.create.indexBy("id").parquet(path)
+        idx_dir = os.path.join(
+            tmp_metastore, "source", "parquet", "file", path.lstrip(os.sep))
+        os.remove(os.path.join(idx_dir, SUCCESS_FILE))
+        # corrupt index (no _SUCCESS) reads as absent (Metastore.scala:240-248)
+        assert not ctx.index.exists.parquet(path)
+
+    def test_rollback_on_failure(self, tmp_metastore):
+        ms = Metastore(tmp_metastore)
+        spec = LocationSpec("/tmp/some_table")
+
+        def failing_writer(d):
+            with open(os.path.join(d, "partial"), "w") as fh:
+                fh.write("x")
+            raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError):
+            ms.create(spec, "overwrite", failing_writer)
+        # rollback deletes the partial dir (Metastore.scala:166-176)
+        assert not os.path.exists(ms.index_dir(spec))
+
+    def test_create_does_not_touch_source_table(self, ctx, spark, tmp_table_dir):
+        path = os.path.join(tmp_table_dir, "t")
+        spark.range(10).write.parquet(path)
+        before = sorted(os.listdir(path))
+        ctx.index.create.indexBy("id").parquet(path)
+        ctx.index.delete.parquet(path)
+        assert sorted(os.listdir(path)) == before
+
+    def test_cache_hit_returns_same_object(self, ctx, spark, tmp_table_dir):
+        path = os.path.join(tmp_table_dir, "t")
+        spark.range(10).write.parquet(path)
+        ctx.index.create.indexBy("id").parquet(path)
+        t1 = ctx.index.parquet(path)
+        t2 = ctx.index.parquet(path)
+        assert t1._metadata is t2._metadata
+
+    def test_overwrite_invalidates_cache(self, ctx, spark, tmp_table_dir):
+        path = os.path.join(tmp_table_dir, "t")
+        spark.range(10).write.parquet(path)
+        ctx.index.create.indexBy("id").parquet(path)
+        t1 = ctx.index.parquet(path)
+        ctx.index.create.mode("overwrite").indexBy("id").parquet(path)
+        t2 = ctx.index.parquet(path)
+        assert t1._metadata is not t2._metadata
+
+
+class TestConfigSurface:
+    def test_defaults(self, spark, tmp_metastore):
+        conf = IndexConf.from_spark(spark)
+        assert conf.metastore_location == tmp_metastore
+        assert conf.filter_enabled is True
+        assert conf.filter_type == "bloom"
+        assert conf.filter_eager_loading is False
+        assert conf.create_if_not_exists is False
+        assert conf.num_partitions >= 1
+
+    def test_invalid_filter_type_raises(self, spark, tmp_metastore):
+        spark.conf.set("spark.sql.index.parquet.filter.type", "roaring")
+        try:
+            with pytest.raises(ValueError, match="bloom"):
+                IndexConf.from_spark(spark)
+        finally:
+            spark.conf.unset("spark.sql.index.parquet.filter.type")
+
+    def test_partitions_override(self, spark, tmp_metastore):
+        spark.conf.set("spark.sql.index.partitions", "7")
+        try:
+            assert IndexConf.from_spark(spark).num_partitions == 7
+        finally:
+            spark.conf.unset("spark.sql.index.partitions")
+
+    def test_create_if_not_exists(self, spark, ctx, tmp_table_dir):
+        path = os.path.join(tmp_table_dir, "t")
+        spark.range(100).write.parquet(path)
+        spark.conf.set("spark.sql.index.createIfNotExists", "true")
+        try:
+            t = ctx.index.parquet(path)  # auto-creates over all columns
+            assert ctx.index.exists.parquet(path)
+            assert t.filter("id = 5").count() == 1
+        finally:
+            spark.conf.set("spark.sql.index.createIfNotExists", "false")
+
+
+class TestCatalogTables:
+    @pytest.fixture()
+    def cat_table(self, spark, tmp_table_dir):
+        name = "pis_cat_test"
+        loc = os.path.join(tmp_table_dir, "cat_tbl")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (spark.createDataFrame([Row(id=i, s=f"v{i}") for i in range(50)])
+         .write.option("path", loc).saveAsTable(name))
+        yield name
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_catalog_lifecycle_and_query(self, spark, ctx, cat_table,
+                                         tmp_metastore):
+        assert not ctx.index.exists.table(cat_table)
+        ctx.index.create.indexBy("id").table(cat_table)
+        assert ctx.index.exists.table(cat_table)
+        # lands in the catalog dataspace (IndexLocationSpec.scala:72-78)
+        assert os.path.isdir(os.path.join(tmp_metastore, "catalog"))
+        t = ctx.index.table(cat_table)
+        assert_same_rows(t.filter("id = 7"),
+                         spark.table(cat_table).filter("id = 7"))
+        ctx.index.delete.table(cat_table)
+        assert not ctx.index.exists.table(cat_table)
+
+    def test_non_parquet_table_rejected(self, spark, ctx, tmp_table_dir):
+        name = "pis_json_test"
+        loc = os.path.join(tmp_table_dir, "json_tbl")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.range(5).write.format("json").option("path", loc).saveAsTable(name)
+        try:
+            # JSON tables rejected (IndexSuite.scala:917)
+            with pytest.raises(ValueError, match="parquet"):
+                ctx.index.create.indexBy("id").table(name)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+class TestBuilderPlumbing:
+    def test_format_parquet_only(self, ctx):
+        ctx.index.format("parquet")  # ok
+        with pytest.raises(ValueError, match="not supported"):
+            ctx.index.format("json")
+
+    def test_option_path_load(self, spark, ctx, tmp_table_dir):
+        path = os.path.join(tmp_table_dir, "t")
+        spark.range(10).write.parquet(path)
+        ctx.index.create.indexBy("id").parquet(path)
+        t = ctx.index.option("path", path).load()
+        assert t.count() == 10
+
+    def test_index_by_list_form(self, spark, ctx, tmp_table_dir):
+        path = os.path.join(tmp_table_dir, "t")
+        spark.range(10).write.parquet(path)
+        ctx.index.create.indexBy(["id"]).parquet(path)
+        assert ctx.index.exists.parquet(path)
+
+    def test_index_by_empty_raises(self, ctx):
+        with pytest.raises(ValueError):
+            ctx.index.create.indexBy()
+
+    def test_index_by_non_string_raises(self, ctx):
+        with pytest.raises(TypeError):
+            ctx.index.create.indexBy(1, 2)
