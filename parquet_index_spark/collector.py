@@ -27,6 +27,7 @@ Spark-first design differences:
 from __future__ import annotations
 
 import os
+import tempfile
 from typing import Iterable, Iterator, Optional
 from urllib.parse import unquote
 
@@ -247,6 +248,38 @@ def collect_partition(task_index: int, tasks: Iterable[dict], table_root: str,
         yield s
 
 
+_SHIPPED_SESSIONS: set = set()
+
+
+def _ensure_package_shipped(spark) -> None:
+    """Make parquet_index_spark importable on executor Python workers.
+
+    The stats job's task closures reference this module; on a real cluster
+    (or any session whose PYTHONPATH doesn't include the repo) workers
+    would fail with ModuleNotFoundError. Shipping a zip via addPyFile is
+    the canonical Spark mechanism and is a no-op after the first call."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"parquet_index_spark_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+                for name in filenames:
+                    if not name.endswith(".py"):
+                        continue
+                    full = os.path.join(dirpath, name)
+                    rel = os.path.join("parquet_index_spark",
+                                       os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def run_stats_job(spark, table_root: str, files: list, stats_dir: str,
                   index_cols: list, filter_enabled: bool, filter_type: str,
                   dict_max_size: int, num_partitions: int) -> list:
@@ -259,6 +292,7 @@ def run_stats_job(spark, table_root: str, files: list, stats_dir: str,
     os.makedirs(stats_dir, exist_ok=True)
     if not files:
         return []
+    _ensure_package_shipped(spark)
     n = max(1, min(num_partitions, len(files)))
     # distribute big files evenly: sort by size desc, round-robin assign
     ordered = sorted(files, key=lambda f: -f["size"])

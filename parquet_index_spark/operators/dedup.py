@@ -1,0 +1,163 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (100 TB target):
+
+- Everything is shuffle-on-key DataFrame logic: exact dedup is one hash
+  aggregation; MinHash banding turns the quadratic all-pairs problem into
+  per-bucket joins (candidate pairs only); Jaccard verification joins only
+  candidate pairs. No driver-side collection anywhere.
+- All hashing is md5-based and *engine-portable*: the same signatures are
+  computable in any ANSI SQL engine (the DuckDB oracles in workload.py run
+  the identical formulas), so pipelines can be validated across engines.
+- Higher-order functions (transform/aggregate/filter) keep shingling and
+  signature computation inside Tungsten codegen — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokenization (the engine-portable baseline)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Word k-shingles as an array column: contiguous k-grams joined by a
+    single space. Empty/short docs yield their full token string."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    return F.when(n <= k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda j: F.concat_ws(" ", F.slice(toks, j, k))))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (dup_key, n_docs, min_id).
+
+    One map-side-combinable aggregation; the md5 key keeps the shuffle
+    payload at 32 bytes/row regardless of document size."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("dup_key"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("min_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct text."""
+    w_key = F.md5(F.col(text_col))
+    keeper = (df.groupBy(w_key.alias("dup_key"))
+              .agg(F.min(id_col).alias(id_col)))
+    return df.join(keeper, on=id_col, how="leftsemi")
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16,
+                       shingle_k: int = 3) -> DataFrame:
+    """MinHash signature per document: array of num_hashes hex strings.
+
+    hash_i(shingle) = md5(i || ':' || shingle); the signature element is the
+    lexicographic minimum over the document's *distinct* shingles — a
+    standard MinHash over a portable hash family. Stays entirely inside
+    whole-stage codegen (transform + array_min)."""
+    sh = F.array_distinct(shingles(text_col, shingle_k))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(
+                F.concat(i.cast("string"), F.lit(":"), s)))))
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
+                        bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """LSH banding: documents agreeing on ALL rows of any band become a
+    candidate pair (a < b). The self-join happens per (band, band_key)
+    bucket, so the shuffle key distributes and no quadratic blow-up occurs
+    unless a bucket itself is huge (cap duplicate storms upstream)."""
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.concat_ws(",", F.slice(
+                        F.col("minhash"), b * rows_per_band + 1,
+                        rows_per_band))).alias("band_key")))).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (left.join(right, ["band", "band_key"])
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, candidates: Optional[DataFrame] = None,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Jaccard similarity over distinct word k-shingles for candidate pairs.
+
+    With ``candidates`` (e.g. from lsh_candidate_pairs) this verifies only
+    the candidate set; without it, it derives candidates from shared
+    shingles — still join-based, never a cross join. Returns
+    (id_a, id_b, jaccard) with jaccard rounded to 6 digits."""
+    sh = df.select(F.col(id_col),
+                   F.array_distinct(shingles(text_col, shingle_k)).alias("sh"))
+    sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
+    exploded = sh.select(id_col, F.explode("sh").alias("s"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (a.join(b, F.col("a.s") == F.col("b.s"))
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count("*").alias("n_inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "leftsemi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("n_inter") /
+           (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over tokens (default 32 bits to stay in exact
+    integer range everywhere).
+
+    bit b of token t = bit b of md5(t); fingerprint bit b is 1 iff more
+    tokens set it than not. Implemented with higher-order functions: per-bit
+    vote = sum over tokens of ±1. Portable: uses only md5 + integer ops."""
+    toks = F.array_distinct(tokens(text_col))
+    # 32-bit token hash from the first 8 hex chars of md5; computed once per
+    # token into an array column, then voted per bit (shift amounts must be
+    # python ints for shiftright, hence the unrolled loop)
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+
+    # factory keeps the merge lambda two-arg (acc, h); extra defaulted params
+    # would be mis-bound by pyspark's lambda-arity inspection
+    def vote_fn(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1))
+
+    fingerprint = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(b))
+        fingerprint = fingerprint + F.when(
+            vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))

@@ -1,0 +1,106 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All pure `pyspark.sql.functions` expressions (whole-stage codegen; zero
+Python in the row path) and engine-portable — each has an exact SQL
+equivalent used by the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from parquet_index_spark.operators.dedup import tokens
+
+# small, fixed stopword lists per language for the n-gram/stopword heuristic
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "et", "de", "un"],
+    "es": ["el", "la", "y", "de", "un"],
+    "zh": ["的", "了", "是", "在", "我"],
+}
+LANGS = sorted(STOPWORDS)
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count (the BPE-ish regex variant adds splits on
+    punctuation boundaries; this corpus has none)."""
+    return F.size(tokens(text_col))
+
+
+def char_count(text_col: str = "text") -> Column:
+    return F.length(F.col(text_col))
+
+
+def stopword_ratio(text_col: str = "text", lang: str = "en") -> Column:
+    toks = tokens(text_col)
+    sw = STOPWORDS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return hits / F.size(toks)
+
+
+def avg_token_len(text_col: str = "text") -> Column:
+    toks = tokens(text_col)
+    total = F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t))
+    return total / F.size(toks)
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite quality heuristic in [0,1]: length band + stopword presence
+    + token-length sanity. Deliberately simple and portable; real pipelines
+    swap in model scores via the same column contract."""
+    n_tok = token_count(text_col)
+    sw = stopword_ratio(text_col, "en")
+    atl = avg_token_len(text_col)
+    len_ok = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).otherwise(0.5)
+    sw_ok = F.when((sw > 0.0) & (sw < 0.5), 1.0).otherwise(0.5)
+    atl_ok = F.when((atl >= 2.0) & (atl <= 12.0), 1.0).otherwise(0.5)
+    return F.round((len_ok + sw_ok + atl_ok) / 3.0, 4)
+
+
+def lang_scores(text_col: str = "text") -> Dict[str, Column]:
+    toks = tokens(text_col)
+    return {lang: F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
+            for lang in LANGS}
+
+
+def predict_lang(text_col: str = "text") -> Column:
+    """argmax of stopword hits, lexicographic tiebreak ('und' beats 'unk'
+    ties deterministically). Returns 'unk' when no list scores > 0."""
+    scores = lang_scores(text_col)
+    best = F.lit("unk")
+    best_score = F.lit(0)
+    # iterate langs in reverse-sorted order so earlier (sorted-first) lang
+    # wins ties via strict '>' in the final fold
+    for lang in sorted(LANGS, reverse=True):
+        s = scores[lang]
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best
+
+
+def document_fingerprint(text_col: str = "text") -> Column:
+    """Normalized-content fingerprint: md5 over lowercased,
+    whitespace-collapsed text — robust to case/spacing-only edits."""
+    normalized = F.concat_ws(" ", F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    return F.md5(normalized)
+
+
+def text_profile(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document profile: tokens, chars, stopword ratio, avg token len,
+    quality score, predicted language, fingerprint."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars_m"),
+        F.round(stopword_ratio(text_col, "en"), 6).alias("en_stopword_ratio"),
+        F.round(avg_token_len(text_col), 6).alias("avg_token_len"),
+        quality_score(text_col).alias("quality"),
+        predict_lang(text_col).alias("pred_lang"),
+        document_fingerprint(text_col).alias("fingerprint"))

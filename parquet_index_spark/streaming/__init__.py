@@ -1,0 +1,81 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming at all (SURVEY §2B flags this as an
+extension). These helpers express the engine's event-time semantics as
+standard Structured Streaming plans: file-source readStream, watermarked
+tumbling/session windows, and an availableNow batch-parity mode used by the
+tests (stream results must equal the batch computation on the same data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),        # nanoseconds (nanosAsLong)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    """ns-long -> TimestampType event_time (µs precision, matching Spark)."""
+    return df.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 10) -> DataFrame:
+    import os
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if os.path.isfile(path):
+        # the file-stream source only accepts directories; narrow the parent
+        # dir to just this file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return _with_event_time(reader.parquet(path))
+
+
+def windowed_event_counts(events: DataFrame, window_duration: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the canonical
+    late-data-tolerant streaming aggregation."""
+    return (events.withWatermark("event_time", watermark)
+            .groupBy(F.window("event_time", window_duration).alias("win"),
+                     F.col("event_type"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Event-time session windows per user (session_window gap semantics —
+    the streaming analog of workload.sessionize_events)."""
+    return (events.withWatermark("event_time", watermark)
+            .groupBy(F.session_window("event_time", gap).alias("sess"),
+                     F.col("user_id"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("sess.start").alias("session_start"),
+                    F.col("sess.end").alias("session_end"),
+                    "n_events"))
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain all available input through the streaming engine into a memory
+    sink and return the result as a DataFrame (batch-parity harness)."""
+    q = (stream_df.writeStream.format("memory")
+         .queryName(query_name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    return stream_df.sparkSession.table(query_name)

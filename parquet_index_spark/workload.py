@@ -42,6 +42,9 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # pin event-time rendering so streaming window starts match the
+    # tz-naive DuckDB oracle regardless of host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -454,7 +457,335 @@ FROM flagged GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# pipeline extension operators (dedup / similarity / text / streaming)
+# ---------------------------------------------------------------------------
+
+# shared SQL fragment: word-3-shingles per document (portable MinHash base)
+_SHINGLES_CTE = r"""
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(toks) - 2),
+           j -> array_to_string(toks[j:j+2], ' '))) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents)
+)
+"""
+
+
+def dedup_exact_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dup_docs"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+       count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+FROM documents
+"""
+
+
+def dedup_prefix_groups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy(F.md5(F.substring("text", 1, 50)).alias("dup_key"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_id"))
+            .filter("n_docs > 1")
+            .orderBy("dup_key"))
+
+
+DEDUP_PREFIX_SQL = """
+SELECT md5(substr(text, 1, 50)) AS dup_key, count(*) AS n_docs,
+       min(doc_id) AS min_id
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY dup_key
+"""
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    from parquet_index_spark.operators import dedup as D
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=16, shingle_k=3)
+    return (D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+            .orderBy("id_a", "id_b"))
+
+
+MINHASH_LSH_SQL = r"""
+WITH """ + _SHINGLES_CTE + r""",
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> list_min(list_transform(shingles, s -> md5(i || ':' || s)))
+         ) AS minhash
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(minhash[b*4+1:b*4+4], ',')) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r
+  ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def jaccard_neardup_pairs(spark, sf_dir):
+    from parquet_index_spark.operators import dedup as D
+    docs = _t(spark, sf_dir, "documents")
+    return (D.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.6)
+            .orderBy("id_a", "id_b"))
+
+
+JACCARD_SQL = r"""
+WITH """ + _SHINGLES_CTE + r""",
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+) WHERE jaccard >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+def simhash_fingerprints(spark, sf_dir):
+    """SimHash per document — rows-only check (the md5-nibble -> integer
+    conversion has no portable ANSI-SQL spelling in DuckDB 1.0)."""
+    from parquet_index_spark.operators import dedup as D
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash(docs, bits=32).orderBy("doc_id")
+
+
+def text_profile_by_lang(spark, sf_dir):
+    from parquet_index_spark.operators import text as X
+    docs = _t(spark, sf_dir, "documents")
+    prof = X.text_profile(docs)
+    labeled = docs.select("doc_id", "lang").join(prof, "doc_id")
+    return (labeled.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.avg("quality"), 4).alias("avg_quality"),
+                 F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1)
+                       .otherwise(0)).alias("n_pred_match"))
+            .orderBy("lang"))
+
+
+TEXT_PROFILE_SQL = r"""
+WITH prof AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> list_contains(['the','a','of','and','to'], t)))
+           / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+           AS sw_ratio,
+         list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                 t -> length(t)))
+           / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+           AS atl,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> list_contains(['the','a','of','and','to'], t))) AS s_en,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> list_contains(['der','die','das','und','zu'], t))) AS s_de,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> list_contains(['le','la','et','de','un'], t))) AS s_fr,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> list_contains(['el','la','y','de','un'], t))) AS s_es,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> list_contains(['的','了','是','在','我'], t))) AS s_zh
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, n_tokens,
+         round((
+           (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.5 END) +
+           (CASE WHEN sw_ratio > 0.0 AND sw_ratio < 0.5 THEN 1.0 ELSE 0.5 END) +
+           (CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN 1.0 ELSE 0.5 END)
+         ) / 3.0, 4) AS quality,
+         CASE
+           WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'unk'
+           WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+           WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+           WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+           WHEN s_en >= s_de THEN 'en'
+           ELSE 'de'
+         END AS pred_lang
+  FROM prof
+)
+SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(avg(quality), 4) AS avg_quality,
+       sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS n_pred_match
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
+def doc_fingerprints(spark, sf_dir):
+    from parquet_index_spark.operators import text as X
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.document_fingerprint().alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' '))
+         AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def _query_vector(spark, sf_dir, vec_id: int = 0):
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return [float(x) for x in row["embedding"]]
+
+
+def ann_cosine_topk(spark, sf_dir):
+    from parquet_index_spark.operators import similarity as S
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    return S.cosine_topk(emb, q, k=10, exclude_ids=[0])
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+dots AS (
+  SELECT em.vec_id,
+         sum(CAST(em.embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS dp,
+         sum(CAST(em.embedding[i] AS DOUBLE) * CAST(em.embedding[i] AS DOUBLE)) AS na,
+         sum(CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS nb
+  FROM embeddings em, q, (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY em.vec_id
+),
+sims AS (
+  SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS sim
+  FROM dots WHERE vec_id <> 0
+)
+SELECT vec_id, sim,
+       row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def lsh_bucket_histogram_q(spark, sf_dir):
+    from parquet_index_spark.operators import similarity as S
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_histogram(emb, num_planes=8)
+
+
+LSH_HIST_SQL = """
+WITH dots AS (
+  SELECT vec_id, p,
+         sum(CAST(embedding[d + 1] AS DOUBLE)
+             * (((p * 73856093 + d * 19349663) % 10007) / 10007.0 - 0.5)) AS pd
+  FROM embeddings,
+       (SELECT unnest(generate_series(0, 7)) AS p),
+       (SELECT unnest(generate_series(0, 63)) AS d)
+  GROUP BY vec_id, p
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN pd > 0 THEN (1 << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT bucket, count(*) AS n_vectors FROM buckets
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+def embedding_similar_pairs(spark, sf_dir):
+    from parquet_index_spark.operators import similarity as S
+    emb = _t(spark, sf_dir, "embeddings")
+    return (S.embedding_neardup_pairs(emb, threshold=0.45, num_planes=2)
+            .orderBy("id_a", "id_b"))
+
+
+EMB_PAIRS_SQL = """
+WITH dots AS (
+  SELECT vec_id, p,
+         sum(CAST(embedding[d + 1] AS DOUBLE)
+             * (((p * 73856093 + d * 19349663) % 10007) / 10007.0 - 0.5)) AS pd
+  FROM embeddings,
+       (SELECT unnest(generate_series(0, 1)) AS p),
+       (SELECT unnest(generate_series(0, 63)) AS d)
+  GROUP BY vec_id, p
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN pd > 0 THEN (1 << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+withb AS (
+  SELECT e.vec_id, e.embedding, b.bucket
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM withb a JOIN withb b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))
+               / (sqrt(sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))),
+               4) AS sim
+  FROM pairs, (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.45 ORDER BY id_a, id_b
+"""
+
+
+_STREAM_COUNTER = {"n": 0}
+
+
+def stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming: watermarked 1-hour tumbling windows over the
+    events file stream, drained with availableNow (batch-parity mode)."""
+    from parquet_index_spark import streaming as ST
+    _STREAM_COUNTER["n"] += 1
+    name = f"pis_stream_counts_{_STREAM_COUNTER['n']}"
+    stream = ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = ST.windowed_event_counts(stream, "1 hour", "2 hours")
+    return (ST.run_available_now(agg, name)
+            .orderBy("window_start", "event_type"))
+
+
+STREAM_COUNTS_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
+    "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
+    "dedup_prefix_groups": (dedup_prefix_groups, DEDUP_PREFIX_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
+    "jaccard_neardup_pairs": (jaccard_neardup_pairs, JACCARD_SQL),
+    "simhash_fingerprints": (simhash_fingerprints, None),
+    "text_profile_by_lang": (text_profile_by_lang, TEXT_PROFILE_SQL),
+    "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
+    "lsh_bucket_histogram": (lsh_bucket_histogram_q, LSH_HIST_SQL),
+    "embedding_similar_pairs": (embedding_similar_pairs, EMB_PAIRS_SQL),
+    "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),
     "idx_point_lookup": (idx_point_lookup, IDX_POINT_SQL),
     "idx_range_scan": (idx_range_scan, IDX_RANGE_SQL),
     "idx_in_or_composite": (idx_in_or_composite, IDX_IN_OR_SQL),

@@ -1,0 +1,178 @@
+"""Behavioral tests for the pipeline extension operators."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from parquet_index_spark.operators import dedup as D
+from parquet_index_spark.operators import similarity as S
+from parquet_index_spark.operators import text as X
+from parquet_index_spark.operators import multimodal as M
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),                       # exact dup of 1
+        Row(doc_id=3, text=base + " tonight"),          # near dup of 1
+        Row(doc_id=4, text="completely different content about spark "
+                           "engines and columnar storage formats today"),
+        Row(doc_id=5, text="a b"),                      # shorter than shingle k
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestDedup:
+    def test_exact_duplicates(self, docs):
+        groups = D.exact_duplicates(docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["n_docs"] == 2 and groups[0]["min_id"] == 1
+
+    def test_dedup_exact_keeps_representative(self, docs):
+        kept = sorted(r["doc_id"] for r in D.dedup_exact(docs).collect())
+        assert kept == [1, 3, 4, 5]  # doc 2 removed, min-id 1 kept
+
+    def test_minhash_identical_docs_same_signature(self, docs):
+        sigs = {r["doc_id"]: tuple(r["minhash"])
+                for r in D.minhash_signatures(docs).collect()}
+        assert sigs[1] == sigs[2]
+        assert sigs[1] != sigs[4]
+
+    def test_lsh_finds_exact_and_near_dups(self, docs):
+        sigs = D.minhash_signatures(docs, num_hashes=16)
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in D.lsh_candidate_pairs(sigs).collect()}
+        assert (1, 2) in pairs          # identical docs always collide
+        assert (1, 4) not in pairs      # unrelated docs don't
+
+    def test_jaccard_scores(self, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in D.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+        assert pairs[(1, 2)] == 1.0
+        assert 0.0 < pairs[(1, 3)] < 1.0
+        assert (1, 4) not in pairs      # zero shingle overlap
+
+    def test_simhash_close_for_near_dups(self, docs):
+        fps = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+        assert fps[1] == fps[2]
+        ham_near = bin(fps[1] ^ fps[3]).count("1")
+        ham_far = bin(fps[1] ^ fps[4]).count("1")
+        assert ham_near < ham_far
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+
+    def test_cosine_topk_self_similarity(self, spark, emb):
+        row = emb.filter("vec_id = 7").head()
+        q = [float(x) for x in row["embedding"]]
+        top = S.cosine_topk(emb, q, k=3).collect()
+        assert top[0]["vec_id"] == 7 and top[0]["sim"] == 1.0
+        assert [r["rank"] for r in top] == [1, 2, 3]
+
+    def test_lsh_buckets_partition_corpus(self, emb):
+        hist = S.lsh_bucket_histogram(emb, num_planes=4).collect()
+        assert sum(r["n_vectors"] for r in hist) == emb.count()
+        assert 1 < len(hist) <= 16
+
+    def test_ann_lsh_subset_of_bucket(self, emb):
+        row = emb.filter("vec_id = 7").head()
+        q = [float(x) for x in row["embedding"]]
+        approx = S.ann_topk_lsh(emb, q, k=5, num_planes=4).collect()
+        # query's own vector lives in the query bucket => rank 1
+        assert approx[0]["vec_id"] == 7
+
+
+class TestText:
+    def test_profile_columns(self, docs):
+        prof = X.text_profile(docs).collect()
+        by_id = {r["doc_id"]: r for r in prof}
+        assert by_id[1]["n_tokens"] == 13
+        assert by_id[1]["pred_lang"] == "en"
+        assert by_id[1]["fingerprint"] == by_id[2]["fingerprint"]
+        assert 0 < by_id[1]["en_stopword_ratio"] < 1
+
+    def test_fingerprint_normalizes_case_and_space(self, spark):
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="Hello  World"),
+            Row(doc_id=2, text="hello world "),
+        ])
+        fps = [r["fingerprint"]
+               for r in df.select(X.document_fingerprint().alias("fingerprint")).collect()]
+        assert fps[0] == fps[1]
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            Row(media_id=1, kind="image", content=bytearray(b"\x89PNG fake"),
+                width=64, height=64, duration_ms=None, codec=None),
+            Row(media_id=2, kind="video", content=bytearray(b"\x00mp4 fake"),
+                width=640, height=480, duration_ms=3500, codec="h264"),
+            Row(media_id=3, kind="image", content=None,
+                width=None, height=None, duration_ms=None, codec=None),
+        ]
+        return spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+
+    def test_attach_metadata(self, media):
+        out = {r["media_id"]: r for r in M.attach_metadata(media).collect()}
+        assert out[1]["content_bytes"] == 9
+        assert out[3]["content_bytes"] is None
+
+    def test_extract_features_deterministic(self, media):
+        f1 = {r["media_id"]: r["features"]
+              for r in M.extract_features(media, dim=8).collect()}
+        f2 = {r["media_id"]: r["features"]
+              for r in M.extract_features(media, dim=8).collect()}
+        assert f1[1] == f2[1] and len(f1[1]) == 8
+        assert f1[3] is None  # null content stays null
+        assert f1[1] != f1[2]
+
+    def test_real_decode_is_explicit_stub(self, media):
+        with pytest.raises(NotImplementedError):
+            M.extract_features(media, fake=False)
+
+    def test_sample_frames(self, media):
+        frames = M.sample_frames(media, every_ms=1000).collect()
+        assert {r["media_id"] for r in frames} == {2}
+        assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
+
+
+class TestStreaming:
+    def test_windowed_counts_match_batch(self, spark):
+        from parquet_index_spark import streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        path = os.path.join(SF_SMOKE, "events.parquet")
+        stream = ST.read_event_stream(spark, path)
+        res = ST.run_available_now(
+            ST.windowed_event_counts(stream, "1 hour", "2 hours"),
+            "test_stream_counts")
+        batch = spark.read.parquet(path)
+        batch = batch.withColumn(
+            "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        expected = (batch.groupBy(F.date_trunc("hour", "event_time")
+                                  .alias("window_start"), "event_type")
+                    .agg(F.count("*").alias("n_events"),
+                         F.round(F.sum("value"), 2).alias("sum_value")))
+        got = sorted(map(tuple, res.collect()))
+        want = sorted(map(tuple, expected.collect()))
+        assert got == want
+
+    def test_session_windows_run(self, spark):
+        from parquet_index_spark import streaming as ST
+        path = os.path.join(SF_SMOKE, "events.parquet")
+        stream = ST.read_event_stream(spark, path)
+        res = ST.run_available_now(
+            ST.session_windows(stream, "30 minutes"), "test_stream_sessions")
+        rows = res.collect()
+        assert len(rows) > 0
+        assert all(r["n_events"] >= 1 for r in rows)
