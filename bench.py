@@ -66,6 +66,36 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
     total = round(time.time() - total0, 3)
 
+    # BASELINE.md file-skip reproduction: 400-file copy of lineitem, point
+    # query; report files scanned + indexed vs plain latency
+    from parquet_index_spark import QueryContext
+    from pyspark.sql import functions as F
+
+    skip_dir = os.path.join("/tmp", "spark_graft_bench",
+                            os.path.basename(os.path.normpath(SF_DIR)))
+    table400 = os.path.join(skip_dir, "lineitem400")
+    if not os.path.exists(table400):
+        (spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+         .repartition(400, "l_orderkey").write.mode("overwrite")
+         .parquet(table400))
+    spark.conf.set("spark.sql.index.metastore", os.path.join(skip_dir, "ms"))
+    qctx = QueryContext(spark)
+    if not qctx.index.exists.parquet(table400):
+        qctx.index.create.indexBy("l_orderkey", "l_returnflag").parquet(table400)
+    t = qctx.index.parquet(table400)
+    pred = "l_orderkey = 1000"
+    t.filter(pred).collect()                      # warm
+    spark.read.parquet(table400).filter(pred).collect()
+    t0 = time.time()
+    for _ in range(3):
+        t.filter(pred).collect()
+    indexed_sec = round((time.time() - t0) / 3, 4)
+    t0 = time.time()
+    for _ in range(3):
+        spark.read.parquet(table400).filter(pred).collect()
+    plain_sec = round((time.time() - t0) / 3, 4)
+    prune = qctx.index.last_prune_info
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     out = {
         "metric": "workload_total_runtime",
@@ -75,6 +105,13 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "index_build_sec": index_build_sec,
         "cpus": int(CPUS),
+        "file_skip": {
+            "total_files": prune.total_files,
+            "files_scanned": prune.selected_files,
+            "indexed_point_sec": indexed_sec,
+            "plain_point_sec": plain_sec,
+            "speedup": round(plain_sec / max(indexed_sec, 1e-9), 2),
+        },
     }
     print(json.dumps(out))
     spark.stop()
