@@ -457,6 +457,176 @@ FROM flagged GROUP BY user_id ORDER BY user_id
 """
 
 
+def q4_order_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join from orders to lineitem."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'")
+    li = _t(spark, sf_dir, "lineitem").filter("l_quantity > 45")
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey, "leftsemi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def customers_without_orders(spark, sf_dir):
+    """Anti-join shape (TPC-H Q16/Q22 flavor): customers with no big order.
+    (The unfiltered variant is empty at every SF — all customers order.)"""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter("o_totalprice > 300000")
+    return (cust.join(big, cust.c_custkey == big.o_custkey, "leftanti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"))
+            .orderBy("c_mktsegment"))
+
+
+ANTI_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q12_priority_shipmode(spark, sf_dir):
+    """TPC-H Q12 shape: join + conditional aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q14_brand_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional revenue ratio."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    brand = F.col("p_brand") == "Brand#1"
+    return joined.agg(
+        F.round(
+            (F.sum(F.when(brand, revenue).otherwise(F.lit(0).cast("decimal(18,4)")))
+             * 100 / F.sum(revenue)).cast("double"), 4).alias("brand_share"),
+        F.count("*").alias("n_rows"))
+
+
+Q14_SQL = """
+SELECT round(CAST(
+         sum(CASE WHEN p_brand = 'Brand#1'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) * 100
+         / sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+       AS DOUBLE), 4) AS brand_share,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+def cube_order_status(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.asc_nulls_first("o_orderstatus"),
+                     F.asc_nulls_first("o_orderpriority")))
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def approx_distinct_parts(spark, sf_dir):
+    """HyperLogLog distinct estimate — rows-only check: Spark's HLL++ and
+    DuckDB's ApproxCountDistinct use different sketches, so exact value
+    parity across engines is not defined. The exact-distinct companion
+    query (distinct_parts_per_flag) is oracle-checked."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+            .orderBy("l_returnflag"))
+
+
+def asof_join_events(spark, sf_dir):
+    """As-of join: each error event picks the user's most recent click at or
+    before it (operators/asof.py — union + last-non-null window, the
+    scalable formulation). Oracle: DuckDB's native ASOF JOIN."""
+    from parquet_index_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter("event_type = 'error'") \
+        .select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'") \
+        .select(F.col("event_id").alias("click_event_id"), "user_id", "ts")
+    joined = asof_join(errors, clicks, on="ts", by="user_id",
+                       right_cols=["click_event_id"], suffix="")
+    return (joined.groupBy("user_id")
+            .agg(F.count("*").alias("n_errors"),
+                 F.sum(F.when(F.col("click_event_id").isNotNull(), 1)
+                       .otherwise(0)).alias("n_with_prior_click"),
+                 F.max("click_event_id").alias("max_click_event"))
+            .orderBy("user_id"))
+
+
+ASOF_SQL = """
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT event_id AS click_event_id, user_id, ts
+  FROM events WHERE event_type = 'click'
+),
+joined AS (
+  SELECT e.user_id, e.event_id, c.click_event_id
+  FROM errors e ASOF LEFT JOIN clicks c
+    ON e.user_id = c.user_id AND e.ts >= c.ts
+)
+SELECT user_id, count(*) AS n_errors,
+       sum(CASE WHEN click_event_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS n_with_prior_click,
+       max(click_event_id) AS max_click_event
+FROM joined GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # pipeline extension operators (dedup / similarity / text / streaming)
 # ---------------------------------------------------------------------------
@@ -796,6 +966,13 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_nation_volume": (q5_nation_volume, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q4_order_exists": (q4_order_exists, Q4_SQL),
+    "customers_without_orders": (customers_without_orders, ANTI_SQL),
+    "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
+    "q14_brand_revenue_share": (q14_brand_revenue_share, Q14_SQL),
+    "cube_order_status": (cube_order_status, CUBE_SQL),
+    "approx_distinct_parts": (approx_distinct_parts, None),
+    "asof_join_events": (asof_join_events, ASOF_SQL),
     "top3_orders_per_customer": (top3_orders_per_customer, TOP3_SQL),
     "cumulative_spend": (cumulative_spend, CUMSUM_SQL),
     "rollup_sales": (rollup_sales, ROLLUP_SQL),

@@ -1,0 +1,59 @@
+"""Unit tests for the as-of join operator (crafted data, known answers)."""
+
+import pytest
+from pyspark.sql import Row
+
+from parquet_index_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame([
+        Row(lid=1, key="a", t=10),
+        Row(lid=2, key="a", t=20),
+        Row(lid=3, key="a", t=5),    # before any right row
+        Row(lid=4, key="b", t=100),
+        Row(lid=5, key="c", t=50),   # key with no right rows
+    ])
+    right = spark.createDataFrame([
+        Row(key="a", t=8, price=1.0),
+        Row(key="a", t=10, price=2.0),   # exact tie with lid=1
+        Row(key="a", t=15, price=3.0),
+        Row(key="b", t=90, price=9.0),
+    ])
+    return left, right
+
+
+def _by_lid(rows):
+    return {r["lid"]: r for r in rows}
+
+
+class TestAsofJoin:
+    def test_backward_with_exact_matches(self, frames):
+        left, right = frames
+        out = _by_lid(asof_join(left, right, on="t", by="key",
+                                right_cols=["price"]).collect())
+        assert out[1]["price_right"] == 2.0   # exact t=10 match allowed
+        assert out[2]["price_right"] == 3.0   # latest <= 20 is t=15
+        assert out[3]["price_right"] is None  # nothing at or before t=5
+        assert out[4]["price_right"] == 9.0
+        assert out[5]["price_right"] is None  # key never seen on right
+
+    def test_strict_inequality(self, frames):
+        left, right = frames
+        out = _by_lid(asof_join(left, right, on="t", by="key",
+                                right_cols=["price"],
+                                allow_exact_matches=False).collect())
+        assert out[1]["price_right"] == 1.0   # t=10 excluded, t=8 wins
+
+    def test_inner_drops_unmatched(self, frames):
+        left, right = frames
+        rows = asof_join(left, right, on="t", by="key",
+                         right_cols=["price"], how="inner").collect()
+        assert sorted(r["lid"] for r in rows) == [1, 2, 4]
+
+    def test_left_payload_preserved(self, frames):
+        left, right = frames
+        out = asof_join(left, right, on="t", by="key", right_cols=["price"])
+        assert set(out.columns) == {"lid", "key", "t", "price_right"}
+        assert out.count() == 5
