@@ -100,8 +100,36 @@ class IndexedDataFrame:
         reader = (self._spark.read
                   .schema(self._metadata.data_schema)
                   .option("basePath", self._metadata.table_path))
-        paths = [self._metadata.abs_path(p) for p in survivors]
+        paths = [self._metadata.abs_path(p)
+                 for p in self._collapse_to_directories(survivors)]
         return reader.parquet(*paths).filter(residual)
+
+    def _collapse_to_directories(self, survivors):
+        """Replace a directory's full surviving file set with the directory
+        itself. On a 100k-partition table where partition pruning keeps a
+        few partitions, this passes a handful of directory paths to the
+        reader instead of thousands of file paths (SURVEY §7 de-risk;
+        empty files add no rows, so including them via the directory is
+        sound)."""
+        import os as _os
+        # empty files can never survive pruning (no blocks) but add no rows,
+        # so a directory counts as fully-covered when its NON-empty files all
+        # survive
+        per_dir_total: dict = {}
+        files = self._metadata.files
+        for p, blocks in zip(files["path"], files["blocks"]):
+            if blocks > 0:
+                per_dir_total.setdefault(_os.path.dirname(p), set()).add(p)
+        surv_by_dir: dict = {}
+        for p in survivors:
+            surv_by_dir.setdefault(_os.path.dirname(p), set()).add(p)
+        out = []
+        for d, files in surv_by_dir.items():
+            if d and files == per_dir_total[d]:
+                out.append(d)
+            else:
+                out.extend(sorted(files))
+        return out
 
     where = filter
 

@@ -52,6 +52,27 @@ class TestPartitionedTables:
             assert_same_rows(t.filter(pred),
                              spark.read.parquet(ptable).filter(pred))
 
+    def test_whole_partition_collapses_to_directory(self, spark, ctx, ptable):
+        """When every file of a partition survives, the reader gets the
+        directory path, not the file list (scale: short path lists)."""
+        ctx.index.create.mode("overwrite").indexBy("num").parquet(ptable)
+        t = ctx.index.parquet(ptable)
+        survivors = None
+        import parquet_index_spark.manager as mgr
+        orig = mgr.IndexedDataFrame._collapse_to_directories
+
+        def spy(self, s):
+            nonlocal survivors
+            survivors = orig(self, s)
+            return survivors
+
+        mgr.IndexedDataFrame._collapse_to_directories = spy
+        try:
+            t.filter("part = 2").collect()
+        finally:
+            mgr.IndexedDataFrame._collapse_to_directories = orig
+        assert survivors == ["part=2"]
+
     def test_indexing_partition_column_rejected(self, ctx, ptable):
         # ParquetMetastoreSupport.scala:111-117
         with pytest.raises(ValueError, match="partition column"):

@@ -1,0 +1,56 @@
+"""Plan-quality regression guards: pushdown, pruning, join strategies.
+
+These encode the 100 TB design contract — a change that silently turns a
+broadcast join into a cartesian product or loses parquet filter pushdown
+fails here, at test time, instead of on a cluster.
+"""
+
+import pytest
+
+from parquet_index_spark import plans
+from parquet_index_spark.workload import (
+    idx_point_lookup, q1_pricing_summary, q3_shipping_priority,
+    q5_nation_volume, q4_order_exists, asof_join_events,
+)
+from tests.conftest import SF_CORRECT
+
+
+class TestPlanQuality:
+    def test_q1_pushdown_and_pruning(self, spark):
+        df = q1_pricing_summary(spark, SF_CORRECT)
+        plans.assert_filter_pushed(df, "l_shipdate")
+        # Q1 needs 7 of lineitem's 11 columns
+        plans.assert_columns_pruned(df, 7, "l_")
+
+    def test_q3_broadcasts_dims(self, spark):
+        df = q3_shipping_priority(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+        plans.assert_broadcasts(df, at_least=1)
+        plans.assert_filter_pushed(df, "c_mktsegment")
+        plans.assert_filter_pushed(df, "l_shipdate")
+
+    def test_q5_no_cartesian_all_filters_pushed(self, spark):
+        df = q5_nation_volume(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+        plans.assert_filter_pushed(df, "o_orderdate")
+
+    def test_q4_semi_join_not_materialized(self, spark):
+        df = q4_order_exists(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+        plan = plans.formatted_plan(df)
+        assert "LeftSemi" in plan
+
+    def test_asof_single_shuffle_per_side(self, spark):
+        df = asof_join_events(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+
+    def test_indexed_scan_keeps_reader_pushdown(self, spark, tmp_metastore):
+        """File-level pruning must not disable parquet row-group pushdown
+        inside surviving files — both layers apply."""
+        df = idx_point_lookup(spark, SF_CORRECT)
+        plans.assert_filter_pushed(df, "l_orderkey")
+
+    def test_pruned_scan_reads_requested_columns_only(self, spark,
+                                                      tmp_metastore):
+        df = idx_point_lookup(spark, SF_CORRECT).select("l_orderkey")
+        plans.assert_columns_pruned(df, 1)
