@@ -24,8 +24,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_QUERIES = [
     "idx_point_lookup", "idx_range_scan", "idx_in_or_composite",
     "q1_pricing_summary", "q3_shipping_priority", "q5_nation_volume",
-    "q6_forecast_revenue", "top3_orders_per_customer", "rollup_sales",
-    "distinct_parts_per_flag", "sessionize_events",
+    "q6_forecast_revenue", "q4_order_exists", "q12_priority_shipmode",
+    "top3_orders_per_customer", "rollup_sales", "distinct_parts_per_flag",
+    "sessionize_events", "asof_join_events",
+    "dedup_exact_stats", "minhash_lsh_pairs", "ann_cosine_topk",
+    "lsh_bucket_histogram", "text_profile_by_lang", "stream_windowed_counts",
 ]
 
 

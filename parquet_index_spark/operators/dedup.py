@@ -64,15 +64,22 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     hash_i(shingle) = md5(i || ':' || shingle); the signature element is the
     lexicographic minimum over the document's *distinct* shingles — a
-    standard MinHash over a portable hash family. Stays entirely inside
-    whole-stage codegen (transform + array_min)."""
+    standard MinHash over a portable hash family.
+
+    Shape: explode shingles -> md5 projections -> min() aggregation. Spark's
+    higher-order array functions (transform/array_min) are *interpreted*,
+    not codegen'd — the equivalent nested-transform formulation is ~30x
+    slower. Explode keeps the md5s inside whole-stage codegen and min() is
+    map-side combinable, so the shuffle carries one row per document."""
     sh = F.array_distinct(shingles(text_col, shingle_k))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(
-                F.concat(i.cast("string"), F.lit(":"), s)))))
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    exploded = df.select(F.col(id_col), F.explode(sh).alias("__shingle"))
+    mins = exploded.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__shingle"))))
+        .alias(f"__h{i}")
+        for i in range(num_hashes)])
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash"))
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
@@ -92,12 +99,19 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                         F.col("minhash"), b * rows_per_band + 1,
                         rows_per_band))).alias("band_key")))).alias("bk")
     ).select(id_col, "bk.band", "bk.band_key")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (left.join(right, ["band", "band_key"])
-            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
+    # group-then-enumerate instead of a self-join: signatures are computed
+    # once (a self-join would recompute the whole upstream plan per side)
+    # and the shuffle key is the bucket. Pair enumeration is per-bucket and
+    # bounded by bucket size — the LSH contract.
+    buckets = (banded.groupBy("band", "band_key")
+               .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pair_expr = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "  transform(slice(ids, i + 2, size(ids)), b -> "
+        "    struct(a AS id_a, b AS id_b))))")
+    return (buckets.select(F.explode(pair_expr).alias("p"))
+            .select("p.id_a", "p.id_b")
             .distinct())
 
 
@@ -141,23 +155,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bit b of token t = bit b of md5(t); fingerprint bit b is 1 iff more
     tokens set it than not. Implemented with higher-order functions: per-bit
     vote = sum over tokens of ±1. Portable: uses only md5 + integer ops."""
+    # explode -> codegen'd hash projection -> per-bit vote aggregation
+    # (interpreted array aggregate()s are ~30x slower; see minhash note)
     toks = F.array_distinct(tokens(text_col))
-    # 32-bit token hash from the first 8 hex chars of md5; computed once per
-    # token into an array column, then voted per bit (shift amounts must be
-    # python ints for shiftright, hence the unrolled loop)
-    hashes = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
-
-    # factory keeps the merge lambda two-arg (acc, h); extra defaulted params
-    # would be mis-bound by pyspark's lambda-arity inspection
-    def vote_fn(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-            F.lit(1)).otherwise(F.lit(-1))
-
+    h = F.conv(F.substring(F.md5(F.col("__token")), 1, 8), 16, 10).cast("long")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__token")) \
+        .select(F.col(id_col), h.alias("__h"))
+    votes = exploded.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"__v{b}")
+        for b in range(bits)])
     fingerprint = F.lit(0).cast("long")
     for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(b))
         fingerprint = fingerprint + F.when(
-            vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+            F.col(f"__v{b}") > 0,
+            F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
