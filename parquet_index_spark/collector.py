@@ -219,7 +219,8 @@ def _scan_stats_for_file(abs_path: str, relpath: str, index_cols: list,
 
 def collect_partition(task_index: int, tasks: Iterable[dict], table_root: str,
                       stats_dir: str, index_cols: list, filter_enabled: bool,
-                      filter_type: str, dict_max_size: int) -> Iterator[dict]:
+                      filter_type: str, dict_max_size: int,
+                      shard_prefix: str = "part") -> Iterator[dict]:
     """Executor-side: process a slice of files, write one stats shard, yield
     per-file summaries (small) back to the driver."""
     import json
@@ -242,7 +243,7 @@ def collect_partition(task_index: int, tasks: Iterable[dict], table_root: str,
         })
     if stat_rows:
         shard = pa.Table.from_pylist(stat_rows, schema=STATS_SCHEMA)
-        out = os.path.join(stats_dir, f"part-{task_index:05d}.parquet")
+        out = os.path.join(stats_dir, f"{shard_prefix}-{task_index:05d}.parquet")
         pq.write_table(shard, out, compression="zstd")
     for s in summaries:
         yield s
@@ -282,7 +283,8 @@ def _ensure_package_shipped(spark) -> None:
 
 def run_stats_job(spark, table_root: str, files: list, stats_dir: str,
                   index_cols: list, filter_enabled: bool, filter_type: str,
-                  dict_max_size: int, num_partitions: int) -> list:
+                  dict_max_size: int, num_partitions: int,
+                  shard_prefix: str = "part") -> list:
     """Run the distributed stats collection; returns per-file summaries.
 
     Parallelism default mirrors the reference:
@@ -304,6 +306,7 @@ def run_stats_job(spark, table_root: str, files: list, stats_dir: str,
 
     def fn(idx: int, it: Iterator) -> Iterator[dict]:
         return collect_partition(idx, it, table_root, stats_dir, index_cols,
-                                 filter_enabled, filter_type, dict_max_size)
+                                 filter_enabled, filter_type, dict_max_size,
+                                 shard_prefix)
 
     return rdd.mapPartitionsWithIndex(fn).collect()

@@ -212,6 +212,27 @@ class DeleteIndexCommand:
         self._manager._delete_index(info.location, dataspace="catalog")
 
 
+class RefreshIndexCommand:
+    """``spark.index.refresh.parquet(path)`` — incremental index maintenance.
+
+    Beyond-reference capability (the reference rejects append:
+    ParquetMetastoreSupport.scala:104-107). For the append-only data-lake
+    case, only NEW files are scanned and their stats land in fresh metadata
+    shards; if any indexed file was removed or rewritten, falls back to a
+    full rebuild (stale per-block stats cannot be retracted from shared
+    shards without a rewrite)."""
+
+    def __init__(self, manager: "DataFrameIndexManager"):
+        self._manager = manager
+
+    def parquet(self, path: str) -> dict:
+        return self._manager._refresh_index(path, dataspace="source")
+
+    def table(self, table_name: str) -> dict:
+        info = resolve_catalog_table(self._manager.spark, table_name)
+        return self._manager._refresh_index(info.location, dataspace="catalog")
+
+
 class DataFrameIndexManager:
     """Entry point for all index operations (reference: index.py:196-331)."""
 
@@ -266,6 +287,10 @@ class DataFrameIndexManager:
     @property
     def delete(self) -> DeleteIndexCommand:
         return DeleteIndexCommand(self)
+
+    @property
+    def refresh(self) -> RefreshIndexCommand:
+        return RefreshIndexCommand(self)
 
     # -- internals ---------------------------------------------------------
     def _conf(self) -> IndexConf:
@@ -360,6 +385,60 @@ class DataFrameIndexManager:
                     "(ParquetSchemaUtils.scala:32-54)")
             out[c] = kind
         return out
+
+    def _refresh_index(self, path: str, dataspace: str) -> dict:
+        """Incremental refresh; returns a summary dict (mode/new/removed)."""
+        conf = self._conf()
+        metastore = self._metastore(conf)
+        spec = LocationSpec(path, dataspace=dataspace)
+        if not metastore.exists(spec):
+            raise IndexNotFoundError(
+                f"No index to refresh for {spec.table_path}; create it first")
+        metadata = metastore.load(spec)
+        index_dir = metastore.index_dir(spec)
+
+        current, _part_cols = collector.list_table_files(spec.table_path)
+        cur_by_path = {f["path"]: f for f in current}
+        old_by_path = {
+            row["path"]: int(row["size"])
+            for row in metadata.files.to_dict("records")}
+
+        removed_or_changed = [
+            p for p, size in old_by_path.items()
+            if p not in cur_by_path or cur_by_path[p]["size"] != size]
+        new_files = [f for p, f in cur_by_path.items() if p not in old_by_path]
+
+        if removed_or_changed:
+            # retraction requires shard rewrites => full rebuild with the
+            # same index columns
+            metastore.invalidate(index_dir)
+            self._create_index(path, "overwrite",
+                               list(metadata.index_columns), dataspace)
+            return {"mode": "rebuild", "new_files": len(new_files),
+                    "removed_or_changed": len(removed_or_changed)}
+        if not new_files:
+            return {"mode": "noop", "new_files": 0, "removed_or_changed": 0}
+
+        stats_dir = os.path.join(index_dir, STATS_DIR)
+        existing_shards = [f for f in os.listdir(stats_dir)
+                          if f.endswith(".parquet")] if os.path.isdir(stats_dir) else []
+        shard_prefix = f"part-r{len(existing_shards):04d}"
+        summaries = collector.run_stats_job(
+            self.spark, spec.table_path, new_files, stats_dir,
+            index_cols=list(metadata.index_columns.items()),
+            filter_enabled=metadata.filter_type is not None,
+            filter_type=metadata.filter_type or "bloom",
+            dict_max_size=conf.dict_max_size,
+            num_partitions=conf.num_partitions,
+            shard_prefix=shard_prefix)
+
+        files_table = pa.Table.from_pylist(
+            metadata.files.to_dict("records") + summaries,
+            schema=collector.FILES_SCHEMA)
+        pq.write_table(files_table, os.path.join(index_dir, FILES_FILE))
+        metastore.invalidate(index_dir)
+        return {"mode": "incremental", "new_files": len(new_files),
+                "removed_or_changed": 0}
 
     def _exists_index(self, path: str, dataspace: str) -> bool:
         conf = self._conf()
