@@ -104,24 +104,43 @@ def lsh_bucket_histogram(df: DataFrame, vec_col: str = "embedding",
             .orderBy("bucket"))
 
 
-def ann_topk_lsh(df: DataFrame, query_vec: Sequence[float], k: int = 10,
-                 id_col: str = "vec_id", vec_col: str = "embedding",
-                 num_planes: int = 8) -> DataFrame:
-    """Approximate top-k: restrict the exact scorer to the query's bucket.
+def query_probe_buckets(query_vec: Sequence[float], num_planes: int = 8,
+                        num_probes: int = 1) -> List[int]:
+    """The query's bucket plus multi-probe neighbors.
 
-    At scale the bucket predicate prunes the scan by ~2^num_planes; recall
-    can be raised with multi-probe (flipping low-confidence bits) — kept
-    simple here."""
-    import math
-    qbucket = 0
+    Multi-probe LSH: the buckets most likely to hold missed neighbors are
+    those differing in the planes where the query's dot product is closest
+    to zero. Probing them raises recall without more planes (i.e. without
+    shrinking buckets for everyone)."""
+    dots = []
     for p in range(num_planes):
         d = 0.0
         for j, v in enumerate(query_vec):
             coeff = ((p * 73856093 + j * 19349663) % 10007) / 10007.0 - 0.5
             d += float(v) * coeff
+        dots.append(d)
+    base = 0
+    for p, d in enumerate(dots):
         if d > 0:
-            qbucket |= 1 << p
-    bucketed = df.filter(lsh_bucket(vec_col, num_planes) == qbucket)
+            base |= 1 << p
+    # flip the lowest-confidence bits, one at a time, most marginal first
+    order = sorted(range(num_planes), key=lambda p: abs(dots[p]))
+    buckets = [base]
+    for p in order[:max(0, num_probes - 1)]:
+        buckets.append(base ^ (1 << p))
+    return buckets
+
+
+def ann_topk_lsh(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 num_planes: int = 8, num_probes: int = 1) -> DataFrame:
+    """Approximate top-k: restrict the exact scorer to the query's bucket
+    (plus multi-probe neighbor buckets).
+
+    At scale the bucket predicate prunes the scan by ~2^num_planes /
+    num_probes; recall rises with num_probes at linear extra cost."""
+    buckets = query_probe_buckets(query_vec, num_planes, num_probes)
+    bucketed = df.filter(lsh_bucket(vec_col, num_planes).isin(buckets))
     return cosine_topk(bucketed, query_vec, k, id_col, vec_col)
 
 

@@ -457,6 +457,52 @@ FROM flagged GROUP BY user_id ORDER BY user_id
 """
 
 
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: IN-subquery over a HAVING aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big_orders = (li.groupBy("l_orderkey")
+                  .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+                  .filter(F.col("total_qty") > 90))
+    return (orders.join(big_orders,
+                        orders.o_orderkey == big_orders.l_orderkey)
+            .select("o_orderkey", "o_custkey",
+                    F.to_date("o_orderdate").alias("order_date"), "total_qty")
+            .orderBy("o_orderkey"))
+
+
+Q18_SQL = """
+SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+       total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 90) big
+  ON o_orderkey = big.l_orderkey
+ORDER BY o_orderkey
+"""
+
+
+def salted_skew_join(spark, sf_dir):
+    """Skew-resistant join (functions/joins.py): lineitem salted against
+    the small nation-keyed supplier dim; result must equal a plain join."""
+    from parquet_index_spark.functions.joins import salted_join
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    joined = salted_join(li, supp, on="l_suppkey", salt=8)
+    return (joined.groupBy("s_nationkey")
+            .agg(F.count("*").alias("n_lineitems"))
+            .orderBy("s_nationkey"))
+
+
+SALTED_SQL = """
+SELECT s_nationkey, count(*) AS n_lineitems
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 def q4_order_exists(spark, sf_dir):
     """TPC-H Q4 shape: EXISTS semi-join from orders to lineitem."""
     orders = _t(spark, sf_dir, "orders").filter(
@@ -967,6 +1013,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q5_nation_volume": (q5_nation_volume, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q4_order_exists": (q4_order_exists, Q4_SQL),
+    "q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
+    "salted_skew_join": (salted_skew_join, SALTED_SQL),
     "customers_without_orders": (customers_without_orders, ANTI_SQL),
     "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
     "q14_brand_revenue_share": (q14_brand_revenue_share, Q14_SQL),

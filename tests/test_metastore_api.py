@@ -161,6 +161,43 @@ class TestCatalogTables:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+class TestMetadataPreservation:
+    def test_column_metadata_survives_indexed_read(self, spark, ctx,
+                                                   tmp_table_dir):
+        """Schema metadata (e.g. comments) must round-trip through the
+        metastore (reference: IndexSuite.scala:835-886)."""
+        from pyspark.sql import types as T
+        path = os.path.join(tmp_table_dir, "meta_t")
+        schema = T.StructType([
+            T.StructField("id", T.LongType(), True,
+                          metadata={"comment": "primary id", "ttl": 7}),
+            T.StructField("s", T.StringType(), True),
+        ])
+        df = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+        df.write.parquet(path)
+        ctx.index.create.indexBy("id").parquet(path)
+        t = ctx.index.parquet(path)
+        field = t.schema["id"]
+        assert field.metadata.get("comment") == "primary id"
+        assert field.metadata.get("ttl") == 7
+
+    def test_catalog_table_reread_after_cache(self, spark, ctx,
+                                              tmp_table_dir, tmp_metastore):
+        """Catalog table re-queried through a cached index metadata entry
+        (reference: IndexSuite.scala:613)."""
+        name = "pis_cached_reread"
+        loc = os.path.join(tmp_table_dir, "cached_tbl")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.range(20).write.option("path", loc).saveAsTable(name)
+        try:
+            ctx.index.create.indexBy("id").table(name)
+            first = ctx.index.table(name).filter("id = 3").count()
+            second = ctx.index.table(name).filter("id = 3").count()
+            assert first == second == 1
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 class TestBuilderPlumbing:
     def test_format_parquet_only(self, ctx):
         ctx.index.format("parquet")  # ok

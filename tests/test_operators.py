@@ -89,6 +89,28 @@ class TestSimilarity:
         # query's own vector lives in the query bucket => rank 1
         assert approx[0]["vec_id"] == 7
 
+    def test_multiprobe_improves_recall(self, emb):
+        row = emb.filter("vec_id = 7").head()
+        q = [float(x) for x in row["embedding"]]
+        exact = {r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()}
+
+        def recall(num_probes):
+            got = {r["vec_id"] for r in S.ann_topk_lsh(
+                emb, q, k=10, num_planes=4, num_probes=num_probes).collect()}
+            return len(got & exact) / len(exact)
+
+        r1, r4 = recall(1), recall(4)
+        assert r4 >= r1          # probing more buckets never loses recall
+        assert r4 >= 0.3         # and finds a meaningful share of true topk
+
+    def test_probe_buckets_shape(self):
+        q = [0.1] * 64
+        buckets = S.query_probe_buckets(q, num_planes=6, num_probes=3)
+        assert len(buckets) == 3 and len(set(buckets)) == 3
+        base = buckets[0]
+        for b in buckets[1:]:
+            assert bin(base ^ b).count("1") == 1  # single-bit flips
+
 
 class TestText:
     def test_profile_columns(self, docs):
