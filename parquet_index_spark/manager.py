@@ -87,8 +87,7 @@ class IndexedDataFrame:
                 len(self._metadata.all_file_paths()),
                 len(self._metadata.all_file_paths()), pruned=False)
             return self.df.filter(residual)
-        ctx = self._metadata.context()
-        survivors = prune_files(ast, ctx)
+        survivors = self._prune(ast)
         all_paths = self._metadata.all_file_paths()
         self._manager.last_prune_info = PruneInfo(
             len(all_paths), len(survivors), pruned=True)
@@ -103,6 +102,23 @@ class IndexedDataFrame:
         paths = [self._metadata.abs_path(p)
                  for p in self._collapse_to_directories(survivors)]
         return reader.parquet(*paths).filter(residual)
+
+    def _prune(self, ast):
+        """Driver-side numpy fold by default; Spark-job fold when the
+        metadata itself is too big for driver memory
+        (spark.sql.index.pruning.sparkThreshold blocks, default 5M)."""
+        from parquet_index_spark import pruning_spark
+        try:
+            threshold = int(self._spark.conf.get(
+                pruning_spark.SPARK_PRUNING_THRESHOLD,
+                str(pruning_spark.DEFAULT_THRESHOLD)))
+        except Exception:
+            threshold = pruning_spark.DEFAULT_THRESHOLD
+        total_blocks = int(self._metadata.files["blocks"].sum())
+        if total_blocks > threshold:
+            return pruning_spark.prune_files_with_spark(
+                self._spark, self._metadata, ast)
+        return prune_files(ast, self._metadata.context())
 
     def _collapse_to_directories(self, survivors):
         """Replace a directory's full surviving file set with the directory
