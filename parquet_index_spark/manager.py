@@ -228,6 +228,24 @@ class DeleteIndexCommand:
         self._manager._delete_index(info.location, dataspace="catalog")
 
 
+class DescribeIndexCommand:
+    """``spark.index.describe.parquet(path)`` — index introspection.
+
+    Returns a small summary DataFrame (one row per indexed column plus a
+    TABLE row) so operators can see what an index covers and how big it is
+    without reading the raw metastore files."""
+
+    def __init__(self, manager: "DataFrameIndexManager"):
+        self._manager = manager
+
+    def parquet(self, path: str) -> DataFrame:
+        return self._manager._describe_index(path, dataspace="source")
+
+    def table(self, table_name: str) -> DataFrame:
+        info = resolve_catalog_table(self._manager.spark, table_name)
+        return self._manager._describe_index(info.location, dataspace="catalog")
+
+
 class RefreshIndexCommand:
     """``spark.index.refresh.parquet(path)`` — incremental index maintenance.
 
@@ -307,6 +325,10 @@ class DataFrameIndexManager:
     @property
     def refresh(self) -> RefreshIndexCommand:
         return RefreshIndexCommand(self)
+
+    @property
+    def describe(self) -> DescribeIndexCommand:
+        return DescribeIndexCommand(self)
 
     # -- internals ---------------------------------------------------------
     def _conf(self) -> IndexConf:
@@ -401,6 +423,27 @@ class DataFrameIndexManager:
                     "(ParquetSchemaUtils.scala:32-54)")
             out[c] = kind
         return out
+
+    def _describe_index(self, path: str, dataspace: str) -> DataFrame:
+        conf = self._conf()
+        metastore = self._metastore(conf)
+        spec = LocationSpec(path, dataspace=dataspace)
+        metadata = metastore.load(spec, filter_eager=False)
+        files = metadata.files
+        n_files = len(files)
+        n_blocks = int(files["blocks"].sum())
+        n_rows = int(files["rows"].sum())
+        rows = [("TABLE", "", n_files, n_blocks, n_rows,
+                 metadata.filter_type or "none")]
+        for col, kind in metadata.index_columns.items():
+            rows.append(("INDEXED_COLUMN", col, n_files, n_blocks, n_rows,
+                         metadata.filter_type or "none"))
+        for col, kind in metadata.partition_columns.items():
+            rows.append(("PARTITION_COLUMN", col, n_files, n_blocks, n_rows,
+                         "exact"))
+        return self.spark.createDataFrame(
+            rows, schema="entry string, column string, n_files long, "
+                         "n_blocks long, n_rows long, filter_type string")
 
     def _refresh_index(self, path: str, dataspace: str) -> dict:
         """Incremental refresh; returns a summary dict (mode/new/removed)."""

@@ -503,6 +503,117 @@ GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'")
+    li = _t(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_custkey", "c_name", "c_mktsegment")
+            .agg(F.sum(revenue).alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_mktsegment,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery — lineitems below 50%%
+    of their part's average quantity. Decorrelated as a join against the
+    per-part aggregate (the scalable plan Spark would produce anyway)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = (li.groupBy(F.col("l_partkey").alias("pk"))
+                .agg(F.avg("l_quantity").alias("avg_qty")))
+    return (li.join(part_avg, li.l_partkey == part_avg.pk)
+            .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+            .agg(F.sum(_dec("l_extendedprice")).alias("total_price"),
+                 F.count("*").alias("n_rows")))
+
+
+Q17_SQL = """
+SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) p
+  ON l.l_partkey = p.pk
+WHERE l.l_quantity < 0.5 * p.avg_qty
+"""
+
+
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: OR of conjunctive brand/size/quantity bands."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & \
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+    band2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & \
+        (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30)
+    band3 = (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & \
+        (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)
+    return (joined.filter(band1 | band2 | band3)
+            .agg(F.sum(revenue).alias("revenue"),
+                 F.count("*").alias("n_rows")))
+
+
+Q19_SQL = """
+SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no orders in a
+    window (scalar subquery + anti join)."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter("c_acctbal > 0.0") \
+        .agg(F.avg("c_acctbal").alias("a")).head()["a"]
+    recent = _t(spark, sf_dir, "orders").filter(
+        "o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'")
+    rich = cust.filter(F.col("c_acctbal") > avg_bal)
+    return (rich.join(recent, rich.c_custkey == recent.o_custkey, "leftanti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_cust"),
+                 F.sum(_dec("c_acctbal")).alias("total_bal"))
+            .orderBy("c_mktsegment"))
+
+
+Q22_SQL = """
+SELECT c_mktsegment, count(*) AS n_cust,
+       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def q4_order_exists(spark, sf_dir):
     """TPC-H Q4 shape: EXISTS semi-join from orders to lineitem."""
     orders = _t(spark, sf_dir, "orders").filter(
@@ -1014,6 +1125,10 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q4_order_exists": (q4_order_exists, Q4_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q19_disjunctive_predicates": (q19_disjunctive_predicates, Q19_SQL),
+    "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
     "salted_skew_join": (salted_skew_join, SALTED_SQL),
     "customers_without_orders": (customers_without_orders, ANTI_SQL),
     "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),

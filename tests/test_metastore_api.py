@@ -161,6 +161,46 @@ class TestCatalogTables:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+class TestDescribe:
+    def test_describe_summary(self, spark, ctx, tmp_table_dir):
+        path = os.path.join(tmp_table_dir, "dt")
+        spark.createDataFrame(
+            [Row(id=i, s=f"v{i}", part=i % 2) for i in range(100)]) \
+            .repartition(2).write.partitionBy("part").parquet(path)
+        ctx.index.create.indexBy("id", "s").parquet(path)
+        desc = {(r["entry"], r["column"]): r
+                for r in ctx.index.describe.parquet(path).collect()}
+        table = desc[("TABLE", "")]
+        assert table["n_rows"] == 100 and table["n_files"] >= 2
+        assert ("INDEXED_COLUMN", "id") in desc
+        assert ("INDEXED_COLUMN", "s") in desc
+        assert ("PARTITION_COLUMN", "part") in desc
+
+    def test_describe_missing_raises(self, ctx, tmp_table_dir):
+        from parquet_index_spark.metastore import IndexNotFoundError
+        with pytest.raises(IndexNotFoundError):
+            ctx.index.describe.parquet(os.path.join(tmp_table_dir, "nope"))
+
+
+class TestUnicodeAboveBMP:
+    def test_emoji_string_pruning(self, spark, ctx, tmp_table_dir):
+        """Supplementary-plane characters: python code-point order must
+        agree with Spark's UTF8String binary order (SURVEY §7 risk item —
+        the reference's Java UTF-16 ordering diverges here; ours must not)."""
+        path = os.path.join(tmp_table_dir, "emoji")
+        values = ["zz", "\U0001F600", "�", "aa", "\U0001F4A9zz"]
+        spark.createDataFrame([Row(id=i, s=v) for i, v in enumerate(values)]) \
+            .repartition(3).write.parquet(path)
+        ctx.index.create.indexBy("s").parquet(path)
+        t = ctx.index.parquet(path)
+        for pred in ["s > 'zz'", "s = '\U0001F600'", "s <= '�'",
+                     "s >= '\U0001F4A9'"]:
+            a = sorted(tuple(r) for r in t.filter(pred).collect())
+            b = sorted(tuple(r) for r in
+                       spark.read.parquet(path).filter(pred).collect())
+            assert a == b, pred
+
+
 class TestMetadataPreservation:
     def test_column_metadata_survives_indexed_read(self, spark, ctx,
                                                    tmp_table_dir):
