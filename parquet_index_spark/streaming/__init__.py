@@ -69,12 +69,54 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
                     "n_events"))
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+USER_TOTALS_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+    T.StructField("max_event_id", T.LongType()),
+])
+
+USER_TOTALS_STATE = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+    T.StructField("max_event_id", T.LongType()),
+])
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals that survive across micro-batches.
+
+    This is the pattern for operators Structured Streaming lacks natively
+    (SURVEY guidance): arbitrary per-key state + Arrow-batched updates.
+    Emits the updated running totals for each user seen in a batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+        n, total, max_id = (state.get if state.exists else (0, 0.0, -1))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            max_id = max(max_id, int(pdf["event_id"].max()))
+        state.update((n, total, max_id))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n],
+            "total_value": [total], "max_event_id": [max_id]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(
+                update, USER_TOTALS_OUTPUT, USER_TOTALS_STATE,
+                "update", GroupStateTimeout.NoTimeout))
+
+
+def run_available_now(stream_df: DataFrame, query_name: str,
+                      output_mode: str = "complete") -> DataFrame:
     """Drain all available input through the streaming engine into a memory
     sink and return the result as a DataFrame (batch-parity harness)."""
     q = (stream_df.writeStream.format("memory")
          .queryName(query_name)
-         .outputMode("complete")
+         .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination(120)

@@ -189,6 +189,34 @@ class TestStreaming:
         want = sorted(map(tuple, expected.collect()))
         assert got == want
 
+    def test_stateful_user_totals_across_batches(self, spark, tmp_table_dir):
+        """applyInPandasWithState: state must accumulate across
+        micro-batches; final per-user totals equal the batch aggregate."""
+        import os
+        from pyspark.sql import functions as F
+        from parquet_index_spark import streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        src = os.path.join(SF_SMOKE, "events.parquet")
+        multi = os.path.join(tmp_table_dir, "events_multi")
+        spark.read.parquet(src).repartition(3).write.parquet(multi)
+
+        stream = ST.read_event_stream(spark, multi, max_files_per_trigger=1)
+        res = ST.run_available_now(
+            ST.stateful_user_totals(stream), "test_stateful_totals",
+            output_mode="update")
+        # update mode emits one row per user per batch; the final state is
+        # the row with the highest n_events per user
+        final = (res.groupBy("user_id")
+                 .agg(F.max("n_events").alias("n_events"),
+                      F.max("max_event_id").alias("max_event_id")))
+        got = {r["user_id"]: (r["n_events"], r["max_event_id"])
+               for r in final.collect()}
+        batch = spark.read.parquet(multi).groupBy("user_id").agg(
+            F.count("*").alias("n"), F.max("event_id").alias("m"))
+        want = {r["user_id"]: (r["n"], r["m"]) for r in batch.collect()}
+        assert got == want
+
     def test_session_windows_run(self, spark):
         from parquet_index_spark import streaming as ST
         path = os.path.join(SF_SMOKE, "events.parquet")
