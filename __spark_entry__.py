@@ -9,11 +9,19 @@ oracle_sql()   -> matching DuckDB SQL per query (same column aliases; the
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from parquet_index_spark.workload import QUERIES, q1_pricing_summary
+# the engine package lives next to this file; make it importable no matter
+# how the driver loaded this module
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from parquet_index_spark.workload import QUERIES, q1_pricing_summary  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
