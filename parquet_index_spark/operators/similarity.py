@@ -88,11 +88,13 @@ def lsh_bucket(vec_col: str = "embedding", num_planes: int = 8) -> Column:
         return lambda d: ((F.lit(p) * 73856093 + d * 19349663) % 10007
                           ).cast("double") / 10007.0 - 0.5
 
-    bucket = F.lit(0)
+    # long arithmetic: up to 63 planes, and the output dtype matches the
+    # BIGINT the SQL oracle emits (int32 vs int64 hashes differently)
+    bucket = F.lit(0).cast("long")
     for p in range(num_planes):
         coeffs = F.transform(dims, coeff_fn(p))
         bucket = bucket + F.when(dot(emb, coeffs) > 0,
-                                 F.lit(1 << p)).otherwise(F.lit(0))
+                                 F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
 
 

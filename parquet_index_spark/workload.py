@@ -3,13 +3,19 @@ queries, and data-pipeline extension operators — each paired with an ANSI-SQL
 oracle that DuckDB can run on the same parquet tables.
 
 Conventions for oracle parity (driver hashes values after sorting columns by
-name):
+name; the compare goes through pandas, so the OUTPUT dtype must match too):
 - every computed column is aliased identically in Spark and SQL;
 - money aggregates go through DECIMAL casts *before* summing so both engines
   produce exact, order-independent results (double sums are order-dependent
-  across engines);
-- double outputs are rounded; rankings break ties by key so order-dependent
-  limits are deterministic;
+  across engines) — and the FINAL output is cast to DOUBLE on both sides,
+  because pandas renders DuckDB's DECIMAL(38,x) as float64 ("761737.0")
+  while Spark yields Decimal ("761737.00"): same value, different hash;
+- DuckDB sums of integers return HUGEINT, which pandas renders as float64
+  ("30064.0") vs Spark's int64 ("30064") — every integer-sum oracle output
+  is wrapped in CAST(... AS BIGINT);
+- averages are computed as exact-decimal sum / count in double (engine avg()
+  over doubles is summation-order-dependent);
+- rankings break ties by key so order-dependent limits are deterministic;
 - timestamps are cast to DATE when used as group keys.
 """
 
@@ -69,6 +75,11 @@ def _dec(col: str, p: int = 18, s: int = 2):
     return F.col(col).cast(f"decimal({p},{s})")
 
 
+def _dsum(expr, alias: str):
+    """Exact decimal sum, emitted as DOUBLE (see module docstring)."""
+    return F.sum(expr).cast("double").alias(alias)
+
+
 # ---------------------------------------------------------------------------
 # index-layer queries (SURVEY §2A through the pruned scan)
 # ---------------------------------------------------------------------------
@@ -115,13 +126,13 @@ def idx_in_or_composite(spark, sf_dir):
                      "AND l_linenumber <= 3")
             .groupBy("l_returnflag")
             .agg(F.count("*").alias("cnt"),
-                 F.sum(_dec("l_quantity")).alias("sum_qty"))
+                 _dsum(_dec("l_quantity"), "sum_qty"))
             .orderBy("l_returnflag"))
 
 
 IDX_IN_OR_SQL = """
 SELECT l_returnflag, count(*) AS cnt,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 WHERE (l_orderkey IN (42, 4242, 9999) OR l_returnflag = 'R')
   AND l_linenumber <= 3
@@ -151,13 +162,13 @@ def idx_orders_priority(spark, sf_dir):
                      "AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'")
             .groupBy("o_orderstatus")
             .agg(F.count("*").alias("cnt"),
-                 F.sum(_dec("o_totalprice")).alias("sum_price"))
+                 _dsum(_dec("o_totalprice"), "sum_price"))
             .orderBy("o_orderstatus"))
 
 
 IDX_ORDERS_SQL = """
 SELECT o_orderstatus, count(*) AS cnt,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM orders
 WHERE o_orderpriority = '1-URGENT'
   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
@@ -189,25 +200,27 @@ def q1_pricing_summary(spark, sf_dir):
     charge = disc_price * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax", 12, 2))
     return (li.filter("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(_dec("l_quantity")).alias("sum_qty"),
-                 F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
-                 F.sum(disc_price).alias("sum_disc_price"),
-                 F.sum(charge).alias("sum_charge"),
-                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            .agg(_dsum(_dec("l_quantity"), "sum_qty"),
+                 _dsum(_dec("l_extendedprice"), "sum_base_price"),
+                 _dsum(disc_price, "sum_disc_price"),
+                 _dsum(charge, "sum_charge"),
+                 F.round(F.sum(_dec("l_quantity")).cast("double")
+                         / F.count("*"), 4).alias("avg_qty"),
                  F.count("*").alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS sum_disc_price,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
            * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-           * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
+           * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -226,15 +239,15 @@ def q3_shipping_priority(spark, sf_dir):
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
             .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"))
-            .agg(F.sum(revenue).alias("revenue"))
+            .agg(_dsum(revenue, "revenue"))
             .orderBy(F.desc("revenue"), "l_orderkey")
             .limit(10))
 
 
 Q3_SQL = """
 SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -266,14 +279,14 @@ def q5_nation_volume(spark, sf_dir):
             .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
             .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
             .groupBy("n_name")
-            .agg(F.sum(revenue).alias("revenue"))
+            .agg(_dsum(revenue, "revenue"))
             .orderBy(F.desc("revenue"), "n_name"))
 
 
 Q5_SQL = """
 SELECT n_name,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -293,14 +306,14 @@ def q6_forecast_revenue(spark, sf_dir):
                       "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
                       "AND l_discount BETWEEN 0.02 AND 0.09 "
                       "AND l_quantity < 24")
-            .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount", 12, 2))
-                 .alias("revenue"),
+            .agg(_dsum(_dec("l_extendedprice") * _dec("l_discount", 12, 2),
+                       "revenue"),
                  F.count("*").alias("n_rows")))
 
 
 Q6_SQL = """
-SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * CAST(l_discount AS DECIMAL(12,2))) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -338,16 +351,19 @@ def cumulative_spend(spark, sf_dir):
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (orders.select(
         "o_custkey", "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).alias("cum_spend")))
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("cum_spend"))
+        .orderBy("o_custkey", "o_orderkey"))
 
 
 CUMSUM_SQL = """
 SELECT o_custkey, o_orderkey,
-       sum(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
          OVER (PARTITION BY o_custkey
                ORDER BY CAST(o_orderdate AS DATE), o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS cum_spend
 FROM orders WHERE o_custkey < 50
+ORDER BY o_custkey, o_orderkey
 """
 
 
@@ -355,14 +371,14 @@ def rollup_sales(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (li.rollup("l_returnflag", "l_linestatus")
             .agg(F.count("*").alias("cnt"),
-                 F.sum(_dec("l_quantity")).alias("sum_qty"))
+                 _dsum(_dec("l_quantity"), "sum_qty"))
             .orderBy(F.asc_nulls_first("l_returnflag"),
                      F.asc_nulls_first("l_linestatus")))
 
 
 ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -452,7 +468,8 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM flagged GROUP BY user_id ORDER BY user_id
 """
 
@@ -467,13 +484,14 @@ def q18_large_volume_customers(spark, sf_dir):
     return (orders.join(big_orders,
                         orders.o_orderkey == big_orders.l_orderkey)
             .select("o_orderkey", "o_custkey",
-                    F.to_date("o_orderdate").alias("order_date"), "total_qty")
+                    F.to_date("o_orderdate").alias("order_date"),
+                    F.col("total_qty").cast("double").alias("total_qty"))
             .orderBy("o_orderkey"))
 
 
 Q18_SQL = """
 SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
-       total_qty
+       CAST(total_qty AS DOUBLE) AS total_qty
 FROM orders
 JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
       FROM lineitem GROUP BY l_orderkey
@@ -514,15 +532,15 @@ def q10_returned_items(spark, sf_dir):
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .join(cust, orders.o_custkey == cust.c_custkey)
             .groupBy("c_custkey", "c_name", "c_mktsegment")
-            .agg(F.sum(revenue).alias("revenue"))
+            .agg(_dsum(revenue, "revenue"))
             .orderBy(F.desc("revenue"), "c_custkey")
             .limit(20))
 
 
 Q10_SQL = """
 SELECT c_custkey, c_name, c_mktsegment,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -540,18 +558,21 @@ def q17_small_quantity_revenue(spark, sf_dir):
     per-part aggregate (the scalable plan Spark would produce anyway)."""
     li = _t(spark, sf_dir, "lineitem")
     part_avg = (li.groupBy(F.col("l_partkey").alias("pk"))
-                .agg(F.avg("l_quantity").alias("avg_qty")))
+                .agg((F.sum(_dec("l_quantity")).cast("double")
+                      / F.count("*")).alias("avg_qty")))
     return (li.join(part_avg, li.l_partkey == part_avg.pk)
             .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-            .agg(F.sum(_dec("l_extendedprice")).alias("total_price"),
+            .agg(_dsum(_dec("l_extendedprice"), "total_price"),
                  F.count("*").alias("n_rows")))
 
 
 Q17_SQL = """
-SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
        count(*) AS n_rows
 FROM lineitem l
-JOIN (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+JOIN (SELECT l_partkey AS pk,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_qty
       FROM lineitem GROUP BY l_partkey) p
   ON l.l_partkey = p.pk
 WHERE l.l_quantity < 0.5 * p.avg_qty
@@ -571,13 +592,13 @@ def q19_disjunctive_predicates(spark, sf_dir):
     band3 = (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & \
         (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)
     return (joined.filter(band1 | band2 | band3)
-            .agg(F.sum(revenue).alias("revenue"),
+            .agg(_dsum(revenue, "revenue"),
                  F.count("*").alias("n_rows")))
 
 
 Q19_SQL = """
-SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
        count(*) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
@@ -591,22 +612,25 @@ def q22_global_sales_opportunity(spark, sf_dir):
     window (scalar subquery + anti join)."""
     cust = _t(spark, sf_dir, "customer")
     avg_bal = cust.filter("c_acctbal > 0.0") \
-        .agg(F.avg("c_acctbal").alias("a")).head()["a"]
+        .agg((F.sum(_dec("c_acctbal")).cast("double")
+              / F.count("*")).alias("a")).head()["a"]
     recent = _t(spark, sf_dir, "orders").filter(
         "o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'")
     rich = cust.filter(F.col("c_acctbal") > avg_bal)
     return (rich.join(recent, rich.c_custkey == recent.o_custkey, "leftanti")
             .groupBy("c_mktsegment")
             .agg(F.count("*").alias("n_cust"),
-                 F.sum(_dec("c_acctbal")).alias("total_bal"))
+                 _dsum(_dec("c_acctbal"), "total_bal"))
             .orderBy("c_mktsegment"))
 
 
 Q22_SQL = """
 SELECT c_mktsegment, count(*) AS n_cust,
-       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
 FROM customer c
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / count(*)
+                   FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c.c_custkey
                     AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
@@ -673,10 +697,10 @@ def q12_priority_shipmode(spark, sf_dir):
 
 Q12_SQL = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -777,8 +801,8 @@ joined AS (
     ON e.user_id = c.user_id AND e.ts >= c.ts
 )
 SELECT user_id, count(*) AS n_errors,
-       sum(CASE WHEN click_event_id IS NOT NULL THEN 1 ELSE 0 END)
-         AS n_with_prior_click,
+       CAST(sum(CASE WHEN click_event_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_prior_click,
        max(click_event_id) AS max_click_event
 FROM joined GROUP BY user_id ORDER BY user_id
 """
@@ -904,7 +928,9 @@ def text_profile_by_lang(spark, sf_dir):
     return (labeled.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens"),
-                 F.round(F.avg("quality"), 4).alias("avg_quality"),
+                 F.round(F.sum(F.col("quality").cast("decimal(8,4)"))
+                         .cast("double") / F.count("*"), 4)
+                 .alias("avg_quality"),
                  F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1)
                        .otherwise(0)).alias("n_pred_match"))
             .orderBy("lang"))
@@ -951,9 +977,12 @@ scored AS (
          END AS pred_lang
   FROM prof
 )
-SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-       round(avg(quality), 4) AS avg_quality,
-       sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS n_pred_match
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE)
+             / count(*), 4) AS avg_quality,
+       CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred_match
 FROM scored GROUP BY lang ORDER BY lang
 """
 
@@ -1025,7 +1054,8 @@ WITH dots AS (
 ),
 buckets AS (
   SELECT vec_id,
-         sum(CASE WHEN pd > 0 THEN (1 << p) ELSE 0 END) AS bucket
+         CAST(sum(CASE WHEN pd > 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+           AS bucket
   FROM dots GROUP BY vec_id
 )
 SELECT bucket, count(*) AS n_vectors FROM buckets
