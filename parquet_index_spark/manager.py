@@ -114,11 +114,15 @@ class IndexedDataFrame:
                 str(pruning_spark.DEFAULT_THRESHOLD)))
         except Exception:
             threshold = pruning_spark.DEFAULT_THRESHOLD
+        try:
+            tz = self._spark.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            tz = None
         total_blocks = int(self._metadata.files["blocks"].sum())
         if total_blocks > threshold:
             return pruning_spark.prune_files_with_spark(
-                self._spark, self._metadata, ast)
-        return prune_files(ast, self._metadata.context())
+                self._spark, self._metadata, ast, tz)
+        return prune_files(ast, self._metadata.context(), tz)
 
     def _collapse_to_directories(self, survivors):
         """Replace a directory's full surviving file set with the directory
@@ -160,8 +164,39 @@ class IndexedDataFrame:
             except P.SqlParseError:
                 return None, residual
         if isinstance(predicate, SparkColumn):
+            sql_text = self._column_to_sql(predicate)
+            if sql_text is not None:
+                try:
+                    return P.parse_sql_predicate(sql_text), predicate
+                except P.SqlParseError:
+                    pass
+            import warnings
+            warnings.warn(
+                "Index pruning disabled for this filter: the pyspark Column "
+                f"predicate {sql_text or predicate} is outside the foldable "
+                "grammar; executing a full (still correct) scan. Use "
+                "comparison/IN/NULL/BETWEEN predicates to enable pruning.",
+                stacklevel=3)
             return None, predicate
         raise TypeError(f"Unsupported predicate type: {type(predicate)}")
+
+    def _column_to_sql(self, predicate: SparkColumn) -> Optional[str]:
+        """Render a pyspark Column predicate as resolved SQL text.
+
+        The reference prunes for every predicate form because it intercepts
+        Catalyst (IndexSourceStrategy.scala:27-123); from Python we get the
+        same effect by running analysis only (no execution) on
+        ``df.filter(col)`` and rendering the resolved Filter condition back
+        to SQL for the predicate parser. Costs one driver-side analysis
+        pass; returns None if anything about the plan shape is unexpected
+        (caller then scans unpruned, which is always sound)."""
+        try:
+            plan = self.df.filter(predicate)._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() != "Filter":
+                return None
+            return plan.condition().sql()
+        except Exception:
+            return None
 
     def __getattr__(self, name: str):
         return getattr(self.df, name)

@@ -156,13 +156,17 @@ class IndexMetadata:
                 per_block = [parsed[fid] for fid in file_ids]
                 has = np.array([v is not None for v in per_block], dtype=bool)
                 nulls = np.where(has, 0, rows)
+                # instant-timestamp partition values are wall-clock directory
+                # strings; expose them as NTZ so literal folding stays in
+                # wall space (no session-tz localization)
+                stat_kind = ityp.TIMESTAMP_NTZ if pkind == ityp.TIMESTAMP else pkind
                 if pkind == ityp.STRING:
                     arr = np.array(per_block, dtype=object)
-                    cbs = ColumnBlockStats(pkind, has, nulls, None, None, arr, arr)
+                    cbs = ColumnBlockStats(stat_kind, has, nulls, None, None, arr, arr)
                 else:
                     arr = np.array([0 if v is None else v for v in per_block],
                                    dtype=np.int64)
-                    cbs = ColumnBlockStats(pkind, has, nulls, arr, arr, None, None)
+                    cbs = ColumnBlockStats(stat_kind, has, nulls, arr, arr, None, None)
                 columns[pcol] = cbs
 
         return BlockStatsContext(n, rows, file_ids, file_paths, columns,

@@ -350,11 +350,57 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {"AND", "OR", "NOT", "IN", "IS", "NULL", "BETWEEN", "LIKE",
-             "TRUE", "FALSE", "DATE", "TIMESTAMP"}
+             "TRUE", "FALSE", "DATE", "TIMESTAMP", "CAST", "AS"}
+
+# Column-side casts that are safe to fold through: numeric widening only.
+# Catalyst inserts these for type coercion (both sides promoted to the wider
+# type), so comparing the column's native stats against the literal is
+# value-preserving. Narrowing or cross-family casts (string->int,
+# timestamp->date, ...) change comparison semantics and raise instead.
+_SAFE_COLUMN_CASTS = {"BIGINT", "LONG", "DOUBLE", "FLOAT", "DECIMAL"}
 
 
 class SqlParseError(ValueError):
     pass
+
+
+_INT_TYPES = {"TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT", "LONG"}
+_FLOAT_TYPES = {"DOUBLE", "FLOAT", "REAL"}
+
+
+def _cast_literal(v: Any, ty: str, sql: str) -> Any:
+    """Fold CAST(<literal> AS <type>) conservatively; raise when the cast
+    could change comparison semantics (then the caller falls back to an
+    unpruned scan, which is always sound)."""
+    if v is None:
+        return None
+    if ty in _INT_TYPES:
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise SqlParseError(f"cannot fold CAST to {ty} in {sql!r}")
+        if isinstance(v, float) and v != int(v):
+            raise SqlParseError(f"lossy CAST({v} AS {ty}) in {sql!r}")
+        return int(v)
+    if ty in _FLOAT_TYPES or ty == "DECIMAL":
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise SqlParseError(f"cannot fold CAST to {ty} in {sql!r}")
+        return v
+    if ty in ("STRING", "VARCHAR", "CHAR"):
+        if isinstance(v, str):
+            return v
+        raise SqlParseError(f"cannot fold CAST to {ty} in {sql!r}")
+    if ty == "DATE":
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return v
+        if isinstance(v, str):
+            return _dt.date.fromisoformat(v)
+        raise SqlParseError(f"cannot fold CAST to DATE in {sql!r}")
+    if ty == "TIMESTAMP":
+        if isinstance(v, _dt.datetime):
+            return v
+        if isinstance(v, str):
+            return _dt.datetime.fromisoformat(v)
+        raise SqlParseError(f"cannot fold CAST to TIMESTAMP in {sql!r}")
+    raise SqlParseError(f"unsupported cast type {ty} in {sql!r}")
 
 
 def _tokenize(sql: str) -> list:
@@ -459,12 +505,57 @@ class _Parser:
             return tval
         if (ttype, tval) == ("kw", "NULL"):
             return None
+        if (ttype, tval) == ("kw", "CAST"):
+            # CAST(<literal> AS <type>) — Catalyst renders promoted literals
+            # this way in analyzed-plan SQL (e.g. CAST(42 AS BIGINT))
+            self.expect("op", "(")
+            inner = self.literal()
+            self.expect("kw", "AS")
+            ty = self.type_name()
+            self.expect("op", ")")
+            return _cast_literal(inner, ty, self.sql)
         raise SqlParseError(f"expected literal, got {(ttype, tval)} in {self.sql!r}")
 
+    def type_name(self) -> str:
+        ttype, tval = self.next()
+        if ttype == "ident":
+            name = tval.upper()
+        elif ttype == "kw" and tval in ("DATE", "TIMESTAMP"):
+            name = tval
+        else:
+            raise SqlParseError(f"expected type name, got {(ttype, tval)} in {self.sql!r}")
+        # optional precision/scale: DECIMAL(12,2), VARCHAR(10)
+        if self.peek() == ("op", "("):
+            self.next()
+            self.expect("num")
+            if self.peek() == ("op", ","):
+                self.next()
+                self.expect("num")
+            self.expect("op", ")")
+        return name
+
+    def column_operand(self) -> str:
+        """A bare column name, or a safe numeric-widening cast of one."""
+        ttype, tval = self.next()
+        if ttype == "ident":
+            return tval
+        if (ttype, tval) == ("kw", "CAST"):
+            self.expect("op", "(")
+            t2, name = self.next()
+            if t2 != "ident":
+                raise SqlParseError(
+                    f"expected column inside CAST, got {(t2, name)} in {self.sql!r}")
+            self.expect("kw", "AS")
+            ty = self.type_name()
+            self.expect("op", ")")
+            if ty not in _SAFE_COLUMN_CASTS:
+                raise SqlParseError(
+                    f"unsafe column cast to {ty} in {self.sql!r}")
+            return name
+        raise SqlParseError(f"expected column name, got {(ttype, tval)} in {self.sql!r}")
+
     def comparison(self) -> Predicate:
-        ttype, name = self.next()
-        if ttype != "ident":
-            raise SqlParseError(f"expected column name, got {(ttype, name)} in {self.sql!r}")
+        name = self.column_operand()
         ttype, tval = self.peek()
         if ttype == "op" and tval in ("=", "!=", "<>", "<", "<=", ">", ">="):
             self.next()

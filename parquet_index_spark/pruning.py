@@ -87,11 +87,15 @@ def _false(ctx: BlockStatsContext) -> np.ndarray:
     return np.zeros(ctx.n, dtype=bool)
 
 
-def _norm_literal(value, kind: str):
-    """Literal → stat space; None on un-coercible literal (=> scan)."""
+def _norm_literal(value, kind: str, tz: str = None):
+    """Literal → stat space; None on un-coercible literal (=> scan).
+
+    ``tz`` is the Spark session timezone: TIMESTAMP-kind (instant) naive
+    literals are localized through it so the fold compares the same instant
+    the residual filter evaluates (sound under any session timezone)."""
     try:
-        return ityp.literal_to_stat_value(value, kind)
-    except (TypeError, ValueError):
+        return ityp.literal_to_stat_value(value, kind, tz)
+    except (TypeError, ValueError, KeyError):
         return None
 
 
@@ -142,24 +146,27 @@ def _apply_membership(ctx: BlockStatsContext, column: str, kind: str,
     return result
 
 
-def evaluate(pred: P.Predicate, ctx: BlockStatsContext) -> np.ndarray:
-    """Fold predicate → bool[n_blocks] "block might contain a matching row"."""
+def evaluate(pred: P.Predicate, ctx: BlockStatsContext,
+             tz: str = None) -> np.ndarray:
+    """Fold predicate → bool[n_blocks] "block might contain a matching row".
+
+    ``tz``: spark.sql.session.timeZone, for instant-timestamp literals."""
     pred = P.push_not_down(pred)
-    return _eval(pred, ctx)
+    return _eval(pred, ctx, tz)
 
 
-def _eval(pred: P.Predicate, ctx: BlockStatsContext) -> np.ndarray:
+def _eval(pred: P.Predicate, ctx: BlockStatsContext, tz: str = None) -> np.ndarray:
     if isinstance(pred, P.And):
         out = _true(ctx)
         for c in pred.children:
-            out &= _eval(c, ctx)
+            out &= _eval(c, ctx, tz)
             if not out.any():
                 break
         return out
     if isinstance(pred, P.Or):
         out = _false(ctx)
         for c in pred.children:
-            out |= _eval(c, ctx)
+            out |= _eval(c, ctx, tz)
             if out.all():
                 break
         return out
@@ -177,13 +184,13 @@ def _eval(pred: P.Predicate, ctx: BlockStatsContext) -> np.ndarray:
     kind = stats.kind
 
     if isinstance(pred, P.Eq):
-        v = _norm_literal(pred.value, kind)
+        v = _norm_literal(pred.value, kind, tz)
         if v is None:
             return _true(ctx)
         out = _contains(stats, v)
         return _apply_membership(ctx, pred.column, kind, out, [v])
     if isinstance(pred, P.In):
-        vs = [nv for nv in (_norm_literal(x, kind) for x in pred.values) if nv is not None]
+        vs = [nv for nv in (_norm_literal(x, kind, tz) for x in pred.values) if nv is not None]
         if len(vs) != len(pred.values):
             return _true(ctx)  # some literal un-coercible => conservative
         if not vs:
@@ -193,7 +200,7 @@ def _eval(pred: P.Predicate, ctx: BlockStatsContext) -> np.ndarray:
             out |= _contains(stats, v)
         return _apply_membership(ctx, pred.column, kind, out, vs)
     if isinstance(pred, P.Ne):
-        v = _norm_literal(pred.value, kind)
+        v = _norm_literal(pred.value, kind, tz)
         if v is None:
             return _true(ctx)
         # a block matches `c != v` iff it has a non-null value different
@@ -211,23 +218,24 @@ def _eval(pred: P.Predicate, ctx: BlockStatsContext) -> np.ndarray:
         known = stats.nulls >= 0
         return np.where(known, ctx.rows - np.maximum(stats.nulls, 0) > 0, ctx.rows > 0)
     if isinstance(pred, P.Gt):
-        v = _norm_literal(pred.value, kind)
+        v = _norm_literal(pred.value, kind, tz)
         return _true(ctx) if v is None else stats.has & _cmp_arrays(stats, v, "max_gt")
     if isinstance(pred, P.Ge):
-        v = _norm_literal(pred.value, kind)
+        v = _norm_literal(pred.value, kind, tz)
         return _true(ctx) if v is None else stats.has & _cmp_arrays(stats, v, "max_ge")
     if isinstance(pred, P.Lt):
-        v = _norm_literal(pred.value, kind)
+        v = _norm_literal(pred.value, kind, tz)
         return _true(ctx) if v is None else stats.has & _cmp_arrays(stats, v, "min_lt")
     if isinstance(pred, P.Le):
-        v = _norm_literal(pred.value, kind)
+        v = _norm_literal(pred.value, kind, tz)
         return _true(ctx) if v is None else stats.has & _cmp_arrays(stats, v, "min_le")
     return _true(ctx)
 
 
-def prune_files(pred: P.Predicate, ctx: BlockStatsContext) -> List[str]:
+def prune_files(pred: P.Predicate, ctx: BlockStatsContext,
+                tz: str = None) -> List[str]:
     """Files whose ANY block might match. Empty files (no blocks) skipped."""
-    block_match = evaluate(pred, ctx)
+    block_match = evaluate(pred, ctx, tz)
     if ctx.n == 0:
         return []
     matched = np.zeros(len(ctx.file_paths), dtype=bool)

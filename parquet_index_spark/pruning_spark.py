@@ -49,11 +49,11 @@ def _pivot_stats(stats_df, columns: List[str]):
     return stats_df.groupBy("path", "block").agg(*aggs)
 
 
-def _leaf(col: str, kind: str, op: str, value) -> F.Column:
+def _leaf(col: str, kind: str, op: str, value, tz: str = None) -> F.Column:
     """Boolean Column for one comparison leaf over the pivoted stats."""
     try:
-        v = ityp.literal_to_stat_value(value, kind)
-    except (TypeError, ValueError):
+        v = ityp.literal_to_stat_value(value, kind, tz)
+    except (TypeError, ValueError, KeyError):
         return F.lit(True)
     if v is None:
         return F.lit(True)
@@ -74,23 +74,25 @@ def _leaf(col: str, kind: str, op: str, value) -> F.Column:
     return table[op]
 
 
-def compile_to_spark(pred: P.Predicate, kinds: dict) -> F.Column:
+def compile_to_spark(pred: P.Predicate, kinds: dict,
+                     tz: str = None) -> F.Column:
     """AST -> boolean Column with the pruning fold semantics (no membership
-    refinement). ``kinds``: indexed/partition column -> kind."""
+    refinement). ``kinds``: indexed/partition column -> kind; ``tz``: the
+    session timezone for instant-timestamp literal localization."""
     pred = P.push_not_down(pred)
-    return _compile(pred, kinds)
+    return _compile(pred, kinds, tz)
 
 
-def _compile(pred: P.Predicate, kinds: dict) -> F.Column:
+def _compile(pred: P.Predicate, kinds: dict, tz: str = None) -> F.Column:
     if isinstance(pred, P.And):
         out = F.lit(True)
         for c in pred.children:
-            out = out & _compile(c, kinds)
+            out = out & _compile(c, kinds, tz)
         return out
     if isinstance(pred, P.Or):
         out = F.lit(False)
         for c in pred.children:
-            out = out | _compile(c, kinds)
+            out = out | _compile(c, kinds, tz)
         return out
     if isinstance(pred, P.Trivial):
         return F.lit(pred.value)
@@ -102,15 +104,15 @@ def _compile(pred: P.Predicate, kinds: dict) -> F.Column:
         return F.lit(True)
     c = pred.column
     if isinstance(pred, P.Eq):
-        return _leaf(c, kind, "eq", pred.value)
+        return _leaf(c, kind, "eq", pred.value, tz)
     if isinstance(pred, P.Ne):
-        return _leaf(c, kind, "ne", pred.value)
+        return _leaf(c, kind, "ne", pred.value, tz)
     if isinstance(pred, P.In):
         if not pred.values:
             return F.lit(False)
         out = F.lit(False)
         for v in pred.values:
-            out = out | _leaf(c, kind, "eq", v)
+            out = out | _leaf(c, kind, "eq", v, tz)
         return out
     if isinstance(pred, P.IsNull):
         nulls = F.coalesce(F.col(f"{c}__nulls"), F.lit(-1))
@@ -120,18 +122,18 @@ def _compile(pred: P.Predicate, kinds: dict) -> F.Column:
         return F.when(nulls >= 0, F.col("__rows") - nulls > 0) \
             .otherwise(F.col("__rows") > 0)
     if isinstance(pred, P.Gt):
-        return _leaf(c, kind, "gt", pred.value)
+        return _leaf(c, kind, "gt", pred.value, tz)
     if isinstance(pred, P.Ge):
-        return _leaf(c, kind, "ge", pred.value)
+        return _leaf(c, kind, "ge", pred.value, tz)
     if isinstance(pred, P.Lt):
-        return _leaf(c, kind, "lt", pred.value)
+        return _leaf(c, kind, "lt", pred.value, tz)
     if isinstance(pred, P.Le):
-        return _leaf(c, kind, "le", pred.value)
+        return _leaf(c, kind, "le", pred.value, tz)
     return F.lit(True)
 
 
 def prune_files_with_spark(spark: SparkSession, metadata,
-                           pred: P.Predicate) -> List[str]:
+                           pred: P.Predicate, tz: str = None) -> List[str]:
     """Distributed equivalent of pruning.prune_files (minus membership).
 
     Partition-column predicates are folded too: partition values join in
@@ -151,7 +153,10 @@ def prune_files_with_spark(spark: SparkSession, metadata,
     kinds = {c: k for c, k in metadata.index_columns.items() if c in referenced}
     pivoted = _pivot_stats(stats_df, sorted(kinds))
 
-    part_kinds = {c: k for c, k in metadata.partition_columns.items()
+    # instant-timestamp partition values are wall-clock directory strings;
+    # fold them in wall space (NTZ) so no session-tz localization applies
+    part_kinds = {c: (ityp.TIMESTAMP_NTZ if k == ityp.TIMESTAMP else k)
+                  for c, k in metadata.partition_columns.items()
                   if c in referenced}
     if part_kinds:
         rows = []
@@ -178,7 +183,7 @@ def prune_files_with_spark(spark: SparkSession, metadata,
 
     # ensure every referenced-but-missing stat column exists (unindexed
     # columns were already folded to True at compile time)
-    match = compile_to_spark(pred, kinds)
+    match = compile_to_spark(pred, kinds, tz)
     survivors = (pivoted.withColumn("__match", match)
                  .groupBy("path")
                  .agg(F.max(F.col("__match").cast("int")).alias("m"))

@@ -27,12 +27,29 @@ INT = "int"
 LONG = "long"
 STRING = "string"
 DATE = "date"
-TIMESTAMP = "timestamp"
+TIMESTAMP = "timestamp"          # instant semantics (isAdjustedToUTC)
+TIMESTAMP_NTZ = "timestamp_ntz"  # wall-clock semantics (no timezone)
 
-SUPPORTED_KINDS = (INT, LONG, STRING, DATE, TIMESTAMP)
+SUPPORTED_KINDS = (INT, LONG, STRING, DATE, TIMESTAMP, TIMESTAMP_NTZ)
 
 _EPOCH_DATE = _dt.date(1970, 1, 1)
 _EPOCH_DT = _dt.datetime(1970, 1, 1)
+
+
+def resolve_tz(tz_name: Optional[str]) -> _dt.tzinfo:
+    """Session-timezone string -> tzinfo. Supports IANA names and fixed
+    offsets ('+08:00', 'UTC+8'); raises on anything unknown (callers treat
+    that as un-foldable and scan, which is always sound)."""
+    if not tz_name or tz_name.upper() in ("UTC", "Z", "GMT"):
+        return _dt.timezone.utc
+    import re as _re
+    m = _re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::(\d{2}))?", tz_name)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        delta = _dt.timedelta(hours=int(m.group(2)), minutes=int(m.group(3) or 0))
+        return _dt.timezone(sign * delta)
+    from zoneinfo import ZoneInfo
+    return ZoneInfo(tz_name)
 
 
 def kind_of_spark_type(dt: T.DataType) -> Optional[str]:
@@ -45,11 +62,16 @@ def kind_of_spark_type(dt: T.DataType) -> Optional[str]:
         return STRING
     if isinstance(dt, T.DateType):
         return DATE
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dt, T.TimestampNTZType):
         # TimestampNTZ added in Spark 3.4; Spark 4 infers parquet
-        # timestamp[ms]/[us] without timezone as NTZ. Both normalize to
-        # microseconds-since-epoch (the reference predates NTZ and only
-        # handles TimestampType, ParquetSchemaUtils.scala:32-33).
+        # timestamp[ms]/[us] without timezone as NTZ. Wall-clock micros —
+        # literals fold without timezone localization.
+        return TIMESTAMP_NTZ
+    if isinstance(dt, T.TimestampType):
+        # instant semantics: stats store UTC micros, and naive literals are
+        # session-timezone wall times that must be localized before folding
+        # (the reference predates NTZ and only handles TimestampType,
+        # ParquetSchemaUtils.scala:32-33)
         return TIMESTAMP
     return None
 
@@ -64,7 +86,7 @@ def kind_of_arrow_type(dt: pa.DataType) -> Optional[str]:
     if pa.types.is_date32(dt) or pa.types.is_date64(dt):
         return DATE
     if pa.types.is_timestamp(dt):
-        return TIMESTAMP
+        return TIMESTAMP if dt.tz is not None else TIMESTAMP_NTZ
     return None
 
 
@@ -72,8 +94,16 @@ def is_string_kind(kind: str) -> bool:
     return kind == STRING
 
 
-def to_long_space(value: Any, kind: str) -> int:
-    """Normalize a non-string python value into long-space for comparisons."""
+def to_long_space(value: Any, kind: str, tz: Optional[str] = None) -> int:
+    """Normalize a non-string python value into long-space for comparisons.
+
+    ``tz`` (session timezone name) only matters for TIMESTAMP-kind naive
+    literals: Spark evaluates a naive timestamp literal as a wall time in
+    spark.sql.session.timeZone, while the stored stats are UTC-instant
+    micros — so the literal must be localized through the same timezone or
+    the fold would compare a different instant than the residual filter
+    (soundness bug flagged in round-1 ADVICE). Collection-time values from
+    Arrow are tz-aware for instant columns, so collection never needs tz."""
     if kind in (INT, LONG):
         if isinstance(value, bool) or not isinstance(value, int):
             raise TypeError(f"expected int for kind={kind}, got {value!r}")
@@ -83,11 +113,21 @@ def to_long_space(value: Any, kind: str) -> int:
         return (d - _EPOCH_DATE).days
     if kind == TIMESTAMP:
         ts = _coerce_timestamp(value)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=resolve_tz(tz))
+        return _dt_to_micros(ts)
+    if kind == TIMESTAMP_NTZ:
+        ts = _coerce_timestamp(value)
+        if ts.tzinfo is not None:
+            # comparing an instant literal against wall-clock stats needs a
+            # cast through the session tz; fold conservatively instead
+            raise TypeError(
+                f"tz-aware literal {value!r} against TIMESTAMP_NTZ stats")
         return _dt_to_micros(ts)
     raise TypeError(f"kind {kind} is not long-space")
 
 
-def literal_to_stat_value(value: Any, kind: str) -> Any:
+def literal_to_stat_value(value: Any, kind: str, tz: Optional[str] = None) -> Any:
     """Normalize a predicate literal for comparison against stored stats:
     string kind -> str, everything else -> long-space int."""
     if value is None:
@@ -96,7 +136,7 @@ def literal_to_stat_value(value: Any, kind: str) -> Any:
         if not isinstance(value, str):
             raise TypeError(f"expected str literal, got {value!r}")
         return value
-    return to_long_space(value, kind)
+    return to_long_space(value, kind, tz)
 
 
 def _coerce_date(value: Any) -> _dt.date:
@@ -153,8 +193,10 @@ def parse_partition_value(raw: str, kind: str) -> Any:
         return int(raw)
     if kind == DATE:
         return to_long_space(raw, DATE)
-    if kind == TIMESTAMP:
-        return to_long_space(raw, TIMESTAMP)
+    if kind in (TIMESTAMP, TIMESTAMP_NTZ):
+        # hive partition strings are wall-clock renderings; fold them as
+        # wall micros (matches the NTZ interpretation of directory values)
+        return to_long_space(raw, TIMESTAMP_NTZ)
     raise TypeError(kind)
 
 

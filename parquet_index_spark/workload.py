@@ -176,6 +176,31 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def idx_column_predicate(spark, sf_dir):
+    """The natural pyspark API: a native Column predicate (not the string
+    DSL) must still prune via the index (manager._column_to_sql renders the
+    analyzed Filter condition back to foldable SQL)."""
+    t = _indexed(spark, sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"])
+    df = t.filter((F.col("l_orderkey").isin(42, 4242, 9999)
+                   | (F.col("l_returnflag") == "R"))
+                  & F.col("l_linenumber").between(1, 2))
+    return (df.groupBy("l_returnflag")
+            .agg(F.count("*").alias("cnt"),
+                 _dsum(_dec("l_quantity"), "sum_qty"))
+            .orderBy("l_returnflag"))
+
+
+IDX_COLUMN_SQL = """
+SELECT l_returnflag, count(*) AS cnt,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE (l_orderkey IN (42, 4242, 9999) OR l_returnflag = 'R')
+  AND l_linenumber BETWEEN 1 AND 2
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def idx_events_point(spark, sf_dir):
     t = _indexed(spark, sf_dir, "events",
                  ["event_id", "user_id", "event_type"])
@@ -757,14 +782,29 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 
 
 def approx_distinct_parts(spark, sf_dir):
-    """HyperLogLog distinct estimate — rows-only check: Spark's HLL++ and
-    DuckDB's ApproxCountDistinct use different sketches, so exact value
-    parity across engines is not defined. The exact-distinct companion
-    query (distinct_parts_per_flag) is oracle-checked."""
+    """HyperLogLog distinct estimate with an oracle-checkable error bound.
+
+    Spark's HLL++ and DuckDB's ApproxCountDistinct are different sketches,
+    so the raw estimates can't hash-match. Instead the query emits the
+    exact distinct count plus ``within_bound`` = |approx - exact| <= 5% *
+    exact (2.5 sigma at rsd 0.02); the oracle emits the exact count and a
+    literal TRUE. The driver's hash comparison then IS the error-bound
+    assertion: it fails iff the estimate drifts out of tolerance."""
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+            .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+                 F.countDistinct("l_partkey").alias("exact_parts"))
+            .select("l_returnflag", "exact_parts",
+                    (F.abs(F.col("approx") - F.col("exact_parts"))
+                     <= 0.05 * F.col("exact_parts")).alias("within_bound"))
             .orderBy("l_returnflag"))
+
+
+APPROX_DISTINCT_SQL = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 def asof_join_events(spark, sf_dir):
@@ -913,11 +953,33 @@ ORDER BY id_a, id_b
 
 
 def simhash_fingerprints(spark, sf_dir):
-    """SimHash per document — rows-only check (the md5-nibble -> integer
-    conversion has no portable ANSI-SQL spelling in DuckDB 1.0)."""
+    """SimHash per document. Full oracle: DuckDB casts '0x'||hex directly
+    to BIGINT, so the md5-prefix -> integer hash is portable."""
     from parquet_index_spark.operators import dedup as D
     docs = _t(spark, sf_dir, "documents")
     return D.simhash(docs, bits=32).orderBy("doc_id")
+
+
+SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, (SELECT unnest(generate_series(0, 31)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 def text_profile_by_lang(spark, sf_dir):
@@ -1136,7 +1198,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_prefix_groups": (dedup_prefix_groups, DEDUP_PREFIX_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "jaccard_neardup_pairs": (jaccard_neardup_pairs, JACCARD_SQL),
-    "simhash_fingerprints": (simhash_fingerprints, None),
+    "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
     "text_profile_by_lang": (text_profile_by_lang, TEXT_PROFILE_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
@@ -1149,6 +1211,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_not_range": (idx_not_range, IDX_NOT_RANGE_SQL),
     "idx_orders_priority": (idx_orders_priority, IDX_ORDERS_SQL),
     "idx_events_point": (idx_events_point, IDX_EVENTS_SQL),
+    "idx_column_predicate": (idx_column_predicate, IDX_COLUMN_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_nation_volume": (q5_nation_volume, Q5_SQL),
@@ -1164,7 +1227,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
     "q14_brand_revenue_share": (q14_brand_revenue_share, Q14_SQL),
     "cube_order_status": (cube_order_status, CUBE_SQL),
-    "approx_distinct_parts": (approx_distinct_parts, None),
+    "approx_distinct_parts": (approx_distinct_parts, APPROX_DISTINCT_SQL),
     "asof_join_events": (asof_join_events, ASOF_SQL),
     "top3_orders_per_customer": (top3_orders_per_customer, TOP3_SQL),
     "cumulative_spend": (cumulative_spend, CUMSUM_SQL),

@@ -137,12 +137,14 @@ class TestDifferential:
             (F.col("l_orderkey") == 1) | (F.col("l_linenumber") > 5))
         assert_same_rows(indexed, plain)
 
-    def test_spark_column_predicate_no_pruning(self, spark):
+    def test_spark_column_predicate_prunes(self, spark):
+        # round 2: native Column predicates translate through the analyzed
+        # plan and prune like the string DSL (was a full scan in round 1)
         indexed = self.ctx.index.parquet(self.path).filter(
             F.col("l_orderkey") == 1)
         plain = spark.read.parquet(self.path).filter(F.col("l_orderkey") == 1)
         assert_same_rows(indexed, plain)
-        assert self.ctx.index.last_prune_info.pruned is False
+        assert self.ctx.index.last_prune_info.pruned is True
 
     def test_dsl_date_literal_on_timestamp(self, spark):
         indexed = self.ctx.index.parquet(self.path).filter(
@@ -177,3 +179,55 @@ class TestPruningEffectiveness:
         assert t.count() == spark.read.parquet(multi_file_table).count()
         assert set(t.schema.fieldNames()) == \
             set(spark.read.parquet(multi_file_table).schema.fieldNames())
+
+
+class TestColumnPredicatePruning:
+    """Native pyspark Column predicates (the most natural API) must prune —
+    reference parity: every predicate form reaches the index fold
+    (IndexSourceStrategy.scala:27-123)."""
+
+    @pytest.fixture(autouse=True)
+    def _index(self, ctx, multi_file_table):
+        ctx.index.create.mode("overwrite") \
+            .indexBy("l_orderkey", "l_linenumber", "l_returnflag") \
+            .parquet(multi_file_table)
+        self.ctx = ctx
+        self.path = multi_file_table
+
+    def _check(self, spark, col_pred):
+        indexed = self.ctx.index.parquet(self.path).filter(col_pred)
+        plain = spark.read.parquet(self.path).filter(col_pred)
+        assert_same_rows(indexed, plain)
+        return self.ctx.index.last_prune_info
+
+    def test_eq_prunes(self, spark):
+        info = self._check(spark, F.col("l_orderkey") == 1000)
+        assert info.pruned and info.selected_files < info.total_files
+
+    def test_composite_in_or_prunes(self, spark):
+        info = self._check(
+            spark,
+            (F.col("l_orderkey").isin(42, 4242)
+             | (F.col("l_returnflag") == "R"))
+            & (F.col("l_linenumber") <= 3))
+        assert info.pruned
+
+    def test_between_prunes(self, spark):
+        info = self._check(spark, F.col("l_orderkey").between(10, 20))
+        assert info.pruned and info.selected_files < info.total_files
+
+    def test_unfoldable_warns_and_scans(self, spark):
+        import warnings
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            info = self._check(
+                spark, F.col("l_returnflag").startswith("R"))
+        assert not info.pruned
+        assert any("pruning disabled" in str(x.message).lower()
+                   or "full" in str(x.message).lower() for x in w)
+
+    def test_unindexed_column_passthrough(self, spark):
+        # l_partkey isn't indexed: fold treats it as scan-all, stays correct
+        info = self._check(spark, (F.col("l_partkey") == 5)
+                           & (F.col("l_orderkey") < 50000))
+        assert info.pruned  # the l_orderkey half still folds

@@ -109,3 +109,53 @@ class TestPushNotDown:
     def test_referenced_columns(self):
         p = P.And((P.Eq("a", 1), P.Or((P.Gt("b", 2), P.IsNull("c")))))
         assert P.referenced_columns(p) == {"a", "b", "c"}
+
+
+class TestCastFolding:
+    """Analyzed-plan SQL wraps literals and coerced columns in CAST(...) —
+    the grammar folds the safe forms and rejects semantics-changing ones."""
+
+    def test_cast_int_literal(self):
+        assert parse_sql_predicate("a = CAST(42 AS BIGINT)") == P.Eq("a", 42)
+
+    def test_cast_in_list(self):
+        assert parse_sql_predicate(
+            "a IN (CAST(1 AS BIGINT), CAST(2 AS BIGINT))") == P.In("a", (1, 2))
+
+    def test_cast_column_widening(self):
+        assert parse_sql_predicate("CAST(a AS BIGINT) = 5") == P.Eq("a", 5)
+
+    def test_cast_column_double(self):
+        assert parse_sql_predicate("CAST(a AS DOUBLE) < 1.5") == P.Lt("a", 1.5)
+
+    def test_cast_decimal_with_precision(self):
+        assert parse_sql_predicate(
+            "CAST(a AS DECIMAL(12,2)) >= 3") == P.Ge("a", 3)
+
+    def test_cast_string_to_date_literal(self):
+        assert parse_sql_predicate("d < CAST('2021-05-01' AS DATE)") == \
+            P.Lt("d", datetime.date(2021, 5, 1))
+
+    def test_unsafe_column_cast_rejected(self):
+        # string->int on the column changes comparison semantics
+        with pytest.raises(SqlParseError):
+            parse_sql_predicate("CAST(a AS INT) = 5")
+
+    def test_lossy_literal_cast_rejected(self):
+        with pytest.raises(SqlParseError):
+            parse_sql_predicate("a = CAST(1.5 AS BIGINT)")
+
+    def test_analyzed_plan_shapes(self):
+        # exactly what Catalyst renders for common pyspark Column filters
+        got = parse_sql_predicate(
+            "(((CAST(l_orderkey AS BIGINT) IN (CAST(42 AS BIGINT), "
+            "CAST(4242 AS BIGINT))) OR (l_returnflag = 'R')) AND "
+            "(l_linenumber <= 3))")
+        assert got == P.And((
+            P.Or((P.In("l_orderkey", (42, 4242)), P.Eq("l_returnflag", "R"))),
+            P.Le("l_linenumber", 3)))
+
+    def test_ts_literal_space_sep(self):
+        assert parse_sql_predicate(
+            "ts >= TIMESTAMP '2020-01-01 00:00:00'") == \
+            P.Ge("ts", datetime.datetime(2020, 1, 1))
