@@ -24,6 +24,14 @@ def salted_join(large: DataFrame, small: DataFrame,
     from a deterministic hash of the large side's whole row (monotonic id
     would break determinism across retries), so results are stable.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "leftsemi",
+                   "left_semi", "leftanti", "left_anti"):
+        # right/full-outer would emit every unmatched small-side row once
+        # per salt replica (round-1 ADVICE). Left-side variants are safe:
+        # each large row carries ONE salt and the small side is replicated
+        # across all salts, so match/no-match per large row is unchanged.
+        raise ValueError(
+            f"salted_join supports inner/left/leftsemi/leftanti, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     salt_col = (F.abs(F.hash(*[F.col(c) for c in large.columns])) % salt)
     salted_large = large.withColumn("__salt", salt_col)

@@ -529,7 +529,14 @@ class DataFrameIndexManager:
         files_table = pa.Table.from_pylist(
             metadata.files.to_dict("records") + summaries,
             schema=collector.FILES_SCHEMA)
-        pq.write_table(files_table, os.path.join(index_dir, FILES_FILE))
+        # the manifest is the commit point: write-then-rename so a crash
+        # leaves either the old or the new manifest, never a torn file.
+        # Shards written above for a manifest that never lands are orphans,
+        # which both fold paths ignore (round-1 ADVICE atomicity fix).
+        manifest = os.path.join(index_dir, FILES_FILE)
+        tmp = manifest + ".tmp"
+        pq.write_table(files_table, tmp)
+        os.replace(tmp, manifest)
         metastore.invalidate(index_dir)
         return {"mode": "incremental", "new_files": len(new_files),
                 "removed_or_changed": 0}

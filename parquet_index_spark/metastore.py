@@ -111,13 +111,17 @@ class IndexMetadata:
 
     def _build_context(self) -> BlockStatsContext:
         stats = self._load_stats().to_pandas()
+        file_paths = list(self.files["path"])
+        path_to_id = {p: i for i, p in enumerate(file_paths)}
+        # the manifest (files.parquet) is the commit point: stats rows for
+        # paths outside it are orphans from an interrupted refresh — ignore
+        # them instead of crashing on the NaN file-id cast (round-1 ADVICE)
+        stats = stats[stats["path"].isin(path_to_id)]
         # canonical block order: (path, block); every indexed column has one
         # row per block, so slicing per column yields aligned arrays
         base = stats[["path", "block", "rows"]].drop_duplicates().sort_values(
             ["path", "block"], kind="mergesort").reset_index(drop=True)
         n = len(base)
-        file_paths = list(self.files["path"])
-        path_to_id = {p: i for i, p in enumerate(file_paths)}
         file_ids = base["path"].map(path_to_id).to_numpy(dtype=np.int64)
         rows = base["rows"].to_numpy(dtype=np.int64)
         block_key = pd.MultiIndex.from_frame(base[["path", "block"]])

@@ -2,14 +2,20 @@
 
 Implemented as a composition of existing DataFrame ops (SURVEY guidance:
 prefer composition over Pandas UDFs when semantics allow): tag both sides,
-union them, and carry the most recent right-side row forward with a
+union them, and carry the most recent right-side ROW forward with a single
 last-non-null window over (key, time). This is the scalable formulation —
 one shuffle on (key), no per-key Python, no merge_asof driver loops — and
 it degrades gracefully under skew (AQE skew-join handling applies to the
 single shuffle).
 
-Semantics match DuckDB's ``ASOF JOIN`` (backward direction): each left row
-picks the right row with the greatest time <= left time for the same key.
+Semantics: each left row picks the right row with the greatest time <= left
+time (backward direction, DuckDB ``ASOF JOIN`` analog) for the same key.
+The whole right row is carried ATOMICALLY as one struct — per-column
+last(ignorenulls) windows would mix columns from different right rows when
+the matched row holds NULL in one payload column (round-1 ADVICE). Among
+right rows tied on the same timestamp the one with the greatest payload
+tuple (lexicographic over ``right_cols``) wins — a deterministic rule the
+SQL oracle can reproduce (ORDER BY ts DESC, payload DESC LIMIT 1).
 """
 
 from __future__ import annotations
@@ -32,35 +38,44 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
+    if not right_cols:
+        raise ValueError("asof_join needs at least one right column to carry")
 
     carried = [f"{c}{suffix}" for c in right_cols]
-    l_tag = left.withColumn("__is_left", F.lit(1))
-    for c, cc in zip(right_cols, carried):
-        l_tag = l_tag.withColumn(cc, F.lit(None).cast(right.schema[c].dataType))
+
+    # one struct = one atomic right row (plus an always-non-null marker so
+    # an all-NULL payload row still counts as a match)
+    r_struct = F.struct(F.lit(True).alias("__matched"),
+                        *[F.col(c).alias(c) for c in right_cols])
+    l_tag = left.withColumn("__is_left", F.lit(1)) \
+        .withColumn("__r", F.lit(None).cast(
+            "struct<__matched:boolean," + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}"
+                for c in right_cols) + ">"))
     r_tag = right.select(
         F.col(by), F.col(on), F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(cc) for c, cc in zip(right_cols, carried)])
-    # align schemas: left keeps its own payload; right contributes nulls
+        r_struct.alias("__r"))
     for c in left.columns:
         if c not in (on, by):
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l_tag.unionByName(r_tag.select(l_tag.columns))
 
     # order so that at equal timestamps the right row precedes the left row
-    # iff exact matches are allowed
+    # iff exact matches are allowed; among equal-time right rows the struct
+    # orders them and last() takes the greatest payload (deterministic)
     tie = F.col("__is_left").asc() if allow_exact_matches \
         else F.col("__is_left").desc()
-    w = (Window.partitionBy(by).orderBy(F.col(on).asc(), tie)
+    w = (Window.partitionBy(by)
+         .orderBy(F.col(on).asc(), tie, F.col("__r").asc_nulls_first())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = unioned.select(
-        *[c for c in unioned.columns if c not in carried],
-        *[F.last(cc, ignorenulls=True).over(w).alias(cc) for cc in carried])
-    out = filled.filter(F.col("__is_left") == 1).drop("__is_left")
+        *[c for c in unioned.columns if c != "__r"],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"))
+    out = filled.filter(F.col("__is_left") == 1)
     if how == "inner":
-        cond = None
-        for cc in carried:
-            c = F.col(cc).isNotNull()
-            cond = c if cond is None else (cond | c)
-        if cond is not None:
-            out = out.filter(cond)
-    return out
+        out = out.filter(F.col("__r").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    for c, cc in zip(right_cols, carried):
+        out = out.withColumn(cc, F.col("__r")[c])
+    return out.drop("__is_left", "__r")

@@ -189,4 +189,7 @@ def prune_files_with_spark(spark: SparkSession, metadata,
                  .agg(F.max(F.col("__match").cast("int")).alias("m"))
                  .filter("m = 1")
                  .select("path"))
-    return [r["path"] for r in survivors.collect()]
+    manifest = set(metadata.files["path"])
+    # drop orphan stats paths from an interrupted refresh (manifest is the
+    # commit point — same tolerance as the numpy fold's _build_context)
+    return [r["path"] for r in survivors.collect() if r["path"] in manifest]

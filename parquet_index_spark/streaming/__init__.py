@@ -119,5 +119,11 @@ def run_available_now(stream_df: DataFrame, query_name: str,
          .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(120)
+    # awaitTermination(timeout) returns False on timeout — reading the sink
+    # then would yield a silently partial table (round-1 ADVICE)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain of {query_name!r} exceeded 300s; "
+            "memory sink would be partial")
     return stream_df.sparkSession.table(query_name)

@@ -836,9 +836,13 @@ clicks AS (
   FROM events WHERE event_type = 'click'
 ),
 joined AS (
-  SELECT e.user_id, e.event_id, c.click_event_id
-  FROM errors e ASOF LEFT JOIN clicks c
-    ON e.user_id = c.user_id AND e.ts >= c.ts
+  -- deterministic asof: greatest ts <= e.ts, ties broken by greatest
+  -- payload (same rule as operators/asof.py's struct-ordered window)
+  SELECT e.user_id, e.event_id,
+         (SELECT c.click_event_id FROM clicks c
+          WHERE c.user_id = e.user_id AND c.ts <= e.ts
+          ORDER BY c.ts DESC, c.click_event_id DESC LIMIT 1) AS click_event_id
+  FROM errors e
 )
 SELECT user_id, count(*) AS n_errors,
        CAST(sum(CASE WHEN click_event_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -57,3 +57,42 @@ class TestAsofJoin:
         out = asof_join(left, right, on="t", by="key", right_cols=["price"])
         assert set(out.columns) == {"lid", "key", "t", "price_right"}
         assert out.count() == 5
+
+
+class TestAtomicRowCarry:
+    """Round-1 ADVICE: per-column last() windows mixed columns from
+    different right rows when the matched row held a NULL payload column.
+    The struct carry takes the whole right row atomically."""
+
+    def test_null_payload_not_backfilled(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100)], "k int, t int")
+        right = spark.createDataFrame(
+            [(1, 10, "old_a", "old_b"), (1, 50, None, "new_b")],
+            "k int, t int, a string, b string")
+        out = asof_join(left, right, on="t", by="k",
+                        right_cols=["a", "b"], suffix="").collect()
+        assert len(out) == 1
+        # matched row is t=50: a must stay NULL (not 'old_a' from t=10)
+        assert out[0]["a"] is None
+        assert out[0]["b"] == "new_b"
+
+    def test_all_null_payload_counts_as_inner_match(self, spark):
+        left = spark.createDataFrame([(1, 100), (2, 100)], "k int, t int")
+        right = spark.createDataFrame(
+            [(1, 10, None)], "k int, t int, a string")
+        out = asof_join(left, right, on="t", by="k", right_cols=["a"],
+                        suffix="", how="inner").collect()
+        # k=1 matched (payload NULL but row exists); k=2 dropped
+        assert [r["k"] for r in out] == [1]
+        assert out[0]["a"] is None
+
+    def test_timestamp_tie_breaks_deterministic(self, spark):
+        left = spark.createDataFrame([(1, 50)], "k int, t int")
+        right = spark.createDataFrame(
+            [(1, 50, 7), (1, 50, 9), (1, 50, 3)], "k int, t int, v int")
+        for _ in range(3):
+            out = asof_join(left, right, on="t", by="k",
+                            right_cols=["v"], suffix="").collect()
+            # greatest payload among the t=50 ties wins, every time
+            assert out[0]["v"] == 9

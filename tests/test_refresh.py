@@ -69,3 +69,38 @@ class TestRefresh:
         assert t.filter("id = 20050").count() == 1
         info = ctx.index.last_prune_info
         assert info.selected_files == 1
+
+
+class TestRefreshAtomicity:
+    """Orphan stats shards from an interrupted refresh must not break or
+    mis-prune subsequent loads (manifest = commit point)."""
+
+    def test_orphan_stats_rows_ignored(self, spark, ctx, growing_table):
+        import os
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from parquet_index_spark.collector import STATS_SCHEMA
+        from parquet_index_spark.metastore import STATS_DIR
+
+        ctx.index.create.mode("overwrite").indexBy("id").parquet(growing_table)
+        # simulate a refresh that wrote shards but crashed before the
+        # manifest landed: a stats shard for a path missing from files.parquet
+        idx_dir = ctx.index._metastore(ctx.index._conf()).index_dir(
+            __import__("parquet_index_spark.metastore", fromlist=["LocationSpec"])
+            .LocationSpec(growing_table))
+        orphan = pa.Table.from_pylist([{
+            "path": "part-orphan.parquet", "block": 0, "rows": 10,
+            "column": "id", "nulls": 0, "has_stats": True,
+            "min_long": 0, "max_long": 9, "min_str": None, "max_str": None,
+            "dict_long": None, "dict_str": None, "bloom": None,
+        }], schema=STATS_SCHEMA)
+        pq.write_table(orphan, os.path.join(idx_dir, STATS_DIR,
+                                            "part-r9999-00000.parquet"))
+        ctx.index._metastore(ctx.index._conf()).invalidate(idx_dir)
+
+        t = ctx.index.parquet(growing_table)
+        rows = t.filter("id = 3").collect()
+        plain = spark.read.parquet(growing_table).filter("id = 3").collect()
+        assert sorted(r["id"] for r in rows) == sorted(r["id"] for r in plain)
+        info = ctx.index.last_prune_info
+        assert info.pruned
