@@ -72,10 +72,18 @@ class BlockStatsContext:
         self._membership_loader = membership_loader
         self._membership_cache: Dict[str, Optional[list]] = {}
 
-    def membership(self, column: str) -> Optional[list]:
+    def membership(self, column: str):
+        """-> ColumnMembership | None. Loader results are normalized: a
+        per-block MembershipFilter list (test fixtures) converts once."""
         if column not in self._membership_cache:
             loader = self._membership_loader
-            self._membership_cache[column] = loader(column) if loader else None
+            loaded = loader(column) if loader else None
+            if isinstance(loaded, list):
+                from parquet_index_spark.statistics import ColumnMembership
+                loaded = ColumnMembership.from_filters(loaded)
+                if not loaded.has_filter.any():
+                    loaded = None
+            self._membership_cache[column] = loaded
         return self._membership_cache[column]
 
 
@@ -130,20 +138,16 @@ def _contains(stats: ColumnBlockStats, v) -> np.ndarray:
 
 def _apply_membership(ctx: BlockStatsContext, column: str, kind: str,
                       result: np.ndarray, values: list) -> np.ndarray:
-    """Refine an Eq/In range-match with membership filters where available."""
+    """Refine an Eq/In range-match with membership filters where available.
+
+    Fully vectorized (ColumnMembership.refine): numpy column ops over the
+    packed dict/bloom arrays — no per-block Python in the query path."""
     if not result.any():
         return result
-    filters = ctx.membership(column)
-    if filters is None:
+    memb = ctx.membership(column)
+    if memb is None:
         return result
-    idxs = np.nonzero(result)[0]
-    for i in idxs:
-        f = filters[i]
-        if f is None:
-            continue
-        if not any(f.might_contain(v, kind) for v in values):
-            result[i] = False
-    return result
+    return memb.refine(result, values, kind)
 
 
 def evaluate(pred: P.Predicate, ctx: BlockStatsContext,

@@ -12,10 +12,12 @@ fold as a Spark aggregation over the stats *parquet* directly:
       -> boolean fold expression (same boundary semantics)
       -> bool_or per path -> surviving file list
 
-Membership (dict/bloom) refinement is intentionally skipped here — bloom
-probing would need a python UDF per row. Skipping it is sound (it only
-ever *removes* candidates), so this path trades a little pruning power for
-unbounded metadata scale. The engine auto-switches based on
+Membership (dict/bloom) refinement applies here too (round-2): dict
+filters fold as ``arrays_overlap`` on the metadata's list column — pure
+codegen; blooms probe through an Arrow-batched pandas UDF over the binary
+column (executor-side, no driver collect). The reference applies the same
+per-block refinement in ParquetIndexFilters.scala:54-75. The engine
+auto-switches to this path based on
 ``spark.sql.index.pruning.sparkThreshold`` (block count).
 """
 
@@ -23,6 +25,8 @@ from __future__ import annotations
 
 import os
 from typing import List
+
+import pandas as pd
 
 from pyspark.sql import SparkSession, functions as F
 
@@ -34,7 +38,9 @@ DEFAULT_THRESHOLD = 5_000_000
 
 
 def _pivot_stats(stats_df, columns: List[str]):
-    """Wide per-(path, block) frame for the referenced columns."""
+    """Wide per-(path, block) frame for the referenced columns, membership
+    payloads included (exactly one stats row exists per path x block x
+    column, so first(ignorenulls) is exact)."""
     aggs = [F.first("rows").alias("__rows")]
     for c in columns:
         is_c = F.col("column") == c
@@ -45,8 +51,64 @@ def _pivot_stats(stats_df, columns: List[str]):
             F.max(F.when(is_c, F.col("max_long"))).alias(f"{c}__max_l"),
             F.max(F.when(is_c, F.col("min_str"))).alias(f"{c}__min_s"),
             F.max(F.when(is_c, F.col("max_str"))).alias(f"{c}__max_s"),
+            F.first(F.when(is_c, F.col("dict_long")), ignorenulls=True)
+             .alias(f"{c}__dict_l"),
+            F.first(F.when(is_c, F.col("dict_str")), ignorenulls=True)
+             .alias(f"{c}__dict_s"),
+            F.first(F.when(is_c, F.col("bloom")), ignorenulls=True)
+             .alias(f"{c}__bloom"),
         ]
     return stats_df.groupBy("path", "block").agg(*aggs)
+
+
+def _bloom_any_probe(values_bytes: List[bytes]):
+    """Arrow-batched UDF: bloom binary -> might-contain-any(values).
+
+    The probe values are baked into the closure (few per predicate); each
+    batch row does k bit tests — executor-side, no driver involvement."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def probe(blooms: pd.Series) -> pd.Series:
+        from parquet_index_spark.statistics import BloomFilter
+        out = []
+        for b in blooms:
+            if b is None or len(b) == 0:
+                out.append(True)
+            else:
+                try:
+                    bf = BloomFilter.from_bytes(bytes(b))
+                    out.append(any(bf.might_contain_bytes(vb)
+                                   for vb in values_bytes))
+                except ValueError:
+                    out.append(True)
+        return pd.Series(out)
+
+    return probe
+
+
+def _membership_ok(col: str, kind: str, values: list) -> F.Column:
+    """Dict/bloom refinement for Eq/In over already-normalized values.
+
+    dict: arrays_overlap against the literal array (whole-stage codegen);
+    bloom: pandas-UDF probe; no filter: pass (sound)."""
+    int_vals = [v for v in values if not isinstance(v, str)]
+    str_vals = [v for v in values if isinstance(v, str)]
+    dl, ds = F.col(f"{col}__dict_l"), F.col(f"{col}__dict_s")
+    bloom = F.col(f"{col}__bloom")
+    has_dl = dl.isNotNull() & (F.size(dl) > 0)
+    has_ds = ds.isNotNull() & (F.size(ds) > 0)
+    dl_ok = F.arrays_overlap(
+        dl, F.array(*[F.lit(int(v)) for v in int_vals]).cast("array<bigint>")) \
+        if int_vals else F.lit(False)
+    ds_ok = F.arrays_overlap(
+        ds, F.array(*[F.lit(v) for v in str_vals])) if str_vals else F.lit(False)
+    values_bytes = [ityp.membership_bytes(v, kind) for v in values]
+    bloom_ok = _bloom_any_probe(values_bytes)(bloom)
+    return (F.when(has_dl, dl_ok)
+            .when(has_ds, ds_ok)
+            .when(bloom.isNotNull(), bloom_ok)
+            .otherwise(F.lit(True)))
 
 
 def _leaf(col: str, kind: str, op: str, value, tz: str = None) -> F.Column:
@@ -74,25 +136,28 @@ def _leaf(col: str, kind: str, op: str, value, tz: str = None) -> F.Column:
     return table[op]
 
 
-def compile_to_spark(pred: P.Predicate, kinds: dict,
-                     tz: str = None) -> F.Column:
-    """AST -> boolean Column with the pruning fold semantics (no membership
-    refinement). ``kinds``: indexed/partition column -> kind; ``tz``: the
-    session timezone for instant-timestamp literal localization."""
+def compile_to_spark(pred: P.Predicate, kinds: dict, tz: str = None,
+                     memb_cols: frozenset = frozenset()) -> F.Column:
+    """AST -> boolean Column with the pruning fold semantics, including
+    dict/bloom membership refinement for the columns in ``memb_cols``
+    (those whose pivoted frame carries __dict_l/__dict_s/__bloom; partition
+    pseudo-columns don't). ``kinds``: indexed/partition column -> kind;
+    ``tz``: session timezone for instant-timestamp literal localization."""
     pred = P.push_not_down(pred)
-    return _compile(pred, kinds, tz)
+    return _compile(pred, kinds, tz, memb_cols)
 
 
-def _compile(pred: P.Predicate, kinds: dict, tz: str = None) -> F.Column:
+def _compile(pred: P.Predicate, kinds: dict, tz: str = None,
+             memb_cols: frozenset = frozenset()) -> F.Column:
     if isinstance(pred, P.And):
         out = F.lit(True)
         for c in pred.children:
-            out = out & _compile(c, kinds, tz)
+            out = out & _compile(c, kinds, tz, memb_cols)
         return out
     if isinstance(pred, P.Or):
         out = F.lit(False)
         for c in pred.children:
-            out = out | _compile(c, kinds, tz)
+            out = out | _compile(c, kinds, tz, memb_cols)
         return out
     if isinstance(pred, P.Trivial):
         return F.lit(pred.value)
@@ -104,15 +169,34 @@ def _compile(pred: P.Predicate, kinds: dict, tz: str = None) -> F.Column:
         return F.lit(True)
     c = pred.column
     if isinstance(pred, P.Eq):
-        return _leaf(c, kind, "eq", pred.value, tz)
+        rng = _leaf(c, kind, "eq", pred.value, tz)
+        if c not in memb_cols:
+            return rng
+        try:
+            v = ityp.literal_to_stat_value(pred.value, kind, tz)
+        except (TypeError, ValueError, KeyError):
+            return rng
+        return rng if v is None else rng & _membership_ok(c, kind, [v])
     if isinstance(pred, P.Ne):
         return _leaf(c, kind, "ne", pred.value, tz)
     if isinstance(pred, P.In):
         if not pred.values:
             return F.lit(False)
         out = F.lit(False)
+        vs = []
         for v in pred.values:
+            try:
+                nv = ityp.literal_to_stat_value(v, kind, tz)
+            except (TypeError, ValueError, KeyError):
+                nv = None
+            if nv is None:
+                # un-coercible literal => conservative scan, matching the
+                # numpy fold (partial range ORs would be unsound)
+                return F.lit(True)
+            vs.append(nv)
             out = out | _leaf(c, kind, "eq", v, tz)
+        if c in memb_cols and vs:
+            out = out & _membership_ok(c, kind, vs)
         return out
     if isinstance(pred, P.IsNull):
         nulls = F.coalesce(F.col(f"{c}__nulls"), F.lit(-1))
@@ -183,7 +267,10 @@ def prune_files_with_spark(spark: SparkSession, metadata,
 
     # ensure every referenced-but-missing stat column exists (unindexed
     # columns were already folded to True at compile time)
-    match = compile_to_spark(pred, kinds, tz)
+    match = compile_to_spark(pred, kinds, tz,
+                             memb_cols=frozenset(
+                                 c for c in kinds
+                                 if c in metadata.index_columns))
     survivors = (pivoted.withColumn("__match", match)
                  .groupBy("path")
                  .agg(F.max(F.col("__match").cast("int")).alias("m"))

@@ -117,6 +117,137 @@ class MembershipFilter:
         return True
 
 
+class ColumnMembership:
+    """Vectorized membership probe over ALL blocks of one column.
+
+    Replaces the round-1 per-block object list (built with iterrows and
+    probed in a Python for-loop — fine at 10^4 blocks, pathological at
+    millions): dict values live in one concatenated array per value type
+    with per-type block offsets and are probed with a single np.isin pass;
+    blooms are grouped by geometry (num_bits, num_hashes), their bit arrays
+    stacked into one 2D uint8 matrix per group, and each hash round is one
+    vectorized column gather across the whole group.
+    """
+
+    def __init__(self, n: int):
+        import numpy as np
+        self.n = n
+        self.has_filter = np.zeros(n, dtype=bool)
+        self.has_dict = np.zeros(n, dtype=bool)
+        self.long_offsets = np.zeros(n + 1, dtype=np.int64)
+        self.str_offsets = np.zeros(n + 1, dtype=np.int64)
+        self.dict_long: Optional[Any] = None   # int64[total_long]
+        self.dict_str: Optional[Any] = None    # object[total_str]
+        # [(row_ids int64[g], num_bits, num_hashes, bits uint8[g, nbytes])]
+        self.bloom_groups: list = []
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def build(cls, dict_long_col, dict_str_col, bloom_col) -> "ColumnMembership":
+        """From the aligned metadata arrays (object arrays of list/bytes/None)."""
+        import numpy as np
+        n = len(bloom_col)
+        out = cls(n)
+        long_parts: list = []
+        str_parts: list = []
+        groups: dict = {}
+        li = si = 0
+        for i in range(n):
+            dl, ds, bb = dict_long_col[i], dict_str_col[i], bloom_col[i]
+            if dl is not None and not isinstance(dl, float) and len(dl) > 0:
+                long_parts.append(np.asarray(dl, dtype=np.int64))
+                li += len(dl)
+                out.has_dict[i] = True
+                out.has_filter[i] = True
+            elif ds is not None and not isinstance(ds, float) and len(ds) > 0:
+                str_parts.append(np.asarray(ds, dtype=object))
+                si += len(ds)
+                out.has_dict[i] = True
+                out.has_filter[i] = True
+            elif isinstance(bb, (bytes, bytearray)) and len(bb) >= 16 \
+                    and bytes(bb[:8]) == _MAGIC:
+                m, k = struct.unpack(">II", bb[8:16])
+                groups.setdefault((m, k), []).append((i, bytes(bb[16:])))
+                out.has_filter[i] = True
+            out.long_offsets[i + 1] = li
+            out.str_offsets[i + 1] = si
+        if long_parts:
+            out.dict_long = np.concatenate(long_parts)
+        if str_parts:
+            out.dict_str = np.concatenate(str_parts)
+        for (m, k), rows in groups.items():
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            nbytes = (m + 7) // 8
+            bits = np.frombuffer(b"".join(r[1] for r in rows),
+                                 dtype=np.uint8).reshape(len(rows), nbytes)
+            out.bloom_groups.append((ids, m, k, bits))
+        return out
+
+    @classmethod
+    def from_filters(cls, filters: list) -> "ColumnMembership":
+        """From a per-block MembershipFilter list (test fixtures / legacy)."""
+        n = len(filters)
+        dict_long = [None] * n
+        dict_str = [None] * n
+        bloom = [None] * n
+        for i, mf in enumerate(filters):
+            if mf is None:
+                continue
+            if mf.dict_filter is not None:
+                vals = list(mf.dict_filter.values)
+                if vals and isinstance(next(iter(vals)), str):
+                    dict_str[i] = vals
+                else:
+                    dict_long[i] = vals
+            elif mf.bloom_filter is not None:
+                bloom[i] = mf.bloom_filter.to_bytes()
+        return cls.build(dict_long, dict_str, bloom)
+
+    # -- probing -----------------------------------------------------------
+    def refine(self, candidates, values: list, kind: str):
+        """AND the candidate mask with "some probe value might be present".
+
+        ``values`` are already stat-normalized (long-space ints or strings).
+        Blocks without any membership filter pass through unchanged; the
+        whole probe is numpy column operations — no per-block Python.
+        """
+        import numpy as np
+        if not len(values):
+            return candidates
+        out = candidates & ~self.has_filter
+        if self.has_dict.any():
+            dict_hit = np.zeros(self.n, dtype=bool)
+            int_vals = [v for v in values if not isinstance(v, str)]
+            str_vals = [v for v in values if isinstance(v, str)]
+            if self.dict_long is not None and int_vals:
+                pos = np.nonzero(np.isin(self.dict_long,
+                                         np.array(int_vals, dtype=np.int64)))[0]
+                blk = np.searchsorted(self.long_offsets, pos, side="right") - 1
+                dict_hit[blk] = True
+            if self.dict_str is not None and str_vals:
+                pos = np.nonzero(np.isin(self.dict_str,
+                                         np.array(str_vals, dtype=object)))[0]
+                blk = np.searchsorted(self.str_offsets, pos, side="right") - 1
+                dict_hit[blk] = True
+            out |= candidates & self.has_dict & dict_hit
+        for ids, m, k, bits in self.bloom_groups:
+            cand = candidates[ids]
+            if not cand.any():
+                continue
+            any_val = np.zeros(len(ids), dtype=bool)
+            for v in values:
+                h1, h2 = _hash_pair(ityp.membership_bytes(v, kind))
+                ok = cand & ~any_val
+                for i in range(k):
+                    if not ok.any():
+                        break
+                    idx = (h1 + i * h2) % m
+                    ok &= (bits[:, idx >> 3] & (1 << (idx & 7))) > 0
+                any_val |= ok
+            out[ids] |= any_val
+        return out
+
+
 def build_filters(unique_values: Iterable[Any], kind: str, filter_type: str,
                   dict_max_size: int, block_rows: int) -> tuple:
     """Build (dict_values_list | None, bloom_bytes | None) for one block x column.

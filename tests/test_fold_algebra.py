@@ -318,3 +318,63 @@ class TestBuildFilters:
         bf = BloomFilter.from_bytes(b)
         assert bf.might_contain("x", S) and bf.might_contain("y", S)
         assert not bf.might_contain("zzzz", S)
+
+
+class TestVectorizedMembershipScale:
+    """Micro-bench guard: the membership probe must stay numpy-vectorized —
+    probing 10^5 bloom blocks in well under a second (the round-1 per-block
+    Python loop took seconds at this size and minutes at millions)."""
+
+    def test_bloom_probe_1e5_blocks_fast(self):
+        import time
+        import numpy as np
+        from parquet_index_spark.statistics import BloomFilter, ColumnMembership
+
+        n = 100_000
+        rng = np.random.default_rng(7)
+        # one shared geometry: same expected_items => same (m, k)
+        blooms = []
+        proto = BloomFilter.create(64)
+        for i in range(n):
+            bf = BloomFilter(proto.num_bits, proto.num_hashes)
+            for v in rng.integers(0, 1 << 30, size=8):
+                bf.put_bytes(int(v).to_bytes(8, "big", signed=True))
+            blooms.append(bf.to_bytes())
+        cm = ColumnMembership.build([None] * n, [None] * n, blooms)
+        candidates = np.ones(n, dtype=bool)
+        t0 = time.monotonic()
+        for probe in range(20):
+            cm.refine(candidates, [probe], "long")
+        elapsed = time.monotonic() - t0
+        assert elapsed < 1.0, f"20 probes over 1e5 blocks took {elapsed:.2f}s"
+
+    def test_dict_probe_vectorized_equivalence(self):
+        import numpy as np
+        from parquet_index_spark.statistics import (
+            ColumnMembership, DictFilter, MembershipFilter)
+        # mixed: dict blocks, bloom blocks, and no-filter blocks
+        from parquet_index_spark.statistics import BloomFilter
+        filters = []
+        for i in range(50):
+            if i % 3 == 0:
+                filters.append(MembershipFilter(DictFilter({i, i + 100}), None))
+            elif i % 3 == 1:
+                bf = BloomFilter.create(4)
+                bf.put(i, "long")
+                filters.append(MembershipFilter(None, bf))
+            else:
+                filters.append(None)
+        cm = ColumnMembership.from_filters(filters)
+        cand = np.ones(50, dtype=bool)
+        out = cm.refine(cand.copy(), [7], "long")
+        # block 6 (dict {6,106}) excluded; block 7 (bloom with 7) kept;
+        # no-filter blocks kept; dict blocks without 7 dropped
+        for i in range(50):
+            if i % 3 == 2:
+                assert out[i], f"no-filter block {i} must pass"
+        assert not out[6] and not out[0]
+        assert out[7]
+        # legacy per-block expectation for every block
+        for i, f in enumerate(filters):
+            expect = cand[i] if f is None else f.might_contain(7, "long")
+            assert out[i] == expect, f"block {i}"
