@@ -81,7 +81,14 @@ def main() -> None:
         (spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
          .repartition(400, "l_orderkey").write.mode("overwrite")
          .parquet(table400))
-    spark.conf.set("spark.sql.index.metastore", os.path.join(skip_dir, "ms"))
+    # tight blooms for the point-lookup shape: expected extra files
+    # ~= blocks * fpp, so 400 blocks at 0.001 ~ 0.4 false positives vs ~12
+    # at the reference's 0.03 default (README "1 file usually" analog)
+    bloom_fpp = "0.001"
+    spark.conf.set("spark.sql.index.parquet.filter.bloom.fpp", bloom_fpp)
+    # metastore keyed by fpp so changing the knob rebuilds the index
+    spark.conf.set("spark.sql.index.metastore",
+                   os.path.join(skip_dir, f"ms_fpp{bloom_fpp}"))
     qctx = QueryContext(spark)
     if not qctx.index.exists.parquet(table400):
         qctx.index.create.indexBy("l_orderkey", "l_returnflag").parquet(table400)
@@ -99,6 +106,23 @@ def main() -> None:
     plain_sec = round((time.time() - t0) / 3, 4)
     prune = qctx.index.last_prune_info
 
+    # ANN with a persisted, engine-indexed bucket column: probe buckets
+    # become an index predicate, so top-k scans only matching files
+    from parquet_index_spark.operators import similarity as S
+
+    ann_dir = os.path.join(skip_dir, "emb_ann")
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    if not qctx.index.exists.parquet(ann_dir):
+        S.write_ann_indexed(emb, ann_dir, qctx, num_planes=8)
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 0").select("embedding").head()["embedding"]]
+    S.ann_topk_indexed(qctx, ann_dir, qvec, k=10, num_probes=2).collect()  # warm
+    t0 = time.time()
+    ann_rows = S.ann_topk_indexed(qctx, ann_dir, qvec, k=10,
+                                  num_probes=2).collect()
+    ann_sec = round(time.time() - t0, 4)
+    ann_prune = qctx.index.last_prune_info
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     out = {
         "metric": "workload_total_runtime",
@@ -114,6 +138,13 @@ def main() -> None:
             "indexed_point_sec": indexed_sec,
             "plain_point_sec": plain_sec,
             "speedup": round(plain_sec / max(indexed_sec, 1e-9), 2),
+            "bloom_fpp": float(bloom_fpp),
+        },
+        "ann_file_skip": {
+            "total_files": ann_prune.total_files,
+            "files_scanned": ann_prune.selected_files,
+            "topk_sec": ann_sec,
+            "rows": len(ann_rows),
         },
     }
     print(json.dumps(out))

@@ -176,7 +176,8 @@ def _footer_stats_for_file(abs_path: str, relpath: str,
 
 
 def _scan_stats_for_file(abs_path: str, relpath: str, index_cols: list,
-                         filter_type: str, dict_max_size: int) -> tuple:
+                         filter_type: str, dict_max_size: int,
+                         bloom_fpp: float) -> tuple:
     """Per-block stats + membership filters from a columnar data scan."""
     pf = pq.ParquetFile(abs_path)
     md = pf.metadata
@@ -206,7 +207,8 @@ def _scan_stats_for_file(abs_path: str, relpath: str, index_cols: list,
                         row["min_long"], row["max_long"] = mn, mx
                     normalized = [_normalize_stat(v, kind) for v in uniq.to_pylist()]
                     dict_vals, bloom_bytes = build_filters(
-                        normalized, kind, filter_type, dict_max_size, n_rows)
+                        normalized, kind, filter_type, dict_max_size, n_rows,
+                        bloom_fpp)
                     if dict_vals is not None:
                         if kind == ityp.STRING:
                             row["dict_str"] = dict_vals
@@ -220,7 +222,8 @@ def _scan_stats_for_file(abs_path: str, relpath: str, index_cols: list,
 def collect_partition(task_index: int, tasks: Iterable[dict], table_root: str,
                       stats_dir: str, index_cols: list, filter_enabled: bool,
                       filter_type: str, dict_max_size: int,
-                      shard_prefix: str = "part") -> Iterator[dict]:
+                      shard_prefix: str = "part",
+                      bloom_fpp: float = 0.03) -> Iterator[dict]:
     """Executor-side: process a slice of files, write one stats shard, yield
     per-file summaries (small) back to the driver."""
     import json
@@ -232,7 +235,8 @@ def collect_partition(task_index: int, tasks: Iterable[dict], table_root: str,
         abs_path = resolve_file(table_root, relpath)
         if filter_enabled and index_cols:
             rows, blocks, total = _scan_stats_for_file(
-                abs_path, relpath, index_cols, filter_type, dict_max_size)
+                abs_path, relpath, index_cols, filter_type, dict_max_size,
+                bloom_fpp)
         else:
             rows, blocks, total = _footer_stats_for_file(abs_path, relpath, index_cols)
         stat_rows.extend(rows)
@@ -284,7 +288,8 @@ def _ensure_package_shipped(spark) -> None:
 def run_stats_job(spark, table_root: str, files: list, stats_dir: str,
                   index_cols: list, filter_enabled: bool, filter_type: str,
                   dict_max_size: int, num_partitions: int,
-                  shard_prefix: str = "part") -> list:
+                  shard_prefix: str = "part",
+                  bloom_fpp: float = 0.03) -> list:
     """Run the distributed stats collection; returns per-file summaries.
 
     Parallelism default mirrors the reference:
@@ -307,6 +312,6 @@ def run_stats_job(spark, table_root: str, files: list, stats_dir: str,
     def fn(idx: int, it: Iterator) -> Iterator[dict]:
         return collect_partition(idx, it, table_root, stats_dir, index_cols,
                                  filter_enabled, filter_type, dict_max_size,
-                                 shard_prefix)
+                                 shard_prefix, bloom_fpp)
 
     return rdd.mapPartitionsWithIndex(fn).collect()

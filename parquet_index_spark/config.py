@@ -21,6 +21,10 @@ PARQUET_FILTER_EAGER_LOADING = "spark.sql.index.parquet.filter.eagerLoading"
 
 # extension knobs (ours, not in the reference)
 DICT_MAX_SIZE = "spark.sql.index.parquet.filter.dict.maxSize"
+# bloom false-positive probability: expected extra files scanned on a point
+# query ~= n_blocks * fpp (400 blocks at 0.03 -> ~12 extra; at 0.001 ->
+# ~0.4). Lower fpp costs ~2x metadata per decade: bits/item = 1.44*log2(1/fpp)
+BLOOM_FPP = "spark.sql.index.parquet.filter.bloom.fpp"
 
 DEFAULT_METASTORE_DIR = "index_metastore"
 
@@ -44,6 +48,7 @@ class IndexConf:
     filter_type: str          # "bloom" | "dict"
     filter_eager_loading: bool
     dict_max_size: int
+    bloom_fpp: float
 
     @classmethod
     def from_spark(cls, spark: SparkSession) -> "IndexConf":
@@ -85,4 +90,5 @@ class IndexConf:
             filter_type=filter_type,
             filter_eager_loading=_bool(get(PARQUET_FILTER_EAGER_LOADING), False),
             dict_max_size=int(get(DICT_MAX_SIZE, "4096") or 4096),
+            bloom_fpp=float(get(BLOOM_FPP, "0.03") or 0.03),
         )

@@ -403,7 +403,8 @@ class DataFrameIndexManager:
                 filter_enabled=conf.filter_enabled,
                 filter_type=conf.filter_type,
                 dict_max_size=conf.dict_max_size,
-                num_partitions=conf.num_partitions)
+                num_partitions=conf.num_partitions,
+                bloom_fpp=conf.bloom_fpp)
             files_table = pa.Table.from_pylist(
                 summaries, schema=collector.FILES_SCHEMA)
             pq.write_table(files_table, os.path.join(index_dir, FILES_FILE))
@@ -524,7 +525,8 @@ class DataFrameIndexManager:
             filter_type=metadata.filter_type or "bloom",
             dict_max_size=conf.dict_max_size,
             num_partitions=conf.num_partitions,
-            shard_prefix=shard_prefix)
+            shard_prefix=shard_prefix,
+            bloom_fpp=conf.bloom_fpp)
 
         files_table = pa.Table.from_pylist(
             metadata.files.to_dict("records") + summaries,

@@ -249,7 +249,8 @@ class ColumnMembership:
 
 
 def build_filters(unique_values: Iterable[Any], kind: str, filter_type: str,
-                  dict_max_size: int, block_rows: int) -> tuple:
+                  dict_max_size: int, block_rows: int,
+                  bloom_fpp: float = BLOOM_FPP) -> tuple:
     """Build (dict_values_list | None, bloom_bytes | None) for one block x column.
 
     ``unique_values`` are already-normalized (long-space int or str), nulls
@@ -258,7 +259,7 @@ def build_filters(unique_values: Iterable[Any], kind: str, filter_type: str,
     values = list(unique_values)
     if filter_type == "dict" and len(values) <= dict_max_size:
         return values, None
-    bloom = BloomFilter.create(max(len(values), 1) if values else 1)
+    bloom = BloomFilter.create(max(len(values), 1) if values else 1, bloom_fpp)
     for v in values:
         bloom.put_bytes(ityp.membership_bytes(v, kind))
     return None, bloom.to_bytes()

@@ -939,19 +939,25 @@ def jaccard_neardup_pairs(spark, sf_dir):
 JACCARD_SQL = r"""
 WITH """ + _SHINGLES_CTE + r""",
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b, jaccard FROM (
+rare_ex AS (
+  SELECT doc_id, s FROM ex
+  WHERE s IN (SELECT s FROM ex GROUP BY s HAVING count(*) <= 500)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare_ex a JOIN rare_ex b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+scored AS (
   SELECT id_a, id_b,
-         round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-) WHERE jaccard >= 0.6
+         round(len(list_intersect(sa.shingles, sb.shingles))
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 6)
+           AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
 ORDER BY id_a, id_b
 """
 
@@ -1130,9 +1136,14 @@ GROUP BY bucket ORDER BY bucket
 
 
 def embedding_similar_pairs(spark, sf_dir):
+    """Banded sign-LSH near-dup pairs (4 bands x 4 planes = 16 buckets per
+    band at this dim): candidates from any shared band-bucket, exact cosine
+    verify. The round-1 call used num_planes=2 (4 buckets ~ n^2/4 pairs —
+    a scale-killer flagged in VERDICT)."""
     from parquet_index_spark.operators import similarity as S
     emb = _t(spark, sf_dir, "embeddings")
-    return (S.embedding_neardup_pairs(emb, threshold=0.45, num_planes=2)
+    return (S.embedding_neardup_pairs(emb, threshold=0.45,
+                                      planes_per_band=4, bands=4)
             .orderBy("id_a", "id_b"))
 
 
@@ -1142,32 +1153,31 @@ WITH dots AS (
          sum(CAST(embedding[d + 1] AS DOUBLE)
              * (((p * 73856093 + d * 19349663) % 10007) / 10007.0 - 0.5)) AS pd
   FROM embeddings,
-       (SELECT unnest(generate_series(0, 1)) AS p),
+       (SELECT unnest(generate_series(0, 15)) AS p),
        (SELECT unnest(generate_series(0, 63)) AS d)
   GROUP BY vec_id, p
 ),
 buckets AS (
-  SELECT vec_id,
-         sum(CASE WHEN pd > 0 THEN (1 << p) ELSE 0 END) AS bucket
-  FROM dots GROUP BY vec_id
+  SELECT vec_id, p // 4 AS band,
+         CAST(sum(CASE WHEN pd > 0 THEN (1 << (p % 4)) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM dots GROUP BY vec_id, p // 4
 ),
-withb AS (
-  SELECT e.vec_id, e.embedding, b.bucket
-  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
-),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         a.embedding AS ea, b.embedding AS eb
-  FROM withb a JOIN withb b
-    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 scored AS (
   SELECT id_a, id_b,
-         round(sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))
-               / (sqrt(sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)))
-                  * sqrt(sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))),
+         round(sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))
+               / (sqrt(sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))),
                4) AS sim
-  FROM pairs, (SELECT unnest(generate_series(1, 64)) AS i)
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = id_a
+  JOIN embeddings eb ON eb.vec_id = id_b,
+       (SELECT unnest(generate_series(1, 64)) AS i)
   GROUP BY id_a, id_b
 )
 SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.45 ORDER BY id_a, id_b
