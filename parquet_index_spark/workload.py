@@ -1184,6 +1184,115 @@ SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.45 ORDER BY id_a, id_b
 """
 
 
+def ann_topk_lsh_probed(spark, sf_dir):
+    """ANN through the sign-LSH bucket path (vs ann_cosine_topk's exact
+    scan): restrict scoring to the query's bucket. Oracle reproduces the
+    bucket assignment with the same closed-form planes and probes the
+    query vector's bucket."""
+    from parquet_index_spark.operators import similarity as S
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    # 4 planes = 16 buckets: ~n/16 candidates per probe at this SF
+    return S.ann_topk_lsh(emb, q, k=10, num_planes=4, num_probes=1)
+
+
+ANN_LSH_SQL = """
+WITH dots AS (
+  SELECT vec_id, p,
+         sum(CAST(embedding[d + 1] AS DOUBLE)
+             * (((p * 73856093 + d * 19349663) % 10007) / 10007.0 - 0.5)) AS pd
+  FROM embeddings,
+       (SELECT unnest(generate_series(0, 3)) AS p),
+       (SELECT unnest(generate_series(0, 63)) AS d)
+  GROUP BY vec_id, p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pd > 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+cand AS (SELECT vec_id FROM buckets WHERE bucket = (SELECT bucket FROM qb)),
+q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT em.vec_id,
+         round(sum(CAST(em.embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE))
+               / (sqrt(sum(CAST(em.embedding[i] AS DOUBLE) * CAST(em.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))),
+               4) AS sim
+  FROM embeddings em JOIN cand USING (vec_id), q,
+       (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY em.vec_id
+)
+SELECT vec_id, sim,
+       row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def multimodal_pipeline(spark, sf_dir):
+    """Multimodal plumbing as a driver query (round-1 left it test-only):
+    documents' text bytes stand in for media blobs. Exercises the REAL
+    distributed path — binary columns, typed metadata, Arrow-batched
+    mapInPandas feature extraction, frame-sampling explode — while every
+    output stays oracle-checkable (the fake decoder's vectors are only
+    counted/size-checked, not value-compared)."""
+    from parquet_index_spark.operators import multimodal as M
+    docs = _t(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("content"))
+    media = media.withColumn(
+        "duration_ms",
+        F.when(F.col("kind") == "video",
+               (F.length("content") * 10).cast("long")))
+    media = M.attach_metadata(media)
+    feats = M.extract_features(media, dim=16, fake=True)
+    frames = M.sample_frames(media)
+    frame_counts = frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"))
+    return (feats.join(frame_counts, "media_id", "left")
+            .groupBy("kind")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum("content_bytes").alias("total_bytes"),
+                 F.countDistinct("content_md5").alias("n_distinct_content"),
+                 F.sum(F.when(F.col("features").isNotNull(),
+                              F.size("features")).otherwise(0))
+                 .alias("feature_dims"),
+                 F.sum(F.coalesce(F.col("n_frames"), F.lit(0)))
+                 .alias("n_frames"))
+            .orderBy("kind"))
+
+
+MULTIMODAL_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         octet_length(encode(text)) AS content_bytes,
+         md5(text) AS content_md5,
+         CASE WHEN doc_id % 3 = 2
+              THEN octet_length(encode(text)) * 10 END AS duration_ms
+  FROM documents
+),
+frames AS (
+  SELECT media_id, greatest(duration_ms // 1000, 1) AS n_frames
+  FROM media WHERE kind = 'video'
+)
+SELECT kind, count(*) AS n_items,
+       CAST(sum(content_bytes) AS BIGINT) AS total_bytes,
+       count(DISTINCT content_md5) AS n_distinct_content,
+       CAST(count(*) * 16 AS BIGINT) AS feature_dims,
+       CAST(coalesce(sum(n_frames), 0) AS BIGINT) AS n_frames
+FROM media LEFT JOIN frames USING (media_id)
+GROUP BY kind ORDER BY kind
+"""
+
+
 _STREAM_COUNTER = {"n": 0}
 
 
@@ -1218,6 +1327,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "lsh_bucket_histogram": (lsh_bucket_histogram_q, LSH_HIST_SQL),
     "embedding_similar_pairs": (embedding_similar_pairs, EMB_PAIRS_SQL),
+    "ann_topk_lsh_probed": (ann_topk_lsh_probed, ANN_LSH_SQL),
+    "multimodal_pipeline": (multimodal_pipeline, MULTIMODAL_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),
     "idx_point_lookup": (idx_point_lookup, IDX_POINT_SQL),
     "idx_range_scan": (idx_range_scan, IDX_RANGE_SQL),
