@@ -23,9 +23,12 @@ EVENTS_SCHEMA = T.StructType([
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    """ns-long -> TimestampType event_time (µs precision, matching Spark)."""
+    """ns-long -> TimestampType event_time (µs precision).
+
+    Integer division: `/ 1000` is double division whose rounding drifts one
+    microsecond from the truncation parquet readers apply to ns values."""
     return df.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        "event_time", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def read_event_stream(spark: SparkSession, path: str,

@@ -765,6 +765,205 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
 """
 
 
+def q7_nation_trade(spark, sf_dir):
+    """TPC-H Q7 shape: trade volume between two nations by ship year."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
+                                   F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"),
+                                   F.col("n_name").alias("cust_nation")))
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(supp, li.l_suppkey == supp.s_suppkey)
+              .join(n1, supp.s_nationkey == F.col("s_nk"))
+              .join(n2, cust.c_nationkey == F.col("c_nk")))
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | \
+           ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (joined.filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(_dsum(revenue, "revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's revenue share within a region by year
+    (no partsupp table; supplier nation defines the share)."""
+    region = _t(spark, sf_dir, "region").filter("r_name = 'ASIA'")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
+    n_c = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"),
+                                    F.col("n_regionkey").alias("c_rk")))
+    n_s = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
+                                    F.col("n_name").alias("supp_nation")))
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(n_c, cust.c_nationkey == F.col("c_nk"))
+              .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+              .join(supp, li.l_suppkey == supp.s_suppkey)
+              .join(n_s, supp.s_nationkey == F.col("s_nk")))
+    target = F.when(F.col("supp_nation") == "NATION_3", revenue) \
+        .otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (joined.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round((F.sum(target).cast("double")
+                          / F.sum(revenue).cast("double")), 6)
+                 .alias("mkt_share"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("o_year"))
+
+
+Q8_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+       count(*) AS n_rows
+FROM (
+  SELECT o_orderdate, n2.n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+)
+GROUP BY year(o_orderdate) ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and year. No partsupp
+    table, so cost is proxied by p_retailprice * quantity * 0.8."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
+              - _dec("p_retailprice") * _dec("l_quantity")
+              * F.lit(0.8).cast("decimal(3,1)"))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(_dsum(amount, "profit"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(0.8 AS DECIMAL(3,1))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of order counts per customer
+    (left outer join so zero-order customers count)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        "o_orderpriority <> '5-LOW'")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q20_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers that shipped a large volume of a brand's
+    parts in a window (nested semi-join; partsupp-free adaptation)."""
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter("p_brand = 'Brand#2'")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'")
+    big = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+           .groupBy("l_suppkey")
+           .agg(F.sum(_dec("l_quantity")).alias("qty"))
+           .filter(F.col("qty") > 300)
+           .select("l_suppkey"))
+    return (supp.join(big, supp.s_suppkey == big.l_suppkey, "leftsemi")
+            .select("s_suppkey", "s_name", "s_nationkey")
+            .orderBy("s_suppkey"))
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#2'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+ORDER BY s_suppkey
+"""
+
+
 def cube_order_status(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return (orders.cube("o_orderstatus", "o_orderpriority")
@@ -1316,6 +1515,43 @@ GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
 
+def stream_session_windows(spark, sf_dir):
+    """Structured Streaming session windows (30-min gap) drained with
+    availableNow — the streaming analog of sessionize_events, oracled by a
+    batch gaps-and-islands SQL with identical gap semantics (session end =
+    last event + gap, matching Spark's session_window)."""
+    from parquet_index_spark import streaming as ST
+    _STREAM_COUNTER["n"] += 1
+    name = f"pis_stream_sessions_{_STREAM_COUNTER['n']}"
+    stream = ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = ST.session_windows(stream, "30 minutes", "2 hours")
+    return (ST.run_available_now(agg, name)
+            .orderBy("user_id", "session_start"))
+
+
+STREAM_SESSIONS_SQL = """
+WITH ev AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ev
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
     "dedup_prefix_groups": (dedup_prefix_groups, DEDUP_PREFIX_SQL),
@@ -1330,6 +1566,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "ann_topk_lsh_probed": (ann_topk_lsh_probed, ANN_LSH_SQL),
     "multimodal_pipeline": (multimodal_pipeline, MULTIMODAL_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),
+    "stream_session_windows": (stream_session_windows, STREAM_SESSIONS_SQL),
     "idx_point_lookup": (idx_point_lookup, IDX_POINT_SQL),
     "idx_range_scan": (idx_range_scan, IDX_RANGE_SQL),
     "idx_in_or_composite": (idx_in_or_composite, IDX_IN_OR_SQL),
@@ -1351,6 +1588,11 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "customers_without_orders": (customers_without_orders, ANTI_SQL),
     "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
     "q14_brand_revenue_share": (q14_brand_revenue_share, Q14_SQL),
+    "q7_nation_trade": (q7_nation_trade, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q20_part_suppliers": (q20_part_suppliers, Q20_SQL),
     "cube_order_status": (cube_order_status, CUBE_SQL),
     "approx_distinct_parts": (approx_distinct_parts, APPROX_DISTINCT_SQL),
     "asof_join_events": (asof_join_events, ASOF_SQL),
