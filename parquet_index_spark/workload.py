@@ -1109,16 +1109,27 @@ def minhash_lsh_pairs(spark, sf_dir):
 
 MINHASH_LSH_SQL = r"""
 WITH """ + _SHINGLES_CTE + r""",
+hashed AS (
+  SELECT doc_id,
+         list_transform(shingles,
+           s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h1s,
+         list_transform(shingles,
+           s -> CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) | 1) AS h2s
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
          list_transform(generate_series(0, 15),
-           i -> list_min(list_transform(shingles, s -> md5(i || ':' || s)))
+           i -> list_min(list_transform(generate_series(1, len(h1s)),
+             j -> (h1s[j] + i * h2s[j]) % 4294967311))
          ) AS minhash
-  FROM sh
+  FROM hashed
 ),
 bands AS (
   SELECT doc_id, b,
-         md5(array_to_string(minhash[b*4+1:b*4+4], ',')) AS band_key
+         md5(array_to_string(
+           list_transform(minhash[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)),
+           ',')) AS band_key
   FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
 )
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
