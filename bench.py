@@ -86,9 +86,12 @@ def main() -> None:
     # at the reference's 0.03 default (README "1 file usually" analog)
     bloom_fpp = "0.001"
     spark.conf.set("spark.sql.index.parquet.filter.bloom.fpp", bloom_fpp)
-    # metastore keyed by fpp so changing the knob rebuilds the index
+    # metastore keyed by (fpp, bloom format) so either change rebuilds the
+    # index: stale-format blooms fail the magic check and degrade to scan
+    # (sound but unpruned)
+    from parquet_index_spark.statistics import BLOOM_FORMAT
     spark.conf.set("spark.sql.index.metastore",
-                   os.path.join(skip_dir, f"ms_fpp{bloom_fpp}"))
+                   os.path.join(skip_dir, f"ms_fpp{bloom_fpp}_v{BLOOM_FORMAT}"))
     qctx = QueryContext(spark)
     if not qctx.index.exists.parquet(table400):
         qctx.index.create.indexBy("l_orderkey", "l_returnflag").parquet(table400)

@@ -61,11 +61,12 @@ def _pivot_stats(stats_df, columns: List[str]):
     return stats_df.groupBy("path", "block").agg(*aggs)
 
 
-def _bloom_any_probe(values_bytes: List[bytes]):
+def _bloom_any_probe(hash_pairs: List[tuple]):
     """Arrow-batched UDF: bloom binary -> might-contain-any(values).
 
-    The probe values are baked into the closure (few per predicate); each
-    batch row does k bit tests — executor-side, no driver involvement."""
+    The probe values' hash PAIRS are precomputed driver-side and baked into
+    the closure; each batch row is k bit tests — executor-side, no driver
+    involvement, no hashing in the UDF."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
@@ -78,10 +79,10 @@ def _bloom_any_probe(values_bytes: List[bytes]):
             else:
                 try:
                     bf = BloomFilter.from_bytes(bytes(b))
-                    out.append(any(bf.might_contain_bytes(vb)
-                                   for vb in values_bytes))
+                    out.append(any(bf.might_contain_pair(h1, h2)
+                                   for h1, h2 in hash_pairs))
                 except ValueError:
-                    out.append(True)
+                    out.append(True)  # unknown format => scan (sound)
         return pd.Series(out)
 
     return probe
@@ -103,8 +104,9 @@ def _membership_ok(col: str, kind: str, values: list) -> F.Column:
         if int_vals else F.lit(False)
     ds_ok = F.arrays_overlap(
         ds, F.array(*[F.lit(v) for v in str_vals])) if str_vals else F.lit(False)
-    values_bytes = [ityp.membership_bytes(v, kind) for v in values]
-    bloom_ok = _bloom_any_probe(values_bytes)(bloom)
+    from parquet_index_spark.statistics import hash_pair_for
+    pairs = [hash_pair_for(v, kind) for v in values]
+    bloom_ok = _bloom_any_probe(pairs)(bloom)
     return (F.when(has_dl, dl_ok)
             .when(has_ds, ds_ok)
             .when(bloom.isNotNull(), bloom_ok)

@@ -4,11 +4,15 @@ Mirrors the semantics of the reference's ColumnFilterStatistics
 (ColumnFilterStatistics.scala:251-393): a per-(file, block, column)
 membership structure consulted only for EqualTo / In after min-max passes.
 
-- bloom: expected items = min(block rows, 2**20), fpp = 0.03
-  (ColumnFilterStatistics.scala:256); ours is a deterministic pure-Python
-  bloom over blake2b-derived double hashing, serialized to bytes and stored
-  as a *binary column in the metadata parquet* rather than side files — one
-  metadata read instead of O(files) small reads at prune time.
+- bloom: expected items = min(block rows, 2**20), fpp configurable
+  (reference fixes 0.03, ColumnFilterStatistics.scala:256); double hashing
+  with a kind-dependent hash pair — splitmix64-style mixing for long-space
+  values (numpy-vectorizable: the index BUILD hashes whole blocks as one
+  uint64 array pass) and blake2b for strings. Serialized to bytes and
+  stored as a *binary column in the metadata parquet* rather than side
+  files — one metadata read instead of O(files) small reads at prune time.
+  Format magic is versioned: blooms written by an older format fail the
+  magic check and degrade to "no filter" (scan, always sound).
 - dict: exact membership (reference uses a Kryo HashSet,
   ColumnFilterStatistics.scala:313-358); ours stores the distinct values as
   a list column, capped at ``dict_max_size`` (falls back to bloom above the
@@ -27,7 +31,8 @@ from parquet_index_spark import types as ityp
 
 BLOOM_FPP = 0.03
 BLOOM_MAX_ITEMS = 1 << 20
-_MAGIC = b"PIBLOOM1"
+_MAGIC = b"PIBLOOM2"
+BLOOM_FORMAT = 2
 
 
 def _hash_pair(data: bytes) -> tuple:
@@ -35,6 +40,37 @@ def _hash_pair(data: bytes) -> tuple:
     d = hashlib.blake2b(data, digest_size=16).digest()
     h1, h2 = struct.unpack(">QQ", d)
     return h1, h2 | 1  # make h2 odd so strides cover the bit space
+
+
+_M64 = 0xFFFFFFFFFFFFFFFF
+_MIX_C1 = 0xFF51AFD7ED558CCD
+_MIX_C2 = 0xC4CEB9FE1A85EC53
+_GOLDEN = 0x9E3779B97F4A7C15
+
+
+def _mix64(x: int) -> int:
+    """splitmix64/murmur3 finalizer — full-avalanche 64-bit mix."""
+    x &= _M64
+    x ^= x >> 33
+    x = (x * _MIX_C1) & _M64
+    x ^= x >> 33
+    x = (x * _MIX_C2) & _M64
+    x ^= x >> 33
+    return x
+
+
+def _hash_pair_long(v: int) -> tuple:
+    """Double-hash pair for a long-space value (mirrors the numpy builder)."""
+    h1 = _mix64(v)
+    h2 = _mix64((h1 + _GOLDEN) & _M64)
+    return h1, h2 | 1
+
+
+def hash_pair_for(value, kind: str) -> tuple:
+    """The bloom hash pair for a stat-normalized value of ``kind``."""
+    if isinstance(value, str):
+        return _hash_pair(value.encode("utf-8"))
+    return _hash_pair_long(int(value))
 
 
 class BloomFilter:
@@ -55,26 +91,58 @@ class BloomFilter:
         return cls(m, k)
 
     def put_bytes(self, data: bytes) -> None:
-        h1, h2 = _hash_pair(data)
-        m = self.num_bits
-        for i in range(self.num_hashes):
-            idx = (h1 + i * h2) % m
-            self.bits[idx >> 3] |= 1 << (idx & 7)
+        self.put_pair(*_hash_pair(data))
 
     def might_contain_bytes(self, data: bytes) -> bool:
-        h1, h2 = _hash_pair(data)
+        return self.might_contain_pair(*_hash_pair(data))
+
+    def put_pair(self, h1: int, h2: int) -> None:
+        # (h1 + i*h2) wraps at 64 bits so the scalar probe, the numpy
+        # builder, and the executor-side UDF all index identical bits
         m = self.num_bits
         for i in range(self.num_hashes):
-            idx = (h1 + i * h2) % m
+            idx = ((h1 + i * h2) & _M64) % m
+            self.bits[idx >> 3] |= 1 << (idx & 7)
+
+    def might_contain_pair(self, h1: int, h2: int) -> bool:
+        m = self.num_bits
+        for i in range(self.num_hashes):
+            idx = ((h1 + i * h2) & _M64) % m
             if not (self.bits[idx >> 3] >> (idx & 7)) & 1:
                 return False
         return True
 
     def put(self, value: Any, kind: str) -> None:
-        self.put_bytes(ityp.membership_bytes(value, kind))
+        v = ityp.literal_to_stat_value(value, kind)
+        self.put_pair(*hash_pair_for(v, kind))
 
     def might_contain(self, value: Any, kind: str) -> bool:
-        return self.might_contain_bytes(ityp.membership_bytes(value, kind))
+        v = ityp.literal_to_stat_value(value, kind)
+        return self.might_contain_pair(*hash_pair_for(v, kind))
+
+    def put_longs_vectorized(self, values) -> None:
+        """Insert an int64 numpy array in O(k) vectorized passes."""
+        import numpy as np
+        x = np.asarray(values, dtype=np.int64).view(np.uint64).copy()
+        for shift_mul in ((33, _MIX_C1), (33, _MIX_C2)):
+            x ^= x >> np.uint64(shift_mul[0])
+            x *= np.uint64(shift_mul[1])
+        x ^= x >> np.uint64(33)
+        h1 = x
+        y = h1 + np.uint64(_GOLDEN)
+        for shift_mul in ((33, _MIX_C1), (33, _MIX_C2)):
+            y ^= y >> np.uint64(shift_mul[0])
+            y *= np.uint64(shift_mul[1])
+        y ^= y >> np.uint64(33)
+        h2 = y | np.uint64(1)
+        m = np.uint64(self.num_bits)
+        bits = np.frombuffer(self.bits, dtype=np.uint8).copy()
+        for i in range(self.num_hashes):
+            idx = (h1 + np.uint64(i) * h2) % m
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(np.uint8(1),
+                                           (idx & np.uint64(7)).astype(np.uint8)))
+        self.bits = bytearray(bits.tobytes())
 
     def to_bytes(self) -> bytes:
         header = _MAGIC + struct.pack(">II", self.num_bits, self.num_hashes)
@@ -236,12 +304,12 @@ class ColumnMembership:
                 continue
             any_val = np.zeros(len(ids), dtype=bool)
             for v in values:
-                h1, h2 = _hash_pair(ityp.membership_bytes(v, kind))
+                h1, h2 = hash_pair_for(v, kind)
                 ok = cand & ~any_val
                 for i in range(k):
                     if not ok.any():
                         break
-                    idx = (h1 + i * h2) % m
+                    idx = ((h1 + i * h2) & _M64) % m
                     ok &= (bits[:, idx >> 3] & (1 << (idx & 7))) > 0
                 any_val |= ok
             out[ids] |= any_val
@@ -260,6 +328,10 @@ def build_filters(unique_values: Iterable[Any], kind: str, filter_type: str,
     if filter_type == "dict" and len(values) <= dict_max_size:
         return values, None
     bloom = BloomFilter.create(max(len(values), 1) if values else 1, bloom_fpp)
-    for v in values:
-        bloom.put_bytes(ityp.membership_bytes(v, kind))
+    if values and not isinstance(values[0], str):
+        # long-space kinds: one vectorized uint64 pass per hash round
+        bloom.put_longs_vectorized(values)
+    else:
+        for v in values:
+            bloom.put_pair(*_hash_pair(v.encode("utf-8")))
     return None, bloom.to_bytes()

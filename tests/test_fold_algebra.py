@@ -317,7 +317,9 @@ class TestBuildFilters:
         _, b = build_filters(["x", "y"], S, "bloom", 10, 100)
         bf = BloomFilter.from_bytes(b)
         assert bf.might_contain("x", S) and bf.might_contain("y", S)
-        assert not bf.might_contain("zzzz", S)
+        # tiny filter: any single probe may collide; the RATE must be low
+        fps = sum(bf.might_contain(f"z{i}", S) for i in range(100))
+        assert fps < 30
 
 
 class TestVectorizedMembershipScale:
@@ -338,7 +340,7 @@ class TestVectorizedMembershipScale:
         for i in range(n):
             bf = BloomFilter(proto.num_bits, proto.num_hashes)
             for v in rng.integers(0, 1 << 30, size=8):
-                bf.put_bytes(int(v).to_bytes(8, "big", signed=True))
+                bf.put(int(v), "long")
             blooms.append(bf.to_bytes())
         cm = ColumnMembership.build([None] * n, [None] * n, blooms)
         candidates = np.ones(n, dtype=bool)
