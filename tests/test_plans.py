@@ -54,3 +54,39 @@ class TestPlanQuality:
                                                       tmp_metastore):
         df = idx_point_lookup(spark, SF_CORRECT).select("l_orderkey")
         plans.assert_columns_pruned(df, 1)
+
+
+class TestRound2PlanQuality:
+    """Plan guards for the round-2 query surface."""
+
+    def test_q7_broadcasts_nations_no_cartesian(self, spark):
+        from parquet_index_spark.workload import q7_nation_trade
+        df = q7_nation_trade(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+        plans.assert_broadcasts(df, at_least=2)
+
+    def test_q9_part_broadcast_filter_pushed(self, spark):
+        from parquet_index_spark.workload import q9_product_profit
+        df = q9_product_profit(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+        plans.assert_broadcasts(df, at_least=1)
+
+    def test_q13_outer_join_no_cartesian(self, spark):
+        from parquet_index_spark.workload import q13_order_distribution
+        df = q13_order_distribution(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+
+    def test_neardup_banded_join_no_cartesian(self, spark):
+        from parquet_index_spark.workload import embedding_similar_pairs
+        df = embedding_similar_pairs(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+
+    def test_minhash_lsh_no_cartesian(self, spark):
+        from parquet_index_spark.workload import minhash_lsh_pairs
+        df = minhash_lsh_pairs(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+
+    def test_multimodal_no_collect_shapes(self, spark):
+        from parquet_index_spark.workload import multimodal_pipeline
+        df = multimodal_pipeline(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
