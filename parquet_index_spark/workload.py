@@ -1563,6 +1563,220 @@ ORDER BY user_id, session_start
 """
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each part of a given size, the supplier(s)
+    offering the minimum price (correlated-min subquery). The fixture has no
+    partsupp table, so "supply cost" is the minimum lineitem extendedprice a
+    supplier ever charged for the part — exact DECIMAL, so the correlated
+    equality is bit-stable across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter("p_size = 5")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    offers = (li.join(F.broadcast(part.select("p_partkey")),
+                      li.l_partkey == F.col("p_partkey"))
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(_dec("l_extendedprice")).alias("cost")))
+    w = Window.partitionBy("l_partkey")
+    best = (offers.withColumn("min_cost", F.min("cost").over(w))
+            .filter(F.col("cost") == F.col("min_cost")))
+    return (best.join(supp, best.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.col("cost").cast("double").alias("min_cost"),
+                    "s_suppkey", "s_name",
+                    F.col("n_name").alias("nation"))
+            .orderBy("p_partkey", "s_suppkey")
+            .limit(100))
+
+
+Q2_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 5)
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT o.l_partkey AS p_partkey, CAST(o.cost AS DOUBLE) AS min_cost,
+       s_suppkey, s_name, n_name AS nation
+FROM offers o
+JOIN supplier ON o.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o.cost = (SELECT min(cost) FROM offers i
+                WHERE i.l_partkey = o.l_partkey)
+ORDER BY p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: per-part inventory value from one nation's suppliers,
+    kept only when above a scalar-subquery fraction of the total. The scalar
+    total is a 1-row broadcast cross join, not a driver collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter("n_name = 'NATION_3'")
+    value = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
+    national = (li.join(F.broadcast(
+                    supp.join(F.broadcast(nation),
+                              supp.s_nationkey == nation.n_nationkey)
+                    .select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey")))
+    per_part = (national.groupBy("l_partkey")
+                .agg(F.sum(value).alias("value_dec")))
+    total = per_part.agg(
+        (F.sum("value_dec") * F.lit(0.001).cast("decimal(4,3)"))
+        .alias("threshold"))
+    return (per_part.join(F.broadcast(total))
+            .filter(F.col("value_dec") > F.col("threshold"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.col("value_dec").cast("double").alias("part_value"))
+            .orderBy(F.desc("part_value"), "p_partkey"))
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS value_dec
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM per_part
+WHERE value_dec > (SELECT sum(value_dec) * CAST(0.001 AS DECIMAL(4,3))
+                   FROM per_part)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue in a quarter
+    (view + scalar max). Exact-decimal revenue makes the max-equality
+    deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
+    per_supp = (li.groupBy("l_suppkey")
+                .agg(F.sum(revenue).alias("rev_dec")))
+    top = per_supp.agg(F.max("rev_dec").alias("max_rev"))
+    return (per_supp.join(F.broadcast(top))
+            .filter(F.col("rev_dec") == F.col("max_rev"))
+            .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.col("rev_dec").cast("double").alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) for
+    selected sizes, excluding one brand and a NOT-IN supplier blacklist
+    (lineitem as the part↔supplier bridge in lieu of partsupp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        "p_brand <> 'Brand#1' AND p_size IN (1, 3, 5, 7)")
+    bad_supp = (_t(spark, sf_dir, "supplier")
+                .filter("s_name LIKE '%7'").select("s_suppkey"))
+    bridged = (li.join(F.broadcast(part),
+                       li.l_partkey == part.p_partkey)
+               .join(F.broadcast(bad_supp),
+                     li.l_suppkey == F.col("s_suppkey"), "left_anti"))
+    return (bridged.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 3, 5, 7)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    finished multi-supplier order (EXISTS + NOT EXISTS double anti-join).
+    The fixture lacks commit/receipt dates, so "late" is shipping more than
+    60 days after the order date."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter("o_orderstatus = 'F'")
+    supp = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .filter(late)
+          .select("l_orderkey", "l_suppkey"))
+    l2 = li.select(F.col("l_orderkey").alias("o2_orderkey"),
+                   F.col("l_suppkey").alias("o2_suppkey"))
+    l3 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .filter(late)
+          .select(F.col("l_orderkey").alias("o3_orderkey"),
+                  F.col("l_suppkey").alias("o3_suppkey")))
+    waiting = (l1
+               .join(l2, (F.col("l_orderkey") == F.col("o2_orderkey"))
+                     & (F.col("l_suppkey") != F.col("o2_suppkey")),
+                     "leftsemi")
+               .join(l3, (F.col("l_orderkey") == F.col("o3_orderkey"))
+                     & (F.col("l_suppkey") != F.col("o3_suppkey")),
+                     "left_anti"))
+    return (waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(20))
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
     "dedup_prefix_groups": (dedup_prefix_groups, DEDUP_PREFIX_SQL),
@@ -1604,6 +1818,11 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q9_product_profit": (q9_product_profit, Q9_SQL),
     "q13_order_distribution": (q13_order_distribution, Q13_SQL),
     "q20_part_suppliers": (q20_part_suppliers, Q20_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
+    "q21_suppliers_kept_waiting": (q21_suppliers_kept_waiting, Q21_SQL),
     "cube_order_status": (cube_order_status, CUBE_SQL),
     "approx_distinct_parts": (approx_distinct_parts, APPROX_DISTINCT_SQL),
     "asof_join_events": (asof_join_events, ASOF_SQL),

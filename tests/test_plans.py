@@ -90,3 +90,39 @@ class TestRound2PlanQuality:
         from parquet_index_spark.workload import multimodal_pipeline
         df = multimodal_pipeline(spark, SF_CORRECT)
         plans.assert_no_cartesian(df)
+
+    def test_q2_correlated_min_no_cartesian(self, spark):
+        from parquet_index_spark.workload import q2_min_cost_supplier
+        df = q2_min_cost_supplier(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+        plans.assert_broadcasts(df, at_least=2)
+
+    def test_q11_scalar_total_is_one_row_broadcast(self, spark):
+        # the scalar-subquery total joins via a 1-row broadcast: exactly one
+        # BroadcastNestedLoopJoin is the intended plan, never more (the
+        # formatted plan prints each node twice: tree + details)
+        from parquet_index_spark.workload import q11_important_parts
+        df = q11_important_parts(spark, SF_CORRECT)
+        strategies = plans.join_strategies(df)
+        assert strategies["nested_loop"] <= 2, strategies
+        plans.assert_broadcasts(df, at_least=1)
+
+    def test_q15_scalar_max_is_one_row_broadcast(self, spark):
+        from parquet_index_spark.workload import q15_top_supplier
+        df = q15_top_supplier(spark, SF_CORRECT)
+        strategies = plans.join_strategies(df)
+        assert strategies["nested_loop"] <= 2, strategies
+        plans.assert_filter_pushed(df, "l_shipdate")
+
+    def test_q16_anti_join_broadcast(self, spark):
+        from parquet_index_spark.workload import q16_supplier_part_counts
+        df = q16_supplier_part_counts(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+        plans.assert_broadcasts(df, at_least=1)
+        plans.assert_filter_pushed(df, "p_size")
+
+    def test_q21_double_anti_join_no_cartesian(self, spark):
+        from parquet_index_spark.workload import q21_suppliers_kept_waiting
+        df = q21_suppliers_kept_waiting(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+        plans.assert_filter_pushed(df, "o_orderstatus")
