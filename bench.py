@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "top3_orders_per_customer", "rollup_sales", "distinct_parts_per_flag",
     "sessionize_events", "asof_join_events",
     "dedup_exact_stats", "minhash_lsh_pairs", "ann_cosine_topk",
+    "ivf_ann_topk",
     "lsh_bucket_histogram", "text_profile_by_lang", "stream_windowed_counts",
 ]
 

@@ -199,6 +199,113 @@ def ann_topk_indexed(ctx, path: str, query_vec: Sequence[float], k: int = 10,
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer + probed clusters
+# ---------------------------------------------------------------------------
+
+def ivf_seed_centroids(df: DataFrame, n_centroids: int = 16,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> List[tuple]:
+    """Deterministic coarse-quantizer seeds: the ``n_centroids`` corpus
+    vectors with the smallest ids, as (cluster_id=seed_id, vector) pairs.
+
+    Seeding from data (not RNG) keeps the quantizer reproducible across
+    engines — the DuckDB oracle can name the same seed rows. Only k tiny
+    vectors reach the driver; the corpus never does."""
+    rows = (df.orderBy(F.asc(id_col)).limit(n_centroids)
+            .select(id_col, vec_col).collect())
+    return [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in rows]
+
+
+def _centroid_sim_structs(vec_col: str, centroids: List[tuple]) -> Column:
+    """array<struct<sim,cid>> of rounded cosine sims to every centroid.
+
+    Rounding to 6 decimals makes the argmax portable: both engines compare
+    the same decimal rendering instead of last-ulp doubles."""
+    emb = _as_double(F.col(vec_col))
+    return F.array(*[
+        F.struct(F.round(cosine(emb, _query_lit(cvec)), 6).alias("sim"),
+                 F.lit(int(cid)).cast("long").alias("cid"))
+        for cid, cvec in centroids])
+
+
+def ivf_assign(df: DataFrame, centroids: List[tuple],
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Attach ``cluster_id`` = argmax-cosine centroid (ties -> larger cid,
+    via struct ordering). One narrow projection over the scan: the k
+    centroid vectors are literals in the plan, so there is no join and no
+    shuffle — the 100 TB path is a map-only pass."""
+    best = F.array_max(_centroid_sim_structs(vec_col, centroids))
+    return df.withColumn("cluster_id", best["cid"])
+
+
+def ivf_refine(df: DataFrame, centroids: List[tuple], iterations: int = 1,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> List[tuple]:
+    """Lloyd iterations over the current assignment: new centroid =
+    element-wise mean of the cluster's vectors (computed distributed via
+    posexplode + per-(cluster, dim) avg; only k x dim aggregated values are
+    collected). Cluster ids are preserved; empty clusters keep their
+    previous centroid.
+
+    Refined (mean) centroids are float artifacts — use them for recall, but
+    note the cross-engine oracle path sticks to seed centroids, whose
+    assignment is exactly reproducible in SQL."""
+    for _ in range(iterations):
+        exploded = (ivf_assign(df, centroids, id_col, vec_col)
+                    .select("cluster_id",
+                            F.posexplode(_as_double(F.col(vec_col)))
+                            .alias("dim", "val")))
+        means = (exploded.groupBy("cluster_id", "dim")
+                 .agg(F.avg("val").alias("m"))
+                 .groupBy("cluster_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                      .alias("dims"))
+                 .select("cluster_id", F.col("dims.m").alias("centroid"))
+                 .collect())
+        by_cid = {int(r["cluster_id"]): [float(x) for x in r["centroid"]]
+                  for r in means}
+        centroids = [(cid, by_cid.get(cid, vec)) for cid, vec in centroids]
+    return centroids
+
+
+def ivf_probe_clusters(query_vec: Sequence[float], centroids: List[tuple],
+                       nprobe: int = 4) -> List[int]:
+    """The nprobe cluster ids nearest the query (same rounded-cosine order
+    as ivf_assign, ties -> larger cid)."""
+    import math
+    qn = math.sqrt(sum(v * v for v in query_vec))
+    scored = []
+    for cid, cvec in centroids:
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, cvec))
+        cn = math.sqrt(sum(float(b) * float(b) for b in cvec))
+        scored.append((round(d / (qn * cn), 6), cid))
+    scored.sort(key=lambda t: (-t[0], -t[1]))
+    return [cid for _, cid in scored[:nprobe]]
+
+
+def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: List[tuple] = None,
+             exclude_ids: Sequence[int] = ()) -> DataFrame:
+    """IVF ANN top-k: score only vectors whose cluster is among the query's
+    ``nprobe`` nearest centroids — the classic inverted-file trade: scan
+    ~nprobe/n_centroids of the corpus, recall grows with nprobe.
+
+    At 100 TB the assignment is a persisted column (write once, cluster-
+    partitioned files + the engine's own dict index on ``cluster_id``, as
+    write_ann_indexed does for LSH buckets); here it is computed inline so
+    the operator is self-contained."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(df, n_centroids, id_col, vec_col)
+    probes = ivf_probe_clusters(query_vec, centroids, nprobe)
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("cluster_id").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col, exclude_ids)
+
+
 def _banded_bucket(vec_col: str, band: int, planes_per_band: int) -> Column:
     """Bucket id for one band: planes [band*ppb, (band+1)*ppb) of the global
     closed-form plane family (same formula as lsh_bucket / the SQL oracle)."""

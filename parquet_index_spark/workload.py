@@ -1563,6 +1563,67 @@ ORDER BY user_id, session_start
 """
 
 
+def ivf_ann_topk(spark, sf_dir):
+    """IVF ANN: deterministic seed centroids (16 smallest vec_ids), argmax-
+    cosine cluster assignment, probe the 4 clusters nearest the query, exact
+    top-10 within the probed ~1/4 of the corpus. Every stage is closed-form
+    (rounded cosine, data-derived seeds), so the DuckDB oracle reproduces
+    assignment, probe choice, and ranking exactly."""
+    from parquet_index_spark.operators import similarity as S
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    return S.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4,
+                      exclude_ids=[0])
+
+
+IVF_ANN_SQL = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+assign_sims AS (
+  SELECT em.vec_id, c.cid,
+         round(sum(CAST(em.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))
+               / (sqrt(sum(CAST(em.embedding[i] AS DOUBLE)
+                           * CAST(em.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(c.ce[i] AS DOUBLE)
+                             * CAST(c.ce[i] AS DOUBLE)))), 6) AS sim
+  FROM embeddings em, cent c, (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY em.vec_id, c.cid
+),
+best AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+    FROM assign_sims) WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM assign_sims WHERE vec_id = 0
+  ORDER BY sim DESC, cid DESC LIMIT 4
+),
+cand AS (
+  SELECT b.vec_id FROM best b
+  WHERE b.cid IN (SELECT cid FROM probes) AND b.vec_id <> 0
+),
+q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+dots AS (
+  SELECT em.vec_id,
+         sum(CAST(em.embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS dp,
+         sum(CAST(em.embedding[i] AS DOUBLE) * CAST(em.embedding[i] AS DOUBLE)) AS na,
+         sum(CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS nb
+  FROM embeddings em JOIN cand USING (vec_id), q,
+       (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY em.vec_id
+),
+sims AS (
+  SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS sim FROM dots
+)
+SELECT vec_id, sim,
+       row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
 def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape: for each part of a given size, the supplier(s)
     offering the minimum price (correlated-min subquery). The fixture has no
@@ -1789,6 +1850,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "lsh_bucket_histogram": (lsh_bucket_histogram_q, LSH_HIST_SQL),
     "embedding_similar_pairs": (embedding_similar_pairs, EMB_PAIRS_SQL),
     "ann_topk_lsh_probed": (ann_topk_lsh_probed, ANN_LSH_SQL),
+    "ivf_ann_topk": (ivf_ann_topk, IVF_ANN_SQL),
     "multimodal_pipeline": (multimodal_pipeline, MULTIMODAL_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),
     "stream_session_windows": (stream_session_windows, STREAM_SESSIONS_SQL),

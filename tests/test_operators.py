@@ -111,6 +111,42 @@ class TestSimilarity:
         for b in buckets[1:]:
             assert bin(base ^ b).count("1") == 1  # single-bit flips
 
+    def test_ivf_assign_covers_corpus(self, emb):
+        cents = S.ivf_seed_centroids(emb, n_centroids=8)
+        assert [cid for cid, _ in cents] == sorted(cid for cid, _ in cents)
+        assigned = S.ivf_assign(emb, cents)
+        assert assigned.filter(F.col("cluster_id").isNull()).count() == 0
+        seen = {r["cluster_id"] for r in
+                assigned.select("cluster_id").distinct().collect()}
+        assert seen <= {cid for cid, _ in cents}
+        assert assigned.count() == emb.count()
+
+    def test_ivf_full_probe_matches_exact(self, emb):
+        row = emb.filter("vec_id = 7").head()
+        q = [float(x) for x in row["embedding"]]
+        exact = [r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()]
+        full = [r["vec_id"] for r in S.ivf_topk(
+            emb, q, k=10, n_centroids=8, nprobe=8).collect()]
+        assert full == exact  # probing every cluster == exhaustive search
+
+    def test_ivf_partial_probe_recall_and_self_hit(self, emb):
+        row = emb.filter("vec_id = 7").head()
+        q = [float(x) for x in row["embedding"]]
+        exact = {r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()}
+        got = [r["vec_id"] for r in S.ivf_topk(
+            emb, q, k=10, n_centroids=8, nprobe=2).collect()]
+        assert got[0] == 7  # own cluster is always probed first
+        assert len(set(got) & exact) / len(exact) >= 0.3
+
+    def test_ivf_refine_preserves_ids_and_improves_fit(self, emb):
+        cents = S.ivf_seed_centroids(emb, n_centroids=4)
+        refined = S.ivf_refine(emb, cents, iterations=1)
+        assert [c for c, _ in refined] == [c for c, _ in cents]
+        assert all(len(v) == len(cents[0][1]) for _, v in refined)
+        # refined centroids still produce a full, valid assignment
+        assigned = S.ivf_assign(emb, refined)
+        assert assigned.count() == emb.count()
+
 
 class TestText:
     def test_profile_columns(self, docs):

@@ -86,6 +86,15 @@ class TestRound2PlanQuality:
         df = minhash_lsh_pairs(spark, SF_CORRECT)
         plans.assert_no_cartesian(df)
 
+    def test_ivf_ann_no_join_in_assignment(self, spark):
+        # centroids are plan literals: assignment must be a map-only
+        # projection (no join, no shuffle before the top-k)
+        from parquet_index_spark.workload import ivf_ann_topk
+        df = ivf_ann_topk(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+
     def test_multimodal_no_collect_shapes(self, spark):
         from parquet_index_spark.workload import multimodal_pipeline
         df = multimodal_pipeline(spark, SF_CORRECT)
