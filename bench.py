@@ -127,6 +127,19 @@ def main() -> None:
     ann_sec = round(time.time() - t0, 4)
     ann_prune = qctx.index.last_prune_info
 
+    # IVF with a persisted quantizer + indexed cluster column: same file-skip
+    # path with a coarse quantizer instead of sign-LSH
+    ivf_dir = os.path.join(skip_dir, "emb_ivf")
+    if not qctx.index.exists.parquet(ivf_dir):
+        S.write_ivf_indexed(emb, ivf_dir, qctx, n_centroids=16,
+                            files_per_cluster_hint=32)
+    S.ivf_topk_indexed(qctx, ivf_dir, qvec, k=10, nprobe=4).collect()  # warm
+    t0 = time.time()
+    ivf_rows = S.ivf_topk_indexed(qctx, ivf_dir, qvec, k=10,
+                                  nprobe=4).collect()
+    ivf_sec = round(time.time() - t0, 4)
+    ivf_prune = qctx.index.last_prune_info
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     out = {
         "metric": "workload_total_runtime",
@@ -149,6 +162,12 @@ def main() -> None:
             "files_scanned": ann_prune.selected_files,
             "topk_sec": ann_sec,
             "rows": len(ann_rows),
+        },
+        "ivf_file_skip": {
+            "total_files": ivf_prune.total_files,
+            "files_scanned": ivf_prune.selected_files,
+            "topk_sec": ivf_sec,
+            "rows": len(ivf_rows),
         },
     }
     print(json.dumps(out))

@@ -165,11 +165,19 @@ def write_ann_indexed(df: DataFrame, path: str, ctx,
     README-style file-skip path, applied to vector search."""
     out = df.select(F.col(id_col), F.col(vec_col),
                     lsh_bucket(vec_col, num_planes).alias("bucket"))
-    (out.repartition(files_per_bucket_hint, "bucket")
-        .sortWithinPartitions("bucket")
+    _write_dict_indexed(out, path, ctx, "bucket", files_per_bucket_hint)
+
+
+def _write_dict_indexed(out: DataFrame, path: str, ctx, bucket_col: str,
+                        n_files: int) -> None:
+    """Layout + index shared by the LSH and IVF persisted tiers: partition
+    the corpus by its bucket column so each parquet file holds few buckets,
+    then index that column with a dict filter — the index holds EXACT
+    per-file membership (no bloom false hits), so a ``bucket IN (...)``
+    query scans only matching files."""
+    (out.repartition(n_files, bucket_col)
+        .sortWithinPartitions(bucket_col)
         .write.mode("overwrite").parquet(path))
-    # dict filter: at most 2^num_planes distinct buckets per block, so the
-    # index holds EXACT per-file bucket membership (no bloom false hits)
     spark = ctx.spark_session
     key = "spark.sql.index.parquet.filter.type"
     try:
@@ -178,7 +186,7 @@ def write_ann_indexed(df: DataFrame, path: str, ctx,
         old = None
     spark.conf.set(key, "dict")
     try:
-        ctx.index.create.mode("overwrite").indexBy("bucket").parquet(path)
+        ctx.index.create.mode("overwrite").indexBy(bucket_col).parquet(path)
     finally:
         if old is None:
             spark.conf.unset(key)
@@ -304,6 +312,62 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     cand = assigned.filter(F.col("cluster_id").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col, exclude_ids)
+
+
+def write_ivf_indexed(df: DataFrame, path: str, ctx,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_centroids: int = 16, refine_iterations: int = 0,
+                      files_per_cluster_hint: int = 32) -> None:
+    """Persist the corpus with its IVF ``cluster_id`` as a real column and
+    index it, so probed-cluster queries prune FILES — the same composition
+    as write_ann_indexed, with the coarse quantizer in place of sign-LSH.
+
+    The quantizer itself (centroid id + vector) is stored as a tiny parquet
+    sidecar under ``<path>/_ivf_centroids`` — the leading underscore makes
+    Spark's parquet reader skip it when scanning the table, and the query
+    path reloads it instead of re-deriving centroids from data that may
+    since have been filtered or appended."""
+    centroids = ivf_seed_centroids(df, n_centroids, id_col, vec_col)
+    if refine_iterations:
+        centroids = ivf_refine(df, centroids, refine_iterations,
+                               id_col, vec_col)
+    out = ivf_assign(df, centroids, id_col, vec_col) \
+        .select(F.col(id_col), F.col(vec_col), F.col("cluster_id"))
+    _write_dict_indexed(out, path, ctx, "cluster_id", files_per_cluster_hint)
+    import os
+    spark = ctx.spark_session
+    cent_df = spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+        "cluster_id long, centroid array<double>")
+    (cent_df.coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(path, "_ivf_centroids")))
+
+
+def read_ivf_centroids(ctx, path: str) -> List[tuple]:
+    """Load the quantizer sidecar written by write_ivf_indexed."""
+    import os
+    rows = (ctx.spark_session.read
+            .parquet(os.path.join(path, "_ivf_centroids"))
+            .orderBy("cluster_id").collect())
+    return [(int(r["cluster_id"]), [float(x) for x in r["centroid"]])
+            for r in rows]
+
+
+def ivf_topk_indexed(ctx, path: str, query_vec: Sequence[float], k: int = 10,
+                     nprobe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     exclude_ids: Sequence[int] = ()) -> DataFrame:
+    """IVF top-k over a corpus written by write_ivf_indexed: probe clusters
+    become an index predicate (``cluster_id IN (...)``), so only the files
+    holding those clusters are read — assignment is never recomputed at
+    query time. This is the 100 TB query path the inline ivf_topk docstring
+    points at."""
+    centroids = read_ivf_centroids(ctx, path)
+    probes = ivf_probe_clusters(query_vec, centroids, nprobe)
+    t = ctx.index.parquet(path)
+    pruned = t.filter(
+        f"cluster_id IN ({', '.join(str(c) for c in probes)})")
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col, exclude_ids)
 
 
 def _banded_bucket(vec_col: str, band: int, planes_per_band: int) -> Column:

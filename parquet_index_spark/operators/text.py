@@ -35,6 +35,22 @@ def char_count(text_col: str = "text") -> Column:
     return F.length(F.col(text_col))
 
 
+# GPT-2-style pre-tokenizer approximation, restricted to constructs both
+# Java regex (Spark) and RE2 (DuckDB/others) evaluate identically: a token
+# is an optionally space-prefixed letter run, digit run, or punctuation run.
+# The real BPE pattern's lookahead (`\s+(?!\S)`) is dropped — RE2 has no
+# lookahead — which only changes how trailing whitespace groups, not counts.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text_col: str = "text") -> Column:
+    """Subword-boundary token count: splits punctuation from words the way
+    BPE pre-tokenizers do, so `don't stop!` counts 5 ("don", "'", "t",
+    " stop", "!") where whitespace counting sees 2. Pure regexp_count —
+    JVM-side, codegen'd, and the same pattern runs in any RE2 engine."""
+    return F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
+
+
 def stopword_ratio(text_col: str = "text", lang: str = "en") -> Column:
     toks = tokens(text_col)
     sw = STOPWORDS[lang]

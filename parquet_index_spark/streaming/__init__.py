@@ -72,6 +72,27 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
                     "n_events"))
 
 
+def dedup_stream(events: DataFrame, keys: list,
+                 watermark: str = None) -> DataFrame:
+    """Streaming exact dedup: emit each distinct key combination once, at
+    first arrival. Projects down to the keys BEFORE deduplicating so the
+    dedup state holds only keys (at 100 TB the state store carries a few
+    bytes per distinct key, not whole events).
+
+    With a watermark, uses dropDuplicatesWithinWatermark — state for a key
+    is dropped once the watermark passes it, the unbounded-state-safe mode
+    for endless streams; duplicates arriving later than the watermark
+    re-emit. Without one, classic dropDuplicates keeps all keys forever
+    (exact global dedup, bounded-input runs only)."""
+    if watermark is not None:
+        keyed = (events.withWatermark("event_time", watermark)
+                 .select(*keys, "event_time")
+                 .dropDuplicatesWithinWatermark(keys))
+    else:
+        keyed = events.select(*keys).dropDuplicates(keys)
+    return keyed.select(*keys)
+
+
 USER_TOTALS_OUTPUT = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("n_events", T.LongType()),

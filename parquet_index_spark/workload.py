@@ -1285,6 +1285,41 @@ FROM documents ORDER BY doc_id
 """
 
 
+def token_count_stats(spark, sf_dir):
+    """Per-language token budgeting: whitespace vs BPE-ish (pre-tokenizer
+    regex) counts over the documents table — the numbers an LLM-data
+    pipeline uses to size training mixtures. One map-side-combinable
+    aggregation; both counters are pure JVM regex expressions."""
+    from parquet_index_spark.operators import text as X
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        X.token_count().alias("ws"),
+        X.bpe_token_count().alias("bpe"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ws").alias("ws_tokens"),
+                 F.sum("bpe").alias("bpe_tokens"),
+                 F.round(F.sum("bpe").cast("double") / F.count("*"), 4)
+                 .alias("avg_bpe_per_doc"))
+            .orderBy("lang"))
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text,
+             ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS BIGINT)
+         AS bpe_tokens,
+       round(CAST(sum(len(regexp_extract_all(text,
+             ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS DOUBLE)
+             / count(*), 4) AS avg_bpe_per_doc
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def _query_vector(spark, sf_dir, vec_id: int = 0):
     emb = _t(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
@@ -1538,6 +1573,26 @@ def stream_session_windows(spark, sf_dir):
     agg = ST.session_windows(stream, "30 minutes", "2 hours")
     return (ST.run_available_now(agg, name)
             .orderBy("user_id", "session_start"))
+
+
+def stream_dedup_events(spark, sf_dir):
+    """Streaming exact dedup: first arrival per (user_id, event_type) key
+    wins, drained with availableNow. Only the keys are emitted (payload of
+    the arbitrary first row would be arrival-order-dependent), so the
+    result is exactly the distinct key set — the batch-parity contract."""
+    from parquet_index_spark import streaming as ST
+    _STREAM_COUNTER["n"] += 1
+    name = f"pis_stream_dedup_{_STREAM_COUNTER['n']}"
+    stream = ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    deduped = ST.dedup_stream(stream, ["user_id", "event_type"])
+    return (ST.run_available_now(deduped, name, output_mode="append")
+            .orderBy("user_id", "event_type"))
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type
+FROM events ORDER BY user_id, event_type
+"""
 
 
 STREAM_SESSIONS_SQL = """
@@ -1846,6 +1901,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
     "text_profile_by_lang": (text_profile_by_lang, TEXT_PROFILE_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
+    "token_count_stats": (token_count_stats, TOKEN_COUNT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "lsh_bucket_histogram": (lsh_bucket_histogram_q, LSH_HIST_SQL),
     "embedding_similar_pairs": (embedding_similar_pairs, EMB_PAIRS_SQL),
@@ -1854,6 +1910,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "multimodal_pipeline": (multimodal_pipeline, MULTIMODAL_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),
     "stream_session_windows": (stream_session_windows, STREAM_SESSIONS_SQL),
+    "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
     "idx_point_lookup": (idx_point_lookup, IDX_POINT_SQL),
     "idx_range_scan": (idx_range_scan, IDX_RANGE_SQL),
     "idx_in_or_composite": (idx_in_or_composite, IDX_IN_OR_SQL),

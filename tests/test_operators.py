@@ -157,6 +157,23 @@ class TestText:
         assert by_id[1]["fingerprint"] == by_id[2]["fingerprint"]
         assert 0 < by_id[1]["en_stopword_ratio"] < 1
 
+    def test_bpe_token_count_splits_punctuation(self, spark):
+        rows = [Row(doc_id=1, text="don't stop!"),
+                Row(doc_id=2, text="plain words only"),
+                Row(doc_id=3, text="v2.0 costs $15"),
+                Row(doc_id=4, text="")]
+        df = spark.createDataFrame(rows)
+        got = {r["doc_id"]: (r["ws"], r["bpe"]) for r in df.select(
+            "doc_id", X.token_count().alias("ws"),
+            X.bpe_token_count().alias("bpe")).collect()}
+        # "don" "'" "t" " stop" "!"
+        assert got[1] == (2, 5)
+        # pure words: BPE-ish == whitespace
+        assert got[2] == (3, 3)
+        # "v" "2" "." "0" " costs" " $" "15"
+        assert got[3] == (3, 7)
+        assert got[4][1] == 0
+
     def test_fingerprint_normalizes_case_and_space(self, spark):
         df = spark.createDataFrame([
             Row(doc_id=1, text="Hello  World"),
@@ -224,6 +241,27 @@ class TestStreaming:
         got = sorted(map(tuple, res.collect()))
         want = sorted(map(tuple, expected.collect()))
         assert got == want
+
+    def test_stream_dedup_matches_batch_distinct(self, spark):
+        from parquet_index_spark import streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        path = os.path.join(SF_SMOKE, "events.parquet")
+        batch_distinct = sorted(map(tuple, spark.read.parquet(path)
+                                    .select("user_id", "event_type")
+                                    .distinct().collect()))
+        # global (stateful-forever) mode
+        got = sorted(map(tuple, ST.run_available_now(
+            ST.dedup_stream(ST.read_event_stream(spark, path),
+                            ["user_id", "event_type"]),
+            "test_stream_dedup", output_mode="append").collect()))
+        assert got == batch_distinct
+        # watermarked mode: watermark wider than the data span == global
+        got_wm = sorted(map(tuple, ST.run_available_now(
+            ST.dedup_stream(ST.read_event_stream(spark, path),
+                            ["user_id", "event_type"], watermark="365 days"),
+            "test_stream_dedup_wm", output_mode="append").collect()))
+        assert got_wm == batch_distinct
 
     def test_stateful_user_totals_across_batches(self, spark, tmp_table_dir):
         """applyInPandasWithState: state must accumulate across
@@ -326,3 +364,46 @@ class TestScaleHardening:
         want = S.ann_topk_lsh(emb, q, k=5, num_planes=6, num_probes=2).collect()
         assert [(r["vec_id"], r["sim"]) for r in got] == \
             [(r["vec_id"], r["sim"]) for r in want]
+
+    def test_ivf_indexed_prunes_files(self, spark, tmp_metastore,
+                                      tmp_table_dir):
+        from parquet_index_spark import QueryContext
+        from parquet_index_spark.operators import similarity as S
+        emb = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+        ctx = QueryContext(spark)
+        path = os.path.join(tmp_table_dir, "emb_ivf")
+        S.write_ivf_indexed(emb, path, ctx, n_centroids=8,
+                            files_per_cluster_hint=16)
+        # the sidecar quantizer is hidden from the table scan
+        assert spark.read.parquet(path).columns == \
+            ["vec_id", "embedding", "cluster_id"]
+        cents = S.read_ivf_centroids(ctx, path)
+        assert len(cents) == 8
+        q = [float(x) for x in
+             emb.filter("vec_id = 1").select("embedding").head()["embedding"]]
+        got = S.ivf_topk_indexed(ctx, path, q, k=5, nprobe=2).collect()
+        info = ctx.index.last_prune_info
+        assert info.pruned and info.selected_files < info.total_files
+        # parity with the inline-assignment path on the same quantizer
+        want = S.ivf_topk(emb, q, k=5, nprobe=2, centroids=cents).collect()
+        assert [(r["vec_id"], r["sim"]) for r in got] == \
+            [(r["vec_id"], r["sim"]) for r in want]
+
+    def test_ivf_indexed_refined_quantizer_roundtrip(self, spark,
+                                                     tmp_metastore,
+                                                     tmp_table_dir):
+        from parquet_index_spark import QueryContext
+        from parquet_index_spark.operators import similarity as S
+        emb = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+        ctx = QueryContext(spark)
+        path = os.path.join(tmp_table_dir, "emb_ivf_ref")
+        S.write_ivf_indexed(emb, path, ctx, n_centroids=4,
+                            refine_iterations=1, files_per_cluster_hint=8)
+        cents = S.read_ivf_centroids(ctx, path)
+        # refined (mean) centroids are what got persisted, and the stored
+        # assignment agrees with re-assigning against the sidecar
+        stored = spark.read.parquet(path)
+        reassigned = S.ivf_assign(stored.drop("cluster_id"), cents) \
+            .withColumnRenamed("cluster_id", "re_cid")
+        joined = stored.join(reassigned.select("vec_id", "re_cid"), "vec_id")
+        assert joined.filter("cluster_id <> re_cid").count() == 0
