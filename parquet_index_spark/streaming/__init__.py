@@ -93,6 +93,35 @@ def dedup_stream(events: DataFrame, keys: list,
     return keyed.select(*keys)
 
 
+def event_funnel_join(events: DataFrame, from_type: str, to_type: str,
+                      max_delay: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: for each ``from_type`` event, the
+    ``to_type`` events by the same user within ``max_delay`` afterwards —
+    the funnel/attribution primitive (click -> purchase).
+
+    Both sides carry watermarks and the join condition bounds event time on
+    both ends, so Spark can expire join state: a from-event's state lives
+    at most watermark + max_delay. Without the time bound the state store
+    would grow forever — the stream-stream-join scale contract."""
+    src = (events.filter(F.col("event_type") == from_type)
+           .select(F.col("user_id"),
+                   F.col("event_id").alias("from_id"),
+                   F.col("event_time").alias("from_time"))
+           .withWatermark("from_time", watermark))
+    dst = (events.filter(F.col("event_type") == to_type)
+           .select(F.col("user_id").alias("__dst_user"),
+                   F.col("event_id").alias("to_id"),
+                   F.col("event_time").alias("to_time"))
+           .withWatermark("to_time", watermark))
+    return (src.join(
+        dst,
+        F.expr(f"user_id = __dst_user AND to_time >= from_time "
+               f"AND to_time <= from_time + interval {max_delay}"),
+        "inner")
+        .select("user_id", "from_id", "to_id"))
+
+
 USER_TOTALS_OUTPUT = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("n_events", T.LongType()),

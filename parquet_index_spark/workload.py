@@ -1595,6 +1595,33 @@ FROM events ORDER BY user_id, event_type
 """
 
 
+def stream_funnel_join(spark, sf_dir):
+    """Stream-stream interval join (click -> purchase within 30 minutes by
+    the same user), drained with availableNow. Inner-join results are
+    emitted as matches arrive, so the drained set equals the batch join —
+    the oracle is the equivalent self-join at microsecond precision (both
+    engines truncate the parquet ns timestamps to µs: `ts div 1000` here,
+    epoch_us there)."""
+    from parquet_index_spark import streaming as ST
+    _STREAM_COUNTER["n"] += 1
+    name = f"pis_stream_funnel_{_STREAM_COUNTER['n']}"
+    stream = ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    joined = ST.event_funnel_join(stream, "click", "purchase", "30 minutes")
+    return (ST.run_available_now(joined, name, output_mode="append")
+            .orderBy("user_id", "from_id", "to_id"))
+
+
+STREAM_FUNNEL_SQL = """
+SELECT c.user_id, c.event_id AS from_id, b.event_id AS to_id
+FROM events c JOIN events b
+  ON c.user_id = b.user_id
+ AND c.event_type = 'click' AND b.event_type = 'purchase'
+ AND epoch_us(b.ts) >= epoch_us(c.ts)
+ AND epoch_us(b.ts) <= epoch_us(c.ts) + 1800 * 1000000
+ORDER BY c.user_id, from_id, to_id
+"""
+
+
 STREAM_SESSIONS_SQL = """
 WITH ev AS (
   SELECT user_id, ts,
@@ -1911,6 +1938,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),
     "stream_session_windows": (stream_session_windows, STREAM_SESSIONS_SQL),
     "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
+    "stream_funnel_join": (stream_funnel_join, STREAM_FUNNEL_SQL),
     "idx_point_lookup": (idx_point_lookup, IDX_POINT_SQL),
     "idx_range_scan": (idx_range_scan, IDX_RANGE_SQL),
     "idx_in_or_composite": (idx_in_or_composite, IDX_IN_OR_SQL),

@@ -263,6 +263,29 @@ class TestStreaming:
             "test_stream_dedup_wm", output_mode="append").collect()))
         assert got_wm == batch_distinct
 
+    def test_stream_funnel_join_matches_batch(self, spark):
+        from parquet_index_spark import streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        path = os.path.join(SF_SMOKE, "events.parquet")
+        got = sorted(map(tuple, ST.run_available_now(
+            ST.event_funnel_join(
+                ST.read_event_stream(spark, path), "click", "purchase"),
+            "test_stream_funnel", output_mode="append").collect()))
+        ev = spark.read.parquet(path).withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        c = ev.filter("event_type = 'click'").select(
+            "user_id", F.col("event_id").alias("from_id"),
+            F.col("event_time").alias("ft"))
+        b = ev.filter("event_type = 'purchase'").select(
+            F.col("user_id").alias("bu"), F.col("event_id").alias("to_id"),
+            F.col("event_time").alias("tt"))
+        want = sorted(map(tuple, c.join(
+            b, F.expr("user_id = bu AND tt >= ft AND "
+                      "tt <= ft + interval 30 minutes"))
+            .select("user_id", "from_id", "to_id").collect()))
+        assert got == want and len(got) > 0
+
     def test_stateful_user_totals_across_batches(self, spark, tmp_table_dir):
         """applyInPandasWithState: state must accumulate across
         micro-batches; final per-user totals equal the batch aggregate."""
