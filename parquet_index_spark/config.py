@@ -45,7 +45,7 @@ class IndexConf:
     create_if_not_exists: bool
     num_partitions: int
     filter_enabled: bool
-    filter_type: str          # "bloom" | "dict"
+    filter_type: str          # "bloom" | "dict" | "bitmap"
     filter_eager_loading: bool
     dict_max_size: int
     bloom_fpp: float
@@ -77,10 +77,10 @@ class IndexConf:
             num = max(1, int(num_partitions))
 
         filter_type = (get(PARQUET_FILTER_TYPE, "bloom") or "bloom").lower()
-        if filter_type not in ("bloom", "dict"):
+        if filter_type not in ("bloom", "dict", "bitmap"):
             raise ValueError(
                 f"Unsupported {PARQUET_FILTER_TYPE}={filter_type}, "
-                "expected 'bloom' or 'dict'")
+                "expected 'bloom', 'dict' or 'bitmap'")
 
         return cls(
             metastore_location=location,

@@ -12,10 +12,11 @@ fold as a Spark aggregation over the stats *parquet* directly:
       -> boolean fold expression (same boundary semantics)
       -> bool_or per path -> surviving file list
 
-Membership (dict/bloom) refinement applies here too (round-2): dict
+Membership (dict/bloom/bitmap) refinement applies here too (round-2): dict
 filters fold as ``arrays_overlap`` on the metadata's list column — pure
-codegen; blooms probe through an Arrow-batched pandas UDF over the binary
-column (executor-side, no driver collect). The reference applies the same
+codegen; blooms and dense int bitmaps probe through an Arrow-batched pandas
+UDF over the binary column (executor-side, no driver collect), dispatched
+on the serialization magic. The reference applies the same
 per-block refinement in ParquetIndexFilters.scala:54-75. The engine
 auto-switches to this path based on
 ``spark.sql.index.pruning.sparkThreshold`` (block count).
@@ -61,28 +62,37 @@ def _pivot_stats(stats_df, columns: List[str]):
     return stats_df.groupBy("path", "block").agg(*aggs)
 
 
-def _bloom_any_probe(hash_pairs: List[tuple]):
-    """Arrow-batched UDF: bloom binary -> might-contain-any(values).
+def _bloom_any_probe(hash_pairs: List[tuple], int_values: List[int]):
+    """Arrow-batched UDF: membership binary -> might-contain-any(values),
+    dispatched on the serialization magic (bloom or dense bitmap).
 
     The probe values' hash PAIRS are precomputed driver-side and baked into
-    the closure; each batch row is k bit tests — executor-side, no driver
-    involvement, no hashing in the UDF."""
+    the closure; each batch row is k bit tests (bloom) or exact offset bit
+    tests (bitmap) — executor-side, no driver involvement, no hashing in
+    the UDF."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
     def probe(blooms: pd.Series) -> pd.Series:
-        from parquet_index_spark.statistics import BloomFilter
+        from parquet_index_spark.statistics import (
+            BloomFilter, BitmapFilter, _BITMAP_MAGIC)
         out = []
         for b in blooms:
             if b is None or len(b) == 0:
                 out.append(True)
-            else:
-                try:
-                    bf = BloomFilter.from_bytes(bytes(b))
+                continue
+            try:
+                raw = bytes(b)
+                if raw[:8] == _BITMAP_MAGIC:
+                    bm = BitmapFilter.from_bytes(raw)
+                    out.append(any(bm.might_contain(v, "long")
+                                   for v in int_values))
+                else:
+                    bf = BloomFilter.from_bytes(raw)
                     out.append(any(bf.might_contain_pair(h1, h2)
                                    for h1, h2 in hash_pairs))
-                except ValueError:
-                    out.append(True)  # unknown format => scan (sound)
+            except ValueError:
+                out.append(True)  # unknown format => scan (sound)
         return pd.Series(out)
 
     return probe
@@ -106,7 +116,7 @@ def _membership_ok(col: str, kind: str, values: list) -> F.Column:
         ds, F.array(*[F.lit(v) for v in str_vals])) if str_vals else F.lit(False)
     from parquet_index_spark.statistics import hash_pair_for
     pairs = [hash_pair_for(v, kind) for v in values]
-    bloom_ok = _bloom_any_probe(pairs)(bloom)
+    bloom_ok = _bloom_any_probe(pairs, int_vals)(bloom)
     return (F.when(has_dl, dl_ok)
             .when(has_ds, ds_ok)
             .when(bloom.isNotNull(), bloom_ok)

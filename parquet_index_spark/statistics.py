@@ -33,6 +33,10 @@ BLOOM_FPP = 0.03
 BLOOM_MAX_ITEMS = 1 << 20
 _MAGIC = b"PIBLOOM2"
 BLOOM_FORMAT = 2
+_BITMAP_MAGIC = b"PIBITMP1"
+# widest (max-min) span a dense bitmap will cover per block x column:
+# 2^20 bits = 128 KiB worst case; wider spans fall back to bloom
+BITMAP_MAX_RANGE = 1 << 20
 
 
 def _hash_pair(data: bytes) -> tuple:
@@ -156,6 +160,66 @@ class BloomFilter:
         return cls(num_bits, num_hashes, bytearray(data[16:]))
 
 
+class BitmapFilter:
+    """Dense bitmap over a block's integer value span — EXACT membership
+    for long-space columns, the reference's RoaringBitmap int-column path
+    (ColumnFilterStatistics.scala:364-393) re-expressed as an offset
+    bitset: bit (v - min) is set iff v occurred in the block. No false
+    positives, no false negatives inside the span; values outside
+    [min, min + num_bits) are definitively absent.
+
+    Serialized into the same binary metadata column as blooms and
+    dispatched by magic, so no metadata schema change: readers that see an
+    unknown magic degrade to "no filter" (scan, always sound)."""
+
+    __slots__ = ("vmin", "num_bits", "bits")
+
+    def __init__(self, vmin: int, num_bits: int,
+                 bits: Optional[bytearray] = None):
+        self.vmin = vmin
+        self.num_bits = num_bits
+        self.bits = bits if bits is not None else bytearray((num_bits + 7) // 8)
+
+    @classmethod
+    def from_values(cls, values) -> Optional["BitmapFilter"]:
+        """Build from normalized long-space values; None if the span is too
+        wide for a dense representation (caller falls back to bloom)."""
+        import numpy as np
+        arr = np.asarray(list(values), dtype=np.int64)
+        if len(arr) == 0:
+            return cls(0, 1)
+        vmin = int(arr.min())
+        span = int(arr.max()) - vmin + 1
+        if span > BITMAP_MAX_RANGE:
+            return None
+        out = cls(vmin, span)
+        bits = np.frombuffer(out.bits, dtype=np.uint8).copy()
+        idx = (arr - vmin).astype(np.int64)
+        np.bitwise_or.at(bits, idx >> 3,
+                         np.left_shift(np.uint8(1),
+                                       (idx & 7).astype(np.uint8)))
+        out.bits = bytearray(bits.tobytes())
+        return out
+
+    def might_contain(self, value: Any, kind: str) -> bool:
+        v = int(ityp.literal_to_stat_value(value, kind))
+        idx = v - self.vmin
+        if idx < 0 or idx >= self.num_bits:
+            return False
+        return bool((self.bits[idx >> 3] >> (idx & 7)) & 1)
+
+    def to_bytes(self) -> bytes:
+        header = _BITMAP_MAGIC + struct.pack(">qI", self.vmin, self.num_bits)
+        return header + bytes(self.bits)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BitmapFilter":
+        if data[:8] != _BITMAP_MAGIC:
+            raise ValueError("not a serialized BitmapFilter")
+        vmin, num_bits = struct.unpack(">qI", data[8:20])
+        return cls(vmin, num_bits, bytearray(data[20:]))
+
+
 class DictFilter:
     """Exact membership over a set of normalized values (long-space or str)."""
 
@@ -169,17 +233,22 @@ class DictFilter:
 
 
 class MembershipFilter:
-    """Uniform wrapper the pruner consults: dict if present, else bloom."""
+    """Uniform wrapper the pruner consults: dict, bitmap, or bloom."""
 
-    __slots__ = ("dict_filter", "bloom_filter")
+    __slots__ = ("dict_filter", "bloom_filter", "bitmap_filter")
 
-    def __init__(self, dict_filter: Optional[DictFilter], bloom_filter: Optional[BloomFilter]):
+    def __init__(self, dict_filter: Optional[DictFilter],
+                 bloom_filter: Optional[BloomFilter],
+                 bitmap_filter: Optional[BitmapFilter] = None):
         self.dict_filter = dict_filter
         self.bloom_filter = bloom_filter
+        self.bitmap_filter = bitmap_filter
 
     def might_contain(self, value: Any, kind: str) -> bool:
         if self.dict_filter is not None:
             return self.dict_filter.might_contain(value, kind)
+        if self.bitmap_filter is not None:
+            return self.bitmap_filter.might_contain(value, kind)
         if self.bloom_filter is not None:
             return self.bloom_filter.might_contain(value, kind)
         return True
@@ -208,6 +277,9 @@ class ColumnMembership:
         self.dict_str: Optional[Any] = None    # object[total_str]
         # [(row_ids int64[g], num_bits, num_hashes, bits uint8[g, nbytes])]
         self.bloom_groups: list = []
+        # one ragged group: (row_ids, vmins int64[g], nbits int64[g],
+        #                    byte_offsets int64[g+1], concat bytes uint8[~])
+        self.bitmap_group: Optional[tuple] = None
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -219,6 +291,7 @@ class ColumnMembership:
         long_parts: list = []
         str_parts: list = []
         groups: dict = {}
+        bitmap_rows: list = []
         li = si = 0
         for i in range(n):
             dl, ds, bb = dict_long_col[i], dict_str_col[i], bloom_col[i]
@@ -237,6 +310,11 @@ class ColumnMembership:
                 m, k = struct.unpack(">II", bb[8:16])
                 groups.setdefault((m, k), []).append((i, bytes(bb[16:])))
                 out.has_filter[i] = True
+            elif isinstance(bb, (bytes, bytearray)) and len(bb) >= 20 \
+                    and bytes(bb[:8]) == _BITMAP_MAGIC:
+                vmin, nbit = struct.unpack(">qI", bb[8:20])
+                bitmap_rows.append((i, vmin, nbit, bytes(bb[20:])))
+                out.has_filter[i] = True
             out.long_offsets[i + 1] = li
             out.str_offsets[i + 1] = si
         if long_parts:
@@ -249,6 +327,15 @@ class ColumnMembership:
             bits = np.frombuffer(b"".join(r[1] for r in rows),
                                  dtype=np.uint8).reshape(len(rows), nbytes)
             out.bloom_groups.append((ids, m, k, bits))
+        if bitmap_rows:
+            ids = np.array([r[0] for r in bitmap_rows], dtype=np.int64)
+            vmins = np.array([r[1] for r in bitmap_rows], dtype=np.int64)
+            nbits = np.array([r[2] for r in bitmap_rows], dtype=np.int64)
+            offs = np.zeros(len(bitmap_rows) + 1, dtype=np.int64)
+            offs[1:] = np.cumsum([len(r[3]) for r in bitmap_rows])
+            concat = np.frombuffer(b"".join(r[3] for r in bitmap_rows),
+                                   dtype=np.uint8)
+            out.bitmap_group = (ids, vmins, nbits, offs, concat)
         return out
 
     @classmethod
@@ -267,6 +354,8 @@ class ColumnMembership:
                     dict_str[i] = vals
                 else:
                     dict_long[i] = vals
+            elif mf.bitmap_filter is not None:
+                bloom[i] = mf.bitmap_filter.to_bytes()
             elif mf.bloom_filter is not None:
                 bloom[i] = mf.bloom_filter.to_bytes()
         return cls.build(dict_long, dict_str, bloom)
@@ -298,6 +387,22 @@ class ColumnMembership:
                 blk = np.searchsorted(self.str_offsets, pos, side="right") - 1
                 dict_hit[blk] = True
             out |= candidates & self.has_dict & dict_hit
+        if self.bitmap_group is not None:
+            ids, vmins, nbits, offs, concat = self.bitmap_group
+            cand = candidates[ids]
+            if cand.any():
+                any_val = np.zeros(len(ids), dtype=bool)
+                for v in values:
+                    if isinstance(v, str):
+                        continue
+                    idx = np.int64(v) - vmins
+                    ok = cand & ~any_val & (idx >= 0) & (idx < nbits)
+                    if ok.any():
+                        safe = np.where(ok, idx, 0)
+                        byte = concat[offs[:-1] + (safe >> 3)]
+                        hit = (byte & (1 << (safe & 7)).astype(np.uint8)) > 0
+                        any_val |= ok & hit
+                out[ids] |= any_val
         for ids, m, k, bits in self.bloom_groups:
             cand = candidates[ids]
             if not cand.any():
@@ -327,6 +432,11 @@ def build_filters(unique_values: Iterable[Any], kind: str, filter_type: str,
     values = list(unique_values)
     if filter_type == "dict" and len(values) <= dict_max_size:
         return values, None
+    if filter_type == "bitmap" and values and not isinstance(values[0], str):
+        bm = BitmapFilter.from_values(values)
+        if bm is not None:
+            return None, bm.to_bytes()
+        # span too wide for a dense bitmap: bloom below (sound, inexact)
     bloom = BloomFilter.create(max(len(values), 1) if values else 1, bloom_fpp)
     if values and not isinstance(values[0], str):
         # long-space kinds: one vectorized uint64 pass per hash round

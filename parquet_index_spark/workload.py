@@ -58,8 +58,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _indexed(spark: SparkSession, sf_dir: str, table: str, cols: list):
-    """Load table through the index layer (create index on first use)."""
+def _indexed(spark: SparkSession, sf_dir: str, table: str, cols: list,
+             filter_type: str = None):
+    """Load table through the index layer (create index on first use);
+    ``filter_type`` overrides the membership filter kind for the build."""
     ensure_session_confs(spark)
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
@@ -67,7 +69,21 @@ def _indexed(spark: SparkSession, sf_dir: str, table: str, cols: list):
     ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
     path = os.path.join(sf_dir, f"{table}.parquet")
     if not ctx.index.exists.parquet(path):
-        ctx.index.create.mode("ignore").indexBy(*cols).parquet(path)
+        key = "spark.sql.index.parquet.filter.type"
+        try:
+            old = spark.conf.get(key)
+        except Exception:
+            old = None
+        if filter_type:
+            spark.conf.set(key, filter_type)
+        try:
+            ctx.index.create.mode("ignore").indexBy(*cols).parquet(path)
+        finally:
+            if filter_type:
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
     return ctx.index.parquet(path)
 
 
@@ -198,6 +214,24 @@ FROM lineitem
 WHERE (l_orderkey IN (42, 4242, 9999) OR l_returnflag = 'R')
   AND l_linenumber BETWEEN 1 AND 2
 GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def idx_bitmap_point(spark, sf_dir):
+    """A8 bitmap filter statistics end-to-end: customer is indexed with
+    ``filter.type=bitmap`` (dense exact per-block int bitsets — the
+    reference's RoaringBitmap path), then point-looked-up on c_custkey.
+    Exact membership means zero bloom-style false-positive file reads."""
+    t = _indexed(spark, sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"], filter_type="bitmap")
+    return (t.filter("c_custkey IN (421, 900)")
+            .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+            .orderBy("c_custkey"))
+
+
+IDX_BITMAP_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+FROM customer WHERE c_custkey IN (421, 900) ORDER BY c_custkey
 """
 
 
@@ -1946,6 +1980,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_orders_priority": (idx_orders_priority, IDX_ORDERS_SQL),
     "idx_events_point": (idx_events_point, IDX_EVENTS_SQL),
     "idx_column_predicate": (idx_column_predicate, IDX_COLUMN_SQL),
+    "idx_bitmap_point": (idx_bitmap_point, IDX_BITMAP_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_nation_volume": (q5_nation_volume, Q5_SQL),

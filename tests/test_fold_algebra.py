@@ -18,7 +18,8 @@ from parquet_index_spark.pruning import (
     BlockStatsContext, ColumnBlockStats, evaluate, prune_files,
 )
 from parquet_index_spark.statistics import (
-    BloomFilter, DictFilter, MembershipFilter, build_filters,
+    BITMAP_MAX_RANGE, BitmapFilter, BloomFilter, DictFilter,
+    MembershipFilter, build_filters,
 )
 
 
@@ -260,6 +261,42 @@ class TestMembershipFilters:
     def test_range_predicates_ignore_filters(self):
         ctx = self._ctx_with_dict({5})
         assert fold1(P.Gt("a", 3), ctx) is True  # dict not consulted for ranges
+
+    def test_bitmap_exact_membership(self):
+        # dense int bitmap: the reference's RoaringBitmap int path
+        # (ColumnFilterStatistics.scala:364-393) — exact, both directions
+        bm = BitmapFilter.from_values([1, 5, 9])
+        mf = MembershipFilter(None, None, bm)
+        ctx = make_ctx(
+            [{"file": "f0", "rows": 100, "cols": {"a": (L, 1, 9, 0)}}],
+            membership={"a": [mf]})
+        assert fold1(P.Eq("a", 5), ctx) is True
+        assert fold1(P.Eq("a", 4), ctx) is False   # in span, bit unset
+        assert fold1(P.Eq("a", 50), ctx) is False  # outside span
+        assert fold1(P.In("a", (4, 6)), ctx) is False
+        assert fold1(P.In("a", (4, 9)), ctx) is True
+
+    def test_bitmap_roundtrip_and_no_false_positives(self):
+        vals = list(range(0, 5000, 7))
+        bm = BitmapFilter.from_bytes(BitmapFilter.from_values(vals).to_bytes())
+        for v in vals:
+            assert bm.might_contain(v, L)
+        misses = [v for v in range(5000) if v % 7 and bm.might_contain(v, L)]
+        assert misses == []  # exact: zero false positives
+
+    def test_bitmap_build_falls_back_to_bloom_on_wide_span(self):
+        # span exceeding BITMAP_MAX_RANGE cannot be dense: builder degrades
+        # to bloom (sound, inexact) instead of allocating an outsized bitmap
+        d, blob = build_filters([0, BITMAP_MAX_RANGE + 10], L, "bitmap",
+                                dict_max_size=0, block_rows=2)
+        assert d is None and blob[:8] == b"PIBLOOM2"
+        d2, blob2 = build_filters([0, 100], L, "bitmap",
+                                  dict_max_size=0, block_rows=2)
+        assert d2 is None and blob2[:8] == b"PIBITMP1"
+        # string columns never bitmap: fall back to bloom
+        d3, blob3 = build_filters(["x", "y"], ityp.STRING, "bitmap",
+                                  dict_max_size=0, block_rows=2)
+        assert d3 is None and blob3[:8] == b"PIBLOOM2"
 
 
 class TestFilePruning:

@@ -98,6 +98,24 @@ class TestPartitionedTables:
 
 
 class TestFilterStatistics:
+    @pytest.fixture(autouse=True)
+    def _restore_filter_confs(self, spark):
+        keys = ("spark.sql.index.parquet.filter.enabled",
+                "spark.sql.index.parquet.filter.type")
+
+        def get(k):
+            try:
+                return spark.conf.get(k)
+            except Exception:
+                return None
+        old = {k: get(k) for k in keys}
+        yield
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
     @pytest.fixture()
     def table16(self, spark, tmp_table_dir):
         """wide16 fixture: 16 rows in 16 files (IndexSuite.scala:233-357)."""
@@ -106,7 +124,7 @@ class TestFilterStatistics:
         df.repartition(16, "id").write.parquet(path)
         return path
 
-    @pytest.mark.parametrize("ftype", ["bloom", "dict"])
+    @pytest.mark.parametrize("ftype", ["bloom", "dict", "bitmap"])
     def test_point_query_with_filter_stats(self, spark, ctx, table16, ftype):
         spark.conf.set("spark.sql.index.parquet.filter.enabled", "true")
         spark.conf.set("spark.sql.index.parquet.filter.type", ftype)

@@ -112,7 +112,7 @@ MEMBERSHIP_PREDICATES = [
 class TestSparkPruningMembership:
     """VERDICT item 5: the distributed path consults filter statistics."""
 
-    @pytest.mark.parametrize("filtered_table", ["bloom", "dict"],
+    @pytest.mark.parametrize("filtered_table", ["bloom", "dict", "bitmap"],
                              indirect=True)
     @pytest.mark.parametrize("pred", MEMBERSHIP_PREDICATES)
     def test_same_survivors_with_filters(self, spark, ctx, filtered_table, pred):
