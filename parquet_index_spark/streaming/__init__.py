@@ -163,6 +163,27 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
                 "update", GroupStateTimeout.NoTimeout))
 
 
+def write_parquet_sink(stream_df: DataFrame, path: str, checkpoint: str,
+                       timeout: int = 300) -> None:
+    """Drain a (non-aggregated) stream into a parquet file sink with
+    exactly-once semantics: the checkpoint + the sink's _spark_metadata
+    commit log make replayed micro-batches idempotent, so a restart never
+    duplicates rows — the durable-pipeline counterpart of the memory-sink
+    harness. availableNow-triggered; raises instead of returning a
+    partially written table on timeout."""
+    q = (stream_df.writeStream.format("parquet")
+         .option("path", path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain into {path!r} exceeded {timeout}s; "
+            "parquet sink would be partial")
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       output_mode: str = "complete") -> DataFrame:
     """Drain all available input through the streaming engine into a memory

@@ -1645,6 +1645,38 @@ def stream_funnel_join(spark, sf_dir):
             .orderBy("user_id", "from_id", "to_id"))
 
 
+def stream_sink_roundtrip(spark, sf_dir):
+    """Streaming parquet SINK: purchase events stream through a filter +
+    projection into a checkpointed parquet file sink (exactly-once commit
+    log), then the sink is read back batch-side and aggregated. The
+    roundtrip proves the durable write path, and the aggregate equals the
+    batch computation regardless of micro-batch boundaries."""
+    import tempfile
+    from parquet_index_spark import streaming as ST
+    _STREAM_COUNTER["n"] += 1
+    base = tempfile.mkdtemp(prefix="pis_sink_")
+    stream = ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out = (stream.filter(F.col("event_type") == "purchase")
+           .select("event_id", "user_id", "value"))
+    ST.write_parquet_sink(out, os.path.join(base, "data"),
+                          os.path.join(base, "ckpt"))
+    back = spark.read.parquet(os.path.join(base, "data"))
+    return (back.groupBy("user_id")
+            .agg(F.count("*").alias("n_purchases"),
+                 F.round(F.sum("value"), 2).alias("total_value"),
+                 F.max("event_id").alias("max_event_id"))
+            .orderBy("user_id"))
+
+
+STREAM_SINK_SQL = """
+SELECT user_id, count(*) AS n_purchases,
+       round(sum(value), 2) AS total_value,
+       max(event_id) AS max_event_id
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 STREAM_FUNNEL_SQL = """
 SELECT c.user_id, c.event_id AS from_id, b.event_id AS to_id
 FROM events c JOIN events b
@@ -1973,6 +2005,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "stream_session_windows": (stream_session_windows, STREAM_SESSIONS_SQL),
     "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
     "stream_funnel_join": (stream_funnel_join, STREAM_FUNNEL_SQL),
+    "stream_sink_roundtrip": (stream_sink_roundtrip, STREAM_SINK_SQL),
     "idx_point_lookup": (idx_point_lookup, IDX_POINT_SQL),
     "idx_range_scan": (idx_range_scan, IDX_RANGE_SQL),
     "idx_in_or_composite": (idx_in_or_composite, IDX_IN_OR_SQL),
