@@ -459,6 +459,33 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def percentile_quantities(spark, sf_dir):
+    """Exact interpolated percentiles per return flag: Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` both take the linear
+    interpolation between the two nearest order statistics, so the values
+    match to the rounding precision. (percentile_approx, by contrast, is
+    engine-specific — its counterpart approx_distinct_parts uses an
+    error-bound-vs-exact oracle instead.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_quantity, 0.5)"), 4)
+                 .alias("p50_qty"),
+                 F.round(F.expr("percentile(l_quantity, 0.9)"), 4)
+                 .alias("p90_qty"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2)
+                 .alias("p95_price"))
+            .orderBy("l_returnflag"))
+
+
+PERCENTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def setop_active_building_buyers(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -2045,6 +2072,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "cumulative_spend": (cumulative_spend, CUMSUM_SQL),
     "rollup_sales": (rollup_sales, ROLLUP_SQL),
     "distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_SQL),
+    "percentile_quantities": (percentile_quantities, PERCENTILE_SQL),
     "setop_active_building_buyers": (setop_active_building_buyers, SETOP_SQL),
     "scalar_functions_showcase": (scalar_functions_showcase, SCALAR_SQL),
     "sessionize_events": (sessionize_events, SESSION_SQL),
