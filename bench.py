@@ -140,6 +140,20 @@ def main() -> None:
     ivf_sec = round(time.time() - t0, 4)
     ivf_prune = qctx.index.last_prune_info
 
+    # Z-order layout: one clustered rewrite of orders, then range filters
+    # on EITHER keyed dimension skip files via plain min/max stats
+    from parquet_index_spark.sources import write_zordered
+    z_dir = os.path.join(skip_dir, "orders_z")
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    if not qctx.index.exists.parquet(z_dir):
+        write_zordered(orders, z_dir, ["o_custkey", "o_orderkey"],
+                       n_files=32, mode="overwrite")
+    zt = qctx.index.parquet(z_dir)
+    zt.filter("o_custkey BETWEEN 400 AND 600").count()
+    z_cust = qctx.index.last_prune_info
+    zt.filter("o_orderkey BETWEEN 10000 AND 20000").count()
+    z_ord = qctx.index.last_prune_info
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     out = {
         "metric": "workload_total_runtime",
@@ -168,6 +182,11 @@ def main() -> None:
             "files_scanned": ivf_prune.selected_files,
             "topk_sec": ivf_sec,
             "rows": len(ivf_rows),
+        },
+        "zorder_file_skip": {
+            "total_files": z_cust.total_files,
+            "files_scanned_custkey_range": z_cust.selected_files,
+            "files_scanned_orderkey_range": z_ord.selected_files,
         },
     }
     print(json.dumps(out))

@@ -50,6 +50,60 @@ def write_indexed(df: DataFrame, path: str,
     cmd.parquet(path)
 
 
+def zorder_key(df: DataFrame, cols: List[str], bits: int = 16):
+    """Morton (Z-order) key Column over numeric columns: scale each column
+    to ``bits``-bit integers by its global min/max (one tiny driver-side
+    agg — write-time only), then interleave the bits. Rows close on the
+    Z-curve are close in EVERY keyed dimension, so range-partitioning by
+    this key gives each output file a compact hyper-rectangle — per-file
+    min/max stats become tight on ALL the keyed columns at once, and the
+    engine's ordinary fold prunes on any of them (the multi-dimensional
+    clustering trick behind Delta/Iceberg OPTIMIZE ZORDER)."""
+    from pyspark.sql import functions as F
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder_key: bits*len(cols) = {bits * len(cols)} exceeds the "
+            "63 usable bits of a long; lower bits or key fewer columns")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    r = df.agg(*aggs).head()
+    top = (1 << bits) - 1
+    k = len(cols)
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn, mx = float(r[f"__mn_{c}"]), float(r[f"__mx_{c}"])
+        span = (mx - mn) or 1.0
+        scaled = F.floor((F.col(c).cast("double") - F.lit(mn))
+                         / F.lit(span) * F.lit(float(top))).cast("long")
+        scaled = F.greatest(F.lit(0).cast("long"),
+                            F.least(F.lit(top).cast("long"), scaled))
+        for i in range(bits):
+            bit = F.shiftright(scaled, i).bitwiseAND(F.lit(1).cast("long"))
+            key = key.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return key
+
+
+def write_zordered(df: DataFrame, path: str, zorder_by: List[str],
+                   n_files: int = 32, bits: int = 16,
+                   index_by: Optional[List[str]] = None,
+                   mode: str = "error") -> None:
+    """Write ``df`` Z-order-clustered on ``zorder_by`` and index it: range-
+    partition + sort by the Morton key so each parquet file covers a
+    compact Z-curve segment, then index the keyed columns — point/range
+    filters on ANY of them skip files via plain min/max stats. The key is
+    layout-only; it is not stored."""
+    key = zorder_key(df, zorder_by, bits)
+    out = (df.withColumn("__zkey", key)
+           .repartitionByRange(n_files, "__zkey")
+           .sortWithinPartitions("__zkey")
+           .drop("__zkey"))
+    out.write.mode(mode).parquet(path)
+    ctx = QueryContext(df.sparkSession)
+    (ctx.index.create.mode("overwrite" if mode == "overwrite" else "ignore")
+        .indexBy(*(index_by or zorder_by)).parquet(path))
+
+
 def ingest_csv(spark, csv_path: str, table_path: str, *, header: bool = True,
                infer_schema: bool = True, **write_kwargs) -> None:
     """CSV -> indexed parquet (ingestion path for raw drops)."""

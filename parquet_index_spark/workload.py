@@ -217,6 +217,41 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def idx_zorder_range(spark, sf_dir):
+    """Z-order clustering end-to-end: orders is rewritten once, Morton-
+    clustered on (o_custkey, o_orderkey), and indexed; a range filter on
+    EITHER dimension then skips most files via plain min/max stats — the
+    multi-dimensional layout trick a 100 TB table needs when queries come
+    in on more than one key. Results are layout-independent, so the oracle
+    is the same SQL over the original table."""
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    zpath = os.path.join(tempfile.gettempdir(), "spark_graft_zorder",
+                         os.path.basename(os.path.normpath(sf_dir)), "orders")
+    if not ctx.index.exists.parquet(zpath):
+        from parquet_index_spark.sources import write_zordered
+        write_zordered(_t(spark, sf_dir, "orders"), zpath,
+                       ["o_custkey", "o_orderkey"], n_files=16,
+                       mode="overwrite")
+    t = ctx.index.parquet(zpath)
+    return (t.filter("o_custkey BETWEEN 400 AND 600")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 _dsum(_dec("o_totalprice"), "sum_price"))
+            .orderBy("o_orderpriority"))
+
+
+IDX_ZORDER_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_custkey BETWEEN 400 AND 600
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def idx_bitmap_point(spark, sf_dir):
     """A8 bitmap filter statistics end-to-end: customer is indexed with
     ``filter.type=bitmap`` (dense exact per-block int bitsets — the
@@ -2041,6 +2076,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_events_point": (idx_events_point, IDX_EVENTS_SQL),
     "idx_column_predicate": (idx_column_predicate, IDX_COLUMN_SQL),
     "idx_bitmap_point": (idx_bitmap_point, IDX_BITMAP_SQL),
+    "idx_zorder_range": (idx_zorder_range, IDX_ZORDER_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_nation_volume": (q5_nation_volume, Q5_SQL),

@@ -63,3 +63,54 @@ class TestIngestion:
         out = os.path.join(tmp_table_dir, "json_table")
         ingest_json(spark, js, out, index_by=["id"])
         assert ctx.index.parquet(out).filter("id = 1").count() == 1
+
+
+class TestZOrder:
+    def test_zorder_key_is_monotone_per_dimension_corner(self, spark):
+        from parquet_index_spark.sources import zorder_key
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(
+            [Row(x=i, y=j) for i in range(4) for j in range(4)])
+        keyed = df.withColumn("k", zorder_key(df, ["x", "y"], bits=2))
+        rows = {(r["x"], r["y"]): r["k"] for r in keyed.collect()}
+        # the classic 2-bit Morton square: (0,0)=0 corner, (3,3)=max corner
+        assert rows[(0, 0)] == 0
+        assert rows[(3, 3)] == 15
+        assert len(set(rows.values())) == 16  # bijective on the grid
+
+    def test_zorder_key_rejects_too_many_bits(self, spark):
+        from parquet_index_spark.sources import zorder_key
+        df = spark.createDataFrame([Row(x=1, y=2)])
+        with pytest.raises(ValueError, match="63 usable bits"):
+            zorder_key(df, ["x", "y"], bits=32)
+
+    def test_zordered_layout_prunes_on_either_dimension(self, spark, ctx,
+                                                        tmp_table_dir):
+        from parquet_index_spark.sources import write_zordered
+        from pyspark.sql import functions as F
+        n = 100_000
+        # two independent uniform dimensions: a 1-D sort would only make
+        # stats tight on the sorted column; Z-order tightens both
+        df = (spark.range(n)
+              .select((F.hash("id") % 1000 + 1000).alias("x"),
+                      (F.hash(F.col("id") + 7) % 1000 + 1000).alias("y")))
+        zpath = os.path.join(tmp_table_dir, "z2d")
+        write_zordered(df, zpath, ["x", "y"], n_files=64)
+        t = ctx.index.parquet(zpath)
+
+        got = t.filter("x >= 1400 AND x < 1420").count()
+        x_info = ctx.index.last_prune_info
+        want = df.filter("x >= 1400 AND x < 1420").count()
+        assert got == want
+        got_y = t.filter("y >= 1400 AND y < 1420").count()
+        y_info = ctx.index.last_prune_info
+        want_y = df.filter("y >= 1400 AND y < 1420").count()
+        assert got_y == want_y
+        # a 2% slice of either dimension must skip most of the 64 files
+        assert x_info.selected_files < x_info.total_files / 2, x_info
+        assert y_info.selected_files < y_info.total_files / 2, y_info
+        # and the conjunction prunes harder than either alone
+        t.filter("x >= 1400 AND x < 1420 AND y >= 1400 AND y < 1420").count()
+        xy_info = ctx.index.last_prune_info
+        assert xy_info.selected_files <= min(x_info.selected_files,
+                                             y_info.selected_files)
