@@ -23,13 +23,16 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # headline subset: index layer + heaviest delegated + pipeline ops
 BENCH_QUERIES = [
     "idx_point_lookup", "idx_range_scan", "idx_in_or_composite",
+    "idx_bitmap_point", "idx_zorder_range",
     "q1_pricing_summary", "q3_shipping_priority", "q5_nation_volume",
     "q6_forecast_revenue", "q4_order_exists", "q12_priority_shipmode",
     "top3_orders_per_customer", "rollup_sales", "distinct_parts_per_flag",
+    "percentile_quantities",
     "sessionize_events", "asof_join_events",
     "dedup_exact_stats", "minhash_lsh_pairs", "ann_cosine_topk",
     "ivf_ann_topk",
-    "lsh_bucket_histogram", "text_profile_by_lang", "stream_windowed_counts",
+    "lsh_bucket_histogram", "text_profile_by_lang", "token_count_stats",
+    "stream_windowed_counts",
 ]
 
 
