@@ -182,6 +182,39 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: Optional[DataFrame] = None,
             .select("id_a", "id_b", "jaccard"))
 
 
+def contaminated_docs(train_df: DataFrame, eval_df: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      shingle_k: int = 5,
+                      min_shared: int = 1) -> DataFrame:
+    """Train/eval decontamination: training documents that share at least
+    ``min_shared`` distinct word ``shingle_k``-grams with any document in
+    the eval/benchmark set — the standard n-gram-overlap contamination
+    test applied before a pretraining run.
+
+    Returns (train_id, n_shared_shingles, n_eval_docs): how many distinct
+    shingles leak and how many eval documents they touch.
+
+    Scale: the eval side is small by definition (a benchmark suite), so
+    its distinct (shingle, eval_id) set is broadcast — the 100-TB train
+    side streams map-side against it with no shuffle until the final
+    per-train-doc aggregation. Shingle document-frequency capping is
+    deliberately NOT applied here: dropping common shingles can only
+    hide contamination, and real decontamination uses long n-grams
+    (k >= 5) that are rare by construction.
+    """
+    sh = F.array_distinct(shingles(text_col, shingle_k))
+    tr = (train_df.select(F.col(id_col).alias("train_id"),
+                          F.explode(sh).alias("__s")))
+    ev = (eval_df.select(F.col(id_col).alias("__eval_id"),
+                         F.explode(sh).alias("__s"))
+          .distinct())
+    return (tr.join(F.broadcast(ev), "__s")
+            .groupBy("train_id")
+            .agg(F.countDistinct("__s").alias("n_shared_shingles"),
+                 F.countDistinct("__eval_id").alias("n_eval_docs"))
+            .filter(F.col("n_shared_shingles") >= min_shared))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """SimHash fingerprint over tokens (default 32 bits to stay in exact

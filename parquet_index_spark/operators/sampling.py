@@ -1,0 +1,170 @@
+"""Data-selection operators for training-data pipelines: deterministic
+hash sampling, train/val/test split assignment, per-group quota capping,
+and concat-and-chunk token packing.
+
+The reference engine has no sampling surface (its scope ends at indexed
+scans); these are the selection primitives a large-scale training-data
+pipeline layers on top of it, expressed Spark-first.
+
+Scale design notes (100 TB target):
+
+- Sampling and split assignment are *content-keyed*: the decision for a
+  row depends only on md5(salt || ':' || key), never on partitioning,
+  task order, or a session seed. That makes them reproducible across
+  runs, engines (the DuckDB oracles spell the identical arithmetic), and
+  cluster re-layouts — unlike ``df.sample``, whose output changes with
+  partitioning. Both are pure map-side filters/projections: no shuffle,
+  fully codegen'd, pushdown-friendly.
+- Quota capping shuffles once on the group key (the unavoidable shuffle —
+  the quota is a per-group property). State per group during the sort is
+  bounded by the group's rows; a pathologically hot group should be
+  pre-thinned with ``hash_sample`` before capping.
+- Packing windows are partitioned by a shard column — there is NO global
+  ordering, because a global window is a single-task sort at 100 TB.
+  Chunk ids are therefore per-shard, which is also what a real pipeline
+  wants (shards are the unit of training-file output).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Union
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+ColumnOrName = Union[Column, str]
+
+# md5-prefix hash space: first 8 hex chars -> uniform in [0, 2^32)
+HASH_SPACE = 1 << 32
+
+
+def _as_col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def hash_bucket(key: ColumnOrName, salt: str = "") -> Column:
+    """Deterministic uniform bucket in [0, 2^32) from a row key.
+
+    First 8 hex chars of md5(salt || ':' || key), as an int64. The salt
+    decorrelates independent decisions taken on the same key (sampling
+    vs splitting vs salting). Engine-portable: DuckDB computes the same
+    value as ``CAST('0x' || substr(md5(salt || ':' || key), 1, 8) AS
+    BIGINT)``.
+    """
+    keyed = F.concat(F.lit(f"{salt}:"), _as_col(key).cast("string"))
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(df: DataFrame, key: ColumnOrName, fraction: float,
+                salt: str = "sample") -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hash bucket falls
+    below ``fraction`` of the hash space.
+
+    Unlike ``DataFrame.sample`` this is stable under repartitioning and
+    re-runs, and consistent across tables: sampling two tables by the
+    same key with the same salt keeps the SAME keys in both (join-safe
+    sampling). Pure filter — no shuffle, no state.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(round(fraction * HASH_SPACE))
+    return df.filter(hash_bucket(key, salt) < F.lit(threshold))
+
+
+def split_thresholds(weights: Optional[Dict[str, float]] = None):
+    """Upper hash-space bound per split label: [(label, bound), ...] with
+    the last label bounded by HASH_SPACE. Shared by :func:`assign_split`
+    and cross-engine oracles so both sides cut at bit-identical points."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative, got {weights}")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    labels = list(weights.items())
+    bounds = []
+    cum = 0.0
+    for name, w in labels[:-1]:
+        cum += w / total
+        bounds.append((name, int(round(cum * HASH_SPACE))))
+    bounds.append((labels[-1][0], HASH_SPACE))
+    return bounds
+
+
+def assign_split(df: DataFrame, key: ColumnOrName,
+                 weights: Optional[Dict[str, float]] = None,
+                 salt: str = "split",
+                 out_col: str = "split") -> DataFrame:
+    """Assign each row a deterministic train/val/test-style split label.
+
+    ``weights`` maps label -> relative weight (normalized; insertion
+    order defines the bucket layout, so the same dict reproduces the
+    same assignment everywhere). A document's label depends only on its
+    key — re-sharding, appending, or re-running never moves a document
+    across splits, which is the leakage-safety property a training
+    pipeline needs.
+    """
+    bounds = split_thresholds(weights)
+    bucket = hash_bucket(key, salt)
+    expr = F.lit(bounds[-1][0])  # last label takes the remainder
+    for name, t in reversed(bounds[:-1]):
+        expr = F.when(bucket < F.lit(t), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
+                  order_by: ColumnOrName, *tiebreak: ColumnOrName,
+                  keep_rank: bool = False) -> DataFrame:
+    """Per-group quota: keep at most ``n`` rows per group, preferring the
+    lowest ``order_by`` (pass e.g. ``F.desc("n_chars")`` to prefer
+    longest). ``tiebreak`` columns make the cut deterministic — always
+    include a unique id so reruns keep identical rows.
+
+    The shuffle is one hash partition on the group key; per-group work
+    is a bounded sort + row_number. This is the "cap documents per
+    domain" primitive of web-corpus curation.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = Window.partitionBy(_as_col(group)).orderBy(
+        _as_col(order_by), *[_as_col(t) for t in tiebreak])
+    ranked = df.withColumn("__rank", F.row_number().over(w))
+    kept = ranked.filter(F.col("__rank") <= n)
+    return kept if keep_rank else kept.drop("__rank")
+
+
+def pack_chunks(df: DataFrame, tokens: ColumnOrName, budget: int,
+                shard: ColumnOrName, order_by: ColumnOrName,
+                out_prefix: str = "chunk") -> DataFrame:
+    """Concat-and-chunk packing: within each shard, documents are
+    concatenated in ``order_by`` order and cut into fixed ``budget``-token
+    chunks (the GPT-style pretraining layout — documents straddling a cut
+    are split across neighboring chunks).
+
+    Adds per-document columns:
+      - ``{p}_start``: exclusive running token offset within the shard
+      - ``{p}_first`` / ``{p}_last``: first/last chunk id the document
+        lands in (ids are per-shard)
+      - ``{p}_span``: how many chunks the document touches (>1 means it
+        straddles a boundary)
+
+    The window is partitioned by shard — no global sort. Empty documents
+    (0 tokens) are pinned to the chunk at their offset.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    tok = _as_col(tokens).cast("long")
+    w = (Window.partitionBy(_as_col(shard)).orderBy(_as_col(order_by))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(tok).over(w), F.lit(0).cast("long"))
+    first = F.expr(f"__pk_start div {budget}")
+    last = F.greatest(
+        F.expr(f"(__pk_start + __pk_tok - 1) div {budget}"), first)
+    return (df.withColumn("__pk_tok", tok)
+            .withColumn("__pk_start", start)
+            .withColumn(f"{out_prefix}_start", F.col("__pk_start"))
+            .withColumn(f"{out_prefix}_first", first)
+            .withColumn(f"{out_prefix}_last", last)
+            .withColumn(f"{out_prefix}_span",
+                        F.col(f"{out_prefix}_last")
+                        - F.col(f"{out_prefix}_first") + 1)
+            .drop("__pk_tok", "__pk_start"))

@@ -1416,6 +1416,178 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def sample_split_stats(spark, sf_dir):
+    """Deterministic data selection: every document gets a train/val/test
+    label and an independent 25%-sample flag, both keyed on
+    md5(salt:doc_id) — reproducible across runs, engines, and
+    re-partitionings (a seed-based df.sample is none of those). Pure
+    map-side projection + one aggregation."""
+    from parquet_index_spark.operators import sampling as SA
+    docs = _t(spark, sf_dir, "documents")
+    split = SA.assign_split(docs, "doc_id")
+    sampled = SA.hash_bucket("doc_id", "sample") < F.lit(
+        int(round(0.25 * SA.HASH_SPACE)))
+    return (split.groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(sampled.cast("int")).alias("n_sampled"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("split", "lang"))
+
+
+def _split_case_sql() -> str:
+    from parquet_index_spark.operators.sampling import split_thresholds
+    bounds = split_thresholds()
+    bucket = ("CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),"
+              " 1, 8) AS BIGINT)")
+    whens = "".join(
+        f" WHEN {bucket} < {t} THEN '{name}'" for name, t in bounds[:-1])
+    return f"CASE{whens} ELSE '{bounds[-1][0]}' END"
+
+
+SAMPLE_SPLIT_SQL = f"""
+WITH labeled AS (
+  SELECT lang, n_chars,
+         {_split_case_sql()} AS split,
+         CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
+              1, 8) AS BIGINT) < {int(round(0.25 * (1 << 32)))} AS sampled
+  FROM documents)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM labeled GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+def quota_per_source(spark, sf_dir):
+    """Per-source quota capping (the "cap documents per domain" curation
+    primitive): keep the 5 longest documents per source with a
+    deterministic doc_id tiebreak, then summarize what survived. One
+    shuffle on the group key."""
+    from parquet_index_spark.operators import sampling as SA
+    docs = _t(spark, sf_dir, "documents")
+    kept = SA.cap_per_group(docs, "source", 5,
+                            F.col("n_chars").desc(), F.col("doc_id"))
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("n_chars").alias("kept_chars"),
+                 F.min("n_chars").alias("shortest_kept"),
+                 F.min("doc_id").alias("min_kept_id"))
+            .orderBy("source"))
+
+
+QUOTA_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+       min(n_chars) AS shortest_kept,
+       min(doc_id) AS min_kept_id
+FROM ranked WHERE rk <= 5 GROUP BY source ORDER BY source
+"""
+
+
+def pack_chunks_by_source(spark, sf_dir):
+    """Concat-and-chunk packing audit: documents are concatenated per
+    source shard in doc_id order and cut into 256-token training chunks
+    (GPT-style — straddling documents split across neighboring chunks).
+    Reports chunks, boundary-straddlers, and fill ratio per shard. The
+    packing window is per-shard: no global sort at 100 TB."""
+    from parquet_index_spark.operators import sampling as SA
+    from parquet_index_spark.operators import text as X
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", X.token_count())
+    packed = SA.pack_chunks(docs, "n_tokens", 256, "source", "doc_id")
+    n_chunks = F.max("chunk_last") + 1
+    return (packed.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 n_chunks.alias("n_chunks"),
+                 F.sum((F.col("chunk_span") > 1).cast("int"))
+                 .alias("n_straddlers"),
+                 F.round(F.sum("n_tokens").cast("double")
+                         / ((F.max("chunk_last") + 1) * 256), 4)
+                 .alias("fill_ratio"))
+            .orderBy("source"))
+
+
+PACK_CHUNKS_SQL = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+offsets AS (
+  SELECT source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS t0
+  FROM toks),
+chunks AS (
+  SELECT source, n_tokens, t0 // 256 AS chunk_first,
+         greatest((t0 + n_tokens - 1) // 256, t0 // 256) AS chunk_last
+  FROM offsets)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(chunk_last) + 1 AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN chunk_last > chunk_first THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_straddlers,
+       round(CAST(sum(n_tokens) AS DOUBLE) / ((max(chunk_last) + 1) * 256), 4)
+         AS fill_ratio
+FROM chunks GROUP BY source ORDER BY source
+"""
+
+
+def contamination_by_lang(spark, sf_dir):
+    """Train/eval decontamination: documents with doc_id % 29 = 0 play the
+    held-out benchmark; a training document is contaminated if it shares
+    any distinct word 5-gram with the eval set. The eval shingle set is
+    broadcast (benchmarks are small), so the train side never shuffles
+    until the final aggregation."""
+    from parquet_index_spark.operators import dedup as D
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    tr = docs.filter(F.col("doc_id") % 29 != 0)
+    hits = D.contaminated_docs(tr, ev, shingle_k=5)
+    labeled = (tr.select(F.col("doc_id").alias("train_id"), "lang")
+               .join(hits, "train_id", "left"))
+    return (labeled.groupBy("lang")
+            .agg(F.count("*").alias("n_train"),
+                 F.count("n_shared_shingles").alias("n_contaminated"),
+                 F.coalesce(F.sum("n_shared_shingles"), F.lit(0))
+                 .alias("total_shared"))
+            .orderBy("lang"))
+
+
+CONTAMINATION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents),
+sh5 AS (
+  SELECT doc_id, lang,
+         list_distinct(CASE WHEN len(toks) <= 5
+           THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(generate_series(1, len(toks) - 4),
+                               j -> array_to_string(toks[j:j+4], ' ')) END)
+           AS shingles
+  FROM toks),
+tr AS (
+  SELECT doc_id, lang, unnest(shingles) AS s FROM sh5
+  WHERE doc_id % 29 <> 0),
+evs AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh5 WHERE doc_id % 29 = 0),
+hits AS (
+  SELECT tr.doc_id, count(DISTINCT tr.s) AS n_shared
+  FROM tr JOIN evs ON tr.s = evs.s GROUP BY tr.doc_id)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_train,
+       CAST(count(h.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(sum(h.n_shared), 0) AS BIGINT) AS total_shared
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 29 <> 0
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 def _query_vector(spark, sf_dir, vec_id: int = 0):
     emb = _t(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
@@ -2057,6 +2229,10 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "text_profile_by_lang": (text_profile_by_lang, TEXT_PROFILE_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "token_count_stats": (token_count_stats, TOKEN_COUNT_SQL),
+    "sample_split_stats": (sample_split_stats, SAMPLE_SPLIT_SQL),
+    "quota_per_source": (quota_per_source, QUOTA_SQL),
+    "pack_chunks_by_source": (pack_chunks_by_source, PACK_CHUNKS_SQL),
+    "contamination_by_lang": (contamination_by_lang, CONTAMINATION_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "lsh_bucket_histogram": (lsh_bucket_histogram_q, LSH_HIST_SQL),
     "embedding_similar_pairs": (embedding_similar_pairs, EMB_PAIRS_SQL),

@@ -1,0 +1,194 @@
+"""Data-selection operators: hash sampling, split assignment, quota
+capping, concat-and-chunk packing, decontamination.
+
+These extend the reference's scope (it ends at indexed scans); the tests
+pin the determinism/portability contracts the operators advertise."""
+
+import duckdb
+import pytest
+from pyspark.sql import Row, functions as F
+
+from parquet_index_spark.operators import dedup as D
+from parquet_index_spark.operators import sampling as SA
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "k")
+
+
+class TestHashBucket:
+    def test_matches_duckdb(self, spark):
+        """The portability contract: DuckDB computes identical buckets."""
+        got = (spark.range(0, 50).select(
+            SA.hash_bucket(F.col("id"), "s1").alias("b")).collect())
+        want = duckdb.sql(
+            "SELECT CAST('0x' || substr(md5('s1:' || CAST(range AS VARCHAR)),"
+            " 1, 8) AS BIGINT) AS b FROM range(0, 50)").fetchall()
+        assert [r["b"] for r in got] == [r[0] for r in want]
+
+    def test_range_and_salt_decorrelation(self, keyed):
+        rows = keyed.select(
+            SA.hash_bucket("k", "a").alias("ba"),
+            SA.hash_bucket("k", "b").alias("bb")).collect()
+        assert all(0 <= r["ba"] < SA.HASH_SPACE for r in rows)
+        assert sum(1 for r in rows if r["ba"] == r["bb"]) < 5
+
+
+class TestHashSample:
+    def test_fraction_roughly_respected(self, keyed):
+        n = SA.hash_sample(keyed, "k", 0.25).count()
+        assert 400 <= n <= 600  # 2000 * 0.25 ± 5 sigma
+
+    def test_deterministic_and_repartition_stable(self, keyed):
+        a = {r["k"] for r in SA.hash_sample(keyed, "k", 0.3).collect()}
+        b = {r["k"] for r in
+             SA.hash_sample(keyed.repartition(13), "k", 0.3).collect()}
+        assert a == b
+
+    def test_join_safe_across_tables(self, spark, keyed):
+        """Same key + salt keeps the SAME keys in different tables."""
+        other = keyed.withColumn("payload", F.col("k") * 2)
+        a = {r["k"] for r in SA.hash_sample(keyed, "k", 0.2).collect()}
+        b = {r["k"] for r in SA.hash_sample(other, "k", 0.2).collect()}
+        assert a == b
+
+    def test_edge_fractions(self, keyed):
+        assert SA.hash_sample(keyed, "k", 0.0).count() == 0
+        assert SA.hash_sample(keyed, "k", 1.0).count() == 2000
+        with pytest.raises(ValueError):
+            SA.hash_sample(keyed, "k", 1.5)
+
+    def test_no_shuffle(self, keyed):
+        plan = (SA.hash_sample(keyed, "k", 0.5)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan  # pure map-side filter
+
+
+class TestAssignSplit:
+    def test_partition_of_rows(self, keyed):
+        counts = dict(
+            (r["split"], r["n"]) for r in SA.assign_split(keyed, "k")
+            .groupBy("split").agg(F.count("*").alias("n")).collect())
+        assert sum(counts.values()) == 2000
+        assert set(counts) == {"train", "val", "test"}
+        assert 1500 <= counts["train"] <= 1700  # 80% ± 5 sigma
+
+    def test_subset_stability(self, keyed):
+        """Appending data never moves an existing key across splits."""
+        full = {r["k"]: r["split"]
+                for r in SA.assign_split(keyed, "k").collect()}
+        half = {r["k"]: r["split"]
+                for r in SA.assign_split(keyed.filter("k < 1000"),
+                                         "k").collect()}
+        assert all(full[k] == v for k, v in half.items())
+
+    def test_weights_normalized_and_validated(self, keyed):
+        two = SA.assign_split(keyed, "k", weights={"a": 3, "b": 1})
+        counts = dict((r["split"], r["n"]) for r in two.groupBy("split")
+                      .agg(F.count("*").alias("n")).collect())
+        assert set(counts) == {"a", "b"} and counts["a"] > counts["b"]
+        with pytest.raises(ValueError):
+            SA.split_thresholds({"a": -1, "b": 2})
+        with pytest.raises(ValueError):
+            SA.split_thresholds({"a": 0.0})
+
+
+class TestCapPerGroup:
+    @pytest.fixture(scope="class")
+    def grouped(self, spark):
+        rows = [Row(g=i % 3, v=100 - i, uid=i) for i in range(30)]
+        return spark.createDataFrame(rows)
+
+    def test_caps_and_prefers_order(self, grouped):
+        kept = SA.cap_per_group(grouped, "g", 2, F.col("v").desc(), "uid")
+        by_g = {}
+        for r in kept.collect():
+            by_g.setdefault(r["g"], []).append(r["v"])
+        assert all(len(vs) == 2 for vs in by_g.values())
+        # highest v per group survives
+        assert sorted(by_g[0], reverse=True)[0] == 100
+
+    def test_deterministic_tiebreak(self, spark):
+        ties = spark.createDataFrame([Row(g=1, v=5, uid=i) for i in range(6)])
+        kept = {r["uid"] for r in
+                SA.cap_per_group(ties, "g", 3, "v", "uid").collect()}
+        assert kept == {0, 1, 2}
+
+    def test_validates_n(self, grouped):
+        with pytest.raises(ValueError):
+            SA.cap_per_group(grouped, "g", 0, "v")
+
+
+class TestPackChunks:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        # shard A: 100+100+100 tokens at budget 128 -> doc2 straddles
+        rows = [Row(shard="A", did=0, tok=100),
+                Row(shard="A", did=1, tok=100),
+                Row(shard="A", did=2, tok=100),
+                Row(shard="B", did=0, tok=300)]
+        return spark.createDataFrame(rows)
+
+    def test_offsets_and_spans(self, docs):
+        packed = {(r["shard"], r["did"]): r for r in
+                  SA.pack_chunks(docs, "tok", 128, "shard", "did").collect()}
+        a0, a1, a2 = (packed[("A", i)] for i in range(3))
+        assert (a0["chunk_start"], a0["chunk_first"], a0["chunk_last"]) \
+            == (0, 0, 0)
+        assert (a1["chunk_start"], a1["chunk_first"], a1["chunk_last"]) \
+            == (100, 0, 1)          # straddles the 128 boundary
+        assert a1["chunk_span"] == 2
+        assert (a2["chunk_start"], a2["chunk_first"]) == (200, 1)
+        # shards are independent: B restarts at offset 0, spans 3 chunks
+        b0 = packed[("B", 0)]
+        assert b0["chunk_start"] == 0 and b0["chunk_span"] == 3
+
+    def test_zero_token_doc_pinned(self, spark):
+        rows = [Row(shard="A", did=0, tok=128), Row(shard="A", did=1, tok=0),
+                Row(shard="A", did=2, tok=5)]
+        packed = {r["did"]: r for r in
+                  SA.pack_chunks(spark.createDataFrame(rows), "tok", 128,
+                                 "shard", "did").collect()}
+        assert packed[1]["chunk_first"] == packed[1]["chunk_last"] == 1
+        assert packed[1]["chunk_span"] == 1
+
+    def test_validates_budget(self, docs):
+        with pytest.raises(ValueError):
+            SA.pack_chunks(docs, "tok", 0, "shard", "did")
+
+
+class TestContamination:
+    def test_flags_only_overlapping_docs(self, spark):
+        phrase = "alpha beta gamma delta epsilon"
+        train = spark.createDataFrame([
+            Row(doc_id=1, text=f"intro words {phrase} trailing tail"),
+            Row(doc_id=2, text="totally unrelated text about storage "
+                               "engines and columnar formats here"),
+        ])
+        ev = spark.createDataFrame(
+            [Row(doc_id=100, text=f"eval question {phrase} answer")])
+        hits = {r["train_id"]: r for r in
+                D.contaminated_docs(train, ev, shingle_k=5).collect()}
+        assert set(hits) == {1}
+        assert hits[1]["n_shared_shingles"] >= 1
+        assert hits[1]["n_eval_docs"] == 1
+
+    def test_min_shared_threshold(self, spark):
+        phrase = "alpha beta gamma delta epsilon"
+        train = spark.createDataFrame(
+            [Row(doc_id=1, text=f"x y {phrase} z w")])
+        ev = spark.createDataFrame([Row(doc_id=9, text=phrase)])
+        # exactly one shared 5-gram (the phrase itself is eval's only one)
+        none = D.contaminated_docs(train, ev, shingle_k=5, min_shared=2)
+        assert none.count() == 0
+
+    def test_broadcasts_eval_side(self, spark):
+        train = spark.createDataFrame(
+            [Row(doc_id=i, text=f"doc number {i} with filler words "
+                                "to make shingles") for i in range(20)])
+        ev = spark.createDataFrame([Row(doc_id=99, text="doc number 7 with "
+                                        "filler words to make shingles")])
+        plan = (D.contaminated_docs(train, ev)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
