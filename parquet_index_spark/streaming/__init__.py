@@ -95,7 +95,8 @@ def dedup_stream(events: DataFrame, keys: list,
 
 def event_funnel_join(events: DataFrame, from_type: str, to_type: str,
                       max_delay: str = "30 minutes",
-                      watermark: str = "2 hours") -> DataFrame:
+                      watermark: str = "2 hours",
+                      how: str = "inner") -> DataFrame:
     """Stream-stream interval join: for each ``from_type`` event, the
     ``to_type`` events by the same user within ``max_delay`` afterwards —
     the funnel/attribution primitive (click -> purchase).
@@ -103,7 +104,21 @@ def event_funnel_join(events: DataFrame, from_type: str, to_type: str,
     Both sides carry watermarks and the join condition bounds event time on
     both ends, so Spark can expire join state: a from-event's state lives
     at most watermark + max_delay. Without the time bound the state store
-    would grow forever — the stream-stream-join scale contract."""
+    would grow forever — the stream-stream-join scale contract.
+
+    ``how="left_outer"`` adds the DROP-OFF rows: a from-event with no
+    to-event in its window emits once with NULL to_id, as soon as the
+    watermark passes from_time + max_delay (only then is "no match"
+    final). Outer output therefore trails the watermark; rows whose
+    window is not yet below the watermark remain pending in state. The
+    engine's global watermark is the MIN over both sides' watermarks
+    (each side advances by its own max event time seen), so the decided
+    set after an availableNow drain is exactly: from-events with
+    from_time + max_delay < min(max from_time, max to_time) - watermark
+    (validated empirically; tests + the driver oracle pin it).
+    left_outer output keeps from_time so callers can apply that cutoff."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner or left_outer, got {how!r}")
     src = (events.filter(F.col("event_type") == from_type)
            .select(F.col("user_id"),
                    F.col("event_id").alias("from_id"),
@@ -114,12 +129,14 @@ def event_funnel_join(events: DataFrame, from_type: str, to_type: str,
                    F.col("event_id").alias("to_id"),
                    F.col("event_time").alias("to_time"))
            .withWatermark("to_time", watermark))
-    return (src.join(
+    joined = src.join(
         dst,
         F.expr(f"user_id = __dst_user AND to_time >= from_time "
                f"AND to_time <= from_time + interval {max_delay}"),
-        "inner")
-        .select("user_id", "from_id", "to_id"))
+        how)
+    if how == "left_outer":
+        return joined.select("user_id", "from_id", "to_id", "from_time")
+    return joined.select("user_id", "from_id", "to_id")
 
 
 USER_TOTALS_OUTPUT = T.StructType([

@@ -1922,6 +1922,55 @@ ORDER BY c.user_id, from_id, to_id
 """
 
 
+def stream_funnel_left_outer(spark, sf_dir):
+    """Left-outer stream-stream interval join: clicks WITH their purchases
+    within 30 minutes, plus the drop-off rows (NULL to_id) for clicks that
+    converted nowhere — the funnel metric that actually matters. An outer
+    row is final only once the global watermark (min over both sides)
+    passes its window, so the drained result is restricted to the decided
+    region: from_time + 30min < min(max click, max purchase) - 2h. The
+    oracle applies the identical cutoff to a batch left join."""
+    import datetime
+    from parquet_index_spark import streaming as ST
+    _STREAM_COUNTER["n"] += 1
+    name = f"pis_stream_lofunnel_{_STREAM_COUNTER['n']}"
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = ST.read_event_stream(spark, path)
+    joined = ST.event_funnel_join(stream, "click", "purchase", "30 minutes",
+                                  how="left_outer")
+    drained = ST.run_available_now(joined, name, output_mode="append")
+    batch = (spark.read.schema(ST.EVENTS_SCHEMA).parquet(path)
+             .withColumn("event_time",
+                         F.timestamp_micros(F.expr("ts div 1000"))))
+    side_max = (batch.filter(F.col("event_type").isin("click", "purchase"))
+                .groupBy("event_type")
+                .agg(F.max("event_time").alias("m")).collect())
+    wm = min(r["m"] for r in side_max) - datetime.timedelta(hours=2)
+    cutoff = wm - datetime.timedelta(minutes=30)
+    return (drained.filter(F.col("from_time") < F.lit(cutoff))
+            .select("user_id", "from_id", "to_id")
+            .orderBy("user_id", "from_id", "to_id"))
+
+
+STREAM_FUNNEL_LO_SQL = """
+WITH wm AS (
+  SELECT least(
+      (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+      (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase'))
+    - 7200 * CAST(1000000 AS BIGINT) AS us
+)
+SELECT c.user_id, c.event_id AS from_id, b.event_id AS to_id
+FROM events c LEFT JOIN events b
+  ON c.user_id = b.user_id
+ AND b.event_type = 'purchase'
+ AND epoch_us(b.ts) >= epoch_us(c.ts)
+ AND epoch_us(b.ts) <= epoch_us(c.ts) + 1800 * 1000000
+WHERE c.event_type = 'click'
+  AND epoch_us(c.ts) + 1800 * 1000000 < (SELECT us FROM wm)
+ORDER BY c.user_id, from_id, to_id
+"""
+
+
 STREAM_SESSIONS_SQL = """
 WITH ev AS (
   SELECT user_id, ts,
@@ -2243,6 +2292,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "stream_session_windows": (stream_session_windows, STREAM_SESSIONS_SQL),
     "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
     "stream_funnel_join": (stream_funnel_join, STREAM_FUNNEL_SQL),
+    "stream_funnel_left_outer": (stream_funnel_left_outer,
+                                 STREAM_FUNNEL_LO_SQL),
     "stream_sink_roundtrip": (stream_sink_roundtrip, STREAM_SINK_SQL),
     "idx_point_lookup": (idx_point_lookup, IDX_POINT_SQL),
     "idx_range_scan": (idx_range_scan, IDX_RANGE_SQL),

@@ -286,6 +286,47 @@ class TestStreaming:
             .select("user_id", "from_id", "to_id").collect()))
         assert got == want and len(got) > 0
 
+    def test_stream_funnel_left_outer_matches_batch(self, spark):
+        """Drop-off rows (NULL to_id) emit exactly for clicks whose join
+        window is below the final global watermark = min over both sides'
+        (max event time - delay); decided region equals the batch left
+        join under the same cutoff."""
+        import datetime
+        from parquet_index_spark import streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        path = os.path.join(SF_SMOKE, "events.parquet")
+        drained = ST.run_available_now(
+            ST.event_funnel_join(ST.read_event_stream(spark, path),
+                                 "click", "purchase", how="left_outer"),
+            "test_stream_lofunnel", output_mode="append")
+        ev = spark.read.parquet(path).withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        side_max = (ev.filter(F.col("event_type").isin("click", "purchase"))
+                    .groupBy("event_type")
+                    .agg(F.max("event_time").alias("m")).collect())
+        cutoff = (min(r["m"] for r in side_max)
+                  - datetime.timedelta(hours=2, minutes=30))
+        got = sorted(
+            map(tuple, drained.filter(F.col("from_time") < F.lit(cutoff))
+                .select("user_id", "from_id", "to_id").collect()),
+            key=str)
+        c = ev.filter("event_type = 'click'").select(
+            "user_id", F.col("event_id").alias("from_id"),
+            F.col("event_time").alias("ft"))
+        b = ev.filter("event_type = 'purchase'").select(
+            F.col("user_id").alias("bu"), F.col("event_id").alias("to_id"),
+            F.col("event_time").alias("tt"))
+        want = sorted(map(tuple, c.filter(F.col("ft") < F.lit(cutoff)).join(
+            b, F.expr("user_id = bu AND tt >= ft AND "
+                      "tt <= ft + interval 30 minutes"), "left")
+            .select("user_id", "from_id", "to_id").collect()), key=str)
+        assert got == want
+        assert any(t[2] is None for t in got)    # drop-offs present
+        with pytest.raises(ValueError):
+            ST.event_funnel_join(ST.read_event_stream(spark, path),
+                                 "click", "purchase", how="full_outer")
+
     def test_parquet_sink_roundtrip_exactly_once(self, spark, tmp_table_dir):
         from parquet_index_spark import streaming as ST
         from parquet_index_spark.workload import ensure_session_confs
