@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "dedup_exact_stats", "minhash_lsh_pairs", "ann_cosine_topk",
     "ivf_ann_topk",
     "lsh_bucket_histogram", "text_profile_by_lang", "token_count_stats",
+    "sample_split_stats", "pack_chunks_by_source", "contamination_by_lang",
     "stream_windowed_counts",
 ]
 

@@ -104,6 +104,86 @@ def write_zordered(df: DataFrame, path: str, zorder_by: List[str],
         .indexBy(*(index_by or zorder_by)).parquet(path))
 
 
+def _fs_for(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _parquet_files(spark, path: str):
+    """(path, bytes) for every data file under ``path`` via the Hadoop FS
+    API — works against any supported filesystem, not just local disk."""
+    fs, jpath = _fs_for(spark, path)
+    out = []
+    if not fs.exists(jpath):
+        return out
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
+def compact_table(spark, path: str, target_file_mb: int = 128,
+                  zorder_by: Optional[List[str]] = None,
+                  bits: int = 16) -> dict:
+    """Small-file compaction: rewrite a parquet table into files of
+    ~``target_file_mb`` and refresh its index if one exists. The streaming
+    sink and incremental appends produce file counts that grow without
+    bound; at 100 TB, scan cost and index size are both driven by file
+    count, so periodic compaction is the maintenance primitive that keeps
+    an indexed table healthy.
+
+    ``zorder_by`` re-clusters on a Z-order key during the rewrite (turning
+    compaction into an opportunity to fix layout, not just file count);
+    otherwise rows are round-robined into equal-size files.
+
+    The rewrite is staged: new files land in a sibling temp dir, the old
+    directory is swapped out only after the full write succeeds, and the
+    index is refreshed last (refresh diffs the manifest, sees every file
+    replaced, and rebuilds). The swap window is two renames — a reader
+    racing it should go through the index, whose manifest flips atomically
+    with the refresh. Returns {files_before, files_after, bytes}.
+    """
+    if target_file_mb < 1:
+        raise ValueError(f"target_file_mb must be >= 1, got {target_file_mb}")
+    files = _parquet_files(spark, path)
+    if not files:
+        raise ValueError(f"no parquet data files under {path!r}")
+    total = sum(sz for _, sz in files)
+    n_target = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if zorder_by:
+        key = zorder_key(df, zorder_by, bits)
+        out = (df.withColumn("__zkey", key)
+               .repartitionByRange(int(n_target), "__zkey")
+               .sortWithinPartitions("__zkey")
+               .drop("__zkey"))
+    else:
+        out = df.repartition(int(n_target))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    bak = path.rstrip("/") + "__compact_bak"
+    out.write.mode("overwrite").parquet(tmp)
+    fs, jpath = _fs_for(spark, path)
+    jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    jbak = spark._jvm.org.apache.hadoop.fs.Path(bak)
+    fs.delete(jbak, True)
+    if not fs.rename(jpath, jbak):
+        raise IOError(f"compact: could not stage {path!r} aside")
+    if not fs.rename(jtmp, jpath):
+        fs.rename(jbak, jpath)  # roll back; table untouched
+        raise IOError(f"compact: could not move rewrite into {path!r}")
+    fs.delete(jbak, True)
+    ctx = QueryContext(spark)
+    if ctx.index.exists.parquet(path):
+        ctx.index.refresh.parquet(path)
+    return {"files_before": len(files),
+            "files_after": len(_parquet_files(spark, path)),
+            "bytes": total}
+
+
 def ingest_csv(spark, csv_path: str, table_path: str, *, header: bool = True,
                infer_schema: bool = True, **write_kwargs) -> None:
     """CSV -> indexed parquet (ingestion path for raw drops)."""

@@ -114,3 +114,58 @@ class TestZOrder:
         xy_info = ctx.index.last_prune_info
         assert xy_info.selected_files <= min(x_info.selected_files,
                                              y_info.selected_files)
+
+
+class TestCompaction:
+    def test_compacts_small_files_and_refreshes_index(self, spark, ctx,
+                                                      tmp_table_dir):
+        from parquet_index_spark.sources import compact_table
+        path = os.path.join(tmp_table_dir, "many")
+        df = spark.createDataFrame(
+            [Row(k=i, v=f"val{i}") for i in range(5000)])
+        df.repartition(64).write.parquet(path)
+        ctx.index.create.indexBy("k").parquet(path)
+        before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+        stats = compact_table(spark, path, target_file_mb=1)
+        assert stats["files_before"] == 64
+        assert stats["files_after"] < 64
+        # data identical after the rewrite
+        after = sorted(map(tuple, spark.read.parquet(path).collect()))
+        assert after == before
+        # index was refreshed onto the new layout: queries still correct
+        t = ctx.index.parquet(path)
+        assert t.filter("k = 123").count() == 1
+        info = ctx.index.last_prune_info
+        assert info.total_files == stats["files_after"]
+
+    def test_compact_with_zorder_recluster(self, spark, ctx, tmp_table_dir):
+        from parquet_index_spark.sources import compact_table
+        from pyspark.sql import functions as F
+        path = os.path.join(tmp_table_dir, "zc")
+        (spark.range(200_000)
+         .select((F.hash("id") % 500 + 500).alias("x"),
+                 (F.hash(F.col("id") + 3) % 500 + 500).alias("y"),
+                 F.md5(F.col("id").cast("string")).alias("pad"))
+         .repartition(64).write.parquet(path))
+        ctx.index.create.indexBy("x", "y").parquet(path)
+        t = ctx.index.parquet(path)
+        t.filter("x >= 700 AND x < 720").count()
+        scattered = ctx.index.last_prune_info
+        # random layout: a narrow x-slice touches nearly every file
+        compact_table(spark, path, target_file_mb=1, zorder_by=["x", "y"])
+        t = ctx.index.parquet(path)
+        want = t.filter("x >= 700 AND x < 720").count()
+        clustered = ctx.index.last_prune_info
+        assert clustered.total_files > 1
+        assert (clustered.selected_files / clustered.total_files
+                < scattered.selected_files / scattered.total_files)
+        assert want == (spark.read.parquet(path)
+                        .filter("x >= 700 AND x < 720").count())
+
+    def test_validates_inputs(self, spark, tmp_table_dir):
+        from parquet_index_spark.sources import compact_table
+        with pytest.raises(ValueError):
+            compact_table(spark, tmp_table_dir, target_file_mb=0)
+        with pytest.raises(ValueError):
+            compact_table(spark, os.path.join(tmp_table_dir, "empty"))
