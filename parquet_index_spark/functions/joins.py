@@ -1,4 +1,5 @@
-"""Join utilities for scale: salting for skewed keys.
+"""Join utilities for scale: salting for skewed keys, index-aware
+dim-to-fact join pruning (a file-level dynamic-partition-pruning analog).
 
 AQE's skew-join handling splits oversized partitions at runtime, but it
 only applies to sort-merge joins and after a shuffle already materialized
@@ -10,7 +11,7 @@ key holding 30% of a 100 TB table).
 
 from __future__ import annotations
 
-from typing import List, Union
+from typing import List, Optional, Union
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -39,3 +40,45 @@ def salted_join(large: DataFrame, small: DataFrame,
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = salted_large.join(replicated_small, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def dpp_join(ctx, fact_path: str, fact_key: str, dim: DataFrame,
+             dim_key: str, how: str = "inner",
+             max_keys: int = 100_000) -> DataFrame:
+    """Star-schema join with index-driven file pruning of the fact side —
+    the file-level analog of Spark's dynamic partition pruning
+    (reference parity: the reference prunes only from literal predicates,
+    `src/main/scala/.../ParquetIndexFilters.scala:52-137`; deriving them
+    from a filtered dim side is the natural index-layer extension).
+
+    The filtered dim's distinct join keys are materialized on the driver
+    (bounded by ``max_keys`` — the same "dim side is small" premise Spark's
+    own DPP and broadcast joins rest on), folded into the fact's index as
+    an IN-set predicate so only fact files whose stats/membership filters
+    can contain those keys are scanned, then the dim is broadcast-joined.
+    Past ``max_keys`` the fold degrades to the [min, max] range — still
+    sound, still prunes when the fact is clustered on the key.
+
+    Returns the joined DataFrame (all fact columns + non-key dim columns).
+    """
+    from parquet_index_spark import predicates as P
+
+    vals = [r[0] for r in
+            dim.select(dim_key).distinct().limit(max_keys + 1).collect()]
+    vals = [v for v in vals if v is not None]
+    fact = ctx.index.parquet(fact_path)
+    if not vals:
+        # empty dim: nothing can join; In(()) folds to select zero files
+        pruned = fact.filter(P.In(fact_key, ()))
+    elif len(vals) > max_keys:
+        # the collected vals are a LIMITed sample — their min/max is not a
+        # sound bound; aggregate the full dim for the true range
+        lo, hi = dim.agg(F.min(dim_key), F.max(dim_key)).head()
+        pruned = fact.filter(P.And((P.Ge(fact_key, lo),
+                                    P.Le(fact_key, hi))))
+    else:
+        pruned = fact.filter(P.In(fact_key, tuple(vals)))
+    cond = pruned[fact_key] == dim[dim_key]
+    out_cols = ([pruned[c] for c in pruned.columns] +
+                [dim[c] for c in dim.columns if c != dim_key])
+    return pruned.join(F.broadcast(dim), cond, how).select(*out_cols)

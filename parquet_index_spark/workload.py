@@ -2269,6 +2269,146 @@ LIMIT 20
 """
 
 
+def range_join_windows(spark, sf_dir):
+    """Keyless interval join (operators/rangejoin.py): purchases landing in
+    a ±120 s window around any error event, aggregated per window. Naive
+    Spark plans a BroadcastNestedLoopJoin for the pure range condition;
+    the bucketed formulation makes it a shuffle equi-join on the time cell
+    — the only formulation that survives two 100 TB sides."""
+    from parquet_index_spark.operators.rangejoin import interval_join
+    ev = _t(spark, sf_dir, "events")
+    win = 120 * 1_000_000_000
+    windows = (ev.filter("event_type = 'error'")
+               .select(F.col("event_id").alias("window_id"),
+                       (F.col("ts") - F.lit(win)).alias("w_start"),
+                       (F.col("ts") + F.lit(win)).alias("w_end")))
+    purchases = (ev.filter("event_type = 'purchase'")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "ts", "value"))
+    j = interval_join(purchases, windows, "ts", "w_start", "w_end",
+                      bucket_width=2 * win)
+    return (j.groupBy("window_id")
+            .agg(F.count("*").alias("n_purchases"),
+                 _dsum(_dec("value"), "sum_value"))
+            .orderBy("window_id"))
+
+
+RANGE_JOIN_SQL = """
+WITH w AS (
+  SELECT event_id AS window_id,
+         epoch_ns(ts) - 120000000000 AS w_start,
+         epoch_ns(ts) + 120000000000 AS w_end
+  FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT event_id AS purchase_id, epoch_ns(ts) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT w.window_id, count(*) AS n_purchases,
+       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM p JOIN w ON p.ts BETWEEN w.w_start AND w.w_end
+GROUP BY w.window_id ORDER BY w.window_id
+"""
+
+
+def time_bucket_gapfill(spark, sf_dir):
+    """Hypertable-style rollup: hourly downsample per event_type over a
+    DENSE bucket spine — gap hours appear with n_events=0 and a last-
+    observation-carried-forward average. The aggregation is one partial-agg
+    shuffle over the raw events; the spine (types × hours) is tiny at any
+    scale, built JVM-side with sequence(), and the gap-join is a broadcast.
+    Bucket math is exact integer floor-division (epoch-ns would lose
+    precision through a double)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = 3_600_000_000_000
+    bucket = F.expr(f"(ts - pmod(ts, {hour})) div {hour}")
+    agg = (ev.withColumn("bucket", bucket)
+           .groupBy("event_type", "bucket")
+           .agg(F.count("*").alias("n_events"),
+                (F.sum(_dec("value")).cast("double") / F.count("*"))
+                .alias("avg_value")))
+    bounds = ev.agg(F.min(bucket).alias("lo"), F.max(bucket).alias("hi"))
+    spine = (ev.select("event_type").distinct().crossJoin(F.broadcast(bounds))
+             .select("event_type",
+                     F.explode(F.sequence("lo", "hi")).alias("bucket")))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return (spine.join(agg, ["event_type", "bucket"], "left")
+            .select("event_type",
+                    (F.col("bucket") * hour).alias("bucket_start"),
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    "avg_value",
+                    F.last("avg_value", ignorenulls=True).over(w)
+                    .alias("avg_locf"))
+            .orderBy("event_type", "bucket_start"))
+
+
+GAPFILL_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket, value
+  FROM events
+),
+agg AS (
+  SELECT event_type, bucket, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           AS avg_value
+  FROM ev GROUP BY event_type, bucket
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM ev),
+spine AS (
+  SELECT t.event_type,
+         unnest(generate_series(bounds.lo, bounds.hi)) AS bucket
+  FROM (SELECT DISTINCT event_type FROM ev) t, bounds
+)
+SELECT s.event_type, s.bucket * 3600000000000 AS bucket_start,
+       coalesce(a.n_events, 0) AS n_events, a.avg_value,
+       last_value(a.avg_value IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.bucket) AS avg_locf
+FROM spine s
+LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket = a.bucket
+ORDER BY s.event_type, bucket_start
+"""
+
+
+def idx_join_dpp(spark, sf_dir):
+    """Index-aware star join (functions/joins.py dpp_join): the dim side
+    is filtered by customer NAME, the resolved keys are folded into the
+    fact side's index as an IN-set, and only fact files whose min/max can
+    hold those keys are scanned — dynamic partition pruning at file
+    granularity. The fact is the Z-order-clustered orders copy (same table
+    idx_zorder_range builds), so key locality makes the fold selective."""
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    zpath = os.path.join(tempfile.gettempdir(), "spark_graft_zorder",
+                         os.path.basename(os.path.normpath(sf_dir)), "orders")
+    if not ctx.index.exists.parquet(zpath):
+        from parquet_index_spark.sources import write_zordered
+        write_zordered(_t(spark, sf_dir, "orders"), zpath,
+                       ["o_custkey", "o_orderkey"], n_files=16,
+                       mode="overwrite")
+    from parquet_index_spark.functions.joins import dpp_join
+    dim = (_t(spark, sf_dir, "customer")
+           .filter(F.col("c_name").isin("Customer#000000421",
+                                        "Customer#000000900"))
+           .select("c_custkey", "c_name", "c_mktsegment"))
+    joined = dpp_join(ctx, zpath, "o_custkey", dim, "c_custkey")
+    return (joined.groupBy("c_name")
+            .agg(F.count("*").alias("n_orders"),
+                 _dsum(_dec("o_totalprice"), "sum_price"))
+            .orderBy("c_name"))
+
+
+IDX_DPP_SQL = """
+SELECT c_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_name IN ('Customer#000000421', 'Customer#000000900')
+GROUP BY c_name ORDER BY c_name
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
     "dedup_prefix_groups": (dedup_prefix_groups, DEDUP_PREFIX_SQL),
@@ -2331,6 +2471,9 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "cube_order_status": (cube_order_status, CUBE_SQL),
     "approx_distinct_parts": (approx_distinct_parts, APPROX_DISTINCT_SQL),
     "asof_join_events": (asof_join_events, ASOF_SQL),
+    "range_join_windows": (range_join_windows, RANGE_JOIN_SQL),
+    "time_bucket_gapfill": (time_bucket_gapfill, GAPFILL_SQL),
+    "idx_join_dpp": (idx_join_dpp, IDX_DPP_SQL),
     "top3_orders_per_customer": (top3_orders_per_customer, TOP3_SQL),
     "cumulative_spend": (cumulative_spend, CUMSUM_SQL),
     "rollup_sales": (rollup_sales, ROLLUP_SQL),

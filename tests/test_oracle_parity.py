@@ -50,8 +50,11 @@ def _norm(v):
 
 def _spark_rows(df):
     cols = sorted(df.columns)
+    # sort by repr: a total order even when a column mixes NULLs with
+    # tagged/bare values (e.g. gap-fill output); equality stays tuple-exact
     return sorted(
-        tuple(_norm(row[c]) for c in cols) for row in df.collect())
+        (tuple(_norm(row[c]) for c in cols) for row in df.collect()),
+        key=repr)
 
 
 def _duck_rows(con, sql):
@@ -59,7 +62,8 @@ def _duck_rows(con, sql):
     cols = rel.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rel.fetchall())
+        (tuple(_norm(r[i]) for i in order) for r in rel.fetchall()),
+        key=repr)
 
 
 @pytest.mark.parametrize("name", list(QUERIES))

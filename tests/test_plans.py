@@ -135,3 +135,29 @@ class TestRound2PlanQuality:
         df = q21_suppliers_kept_waiting(spark, SF_CORRECT)
         plans.assert_no_cartesian(df)
         plans.assert_filter_pushed(df, "o_orderstatus")
+
+
+class TestRound2SessionPlanQuality:
+    """Plan guards for the range-join / gap-fill / DPP additions."""
+
+    def test_range_join_no_nested_loop(self, spark):
+        from parquet_index_spark.workload import range_join_windows
+        df = range_join_windows(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+        assert "BroadcastNestedLoopJoin" not in plans.formatted_plan(df)
+
+    def test_gapfill_spine_broadcast(self, spark):
+        from parquet_index_spark.workload import time_bucket_gapfill
+        df = time_bucket_gapfill(spark, SF_CORRECT)
+        # the 1-row bounds crossJoin is the intended scalar broadcast
+        # (formatted plan prints each node twice: tree + details)
+        strategies = plans.join_strategies(df)
+        assert strategies["nested_loop"] <= 2, strategies
+        # the spine-to-agg gap join broadcasts
+        plans.assert_broadcasts(df, at_least=1)
+
+    def test_dpp_join_broadcasts_dim(self, spark, tmp_metastore):
+        from parquet_index_spark.workload import idx_join_dpp
+        df = idx_join_dpp(spark, SF_CORRECT)
+        plans.assert_no_cartesian(df)
+        plans.assert_broadcasts(df, at_least=1)

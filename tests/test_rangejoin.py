@@ -1,0 +1,154 @@
+"""interval_join (bucketed range join) and dpp_join (index-aware star
+join): differential correctness vs a naive formulation, plan guards, and
+file-skip assertions.
+"""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_index_spark import plans
+from parquet_index_spark.operators.rangejoin import interval_join
+from tests.conftest import SF_CORRECT, assert_same_rows
+
+
+def _points(spark):
+    rows = [(i, ts) for i, ts in enumerate(
+        [0, 50, 99, 100, 101, 250, 999, 1000, 5000, -120, -1])]
+    return spark.createDataFrame(rows, "pid long, ts long")
+
+
+def _intervals(spark):
+    rows = [(0, 0, 100), (1, 90, 210), (2, 1000, 1000), (3, 4000, 6000),
+            (4, -200, -100), (5, 7000, 8000)]
+    return spark.createDataFrame(rows, "iid long, lo long, hi long")
+
+
+def _naive(points, intervals, how="inner"):
+    cond = points["ts"].between(intervals["lo"], intervals["hi"])
+    return points.crossJoin(intervals).filter(cond) if how == "inner" else \
+        points.join(intervals, cond, "left")
+
+
+class TestIntervalJoin:
+    @pytest.mark.parametrize("width", [1, 7, 100, 1000])
+    def test_matches_naive_inner(self, spark, width):
+        p, iv = _points(spark), _intervals(spark)
+        out = interval_join(p, iv, "ts", "lo", "hi", bucket_width=width)
+        assert_same_rows(out.select("pid", "iid"),
+                         _naive(p, iv).select("pid", "iid"))
+
+    def test_matches_naive_left(self, spark):
+        p, iv = _points(spark), _intervals(spark)
+        out = interval_join(p, iv, "ts", "lo", "hi", bucket_width=64,
+                            how="left")
+        assert_same_rows(out.select("pid", "iid"),
+                         _naive(p, iv, "left").select("pid", "iid"))
+
+    def test_negative_timestamps_floor_not_trunc(self, spark):
+        """floor-division bucketing: ts=-120 must land in interval
+        [-200, -100] even though -120 div 100 truncates toward zero."""
+        p, iv = _points(spark), _intervals(spark)
+        out = interval_join(p, iv, "ts", "lo", "hi", bucket_width=100)
+        got = {(r.pid, r.iid) for r in out.select("pid", "iid").collect()}
+        assert (9, 4) in got
+
+    def test_keyed_join_restricts_matches(self, spark):
+        p = spark.createDataFrame([(1, "a", 50), (2, "b", 50)],
+                                  "pid long, k string, ts long")
+        iv = spark.createDataFrame([(10, "a", 0, 100)],
+                                   "iid long, k string, lo long, hi long")
+        out = interval_join(p, iv, "ts", "lo", "hi", keys=["k"],
+                            bucket_width=10)
+        assert [(r.pid, r.iid) for r in out.select("pid", "iid").collect()] \
+            == [(1, 10)]
+
+    def test_no_nested_loop_plan(self, spark):
+        p, iv = _points(spark), _intervals(spark)
+        out = interval_join(p, iv, "ts", "lo", "hi", bucket_width=100)
+        plans.assert_no_cartesian(out)
+        plan = plans.formatted_plan(out)
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_self_source_join(self, spark):
+        """points and intervals derived from the SAME DataFrame (the
+        workload's error-window shape) must resolve unambiguously."""
+        base = spark.createDataFrame([(1, 10), (2, 100)], "id long, ts long")
+        p = base.select(F.col("id").alias("pid"), "ts")
+        iv = base.select(F.col("id").alias("iid"),
+                         (F.col("ts") - 20).alias("lo"),
+                         (F.col("ts") + 20).alias("hi"))
+        out = interval_join(p, iv, "ts", "lo", "hi", bucket_width=16)
+        got = sorted((r.pid, r.iid) for r in out.select("pid", "iid").collect())
+        assert got == [(1, 1), (2, 2)]
+
+    def test_rejects_ambiguous_and_bad_args(self, spark):
+        p, iv = _points(spark), _intervals(spark)
+        with pytest.raises(ValueError, match="bucket_width"):
+            interval_join(p, iv, "ts", "lo", "hi", bucket_width=0)
+        with pytest.raises(ValueError, match="how="):
+            interval_join(p, iv, "ts", "lo", "hi", bucket_width=10,
+                          how="full")
+        with pytest.raises(ValueError, match="ambiguous"):
+            interval_join(p, p.selectExpr("pid", "ts lo", "ts hi"),
+                          "ts", "lo", "hi", bucket_width=10)
+
+
+class TestDppJoin:
+    def _ctx_and_fact(self, spark, tmp_metastore, tmp_table_dir):
+        from parquet_index_spark import QueryContext
+        from parquet_index_spark.sources import write_zordered
+        orders = spark.read.parquet(
+            os.path.join(SF_CORRECT, "orders.parquet"))
+        fact = os.path.join(tmp_table_dir, "orders_z")
+        write_zordered(orders, fact, ["o_custkey", "o_orderkey"],
+                       n_files=16, mode="overwrite")
+        return QueryContext(spark), fact, orders
+
+    def test_prunes_files_and_matches_plain_join(self, spark, tmp_metastore,
+                                                 tmp_table_dir):
+        from parquet_index_spark.functions.joins import dpp_join
+        ctx, fact, orders = self._ctx_and_fact(spark, tmp_metastore,
+                                               tmp_table_dir)
+        dim = (spark.read.parquet(os.path.join(SF_CORRECT, "customer.parquet"))
+               .filter(F.col("c_custkey").isin(421, 900))
+               .select("c_custkey", "c_name"))
+        out = dpp_join(ctx, fact, "o_custkey", dim, "c_custkey")
+        expected = (orders.join(F.broadcast(dim),
+                                orders["o_custkey"] == dim["c_custkey"])
+                    .select(*[orders[c] for c in orders.columns], "c_name"))
+        assert_same_rows(out, expected)
+        pi = ctx.index.last_prune_info
+        assert pi.total_files == 16
+        # 2 keys on a 16-file Z-layout: min/max keeps ~4 files per key,
+        # blooms trim further; anything at/under half the table proves the
+        # dim-derived fold reached the index
+        assert pi.selected_files <= 8
+
+    def test_empty_dim_yields_zero_files_and_rows(self, spark, tmp_metastore,
+                                                  tmp_table_dir):
+        from parquet_index_spark.functions.joins import dpp_join
+        ctx, fact, _ = self._ctx_and_fact(spark, tmp_metastore, tmp_table_dir)
+        dim = (spark.read.parquet(os.path.join(SF_CORRECT, "customer.parquet"))
+               .filter("c_custkey < 0").select("c_custkey", "c_name"))
+        out = dpp_join(ctx, fact, "o_custkey", dim, "c_custkey")
+        assert out.count() == 0
+        assert ctx.index.last_prune_info.selected_files == 0
+
+    def test_max_keys_fallback_uses_range(self, spark, tmp_metastore,
+                                          tmp_table_dir):
+        from parquet_index_spark.functions.joins import dpp_join
+        ctx, fact, orders = self._ctx_and_fact(spark, tmp_metastore,
+                                               tmp_table_dir)
+        dim = (spark.read.parquet(os.path.join(SF_CORRECT, "customer.parquet"))
+               .filter("c_custkey BETWEEN 100 AND 140")
+               .select("c_custkey", "c_name"))
+        out = dpp_join(ctx, fact, "o_custkey", dim, "c_custkey", max_keys=5)
+        expected = (orders.join(F.broadcast(dim),
+                                orders["o_custkey"] == dim["c_custkey"])
+                    .select(*[orders[c] for c in orders.columns], "c_name"))
+        assert_same_rows(out, expected)
+        # range fold [100, 140] still skips files outside the key band
+        assert ctx.index.last_prune_info.selected_files < 16
