@@ -239,3 +239,54 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             F.col(f"__v{b}") > 0,
             F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def connected_components(edges: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Resolve candidate-pair edges into duplicate GROUPS: every node gets
+    the smallest node id reachable from it (its connected component's
+    representative) — the step that turns near-dup pairs into "keep one,
+    drop the rest" decisions.
+
+    HashMin label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(component diameter)
+    rounds. Near-dup components are dense and shallow (every member pairs
+    with most others), so 2-4 rounds are typical regardless of corpus size
+    — for deep path-shaped graphs prefer the large-star/small-star variant,
+    which this operator deliberately trades away for one join per round.
+
+    Scale: each round is one shuffle join + one map-side-combinable min
+    aggregation; the driver sees only the per-round changed-count.
+    localCheckpoint() truncates lineage so round N's plan doesn't replay
+    rounds 1..N-1.
+
+    Returns (node, component) — one row per node appearing in any edge.
+    """
+    und = (edges.select(F.col(id_a).alias("node"), F.col(id_b).alias("nbr"))
+           .union(edges.select(F.col(id_b).alias("node"),
+                               F.col(id_a).alias("nbr")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    labels = (und.select("node").distinct()
+              .select("node", F.col("node").alias("component")))
+    for _ in range(max_iter):
+        nbr_min = (und.join(labels.withColumnRenamed("node", "nbr")
+                            .withColumnRenamed("component", "nbr_component"),
+                            "nbr")
+                   .groupBy("node")
+                   .agg(F.min("nbr_component").alias("nbr_min")))
+        new_labels = (labels.join(nbr_min, "node", "left")
+                      .select("node",
+                              F.least("component",
+                                      F.coalesce("nbr_min", "component"))
+                              .alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.withColumnRenamed("component", "new_component")
+                   .join(labels, "node")
+                   .filter(F.col("new_component") != F.col("component"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

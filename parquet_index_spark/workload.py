@@ -1203,8 +1203,9 @@ def minhash_lsh_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
-MINHASH_LSH_SQL = r"""
-WITH """ + _SHINGLES_CTE + r""",
+# CTE chain ending in `lsh_pairs`: shared by the pair query and the
+# connected-components group oracle
+_LSH_PAIRS_CTES = _SHINGLES_CTE + r""",
 hashed AS (
   SELECT doc_id,
          list_transform(shingles,
@@ -1227,11 +1228,53 @@ bands AS (
            list_transform(minhash[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)),
            ',')) AS band_key
   FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
+),
+lsh_pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)"""
+
+MINHASH_LSH_SQL = r"""
+WITH """ + _LSH_PAIRS_CTES + r"""
+SELECT id_a, id_b FROM lsh_pairs ORDER BY id_a, id_b
+"""
+
+
+def dedup_group_assignment(spark, sf_dir):
+    """Near-dup GROUP resolution: LSH candidate pairs are collapsed into
+    connected components (operators/dedup.py connected_components, HashMin
+    label propagation) so each document maps to a canonical representative
+    — the decision step of a dedup pipeline ("keep min doc_id, drop the
+    rest"). Oracle: DuckDB recursive transitive closure over the identical
+    pair set."""
+    from parquet_index_spark.operators import dedup as D
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=16, shingle_k=3)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    cc = D.connected_components(pairs, "id_a", "id_b")
+    return (cc.select(F.col("node").alias("doc_id"),
+                      F.col("component").alias("group_id"),
+                      (F.col("node") == F.col("component"))
+                      .alias("is_canonical"))
+            .orderBy("doc_id"))
+
+
+DEDUP_GROUPS_SQL = r"""
+WITH RECURSIVE """ + _LSH_PAIRS_CTES + r""",
+und AS (
+  SELECT id_a AS node, id_b AS nbr FROM lsh_pairs
+  UNION
+  SELECT id_b AS node, id_a AS nbr FROM lsh_pairs
+),
+reach AS (
+  SELECT node AS src, node AS dst FROM (SELECT DISTINCT node FROM und)
+  UNION
+  SELECT r.src, u.nbr AS dst FROM reach r JOIN und u ON r.dst = u.node
 )
-SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-FROM bands l JOIN bands r
-  ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-ORDER BY id_a, id_b
+SELECT src AS doc_id, min(dst) AS group_id,
+       (src = min(dst)) AS is_canonical
+FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
@@ -2413,6 +2456,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
     "dedup_prefix_groups": (dedup_prefix_groups, DEDUP_PREFIX_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
+    "dedup_group_assignment": (dedup_group_assignment, DEDUP_GROUPS_SQL),
     "jaccard_neardup_pairs": (jaccard_neardup_pairs, JACCARD_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
     "text_profile_by_lang": (text_profile_by_lang, TEXT_PROFILE_SQL),

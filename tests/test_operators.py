@@ -497,3 +497,29 @@ class TestScaleHardening:
             .withColumnRenamed("cluster_id", "re_cid")
         joined = stored.join(reassigned.select("vec_id", "re_cid"), "vec_id")
         assert joined.filter("cluster_id <> re_cid").count() == 0
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {(r.node, r.component)
+                for r in D.connected_components(df).collect()}
+
+    def test_chain_needs_multiple_rounds(self, spark):
+        # path graph 1-2-3-4-5: min label must travel the full diameter
+        got = self._cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        assert got == {(i, 1) for i in range(1, 6)}
+
+    def test_disjoint_components(self, spark):
+        got = self._cc(spark, [(10, 11), (11, 12), (20, 21), (30, 31)])
+        assert got == {(10, 10), (11, 10), (12, 10),
+                       (20, 20), (21, 20), (30, 30), (31, 30)}
+
+    def test_empty_edges(self, spark):
+        df = spark.createDataFrame([], "id_a long, id_b long")
+        assert D.connected_components(df).count() == 0
+
+    def test_edge_direction_irrelevant(self, spark):
+        # min id on the "b" side still becomes the representative
+        got = self._cc(spark, [(5, 1), (5, 3)])
+        assert got == {(1, 1), (3, 1), (5, 1)}
