@@ -28,7 +28,8 @@ BENCH_QUERIES = [
     "q6_forecast_revenue", "q4_order_exists", "q12_priority_shipmode",
     "top3_orders_per_customer", "rollup_sales", "distinct_parts_per_flag",
     "percentile_quantities",
-    "sessionize_events", "asof_join_events",
+    "sessionize_events", "asof_join_events", "range_join_windows",
+    "time_bucket_gapfill", "idx_join_dpp", "dedup_group_assignment",
     "dedup_exact_stats", "minhash_lsh_pairs", "ann_cosine_topk",
     "ivf_ann_topk",
     "lsh_bucket_histogram", "text_profile_by_lang", "token_count_stats",

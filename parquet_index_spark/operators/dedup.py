@@ -268,8 +268,13 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                                F.col(id_a).alias("nbr")))
            .distinct()
            .localCheckpoint(eager=True))
-    labels = (und.select("node").distinct()
-              .select("node", F.col("node").alias("component")))
+    # round-0 shortcut: start from min(self, direct neighbors). Duplicate
+    # components are near-cliques, so this alone is usually the fixpoint
+    # and the loop exits after one confirming round.
+    labels = (und.groupBy("node").agg(F.min("nbr").alias("__m"))
+              .select("node",
+                      F.least("node", "__m").alias("component"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
         nbr_min = (und.join(labels.withColumnRenamed("node", "nbr")
                             .withColumnRenamed("component", "nbr_component"),
