@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "ivf_ann_topk",
     "lsh_bucket_histogram", "text_profile_by_lang", "token_count_stats",
     "sample_split_stats", "pack_chunks_by_source", "contamination_by_lang",
+    "bucketed_colocated_join",
     "stream_windowed_counts",
 ]
 
@@ -63,7 +64,9 @@ def main() -> None:
     t_index0 = time.time()
     # warm-up: trigger index builds once so per-query timings measure queries
     for name in BENCH_QUERIES:
-        if name.startswith("idx_"):
+        # idx_* builds indexes; the bucketed join writes its tables once —
+        # warm both so per-query timings measure queries, not builds
+        if name.startswith("idx_") or name == "bucketed_colocated_join":
             QUERIES[name][0](spark, SF_DIR).count()
     index_build_sec = round(time.time() - t_index0, 3)
 

@@ -197,3 +197,40 @@ def ingest_json(spark, json_path: str, table_path: str, **write_kwargs) -> None:
     """JSON lines -> indexed parquet."""
     df = spark.read.json(json_path)
     write_indexed(df, table_path, **write_kwargs)
+
+
+def write_bucketed(df: DataFrame, table: str, path: str,
+                   bucket_by: List[str], n_buckets: int,
+                   sort_by: Optional[List[str]] = None,
+                   mode: str = "error") -> None:
+    """Write ``df`` as a bucketed (and optionally per-bucket sorted)
+    external parquet table.
+
+    Bucketing is THE shuffle-elimination tool for repeated big-to-big
+    joins: two tables bucketed on the join key with the same bucket count
+    are joined with ZERO Exchange on either side — at 100 TB that deletes
+    the single most expensive stage of the plan, and ``sort_by`` on the
+    join key additionally deletes the per-task Sort under a sort-merge
+    join. Bucket metadata lives in the session catalog (saveAsTable), the
+    data under ``path`` — the catalog entry must exist in the querying
+    session for bucketed scans to apply.
+    """
+    writer = df.write.mode(mode).option("path", path) \
+        .bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def ensure_bucketed(df: DataFrame, table: str, path: str,
+                    bucket_by: List[str], n_buckets: int,
+                    sort_by: Optional[List[str]] = None) -> DataFrame:
+    """Idempotent write_bucketed: create the bucketed table if this
+    session's catalog lacks it, then return it as a DataFrame. Bucket info
+    is catalog metadata, so a fresh session re-registers (overwriting the
+    path keeps data + metadata consistent)."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        write_bucketed(df, table, path, bucket_by, n_buckets,
+                       sort_by=sort_by, mode="overwrite")
+    return spark.table(table)

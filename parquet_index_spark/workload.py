@@ -2452,6 +2452,44 @@ GROUP BY c_name ORDER BY c_name
 """
 
 
+def bucketed_colocated_join(spark, sf_dir):
+    """Co-located big-to-big join (sources.write_bucketed): lineitem and
+    orders are bucketed on the join key with equal bucket counts, so the
+    sort-merge join runs with ZERO Exchange on either side — the only
+    shuffle left in the plan is the final small aggregation. At 100 TB
+    bucketing both fact tables once deletes the dominant stage of every
+    subsequent join between them (test_plans asserts the join-side
+    exchanges are gone). The merge hint keeps the demonstration on the
+    co-located path even where AQE would broadcast the smaller side."""
+    from parquet_index_spark.sources import ensure_bucketed
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    lib = ensure_bucketed(_t(spark, sf_dir, "lineitem"), f"lineitem_b_{tag}",
+                          os.path.join(base, "lineitem"), ["l_orderkey"], 16,
+                          sort_by=["l_orderkey"])
+    odb = ensure_bucketed(_t(spark, sf_dir, "orders"), f"orders_b_{tag}",
+                          os.path.join(base, "orders"), ["o_orderkey"], 16,
+                          sort_by=["o_orderkey"])
+    return (lib.hint("merge")
+            .join(odb, lib["l_orderkey"] == odb["o_orderkey"])
+            .filter("o_orderstatus = 'F'")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"),
+                 _dsum(_dec("l_extendedprice"), "sum_price"))
+            .orderBy("o_orderpriority"))
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
     "dedup_prefix_groups": (dedup_prefix_groups, DEDUP_PREFIX_SQL),
@@ -2499,6 +2537,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q19_disjunctive_predicates": (q19_disjunctive_predicates, Q19_SQL),
     "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
     "salted_skew_join": (salted_skew_join, SALTED_SQL),
+    "bucketed_colocated_join": (bucketed_colocated_join, BUCKETED_JOIN_SQL),
     "customers_without_orders": (customers_without_orders, ANTI_SQL),
     "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
     "q14_brand_revenue_share": (q14_brand_revenue_share, Q14_SQL),

@@ -161,3 +161,15 @@ class TestRound2SessionPlanQuality:
         df = idx_join_dpp(spark, SF_CORRECT)
         plans.assert_no_cartesian(df)
         plans.assert_broadcasts(df, at_least=1)
+
+    def test_bucketed_join_no_join_side_exchange(self, spark):
+        """Both sides bucketed on the join key: the sort-merge join must
+        consume the bucketed scans directly — no Exchange on either join
+        input (the aggregation's exchange is the only one allowed)."""
+        from parquet_index_spark.workload import bucketed_colocated_join
+        df = bucketed_colocated_join(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SortMergeJoin") == 1, plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+        assert "Bucketed: true" in plan, plan
