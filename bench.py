@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "top3_orders_per_customer", "rollup_sales", "distinct_parts_per_flag",
     "percentile_quantities",
     "sessionize_events", "asof_join_events", "range_join_windows",
+    "overlap_join_windows",
     "time_bucket_gapfill", "idx_join_dpp", "dedup_group_assignment",
     "dedup_exact_stats", "minhash_lsh_pairs", "ann_cosine_topk",
     "ivf_ann_topk",

@@ -84,3 +84,55 @@ def interval_join(points: DataFrame, intervals: DataFrame, point_ts: str,
                 [F.col(f"__iv.{c}") for c in intervals.columns
                  if c not in keys])
     return pts.join(cells, cond, how).select(*out_cols)
+
+
+def overlap_join(left: DataFrame, right: DataFrame,
+                 l_start: str, l_end: str, r_start: str, r_end: str,
+                 keys: Optional[List[str]] = None,
+                 bucket_width: int = 60 * 1_000_000_000) -> DataFrame:
+    """Inner join of two interval sets on overlap:
+    ``l_start <= r_end AND r_start <= l_end`` (plus equal ``keys``), again
+    without a nested-loop plan.
+
+    Both sides explode to their covered cells, but a pair of overlapping
+    intervals shares SEVERAL cells — emitting them all would duplicate the
+    pair. The dedup is closed-form, not a distinct: the pair is accepted
+    only in the cell containing ``greatest(l_start, r_start)``. If the
+    intervals overlap, both cover that instant, so both produced that cell
+    — exactly one cell passes, no post-join dedup shuffle. Inner-only:
+    an unmatched interval appears once per covered cell, so a left variant
+    would need the dedup a point side gets for free in interval_join.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive integer")
+    keys = list(keys or [])
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(f"ambiguous columns {sorted(overlap)}: alias one side")
+
+    def cells(df, start, end, side):
+        return df.withColumn(
+            "__cell", F.explode(F.sequence(_floordiv(start, bucket_width),
+                                           _floordiv(end, bucket_width)))
+        ).alias(side)
+
+    lc = cells(left, l_start, l_end, "__l")
+    rc = cells(right, r_start, r_end, "__r")
+
+    cond = F.col("__l.__cell") == F.col("__r.__cell")
+    for k in keys:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    ls, le = F.col(f"__l.{l_start}"), F.col(f"__l.{l_end}")
+    rs, re_ = F.col(f"__r.{r_start}"), F.col(f"__r.{r_end}")
+    cond = cond & (ls <= re_) & (rs <= le)
+    # accept the pair only in the first shared cell; spelled as integer
+    # bounds (cell*w <= anchor < (cell+1)*w) because `/` would go through
+    # a double and int64 epoch-nanos exceed its 53-bit mantissa
+    anchor = F.greatest(ls, rs)
+    cell = F.col("__l.__cell")
+    cond = cond & (cell * F.lit(bucket_width) <= anchor) & \
+        (anchor < (cell + F.lit(1)) * F.lit(bucket_width))
+
+    out_cols = ([F.col(f"__l.{c}") for c in left.columns] +
+                [F.col(f"__r.{c}") for c in right.columns if c not in keys])
+    return lc.join(rc, cond, "inner").select(*out_cols)

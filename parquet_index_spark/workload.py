@@ -2452,6 +2452,58 @@ GROUP BY c_name ORDER BY c_name
 """
 
 
+def overlap_join_windows(spark, sf_dir):
+    """Interval×interval overlap join (operators/rangejoin.overlap_join):
+    ±60 s windows around error events vs ±60 s windows around purchases;
+    per error window, how many purchase windows overlap and the total
+    overlap duration. Each overlapping pair is admitted in exactly one
+    time cell (the one holding greatest(starts)) — closed-form dedup, no
+    distinct shuffle."""
+    from parquet_index_spark.operators.rangejoin import overlap_join
+    ev = _t(spark, sf_dir, "events")
+    # microsecond domain: the parquet timestamps carry full nanoseconds,
+    # which DuckDB truncates to micros on read — overlap DURATIONS would
+    # differ in the sub-micro digits, so both engines compute in micros
+    w = 60 * 1_000_000
+    ts_us = F.expr("ts div 1000")
+    err = (ev.filter("event_type = 'error'")
+           .select(F.col("event_id").alias("err_id"),
+                   (ts_us - F.lit(w)).alias("e_start"),
+                   (ts_us + F.lit(w)).alias("e_end")))
+    pur = (ev.filter("event_type = 'purchase'")
+           .select(F.col("event_id").alias("pur_id"),
+                   (ts_us - F.lit(w)).alias("p_start"),
+                   (ts_us + F.lit(w)).alias("p_end")))
+    j = overlap_join(err, pur, "e_start", "e_end", "p_start", "p_end",
+                     bucket_width=2 * w)
+    ov = (F.least("e_end", "p_end") - F.greatest("e_start", "p_start"))
+    return (j.groupBy("err_id")
+            .agg(F.count("*").alias("n_overlaps"),
+                 F.sum(ov).alias("total_overlap_us"))
+            .orderBy("err_id"))
+
+
+OVERLAP_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id AS err_id,
+         epoch_us(ts) - 60000000 AS e_start,
+         epoch_us(ts) + 60000000 AS e_end
+  FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT event_id AS pur_id,
+         epoch_us(ts) - 60000000 AS p_start,
+         epoch_us(ts) + 60000000 AS p_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT err_id, count(*) AS n_overlaps,
+       CAST(sum(least(e_end, p_end) - greatest(e_start, p_start))
+            AS BIGINT) AS total_overlap_us
+FROM e JOIN p ON e_start <= p_end AND p_start <= e_end
+GROUP BY err_id ORDER BY err_id
+"""
+
+
 def bucketed_colocated_join(spark, sf_dir):
     """Co-located big-to-big join (sources.write_bucketed): lineitem and
     orders are bucketed on the join key with equal bucket counts, so the
@@ -2555,6 +2607,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "approx_distinct_parts": (approx_distinct_parts, APPROX_DISTINCT_SQL),
     "asof_join_events": (asof_join_events, ASOF_SQL),
     "range_join_windows": (range_join_windows, RANGE_JOIN_SQL),
+    "overlap_join_windows": (overlap_join_windows, OVERLAP_JOIN_SQL),
     "time_bucket_gapfill": (time_bucket_gapfill, GAPFILL_SQL),
     "idx_join_dpp": (idx_join_dpp, IDX_DPP_SQL),
     "top3_orders_per_customer": (top3_orders_per_customer, TOP3_SQL),

@@ -152,3 +152,51 @@ class TestDppJoin:
         assert_same_rows(out, expected)
         # range fold [100, 140] still skips files outside the key band
         assert ctx.index.last_prune_info.selected_files < 16
+
+
+class TestOverlapJoin:
+    def _ivs(self, spark, name):
+        rows = [(0, 0, 100), (1, 90, 210), (2, 1000, 1000), (3, 4000, 6000),
+                (4, -200, -100), (5, -150, 50), (6, 100, 100), (7, 5000, 5500)]
+        return spark.createDataFrame(
+            rows, f"{name}_id long, {name}_lo long, {name}_hi long")
+
+    @pytest.mark.parametrize("width", [1, 7, 100, 1000])
+    def test_matches_naive(self, spark, width):
+        from parquet_index_spark.operators.rangejoin import overlap_join
+        a, b = self._ivs(spark, "a"), self._ivs(spark, "b")
+        out = overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+                           bucket_width=width).select("a_id", "b_id")
+        naive = (a.crossJoin(b)
+                 .filter((F.col("a_lo") <= F.col("b_hi"))
+                         & (F.col("b_lo") <= F.col("a_hi")))
+                 .select("a_id", "b_id"))
+        assert_same_rows(out, naive)
+
+    def test_each_pair_exactly_once(self, spark):
+        # long intervals share many cells; the anchor-cell rule must admit
+        # each overlapping pair exactly once
+        from parquet_index_spark.operators.rangejoin import overlap_join
+        a = spark.createDataFrame([(1, 0, 10000)], "a_id long, a_lo long, a_hi long")
+        b = spark.createDataFrame([(2, 5, 9999)], "b_id long, b_lo long, b_hi long")
+        out = overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=10)
+        assert out.count() == 1
+
+    def test_keyed(self, spark):
+        from parquet_index_spark.operators.rangejoin import overlap_join
+        a = spark.createDataFrame([("u", 1, 0, 100), ("v", 2, 0, 100)],
+                                  "k string, a_id long, a_lo long, a_hi long")
+        b = spark.createDataFrame([("u", 9, 50, 150)],
+                                  "k string, b_id long, b_lo long, b_hi long")
+        out = overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+                           keys=["k"], bucket_width=64)
+        assert [(r.a_id, r.b_id) for r in out.select("a_id", "b_id").collect()] \
+            == [(1, 9)]
+
+    def test_no_nested_loop(self, spark):
+        from parquet_index_spark.operators.rangejoin import overlap_join
+        from parquet_index_spark import plans
+        a, b = self._ivs(spark, "a"), self._ivs(spark, "b")
+        out = overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+                           bucket_width=100)
+        plans.assert_no_cartesian(out)
