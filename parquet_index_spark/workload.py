@@ -1278,6 +1278,78 @@ FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
+def dedup_keep_best(spark, sf_dir):
+    """Dedup with quality-based canonical selection: near-dup groups
+    (connected components over LSH pairs) keep the HIGHEST-QUALITY member
+    (text.quality_score; ties → lowest doc_id) instead of the min-id
+    default — the curation policy real pipelines want ("drop dups, keep
+    the cleanest copy"). One window over groups after the component
+    resolution; the quality score is computed only for grouped docs."""
+    from parquet_index_spark.operators import dedup as D
+    from parquet_index_spark.operators import text as X
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=16, shingle_k=3)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    g = (D.connected_components(pairs, "id_a", "id_b")
+         .select(F.col("node").alias("doc_id"),
+                 F.col("component").alias("group_id")))
+    scored = g.join(docs, "doc_id") \
+        .select("doc_id", "group_id", X.quality_score("text").alias("quality"))
+    w = Window.partitionBy("group_id").orderBy(F.col("quality").desc(),
+                                               F.col("doc_id").asc())
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return (ranked.groupBy("group_id")
+            .agg(F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+                 .alias("kept_doc_id"),
+                 F.count("*").alias("n_members"),
+                 F.max("quality").alias("best_quality"))
+            .orderBy("group_id"))
+
+
+DEDUP_KEEP_BEST_SQL = r"""
+WITH RECURSIVE """ + _LSH_PAIRS_CTES + r""",
+und AS (
+  SELECT id_a AS node, id_b AS nbr FROM lsh_pairs
+  UNION
+  SELECT id_b AS node, id_a AS nbr FROM lsh_pairs
+),
+reach AS (
+  SELECT node AS src, node AS dst FROM (SELECT DISTINCT node FROM und)
+  UNION
+  SELECT r.src, u.nbr AS dst FROM reach r JOIN und u ON r.dst = u.node
+),
+groups AS (SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src),
+q AS (
+  SELECT doc_id,
+         round(((CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+                      THEN 1.0 ELSE 0.5 END) +
+                (CASE WHEN sw_ratio > 0.0 AND sw_ratio < 0.5
+                      THEN 1.0 ELSE 0.5 END) +
+                (CASE WHEN atl >= 2.0 AND atl <= 12.0
+                      THEN 1.0 ELSE 0.5 END)) / 3.0, 4) AS quality
+  FROM (SELECT doc_id, len(toks) AS n_tokens,
+               len(list_filter(toks,
+                   t -> list_contains(['the','a','of','and','to'], t)))
+                 / CAST(len(toks) AS DOUBLE) AS sw_ratio,
+               list_sum(list_transform(toks, t -> length(t)))
+                 / CAST(len(toks) AS DOUBLE) AS atl
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents))
+),
+ranked AS (
+  SELECT g.group_id, g.doc_id, q.quality,
+         row_number() OVER (PARTITION BY g.group_id
+                            ORDER BY q.quality DESC, g.doc_id) AS rn
+  FROM groups g JOIN q USING (doc_id)
+)
+SELECT group_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+       count(*) AS n_members,
+       max(quality) AS best_quality
+FROM ranked GROUP BY group_id ORDER BY group_id
+"""
+
+
 def jaccard_neardup_pairs(spark, sf_dir):
     from parquet_index_spark.operators import dedup as D
     docs = _t(spark, sf_dir, "documents")
@@ -2547,6 +2619,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_prefix_groups": (dedup_prefix_groups, DEDUP_PREFIX_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "dedup_group_assignment": (dedup_group_assignment, DEDUP_GROUPS_SQL),
+    "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "jaccard_neardup_pairs": (jaccard_neardup_pairs, JACCARD_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
     "text_profile_by_lang": (text_profile_by_lang, TEXT_PROFILE_SQL),
