@@ -467,3 +467,23 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     return (candidates.join(ea, "id_a").join(eb, "id_b")
             .select("id_a", "id_b", sim.alias("sim"))
             .filter(F.col("sim") >= threshold))
+
+
+def cosine_topk_grouped(df: DataFrame, query_vec: Sequence[float],
+                        k: int = 3, group_col: str = "label",
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        exclude_ids: Sequence[int] = ()) -> DataFrame:
+    """Exact top-k by cosine similarity WITHIN each group (e.g. per label,
+    per tenant, per language): one scan, one window — the shuffle key is
+    the group, so every group's top-k is resolved in parallel instead of
+    k separate filtered queries. Returns (group, id, sim, rank<=k)."""
+    q = _query_lit(query_vec)
+    emb = F.col("__vd")
+    sim = F.round(dot(emb, q) / (norm(emb) * F.lit(_py_norm(query_vec))), 4)
+    out = (df.withColumn("__vd", _as_double(F.col(vec_col)))
+           .select(F.col(group_col), F.col(id_col), sim.alias("sim")))
+    if exclude_ids:
+        out = out.filter(~F.col(id_col).isin(list(exclude_ids)))
+    w = Window.partitionBy(group_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1102,6 +1102,77 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def approx_percentile_bounds(spark, sf_dir):
+    """Approximate percentile with an oracle-checkable RANK bound (the
+    approx_distinct_parts pattern): Spark's percentile_approx(q, acc)
+    guarantees the returned value's rank is within n/acc of the target
+    rank. The query emits, per return flag, the group size and whether the
+    approx median's exact rank interval overlaps [0.5-eps, 0.5+eps]; the
+    oracle emits the exact size and literal TRUE, so the driver's hash
+    comparison IS the bound assertion."""
+    li = _t(spark, sf_dir, "lineitem")
+    acc = 100
+    ap = (li.groupBy("l_returnflag")
+          .agg(F.percentile_approx("l_quantity", 0.5, acc).alias("ap50")))
+    j = li.join(F.broadcast(ap), "l_returnflag")
+    eps = 1.0 / acc
+    return (j.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.when(F.col("l_quantity") < F.col("ap50"), 1)
+                       .otherwise(0)).alias("__lt"),
+                 F.sum(F.when(F.col("l_quantity") <= F.col("ap50"), 1)
+                       .otherwise(0)).alias("__le"))
+            .select("l_returnflag", "n_rows",
+                    ((F.col("__lt") / F.col("n_rows") <= 0.5 + eps)
+                     & (F.col("__le") / F.col("n_rows") >= 0.5 - eps))
+                    .alias("within_bound"))
+            .orderBy("l_returnflag"))
+
+
+APPROX_PERCENTILE_SQL = """
+SELECT l_returnflag, count(*) AS n_rows, TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def ann_topk_per_label(spark, sf_dir):
+    """Grouped similarity search: 3 nearest neighbors of the query vector
+    within EACH label — one scan + one window partitioned by label, so all
+    groups resolve in parallel (vs k filtered re-queries)."""
+    from parquet_index_spark.operators import similarity as S
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    return (S.cosine_topk_grouped(emb, q, k=3, group_col="label",
+                                  exclude_ids=[0])
+            .orderBy("label", "rank"))
+
+
+ANN_PER_LABEL_SQL = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+dots AS (
+  SELECT em.label, em.vec_id,
+         sum(CAST(em.embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS dp,
+         sum(CAST(em.embedding[i] AS DOUBLE) * CAST(em.embedding[i] AS DOUBLE)) AS na,
+         sum(CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS nb
+  FROM embeddings em, q, (SELECT unnest(generate_series(1, 64)) AS i)
+  WHERE em.vec_id <> 0
+  GROUP BY em.label, em.vec_id
+),
+sims AS (
+  SELECT label, vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS sim
+  FROM dots
+),
+ranked AS (
+  SELECT label, vec_id, sim,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT label, vec_id, sim, rank FROM ranked
+WHERE rank <= 3 ORDER BY label, rank
+"""
+
+
 def asof_join_events(spark, sf_dir):
     """As-of join: each error event picks the user's most recent click at or
     before it (operators/asof.py — union + last-non-null window, the
@@ -2678,6 +2749,9 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q21_suppliers_kept_waiting": (q21_suppliers_kept_waiting, Q21_SQL),
     "cube_order_status": (cube_order_status, CUBE_SQL),
     "approx_distinct_parts": (approx_distinct_parts, APPROX_DISTINCT_SQL),
+    "approx_percentile_bounds": (approx_percentile_bounds,
+                                 APPROX_PERCENTILE_SQL),
+    "ann_topk_per_label": (ann_topk_per_label, ANN_PER_LABEL_SQL),
     "asof_join_events": (asof_join_events, ASOF_SQL),
     "range_join_windows": (range_join_windows, RANGE_JOIN_SQL),
     "overlap_join_windows": (overlap_join_windows, OVERLAP_JOIN_SQL),
