@@ -95,3 +95,63 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                         F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
                     ).alias("frame_idx"))
             .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms))
+
+
+def resize_images(df: DataFrame, max_side: int = 512,
+                  content_col: str = "content",
+                  fake: bool = True) -> DataFrame:
+    """Aspect-preserving image resize over Arrow batches.
+
+    The TARGET-dimension math is real and runs as plain column arithmetic
+    (scale = max_side / longest side, never upscale); only the pixel
+    resample inside the mapInPandas batch is the stubbed decoder step —
+    with ``fake=True`` the output bytes are a deterministic digest of
+    (content, target dims) so downstream plumbing and tests behave exactly
+    as with a real resampler. Output adds (out_width, out_height,
+    resized_content); rows without dimensions pass through untouched
+    (NULL outputs) rather than failing the batch.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "Real image resampling requires imaging libraries not present "
+            "in this environment; run with fake=True for the deterministic "
+            "stand-in (same Spark plumbing).")
+
+    scale = F.when(
+        (F.col("width").isNotNull()) & (F.col("height").isNotNull())
+        & (F.greatest("width", "height") > max_side),
+        F.lit(float(max_side)) / F.greatest("width", "height")
+    ).otherwise(F.lit(1.0))
+    # unknown dimensions stay NULL end-to-end (greatest() would otherwise
+    # turn greatest(1, NULL) into a bogus 1-pixel target)
+    have_dims = F.col("width").isNotNull() & F.col("height").isNotNull()
+
+    def target(side):
+        return F.when(have_dims,
+                      F.greatest(F.lit(1), F.floor(F.col(side) * scale))
+                      .cast("int"))
+
+    with_dims = (df.filter(F.col("kind") == "image")
+                 .withColumn("out_width", target("width"))
+                 .withColumn("out_height", target("height")))
+
+    out_schema = T.StructType(with_dims.schema.fields +
+                              [T.StructField("resized_content",
+                                             T.BinaryType(), True)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = []
+            for content, w, h in zip(pdf[content_col], pdf["out_width"],
+                                     pdf["out_height"]):
+                if content is None or pd.isna(w) or pd.isna(h):
+                    resized.append(None)
+                else:
+                    resized.append(hashlib.blake2b(
+                        bytes(content) + f":{int(w)}x{int(h)}".encode(),
+                        digest_size=16).digest())
+            pdf = pdf.copy()
+            pdf["resized_content"] = resized
+            yield pdf
+
+    return with_dims.mapInPandas(batches, schema=out_schema)

@@ -220,6 +220,38 @@ class TestMultimodal:
         assert {r["media_id"] for r in frames} == {2}
         assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
 
+    def test_resize_dims_aspect_preserving(self, spark):
+        rows = [
+            Row(media_id=10, kind="image", content=bytearray(b"big"),
+                width=4000, height=1000, duration_ms=None, codec=None),
+            Row(media_id=11, kind="image", content=bytearray(b"small"),
+                width=100, height=50, duration_ms=None, codec=None),
+            Row(media_id=12, kind="image", content=None,
+                width=None, height=None, duration_ms=None, codec=None),
+            Row(media_id=13, kind="video", content=bytearray(b"vid"),
+                width=1920, height=1080, duration_ms=1000, codec="h264"),
+        ]
+        media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+        out = {r["media_id"]: r
+               for r in M.resize_images(media, max_side=512).collect()}
+        # downscale preserves aspect: 4000x1000 -> 512x128
+        assert (out[10]["out_width"], out[10]["out_height"]) == (512, 128)
+        # never upscale
+        assert (out[11]["out_width"], out[11]["out_height"]) == (100, 50)
+        # null dims pass through as nulls, don't fail the batch
+        assert out[12]["resized_content"] is None
+        assert out[12]["out_width"] is None and out[12]["out_height"] is None
+        # non-images excluded
+        assert 13 not in out
+        # deterministic stub bytes
+        again = {r["media_id"]: r
+                 for r in M.resize_images(media, max_side=512).collect()}
+        assert bytes(out[10]["resized_content"]) == bytes(again[10]["resized_content"])
+
+    def test_resize_real_decode_is_explicit_stub(self, media):
+        with pytest.raises(NotImplementedError):
+            M.resize_images(media, fake=False)
+
 
 class TestStreaming:
     def test_windowed_counts_match_batch(self, spark):
