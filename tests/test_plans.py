@@ -173,3 +173,22 @@ class TestRound2SessionPlanQuality:
         assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
         assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
         assert "Bucketed: true" in plan, plan
+
+
+def test_no_cartesian_sweep_all_batch_queries(spark):
+    """Blanket guard: NO batch query in the workload may plan a nested-loop
+    /cartesian join. The only two exceptions carry a deliberate 1-row
+    broadcast (scalar total / bounds spine), capped at the tree+details
+    double-print of a single node. Streaming queries are skipped — calling
+    them executes a stream, and their plans are memory-sink reads."""
+    from parquet_index_spark.workload import QUERIES
+    allow_one_row_broadcast = {"q11_important_parts", "time_bucket_gapfill"}
+    bad = {}
+    for name, (fn, _oracle) in QUERIES.items():
+        if name.startswith("stream_"):
+            continue
+        strategies = plans.join_strategies(fn(spark, SF_CORRECT))
+        limit = 2 if name in allow_one_row_broadcast else 0
+        if strategies["nested_loop"] > limit:
+            bad[name] = strategies
+    assert not bad, f"nested-loop joins crept into: {bad}"
