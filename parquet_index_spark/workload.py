@@ -2685,6 +2685,73 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def pivot_flag_quantities(spark, sf_dir):
+    """PIVOT: per ship-year row, one quantity-sum column per return flag.
+    Spark's pivot with an explicit value list stays a single hash
+    aggregation (no second pass to discover pivot values — at 100 TB the
+    implicit-values variant adds a full extra scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.withColumn("ship_year", F.year("l_shipdate"))
+            .groupBy("ship_year")
+            .pivot("l_returnflag", ["A", "N", "R"])
+            .agg(F.sum(_dec("l_quantity")).cast("double"))
+            .select("ship_year", F.col("A").alias("qty_a"),
+                    F.col("N").alias("qty_n"), F.col("R").alias("qty_r"))
+            .orderBy("ship_year"))
+
+
+PIVOT_SQL = """
+SELECT year(l_shipdate) AS ship_year,
+       CAST(sum(CASE WHEN l_returnflag = 'A'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS qty_a,
+       CAST(sum(CASE WHEN l_returnflag = 'N'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS qty_n,
+       CAST(sum(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS qty_r
+FROM lineitem GROUP BY ship_year ORDER BY ship_year
+"""
+
+
+def unpivot_order_measures(spark, sf_dir):
+    """UNPIVOT/melt: wide per-priority aggregates back to (priority,
+    measure, value) long form via stack() — a generator expression, no
+    shuffle beyond the source aggregation."""
+    od = _t(spark, sf_dir, "orders")
+    wide = (od.groupBy("o_orderpriority")
+            .agg(F.count("*").cast("double").alias("n_orders"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+                 (F.sum(_dec("o_totalprice")).cast("double") / F.count("*"))
+                 .alias("avg_price")))
+    return (wide.select(
+        "o_orderpriority",
+        F.expr("stack(3, 'n_orders', n_orders, 'total', total, "
+               "'avg_price', avg_price) AS (measure, value)"))
+        .orderBy("o_orderpriority", "measure"))
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS avg_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, measure, value FROM (
+  SELECT o_orderpriority, 'n_orders' AS measure, n_orders AS value FROM wide
+  UNION ALL
+  SELECT o_orderpriority, 'total', total FROM wide
+  UNION ALL
+  SELECT o_orderpriority, 'avg_price', avg_price FROM wide
+)
+ORDER BY o_orderpriority, measure
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
     "dedup_prefix_groups": (dedup_prefix_groups, DEDUP_PREFIX_SQL),
@@ -2748,6 +2815,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
     "q21_suppliers_kept_waiting": (q21_suppliers_kept_waiting, Q21_SQL),
     "cube_order_status": (cube_order_status, CUBE_SQL),
+    "pivot_flag_quantities": (pivot_flag_quantities, PIVOT_SQL),
+    "unpivot_order_measures": (unpivot_order_measures, UNPIVOT_SQL),
     "approx_distinct_parts": (approx_distinct_parts, APPROX_DISTINCT_SQL),
     "approx_percentile_bounds": (approx_percentile_bounds,
                                  APPROX_PERCENTILE_SQL),
