@@ -200,3 +200,48 @@ class TestOverlapJoin:
         out = overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
                            bucket_width=100)
         plans.assert_no_cartesian(out)
+
+
+class TestRandomizedDifferential:
+    """Seeded randomized inputs, verified against a pure-Python oracle
+    computed independently in the test (no Spark in the reference path) —
+    one Spark run per width instead of per hypothesis example."""
+
+    def _data(self):
+        import random
+        rng = random.Random(20260813)
+        pts = [(i, rng.randint(-500, 1500)) for i in range(300)]
+        ivs = []
+        for j in range(120):
+            lo = rng.randint(-600, 1400)
+            ivs.append((j, lo, lo + rng.randint(0, 300)))
+        return pts, ivs
+
+    @pytest.mark.parametrize("width", [13, 97, 512])
+    def test_interval_join_random(self, spark, width):
+        pts, ivs = self._data()
+        expected = sorted((pid, iid) for pid, ts in pts
+                          for iid, lo, hi in ivs if lo <= ts <= hi)
+        p = spark.createDataFrame(pts, "pid long, ts long")
+        iv = spark.createDataFrame(ivs, "iid long, lo long, hi long")
+        out = interval_join(p, iv, "ts", "lo", "hi", bucket_width=width)
+        got = sorted((r.pid, r.iid)
+                     for r in out.select("pid", "iid").collect())
+        assert got == expected
+
+    @pytest.mark.parametrize("width", [13, 97, 512])
+    def test_overlap_join_random(self, spark, width):
+        from parquet_index_spark.operators.rangejoin import overlap_join
+        _, ivs = self._data()
+        a_rows = [(i, lo, hi) for i, lo, hi in ivs[:60]]
+        b_rows = [(i, lo, hi) for i, lo, hi in ivs[60:]]
+        expected = sorted((ai, bi) for ai, alo, ahi in a_rows
+                          for bi, blo, bhi in b_rows
+                          if alo <= bhi and blo <= ahi)
+        a = spark.createDataFrame(a_rows, "a_id long, a_lo long, a_hi long")
+        b = spark.createDataFrame(b_rows, "b_id long, b_lo long, b_hi long")
+        out = overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+                           bucket_width=width)
+        got = sorted((r.a_id, r.b_id)
+                     for r in out.select("a_id", "b_id").collect())
+        assert got == expected
