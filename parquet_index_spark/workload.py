@@ -2752,6 +2752,28 @@ ORDER BY o_orderpriority, measure
 """
 
 
+def listagg_status_by_priority(spark, sf_dir):
+    """Deterministic list aggregation: collect_set is unordered by
+    contract, so the emitted string sorts the set first (array_sort) —
+    the only way a collected aggregate can be reproducible across
+    partitionings and engines."""
+    od = _t(spark, sf_dir, "orders")
+    return (od.groupBy("o_orderpriority")
+            .agg(F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus")))
+                 .alias("statuses"),
+                 F.countDistinct("o_orderstatus").alias("n_statuses"))
+            .orderBy("o_orderpriority"))
+
+
+LISTAGG_SQL = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+         AS statuses,
+       count(DISTINCT o_orderstatus) AS n_statuses
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
     "dedup_prefix_groups": (dedup_prefix_groups, DEDUP_PREFIX_SQL),
@@ -2817,6 +2839,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "cube_order_status": (cube_order_status, CUBE_SQL),
     "pivot_flag_quantities": (pivot_flag_quantities, PIVOT_SQL),
     "unpivot_order_measures": (unpivot_order_measures, UNPIVOT_SQL),
+    "listagg_status_by_priority": (listagg_status_by_priority, LISTAGG_SQL),
     "approx_distinct_parts": (approx_distinct_parts, APPROX_DISTINCT_SQL),
     "approx_percentile_bounds": (approx_percentile_bounds,
                                  APPROX_PERCENTILE_SQL),
