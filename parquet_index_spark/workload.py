@@ -2752,6 +2752,61 @@ ORDER BY o_orderpriority, measure
 """
 
 
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF term scoring: explode → (doc, term) tf → vocab-level df
+    (tiny, broadcast) → smoothed idf → top-3 terms per document by score.
+    The shuffle keys are (doc, term) then doc; the vocab side never
+    shuffles the corpus. ln() is IEEE-identical across engines; the score
+    is rounded AFTER the full expression so both engines rank the same
+    doubles. Restricted to doc_id < 50 to keep the result set reviewable."""
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 50")
+    terms = docs.select("doc_id", F.explode(
+        F.split(F.trim("text"), r"\s+")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()  # driver scalar, like q22's threshold
+    df_t = (terms.select("doc_id", "term").distinct()
+            .groupBy("term").agg(F.count("*").alias("df")))
+    score = F.round(F.col("tf") * (F.log((F.lit(float(n_docs)) + 1.0)
+                                         / (F.col("df") + 1.0)) + 1.0), 6)
+    scored = (tf.join(F.broadcast(df_t), "term")
+              .select("doc_id", "term", score.alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                             F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "term", "tfidf", "rank")
+            .orderBy("doc_id", "rank"))
+
+
+TFIDF_SQL = r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM d
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df_t AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM d),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df_t.df + 1.0)) + 1.0), 6)
+           AS tfidf
+  FROM tf JOIN df_t USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked
+WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def listagg_status_by_priority(spark, sf_dir):
     """Deterministic list aggregation: collect_set is unordered by
     contract, so the emitted string sorts the set first (array_sort) —
@@ -2785,6 +2840,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "text_profile_by_lang": (text_profile_by_lang, TEXT_PROFILE_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "token_count_stats": (token_count_stats, TOKEN_COUNT_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "sample_split_stats": (sample_split_stats, SAMPLE_SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
     "pack_chunks_by_source": (pack_chunks_by_source, PACK_CHUNKS_SQL),
