@@ -249,14 +249,16 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     representative) — the step that turns near-dup pairs into "keep one,
     drop the rest" decisions.
 
-    HashMin label propagation: each round every node takes the min of its
-    own label and its neighbors' labels; converges in O(component diameter)
-    rounds. Near-dup components are dense and shallow (every member pairs
-    with most others), so 2-4 rounds are typical regardless of corpus size
-    — for deep path-shaped graphs prefer the large-star/small-star variant,
-    which this operator deliberately trades away for one join per round.
+    HashMin label propagation with pointer jumping: each round every node
+    takes the min of its own and its neighbors' labels (one hop), then
+    follows its label's label (path compression) — so label distance
+    DOUBLES per round and convergence is O(log diameter), not O(diameter).
+    Near-dup components are near-cliques that finish in 1-2 rounds; the
+    jump step is what keeps pathological chain-shaped graphs from needing
+    diameter rounds. Raises RuntimeError if max_iter rounds pass without a
+    fixpoint rather than silently returning partial components.
 
-    Scale: each round is one shuffle join + one map-side-combinable min
+    Scale: each round is two shuffle joins + one map-side-combinable min
     aggregation; the driver sees only the per-round changed-count.
     localCheckpoint() truncates lineage so round N's plan doesn't replay
     rounds 1..N-1.
@@ -275,23 +277,47 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
               .select("node",
                       F.least("node", "__m").alias("component"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         nbr_min = (und.join(labels.withColumnRenamed("node", "nbr")
                             .withColumnRenamed("component", "nbr_component"),
                             "nbr")
                    .groupBy("node")
                    .agg(F.min("nbr_component").alias("nbr_min")))
-        new_labels = (labels.join(nbr_min, "node", "left")
-                      .select("node",
-                              F.least("component",
-                                      F.coalesce("nbr_min", "component"))
-                              .alias("component"))
-                      .localCheckpoint(eager=True))
+        hopped = (labels.join(nbr_min, "node", "left")
+                  .select("node",
+                          F.least("component",
+                                  F.coalesce("nbr_min", "component"))
+                          .alias("component")))
+        if it == 0:
+            # near-clique graphs (the dedup case) are done after round-0
+            # init + one confirming hop — don't pay the jump join for them
+            new_labels = hopped.localCheckpoint(eager=True)
+        else:
+            # pointer jump: follow the label's label (labels are node ids,
+            # so the lookup is a self-join); doubles propagation distance,
+            # giving O(log diameter) rounds on chain-shaped graphs
+            lut = hopped.select(F.col("node").alias("__ln"),
+                                F.col("component").alias("__lc"))
+            new_labels = (hopped.join(lut,
+                                      hopped["component"] == lut["__ln"],
+                                      "left")
+                          .select(hopped["node"],
+                                  F.least(hopped["component"],
+                                          F.coalesce(lut["__lc"],
+                                                     hopped["component"]))
+                                  .alias("component"))
+                          .localCheckpoint(eager=True))
         changed = (new_labels.withColumnRenamed("component", "new_component")
                    .join(labels, "node")
                    .filter(F.col("new_component") != F.col("component"))
                    .count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph has an extremely deep component — raise max_iter")
     return labels

@@ -555,3 +555,18 @@ class TestConnectedComponents:
         # min id on the "b" side still becomes the representative
         got = self._cc(spark, [(5, 1), (5, 3)])
         assert got == {(1, 1), (3, 1), (5, 1)}
+
+    def test_deep_chain_converges_in_log_rounds(self, spark):
+        # 300-node path: diameter 299, but pointer jumping doubles label
+        # distance per round — 12 rounds must suffice (log2(300) ~ 8.2)
+        edges = [(i, i + 1) for i in range(300)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = D.connected_components(df, max_iter=12)
+        assert got.filter("component <> 0").count() == 0
+        assert got.count() == 301
+
+    def test_nonconvergence_raises(self, spark):
+        edges = [(i, i + 1) for i in range(40)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            D.connected_components(df, max_iter=1)
