@@ -107,6 +107,51 @@ def document_fingerprint(text_col: str = "text") -> Column:
     return F.md5(normalized)
 
 
+def bm25_rank(docs: DataFrame, query_terms: List[str], *,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              top_k: int = 10) -> DataFrame:
+    """BM25 ranked retrieval (Lucene-style idf) over a document table,
+    returning the top_k (doc_id, bm25, n_terms_hit) rows.
+
+    Scale shape: the exploded term stream is filtered to the query's terms
+    BEFORE the (doc, term) aggregation, so the shuffle carries only hits —
+    corpus size bounds the doc-length side (two ints per doc), never a
+    term-level blowup. Corpus constants (N, avgdl) come from one tiny agg
+    (driver scalars, like q22's threshold). Final top-k is orderBy+limit
+    (TakeOrderedAndProject — no global window).
+
+    Determinism: each term's contribution is rounded to 6dp and summed as
+    DECIMAL(18,6) — decimal addition is exact and order-independent, so
+    the score is identical across partitionings and engines (the float
+    sum-order trap the oracle compare would otherwise hit).
+    """
+    if not query_terms:
+        raise ValueError("bm25_rank requires at least one query term")
+    doc_id = F.col(id_col).alias("doc_id")
+    terms = docs.select(doc_id, F.explode(tokens(text_col)).alias("term"))
+    hits = terms.filter(F.col("term").isin(list(query_terms)))
+    tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    stats = (docs.select(token_count(text_col).alias("dl"))
+             .agg(F.sum("dl").alias("s"), F.count("*").alias("n")).head())
+    n_docs, avgdl = int(stats["n"]), float(stats["s"]) / float(stats["n"])
+    df_t = (hits.select("doc_id", "term").distinct()
+            .groupBy("term").agg(F.count("*").alias("df")))
+    dls = docs.select(doc_id, token_count(text_col).alias("dl"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    contrib = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6)
+    scored = (tf.join(F.broadcast(df_t), "term").join(dls, "doc_id")
+              .select("doc_id", contrib.alias("contrib")))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum(F.col("contrib").cast("decimal(18,6)"))
+                 .cast("double").alias("bm25"),
+                 F.count("*").alias("n_terms_hit"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            .limit(top_k))
+
+
 def text_profile(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Per-document profile: tokens, chars, stopword ratio, avg token len,

@@ -2829,6 +2829,53 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed 3-term query over the documents
+    table (operators/text.bm25_rank). The exploded term stream is filtered
+    to the query terms before any shuffle; corpus constants are one tiny
+    agg; per-term contributions are summed as DECIMAL(18,6) so the score
+    is order-independent and engine-exact."""
+    from parquet_index_spark.operators.text import bm25_rank
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_rank(docs, ["vector", "hash", "spark"], top_k=10)
+
+
+BM25_SQL = r"""
+WITH dls AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl
+  FROM documents
+),
+consts AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dls
+),
+hits AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+    FROM documents)
+  WHERE term IN ('vector', 'hash', 'spark')
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY doc_id, term),
+df_t AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM hits) GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id,
+         round(ln(1.0 + (consts.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * dls.dl / consts.avgdl)), 6) AS c
+  FROM tf JOIN df_t USING (term) JOIN dls USING (doc_id), consts
+)
+SELECT doc_id,
+       CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS bm25,
+       count(*) AS n_terms_hit
+FROM contrib GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
     "dedup_prefix_groups": (dedup_prefix_groups, DEDUP_PREFIX_SQL),
@@ -2841,6 +2888,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "token_count_stats": (token_count_stats, TOKEN_COUNT_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    "bm25_search": (bm25_search, BM25_SQL),
     "sample_split_stats": (sample_split_stats, SAMPLE_SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
     "pack_chunks_by_source": (pack_chunks_by_source, PACK_CHUNKS_SQL),
