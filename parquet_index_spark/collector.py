@@ -157,6 +157,10 @@ def _footer_stats_for_file(abs_path: str, relpath: str,
         for col, kind in index_cols:
             row = _stat_row_base(relpath, rg, rg_meta.num_rows, col)
             idx = name_to_idx.get(col)
+            if idx is None:
+                # schema evolution: column absent from this file => all
+                # null under the table's merged schema (exact, prunable)
+                row["nulls"] = rg_meta.num_rows
             if idx is not None:
                 col_meta = rg_meta.column(idx)
                 st = col_meta.statistics
@@ -190,6 +194,10 @@ def _scan_stats_for_file(abs_path: str, relpath: str, index_cols: list,
         n_rows = md.row_group(rg).num_rows
         for col, kind in index_cols:
             row = _stat_row_base(relpath, rg, n_rows, col)
+            if col not in present:
+                # schema evolution: column absent from this file => all
+                # null under the table's merged schema (exact, prunable)
+                row["nulls"] = n_rows
             if table is not None and col in table.column_names:
                 chunk = table.column(col)
                 row["nulls"] = chunk.null_count

@@ -379,9 +379,13 @@ class DataFrameIndexManager:
         spec = LocationSpec(path, dataspace=dataspace)
         table_root = spec.table_path
 
-        # schema inference: Spark merges per-file footers + partition
-        # discovery (SURVEY §1.3 mapping)
-        data_schema = self.spark.read.parquet(table_root).schema
+        # schema inference: per-file footer MERGE + partition discovery
+        # (SURVEY §1.3 mapping). mergeSchema matters for evolved tables —
+        # without it Spark picks one file's schema and late-added columns
+        # are invisible to the index (and to every indexed scan, which
+        # reads with the schema stored here).
+        data_schema = (self.spark.read.option("mergeSchema", "true")
+                       .parquet(table_root).schema)
         files, part_cols = collector.list_table_files(table_root)
         partition_columns: Dict[str, str] = {}
         for pcol in part_cols:
@@ -481,6 +485,54 @@ class DataFrameIndexManager:
             rows, schema="entry string, column string, n_files long, "
                          "n_blocks long, n_rows long, filter_type string")
 
+    def _merge_refresh_schema(self, metastore: Metastore, spec: LocationSpec,
+                              metadata: IndexMetadata,
+                              new_files: list) -> None:
+        """Fold new files' schemas into the stored table schema (schema
+        evolution on append). New columns append as nullable fields — old
+        files read them as null, exactly Spark's mergeSchema semantics but
+        resolved ONCE here instead of per-query footer merging. A changed
+        type for an existing column fails loudly: the stored schema drives
+        every indexed scan, so silently picking either type would corrupt
+        reads of half the files."""
+        if not new_files:
+            return
+        import pyspark.sql.types as T
+        paths = [collector.resolve_file(spec.table_path, f["path"])
+                 for f in new_files]
+        new_schema = (self.spark.read.option("mergeSchema", "true")
+                      .parquet(*paths).schema)
+        old = metadata.data_schema
+        by_name = {f.name: f for f in old.fields}
+        added = []
+        for f in new_schema.fields:
+            prev = by_name.get(f.name)
+            if prev is None:
+                added.append(T.StructField(f.name, f.dataType, True))
+            elif prev.dataType != f.dataType:
+                raise ValueError(
+                    f"Column {f.name!r} changed type across refresh "
+                    f"({prev.dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()}); rewrite the table to "
+                    "one type (or drop and recreate the index)")
+        if not added:
+            return
+        merged = T.StructType(list(old.fields) + added)
+        meta = {
+            "version": 1,
+            "table_path": metadata.table_path,
+            "data_schema": merged.jsonValue(),
+            "index_columns": list(metadata.index_columns.items()),
+            "partition_columns": list(metadata.partition_columns.items()),
+            "filter_type": metadata.filter_type,
+        }
+        meta_path = os.path.join(metadata.index_dir, METADATA_FILE)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        os.replace(tmp, meta_path)
+        metadata.data_schema = merged
+
     def _refresh_index(self, path: str, dataspace: str) -> dict:
         """Incremental refresh; returns a summary dict (mode/new/removed)."""
         conf = self._conf()
@@ -513,6 +565,12 @@ class DataFrameIndexManager:
                     "removed_or_changed": len(removed_or_changed)}
         if not new_files:
             return {"mode": "noop", "new_files": 0, "removed_or_changed": 0}
+
+        # schema evolution: merge new files' schemas into the stored table
+        # schema BEFORE the manifest lands, so a crash in between leaves a
+        # wider schema over the old manifest (sound: extra columns read as
+        # null) rather than new files invisible to .select on new columns
+        self._merge_refresh_schema(metastore, spec, metadata, new_files)
 
         stats_dir = os.path.join(index_dir, STATS_DIR)
         existing_shards = [f for f in os.listdir(stats_dir)

@@ -11,8 +11,14 @@ Reproduces the semantics of the reference's fold algebra
   (ibid:54-75);
 - Gt matches iff max > v; Ge iff max >= v; Lt iff min < v; Le iff min <= v
   (the open/closed boundary rules of ibid:80-101);
-- all-null blocks (`has_stats == False`) fail every comparison
-  (ColumnStatistics.scala:165-206, the `isSet` guard);
+- blocks known to be all-null (`has_stats == False` AND `nulls == rows`)
+  fail every comparison (ColumnStatistics.scala:165-206, the `isSet`
+  guard — the reference's stats always come from data scans, so isSet
+  False *means* all-null there);
+- blocks with NO stats but possibly non-null data (`has_stats == False`,
+  `nulls != rows` — e.g. a parquet file written with statistics disabled,
+  seen only by the footer fast path) pass every comparison: pruning them
+  would be unsound;
 - predicates on unindexed columns and unsupported shapes fold to
   "scan" (ibid:128-136).
 
@@ -130,10 +136,19 @@ def _cmp_arrays(stats: ColumnBlockStats, v, op: str) -> np.ndarray:
     return stats.max_l >= v
 
 
-def _contains(stats: ColumnBlockStats, v) -> np.ndarray:
-    """Null-tolerant contains: has_stats && min <= v <= max
-    (ColumnStatistics.scala:97-107)."""
-    return stats.has & _cmp_arrays(stats, v, "min_le") & _cmp_arrays(stats, v, "max_ge")
+def _statless_maybe(stats: ColumnBlockStats, ctx: "BlockStatsContext") -> np.ndarray:
+    """Blocks with no min/max that are NOT known all-null: footer-path files
+    written with statistics disabled (nulls == -1), or footers carrying a
+    null count but no min/max (0 <= nulls < rows). Pruning these would drop
+    real rows; every comparison keeps them."""
+    return ~stats.has & (stats.nulls != ctx.rows)
+
+
+def _contains(stats: ColumnBlockStats, ctx: "BlockStatsContext", v) -> np.ndarray:
+    """Null-tolerant contains: (has_stats && min <= v <= max), or no stats
+    at all (ColumnStatistics.scala:97-107; statless blocks keep)."""
+    return (stats.has & _cmp_arrays(stats, v, "min_le")
+            & _cmp_arrays(stats, v, "max_ge")) | _statless_maybe(stats, ctx)
 
 
 def _apply_membership(ctx: BlockStatsContext, column: str, kind: str,
@@ -191,7 +206,7 @@ def _eval(pred: P.Predicate, ctx: BlockStatsContext, tz: str = None) -> np.ndarr
         v = _norm_literal(pred.value, kind, tz)
         if v is None:
             return _true(ctx)
-        out = _contains(stats, v)
+        out = _contains(stats, ctx, v)
         return _apply_membership(ctx, pred.column, kind, out, [v])
     if isinstance(pred, P.In):
         vs = [nv for nv in (_norm_literal(x, kind, tz) for x in pred.values) if nv is not None]
@@ -201,7 +216,7 @@ def _eval(pred: P.Predicate, ctx: BlockStatsContext, tz: str = None) -> np.ndarr
             return _false(ctx)
         out = _false(ctx)
         for v in vs:
-            out |= _contains(stats, v)
+            out |= _contains(stats, ctx, v)
         return _apply_membership(ctx, pred.column, kind, out, vs)
     if isinstance(pred, P.Ne):
         v = _norm_literal(pred.value, kind, tz)
@@ -215,7 +230,7 @@ def _eval(pred: P.Predicate, ctx: BlockStatsContext, tz: str = None) -> np.ndarr
         else:
             min_eq = stats.min_l == v
             max_eq = stats.max_l == v
-        return stats.has & ~(min_eq & max_eq)
+        return (stats.has & ~(min_eq & max_eq)) | _statless_maybe(stats, ctx)
     if isinstance(pred, P.IsNull):
         return (stats.nulls > 0) | (stats.nulls == -1)
     if isinstance(pred, P.IsNotNull):
@@ -223,16 +238,20 @@ def _eval(pred: P.Predicate, ctx: BlockStatsContext, tz: str = None) -> np.ndarr
         return np.where(known, ctx.rows - np.maximum(stats.nulls, 0) > 0, ctx.rows > 0)
     if isinstance(pred, P.Gt):
         v = _norm_literal(pred.value, kind, tz)
-        return _true(ctx) if v is None else stats.has & _cmp_arrays(stats, v, "max_gt")
+        return _true(ctx) if v is None else \
+            (stats.has & _cmp_arrays(stats, v, "max_gt")) | _statless_maybe(stats, ctx)
     if isinstance(pred, P.Ge):
         v = _norm_literal(pred.value, kind, tz)
-        return _true(ctx) if v is None else stats.has & _cmp_arrays(stats, v, "max_ge")
+        return _true(ctx) if v is None else \
+            (stats.has & _cmp_arrays(stats, v, "max_ge")) | _statless_maybe(stats, ctx)
     if isinstance(pred, P.Lt):
         v = _norm_literal(pred.value, kind, tz)
-        return _true(ctx) if v is None else stats.has & _cmp_arrays(stats, v, "min_lt")
+        return _true(ctx) if v is None else \
+            (stats.has & _cmp_arrays(stats, v, "min_lt")) | _statless_maybe(stats, ctx)
     if isinstance(pred, P.Le):
         v = _norm_literal(pred.value, kind, tz)
-        return _true(ctx) if v is None else stats.has & _cmp_arrays(stats, v, "min_le")
+        return _true(ctx) if v is None else \
+            (stats.has & _cmp_arrays(stats, v, "min_le")) | _statless_maybe(stats, ctx)
     return _true(ctx)
 
 

@@ -132,6 +132,10 @@ def _leaf(col: str, kind: str, op: str, value, tz: str = None) -> F.Column:
     if v is None:
         return F.lit(True)
     has = F.coalesce(F.col(f"{col}__has"), F.lit(False))
+    # statless-but-maybe-nonnull blocks keep (numpy fold's _statless_maybe):
+    # no min/max AND not known all-null => pruning would be unsound
+    nulls = F.coalesce(F.col(f"{col}__nulls"), F.lit(-1))
+    statless = ~has & (nulls != F.col("__rows"))
     if kind == ityp.STRING:
         mn, mx = F.col(f"{col}__min_s"), F.col(f"{col}__max_s")
     else:
@@ -145,7 +149,7 @@ def _leaf(col: str, kind: str, op: str, value, tz: str = None) -> F.Column:
         "lt": has & (mn < lit),
         "le": has & (mn <= lit),
     }
-    return table[op]
+    return F.coalesce(table[op], F.lit(False)) | statless
 
 
 def compile_to_spark(pred: P.Predicate, kinds: dict, tz: str = None,

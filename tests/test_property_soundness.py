@@ -103,7 +103,10 @@ def build_ctx(blocks, ftype):
         nulls = len(vals) - len(nn)
         mn = min(nn) if nn else None
         mx = max(nn) if nn else None
-        specs.append({"file": f"f{len(specs)}", "rows": max(len(vals), 1),
+        # rows must be truthful: the collector's nulls count is exact, and
+        # the fold's statless-keep rule (no min/max AND nulls != rows =>
+        # keep) relies on it. An empty block is rows=0, not a phantom row.
+        specs.append({"file": f"f{len(specs)}", "rows": len(vals),
                       "cols": {"a": (L, mn, mx, nulls)}})
         if ftype == "dict":
             filters.append(MembershipFilter(DictFilter(set(nn)), None))

@@ -59,6 +59,40 @@ class TestSparkPruningEquivalence:
         spark_files = set(prune_files_with_spark(spark, metadata, ast))
         assert spark_files == numpy_files
 
+    @pytest.mark.parametrize("pred", ["id = 50", "id > 90", "s <= 'v1'",
+                                      "id IS NULL"])
+    def test_statless_and_allnull_blocks_agree(self, spark, ctx,
+                                               tmp_table_dir, pred):
+        """Mixed table: one file with footer stats disabled (statless =>
+        both folds must keep it for value predicates), one file where an
+        indexed column is absent (all-null => both may prune it). The two
+        folds' survivor sets must match on every shape."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(tmp_table_dir, "mixed")
+        os.makedirs(path)
+        pq.write_table(
+            pa.table({"id": pa.array(range(100), type=pa.int64()),
+                      "s": pa.array([f"v{i}" for i in range(100)])}),
+            os.path.join(path, "a-statless.parquet"), write_statistics=False)
+        pq.write_table(
+            pa.table({"id": pa.array(range(100, 200), type=pa.int64())}),
+            os.path.join(path, "b-missing-col.parquet"))
+        spark.conf.set("spark.sql.index.parquet.filter.enabled", "false")
+        try:
+            ctx.index.create.indexBy("id", "s").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.index.parquet.filter.enabled", "true")
+        metadata = ctx.index.parquet(path)._metadata
+        ast = parse_sql_predicate(pred)
+        numpy_files = set(prune_files(ast, metadata.context()))
+        spark_files = set(prune_files_with_spark(spark, metadata, ast))
+        assert spark_files == numpy_files
+        # the statless file must survive value predicates (soundness)
+        if "NULL" not in pred:
+            assert "a-statless.parquet" in numpy_files
+
     def test_threshold_switch_end_to_end(self, spark, ctx, table):
         """Force the Spark path via threshold=0 and check query results."""
         spark.conf.set(SPARK_PRUNING_THRESHOLD, "0")
