@@ -7,6 +7,7 @@ designed scale-out-first (no driver-side loops, no row-at-a-time Python in
 the hot path).
 """
 
-from parquet_index_spark.operators import dedup, similarity, text, multimodal
+from parquet_index_spark.operators import (dedup, profile, similarity, text,
+                                           multimodal)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "profile", "similarity", "text", "multimodal"]

@@ -2829,6 +2829,60 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def profile_orders_columns(spark, sf_dir):
+    """Data-quality profile of the orders table: null counts, exact
+    cardinality, and rendered min/max for every column, in ONE scan
+    (operators/profile.profile_columns). The only shuffle is the global
+    aggregate's single-row exchange; exact multi-column countDistinct
+    plans an Expand (documented; approx mode removes it at extreme
+    scale)."""
+    from parquet_index_spark.operators.profile import profile_columns
+    od = _t(spark, sf_dir, "orders")
+    return profile_columns(od, ["o_orderkey", "o_custkey", "o_orderstatus",
+                                "o_totalprice", "o_orderdate",
+                                "o_orderpriority"])
+
+
+PROFILE_COLUMNS_SQL = """
+SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+       count(*) - count(o_orderkey) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus),
+       CAST(min(o_orderstatus) AS VARCHAR),
+       CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       CAST(CAST(min(o_totalprice) AS DECIMAL(28,2)) AS VARCHAR),
+       CAST(CAST(max(o_totalprice) AS DECIMAL(28,2)) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+       count(DISTINCT o_orderdate),
+       CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
+       CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR),
+       CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+ORDER BY col_name
+"""
+
+
 def bm25_search(spark, sf_dir):
     """BM25 ranked retrieval for a fixed 3-term query over the documents
     table (operators/text.bm25_rank). The exploded term stream is filtered
@@ -2889,6 +2943,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "token_count_stats": (token_count_stats, TOKEN_COUNT_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "bm25_search": (bm25_search, BM25_SQL),
+    "profile_orders_columns": (profile_orders_columns, PROFILE_COLUMNS_SQL),
     "sample_split_stats": (sample_split_stats, SAMPLE_SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
     "pack_chunks_by_source": (pack_chunks_by_source, PACK_CHUNKS_SQL),

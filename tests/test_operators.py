@@ -570,3 +570,47 @@ class TestConnectedComponents:
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         with pytest.raises(RuntimeError, match="did not converge"):
             D.connected_components(df, max_iter=1)
+
+
+class TestProfile:
+    @pytest.fixture(scope="class")
+    def mixed(self, spark):
+        from datetime import datetime
+        rows = [
+            Row(k=1, name="a", price=1.5, ts=datetime(2024, 1, 1, 5)),
+            Row(k=2, name="b", price=None, ts=datetime(2024, 3, 1)),
+            Row(k=3, name=None, price=9.25, ts=None),
+            Row(k=4, name="b", price=9.25, ts=datetime(2024, 3, 1)),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_profile_all_columns(self, mixed):
+        from parquet_index_spark.operators.profile import profile_columns
+        out = {r["col_name"]: r for r in profile_columns(mixed).collect()}
+        assert set(out) == {"k", "name", "price", "ts"}
+        assert all(r["n_rows"] == 4 for r in out.values())
+        assert out["k"]["n_nulls"] == 0 and out["k"]["n_distinct"] == 4
+        assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "4"
+        assert out["name"]["n_nulls"] == 1 and out["name"]["n_distinct"] == 2
+        assert out["price"]["min_value"] == "1.50"  # decimal render, scale 2
+        assert out["price"]["max_value"] == "9.25"
+        assert out["ts"]["min_value"] == "2024-01-01"  # date-truncated
+        assert out["ts"]["n_nulls"] == 1
+
+    def test_profile_single_scan(self, mixed):
+        """The whole profile must come from ONE aggregate over the input —
+        no per-column jobs, no repeated scans."""
+        from parquet_index_spark.operators.profile import profile_columns
+        plan = profile_columns(mixed)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan ExistingRDD") == 1
+
+    def test_profile_approx_mode_no_expand(self, mixed):
+        """approx_count_distinct keeps the scan single-projection: the
+        exact mode's Expand operator must be absent from the plan."""
+        from parquet_index_spark.operators.profile import profile_columns
+        exact = profile_columns(mixed)._jdf.queryExecution().executedPlan().toString()
+        approx = profile_columns(mixed, exact_distinct=False)
+        plan = approx._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in exact and "Expand" not in plan
+        vals = {r["col_name"]: r["n_distinct"] for r in approx.collect()}
+        assert vals["k"] == 4  # HLL exact at tiny cardinality
