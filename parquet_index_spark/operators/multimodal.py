@@ -97,6 +97,36 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
             .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms))
 
 
+def chunk_audio(df: DataFrame, chunk_ms: int = 30_000,
+                overlap_ms: int = 0, id_col: str = "media_id") -> DataFrame:
+    """Chunking plan for audio rows: one output row per fixed-length
+    window (optionally overlapping) — the standard pre-step for ASR or
+    audio embedding at scale. Pure DataFrame math (sequence + explode):
+    chunk boundaries come from duration_ms, so no decode happens here and
+    nothing leaves the executors; the per-chunk waveform slice is the
+    stubbed decoder step downstream. The final chunk is truncated at the
+    clip end (chunk_end_ms <= duration_ms always holds)."""
+    if not 0 <= overlap_ms < chunk_ms:
+        raise ValueError(f"overlap_ms must be in [0, chunk_ms); got "
+                         f"{overlap_ms} vs chunk_ms {chunk_ms}")
+    stride = chunk_ms - overlap_ms
+    dur = F.coalesce(F.col("duration_ms"), F.lit(0))
+    # chunks start at 0, stride, 2*stride, ... while start < duration
+    n_chunks = F.ceil(dur / F.lit(stride)).cast("int")
+    return (df.filter(F.col("kind") == "audio")
+            .filter(dur > 0)
+            .select(F.col(id_col), F.col("duration_ms"),
+                    F.explode(F.sequence(
+                        F.lit(0), F.greatest(n_chunks - 1, F.lit(0))))
+                    .alias("chunk_idx"))
+            .withColumn("chunk_start_ms",
+                        F.col("chunk_idx").cast("long") * stride)
+            .filter(F.col("chunk_start_ms") < F.col("duration_ms"))
+            .withColumn("chunk_end_ms",
+                        F.least(F.col("chunk_start_ms") + chunk_ms,
+                                F.col("duration_ms"))))
+
+
 def resize_images(df: DataFrame, max_side: int = 512,
                   content_col: str = "content",
                   fake: bool = True) -> DataFrame:

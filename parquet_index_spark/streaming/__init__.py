@@ -180,6 +180,121 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
                 "update", GroupStateTimeout.NoTimeout))
 
 
+GAPFILL_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("bucket_start", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+    T.StructField("filled", T.BooleanType()),
+])
+
+GAPFILL_STATE = T.StructType([
+    T.StructField("open_b", T.ArrayType(T.LongType())),     # bucket start µs
+    T.StructField("open_n", T.ArrayType(T.LongType())),
+    T.StructField("open_s", T.ArrayType(T.DoubleType())),
+    T.StructField("last_bucket", T.LongType()),             # µs, -1 = none
+    T.StructField("last_value", T.DoubleType()),
+])
+
+_DUR_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _round2(x: float) -> float:
+    """Round half away from zero to 2 decimals — the SQL ROUND rule both
+    Spark and DuckDB apply. Python's built-in round() is banker's rounding
+    and diverges on exactly-representable halves (round(0.125, 2))."""
+    import math
+    return math.copysign(math.floor(abs(x) * 100.0 + 0.5), x) / 100.0
+
+
+def _duration_us(s: str) -> int:
+    n, unit = s.split()
+    return int(n) * _DUR_UNITS[unit.rstrip("s")] * 1_000_000
+
+
+def stream_bucket_gapfill(events: DataFrame, bucket: str = "1 hour",
+                          watermark: str = "2 hours",
+                          value_col: str = "value",
+                          max_fill: int = 10_000) -> DataFrame:
+    """Streaming hypertable rollup + gap-fill: per user, fixed time buckets
+    with event counts and value sums, where buckets the key was silent in
+    are EMITTED anyway (n_events=0, ``filled``=true, sum carried forward) —
+    the streaming analog of workload.time_bucket_gapfill. Structured
+    Streaming cannot express "emit rows for windows with no input", so this
+    is a custom stateful operator (applyInPandasWithState, the SURVEY
+    escape hatch), and a bucket is decided — emitted exactly once, in
+    order — only when the event-time watermark passes its end.
+
+    State per key is a few longs per OPEN bucket (partial count/sum), not
+    events: at any moment that is O(out-of-orderness / bucket width)
+    entries, so a million-key stream carries megabytes of state, not the
+    stream. Closed buckets leave state immediately; an event-time timeout
+    closes trailing buckets when a key goes quiet instead of holding them
+    forever. ``max_fill`` caps consecutive filled rows per gap (a key dark
+    for a year must not emit 8760 rows into one micro-batch); the cap skips
+    the spine forward and is recorded by the next real bucket arriving
+    non-contiguously."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    width = _duration_us(bucket)
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            ob, on, os_, last_b, last_v = state.get
+            open_ = {b: [n, s] for b, n, s in zip(ob, on, os_)}
+        else:
+            open_, last_b, last_v = {}, -1, None
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            us = (pdf["event_time"].astype("datetime64[us]")
+                  .astype("int64").to_numpy())
+            b_arr = us - us % width
+            vals = pdf[value_col].astype(float).fillna(0.0).to_numpy()
+            for bb, v in zip(b_arr.tolist(), vals.tolist()):
+                slot = open_.setdefault(bb, [0, 0.0])
+                slot[0] += 1
+                slot[1] += v
+        rows = []
+        for bb in sorted(open_):
+            if bb + width > wm_us:
+                break  # sorted: nothing later is decidable either
+            n, s = open_.pop(bb)
+            s = _round2(s)
+            if last_b >= 0 and bb - last_b > width:
+                n_gap = (bb - last_b) // width - 1
+                g = bb - min(n_gap, max_fill) * width
+                while g < bb:
+                    rows.append((g, 0, last_v, True))
+                    g += width
+            rows.append((bb, n, s, False))
+            last_b, last_v = bb, s
+        state.update((sorted(open_),
+                      [open_[b][0] for b in sorted(open_)],
+                      [open_[b][1] for b in sorted(open_)],
+                      last_b, last_v))
+        if open_:
+            # wake this key when the earliest open bucket becomes decidable
+            # (timeouts must sit strictly above the current watermark)
+            state.setTimeoutTimestamp(
+                max((min(open_) + width) // 1000, wm_us // 1000 + 1))
+        if rows:
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(rows),
+                "bucket_start": pd.to_datetime([r[0] for r in rows],
+                                               unit="us"),
+                "n_events": [r[1] for r in rows],
+                "sum_value": [r[2] for r in rows],
+                "filled": [r[3] for r in rows]})
+
+    return (events.withWatermark("event_time", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(update, GAPFILL_OUTPUT, GAPFILL_STATE,
+                                    "append", GroupStateTimeout.EventTimeTimeout))
+
+
 def write_parquet_sink(stream_df: DataFrame, path: str, checkpoint: str,
                        timeout: int = 300) -> None:
     """Drain a (non-aggregated) stream into a parquet file sink with
@@ -199,6 +314,54 @@ def write_parquet_sink(stream_df: DataFrame, path: str, checkpoint: str,
         raise TimeoutError(
             f"availableNow drain into {path!r} exceeded {timeout}s; "
             "parquet sink would be partial")
+
+
+def write_indexed_sink(stream_df: DataFrame, path: str, checkpoint: str,
+                       ctx, index_columns: list,
+                       timeout: int = 300) -> None:
+    """Stream into an INDEXED parquet table: each micro-batch is appended
+    and the table's index is incrementally refreshed in the same hook, so
+    point queries against the growing table keep file-skipping without any
+    out-of-band maintenance job — the index stays at most one batch behind
+    the data, never more.
+
+    Exactly-once shape: the streaming checkpoint replays a batch after a
+    crash, so the foreachBatch hook must be idempotent. A per-batch marker
+    under ``<path>/_index_sink_commits`` makes replays of *committed*
+    batches no-ops; a crash inside the append itself (before the marker)
+    degrades to at-least-once for that one batch — the same contract every
+    non-transactional foreachBatch sink has, and why the plain
+    ``write_parquet_sink`` (file-sink commit log, exactly-once, no index)
+    also exists. Index refresh is incremental (only new files are scanned,
+    manager._refresh_index) and crash-safe by the refresh path's own
+    staged-swap; a batch whose refresh crashed is re-refreshed on replay
+    because its marker lands only afterwards."""
+    import os
+
+    commits = os.path.join(path, "_index_sink_commits")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commits, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replay of a fully committed batch
+        batch_df.write.mode("append").parquet(path)
+        if ctx.index.exists.parquet(path):
+            ctx.index.refresh.parquet(path)
+        else:
+            ctx.index.create.indexBy(*index_columns).parquet(path)
+        os.makedirs(commits, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    q = (stream_df.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain into indexed table {path!r} exceeded "
+            f"{timeout}s")
 
 
 def run_available_now(stream_df: DataFrame, query_name: str,

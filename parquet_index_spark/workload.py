@@ -2108,6 +2108,62 @@ ORDER BY c.user_id, from_id, to_id
 """
 
 
+def stream_gapfill_locf(spark, sf_dir):
+    """Streaming hypertable rollup with gap-fill: per-user hourly buckets
+    where silent hours are emitted too (n_events=0, sum carried forward) —
+    a custom stateful operator (applyInPandasWithState + event-time
+    timeouts), since Structured Streaming has no native "emit rows for
+    windows with no input". A bucket emits exactly once, when the
+    watermark passes its end; the oracle replicates that cutoff (final
+    watermark = ms-floored max event time - 2h) and the per-user LOCF
+    spine in SQL. Restricted to user_id < 5 to keep the decided set
+    reviewable."""
+    from parquet_index_spark import streaming as ST
+    _STREAM_COUNTER["n"] += 1
+    name = f"pis_stream_gapfill_{_STREAM_COUNTER['n']}"
+    stream = (ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+              .filter(F.col("user_id") < 5))
+    filled = ST.stream_bucket_gapfill(stream, "1 hour", "2 hours")
+    return (ST.run_available_now(filled, name, output_mode="append")
+            .orderBy("user_id", "bucket_start"))
+
+
+STREAM_GAPFILL_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) - epoch_us(ts) % 3600000000 AS b, value
+  FROM events WHERE user_id < 5
+),
+wm AS (
+  SELECT ((max(epoch_us(ts)) // 1000) - 7200000) * 1000 AS us
+  FROM events WHERE user_id < 5
+),
+agg AS (
+  SELECT user_id, b, count(*) AS n_events, round(sum(value), 2) AS s
+  FROM ev GROUP BY user_id, b
+),
+closed AS (SELECT agg.* FROM agg, wm WHERE b + 3600000000 <= wm.us),
+bounds AS (
+  SELECT user_id, min(b) AS lo, max(b) AS hi FROM closed GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS b
+  FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.b,
+         coalesce(c.n_events, 0) AS n_events,
+         last_value(c.s IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.b) AS sum_value,
+         c.b IS NULL AS filled
+  FROM spine s
+  LEFT JOIN closed c ON s.user_id = c.user_id AND s.b = c.b
+)
+SELECT user_id, make_timestamp(b) AS bucket_start, n_events, sum_value,
+       filled
+FROM j ORDER BY user_id, bucket_start
+"""
+
+
 def stream_funnel_left_outer(spark, sf_dir):
     """Left-outer stream-stream interval join: clicks WITH their purchases
     within 30 minutes, plus the drop-off rows (NULL to_id) for clicks that
@@ -2961,6 +3017,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "stream_funnel_left_outer": (stream_funnel_left_outer,
                                  STREAM_FUNNEL_LO_SQL),
     "stream_sink_roundtrip": (stream_sink_roundtrip, STREAM_SINK_SQL),
+    "stream_gapfill_locf": (stream_gapfill_locf, STREAM_GAPFILL_SQL),
     "idx_point_lookup": (idx_point_lookup, IDX_POINT_SQL),
     "idx_range_scan": (idx_range_scan, IDX_RANGE_SQL),
     "idx_in_or_composite": (idx_in_or_composite, IDX_IN_OR_SQL),

@@ -252,6 +252,43 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             M.resize_images(media, fake=False)
 
+    def test_chunk_audio_windows(self, spark):
+        rows = [
+            Row(media_id=20, kind="audio", content=bytearray(b"wav"),
+                width=None, height=None, duration_ms=75_000, codec="pcm"),
+            Row(media_id=21, kind="audio", content=bytearray(b"wav2"),
+                width=None, height=None, duration_ms=30_000, codec="pcm"),
+            Row(media_id=22, kind="audio", content=None,
+                width=None, height=None, duration_ms=None, codec=None),
+            Row(media_id=23, kind="video", content=bytearray(b"vid"),
+                width=1, height=1, duration_ms=99_000, codec="h264"),
+        ]
+        media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+        out = M.chunk_audio(media, chunk_ms=30_000).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r["media_id"], []).append(
+                (r["chunk_start_ms"], r["chunk_end_ms"]))
+        # 75s -> [0,30s), [30s,60s), [60s,75s] (last truncated at clip end)
+        assert sorted(by_id[20]) == [(0, 30_000), (30_000, 60_000),
+                                     (60_000, 75_000)]
+        # exact multiple -> exactly one chunk, no empty trailing chunk
+        assert sorted(by_id[21]) == [(0, 30_000)]
+        # null duration and non-audio rows excluded
+        assert 22 not in by_id and 23 not in by_id
+
+    def test_chunk_audio_overlap(self, spark):
+        rows = [Row(media_id=30, kind="audio", content=bytearray(b"w"),
+                    width=None, height=None, duration_ms=50_000, codec="pcm")]
+        media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+        out = sorted((r["chunk_start_ms"], r["chunk_end_ms"])
+                     for r in M.chunk_audio(media, chunk_ms=30_000,
+                                            overlap_ms=10_000).collect())
+        # stride 20s: starts 0,20s,40s; ends capped at 50s
+        assert out == [(0, 30_000), (20_000, 50_000), (40_000, 50_000)]
+        with pytest.raises(ValueError, match="overlap_ms"):
+            M.chunk_audio(media, chunk_ms=10_000, overlap_ms=10_000)
+
 
 class TestStreaming:
     def test_windowed_counts_match_batch(self, spark):
@@ -614,3 +651,133 @@ class TestProfile:
         assert "Expand" in exact and "Expand" not in plan
         vals = {r["col_name"]: r["n_distinct"] for r in approx.collect()}
         assert vals["k"] == 4  # HLL exact at tiny cardinality
+
+
+class TestStreamGapfill:
+    def test_stream_gapfill_matches_batch_locf(self, spark):
+        """Decided buckets (end <= final watermark) emit exactly once, in
+        order, with LOCF-filled rows for silent buckets between a key's
+        observed buckets — equal to the batch replication of the same
+        cutoff."""
+        from parquet_index_spark import streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        path = os.path.join(SF_SMOKE, "events.parquet")
+        got = sorted(map(tuple, ST.run_available_now(
+            ST.stream_bucket_gapfill(
+                ST.read_event_stream(spark, path), "1 hour", "2 hours"),
+            "test_stream_gapfill", output_mode="append").collect()))
+
+        W = 3_600_000_000  # 1 hour in µs
+        pdf = spark.read.parquet(path).select("user_id", "ts", "value") \
+            .toPandas()
+        us = pdf["ts"] // 1000
+        pdf["b"] = us - us % W
+        wm_us = (us.max() // 1000 - 7_200_000) * 1000
+        import pandas as pd
+        want = []
+        for uid, grp in pdf.groupby("user_id"):
+            agg = grp.groupby("b")["value"].agg(["count", "sum"]).sort_index()
+            closed = agg[agg.index + W <= wm_us]
+            last_b, last_v = -1, None
+            for bb, row in closed.iterrows():
+                if last_b >= 0:
+                    g = last_b + W
+                    while g < bb:
+                        want.append((uid, pd.Timestamp(g, unit="us"),
+                                     0, last_v, True))
+                        g += W
+                s = ST._round2(float(row["sum"]))
+                want.append((uid, pd.Timestamp(bb, unit="us"),
+                             int(row["count"]), s, False))
+                last_b, last_v = bb, s
+        want = sorted(want)
+        assert len(got) > 0
+        assert got == want
+        assert any(r[4] for r in got)  # the data does exercise fill rows
+
+    def test_stream_gapfill_max_fill_caps_gap(self, spark):
+        """A key dark for a long stretch emits at most max_fill filled rows
+        per gap — the unbounded-emission guard."""
+        import pandas as pd
+        from pyspark.sql import Row
+        from parquet_index_spark import streaming as ST
+        import tempfile, os as _os
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        base = tempfile.mkdtemp(prefix="pis_gapcap_")
+        hour_ns = 3_600_000_000_000
+        t0 = 1_700_000_000_000_000_000
+        rows = [Row(event_id=1, ts=t0, user_id=7, event_type="click",
+                    value=1.0, props="{}"),
+                Row(event_id=2, ts=t0 + 500 * hour_ns, user_id=7,
+                    event_type="click", value=2.0, props="{}"),
+                Row(event_id=3, ts=t0 + 600 * hour_ns, user_id=7,
+                    event_type="click", value=3.0, props="{}")]
+        spark.createDataFrame(rows, schema=ST.EVENTS_SCHEMA) \
+            .write.parquet(_os.path.join(base, "ev"))
+        stream = ST.read_event_stream(spark, _os.path.join(base, "ev"))
+        out = ST.run_available_now(
+            ST.stream_bucket_gapfill(stream, "1 hour", "1 hour",
+                                     max_fill=10),
+            "test_gapcap", output_mode="append").collect()
+        got = sorted(map(tuple, out))
+        real = [r for r in got if not r[4]]
+        fills = [r for r in got if r[4]]
+        # events at hours 0, 500, 600; watermark closes 0 and 500 (600 is
+        # within the 1h delay of max) -> one capped gap of 10 before h500
+        assert [r[2] for r in real] == [1, 1]
+        assert len(fills) == 10
+        assert all(r[3] == 1.0 for r in fills)  # LOCF from the h0 bucket
+        starts = sorted(pd.Timestamp(r[1]).value // 1000 for r in fills)
+        W = 3_600_000_000
+        b500 = (t0 // 1000 + 500 * W) - (t0 // 1000 + 500 * W) % W
+        assert starts[0] == b500 - 10 * W and starts[-1] == b500 - W
+
+
+class TestIndexedSink:
+    def test_stream_into_indexed_table(self, spark, tmp_path):
+        """Streamed micro-batches land in the table AND the index follows:
+        created on the first batch, incrementally refreshed after each
+        subsequent one, pruning point queries on the growing table. A
+        second availableNow run on the same checkpoint picks up only new
+        source files (offset tracking) and keeps the index current."""
+        import glob
+        from parquet_index_spark import QueryContext, streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        spark.conf.set("spark.sql.index.metastore", str(tmp_path / "ms"))
+        ctx = QueryContext(spark)
+        src = str(tmp_path / "src")
+        table = str(tmp_path / "indexed_events")
+        ckpt = str(tmp_path / "ckpt")
+        ev = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+        ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+        stream = ST.read_event_stream(spark, src, max_files_per_trigger=1)
+        ST.write_indexed_sink(stream.drop("event_time"), table, ckpt,
+                              ctx, ["event_id", "user_id"])
+        assert ctx.index.exists.parquet(table)
+        t = ctx.index.parquet(table)
+        assert t.df.count() == ev.count()
+        probe = ev.select("event_id").head()["event_id"]
+        got = t.filter(f"event_id = {probe}").collect()
+        assert len(got) == 1 and got[0]["event_id"] == probe
+        info = ctx.index.last_prune_info
+        assert info.selected_files < info.total_files
+        markers = glob.glob(os.path.join(table, "_index_sink_commits", "*"))
+        assert len(markers) >= 2  # one per micro-batch
+
+        # late arrivals: a third source file, same checkpoint
+        extra = ev.limit(10).withColumn("event_id",
+                                        F.col("event_id") + 10_000_000)
+        extra.coalesce(1).write.mode("append").parquet(src)
+        stream2 = ST.read_event_stream(spark, src, max_files_per_trigger=1)
+        ST.write_indexed_sink(stream2.drop("event_time"), table, ckpt,
+                              ctx, ["event_id", "user_id"])
+        t2 = ctx.index.parquet(table)
+        assert t2.df.count() == ev.count() + 10
+        new_probe = 10_000_000 + probe
+        if extra.filter(f"event_id = {new_probe}").count() == 1:
+            assert t2.filter(f"event_id = {new_probe}").count() == 1
