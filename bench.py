@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "sample_split_stats", "pack_chunks_by_source", "contamination_by_lang",
     "bucketed_colocated_join",
     "stream_windowed_counts", "stream_gapfill_locf",
-    "profile_orders_columns",
+    "profile_orders_columns", "merge_upsert_orders",
 ]
 
 

@@ -184,6 +184,136 @@ def compact_table(spark, path: str, target_file_mb: int = 128,
             "bytes": total}
 
 
+def merge_into(ctx, path: str, updates: DataFrame, key: str,
+               max_keys: int = 100_000) -> dict:
+    """Index-accelerated MERGE (upsert by ``key``): rows in ``updates``
+    replace same-key rows in the table; new keys are inserted. The index
+    turns this from a full-table rewrite into a partial one — the update
+    keys are folded into the table's own index (IN-set up to ``max_keys``
+    driver-side keys, then the sound [min, max] range), and only files
+    that may contain a matched key are rewritten. On a key-clustered
+    100 TB table a CDC batch touches a handful of files, not the table;
+    membership filters (bloom/dict/bitmap) make the affected set tighter
+    than min/max alone. Soundness mirrors pruning's contract read
+    backwards: the fold's "may contain" is a superset of "does contain",
+    so no stale row can survive outside the rewritten set.
+
+    The rewrite is staged like compact_table: merged output lands in a
+    temp dir, untouched files and metadata entries are renamed in (cheap,
+    no data copied), and the table flips via two directory renames with
+    rollback; the index refresh afterwards diffs the manifest (removed +
+    new files) incrementally. Requires a non-partitioned table and
+    ``updates`` with exactly the table's columns.
+
+    Returns {files_total, files_rewritten, rows_updated, rows_inserted}.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_index_spark import collector, predicates as P
+    from parquet_index_spark.pruning import prune_files
+
+    spark = updates.sparkSession
+    table = ctx.index.parquet(path)
+    meta = table._metadata
+    if meta.partition_columns:
+        raise ValueError(
+            "merge_into supports non-partitioned tables only; "
+            f"{path!r} is partitioned by {list(meta.partition_columns)}")
+    table_cols = [f.name for f in meta.data_schema.fields]
+    if sorted(updates.columns) != sorted(table_cols):
+        raise ValueError(
+            f"updates columns {sorted(updates.columns)} != table columns "
+            f"{sorted(table_cols)}")
+    updates = updates.select(*table_cols)  # align column order
+
+    vals = [r[0] for r in
+            updates.select(key).distinct().limit(max_keys + 1).collect()]
+    if any(v is None for v in vals):
+        raise ValueError("merge_into: update keys must be non-null")
+    if not vals:
+        return {"files_total": len(meta.context().file_paths),
+                "files_rewritten": 0, "rows_updated": 0, "rows_inserted": 0}
+    if len(vals) > max_keys:
+        # LIMITed sample: its min/max is unsound — aggregate the full side
+        lo, hi = updates.agg(F.min(key), F.max(key)).head()
+        ast = P.And((P.Ge(key, lo), P.Le(key, hi)))
+    else:
+        ast = P.In(key, tuple(vals))
+    pctx = meta.context()
+    affected_rel = set(prune_files(ast, pctx))
+    all_rel = list(pctx.file_paths)
+    if collector.SELF_FILE in all_rel:
+        raise ValueError(
+            "merge_into requires a directory table (single-file tables "
+            "have no partial-rewrite granularity)")
+    affected_abs = {os.path.abspath(collector.resolve_file(meta.table_path, f))
+                    for f in affected_rel}
+
+    n_updates = updates.count()
+    if affected_abs:
+        current = spark.read.schema(meta.data_schema) \
+            .parquet(*sorted(affected_abs))
+        rows_updated = (updates.join(current.select(key), key, "left_semi")
+                        .count())
+        merged = current.join(updates.select(key), key, "left_anti") \
+            .unionByName(updates)
+        n_out = max(1, len(affected_abs))
+    else:
+        rows_updated = 0
+        merged = updates
+        n_out = 1
+    rows_inserted = n_updates - rows_updated
+
+    jvm = spark._jvm
+    tmp = path.rstrip("/") + "__merge_tmp"
+    bak = path.rstrip("/") + "__merge_bak"
+    merged.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    fs, jpath = _fs_for(spark, path)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jbak = jvm.org.apache.hadoop.fs.Path(bak)
+    moved = []
+    try:
+        # carry everything EXCEPT the rewritten data files into the new dir
+        # (untouched data files, _metadata dirs, _SUCCESS markers)
+        for st in fs.listStatus(jpath):
+            src = st.getPath()
+            # compare scheme-free paths: Hadoop renders file:/x, we hold /x
+            if src.toUri().getPath() in affected_abs:
+                continue
+            dst = jvm.org.apache.hadoop.fs.Path(jtmp, src.getName())
+            if src.getName().startswith(("_", ".")) and fs.exists(dst):
+                continue  # marker the rewrite already produced (_SUCCESS)
+            if not fs.rename(src, dst):
+                raise IOError(f"merge: could not stage {src} into rewrite")
+            moved.append((dst, src))
+    except Exception:
+        for dst, src in reversed(moved):
+            fs.rename(dst, src)  # best-effort rollback; table untouched
+        fs.delete(jtmp, True)
+        raise
+    fs.delete(jbak, True)
+    if not fs.rename(jpath, jbak):
+        for dst, src in reversed(moved):
+            fs.rename(dst, src)
+        fs.delete(jtmp, True)
+        raise IOError(f"merge: could not stage {path!r} aside")
+    if not fs.rename(jtmp, jpath):
+        # restore the original dir, then the untouched files moved out of it
+        fs.rename(jbak, jpath)
+        for dst, src in reversed(moved):
+            fs.rename(dst, src)
+        fs.delete(jtmp, True)
+        raise IOError(f"merge: could not move rewrite into {path!r}")
+    fs.delete(jbak, True)
+    ctx.index.refresh.parquet(path)
+    return {"files_total": len(all_rel),
+            "files_rewritten": len(affected_rel),
+            "rows_updated": rows_updated,
+            "rows_inserted": rows_inserted}
+
+
 def ingest_csv(spark, csv_path: str, table_path: str, *, header: bool = True,
                infer_schema: bool = True, **write_kwargs) -> None:
     """CSV -> indexed parquet (ingestion path for raw drops)."""

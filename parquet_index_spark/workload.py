@@ -1060,6 +1060,71 @@ ORDER BY s_suppkey
 """
 
 
+def merge_upsert_orders(spark, sf_dir):
+    """Index-accelerated MERGE end-to-end: copy orders into a 16-file
+    key-clustered table, upsert a CDC-style batch through the index
+    (sources.merge_into rewrites only files whose stats may hold a matched
+    key), then aggregate the merged table. The oracle replicates the MERGE
+    relationally (anti-join + union), so the hash compare proves on-disk
+    upsert semantics, not just planning."""
+    from parquet_index_spark.sources import merge_into
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_merge",
+                        os.path.basename(os.path.normpath(sf_dir)), "orders")
+    od = _t(spark, sf_dir, "orders")
+    # fresh table every run so the query is re-runnable/deterministic
+    od.repartitionByRange(16, "o_orderkey").write.mode("overwrite") \
+        .parquet(path)
+    ctx.index.create.mode("overwrite").indexBy("o_orderkey").parquet(path)
+    updates = (od.filter("o_orderkey % 100 = 0")
+               .withColumn("o_orderstatus", F.lit("U"))
+               .withColumn("o_totalprice", F.lit(1000.0)))
+    inserts = (spark.range(0, 5)
+               .select((F.lit(900_000_000) + F.col("id")).alias("o_orderkey"),
+                       F.lit(1).cast("long").alias("o_custkey"),
+                       F.lit("X").alias("o_orderstatus"),
+                       F.lit(1.5).alias("o_totalprice"),
+                       F.lit("1999-01-01").cast("timestamp_ntz")
+                       .alias("o_orderdate"),
+                       F.lit("1-URGENT").alias("o_orderpriority")))
+    merge_into(ctx, path, updates.unionByName(inserts), "o_orderkey")
+    merged = ctx.index.parquet(path).df
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.countDistinct("o_orderkey").alias("n_keys"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("total"))
+            .orderBy("o_orderstatus"))
+
+
+MERGE_SQL = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+ins AS (
+  SELECT 900000000 + i AS o_orderkey, CAST(1 AS BIGINT) AS o_custkey,
+         'X' AS o_orderstatus, 1.5 AS o_totalprice,
+         TIMESTAMP '1999-01-01' AS o_orderdate,
+         '1-URGENT' AS o_orderpriority
+  FROM (SELECT unnest(generate_series(0, 4)) AS i)
+),
+merged AS (
+  SELECT * FROM orders WHERE o_orderkey % 100 <> 0
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       count(DISTINCT o_orderkey) AS n_keys,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def cube_order_status(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return (orders.cube("o_orderstatus", "o_orderpriority")
@@ -3053,6 +3118,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
     "q21_suppliers_kept_waiting": (q21_suppliers_kept_waiting, Q21_SQL),
     "cube_order_status": (cube_order_status, CUBE_SQL),
+    "merge_upsert_orders": (merge_upsert_orders, MERGE_SQL),
     "pivot_flag_quantities": (pivot_flag_quantities, PIVOT_SQL),
     "unpivot_order_measures": (unpivot_order_measures, UNPIVOT_SQL),
     "listagg_status_by_priority": (listagg_status_by_priority, LISTAGG_SQL),

@@ -3,7 +3,7 @@
 import os
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from parquet_index_spark import QueryContext
 from parquet_index_spark.sources import write_indexed, ingest_csv, ingest_json
@@ -169,3 +169,82 @@ class TestCompaction:
             compact_table(spark, tmp_table_dir, target_file_mb=0)
         with pytest.raises(ValueError):
             compact_table(spark, os.path.join(tmp_table_dir, "empty"))
+
+
+class TestMergeInto:
+    def _make_table(self, spark, ctx, tmp_table_dir, name="m"):
+        path = os.path.join(tmp_table_dir, name)
+        # 10 files, keys clustered by range so the index prunes tightly
+        (spark.range(0, 1000)
+         .select(F.col("id").alias("k"),
+                 (F.col("id") * 2).alias("v"),
+                 F.concat(F.lit("row-"), F.col("id")).alias("s"))
+         .repartitionByRange(10, "k")
+         .write.parquet(path))
+        ctx.index.create.indexBy("k").parquet(path)
+        return path
+
+    def test_upsert_rewrites_only_affected_files(self, spark, ctx,
+                                                 tmp_table_dir):
+        from parquet_index_spark.sources import merge_into
+        path = self._make_table(spark, ctx, tmp_table_dir)
+        updates = spark.createDataFrame(
+            [(5, -1, "upd-5"), (7, -2, "upd-7"), (2000, -3, "new-2000")],
+            "k long, v long, s string")
+        out = merge_into(ctx, path, updates, "k")
+        assert out["files_total"] == 10
+        assert out["files_rewritten"] < 10  # clustered keys -> partial rewrite
+        assert out["rows_updated"] == 2 and out["rows_inserted"] == 1
+        t = ctx.index.parquet(path)
+        assert t.df.count() == 1001
+        got = {r["k"]: (r["v"], r["s"])
+               for r in t.filter("k IN (5, 7, 2000, 9)").collect()}
+        assert got[5] == (-1, "upd-5") and got[7] == (-2, "upd-7")
+        assert got[2000] == (-3, "new-2000")
+        assert got[9] == (18, "row-9")  # untouched row intact
+        # the refreshed index still prunes point queries
+        t.filter("k = 500").collect()
+        info = ctx.index.last_prune_info
+        assert info.selected_files < info.total_files
+
+    def test_upsert_key_only_updates_whole_row(self, spark, ctx,
+                                               tmp_table_dir):
+        """Duplicate keys inside one file: all old rows with a matched key
+        are replaced by exactly the update rows."""
+        from parquet_index_spark.sources import merge_into
+        path = os.path.join(tmp_table_dir, "dups")
+        spark.createDataFrame([(1, 10), (1, 11), (2, 20)], "k long, v long") \
+            .coalesce(1).write.parquet(path)
+        ctx.index.create.indexBy("k").parquet(path)
+        updates = spark.createDataFrame([(1, 99)], "k long, v long")
+        out = merge_into(ctx, path, updates, "k")
+        assert out["rows_updated"] == 1
+        rows = sorted(map(tuple, ctx.index.parquet(path).df.collect()))
+        assert rows == [(1, 99), (2, 20)]
+
+    def test_empty_and_invalid_updates(self, spark, ctx, tmp_table_dir):
+        from parquet_index_spark.sources import merge_into
+        path = self._make_table(spark, ctx, tmp_table_dir, "empty")
+        empty = spark.createDataFrame([], "k long, v long, s string")
+        out = merge_into(ctx, path, empty, "k")
+        assert out["files_rewritten"] == 0
+        with pytest.raises(ValueError, match="columns"):
+            merge_into(ctx, path, spark.createDataFrame([(1,)], "k long"), "k")
+        with pytest.raises(ValueError, match="non-null"):
+            merge_into(ctx, path, spark.createDataFrame(
+                [(None, 1, "x")], "k long, v long, s string"), "k")
+
+    def test_insert_only_batch_keeps_all_files(self, spark, ctx,
+                                               tmp_table_dir):
+        """All-new keys above the table's max: min/max stats exclude every
+        file, so nothing is rewritten and the batch lands as new files."""
+        from parquet_index_spark.sources import merge_into
+        path = self._make_table(spark, ctx, tmp_table_dir, "insonly")
+        updates = spark.createDataFrame(
+            [(5000, 1, "a"), (5001, 2, "b")], "k long, v long, s string")
+        out = merge_into(ctx, path, updates, "k")
+        assert out["files_rewritten"] == 0
+        assert out["rows_updated"] == 0 and out["rows_inserted"] == 2
+        t = ctx.index.parquet(path)
+        assert t.df.count() == 1002
+        assert t.filter("k = 5000").count() == 1
