@@ -14,7 +14,12 @@ from pyspark.sql import types as T
 
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),        # nanoseconds (nanosAsLong)
+    # parquet stores ts as TIMESTAMP(MICROS, isAdjustedToUTC=false);
+    # requesting TimestampType (LTZ) interprets the stored wall-clock in
+    # the session timezone, which read_event_stream pins to UTC — so the
+    # epoch value is exact and watermarks/session_window (which require
+    # TIMESTAMP, not TIMESTAMP_NTZ) work directly on it.
+    T.StructField("ts", T.TimestampType()),
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -23,18 +28,17 @@ EVENTS_SCHEMA = T.StructType([
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    """ns-long -> TimestampType event_time (µs precision).
-
-    Integer division: `/ 1000` is double division whose rounding drifts one
-    microsecond from the truncation parquet readers apply to ns values."""
-    return df.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    """Alias the parquet µs timestamp as the event-time column (already
+    TimestampType via EVENTS_SCHEMA — no conversion needed)."""
+    return df.withColumn("event_time", F.col("ts"))
 
 
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int = 10) -> DataFrame:
     import os
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin rendering so the LTZ schema above reads the NTZ-stored micros
+    # verbatim and window starts match the tz-naive DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = (spark.readStream.schema(EVENTS_SCHEMA)
               .option("maxFilesPerTrigger", max_files_per_trigger))
     if os.path.isfile(path):

@@ -25,7 +25,7 @@ import os
 import tempfile
 from typing import Callable, Dict, Optional, Tuple
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_index_spark.manager import QueryContext
@@ -40,13 +40,13 @@ _CTX_CACHE: Dict[int, QueryContext] = {}
 def ensure_session_confs(spark: SparkSession) -> None:
     """Session settings the workload depends on.
 
-    - nanosAsLong: the events table stores parquet TIMESTAMP(NANOS), which
-      Spark 4 refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]); with
-      this flag it surfaces as nanoseconds-since-epoch int64 and all event
-      time logic stays in exact long arithmetic (no tz ambiguity either).
     - AQE on: runtime coalescing/skew handling for the delegated queries.
+    - UTC session tz: the events table stores ts as parquet
+      TIMESTAMP(MICROS, isAdjustedToUTC=false), surfaced by Spark as
+      TIMESTAMP_NTZ; pinning UTC makes every NTZ->LTZ cast (unix_micros
+      needs LTZ) and every rendered window start exactly the stored µs
+      value, matching the tz-naive DuckDB oracle on any host.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # pin event-time rendering so streaming window starts match the
     # tz-naive DuckDB oracle regardless of host timezone
@@ -56,6 +56,14 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _epoch_us(col) -> Column:
+    """Exact µs-since-epoch long from the events table's TIMESTAMP_NTZ
+    ``ts``. The NTZ->LTZ cast required by unix_micros is identity under
+    the UTC session tz ensure_session_confs pins."""
+    return F.unix_micros(F.col(col).cast("timestamp") if isinstance(col, str)
+                         else col.cast("timestamp"))
 
 
 def _indexed(spark: SparkSession, sf_dir: str, table: str, cols: list,
@@ -563,16 +571,16 @@ def sessionize_events(spark, sf_dir):
     """30-minute-gap sessionization over the events stream (batch form;
     the streaming variant lives in parquet_index_spark.streaming).
 
-    ``ts`` is int64 nanoseconds (see ensure_session_confs), so the gap test
-    is exact long arithmetic — identical semantics in the DuckDB oracle via
-    epoch_us."""
+    ``ts`` is a µs-precision timestamp; the gap test runs in exact long
+    µs arithmetic (unix_micros) — identical semantics in the DuckDB
+    oracle via epoch_us."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ns = F.col("ts") - F.col("prev_ts")
+    gap_us = _epoch_us("ts") - _epoch_us("prev_ts")
     return (ev.withColumn("prev_ts", F.lag("ts").over(w))
             .withColumn("new_session",
                         F.when(F.col("prev_ts").isNull() |
-                               (gap_ns > 1800 * 1_000_000_000), 1)
+                               (gap_us > 1800 * 1_000_000), 1)
                         .otherwise(0))
             .groupBy("user_id")
             .agg(F.sum("new_session").alias("n_sessions"),
@@ -2118,9 +2126,8 @@ def stream_funnel_join(spark, sf_dir):
     """Stream-stream interval join (click -> purchase within 30 minutes by
     the same user), drained with availableNow. Inner-join results are
     emitted as matches arrive, so the drained set equals the batch join —
-    the oracle is the equivalent self-join at microsecond precision (both
-    engines truncate the parquet ns timestamps to µs: `ts div 1000` here,
-    epoch_us there)."""
+    the oracle is the equivalent self-join at microsecond precision
+    (epoch_us on both sides)."""
     from parquet_index_spark import streaming as ST
     _STREAM_COUNTER["n"] += 1
     name = f"pis_stream_funnel_{_STREAM_COUNTER['n']}"
@@ -2247,8 +2254,7 @@ def stream_funnel_left_outer(spark, sf_dir):
                                   how="left_outer")
     drained = ST.run_available_now(joined, name, output_mode="append")
     batch = (spark.read.schema(ST.EVENTS_SCHEMA).parquet(path)
-             .withColumn("event_time",
-                         F.timestamp_micros(F.expr("ts div 1000"))))
+             .withColumn("event_time", F.col("ts")))
     side_max = (batch.filter(F.col("event_type").isin("click", "purchase"))
                 .groupBy("event_type")
                 .agg(F.max("event_time").alias("m")).collect())
@@ -2584,14 +2590,14 @@ def range_join_windows(spark, sf_dir):
     — the only formulation that survives two 100 TB sides."""
     from parquet_index_spark.operators.rangejoin import interval_join
     ev = _t(spark, sf_dir, "events")
-    win = 120 * 1_000_000_000
+    win = 120 * 1_000_000  # µs
     windows = (ev.filter("event_type = 'error'")
                .select(F.col("event_id").alias("window_id"),
-                       (F.col("ts") - F.lit(win)).alias("w_start"),
-                       (F.col("ts") + F.lit(win)).alias("w_end")))
+                       (_epoch_us("ts") - F.lit(win)).alias("w_start"),
+                       (_epoch_us("ts") + F.lit(win)).alias("w_end")))
     purchases = (ev.filter("event_type = 'purchase'")
                  .select(F.col("event_id").alias("purchase_id"),
-                         "ts", "value"))
+                         _epoch_us("ts").alias("ts"), "value"))
     j = interval_join(purchases, windows, "ts", "w_start", "w_end",
                       bucket_width=2 * win)
     return (j.groupBy("window_id")
@@ -2603,12 +2609,12 @@ def range_join_windows(spark, sf_dir):
 RANGE_JOIN_SQL = """
 WITH w AS (
   SELECT event_id AS window_id,
-         epoch_ns(ts) - 120000000000 AS w_start,
-         epoch_ns(ts) + 120000000000 AS w_end
+         epoch_us(ts) - 120000000 AS w_start,
+         epoch_us(ts) + 120000000 AS w_end
   FROM events WHERE event_type = 'error'
 ),
 p AS (
-  SELECT event_id AS purchase_id, epoch_ns(ts) AS ts, value
+  SELECT event_id AS purchase_id, epoch_us(ts) AS ts, value
   FROM events WHERE event_type = 'purchase'
 )
 SELECT w.window_id, count(*) AS n_purchases,
@@ -2624,11 +2630,11 @@ def time_bucket_gapfill(spark, sf_dir):
     observation-carried-forward average. The aggregation is one partial-agg
     shuffle over the raw events; the spine (types × hours) is tiny at any
     scale, built JVM-side with sequence(), and the gap-join is a broadcast.
-    Bucket math is exact integer floor-division (epoch-ns would lose
-    precision through a double)."""
+    Bucket math is exact integer floor-division over epoch-µs longs (a
+    double intermediate would lose precision)."""
     ev = _t(spark, sf_dir, "events")
-    hour = 3_600_000_000_000
-    bucket = F.expr(f"(ts - pmod(ts, {hour})) div {hour}")
+    hour = 3_600_000_000  # µs
+    bucket = F.expr(f"unix_micros(cast(ts as timestamp)) div {hour}")
     agg = (ev.withColumn("bucket", bucket)
            .groupBy("event_type", "bucket")
            .agg(F.count("*").alias("n_events"),
@@ -2651,7 +2657,7 @@ def time_bucket_gapfill(spark, sf_dir):
 
 GAPFILL_SQL = """
 WITH ev AS (
-  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket, value
+  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, value
   FROM events
 ),
 agg AS (
@@ -2666,7 +2672,7 @@ spine AS (
          unnest(generate_series(bounds.lo, bounds.hi)) AS bucket
   FROM (SELECT DISTINCT event_type FROM ev) t, bounds
 )
-SELECT s.event_type, s.bucket * 3600000000000 AS bucket_start,
+SELECT s.event_type, s.bucket * 3600000000 AS bucket_start,
        coalesce(a.n_events, 0) AS n_events, a.avg_value,
        last_value(a.avg_value IGNORE NULLS)
          OVER (PARTITION BY s.event_type ORDER BY s.bucket) AS avg_locf
@@ -2725,11 +2731,10 @@ def overlap_join_windows(spark, sf_dir):
     distinct shuffle."""
     from parquet_index_spark.operators.rangejoin import overlap_join
     ev = _t(spark, sf_dir, "events")
-    # microsecond domain: the parquet timestamps carry full nanoseconds,
-    # which DuckDB truncates to micros on read — overlap DURATIONS would
-    # differ in the sub-micro digits, so both engines compute in micros
+    # microsecond domain: ts is µs-precision parquet; both engines compute
+    # overlap durations on exact epoch-µs longs
     w = 60 * 1_000_000
-    ts_us = F.expr("ts div 1000")
+    ts_us = _epoch_us("ts")
     err = (ev.filter("event_type = 'error'")
            .select(F.col("event_id").alias("err_id"),
                    (ts_us - F.lit(w)).alias("e_start"),

@@ -301,8 +301,7 @@ class TestStreaming:
             ST.windowed_event_counts(stream, "1 hour", "2 hours"),
             "test_stream_counts")
         batch = spark.read.parquet(path)
-        batch = batch.withColumn(
-            "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        batch = batch.withColumn("event_time", F.col("ts"))
         expected = (batch.groupBy(F.date_trunc("hour", "event_time")
                                   .alias("window_start"), "event_type")
                     .agg(F.count("*").alias("n_events"),
@@ -342,7 +341,7 @@ class TestStreaming:
                 ST.read_event_stream(spark, path), "click", "purchase"),
             "test_stream_funnel", output_mode="append").collect()))
         ev = spark.read.parquet(path).withColumn(
-            "event_time", F.timestamp_micros(F.expr("ts div 1000")))
+            "event_time", F.col("ts"))
         c = ev.filter("event_type = 'click'").select(
             "user_id", F.col("event_id").alias("from_id"),
             F.col("event_time").alias("ft"))
@@ -370,7 +369,7 @@ class TestStreaming:
                                  "click", "purchase", how="left_outer"),
             "test_stream_lofunnel", output_mode="append")
         ev = spark.read.parquet(path).withColumn(
-            "event_time", F.timestamp_micros(F.expr("ts div 1000")))
+            "event_time", F.col("ts"))
         side_max = (ev.filter(F.col("event_type").isin("click", "purchase"))
                     .groupBy("event_type")
                     .agg(F.max("event_time").alias("m")).collect())
@@ -671,7 +670,7 @@ class TestStreamGapfill:
         W = 3_600_000_000  # 1 hour in µs
         pdf = spark.read.parquet(path).select("user_id", "ts", "value") \
             .toPandas()
-        us = pdf["ts"] // 1000
+        us = pdf["ts"].astype("datetime64[us]").astype("int64")
         pdf["b"] = us - us % W
         wm_us = (us.max() // 1000 - 7_200_000) * 1000
         import pandas as pd
@@ -706,13 +705,18 @@ class TestStreamGapfill:
         from parquet_index_spark.workload import ensure_session_confs
         ensure_session_confs(spark)
         base = tempfile.mkdtemp(prefix="pis_gapcap_")
-        hour_ns = 3_600_000_000_000
-        t0 = 1_700_000_000_000_000_000
-        rows = [Row(event_id=1, ts=t0, user_id=7, event_type="click",
+        import datetime as _dt
+
+        def _us(us):
+            return (_dt.datetime(1970, 1, 1)
+                    + _dt.timedelta(microseconds=us))
+        hour_us = 3_600_000_000
+        t0 = 1_700_000_000_000_000  # µs
+        rows = [Row(event_id=1, ts=_us(t0), user_id=7, event_type="click",
                     value=1.0, props="{}"),
-                Row(event_id=2, ts=t0 + 500 * hour_ns, user_id=7,
+                Row(event_id=2, ts=_us(t0 + 500 * hour_us), user_id=7,
                     event_type="click", value=2.0, props="{}"),
-                Row(event_id=3, ts=t0 + 600 * hour_ns, user_id=7,
+                Row(event_id=3, ts=_us(t0 + 600 * hour_us), user_id=7,
                     event_type="click", value=3.0, props="{}")]
         spark.createDataFrame(rows, schema=ST.EVENTS_SCHEMA) \
             .write.parquet(_os.path.join(base, "ev"))
@@ -731,7 +735,7 @@ class TestStreamGapfill:
         assert all(r[3] == 1.0 for r in fills)  # LOCF from the h0 bucket
         starts = sorted(pd.Timestamp(r[1]).value // 1000 for r in fills)
         W = 3_600_000_000
-        b500 = (t0 // 1000 + 500 * W) - (t0 // 1000 + 500 * W) % W
+        b500 = (t0 + 500 * W) - (t0 + 500 * W) % W
         assert starts[0] == b500 - 10 * W and starts[-1] == b500 - W
 
 
