@@ -3057,9 +3057,67 @@ ORDER BY bm25 DESC, doc_id LIMIT 10
 
 
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
+    # Ordering contract: the driver grades the FIRST 50 keys. Entries that
+    # were never driver-graded (or failed) in a prior round sit first so
+    # every component earns a correctness row; ten round-2-green anchors
+    # (one per component family) fill the window; the remaining round-2-
+    # green entries follow and keep their local DuckDB-parity coverage via
+    # tests/test_oracle_parity.py.
+    "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),
+    "stream_session_windows": (stream_session_windows, STREAM_SESSIONS_SQL),
+    "stream_funnel_join": (stream_funnel_join, STREAM_FUNNEL_SQL),
+    "stream_funnel_left_outer": (stream_funnel_left_outer,
+                                 STREAM_FUNNEL_LO_SQL),
+    "stream_gapfill_locf": (stream_gapfill_locf, STREAM_GAPFILL_SQL),
+    "sessionize_events": (sessionize_events, SESSION_SQL),
+    "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
+    "rollup_sales": (rollup_sales, ROLLUP_SQL),
+    "cumulative_spend": (cumulative_spend, CUMSUM_SQL),
+    "asof_join_events": (asof_join_events, ASOF_SQL),
+    "approx_distinct_parts": (approx_distinct_parts, APPROX_DISTINCT_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q7_nation_trade": (q7_nation_trade, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q14_brand_revenue_share": (q14_brand_revenue_share, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
+    "q20_part_suppliers": (q20_part_suppliers, Q20_SQL),
+    "q21_suppliers_kept_waiting": (q21_suppliers_kept_waiting, Q21_SQL),
+    "cube_order_status": (cube_order_status, CUBE_SQL),
+    "pivot_flag_quantities": (pivot_flag_quantities, PIVOT_SQL),
+    "unpivot_order_measures": (unpivot_order_measures, UNPIVOT_SQL),
+    "listagg_status_by_priority": (listagg_status_by_priority, LISTAGG_SQL),
+    "approx_percentile_bounds": (approx_percentile_bounds,
+                                 APPROX_PERCENTILE_SQL),
+    "ann_topk_per_label": (ann_topk_per_label, ANN_PER_LABEL_SQL),
+    "range_join_windows": (range_join_windows, RANGE_JOIN_SQL),
+    "overlap_join_windows": (overlap_join_windows, OVERLAP_JOIN_SQL),
+    "time_bucket_gapfill": (time_bucket_gapfill, GAPFILL_SQL),
+    "idx_join_dpp": (idx_join_dpp, IDX_DPP_SQL),
+    "top3_orders_per_customer": (top3_orders_per_customer, TOP3_SQL),
+    "distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_SQL),
+    "percentile_quantities": (percentile_quantities, PERCENTILE_SQL),
+    "setop_active_building_buyers": (setop_active_building_buyers, SETOP_SQL),
+    "scalar_functions_showcase": (scalar_functions_showcase, SCALAR_SQL),
+    "merge_upsert_orders": (merge_upsert_orders, MERGE_SQL),
+    "bucketed_colocated_join": (bucketed_colocated_join, BUCKETED_JOIN_SQL),
+    "customers_without_orders": (customers_without_orders, ANTI_SQL),
+    "idx_point_lookup": (idx_point_lookup, IDX_POINT_SQL),
+    "idx_zorder_range": (idx_zorder_range, IDX_ZORDER_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
+    "multimodal_pipeline": (multimodal_pipeline, MULTIMODAL_SQL),
+    "ann_topk_lsh_probed": (ann_topk_lsh_probed, ANN_LSH_SQL),
+    "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
+    "stream_sink_roundtrip": (stream_sink_roundtrip, STREAM_SINK_SQL),
+    "salted_skew_join": (salted_skew_join, SALTED_SQL),
+    # -- round-2-green (CORRECTNESS_r02) --
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
     "dedup_prefix_groups": (dedup_prefix_groups, DEDUP_PREFIX_SQL),
-    "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "dedup_group_assignment": (dedup_group_assignment, DEDUP_GROUPS_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "jaccard_neardup_pairs": (jaccard_neardup_pairs, JACCARD_SQL),
@@ -3077,18 +3135,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "lsh_bucket_histogram": (lsh_bucket_histogram_q, LSH_HIST_SQL),
     "embedding_similar_pairs": (embedding_similar_pairs, EMB_PAIRS_SQL),
-    "ann_topk_lsh_probed": (ann_topk_lsh_probed, ANN_LSH_SQL),
     "ivf_ann_topk": (ivf_ann_topk, IVF_ANN_SQL),
-    "multimodal_pipeline": (multimodal_pipeline, MULTIMODAL_SQL),
-    "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),
-    "stream_session_windows": (stream_session_windows, STREAM_SESSIONS_SQL),
-    "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
-    "stream_funnel_join": (stream_funnel_join, STREAM_FUNNEL_SQL),
-    "stream_funnel_left_outer": (stream_funnel_left_outer,
-                                 STREAM_FUNNEL_LO_SQL),
-    "stream_sink_roundtrip": (stream_sink_roundtrip, STREAM_SINK_SQL),
-    "stream_gapfill_locf": (stream_gapfill_locf, STREAM_GAPFILL_SQL),
-    "idx_point_lookup": (idx_point_lookup, IDX_POINT_SQL),
     "idx_range_scan": (idx_range_scan, IDX_RANGE_SQL),
     "idx_in_or_composite": (idx_in_or_composite, IDX_IN_OR_SQL),
     "idx_not_range": (idx_not_range, IDX_NOT_RANGE_SQL),
@@ -3096,9 +3143,6 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_events_point": (idx_events_point, IDX_EVENTS_SQL),
     "idx_column_predicate": (idx_column_predicate, IDX_COLUMN_SQL),
     "idx_bitmap_point": (idx_bitmap_point, IDX_BITMAP_SQL),
-    "idx_zorder_range": (idx_zorder_range, IDX_ZORDER_SQL),
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_nation_volume": (q5_nation_volume, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q4_order_exists": (q4_order_exists, Q4_SQL),
@@ -3107,41 +3151,4 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "q19_disjunctive_predicates": (q19_disjunctive_predicates, Q19_SQL),
     "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
-    "salted_skew_join": (salted_skew_join, SALTED_SQL),
-    "bucketed_colocated_join": (bucketed_colocated_join, BUCKETED_JOIN_SQL),
-    "customers_without_orders": (customers_without_orders, ANTI_SQL),
-    "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
-    "q14_brand_revenue_share": (q14_brand_revenue_share, Q14_SQL),
-    "q7_nation_trade": (q7_nation_trade, Q7_SQL),
-    "q8_market_share": (q8_market_share, Q8_SQL),
-    "q9_product_profit": (q9_product_profit, Q9_SQL),
-    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
-    "q20_part_suppliers": (q20_part_suppliers, Q20_SQL),
-    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
-    "q11_important_parts": (q11_important_parts, Q11_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
-    "q21_suppliers_kept_waiting": (q21_suppliers_kept_waiting, Q21_SQL),
-    "cube_order_status": (cube_order_status, CUBE_SQL),
-    "merge_upsert_orders": (merge_upsert_orders, MERGE_SQL),
-    "pivot_flag_quantities": (pivot_flag_quantities, PIVOT_SQL),
-    "unpivot_order_measures": (unpivot_order_measures, UNPIVOT_SQL),
-    "listagg_status_by_priority": (listagg_status_by_priority, LISTAGG_SQL),
-    "approx_distinct_parts": (approx_distinct_parts, APPROX_DISTINCT_SQL),
-    "approx_percentile_bounds": (approx_percentile_bounds,
-                                 APPROX_PERCENTILE_SQL),
-    "ann_topk_per_label": (ann_topk_per_label, ANN_PER_LABEL_SQL),
-    "asof_join_events": (asof_join_events, ASOF_SQL),
-    "range_join_windows": (range_join_windows, RANGE_JOIN_SQL),
-    "overlap_join_windows": (overlap_join_windows, OVERLAP_JOIN_SQL),
-    "time_bucket_gapfill": (time_bucket_gapfill, GAPFILL_SQL),
-    "idx_join_dpp": (idx_join_dpp, IDX_DPP_SQL),
-    "top3_orders_per_customer": (top3_orders_per_customer, TOP3_SQL),
-    "cumulative_spend": (cumulative_spend, CUMSUM_SQL),
-    "rollup_sales": (rollup_sales, ROLLUP_SQL),
-    "distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_SQL),
-    "percentile_quantities": (percentile_quantities, PERCENTILE_SQL),
-    "setop_active_building_buyers": (setop_active_building_buyers, SETOP_SQL),
-    "scalar_functions_showcase": (scalar_functions_showcase, SCALAR_SQL),
-    "sessionize_events": (sessionize_events, SESSION_SQL),
 }
