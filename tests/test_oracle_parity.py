@@ -66,7 +66,27 @@ def _duck_rows(con, sql):
         key=repr)
 
 
-@pytest.mark.parametrize("name", list(QUERIES))
+# Always-on core: at least one query per component family (index layer,
+# TPC-H joins/aggs, windows, set ops, streaming, dedup/text/sampling/ANN/
+# multimodal, asof/range/gap-fill, merge). The long tail is `slow` so the
+# default suite stays bounded; `-m ""` runs the full sweep.
+_CORE = {
+    "idx_point_lookup", "idx_zorder_range", "idx_join_dpp",
+    "q1_pricing_summary", "q3_shipping_priority", "q12_priority_shipmode",
+    "rollup_sales", "top3_orders_per_customer", "sessionize_events",
+    "setop_active_building_buyers", "scalar_functions_showcase",
+    "merge_upsert_orders", "bucketed_colocated_join",
+    "stream_windowed_counts", "stream_funnel_join", "stream_gapfill_locf",
+    "dedup_exact_stats", "minhash_lsh_pairs", "text_profile_by_lang",
+    "sample_split_stats", "ann_cosine_topk", "ivf_ann_topk",
+    "multimodal_pipeline", "asof_join_events", "time_bucket_gapfill",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n if n in _CORE else pytest.param(n, marks=pytest.mark.slow)
+     for n in QUERIES])
 def test_query_matches_oracle(spark, name, ddb):
     fn, oracle = QUERIES[name]
     df = fn(spark, SF_DIR)
