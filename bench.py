@@ -76,6 +76,27 @@ def main() -> None:
     QUERIES["bucketed_colocated_join"][0](spark, SF_DIR).count()
     table_build_sec = round(time.time() - t_tbl0, 3)
 
+    # streaming-engine warm-up: the FIRST streaming query in a session pays
+    # one-time costs — python worker pool spin-up for the stateful pandas
+    # operator, state-store provider init, streaming-engine bootstrap
+    # (~6 s measured) — that are not per-query costs at any scale. Drain
+    # one tiny stateful query on a 3-row table so the timed streaming
+    # entries below measure the operators, not engine bootstrap.
+    t_warm0 = time.time()
+    from parquet_index_spark import streaming as _ST
+    import datetime as _dt
+    warm_dir = os.path.join("/tmp", "spark_graft_bench", "stream_warm")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    _rows = [(i, _dt.datetime(2024, 1, 1, i), 1, "click", 1.0, "{}")
+             for i in range(3)]
+    spark.createDataFrame(_rows, _ST.EVENTS_SCHEMA).coalesce(1) \
+        .write.parquet(os.path.join(warm_dir, "ev"))
+    _warm = _ST.read_event_stream(spark, os.path.join(warm_dir, "ev"))
+    _ST.run_available_now(
+        _ST.stream_bucket_gapfill(_warm, "1 hour", "1 hour"),
+        "bench_stream_warm", output_mode="append").count()
+    stream_warm_sec = round(time.time() - t_warm0, 3)
+
     total0 = time.time()
     for name in BENCH_QUERIES:
         fn, _oracle = QUERIES[name]
@@ -177,6 +198,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "index_build_sec": index_build_sec,
         "table_build_sec": table_build_sec,
+        "stream_warm_sec": stream_warm_sec,
         "cpus": int(CPUS),
         "file_skip": {
             "total_files": prune.total_files,
