@@ -100,13 +100,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash"))
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
-                        bands: int = 4, rows_per_band: int = 4) -> DataFrame:
-    """LSH banding: documents agreeing on ALL rows of any band become a
-    candidate pair (a < b). The self-join happens per (band, band_key)
-    bucket, so the shuffle key distributes and no quadratic blow-up occurs
-    unless a bucket itself is huge (cap duplicate storms upstream)."""
-    banded = sig_df.select(
+def _banded_keys(sig_df: DataFrame, id_col: str, bands: int,
+                 rows_per_band: int) -> DataFrame:
+    """(id, band, band_key) projection: one md5 per band over the band's
+    slice of the minhash signature, exploded from a single generated
+    array (no per-band scan of the input)."""
+    return sig_df.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -120,6 +119,26 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                             lambda x: x.cast("string")),
                         ",")).alias("band_key")))).alias("bk")
     ).select(id_col, "bk.band", "bk.band_key")
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
+                        bands: int = 4, rows_per_band: int = 4,
+                        max_bucket_size: int = 1000) -> DataFrame:
+    """LSH banding: documents agreeing on ALL rows of any band become a
+    candidate pair (a < b). The self-join happens per (band, band_key)
+    bucket, so the shuffle key distributes and no quadratic blow-up occurs
+    unless a bucket itself is huge.
+
+    ``max_bucket_size`` bounds that last case: a bucket of d identical
+    (or boilerplate) documents would enumerate d^2/2 pairs — one
+    10-million-doc duplicate storm at 100 TB is a 5*10^13-row stage. A
+    bucket larger than the cap is excluded from enumeration here, so the
+    generated pair count is bounded by n_buckets * max_bucket_size^2.
+    The cap is not silent: route `lsh_oversize_buckets` (same arguments)
+    to exact dedup — byte-identical storms are exactly what
+    `exact_duplicates` resolves in one linear aggregation — or raise the
+    cap deliberately. Pass ``max_bucket_size=None`` to disable."""
+    banded = _banded_keys(sig_df, id_col, bands, rows_per_band)
     # group-then-enumerate instead of a self-join: signatures are computed
     # once (a self-join would recompute the whole upstream plan per side)
     # and the shuffle key is the bucket. Pair enumeration is per-bucket and
@@ -127,6 +146,8 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     buckets = (banded.groupBy("band", "band_key")
                .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
                .filter(F.size("ids") > 1))
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     pair_expr = F.expr(
         "flatten(transform(ids, (a, i) -> "
         "  transform(slice(ids, i + 2, size(ids)), b -> "
@@ -134,6 +155,22 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     return (buckets.select(F.explode(pair_expr).alias("p"))
             .select("p.id_a", "p.id_b")
             .distinct())
+
+
+def lsh_oversize_buckets(sig_df: DataFrame, id_col: str = "doc_id",
+                         bands: int = 4, rows_per_band: int = 4,
+                         max_bucket_size: int = 1000) -> DataFrame:
+    """The buckets `lsh_candidate_pairs` excluded under the same cap:
+    (band, band_key, n_docs, sample_ids). Pipelines route these to exact
+    dedup / manual review instead of quadratic enumeration; a non-empty
+    result is the auditable record that the cap engaged (no silent
+    truncation)."""
+    banded = _banded_keys(sig_df, id_col, bands, rows_per_band)
+    return (banded.groupBy("band", "band_key")
+            .agg(F.count("*").alias("n_docs"),
+                 F.slice(F.sort_array(F.collect_set(F.col(id_col))),
+                         1, 20).alias("sample_ids"))
+            .filter(F.col("n_docs") > max_bucket_size))
 
 
 def ngram_jaccard_pairs(df: DataFrame, candidates: Optional[DataFrame] = None,

@@ -50,6 +50,32 @@ class TestDedup:
         assert (1, 2) in pairs          # identical docs always collide
         assert (1, 4) not in pairs      # unrelated docs don't
 
+    def test_lsh_bucket_cap_bounds_duplicate_storm(self, spark):
+        """Adversarial duplicate storm: 300 identical docs put all 300 ids
+        in one bucket per band -> uncapped enumeration is 300*299/2 pairs.
+        With the cap the storm enumerates ZERO pairs, the oversize buckets
+        are reported for exact-dedup routing, and unrelated near-dup pairs
+        still surface."""
+        storm = [Row(doc_id=i, text="identical boilerplate text repeated "
+                                    "across the whole crawl corpus")
+                 for i in range(300)]
+        pair = [Row(doc_id=1000, text="one unique document about spark "
+                                      "query planning and indexes"),
+                Row(doc_id=1001, text="one unique document about spark "
+                                      "query planning and indexes")]
+        df = spark.createDataFrame(storm + pair)
+        sigs = D.minhash_signatures(df, num_hashes=16)
+        capped = D.lsh_candidate_pairs(sigs, max_bucket_size=100).collect()
+        assert {(r["id_a"], r["id_b"]) for r in capped} == {(1000, 1001)}
+        over = D.lsh_oversize_buckets(sigs, max_bucket_size=100).collect()
+        assert len(over) > 0
+        assert all(r["n_docs"] == 300 for r in over)
+        assert all(len(r["sample_ids"]) == 20 for r in over)
+        # uncapped mode still enumerates the storm (explicit opt-out)
+        n_uncapped = D.lsh_candidate_pairs(
+            sigs, max_bucket_size=None).count()
+        assert n_uncapped == 300 * 299 // 2 + 1
+
     def test_jaccard_scores(self, docs):
         pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
                  for r in D.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
