@@ -142,9 +142,50 @@ def _normalize_stat(value, kind: str):
     return ityp.to_long_space(value, kind)
 
 
+# Footer string min/max are trusted only below this UTF-8 byte length.
+# Parquet writers may TRUNCATE long binary stats (parquet-mr
+# BinaryTruncator, parquet-cpp statistics_truncate_length default 64);
+# the footer carries is_{min,max}_value_exact flags for this, but
+# pyarrow 16 does not expose them — so any value at/over the common
+# truncation threshold is treated as possibly inexact and recomputed
+# from data. Non-ASCII values are likewise recomputed: legacy writers
+# ordered byte arrays by SIGNED bytes, yielding wrong min/max for
+# multi-byte UTF-8 — the case the reference refuses to trust footers
+# for at all (issue #25, IndexSuite.scala:708-758; it full-scans
+# strings unconditionally).
+_STR_STAT_TRUST_LEN = 64
+
+
+def _footer_str_trusted(st) -> bool:
+    """True when a footer BYTE_ARRAY min/max pair cannot have been
+    truncated or mis-ordered: both pure ASCII and strictly shorter than
+    every known writer truncation threshold."""
+    for raw in (st.min_raw, st.max_raw):
+        b = raw if isinstance(raw, bytes) else str(raw).encode()
+        if len(b) >= _STR_STAT_TRUST_LEN or any(c >= 0x80 for c in b):
+            return False
+    return True
+
+
+def _exact_min_max(pf, rg: int, col: str):
+    """(nulls, min, max) for one column of one row group, from data —
+    the soundness fallback when footer stats are untrustworthy. Reads
+    only that column's pages."""
+    chunk = pf.read_row_group(rg, columns=[col]).column(col)
+    non_null = chunk.drop_null()
+    if len(non_null) == 0:
+        return chunk.null_count, None, None
+    mm = pc.min_max(non_null.combine_chunks()
+                    if isinstance(non_null, pa.ChunkedArray) else non_null)
+    return chunk.null_count, mm["min"].as_py(), mm["max"].as_py()
+
+
 def _footer_stats_for_file(abs_path: str, relpath: str,
                            index_cols: list) -> tuple:
-    """Per-block stats from the Parquet footer only (no data IO)."""
+    """Per-block stats from the Parquet footer only (no data IO), except
+    string columns whose footer min/max could be truncated or wrongly
+    ordered — those fall back to a targeted single-column scan (see
+    _footer_str_trusted)."""
     pf = pq.ParquetFile(abs_path)
     md = pf.metadata
     name_to_idx = {}
@@ -168,13 +209,21 @@ def _footer_stats_for_file(abs_path: str, relpath: str,
                     if st.has_null_count:
                         row["nulls"] = st.null_count
                     if st.has_min_max:
-                        row["has_stats"] = True
-                        mn = _normalize_stat(st.min, kind)
-                        mx = _normalize_stat(st.max, kind)
-                        if kind == ityp.STRING:
-                            row["min_str"], row["max_str"] = mn, mx
+                        if kind == ityp.STRING and not _footer_str_trusted(st):
+                            nulls, mn, mx = _exact_min_max(pf, rg, col)
+                            row["nulls"] = nulls
+                            if mn is not None:
+                                row["has_stats"] = True
+                                row["min_str"] = _normalize_stat(mn, kind)
+                                row["max_str"] = _normalize_stat(mx, kind)
                         else:
-                            row["min_long"], row["max_long"] = mn, mx
+                            row["has_stats"] = True
+                            mn = _normalize_stat(st.min, kind)
+                            mx = _normalize_stat(st.max, kind)
+                            if kind == ityp.STRING:
+                                row["min_str"], row["max_str"] = mn, mx
+                            else:
+                                row["min_long"], row["max_long"] = mn, mx
             rows_out.append(row)
     return rows_out, md.num_row_groups, md.num_rows
 

@@ -1,0 +1,94 @@
+"""Footer-statistics distrust (reference issue #25 analog).
+
+Parquet writers may truncate long BYTE_ARRAY min/max, and legacy writers
+ordered them by signed bytes — a truncated/mis-ordered footer max can
+unsoundly prune a file that contains matching rows. The reference refuses
+to trust footer stats for strings and recomputes them by scan
+(IndexSuite.scala:708-758); the collector's footer fast path must do the
+same whenever the footer pair is not provably exact (>=64 UTF-8 bytes or
+any non-ASCII byte).
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_index_spark import QueryContext
+from parquet_index_spark import types as ityp
+from parquet_index_spark.collector import (
+    _footer_stats_for_file, _footer_str_trusted,
+)
+
+from tests.conftest import assert_same_rows
+
+
+class _FakeStats:
+    def __init__(self, mn, mx):
+        self.min_raw, self.max_raw = mn, mx
+
+
+class TestTrustHeuristic:
+    def test_short_ascii_trusted(self):
+        assert _footer_str_trusted(_FakeStats(b"1-URGENT", b"5-LOW"))
+
+    def test_long_values_distrusted(self):
+        long = b"x" * 64
+        assert not _footer_str_trusted(_FakeStats(b"a", long))
+        assert not _footer_str_trusted(_FakeStats(long, b"a"))
+        assert _footer_str_trusted(_FakeStats(b"x" * 63, b"x" * 63))
+
+    def test_non_ascii_distrusted(self):
+        assert not _footer_str_trusted(_FakeStats("é".encode(), b"z"))
+        assert not _footer_str_trusted(_FakeStats(b"a", b"\xff\xfe"))
+
+
+class TestFooterFallback:
+    def test_long_string_stats_recomputed_from_data(self, tmp_path):
+        """A file whose string values exceed the trust length must get
+        data-exact min/max through the footer path — identical to what a
+        full scan would produce, whatever the footer claims."""
+        vals = [("k" * 80) + c for c in "dbyaq"]
+        path = str(tmp_path / "long.parquet")
+        pq.write_table(pa.table({"key": pa.array(vals)}), path)
+        rows, _blocks, _total = _footer_stats_for_file(
+            path, "", [("key", ityp.STRING)])
+        (row,) = rows
+        assert row["has_stats"]
+        assert row["min_str"] == min(vals) and row["max_str"] == max(vals)
+
+    def test_short_ascii_keeps_metadata_only_path(self, tmp_path):
+        """Trusted footers must NOT trigger data reads — the fast path
+        stays metadata-only (stats equal the footer verbatim)."""
+        path = str(tmp_path / "short.parquet")
+        pq.write_table(pa.table({"key": pa.array(["b", "a", "c"])}), path)
+        rows, _b, _t = _footer_stats_for_file(path, "", [("key", ityp.STRING)])
+        assert rows[0]["min_str"] == "a" and rows[0]["max_str"] == "c"
+
+    def test_indexed_point_query_on_long_keys_sound(
+            self, spark, tmp_metastore, tmp_table_dir):
+        """End-to-end: footer-only index (filter stats off) over >64-byte
+        string keys; every key's equality query must return its rows —
+        the unsound-prune regression the truncation guard prevents."""
+        spark.conf.set("spark.sql.index.parquet.filter.enabled", "false")
+        try:
+            prefix = "p" * 80
+            df = (spark.range(0, 2000)
+                  .select(F.concat(F.lit(prefix),
+                                   F.format_string("%04d", F.col("id")))
+                          .alias("key"),
+                          F.col("id").alias("v")))
+            df.repartition(8, "key").write.mode("overwrite") \
+                .parquet(tmp_table_dir)
+            ctx = QueryContext(spark)
+            ctx.index.create.indexBy("key").parquet(tmp_table_dir)
+            t = ctx.index.parquet(tmp_table_dir)
+            for probe in (0, 777, 1999):
+                pred = F.col("key") == f"{prefix}{probe:04d}"
+                assert_same_rows(
+                    t.filter(pred),
+                    spark.read.parquet(tmp_table_dir).filter(pred))
+        finally:
+            spark.conf.set("spark.sql.index.parquet.filter.enabled", "true")
