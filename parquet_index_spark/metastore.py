@@ -42,6 +42,47 @@ FILES_FILE = "files.parquet"
 
 CACHE_MAX_ENTRIES = 16
 
+# Reference creation mode for the metastore root: rwxr--r--
+# (Metastore.scala:268-273, FsPermission(ALL, READ, READ)).
+METASTORE_PERMISSION = 0o744
+
+
+def _check_metastore_dir(path: str, require_write: bool) -> None:
+    """Reference-semantics validation of the metastore root
+    (Metastore.scala:96-117): must be a DIRECTORY whose permissions make
+    it usable — at create/resolve time that means owner rwx, at load time
+    owner r-x. The reference compares permission BITS (its FsPermission
+    implies-check), not effective access, so a root that merely *looks*
+    unusable fails fast with a clear error instead of a confusing late
+    FileNotFound/PermissionError mid-build on a shared filesystem.
+
+    Deviation, documented: the reference also demands group/other READ
+    (rwxr--r--); a private 0o700 root is perfectly usable by its owner
+    (and is what mkdtemp produces), so only the owner bits are enforced
+    here. For non-owned roots, effective access (os.access) is the only
+    meaningful signal and is used instead."""
+    import stat as _stat
+    st = os.stat(path)
+    if not _stat.S_ISDIR(st.st_mode):
+        raise NotADirectoryError(
+            f"Expected directory for metastore, found {path} "
+            "(Metastore.scala:100-103)")
+    mode = _stat.S_IMODE(st.st_mode)
+    if hasattr(os, "geteuid") and st.st_uid == os.geteuid():
+        need = 0o700 if require_write else 0o500
+        if mode & need != need:
+            raise PermissionError(
+                f"Expected metastore directory with owner "
+                f"{'rwx' if require_write else 'r-x'} access, found {path} "
+                f"(mode {oct(mode)}; Metastore.scala:105-115)")
+    else:
+        flags = (os.R_OK | os.X_OK) | (os.W_OK if require_write else 0)
+        if not os.access(path, flags):
+            raise PermissionError(
+                f"Metastore {path} is not "
+                f"{'writable' if require_write else 'readable'} by the "
+                "current user (Metastore.scala:105-115)")
+
 
 class IndexError_(Exception):
     pass
@@ -203,11 +244,15 @@ class Metastore:
 
     def __init__(self, location: str):
         self.location = os.path.abspath(location)
-        os.makedirs(self.location, exist_ok=True)
-        if not os.access(self.location, os.R_OK | os.W_OK | os.X_OK):
-            raise PermissionError(
-                f"Metastore {self.location} must be readable/writable "
-                "(Metastore.scala:78-115 semantics)")
+        if not os.path.exists(self.location):
+            os.makedirs(self.location, exist_ok=True)
+            try:
+                # creation-mode parity with the reference (rwxr--r--,
+                # Metastore.scala:268-273); best-effort on restrictive FS
+                os.chmod(self.location, METASTORE_PERMISSION)
+            except OSError:
+                pass
+        _check_metastore_dir(self.location, require_write=True)
         self._cache: "OrderedDict[str, IndexMetadata]" = OrderedDict()
 
     def index_dir(self, spec: LocationSpec) -> str:
@@ -263,6 +308,9 @@ class Metastore:
         if cached is not None:
             self._cache.move_to_end(path)
             return cached
+        # root may have become unusable since construction (shared FS,
+        # chmod); revalidate read access before touching index files
+        _check_metastore_dir(self.location, require_write=False)
         if not self.exists(spec):
             raise IndexNotFoundError(
                 f"No index found for {spec.table_path}; "

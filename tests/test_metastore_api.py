@@ -264,3 +264,62 @@ class TestBuilderPlumbing:
     def test_index_by_non_string_raises(self, ctx):
         with pytest.raises(TypeError):
             ctx.index.create.indexBy(1, 2)
+
+
+class TestMetastorePermissions:
+    """Reference Metastore.scala:96-117: the resolved root must be a
+    directory with usable permissions — unusable roots fail FAST with
+    the reference's error semantics, not as a confusing mid-build IO
+    error on a shared filesystem. Bit-level checks (the reference's
+    FsPermission implies-comparison) so the cases hold even when tests
+    run as root, where os.access always succeeds."""
+
+    def test_file_as_metastore_rejected(self, tmp_path):
+        f = tmp_path / "not_a_dir"
+        f.write_text("x")
+        with pytest.raises(NotADirectoryError, match="Expected directory"):
+            Metastore(str(f))
+
+    def test_unwritable_root_rejected_at_create(self, tmp_path):
+        d = tmp_path / "ro_root"
+        d.mkdir()
+        os.chmod(d, 0o500)
+        try:
+            with pytest.raises(PermissionError, match="owner rwx"):
+                Metastore(str(d))
+        finally:
+            os.chmod(d, 0o755)
+
+    def test_untraversable_root_rejected(self, tmp_path):
+        d = tmp_path / "wo_root"
+        d.mkdir()
+        os.chmod(d, 0o200)
+        try:
+            with pytest.raises(PermissionError, match="owner rwx"):
+                Metastore(str(d))
+        finally:
+            os.chmod(d, 0o755)
+
+    def test_unreadable_root_rejected_at_load(self, tmp_path):
+        d = tmp_path / "ms"
+        ms = Metastore(str(d))
+        os.chmod(d, 0o200)
+        try:
+            with pytest.raises(PermissionError, match="owner r-x"):
+                ms.load(LocationSpec(str(tmp_path / "some_table")))
+        finally:
+            os.chmod(d, 0o755)
+
+    def test_new_root_created_with_reference_mode(self, tmp_path):
+        import stat
+        d = tmp_path / "fresh"
+        Metastore(str(d))
+        assert stat.S_IMODE(os.stat(d).st_mode) == 0o744
+
+    def test_private_0700_root_accepted(self, tmp_path):
+        """mkdtemp-style private roots are usable by their owner; the
+        reference's literal group/other-read demand is relaxed
+        (documented deviation in _check_metastore_dir)."""
+        d = tmp_path / "private"
+        d.mkdir(mode=0o700)
+        Metastore(str(d))  # must not raise
