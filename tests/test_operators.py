@@ -421,6 +421,35 @@ class TestStreaming:
             ST.event_funnel_join(ST.read_event_stream(spark, path),
                                  "click", "purchase", how="full_outer")
 
+    def test_stateful_user_totals_across_batches(self, spark, tmp_table_dir):
+        """applyInPandasWithState totals must survive micro-batch
+        boundaries: split the input into 4 files drained one per trigger,
+        and the final emission per user (greatest n_events) must equal the
+        batch aggregate over everything."""
+        from parquet_index_spark import streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        src = os.path.join(tmp_table_dir, "ev4")
+        ev = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")) \
+            .filter("user_id < 10")
+        ev.repartition(4).write.parquet(src)
+        stream = ST.read_event_stream(spark, src, max_files_per_trigger=1)
+        drained = ST.run_available_now(
+            ST.stateful_user_totals(stream), "test_stateful_totals",
+            output_mode="update")
+        # >1 emission per user proves state actually crossed batches
+        assert drained.count() > drained.select("user_id").distinct().count()
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = (drained.withColumn("rn", F.row_number().over(w))
+                 .filter("rn = 1")
+                 .select("user_id", "n_events", "max_event_id"))
+        want = (ev.groupBy("user_id")
+                .agg(F.count("*").alias("n_events"),
+                     F.max("event_id").alias("max_event_id")))
+        assert sorted(map(tuple, final.collect())) == \
+            sorted(map(tuple, want.collect()))
+
     def test_parquet_sink_roundtrip_exactly_once(self, spark, tmp_table_dir):
         from parquet_index_spark import streaming as ST
         from parquet_index_spark.workload import ensure_session_confs
