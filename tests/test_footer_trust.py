@@ -67,6 +67,36 @@ class TestFooterFallback:
         rows, _b, _t = _footer_stats_for_file(path, "", [("key", ityp.STRING)])
         assert rows[0]["min_str"] == "a" and rows[0]["max_str"] == "c"
 
+    def test_indexed_queries_on_astral_plane_keys_sound(
+            self, spark, tmp_metastore, tmp_table_dir):
+        """UTF-8 ordering above the BMP (SURVEY §7 hard case / reference
+        issue #25 class): Java compares UTF-16 code units, where astral
+        characters (surrogate pairs 0xD800-0xDFFF) sort BELOW U+E000..FFFF
+        — the opposite of code-point order. Spark's UTF8String and our
+        Python fold both compare code points, and non-ASCII footer stats
+        are recomputed from data, so point and range queries over keys
+        mixing astral (U+1F600), BMP-high (U+FFFD) and ASCII values must
+        stay differentially exact against the plain scan."""
+        keys = ["apple", "�-replacement", "\U0001F600-grin",
+                "\U0001F680-rocket", "zebra", "émigré", "中文键"]
+        rows = [(k, i) for i, k in enumerate(keys) for _ in range(3)]
+        df = spark.createDataFrame(rows, "key string, v long")
+        df.repartition(4, "key").write.mode("overwrite") \
+            .parquet(tmp_table_dir)
+        ctx = QueryContext(spark)
+        ctx.index.create.indexBy("key").parquet(tmp_table_dir)
+        t = ctx.index.parquet(tmp_table_dir)
+        plain = spark.read.parquet(tmp_table_dir)
+        for k in keys:
+            assert_same_rows(t.filter(F.col("key") == k),
+                             plain.filter(F.col("key") == k))
+        # range whose answer differs between code-point and UTF-16 order:
+        # U+FFFD < U+1F600 in code points, but reversed in UTF-16 units
+        for lo, hi in [("�", "\U0001F700"), ("a", "�"),
+                       ("z", "\U0001F650")]:
+            pred = (F.col("key") >= lo) & (F.col("key") <= hi)
+            assert_same_rows(t.filter(pred), plain.filter(pred))
+
     def test_indexed_point_query_on_long_keys_sound(
             self, spark, tmp_metastore, tmp_table_dir):
         """End-to-end: footer-only index (filter stats off) over >64-byte
