@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "sample_split_stats", "pack_chunks_by_source", "contamination_by_lang",
     "bucketed_colocated_join",
-    "stream_windowed_counts", "stream_gapfill_locf",
+    "stream_windowed_counts", "stream_gapfill_locf", "stream_user_totals",
     "profile_orders_columns", "merge_upsert_orders",
 ]
 

@@ -192,3 +192,16 @@ def test_no_cartesian_sweep_all_batch_queries(spark):
         if strategies["nested_loop"] > limit:
             bad[name] = strategies
     assert not bad, f"nested-loop joins crept into: {bad}"
+
+
+def test_text_profile_tokenizes_once(spark):
+    """The staged text_profile must keep exactly ONE regex split in the
+    optimized plan — the collapsed-projection form re-evaluated it ~10x
+    per row (3.3x slower at sf0.1). Guards against CollapseProject
+    re-inlining the shared token array."""
+    import os
+    import re
+    from parquet_index_spark.operators.text import text_profile
+    docs = spark.read.parquet(os.path.join(SF_CORRECT, "documents.parquet"))
+    plan = text_profile(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert len(re.findall(r"split\(", plan)) == 1, plan
