@@ -2270,6 +2270,71 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def stream_enrich_join(spark, sf_dir):
+    """Stream-static enrichment join — the canonical dimension-lookup
+    shape: the events stream inner-joined to the static customer table.
+    Stream-static inner joins are STATELESS (each micro-batch joins
+    against the static side; nothing is buffered), and broadcasting the
+    dim keeps the stream side shuffle-free — at 100 TB/day of events the
+    per-batch cost is a map-side hash lookup. Drained with availableNow,
+    then aggregated by market segment; DECIMAL-summed so the total is
+    order-independent across engines."""
+    from parquet_index_spark import streaming as ST
+    _STREAM_COUNTER["n"] += 1
+    name = f"pis_stream_enrich_{_STREAM_COUNTER['n']}"
+    stream = ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    enriched = (stream.filter(F.col("event_type") == "purchase")
+                .join(F.broadcast(cust), "user_id")
+                .select("event_id", "value", "c_mktsegment"))
+    drained = ST.run_available_now(enriched, name, output_mode="append")
+    return (drained.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_purchases"),
+                 _dsum(_dec("value"), "total_value"))
+            .orderBy("c_mktsegment"))
+
+
+STREAM_ENRICH_SQL = """
+SELECT c_mktsegment, count(*) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def json_props_stats(spark, sf_dir):
+    """Semi-structured extraction: ``events.props`` is a JSON string
+    column; parse it with an explicit schema (from_json — typed JSON
+    path evaluated JVM-side, no schema-inference scan and no Python) and
+    aggregate the extracted field per event type. The LLM-pipeline shape:
+    raw crawl/event payloads carry JSON sidecars that filtering and
+    quota logic must reach into at full scan speed."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k long")["k"]
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+                 .alias("n_k_gt50"))
+            .orderBy("event_type"))
+
+
+JSON_PROPS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_gt50
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def stream_funnel_left_outer(spark, sf_dir):
     """Left-outer stream-stream interval join: clicks WITH their purchases
     within 30 minutes, plus the drop-off rows (NULL to_id) for clicks that
@@ -3104,6 +3169,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
                                  STREAM_FUNNEL_LO_SQL),
     "stream_gapfill_locf": (stream_gapfill_locf, STREAM_GAPFILL_SQL),
     "stream_user_totals": (stream_user_totals, STREAM_TOTALS_SQL),
+    "stream_enrich_join": (stream_enrich_join, STREAM_ENRICH_SQL),
+    "json_props_stats": (json_props_stats, JSON_PROPS_SQL),
     "sessionize_events": (sessionize_events, SESSION_SQL),
     "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
     "rollup_sales": (rollup_sales, ROLLUP_SQL),
@@ -3147,9 +3214,9 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "multimodal_pipeline": (multimodal_pipeline, MULTIMODAL_SQL),
     "ann_topk_lsh_probed": (ann_topk_lsh_probed, ANN_LSH_SQL),
+    # -- round-2-green (CORRECTNESS_r02) --
     "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
     "stream_sink_roundtrip": (stream_sink_roundtrip, STREAM_SINK_SQL),
-    # -- round-2-green (CORRECTNESS_r02) --
     "salted_skew_join": (salted_skew_join, SALTED_SQL),
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
     "dedup_prefix_groups": (dedup_prefix_groups, DEDUP_PREFIX_SQL),
