@@ -23,7 +23,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # headline subset: index layer + heaviest delegated + pipeline ops
 BENCH_QUERIES = [
     "idx_point_lookup", "idx_range_scan", "idx_in_or_composite",
-    "idx_bitmap_point", "idx_zorder_range",
+    "idx_bitmap_point", "idx_zorder_range", "idx_events_time_range",
     "q1_pricing_summary", "q3_shipping_priority", "q5_nation_volume",
     "q6_forecast_revenue", "q4_order_exists", "q12_priority_shipmode",
     "top3_orders_per_customer", "rollup_sales", "distinct_parts_per_flag",

@@ -339,8 +339,8 @@ def referenced_columns(p: Predicate) -> set:
 _TOKEN_RE = re.compile(
     r"""
     \s*(?:
-      (?P<ts>TIMESTAMP\s*'[^']*')
-    | (?P<date>DATE\s*'[^']*')
+      (?P<ts>(?i:TIMESTAMP)\s*'[^']*')
+    | (?P<date>(?i:DATE)\s*'[^']*')
     | (?P<str>'(?:[^']|'')*')
     | (?P<num>-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)

@@ -159,3 +159,15 @@ class TestCastFolding:
         assert parse_sql_predicate(
             "ts >= TIMESTAMP '2020-01-01 00:00:00'") == \
             P.Ge("ts", datetime.datetime(2020, 1, 1))
+
+
+class TestCaseInsensitiveTypedLiterals:
+    def test_lowercase_timestamp_and_date_literals(self):
+        """Spark SQL is case-insensitive; lowercase typed literals must
+        parse (they previously fell back to an unpruned scan)."""
+        import datetime
+        from parquet_index_spark import predicates as P
+        p = P.parse_sql_predicate("ts >= timestamp'2024-01-05 00:00:00'")
+        assert p == P.Ge("ts", datetime.datetime(2024, 1, 5))
+        p2 = P.parse_sql_predicate("d = date '1995-01-01'")
+        assert p2 == P.Eq("d", datetime.date(1995, 1, 1))
