@@ -343,6 +343,7 @@ _TOKEN_RE = re.compile(
     | (?P<date>(?i:DATE)\s*'[^']*')
     | (?P<str>'(?:[^']|'')*')
     | (?P<num>-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+)
+    | (?P<qident>`[^`]+`)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,)
     )""",
@@ -419,6 +420,9 @@ def _tokenize(sql: str) -> list:
                 tokens.append(("kw", text.upper()))
             else:
                 tokens.append(("ident", text))
+        elif m.lastgroup == "qident":
+            # backquoted identifier (Spark quoting) — never a keyword
+            tokens.append(("ident", m.group("qident")[1:-1]))
         elif m.lastgroup == "str":
             raw = m.group("str")[1:-1].replace("''", "'")
             tokens.append(("str", raw))
@@ -505,6 +509,13 @@ class _Parser:
             return tval
         if (ttype, tval) == ("kw", "NULL"):
             return None
+        if (ttype, tval) in (("kw", "TRUE"), ("kw", "FALSE")):
+            # boolean comparison literal (flag = TRUE). Boolean columns are
+            # not indexable (reference's 5 types), so the fold keeps every
+            # file for this conjunct — but parsing it means the REST of a
+            # conjunction still prunes instead of the whole predicate
+            # falling back to a full scan.
+            return tval == "TRUE"
         if (ttype, tval) == ("kw", "CAST"):
             # CAST(<literal> AS <type>) — Catalyst renders promoted literals
             # this way in analyzed-plan SQL (e.g. CAST(42 AS BIGINT))

@@ -171,3 +171,15 @@ class TestCaseInsensitiveTypedLiterals:
         assert p == P.Ge("ts", datetime.datetime(2024, 1, 5))
         p2 = P.parse_sql_predicate("d = date '1995-01-01'")
         assert p2 == P.Eq("d", datetime.date(1995, 1, 1))
+
+    def test_backquoted_identifiers(self):
+        from parquet_index_spark import predicates as P
+        assert P.parse_sql_predicate("`user_id` = 5") == P.Eq("user_id", 5)
+
+    def test_boolean_literal_comparison_keeps_conjunction_foldable(self):
+        """flag = TRUE is unprunable (bools are not indexable) but must
+        PARSE, so the other conjunct still prunes instead of the whole
+        predicate falling back to a full scan."""
+        from parquet_index_spark import predicates as P
+        p = P.parse_sql_predicate("flag = TRUE AND user_id = 5")
+        assert p == P.And((P.Eq("flag", True), P.Eq("user_id", 5)))
