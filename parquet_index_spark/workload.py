@@ -1415,10 +1415,19 @@ bands AS (
            ',')) AS band_key
   FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
 ),
+band_ok AS (
+  -- mirrors lsh_candidate_pairs(max_bucket_size=1000): buckets larger
+  -- than the cap are excluded from pair enumeration on BOTH sides, so
+  -- query and oracle share semantics at any scale (a duplicate storm
+  -- routes to lsh_oversize_buckets / exact dedup, not quadratic pairs)
+  SELECT b, band_key FROM bands
+  GROUP BY b, band_key HAVING count(DISTINCT doc_id) <= 1000
+),
 lsh_pairs AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM bands l JOIN bands r
     ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+  JOIN band_ok k ON l.b = k.b AND l.band_key = k.band_key
 )"""
 
 MINHASH_LSH_SQL = r"""
@@ -2368,7 +2377,7 @@ def json_props_stats(spark, sf_dir):
 
 JSON_PROPS_SQL = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
