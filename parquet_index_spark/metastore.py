@@ -96,11 +96,25 @@ class IndexExistsError(IndexError_):
     pass
 
 
+#: characters Hadoop's GlobPattern expands; a table path containing any of
+#: them is ambiguous (one table vs many) and the reference resolves table
+#: paths with a plain getFileStatus that "should not contain any glob
+#: expansions" (IndexedDataSource.scala:174-177, resolution contract :44-48).
+_GLOB_CHARS = set("*?[]{}")
+
+
 class LocationSpec:
     """source|catalog dataspace + table path (IndexLocationSpec.scala:63-78)."""
 
     def __init__(self, table_path: str, dataspace: str = "source",
                  identifier: str = "parquet"):
+        hit = _GLOB_CHARS.intersection(table_path)
+        if hit:
+            raise ValueError(
+                f"Table path must be a concrete file or directory, not a "
+                f"glob pattern: {table_path!r} contains "
+                f"{''.join(sorted(hit))!r}. Point the index at the table "
+                f"root (e.g. '/data/table', not '/data/table/*.parquet').")
         self.table_path = os.path.abspath(table_path)
         self.dataspace = dataspace
         self.identifier = identifier

@@ -323,3 +323,32 @@ class TestMetastorePermissions:
         d = tmp_path / "private"
         d.mkdir(mode=0o700)
         Metastore(str(d))  # must not raise
+
+
+class TestGlobPathRejection:
+    """Reference contract: table paths resolve via a plain getFileStatus
+    and must not contain glob expansions (IndexedDataSource.scala:174-177).
+    The repo rejects them eagerly at LocationSpec with a clear message
+    instead of surfacing a confusing downstream listing failure."""
+
+    @pytest.mark.parametrize("bad", [
+        "/data/table/*.parquet",
+        "/data/table/part-?.parquet",
+        "/data/[ab]/table",
+        "/data/{a,b}/table",
+    ])
+    def test_glob_path_rejected(self, bad):
+        with pytest.raises(ValueError, match="glob"):
+            LocationSpec(bad)
+
+    def test_glob_rejected_through_manager(self, ctx):
+        with pytest.raises(ValueError, match="glob"):
+            ctx.index.create.indexBy("id").parquet("/tmp/tbl/*/part.parquet")
+        with pytest.raises(ValueError, match="glob"):
+            ctx.index.exists.parquet("/tmp/tbl/*.parquet")
+        with pytest.raises(ValueError, match="glob"):
+            ctx.index.delete.parquet("/tmp/tbl/*.parquet")
+
+    def test_plain_path_unaffected(self, tmp_path):
+        spec = LocationSpec(str(tmp_path / "plain_table"))
+        assert spec.table_path.endswith("plain_table")
