@@ -205,7 +205,23 @@ def _footer_stats_for_file(abs_path: str, relpath: str,
             if idx is not None:
                 col_meta = rg_meta.column(idx)
                 st = col_meta.statistics
-                if st is not None:
+                if (st is None and col_meta.physical_type == "INT96"
+                        and kind in (ityp.TIMESTAMP, ityp.TIMESTAMP_NTZ)):
+                    # Legacy INT96 timestamps (writeLegacyFormat-era files)
+                    # never carry footer min/max; Arrow's read path applies
+                    # the Julian-day decode the reference does in
+                    # ParquetIndexReadSupport.scala:64-73, so index from a
+                    # targeted single-column scan instead. INT96 stores a
+                    # UTC instant and Arrow returns it as a NAIVE ns value,
+                    # hence the explicit tz="UTC" on the instant kind.
+                    nulls, mn, mx = _exact_min_max(pf, rg, col)
+                    row["nulls"] = nulls
+                    if mn is not None:
+                        tz = "UTC" if kind == ityp.TIMESTAMP else None
+                        row["has_stats"] = True
+                        row["min_long"] = ityp.to_long_space(mn, kind, tz)
+                        row["max_long"] = ityp.to_long_space(mx, kind, tz)
+                elif st is not None:
                     if st.has_null_count:
                         row["nulls"] = st.null_count
                     if st.has_min_max:

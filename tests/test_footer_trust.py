@@ -122,3 +122,69 @@ class TestFooterFallback:
                     spark.read.parquet(tmp_table_dir).filter(pred))
         finally:
             spark.conf.set("spark.sql.index.parquet.filter.enabled", "true")
+
+
+class TestInt96Legacy:
+    """Legacy INT96 timestamps (writeLegacyFormat-era files) carry NO
+    footer statistics; the reference decodes them via Julian-day math in
+    its read support (ParquetIndexReadSupport.scala:64-73). The collector
+    indexes them through the Arrow scan path (which performs the same
+    decode), so legacy tables still get min/max pruning."""
+
+    def test_footer_path_decodes_int96_from_data(self, tmp_path):
+        import datetime as dt
+        vals = [dt.datetime(2001, 1, 1, 12, 0, 0),
+                dt.datetime(2015, 6, 1, 0, 0, 1), None]
+        path = str(tmp_path / "int96.parquet")
+        pq.write_table(
+            pa.table({"ts": pa.array(vals, type=pa.timestamp("us"))}),
+            path, use_deprecated_int96_timestamps=True)
+        assert pq.ParquetFile(path).metadata.schema.column(0) \
+            .physical_type == "INT96"
+        rows, _b, _t = _footer_stats_for_file(path, "",
+                                              [("ts", ityp.TIMESTAMP)])
+        (row,) = rows
+        assert row["has_stats"] and row["nulls"] == 1
+        import datetime as dt2
+        epoch = dt2.datetime(1970, 1, 1, tzinfo=dt2.timezone.utc)
+
+        def us(d):
+            return int((d.replace(tzinfo=dt2.timezone.utc) - epoch)
+                       .total_seconds() * 1_000_000)
+
+        assert row["min_long"] == us(vals[0])
+        assert row["max_long"] == us(vals[1])
+
+    def test_indexed_time_range_on_int96_table(self, spark, tmp_metastore,
+                                               tmp_table_dir):
+        """End-to-end on a Spark-written INT96 table: the index must
+        collect stats (no footer to trust), prune files outside the time
+        range, and stay differentially exact against the plain scan."""
+        old_out = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            df = (spark.range(0, 4000)
+                  .select(F.timestamp_seconds(F.lit(1000000000)
+                                              + F.col("id") * 60)
+                          .alias("ts"),
+                          F.col("id").alias("v")))
+            (df.repartitionByRange(8, "ts")
+             .write.mode("overwrite").parquet(tmp_table_dir))
+            part = [f for f in os.listdir(tmp_table_dir)
+                    if f.endswith(".parquet")][0]
+            assert pq.ParquetFile(os.path.join(tmp_table_dir, part)) \
+                .metadata.schema.column(0).physical_type == "INT96"
+            ctx = QueryContext(spark)
+            ctx.index.create.indexBy("ts").parquet(tmp_table_dir)
+            t = ctx.index.parquet(tmp_table_dir)
+            plain = spark.read.parquet(tmp_table_dir)
+            pred = ("ts >= timestamp'2001-09-09 02:00:00' AND "
+                    "ts < timestamp'2001-09-09 04:00:00'")
+            assert_same_rows(t.filter(pred), plain.filter(pred))
+            info = ctx.index.last_prune_info
+            assert info.pruned and info.selected_files < info.total_files
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", old_out)
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
