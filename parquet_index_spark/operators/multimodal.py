@@ -1,13 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side contract is real and tested — schema, partition-preserving
-mapInPandas, Arrow batch shapes, typed metadata — while the actual media
-decoding is stubbed (image/audio libraries are not in this container):
+mapInPandas, Arrow batch shapes, typed metadata. Two content modes:
 
-- ``decode_image`` raises NotImplementedError by design when
-  ``fake=False``; with ``fake=True`` it produces a deterministic feature
-  vector derived from the bytes, so the distributed plumbing (and its
-  tests) exercise the same code path a real decoder would.
+- ``fake=True``: a deterministic digest/feature stand-in derived from the
+  bytes, so the distributed plumbing (and its tests) exercises the same
+  code path a real decoder would, on arbitrary opaque bytes.
+- ``fake=False``: REAL pure-numpy pixel work over a documented raw-raster
+  contract — ``content`` is a row-major uint8 raster of shape
+  (height, width, channels), channels inferred from len(content) /
+  (width*height) and required to be 1, 3 or 4. Bilinear resampling and
+  channel-statistics features run vectorized inside the Arrow batch.
+  Compressed formats (JPEG/PNG/MP3) are out of scope — decoding them
+  needs codec libraries not present in this container; rows whose bytes
+  don't match the raster contract yield NULL outputs rather than failing
+  the batch.
 
 Scale design: media bytes never pass through the driver; mapInPandas
 processes Arrow record batches per partition, and feature extraction adds
@@ -50,19 +57,82 @@ def _fake_features(content: bytes, dim: int) -> np.ndarray:
     return (v / np.linalg.norm(v)).astype(np.float32)
 
 
+def _decode_raster(content: bytes, width, height):
+    """Raw-raster contract: bytes -> uint8 array (H, W, C) or None.
+
+    None (not an exception) when dimensions are missing or the byte count
+    is not an integer 1/3/4-channel multiple of width*height — a bad row
+    must not fail its whole Arrow batch."""
+    if content is None or width is None or height is None:
+        return None
+    w, h = int(width), int(height)
+    if w <= 0 or h <= 0:
+        return None
+    buf = np.frombuffer(content, dtype=np.uint8)
+    if buf.size == 0 or buf.size % (w * h) != 0:
+        return None
+    c = buf.size // (w * h)
+    if c not in (1, 3, 4):
+        return None
+    return buf.reshape(h, w, c)
+
+
+def _resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Pure-numpy bilinear resample of an (H, W, C) uint8 raster.
+
+    Pixel-center sampling (the OpenCV/PIL convention): output pixel i
+    samples source coordinate (i + 0.5) * scale - 0.5, edges clamped.
+    Fully vectorized — one gather + three lerps per batch image, no
+    Python per-pixel loop."""
+    h, w, _c = img.shape
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    x0f, y0f = np.floor(xs), np.floor(ys)
+    wx = np.clip(xs - x0f, 0.0, 1.0)[None, :, None]
+    wy = np.clip(ys - y0f, 0.0, 1.0)[:, None, None]
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    img_f = img.astype(np.float32)
+    top = img_f[y0][:, x0] * (1 - wx) + img_f[y0][:, x1] * wx
+    bot = img_f[y1][:, x0] * (1 - wx) + img_f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _raster_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Real content features from a raster: per-channel mean/std plus a
+    luminance histogram, L2-normalized and fitted to ``dim``."""
+    img_f = img.astype(np.float32)
+    chan = np.concatenate([img_f.mean(axis=(0, 1)) / 255.0,
+                           img_f.std(axis=(0, 1)) / 255.0])
+    lum = img_f.mean(axis=2).ravel()
+    n_bins = max(dim - chan.size, 1)
+    hist, _ = np.histogram(lum, bins=n_bins, range=(0.0, 255.0))
+    hist = hist.astype(np.float32) / max(lum.size, 1)
+    v = np.concatenate([chan, hist])[:dim]
+    if v.size < dim:
+        v = np.pad(v, (0, dim - v.size))
+    norm = np.linalg.norm(v)
+    return (v / norm if norm > 0 else v).astype(np.float32)
+
+
 def extract_features(df: DataFrame, content_col: str = "content",
                      dim: int = 16, fake: bool = True) -> DataFrame:
     """Per-item feature extraction over Arrow batches (mapInPandas).
 
     Output schema = input schema + features array<float>. With fake=False
-    this is where a real decode (PIL/ffmpeg/torchvision) plugs in; the
-    batch iteration, schema handling, and partitioning are identical.
+    the content is decoded under the raw-raster contract (see module
+    docstring; requires width/height columns) and features are real
+    channel statistics + luminance histogram; the batch iteration, schema
+    handling, and partitioning are identical in both modes.
     """
-    if not fake:
-        raise NotImplementedError(
-            "Real media decoding requires image/audio libraries not present "
-            "in this environment; run with fake=True for the deterministic "
-            "stand-in (same Spark plumbing).")
+    if not fake and not {"width", "height"} <= set(df.columns):
+        raise ValueError(
+            "extract_features(fake=False) decodes the raw-raster contract "
+            "and needs width/height columns (MEDIA_SCHEMA) to shape the "
+            "buffer.")
 
     out_schema = T.StructType(df.schema.fields +
                               [T.StructField("features",
@@ -70,11 +140,20 @@ def extract_features(df: DataFrame, content_col: str = "content",
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                None if content is None else
-                _fake_features(bytes(content), dim).tolist()
-                for content in pdf[content_col]
-            ]
+            if fake:
+                feats = [
+                    None if content is None else
+                    _fake_features(bytes(content), dim).tolist()
+                    for content in pdf[content_col]
+                ]
+            else:
+                feats = []
+                for content, w, h in zip(pdf[content_col], pdf["width"],
+                                         pdf["height"]):
+                    img = None if content is None or pd.isna(w) or pd.isna(h) \
+                        else _decode_raster(bytes(content), w, h)
+                    feats.append(None if img is None
+                                 else _raster_features(img, dim).tolist())
             pdf = pdf.copy()
             pdf["features"] = feats
             yield pdf
@@ -132,20 +211,17 @@ def resize_images(df: DataFrame, max_side: int = 512,
                   fake: bool = True) -> DataFrame:
     """Aspect-preserving image resize over Arrow batches.
 
-    The TARGET-dimension math is real and runs as plain column arithmetic
-    (scale = max_side / longest side, never upscale); only the pixel
-    resample inside the mapInPandas batch is the stubbed decoder step —
-    with ``fake=True`` the output bytes are a deterministic digest of
-    (content, target dims) so downstream plumbing and tests behave exactly
-    as with a real resampler. Output adds (out_width, out_height,
-    resized_content); rows without dimensions pass through untouched
-    (NULL outputs) rather than failing the batch.
+    The TARGET-dimension math runs as plain column arithmetic
+    (scale = max_side / longest side, never upscale). The pixel resample
+    inside the mapInPandas batch has two modes: ``fake=False`` performs a
+    REAL pure-numpy bilinear resample under the raw-raster contract
+    (module docstring), emitting the resized raster's bytes; ``fake=True``
+    emits a deterministic digest of (content, target dims) for opaque
+    bytes, so downstream plumbing and tests behave identically. Output
+    adds (out_width, out_height, resized_content); rows without
+    dimensions — or, under fake=False, with non-raster bytes — pass
+    through with NULL outputs rather than failing the batch.
     """
-    if not fake:
-        raise NotImplementedError(
-            "Real image resampling requires imaging libraries not present "
-            "in this environment; run with fake=True for the deterministic "
-            "stand-in (same Spark plumbing).")
 
     scale = F.when(
         (F.col("width").isNotNull()) & (F.col("height").isNotNull())
@@ -172,14 +248,20 @@ def resize_images(df: DataFrame, max_side: int = 512,
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             resized = []
-            for content, w, h in zip(pdf[content_col], pdf["out_width"],
-                                     pdf["out_height"]):
-                if content is None or pd.isna(w) or pd.isna(h):
+            for content, w, h, ow, oh in zip(
+                    pdf[content_col], pdf["width"], pdf["height"],
+                    pdf["out_width"], pdf["out_height"]):
+                if content is None or pd.isna(ow) or pd.isna(oh):
                     resized.append(None)
-                else:
+                elif fake:
                     resized.append(hashlib.blake2b(
-                        bytes(content) + f":{int(w)}x{int(h)}".encode(),
+                        bytes(content) + f":{int(ow)}x{int(oh)}".encode(),
                         digest_size=16).digest())
+                else:
+                    img = _decode_raster(bytes(content), w, h)
+                    resized.append(
+                        None if img is None else
+                        _resize_bilinear(img, int(ow), int(oh)).tobytes())
             pdf = pdf.copy()
             pdf["resized_content"] = resized
             yield pdf

@@ -237,9 +237,39 @@ class TestMultimodal:
         assert f1[3] is None  # null content stays null
         assert f1[1] != f1[2]
 
-    def test_real_decode_is_explicit_stub(self, media):
-        with pytest.raises(NotImplementedError):
-            M.extract_features(media, fake=False)
+    def test_extract_features_real_raster(self, spark):
+        """fake=False decodes the raw-raster contract: valid rasters get
+        real channel-stat features (unit norm, content-sensitive);
+        non-raster bytes degrade to NULL, never fail the batch."""
+        import numpy as np
+        dark = np.zeros((4, 6, 3), dtype=np.uint8)
+        light = np.full((4, 6, 3), 200, dtype=np.uint8)
+        rows = [
+            Row(media_id=1, kind="image", content=bytearray(dark.tobytes()),
+                width=6, height=4, duration_ms=None, codec=None),
+            Row(media_id=2, kind="image", content=bytearray(light.tobytes()),
+                width=6, height=4, duration_ms=None, codec=None),
+            Row(media_id=3, kind="image", content=bytearray(b"not raster"),
+                width=6, height=4, duration_ms=None, codec=None),
+        ]
+        media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+        out = {r["media_id"]: r["features"]
+               for r in M.extract_features(media, dim=8, fake=False).collect()}
+        assert out[3] is None
+        assert len(out[1]) == 8 and len(out[2]) == 8
+        assert abs(sum(x * x for x in out[2]) - 1.0) < 1e-5
+        assert out[1] != out[2]
+        # deterministic across runs
+        again = {r["media_id"]: r["features"]
+                 for r in M.extract_features(media, dim=8,
+                                             fake=False).collect()}
+        assert out[2] == again[2]
+
+    def test_extract_features_real_requires_dims(self, spark):
+        df = spark.createDataFrame([Row(media_id=1,
+                                        content=bytearray(b"x"))])
+        with pytest.raises(ValueError, match="width/height"):
+            M.extract_features(df, fake=False)
 
     def test_sample_frames(self, media):
         frames = M.sample_frames(media, every_ms=1000).collect()
@@ -274,9 +304,50 @@ class TestMultimodal:
                  for r in M.resize_images(media, max_side=512).collect()}
         assert bytes(out[10]["resized_content"]) == bytes(again[10]["resized_content"])
 
-    def test_resize_real_decode_is_explicit_stub(self, media):
-        with pytest.raises(NotImplementedError):
-            M.resize_images(media, fake=False)
+    def test_resize_real_bilinear_math(self):
+        """Pure-numpy bilinear kernel: constant images stay constant, an
+        exact 2x downscale of a checkerboard averages each 2x2 block, and
+        identity resize is lossless."""
+        import numpy as np
+        const = np.full((8, 8, 3), 77, dtype=np.uint8)
+        out = M._resize_bilinear(const, 4, 4)
+        assert out.shape == (4, 4, 3) and (out == 77).all()
+        # 2x2 checkerboard blocks of 0/255: pixel-center sampling at an
+        # exact 2x downscale lands each output sample on a block corner
+        # average = (0+255)/2
+        checker = np.zeros((4, 4, 1), dtype=np.uint8)
+        checker[::2, 1::2] = 255
+        checker[1::2, ::2] = 255
+        out2 = M._resize_bilinear(checker, 2, 2)
+        assert out2.shape == (2, 2, 1)
+        assert (out2 == 128).all()  # rint(127.5) banker's-rounds to 128
+        grad = np.arange(64, dtype=np.uint8).reshape(8, 8, 1)
+        assert (M._resize_bilinear(grad, 8, 8) == grad).all()
+
+    def test_resize_real_end_to_end(self, spark):
+        """fake=False through Spark: resized bytes ARE the resampled
+        raster (right length, right values); non-raster bytes yield NULL."""
+        import numpy as np
+        grad = np.repeat(np.arange(0, 256, 2, dtype=np.uint8),
+                         3 * 64).reshape(128, 64, 3)
+        rows = [
+            Row(media_id=20, kind="image",
+                content=bytearray(grad.tobytes()),
+                width=64, height=128, duration_ms=None, codec=None),
+            Row(media_id=21, kind="image", content=bytearray(b"opaque"),
+                width=64, height=128, duration_ms=None, codec=None),
+        ]
+        media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+        out = {r["media_id"]: r
+               for r in M.resize_images(media, max_side=32,
+                                        fake=False).collect()}
+        ow, oh = out[20]["out_width"], out[20]["out_height"]
+        assert (ow, oh) == (16, 32)
+        got = np.frombuffer(bytes(out[20]["resized_content"]),
+                            dtype=np.uint8).reshape(oh, ow, 3)
+        expect = M._resize_bilinear(grad, ow, oh)
+        assert (got == expect).all()
+        assert out[21]["resized_content"] is None
 
     def test_chunk_audio_windows(self, spark):
         rows = [
