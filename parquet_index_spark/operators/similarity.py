@@ -18,6 +18,9 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -259,17 +262,77 @@ def _centroid_sim_structs(vec_col: str, centroids: List[tuple],
         for cid, cvec in centroids])
 
 
+#: above this many centroids the plan-literal assignment switches to a
+#: broadcast + Arrow-batched kernel: k x dim literal arrays bloat the plan
+#: (analysis/codegen cost grows with plan size), while a broadcast numpy
+#: matrix ships once per executor and the per-batch cost is one BLAS-style
+#: matmul. Realistic IVF at 100 TB uses 4k-64k centroids — firmly the
+#: broadcast side; the small-k literal path stays codegen-only and
+#: portable to the SQL oracle.
+IVF_BROADCAST_THRESHOLD = 64
+
+
+def _ivf_assign_broadcast(df: DataFrame, centroids: List[tuple],
+                          vec_col: str) -> DataFrame:
+    """Broadcast-variable assignment path: centroid matrix -> executors
+    once, cosine argmax per Arrow batch as one (n x dim) @ (dim x k)
+    matmul. Same semantics as the literal path: sims rounded to 6
+    decimals, ties -> larger cid."""
+    cids = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+    mat = np.array([[float(x) for x in vec] for _, vec in centroids],
+                   dtype=np.float64)
+    cnorms = np.linalg.norm(mat, axis=1)
+    # column order = cid DESCENDING so np.argmax's first-max rule picks
+    # the LARGER cid on rounded-sim ties, matching struct-ordering
+    # array_max in the literal path
+    order = np.argsort(-cids)
+    mat_t = mat[order].T.copy()
+    cn_ord = cnorms[order]
+    cid_ord = cids[order]
+    bc = df.sparkSession.sparkContext.broadcast((cid_ord, mat_t, cn_ord))
+
+    @F.pandas_udf("long")
+    def _assign(embs: pd.Series) -> pd.Series:
+        cid_o, m_t, cn = bc.value
+        out = np.full(len(embs), -1, dtype=np.int64)
+        valid = np.array([e is not None for e in embs])
+        if valid.any():
+            v = np.stack([np.asarray(e, dtype=np.float64)
+                          for e, ok in zip(embs, valid) if ok])
+            vn = np.linalg.norm(v, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round((v @ m_t) / np.outer(vn, cn), 6)
+            out[valid] = cid_o[np.argmax(sims, axis=1)]
+        res = pd.array(out, dtype="Int64")
+        res[~valid] = pd.NA
+        return pd.Series(res)
+
+    return df.withColumn("cluster_id", _assign(_as_double(F.col(vec_col))))
+
+
 def ivf_assign(df: DataFrame, centroids: List[tuple],
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """Attach ``cluster_id`` = argmax-cosine centroid (ties -> larger cid,
-    via struct ordering). One narrow projection over the scan: the k
-    centroid vectors are literals in the plan, so there is no join and no
-    shuffle — the 100 TB path is a map-only pass. The double-cast array and
-    the row norm are materialized in their own projection so the argmax
-    over k centroids reuses them as plain columns instead of re-running
-    the cast transform and norm fold per centroid (CollapseProject keeps
-    non-cheap, multiply-referenced expressions in their own stage)."""
+    via struct ordering). Map-only either way — no join, no shuffle:
+
+    - k <= IVF_BROADCAST_THRESHOLD: the centroid vectors are literals in
+      the plan and the argmax runs entirely inside codegen. The double-
+      cast array and the row norm are materialized in their own
+      projection so the argmax over k centroids reuses them as plain
+      columns instead of re-running the cast transform and norm fold per
+      centroid (CollapseProject keeps non-cheap, multiply-referenced
+      expressions in their own stage).
+    - k > threshold: literals would bloat the plan, so the centroid
+      matrix ships as a broadcast variable and assignment is one numpy
+      matmul per Arrow batch (_ivf_assign_broadcast)."""
+    if len(centroids) > IVF_BROADCAST_THRESHOLD:
+        return _ivf_assign_broadcast(df, centroids, vec_col)
+    return _ivf_assign_literal(df, centroids, vec_col)
+
+
+def _ivf_assign_literal(df: DataFrame, centroids: List[tuple],
+                        vec_col: str) -> DataFrame:
     normed = (df.withColumn("__vd", _as_double(F.col(vec_col)))
               .withColumn("__vnorm", norm(F.col("__vd"))))
     best = F.array_max(_centroid_sim_structs("__vd", centroids, "__vnorm"))

@@ -164,6 +164,33 @@ class TestSimilarity:
         assert got[0] == 7  # own cluster is always probed first
         assert len(set(got) & exact) / len(exact) >= 0.3
 
+    def test_ivf_broadcast_assignment_matches_literal_path(self, emb):
+        """k=256 > IVF_BROADCAST_THRESHOLD: assignment must switch to the
+        broadcast + Arrow-batch kernel (ArrowEvalPython in the plan, no
+        k x dim literals) and agree row-for-row with the literal path on
+        the identical centroid set — including the larger-cid tie rule."""
+        n = emb.count()
+        cents = S.ivf_seed_centroids(emb, n_centroids=min(256, n))
+        assert len(cents) > S.IVF_BROADCAST_THRESHOLD
+        via_bc = S.ivf_assign(emb, cents)
+        plan = via_bc._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan
+        via_lit = S._ivf_assign_literal(emb, cents, "embedding")
+        a = {r["vec_id"]: r["cluster_id"] for r in via_bc.collect()}
+        b = {r["vec_id"]: r["cluster_id"] for r in via_lit.collect()}
+        assert a == b
+
+    def test_ivf_topk_same_results_across_assignment_paths(self, emb):
+        row = emb.filter("vec_id = 7").head()
+        q = [float(x) for x in row["embedding"]]
+        n = emb.count()
+        cents = S.ivf_seed_centroids(emb, n_centroids=min(256, n))
+        got = [r["vec_id"] for r in
+               S.ivf_topk(emb, q, k=5, centroids=cents,
+                          nprobe=len(cents)).collect()]
+        exact = [r["vec_id"] for r in S.cosine_topk(emb, q, k=5).collect()]
+        assert got == exact  # full probe == exhaustive, via broadcast path
+
     def test_ivf_refine_preserves_ids_and_improves_fit(self, emb):
         cents = S.ivf_seed_centroids(emb, n_centroids=4)
         refined = S.ivf_refine(emb, cents, iterations=1)
