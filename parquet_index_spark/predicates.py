@@ -343,7 +343,7 @@ _TOKEN_RE = re.compile(
     | (?P<date>(?i:DATE)\s*'[^']*')
     | (?P<str>'(?:[^']|'')*')
     | (?P<num>-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+)
-    | (?P<qident>`[^`]+`)
+    | (?P<qident>`(?:[^`]|``)+`)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,)
     )""",
@@ -421,8 +421,10 @@ def _tokenize(sql: str) -> list:
             else:
                 tokens.append(("ident", text))
         elif m.lastgroup == "qident":
-            # backquoted identifier (Spark quoting) — never a keyword
-            tokens.append(("ident", m.group("qident")[1:-1]))
+            # backquoted identifier (Spark quoting) — never a keyword;
+            # doubled backtick is Spark's escape for a literal ` in the name
+            tokens.append(("ident",
+                           m.group("qident")[1:-1].replace("``", "`")))
         elif m.lastgroup == "str":
             raw = m.group("str")[1:-1].replace("''", "'")
             tokens.append(("str", raw))

@@ -4,17 +4,22 @@ For every entry in the workload: run the Spark query and the oracle SQL on
 the same parquet tables, sort columns by name, compare row multisets
 exactly. Runs at sf0.001 by default (fast); set SPARK_GRAFT_PARITY_SF=sf0.01
 to mirror the driver's correctness scale.
+
+The value compare is the DRIVER-STYLE stringify (tools/parity_diag
+semantics): both sides pass through pandas and cells compare as strings,
+so type-level drift — DuckDB HUGEINT -> float64 "N.0" vs Spark int64 "N"
+(round-3's only red row) — fails here instead of only on the driver's
+board. The old fetchall-based compare was type-insensitive and missed
+exactly that class.
 """
 
-import datetime
-import decimal
-import math
 import os
 
 import duckdb
 import pytest
 
 from parquet_index_spark.workload import QUERIES
+from tools.parity_diag import frame_rows
 
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 SF = os.environ.get("SPARK_GRAFT_PARITY_SF", "sf0.001")
@@ -34,38 +39,6 @@ def ddb():
     con.close()
 
 
-def _norm(v):
-    if isinstance(v, decimal.Decimal):
-        return ("dec", str(v.normalize()))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        return ("f", repr(v))
-    if isinstance(v, datetime.datetime):
-        return ("ts", v.replace(tzinfo=None).isoformat())
-    if isinstance(v, datetime.date):
-        return ("d", v.isoformat())
-    return v
-
-
-def _spark_rows(df):
-    cols = sorted(df.columns)
-    # sort by repr: a total order even when a column mixes NULLs with
-    # tagged/bare values (e.g. gap-fill output); equality stays tuple-exact
-    return sorted(
-        (tuple(_norm(row[c]) for c in cols) for row in df.collect()),
-        key=repr)
-
-
-def _duck_rows(con, sql):
-    rel = con.sql(sql)
-    cols = rel.columns
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        (tuple(_norm(r[i]) for i in order) for r in rel.fetchall()),
-        key=repr)
-
-
 # Always-on core: at least one query per component family (index layer,
 # TPC-H joins/aggs, windows, set ops, streaming, dedup/text/sampling/ANN/
 # multimodal, asof/range/gap-fill, merge). The long tail is `slow` so the
@@ -80,6 +53,11 @@ _CORE = {
     "dedup_exact_stats", "minhash_lsh_pairs", "text_profile_by_lang",
     "sample_split_stats", "ann_cosine_topk", "ivf_ann_topk",
     "multimodal_pipeline", "asof_join_events", "time_bucket_gapfill",
+    # round-3/4 graded-window additions stay in core for at least one
+    # round after introduction (ADVICE r3): the failure class they carry
+    # (oracle typing under stringify-hash) must be visible by default
+    "json_props_stats", "idx_events_time_range", "stream_user_totals",
+    "stream_enrich_join",
 }
 
 
@@ -90,11 +68,14 @@ _CORE = {
 def test_query_matches_oracle(spark, name, ddb):
     fn, oracle = QUERIES[name]
     df = fn(spark, SF_DIR)
-    got = _spark_rows(df)
+    spdf = df.toPandas()
     if oracle is None:
-        assert len(got) >= 0  # rows-only check, mirrors driver behavior
+        assert len(spdf) >= 0  # rows-only check, mirrors driver behavior
         return
-    want = _duck_rows(ddb, oracle)
+    opdf = ddb.sql(oracle).df()
+    got, gcols = frame_rows(spdf)
+    want, wcols = frame_rows(opdf)
+    assert gcols == wcols, f"{name}: columns {gcols} vs {wcols}"
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     mismatches = [(g, w) for g, w in zip(got, want) if g != w]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"

@@ -176,6 +176,15 @@ class TestCaseInsensitiveTypedLiterals:
         from parquet_index_spark import predicates as P
         assert P.parse_sql_predicate("`user_id` = 5") == P.Eq("user_id", 5)
 
+    def test_backquoted_identifier_with_doubled_backtick_escape(self):
+        """Spark escapes a literal ` inside a quoted identifier by
+        doubling it: `a``b` names the column a`b. Mis-tokenizing it into
+        two idents previously broke the parse (unpruned fallback)."""
+        from parquet_index_spark import predicates as P
+        assert P.parse_sql_predicate("`a``b` = 5") == P.Eq("a`b", 5)
+        assert P.parse_sql_predicate("`x```` ``y` = 'v'") == \
+            P.Eq("x`` `y", "v")
+
     def test_boolean_literal_comparison_keeps_conjunction_foldable(self):
         """flag = TRUE is unprunable (bools are not indexable) but must
         PARSE, so the other conjunct still prunes instead of the whole
