@@ -153,6 +153,71 @@ class IndexedDataFrame:
 
     where = filter
 
+    def count_where(self, predicate=None) -> int:
+        """Metadata-accelerated count: ``count(*) WHERE pred`` answered
+        from index statistics wherever they PROVE the predicate.
+
+        Three-band decomposition per block (pruning.evaluate /
+        pruning.evaluate_full): blocks that provably FULLY match
+        contribute their exact footer row counts with zero data IO;
+        blocks that provably cannot match contribute zero; only files
+        containing a boundary (partially-matching) block are scanned,
+        with the full predicate re-applied. On a time-clustered 100 TB
+        table a time-range count reads the two boundary files instead of
+        the whole range — the aggregate analog of file pruning. Beyond
+        reference (it only prunes scans); soundness rests on the stored
+        min/max being exact, which the collector guarantees (footer
+        values, data-recomputed where footers are distrusted).
+
+        ``last_prune_info`` reports files scanned = boundary files. Falls
+        back to pruned ``filter(pred).count()`` when the predicate is
+        outside the foldable grammar or the metadata exceeds the driver-
+        fold threshold (the Spark-side fold computes may-match only)."""
+        import numpy as np
+
+        from parquet_index_spark import pruning as PR
+        from parquet_index_spark import pruning_spark
+
+        ctx = self._metadata.context()
+        all_paths = self._metadata.all_file_paths()
+        if predicate is None:
+            # footer row counts are exact: a bare count is pure metadata
+            self._manager.last_prune_info = PruneInfo(
+                len(all_paths), 0, pruned=True)
+            return int(ctx.rows.sum())
+        ast, residual = self._compile(predicate)
+        try:
+            threshold = int(self._spark.conf.get(
+                pruning_spark.SPARK_PRUNING_THRESHOLD,
+                str(pruning_spark.DEFAULT_THRESHOLD)))
+        except Exception:
+            threshold = pruning_spark.DEFAULT_THRESHOLD
+        if ast is None or ctx.n > threshold:
+            return self.filter(residual if ast is None else predicate).count()
+        try:
+            tz = self._spark.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            tz = None
+        may = PR.evaluate(ast, ctx, tz)
+        full = PR.evaluate_full(ast, ctx, tz)
+        boundary = may & ~full
+        file_boundary = np.zeros(len(ctx.file_paths), dtype=bool)
+        file_boundary[ctx.file_ids[boundary]] = True
+        # full blocks inside a scanned file are counted by the scan itself
+        full_outside_scan = full & ~file_boundary[ctx.file_ids]
+        total = int(ctx.rows[full_outside_scan].sum())
+        scan_paths = [p for p, b in zip(ctx.file_paths, file_boundary) if b]
+        self._manager.last_prune_info = PruneInfo(
+            len(all_paths), len(scan_paths), pruned=True)
+        if scan_paths:
+            reader = (self._spark.read
+                      .schema(self._metadata.data_schema)
+                      .option("basePath", self._metadata.table_path))
+            paths = [self._metadata.abs_path(p)
+                     for p in self._collapse_to_directories(scan_paths)]
+            total += reader.parquet(*paths).filter(residual).count()
+        return total
+
     def _compile(self, predicate):
         """-> (ast | None, spark residual). ast None => no pruning possible."""
         if isinstance(predicate, P.Predicate):

@@ -264,3 +264,136 @@ def prune_files(pred: P.Predicate, ctx: BlockStatsContext,
     matched = np.zeros(len(ctx.file_paths), dtype=bool)
     matched[ctx.file_ids[block_match]] = True
     return [p for p, m in zip(ctx.file_paths, matched) if m]
+
+
+# ---------------------------------------------------------------------------
+# Full-match fold: "EVERY row of this block satisfies the predicate"
+# ---------------------------------------------------------------------------
+# The dual of `evaluate` (which answers "might ANY row match"). Where the
+# may-match fold must err toward True, this one must err toward False: a
+# block is full-match only when the stored stats PROVE the predicate for
+# all rows. min/max in the metastore are exact (footer values, or data-
+# recomputed where footers are distrusted — collector._footer_str_trusted),
+# so min >= v proves `col > v-1` etc. Any null row fails every comparison
+# predicate, hence comparisons also require a known zero null count.
+#
+# This enables metadata-only aggregation (IndexedDataFrame.count_where):
+# full blocks contribute their exact footer row counts with no data IO;
+# only blocks in the PARTIAL band (may-match but not full-match) force a
+# scan of their file. No reference analog — the reference only prunes.
+
+
+def _cmp_full(stats: ColumnBlockStats, v, op: str) -> np.ndarray:
+    """Elementwise bound comparisons needed only by the full-match fold."""
+    if stats.kind == ityp.STRING:
+        src = stats.min_s if op.startswith("min") else stats.max_s
+        filled = np.where(np.equal(src, None), "", src)
+        if op == "min_gt":
+            return (filled > v).astype(bool, copy=False)
+        if op == "min_ge":
+            return (filled >= v).astype(bool, copy=False)
+        if op == "max_lt":
+            return (filled < v).astype(bool, copy=False)
+        if op == "max_le":
+            return (filled <= v).astype(bool, copy=False)
+        if op == "min_eq":
+            return np.equal(stats.min_s, v).astype(bool, copy=False)
+        return np.equal(stats.max_s, v).astype(bool, copy=False)
+    if op == "min_gt":
+        return stats.min_l > v
+    if op == "min_ge":
+        return stats.min_l >= v
+    if op == "max_lt":
+        return stats.max_l < v
+    if op == "max_le":
+        return stats.max_l <= v
+    if op == "min_eq":
+        return stats.min_l == v
+    return stats.max_l == v
+
+
+def evaluate_full(pred: P.Predicate, ctx: BlockStatsContext,
+                  tz: str = None) -> np.ndarray:
+    """Fold predicate → bool[n_blocks] "every row satisfies the predicate".
+
+    Sound in the downward direction: False whenever the stats cannot
+    prove the predicate (unindexed column, unsupported shape, unknown
+    null count, statless block)."""
+    pred = P.push_not_down(pred)
+    return _eval_full(pred, ctx, tz)
+
+
+def _eval_full(pred: P.Predicate, ctx: BlockStatsContext,
+               tz: str = None) -> np.ndarray:
+    if isinstance(pred, P.And):
+        out = _true(ctx)
+        for c in pred.children:
+            out &= _eval_full(c, ctx, tz)
+            if not out.any():
+                break
+        return out
+    if isinstance(pred, P.Or):
+        # every row satisfies (a OR b) if every row satisfies a, or every
+        # row satisfies b; a mixed block (some rows via a, others via b)
+        # is NOT provable from min/max alone and stays partial
+        out = _false(ctx)
+        for c in pred.children:
+            out |= _eval_full(c, ctx, tz)
+            if out.all():
+                break
+        return out
+    if isinstance(pred, P.Trivial):
+        return _true(ctx) if pred.value else _false(ctx)
+    if isinstance(pred, (P.Unsupported, P.Not)):
+        return _false(ctx)
+
+    stats = ctx.columns.get(getattr(pred, "column", None))
+    if stats is None:
+        return _false(ctx)
+    kind = stats.kind
+
+    if isinstance(pred, P.IsNull):
+        # all-null blocks may legitimately lack min/max (has=False)
+        return ctx.rows == stats.nulls  # nulls == -1 never equals rows >= 0
+    if isinstance(pred, P.IsNotNull):
+        return stats.nulls == 0
+
+    # every comparison below fails on a null row => require known 0 nulls
+    nn0 = stats.has & (stats.nulls == 0)
+    if not nn0.any():
+        return _false(ctx)
+
+    if isinstance(pred, P.Eq):
+        v = _norm_literal(pred.value, kind, tz)
+        if v is None:
+            return _false(ctx)
+        # constant block: min == max == v means every (non-null) row == v
+        return nn0 & _cmp_full(stats, v, "min_eq") & _cmp_full(stats, v, "max_eq")
+    if isinstance(pred, P.In):
+        vs = [nv for nv in (_norm_literal(x, kind, tz) for x in pred.values)
+              if nv is not None]
+        if not vs:
+            return _false(ctx)
+        out = _false(ctx)
+        for v in vs:
+            out |= _cmp_full(stats, v, "min_eq") & _cmp_full(stats, v, "max_eq")
+        return nn0 & out
+    if isinstance(pred, P.Ne):
+        v = _norm_literal(pred.value, kind, tz)
+        if v is None:
+            return _false(ctx)
+        return nn0 & (_cmp_full(stats, v, "max_lt")
+                      | _cmp_full(stats, v, "min_gt"))
+    if isinstance(pred, P.Gt):
+        v = _norm_literal(pred.value, kind, tz)
+        return _false(ctx) if v is None else nn0 & _cmp_full(stats, v, "min_gt")
+    if isinstance(pred, P.Ge):
+        v = _norm_literal(pred.value, kind, tz)
+        return _false(ctx) if v is None else nn0 & _cmp_full(stats, v, "min_ge")
+    if isinstance(pred, P.Lt):
+        v = _norm_literal(pred.value, kind, tz)
+        return _false(ctx) if v is None else nn0 & _cmp_full(stats, v, "max_lt")
+    if isinstance(pred, P.Le):
+        v = _norm_literal(pred.value, kind, tz)
+        return _false(ctx) if v is None else nn0 & _cmp_full(stats, v, "max_le")
+    return _false(ctx)

@@ -267,6 +267,42 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def idx_fast_count(spark, sf_dir):
+    """Metadata-accelerated aggregation: ``count(*)`` over a week of
+    time-clustered events answered almost entirely from index statistics
+    (IndexedDataFrame.count_where). Blocks whose min/max PROVE the range
+    contribute exact footer row counts with zero data IO; only the two
+    boundary files are scanned with the predicate re-applied. The
+    aggregate analog of file pruning — at 100 TB a trailing-window count
+    becomes a metadata lookup plus two file scans. Beyond reference
+    (which only prunes scans, ParquetIndexFilters.scala:52-137); the
+    oracle is the plain SQL count, so the decomposition is provably
+    exact."""
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    tpath = os.path.join(tempfile.gettempdir(), "spark_graft_tscluster",
+                         os.path.basename(os.path.normpath(sf_dir)), "events")
+    if not ctx.index.exists.parquet(tpath):
+        (_t(spark, sf_dir, "events").repartitionByRange(16, "ts")
+         .write.mode("overwrite").parquet(tpath))
+        ctx.index.create.mode("ignore").indexBy("ts", "event_type") \
+            .parquet(tpath)
+    t = ctx.index.parquet(tpath)
+    n = t.count_where("ts >= timestamp'2024-01-03 00:00:00' "
+                      "AND ts < timestamp'2024-01-10 00:00:00'")
+    return spark.createDataFrame([(n,)], "n long")
+
+
+IDX_FAST_COUNT_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n FROM events
+WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+  AND ts < TIMESTAMP '2024-01-10 00:00:00'
+"""
+
+
 def idx_zorder_range(spark, sf_dir):
     """Z-order clustering end-to-end: orders is rewritten once, Morton-
     clustered on (o_custkey, o_orderkey), and indexed; a range filter on
@@ -3223,6 +3259,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "stream_enrich_join": (stream_enrich_join, STREAM_ENRICH_SQL),
     "json_props_stats": (json_props_stats, JSON_PROPS_SQL),
     "idx_events_time_range": (idx_events_time_range, IDX_TIME_RANGE_SQL),
+    "idx_fast_count": (idx_fast_count, IDX_FAST_COUNT_SQL),
     "sessionize_events": (sessionize_events, SESSION_SQL),
     "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
     "rollup_sales": (rollup_sales, ROLLUP_SQL),

@@ -57,7 +57,7 @@ _CORE = {
     # round after introduction (ADVICE r3): the failure class they carry
     # (oracle typing under stringify-hash) must be visible by default
     "json_props_stats", "idx_events_time_range", "stream_user_totals",
-    "stream_enrich_join",
+    "stream_enrich_join", "idx_fast_count",
 }
 
 

@@ -165,3 +165,39 @@ def test_exact_filters_are_also_complete_for_membership(blocks, vals):
                 assert not keep[i], (
                     f"{ftype} kept block {i} {bvals} for In{vals} "
                     "despite exact membership miss")
+
+
+# --- full-match fold (metadata-accelerated count) -------------------------
+
+from parquet_index_spark.pruning import evaluate_full  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(blocks=blocks_st, pred=pred_st, ftype=ftype_st)
+def test_full_match_fold_never_overclaims(blocks, pred, ftype):
+    """The dual soundness contract behind count_where: a block the fold
+    marks FULL-match must have EVERY row evaluate strictly True under
+    independent SQL three-valued semantics — a single False or NULL row
+    would corrupt the metadata-only count."""
+    ctx = build_ctx(blocks, ftype)
+    full = evaluate_full(pred, ctx)
+    for i, vals in enumerate(blocks):
+        if full[i]:
+            bad = [x for x in vals if eval_row(pred, x) is not True]
+            assert not bad, (
+                f"block {i} {vals} marked full-match for {pred} but rows "
+                f"{bad} do not satisfy it (ftype={ftype})")
+
+
+@settings(max_examples=200, deadline=None)
+@given(blocks=blocks_st, pred=pred_st, ftype=ftype_st)
+def test_full_match_implies_may_match(blocks, pred, ftype):
+    """Band consistency: FULL ⊆ MAY on non-empty blocks — count_where's
+    three-band decomposition (full / boundary / no) partitions blocks
+    only if the two folds agree on the inclusion. Empty blocks are
+    excluded: they are vacuously FULL (every row of zero rows matches)
+    but never MAY-match, and contribute zero to any count either way."""
+    ctx = build_ctx(blocks, ftype)
+    may = evaluate(pred, ctx)
+    full = evaluate_full(pred, ctx)
+    assert not (full & ~may & (ctx.rows > 0)).any()
