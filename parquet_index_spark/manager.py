@@ -218,6 +218,109 @@ class IndexedDataFrame:
             total += reader.parquet(*paths).filter(residual).count()
         return total
 
+    def min_max_where(self, column: str, predicate=None) -> tuple:
+        """Metadata-accelerated ``(min(column), max(column)) WHERE pred``.
+
+        Same three-band decomposition as ``count_where``: blocks proven
+        to FULLY match contribute their exact stored min/max (footer
+        values, or data-recomputed where footers are distrusted) with no
+        data IO; a file is scanned only when it holds a boundary block —
+        or a full-match block whose stats for ``column`` are absent
+        (written with statistics disabled) yet possibly non-null, since
+        its extremes are unknowable from metadata. Returns native Python
+        values (instant timestamps tz-aware UTC); ``(None, None)`` when
+        no row matches or all matching values are NULL — SQL min/max
+        semantics. Falls back to a pruned scan aggregate for unindexed
+        columns, unfoldable predicates, or driver-fold overflow."""
+        import numpy as np
+
+        from parquet_index_spark import pruning as PR
+        from parquet_index_spark import pruning_spark
+
+        ctx = self._metadata.context()
+        all_paths = self._metadata.all_file_paths()
+        stats = ctx.columns.get(column)
+
+        def _scan_fallback(pred_for_filter):
+            df = self.df if pred_for_filter is None \
+                else self.filter(pred_for_filter)
+            row = df.agg(F.min(column).alias("mn"),
+                         F.max(column).alias("mx")).head()
+            return row["mn"], row["mx"]
+
+        try:
+            threshold = int(self._spark.conf.get(
+                pruning_spark.SPARK_PRUNING_THRESHOLD,
+                str(pruning_spark.DEFAULT_THRESHOLD)))
+        except Exception:
+            threshold = pruning_spark.DEFAULT_THRESHOLD
+        if stats is None or ctx.n > threshold:
+            return _scan_fallback(predicate)
+        if predicate is None:
+            ast = None
+            may = np.ones(ctx.n, dtype=bool)
+            full = may
+            residual = None
+        else:
+            ast, residual = self._compile(predicate)
+            if ast is None:
+                return _scan_fallback(residual)
+            try:
+                tz = self._spark.conf.get("spark.sql.session.timeZone")
+            except Exception:
+                tz = None
+            may = PR.evaluate(ast, ctx, tz)
+            full = PR.evaluate_full(ast, ctx, tz)
+        # statless-but-maybe-non-null blocks hide their extremes from
+        # metadata even when the predicate proves them full
+        statless = ~stats.has & (stats.nulls != ctx.rows)
+        scan_block = (may & ~full) | (full & statless)
+        file_scan = np.zeros(len(ctx.file_paths), dtype=bool)
+        file_scan[ctx.file_ids[scan_block]] = True
+        meta_blocks = full & stats.has & ~file_scan[ctx.file_ids]
+        kind = stats.kind
+        lo = hi = None
+        if meta_blocks.any():
+            if kind == ityp.STRING:
+                lo = min(x for x in stats.min_s[meta_blocks])
+                hi = max(x for x in stats.max_s[meta_blocks])
+            else:
+                lo = int(stats.min_l[meta_blocks].min())
+                hi = int(stats.max_l[meta_blocks].max())
+        scan_paths = [p for p, b in zip(ctx.file_paths, file_scan) if b]
+        self._manager.last_prune_info = PruneInfo(
+            len(all_paths), len(scan_paths), pruned=True)
+        if scan_paths:
+            reader = (self._spark.read
+                      .schema(self._metadata.data_schema)
+                      .option("basePath", self._metadata.table_path))
+            paths = [self._metadata.abs_path(p)
+                     for p in self._collapse_to_directories(scan_paths)]
+            df = reader.parquet(*paths)
+            if residual is not None:
+                df = df.filter(residual)
+            row = df.agg(F.min(column).alias("mn"),
+                         F.max(column).alias("mx")).head()
+            smn, smx = row["mn"], row["mx"]
+            if smn is not None:
+                if kind == ityp.STRING:
+                    s_lo, s_hi = smn, smx
+                else:
+                    try:
+                        tz = self._spark.conf.get(
+                            "spark.sql.session.timeZone")
+                    except Exception:
+                        tz = None
+                    s_lo = ityp.to_long_space(smn, kind, tz)
+                    s_hi = ityp.to_long_space(smx, kind, tz)
+                lo = s_lo if lo is None else min(lo, s_lo)
+                hi = s_hi if hi is None else max(hi, s_hi)
+        if lo is None:
+            return None, None
+        if kind == ityp.STRING:
+            return lo, hi
+        return ityp.from_long_space(lo, kind), ityp.from_long_space(hi, kind)
+
     def _compile(self, predicate):
         """-> (ast | None, spark residual). ast None => no pruning possible."""
         if isinstance(predicate, P.Predicate):

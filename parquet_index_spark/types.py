@@ -170,6 +170,24 @@ def _dt_to_micros(ts: _dt.datetime) -> int:
     return (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
 
 
+def from_long_space(v: int, kind: str) -> Any:
+    """Inverse of to_long_space: stored stat long -> native Python value.
+
+    TIMESTAMP (instant) longs are UTC micros and come back tz-aware UTC —
+    unambiguous under any session timezone; NTZ longs are wall micros and
+    come back naive."""
+    if kind in (INT, LONG):
+        return int(v)
+    if kind == DATE:
+        return _EPOCH_DATE + _dt.timedelta(days=int(v))
+    if kind == TIMESTAMP:
+        return (_EPOCH_DT.replace(tzinfo=_dt.timezone.utc)
+                + _dt.timedelta(microseconds=int(v)))
+    if kind == TIMESTAMP_NTZ:
+        return _EPOCH_DT + _dt.timedelta(microseconds=int(v))
+    raise TypeError(f"kind {kind} is not long-space")
+
+
 def membership_bytes(value: Any, kind: str) -> bytes:
     """Canonical byte encoding of a value for bloom-filter hashing.
 

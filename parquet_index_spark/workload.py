@@ -291,13 +291,18 @@ def idx_fast_count(spark, sf_dir):
         ctx.index.create.mode("ignore").indexBy("ts", "event_type") \
             .parquet(tpath)
     t = ctx.index.parquet(tpath)
-    n = t.count_where("ts >= timestamp'2024-01-03 00:00:00' "
-                      "AND ts < timestamp'2024-01-10 00:00:00'")
-    return spark.createDataFrame([(n,)], "n long")
+    pred = ("ts >= timestamp'2024-01-03 00:00:00' "
+            "AND ts < timestamp'2024-01-10 00:00:00'")
+    n = t.count_where(pred)
+    mn, mx = t.min_max_where("ts", pred)
+    return spark.createDataFrame([(n, mn, mx)],
+                                 "n long, min_ts timestamp_ntz, "
+                                 "max_ts timestamp_ntz")
 
 
 IDX_FAST_COUNT_SQL = """
-SELECT CAST(count(*) AS BIGINT) AS n FROM events
+SELECT CAST(count(*) AS BIGINT) AS n, min(ts) AS min_ts, max(ts) AS max_ts
+FROM events
 WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
   AND ts < TIMESTAMP '2024-01-10 00:00:00'
 """

@@ -90,3 +90,53 @@ def test_unindexed_column_still_exact(counted, spark):
     # falls back to pruned filter().count(), still exact
     pred = "id % 2 = 0"
     assert t.count_where(pred) == plain.filter(pred).count()
+
+
+class TestMinMaxWhere:
+    @pytest.mark.parametrize("pred", PREDICATES)
+    def test_matches_plain_agg(self, counted, pred):
+        _ctx, t, plain = counted
+        row = (plain.filter(pred)
+               .agg(F.min("id").alias("mn"), F.max("id").alias("mx")).head())
+        assert t.min_max_where("id", pred) == (row["mn"], row["mx"])
+
+    def test_string_column(self, counted):
+        _ctx, t, plain = counted
+        pred = "id >= 2500 AND id < 7500"
+        row = (plain.filter(pred)
+               .agg(F.min("key").alias("mn"), F.max("key").alias("mx"))
+               .head())
+        assert t.min_max_where("key", pred) == (row["mn"], row["mx"])
+
+    def test_no_predicate_boundary_accounting(self, counted):
+        ctx, t, plain = counted
+        row = plain.agg(F.min("id").alias("mn"),
+                        F.max("id").alias("mx")).head()
+        assert t.min_max_where("id") == (row["mn"], row["mx"])
+        # every block carries exact id stats: pure metadata, no scan
+        assert ctx.index.last_prune_info.selected_files == 0
+
+    def test_interior_from_metadata(self, counted):
+        ctx, t, _plain = counted
+        mn, mx = t.min_max_where("id", "id >= 2500 AND id < 7500")
+        assert (mn, mx) == (2500, 7499)
+        assert ctx.index.last_prune_info.selected_files <= 2
+
+    def test_empty_result_is_none_pair(self, counted):
+        _ctx, t, _plain = counted
+        assert t.min_max_where("id", "id > 100000") == (None, None)
+
+    def test_all_null_matching_set(self, counted):
+        _ctx, t, plain = counted
+        # bucket IS NULL rows have non-null ids, but min/max of bucket
+        # over them is NULL — SQL semantics preserved
+        assert t.min_max_where("bucket", "bucket IS NULL") == (None, None)
+
+    def test_unindexed_agg_column_falls_back(self, counted, spark):
+        _ctx, t, plain = counted
+        # aggregate over a column with index stats but arithmetic pred ->
+        # parse fallback path, still exact
+        pred = "id % 2 = 0"
+        row = (plain.filter(pred)
+               .agg(F.min("id").alias("mn"), F.max("id").alias("mx")).head())
+        assert t.min_max_where("id", pred) == (row["mn"], row["mx"])
