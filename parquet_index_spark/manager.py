@@ -169,44 +169,53 @@ class IndexedDataFrame:
         min/max being exact, which the collector guarantees (footer
         values, data-recomputed where footers are distrusted).
 
-        ``last_prune_info`` reports files scanned = boundary files. Falls
-        back to pruned ``filter(pred).count()`` when the predicate is
-        outside the foldable grammar or the metadata exceeds the driver-
-        fold threshold (the Spark-side fold computes may-match only)."""
+        ``last_prune_info`` reports files scanned = boundary files. Above
+        the driver-fold threshold the same decomposition runs as a Spark
+        job over the stats parquet (pruning_spark.count_files_with_spark)
+        — at 100 TB, where the metadata outgrows the driver, a trailing-
+        window count stays a metadata job plus boundary scans. Falls back
+        to pruned ``filter(pred).count()`` only when the predicate is
+        outside the foldable grammar."""
         import numpy as np
 
         from parquet_index_spark import pruning as PR
         from parquet_index_spark import pruning_spark
 
-        ctx = self._metadata.context()
         all_paths = self._metadata.all_file_paths()
         if predicate is None:
-            # footer row counts are exact: a bare count is pure metadata
+            # manifest row counts are exact: a bare count is pure metadata
             self._manager.last_prune_info = PruneInfo(
                 len(all_paths), 0, pruned=True)
-            return int(ctx.rows.sum())
+            return int(self._metadata.files["rows"].sum())
         ast, residual = self._compile(predicate)
+        if ast is None:
+            return self.filter(residual).count()
         try:
             threshold = int(self._spark.conf.get(
                 pruning_spark.SPARK_PRUNING_THRESHOLD,
                 str(pruning_spark.DEFAULT_THRESHOLD)))
         except Exception:
             threshold = pruning_spark.DEFAULT_THRESHOLD
-        if ast is None or ctx.n > threshold:
-            return self.filter(residual if ast is None else predicate).count()
         try:
             tz = self._spark.conf.get("spark.sql.session.timeZone")
         except Exception:
             tz = None
-        may = PR.evaluate(ast, ctx, tz)
-        full = PR.evaluate_full(ast, ctx, tz)
-        boundary = may & ~full
-        file_boundary = np.zeros(len(ctx.file_paths), dtype=bool)
-        file_boundary[ctx.file_ids[boundary]] = True
-        # full blocks inside a scanned file are counted by the scan itself
-        full_outside_scan = full & ~file_boundary[ctx.file_ids]
-        total = int(ctx.rows[full_outside_scan].sum())
-        scan_paths = [p for p, b in zip(ctx.file_paths, file_boundary) if b]
+        total_blocks = int(self._metadata.files["blocks"].sum())
+        if total_blocks > threshold:
+            total, scan_paths = pruning_spark.count_files_with_spark(
+                self._spark, self._metadata, ast, tz)
+        else:
+            ctx = self._metadata.context()
+            may = PR.evaluate(ast, ctx, tz)
+            full = PR.evaluate_full(ast, ctx, tz)
+            boundary = may & ~full
+            file_boundary = np.zeros(len(ctx.file_paths), dtype=bool)
+            file_boundary[ctx.file_ids[boundary]] = True
+            # full blocks inside a scanned file are counted by the scan
+            full_outside_scan = full & ~file_boundary[ctx.file_ids]
+            total = int(ctx.rows[full_outside_scan].sum())
+            scan_paths = [p for p, b
+                          in zip(ctx.file_paths, file_boundary) if b]
         self._manager.last_prune_info = PruneInfo(
             len(all_paths), len(scan_paths), pruned=True)
         if scan_paths:
@@ -230,16 +239,17 @@ class IndexedDataFrame:
         its extremes are unknowable from metadata. Returns native Python
         values (instant timestamps tz-aware UTC); ``(None, None)`` when
         no row matches or all matching values are NULL — SQL min/max
-        semantics. Falls back to a pruned scan aggregate for unindexed
-        columns, unfoldable predicates, or driver-fold overflow."""
+        semantics. Above the driver-fold threshold the decomposition runs
+        as a Spark job over the stats parquet
+        (pruning_spark.min_max_files_with_spark); falls back to a pruned
+        scan aggregate for unindexed columns or unfoldable predicates."""
         import numpy as np
 
         from parquet_index_spark import pruning as PR
         from parquet_index_spark import pruning_spark
 
-        ctx = self._metadata.context()
         all_paths = self._metadata.all_file_paths()
-        stats = ctx.columns.get(column)
+        kind = self._metadata.index_columns.get(column)
 
         def _scan_fallback(pred_for_filter):
             df = self.df if pred_for_filter is None \
@@ -248,46 +258,53 @@ class IndexedDataFrame:
                          F.max(column).alias("mx")).head()
             return row["mn"], row["mx"]
 
+        if kind is None:
+            return _scan_fallback(predicate)
+        if predicate is None:
+            ast, residual = None, None
+        else:
+            ast, residual = self._compile(predicate)
+            if ast is None:
+                return _scan_fallback(residual)
         try:
             threshold = int(self._spark.conf.get(
                 pruning_spark.SPARK_PRUNING_THRESHOLD,
                 str(pruning_spark.DEFAULT_THRESHOLD)))
         except Exception:
             threshold = pruning_spark.DEFAULT_THRESHOLD
-        if stats is None or ctx.n > threshold:
-            return _scan_fallback(predicate)
-        if predicate is None:
-            ast = None
-            may = np.ones(ctx.n, dtype=bool)
-            full = may
-            residual = None
+        try:
+            tz = self._spark.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            tz = None
+        total_blocks = int(self._metadata.files["blocks"].sum())
+        if total_blocks > threshold:
+            lo, hi, scan_paths = pruning_spark.min_max_files_with_spark(
+                self._spark, self._metadata, column, ast, tz)
         else:
-            ast, residual = self._compile(predicate)
+            ctx = self._metadata.context()
+            stats = ctx.columns[column]
             if ast is None:
-                return _scan_fallback(residual)
-            try:
-                tz = self._spark.conf.get("spark.sql.session.timeZone")
-            except Exception:
-                tz = None
-            may = PR.evaluate(ast, ctx, tz)
-            full = PR.evaluate_full(ast, ctx, tz)
-        # statless-but-maybe-non-null blocks hide their extremes from
-        # metadata even when the predicate proves them full
-        statless = ~stats.has & (stats.nulls != ctx.rows)
-        scan_block = (may & ~full) | (full & statless)
-        file_scan = np.zeros(len(ctx.file_paths), dtype=bool)
-        file_scan[ctx.file_ids[scan_block]] = True
-        meta_blocks = full & stats.has & ~file_scan[ctx.file_ids]
-        kind = stats.kind
-        lo = hi = None
-        if meta_blocks.any():
-            if kind == ityp.STRING:
-                lo = min(x for x in stats.min_s[meta_blocks])
-                hi = max(x for x in stats.max_s[meta_blocks])
+                may = np.ones(ctx.n, dtype=bool)
+                full = may
             else:
-                lo = int(stats.min_l[meta_blocks].min())
-                hi = int(stats.max_l[meta_blocks].max())
-        scan_paths = [p for p, b in zip(ctx.file_paths, file_scan) if b]
+                may = PR.evaluate(ast, ctx, tz)
+                full = PR.evaluate_full(ast, ctx, tz)
+            # statless-but-maybe-non-null blocks hide their extremes from
+            # metadata even when the predicate proves them full
+            statless = ~stats.has & (stats.nulls != ctx.rows)
+            scan_block = (may & ~full) | (full & statless)
+            file_scan = np.zeros(len(ctx.file_paths), dtype=bool)
+            file_scan[ctx.file_ids[scan_block]] = True
+            meta_blocks = full & stats.has & ~file_scan[ctx.file_ids]
+            lo = hi = None
+            if meta_blocks.any():
+                if kind == ityp.STRING:
+                    lo = min(x for x in stats.min_s[meta_blocks])
+                    hi = max(x for x in stats.max_s[meta_blocks])
+                else:
+                    lo = int(stats.min_l[meta_blocks].min())
+                    hi = int(stats.max_l[meta_blocks].max())
+            scan_paths = [p for p, b in zip(ctx.file_paths, file_scan) if b]
         self._manager.last_prune_info = PruneInfo(
             len(all_paths), len(scan_paths), pruned=True)
         if scan_paths:

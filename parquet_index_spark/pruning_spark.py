@@ -232,24 +232,32 @@ def _compile(pred: P.Predicate, kinds: dict, tz: str = None,
     return F.lit(True)
 
 
-def prune_files_with_spark(spark: SparkSession, metadata,
-                           pred: P.Predicate, tz: str = None) -> List[str]:
-    """Distributed equivalent of pruning.prune_files (minus membership).
+def _manifest_df(spark: SparkSession, metadata):
+    """The committed file manifest as a 1-column DataFrame for in-job
+    orphan filtering (manifest is the commit point; stats rows for paths
+    outside it are leftovers from an interrupted refresh)."""
+    return spark.createDataFrame(
+        [(p,) for p in metadata.files["path"]], "path string")
 
-    Partition-column predicates are folded too: partition values join in
-    from the file manifest as exact pseudo-stats, mirroring the numpy
-    context (metastore.IndexMetadata._build_context).
-    """
+
+def _prepare_pivot(spark: SparkSession, metadata, referenced: set,
+                   tz: str = None):
+    """Shared front half of every distributed fold: read the stats
+    parquet, pivot the referenced columns wide per (path, block), and
+    join partition values in as exact pseudo-stats (mirroring the numpy
+    context, metastore.IndexMetadata._build_context).
+
+    -> (pivoted | None, kinds, memb_cols); None when the index has no
+    stats shards (empty table)."""
     import json
 
     stats_path = os.path.join(metadata.index_dir, "stats")
     has_shards = os.path.isdir(stats_path) and any(
         f.endswith(".parquet") for f in os.listdir(stats_path))
     if not has_shards:
-        return []
+        return None, {}, frozenset()
     stats_df = spark.read.parquet(stats_path)
 
-    referenced = P.referenced_columns(pred)
     kinds = {c: k for c, k in metadata.index_columns.items() if c in referenced}
     pivoted = _pivot_stats(stats_df, sorted(kinds))
 
@@ -280,13 +288,25 @@ def prune_files_with_spark(spark: SparkSession, metadata,
                        .withColumn(f"{c}__min_l" if k != ityp.STRING else f"{c}__min_s", pv)
                        .withColumn(f"{c}__max_l" if k != ityp.STRING else f"{c}__max_s", pv))
         kinds.update(part_kinds)
+    memb_cols = frozenset(c for c in kinds if c in metadata.index_columns)
+    return pivoted, kinds, memb_cols
 
+
+def prune_files_with_spark(spark: SparkSession, metadata,
+                           pred: P.Predicate, tz: str = None) -> List[str]:
+    """Distributed equivalent of pruning.prune_files (minus membership).
+
+    Partition-column predicates are folded too: partition values join in
+    from the file manifest as exact pseudo-stats, mirroring the numpy
+    context (metastore.IndexMetadata._build_context).
+    """
+    pivoted, kinds, memb_cols = _prepare_pivot(
+        spark, metadata, P.referenced_columns(pred), tz)
+    if pivoted is None:
+        return []
     # ensure every referenced-but-missing stat column exists (unindexed
     # columns were already folded to True at compile time)
-    match = compile_to_spark(pred, kinds, tz,
-                             memb_cols=frozenset(
-                                 c for c in kinds
-                                 if c in metadata.index_columns))
+    match = compile_to_spark(pred, kinds, tz, memb_cols=memb_cols)
     survivors = (pivoted.withColumn("__match", match)
                  .groupBy("path")
                  .agg(F.max(F.col("__match").cast("int")).alias("m"))
@@ -296,3 +316,184 @@ def prune_files_with_spark(spark: SparkSession, metadata,
     # drop orphan stats paths from an interrupted refresh (manifest is the
     # commit point — same tolerance as the numpy fold's _build_context)
     return [r["path"] for r in survivors.collect() if r["path"] in manifest]
+
+
+# ---------------------------------------------------------------------------
+# Distributed full-match fold + metadata aggregation jobs
+# ---------------------------------------------------------------------------
+# The Spark-side mirror of pruning.evaluate_full, so count_where /
+# min_max_where keep their metadata acceleration when the metadata itself
+# outgrows the driver fold — which at 100 TB is the NORMAL case, exactly
+# where a metadata-answered aggregate matters most. Same soundness
+# direction: False whenever the stats cannot prove the predicate.
+# Membership filters are irrelevant here (a bloom/dict can prove absence,
+# never that every row matches).
+
+
+def _full_leaf(col: str, kind: str, op: str, value, tz: str = None) -> F.Column:
+    """Full-match Column for one comparison leaf over the pivoted stats."""
+    try:
+        v = ityp.literal_to_stat_value(value, kind, tz)
+    except (TypeError, ValueError, KeyError):
+        return F.lit(False)
+    if v is None:
+        return F.lit(False)
+    has = F.coalesce(F.col(f"{col}__has"), F.lit(False))
+    nulls = F.coalesce(F.col(f"{col}__nulls"), F.lit(-1))
+    nn0 = has & (nulls == 0)
+    if kind == ityp.STRING:
+        mn, mx = F.col(f"{col}__min_s"), F.col(f"{col}__max_s")
+    else:
+        mn, mx = F.col(f"{col}__min_l"), F.col(f"{col}__max_l")
+    lit = F.lit(v)
+    table = {
+        "eq": (mn == lit) & (mx == lit),
+        "ne": (mx < lit) | (mn > lit),
+        "gt": mn > lit,
+        "ge": mn >= lit,
+        "lt": mx < lit,
+        "le": mx <= lit,
+    }
+    return F.coalesce(nn0 & table[op], F.lit(False))
+
+
+def compile_full_to_spark(pred: P.Predicate, kinds: dict,
+                          tz: str = None) -> F.Column:
+    """AST -> boolean Column "every row of the block satisfies pred"."""
+    pred = P.push_not_down(pred)
+    return _compile_full(pred, kinds, tz)
+
+
+def _compile_full(pred: P.Predicate, kinds: dict, tz: str = None) -> F.Column:
+    if isinstance(pred, P.And):
+        out = F.lit(True)
+        for c in pred.children:
+            out = out & _compile_full(c, kinds, tz)
+        return out
+    if isinstance(pred, P.Or):
+        out = F.lit(False)
+        for c in pred.children:
+            out = out | _compile_full(c, kinds, tz)
+        return out
+    if isinstance(pred, P.Trivial):
+        return F.lit(pred.value)
+    if isinstance(pred, (P.Unsupported, P.Not)):
+        return F.lit(False)
+    kind = kinds.get(getattr(pred, "column", None))
+    if kind is None:
+        return F.lit(False)
+    c = pred.column
+    if isinstance(pred, P.IsNull):
+        nulls = F.coalesce(F.col(f"{c}__nulls"), F.lit(-1))
+        return nulls == F.col("__rows")  # -1 never equals rows >= 0
+    if isinstance(pred, P.IsNotNull):
+        return F.coalesce(F.col(f"{c}__nulls"), F.lit(-1)) == 0
+    if isinstance(pred, P.Eq):
+        return _full_leaf(c, kind, "eq", pred.value, tz)
+    if isinstance(pred, P.Ne):
+        return _full_leaf(c, kind, "ne", pred.value, tz)
+    if isinstance(pred, P.In):
+        out = F.lit(False)
+        for v in pred.values:
+            out = out | _full_leaf(c, kind, "eq", v, tz)
+        return out
+    if isinstance(pred, P.Gt):
+        return _full_leaf(c, kind, "gt", pred.value, tz)
+    if isinstance(pred, P.Ge):
+        return _full_leaf(c, kind, "ge", pred.value, tz)
+    if isinstance(pred, P.Lt):
+        return _full_leaf(c, kind, "lt", pred.value, tz)
+    if isinstance(pred, P.Le):
+        return _full_leaf(c, kind, "le", pred.value, tz)
+    return F.lit(False)
+
+
+def count_files_with_spark(spark: SparkSession, metadata,
+                           pred: P.Predicate, tz: str = None):
+    """Distributed three-band count decomposition.
+
+    -> (meta_count, boundary_paths): exact row total of files proven
+    all-FULL by the fold, plus the file list that must be scanned with
+    the residual predicate. One Spark aggregation over the stats parquet;
+    only the boundary path list (bounded: these files get scanned anyway)
+    and one long reach the driver."""
+    pivoted, kinds, memb_cols = _prepare_pivot(
+        spark, metadata, P.referenced_columns(pred), tz)
+    if pivoted is None:
+        return 0, []
+    may = compile_to_spark(pred, kinds, tz, memb_cols=memb_cols)
+    full = compile_full_to_spark(pred, kinds, tz)
+    per_path = (pivoted
+                .withColumn("__may", may).withColumn("__full", full)
+                .groupBy("path")
+                .agg(F.max((F.col("__may") & ~F.col("__full"))
+                           .cast("int")).alias("b"),
+                     F.sum(F.when(F.col("__full"), F.col("__rows"))
+                           .otherwise(F.lit(0))).alias("fr")))
+    # manifest join runs IN the job (orphan stats from an interrupted
+    # refresh must not count), and the full-file total is aggregated
+    # in-job too: only one long and the boundary path list (bounded —
+    # these files get scanned anyway) ever reach the driver
+    per_path = per_path.join(F.broadcast(_manifest_df(spark, metadata)),
+                             "path", "inner")
+    row = per_path.agg(
+        F.sum(F.when(F.col("b") == 0, F.col("fr"))
+              .otherwise(F.lit(0))).alias("meta"),
+        F.collect_list(F.when(F.col("b") == 1, F.col("path"))).alias("bp")
+    ).head()
+    return int(row["meta"] or 0), sorted(row["bp"])
+
+
+def min_max_files_with_spark(spark: SparkSession, metadata, column: str,
+                             pred: P.Predicate = None, tz: str = None):
+    """Distributed three-band min/max decomposition for ``column``.
+
+    -> (lo, hi, scan_paths) with lo/hi in STAT space (long or str, None
+    when metadata alone proves nothing). Files needing a scan: boundary
+    blocks, or full-match blocks whose stats for ``column`` are absent
+    yet possibly non-null."""
+    referenced = set(P.referenced_columns(pred)) if pred is not None else set()
+    referenced.add(column)
+    pivoted, kinds, memb_cols = _prepare_pivot(spark, metadata, referenced, tz)
+    if pivoted is None:
+        return None, None, []
+    if pred is None:
+        may = F.lit(True)
+        full = F.lit(True)
+    else:
+        may = compile_to_spark(pred, kinds, tz, memb_cols=memb_cols)
+        full = compile_full_to_spark(pred, kinds, tz)
+    kind = kinds.get(column)
+    if kind is None:
+        # agg column not indexed: nothing provable, scan all may-files
+        survivors = (pivoted.withColumn("__may", may)
+                     .groupBy("path")
+                     .agg(F.max(F.col("__may").cast("int")).alias("m"))
+                     .filter("m = 1").select("path")
+                     .join(F.broadcast(_manifest_df(spark, metadata)),
+                           "path", "inner"))
+        return None, None, sorted(r["path"] for r in survivors.collect())
+    has = F.coalesce(F.col(f"{column}__has"), F.lit(False))
+    nulls = F.coalesce(F.col(f"{column}__nulls"), F.lit(-1))
+    statless = ~has & (nulls != F.col("__rows"))
+    scan_block = (may & ~full) | (full & statless)
+    suffix = "_s" if kind == ityp.STRING else "_l"
+    mn_col, mx_col = F.col(f"{column}__min{suffix}"), F.col(f"{column}__max{suffix}")
+    meta_ok = full & has
+    per_path = (pivoted
+                .withColumn("__scan", scan_block)
+                .groupBy("path")
+                .agg(F.max(F.col("__scan").cast("int")).alias("b"),
+                     F.min(F.when(meta_ok, mn_col)).alias("mn"),
+                     F.max(F.when(meta_ok, mx_col)).alias("mx"))
+                .join(F.broadcast(_manifest_df(spark, metadata)),
+                      "path", "inner"))
+    # single in-job aggregation: extremes over clean (non-scanned) files
+    # plus the bounded boundary path list; nothing per-file reaches the
+    # driver for the metadata-answered portion
+    row = per_path.agg(
+        F.min(F.when(F.col("b") == 0, F.col("mn"))).alias("lo"),
+        F.max(F.when(F.col("b") == 0, F.col("mx"))).alias("hi"),
+        F.collect_list(F.when(F.col("b") == 1, F.col("path"))).alias("sp")
+    ).head()
+    return row["lo"], row["hi"], sorted(row["sp"])

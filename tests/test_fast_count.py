@@ -140,3 +140,48 @@ class TestMinMaxWhere:
         row = (plain.filter(pred)
                .agg(F.min("id").alias("mn"), F.max("id").alias("mx")).head())
         assert t.min_max_where("id", pred) == (row["mn"], row["mx"])
+
+
+class TestDistributedFold:
+    """Force the Spark-side fold (threshold=1 block) so count_where /
+    min_max_where exercise pruning_spark.count_files_with_spark and
+    min_max_files_with_spark — the 100 TB path where the metadata itself
+    outgrows the driver."""
+
+    @pytest.fixture()
+    def tiny_threshold(self, spark):
+        spark.conf.set("spark.sql.index.pruning.sparkThreshold", "1")
+        yield
+        spark.conf.unset("spark.sql.index.pruning.sparkThreshold")
+
+    @pytest.mark.parametrize("pred", PREDICATES)
+    def test_count_matches_plain(self, counted, tiny_threshold, pred):
+        _ctx, t, plain = counted
+        assert t.count_where(pred) == plain.filter(pred).count()
+
+    def test_count_boundary_accounting(self, counted, tiny_threshold):
+        ctx, t, plain = counted
+        pred = "id >= 2500 AND id < 7500"
+        assert t.count_where(pred) == plain.filter(pred).count()
+        assert ctx.index.last_prune_info.selected_files <= 2
+
+    @pytest.mark.parametrize("pred", PREDICATES)
+    def test_minmax_matches_plain(self, counted, tiny_threshold, pred):
+        _ctx, t, plain = counted
+        row = (plain.filter(pred)
+               .agg(F.min("id").alias("mn"), F.max("id").alias("mx")).head())
+        assert t.min_max_where("id", pred) == (row["mn"], row["mx"])
+
+    def test_minmax_string_column(self, counted, tiny_threshold):
+        _ctx, t, plain = counted
+        pred = "id >= 2500 AND id < 7500"
+        row = (plain.filter(pred)
+               .agg(F.min("key").alias("mn"), F.max("key").alias("mx"))
+               .head())
+        assert t.min_max_where("key", pred) == (row["mn"], row["mx"])
+
+    def test_minmax_no_predicate(self, counted, tiny_threshold):
+        _ctx, t, plain = counted
+        row = plain.agg(F.min("id").alias("mn"),
+                        F.max("id").alias("mx")).head()
+        assert t.min_max_where("id") == (row["mn"], row["mx"])
