@@ -111,6 +111,32 @@ def assign_split(df: DataFrame, key: ColumnOrName,
     return df.withColumn(out_col, expr)
 
 
+def stratified_sample(df: DataFrame, stratum: str, key: ColumnOrName,
+                      salt: str = "strat") -> DataFrame:
+    """Balanced stratified sample: downsample every stratum to (about) the
+    size of the smallest one, deterministically.
+
+    Per-stratum keep-fraction is ``min_count / stratum_count``, applied as
+    an exact integer hash threshold ``hash < (min_count * 2^32) div
+    count`` — floor division on longs, so any engine derives the identical
+    threshold (no float rounding). A row's fate depends only on its key
+    and its stratum's population: re-sharding or re-running never flips
+    membership.
+
+    Scale shape: stratum counts are one tiny map-side-combinable agg
+    (rows = distinct strata) broadcast back onto the stream; the sample
+    itself is a pure filter — no shuffle of the data, no sort, no state.
+    This is the "balance the language/domain mixture" curation primitive.
+    """
+    counts = df.groupBy(stratum).agg(F.count("*").alias("__n"))
+    target = counts.agg(F.min("__n").alias("__t"))
+    counts = counts.crossJoin(F.broadcast(target))
+    threshold = F.expr(f"__t * {HASH_SPACE} div __n")
+    labeled = df.join(F.broadcast(counts), stratum)
+    return (labeled.filter(hash_bucket(key, salt) < threshold)
+            .drop("__n", "__t"))
+
+
 def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
                   order_by: ColumnOrName, *tiebreak: ColumnOrName,
                   keep_rank: bool = False) -> DataFrame:

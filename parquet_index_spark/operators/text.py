@@ -152,6 +152,29 @@ def bm25_rank(docs: DataFrame, query_terms: List[str], *,
             .limit(top_k))
 
 
+def top_terms(df: DataFrame, k: int = 20, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Exact corpus heavy hitters: the ``k`` most frequent tokens with
+    their total occurrence count and document frequency.
+
+    Scale shape: explode feeds a map-side-combinable (term) aggregation —
+    the shuffle carries one (term, count, partial-HLL-free df) row per
+    distinct term per task, never the token stream itself. Document
+    frequency reuses the same exploded pass via a count(DISTINCT doc)
+    rewrite (Spark expands it to two-stage aggregation, still one scan).
+    Final top-k is orderBy+limit (TakeOrderedAndProject — no global sort
+    materialization). Ties break lexicographically so the limit is
+    deterministic.
+    """
+    terms = df.select(F.col(id_col).alias("__doc"),
+                      F.explode(tokens(text_col)).alias("term"))
+    return (terms.groupBy("term")
+            .agg(F.count("*").alias("n_occurrences"),
+                 F.countDistinct("__doc").alias("n_docs"))
+            .orderBy(F.col("n_occurrences").desc(), F.col("term"))
+            .limit(k))
+
+
 def text_profile(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Per-document profile: tokens, chars, stopword ratio, avg token len,

@@ -236,6 +236,69 @@ class TestText:
                for r in df.select(X.document_fingerprint().alias("fingerprint")).collect()]
         assert fps[0] == fps[1]
 
+    def test_top_terms_counts_and_ordering(self, spark):
+        rows = [Row(doc_id=1, text="apple banana apple"),
+                Row(doc_id=2, text="apple cherry"),
+                Row(doc_id=3, text="banana banana banana")]
+        got = X.top_terms(spark.createDataFrame(rows), k=2).collect()
+        # banana: 4 occurrences / 2 docs; apple: 3 / 2
+        assert [(r["term"], r["n_occurrences"], r["n_docs"])
+                for r in got] == [("banana", 4, 2), ("apple", 3, 2)]
+
+    def test_top_terms_tie_breaks_lexicographically(self, spark):
+        rows = [Row(doc_id=1, text="zed alpha")]
+        got = X.top_terms(spark.createDataFrame(rows), k=1).collect()
+        assert got[0]["term"] == "alpha"
+
+
+class TestTimeseries:
+    def _series(self, spark, values):
+        import datetime as dt
+        from parquet_index_spark.operators import timeseries as TS  # noqa: F401
+        rows = [Row(event_id=i, user_id=1,
+                    ts=dt.datetime(2024, 1, 1, 0, i), value=float(v))
+                for i, v in enumerate(values)]
+        return spark.createDataFrame(rows)
+
+    def test_rolling_stats_past_only(self, spark):
+        from parquet_index_spark.operators import timeseries as TS
+        df = self._series(spark, [1, 2, 3, 4])
+        got = {r["event_id"]: (r["roll_n"], r["roll_sum"])
+               for r in TS.rolling_stats(df, lookback=2).collect()}
+        assert got[0][0] == 0 and got[0][1] is None   # no past rows
+        assert got[2] == (2, 3)                        # 1 + 2
+        assert got[3] == (2, 5)                        # 2 + 3 (1 aged out)
+
+    def test_zscore_flags_spike_only_after_baseline(self, spark):
+        from parquet_index_spark.operators import timeseries as TS
+        # stable baseline then a huge spike; early rows can't be flagged
+        df = self._series(spark, [10, 11, 10, 9, 10, 11, 500])
+        got = {r["event_id"]: r["is_anomaly"]
+               for r in TS.zscore_anomalies(df, min_baseline=5).collect()}
+        assert got[6] is True
+        assert not any(got[i] for i in range(6))
+
+    def test_zscore_constant_series_never_flags(self, spark):
+        from parquet_index_spark.operators import timeseries as TS
+        df = self._series(spark, [5] * 10)
+        got = TS.zscore_anomalies(df, min_baseline=3).collect()
+        assert not any(r["is_anomaly"] for r in got)
+
+    def test_partition_isolation(self, spark):
+        """A spike in one user's series must not poison another's."""
+        import datetime as dt
+        from parquet_index_spark.operators import timeseries as TS
+        rows = []
+        for uid in (1, 2):
+            vals = [10, 10, 10, 10, 10, 10, 999 if uid == 1 else 10]
+            rows += [Row(event_id=uid * 100 + i, user_id=uid,
+                         ts=dt.datetime(2024, 1, 1, 0, i), value=float(v))
+                     for i, v in enumerate(vals)]
+        got = {r["event_id"]: r["is_anomaly"]
+               for r in TS.zscore_anomalies(
+                   spark.createDataFrame(rows), min_baseline=5).collect()}
+        assert got[106] is True and got[206] is False
+
 
 class TestMultimodal:
     @pytest.fixture(scope="class")

@@ -58,6 +58,9 @@ _CORE = {
     # (oracle typing under stringify-hash) must be visible by default
     "json_props_stats", "idx_events_time_range", "stream_user_totals",
     "stream_enrich_join", "idx_fast_count",
+    "freq_terms_top20", "lang_id_confusion", "rolling_anomaly_events",
+    "stratified_sample_langs", "idx_refresh_append",
+    "hll_union_sketch_parts",
 }
 
 

@@ -65,6 +65,51 @@ class TestHashSample:
         assert "Exchange" not in plan  # pure map-side filter
 
 
+class TestStratifiedSample:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # strata of very different sizes: a=1500, b=400, c=100
+        rows = ([Row(k=i, s="a") for i in range(1500)]
+                + [Row(k=10_000 + i, s="b") for i in range(400)]
+                + [Row(k=20_000 + i, s="c") for i in range(100)])
+        return spark.createDataFrame(rows)
+
+    def test_balances_to_smallest_stratum(self, skewed):
+        kept = SA.stratified_sample(skewed, "s", "k")
+        counts = {r["s"]: r["n"] for r in
+                  kept.groupBy("s").agg(F.count("*").alias("n")).collect()}
+        # every stratum lands near the smallest stratum's size (hash
+        # sampling is Bernoulli, so allow generous slack); the smallest
+        # stratum is kept whole (threshold = full hash space)
+        assert counts["c"] == 100
+        assert 60 <= counts["a"] <= 140
+        assert 60 <= counts["b"] <= 140
+
+    def test_deterministic_and_repartition_stable(self, skewed):
+        a = {r["k"] for r in SA.stratified_sample(skewed, "s", "k").collect()}
+        b = {r["k"] for r in SA.stratified_sample(
+            skewed.repartition(7), "s", "k").collect()}
+        assert a == b
+
+    def test_threshold_is_exact_integer_math(self, spark):
+        """The DuckDB-portability contract: identical keep set."""
+        rows = ([Row(k=i, s="x") for i in range(200)]
+                + [Row(k=1000 + i, s="y") for i in range(50)])
+        df = spark.createDataFrame(rows)
+        got = sorted(r["k"] for r in
+                     SA.stratified_sample(df, "s", "k").collect())
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        want = sorted(r[0] for r in con.sql("""
+            WITH counts AS (SELECT s, count(*) AS n FROM t GROUP BY s),
+            tgt AS (SELECT min(n) AS mn FROM counts)
+            SELECT t.k FROM t JOIN counts c ON t.s = c.s, tgt
+            WHERE CAST('0x' || substr(md5('strat:' || CAST(t.k AS VARCHAR)),
+                       1, 8) AS BIGINT) < (tgt.mn * 4294967296) // c.n
+        """).fetchall())
+        assert got == want
+
+
 class TestAssignSplit:
     def test_partition_of_rows(self, keyed):
         counts = dict(
