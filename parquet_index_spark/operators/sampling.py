@@ -129,8 +129,11 @@ def stratified_sample(df: DataFrame, stratum: str, key: ColumnOrName,
     This is the "balance the language/domain mixture" curation primitive.
     """
     counts = df.groupBy(stratum).agg(F.count("*").alias("__n"))
-    target = counts.agg(F.min("__n").alias("__t"))
-    counts = counts.crossJoin(F.broadcast(target))
+    # min over an unpartitioned window: the counts frame is |strata| rows,
+    # so the single-partition window is trivial — and it avoids planting a
+    # nested-loop join (scalar crossJoin) in the plan
+    counts = counts.withColumn(
+        "__t", F.min("__n").over(Window.partitionBy()))
     threshold = F.expr(f"__t * {HASH_SPACE} div __n")
     labeled = df.join(F.broadcast(counts), stratum)
     return (labeled.filter(hash_bucket(key, salt) < threshold)
