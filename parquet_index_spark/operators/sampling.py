@@ -140,6 +140,46 @@ def stratified_sample(df: DataFrame, stratum: str, key: ColumnOrName,
             .drop("__n", "__t"))
 
 
+def temperature_sample(df: DataFrame, stratum: str, key: ColumnOrName,
+                       alpha: float = 0.5,
+                       salt: str = "temp") -> DataFrame:
+    """Temperature-flattened mixture sampling (the mT5/UNIMAX curation
+    primitive): keep-fraction per stratum is ``(min_count / count) ^
+    (1 - alpha)``, so ``alpha=1`` keeps the natural mixture, ``alpha=0``
+    fully balances (== :func:`stratified_sample`), and values between
+    soften the dominance of huge strata without flattening the tail.
+
+    Determinism / portability: the threshold is ``floor(2^32 * frac)``
+    where ``frac`` is derived with correctly-rounded IEEE ops only —
+    division, multiplication, and (for ``alpha=0.5``) ``sqrt``, which
+    every IEEE-754 engine rounds identically, so Spark and any SQL oracle
+    compute the exact same keep set. Other alphas go through ``pow``,
+    whose last-ulp behavior is libm-specific — fine for pipelines, but
+    cross-engine replication is only exact for alpha in {0, 0.5, 1}.
+
+    Scale shape: identical to :func:`stratified_sample` — one tiny
+    stratum-count agg broadcast onto a pure filter; no data shuffle.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(stratum).agg(F.count("*").alias("__n"))
+    counts = counts.withColumn(
+        "__t", F.min("__n").over(Window.partitionBy()))
+    ratio = F.col("__t").cast("double") / F.col("__n").cast("double")
+    if alpha == 0.0:
+        frac = ratio
+    elif alpha == 0.5:
+        frac = F.sqrt(ratio)            # correctly rounded everywhere
+    elif alpha == 1.0:
+        frac = F.lit(1.0)
+    else:
+        frac = F.pow(ratio, F.lit(1.0 - alpha))
+    threshold = F.floor(F.lit(float(HASH_SPACE)) * frac).cast("long")
+    labeled = df.join(F.broadcast(counts), stratum)
+    return (labeled.filter(hash_bucket(key, salt) < threshold)
+            .drop("__n", "__t"))
+
+
 def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
                   order_by: ColumnOrName, *tiebreak: ColumnOrName,
                   keep_rank: bool = False) -> DataFrame:

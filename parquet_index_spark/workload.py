@@ -3407,6 +3407,42 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+def temperature_sample_langs(spark, sf_dir):
+    """Temperature-flattened mixture (operators/sampling.temperature_
+    sample, alpha=0.5): large languages are downweighted by
+    sqrt(min/count) instead of fully flattened — the standard
+    multilingual-pretraining mixture curve. The threshold math uses only
+    correctly-rounded IEEE ops (divide, sqrt, multiply, floor), so the
+    keep set is bit-identical in any engine."""
+    from parquet_index_spark.operators import sampling as SA
+    docs = _t(spark, sf_dir, "documents")
+    kept = SA.temperature_sample(docs, "lang", "doc_id", alpha=0.5)
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("n_chars").alias("kept_chars"),
+                 F.min("doc_id").alias("min_kept_id"))
+            .orderBy("lang"))
+
+
+TEMPERATURE_SQL = """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tgt AS (SELECT min(n) AS t FROM counts),
+kept AS (
+  SELECT d.lang, d.n_chars, d.doc_id
+  FROM documents d JOIN counts c ON d.lang = c.lang, tgt
+  WHERE CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)),
+             1, 8) AS BIGINT)
+        < CAST(floor(4294967296.0
+                     * sqrt(CAST(tgt.t AS DOUBLE) / CAST(c.n AS DOUBLE)))
+               AS BIGINT)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+       min(doc_id) AS min_kept_id
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 def idx_refresh_append(spark, sf_dir):
     """Incremental index refresh end-to-end (beyond-reference: the
     reference rejects append — ParquetMetastoreSupport.scala:104-107).
@@ -3494,6 +3530,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "lang_id_confusion": (lang_id_confusion, LANG_CONFUSION_SQL),
     "rolling_anomaly_events": (rolling_anomaly_events, ROLLING_ANOMALY_SQL),
     "stratified_sample_langs": (stratified_sample_langs, STRATIFIED_SQL),
+    "temperature_sample_langs": (temperature_sample_langs, TEMPERATURE_SQL),
     "idx_refresh_append": (idx_refresh_append, IDX_REFRESH_SQL),
     "hll_union_sketch_parts": (hll_union_sketch_parts, HLL_UNION_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),

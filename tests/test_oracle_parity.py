@@ -59,8 +59,8 @@ _CORE = {
     "json_props_stats", "idx_events_time_range", "stream_user_totals",
     "stream_enrich_join", "idx_fast_count",
     "freq_terms_top20", "lang_id_confusion", "rolling_anomaly_events",
-    "stratified_sample_langs", "idx_refresh_append",
-    "hll_union_sketch_parts",
+    "stratified_sample_langs", "temperature_sample_langs",
+    "idx_refresh_append", "hll_union_sketch_parts",
 }
 
 

@@ -110,6 +110,55 @@ class TestStratifiedSample:
         assert got == want
 
 
+class TestTemperatureSample:
+    @pytest.fixture(scope="class")
+    def skewed2(self, spark):
+        rows = ([Row(k=i, s="big") for i in range(1600)]
+                + [Row(k=50_000 + i, s="small") for i in range(100)])
+        return spark.createDataFrame(rows)
+
+    def test_alpha_one_keeps_natural_mixture(self, skewed2):
+        assert SA.temperature_sample(skewed2, "s", "k", alpha=1.0).count() \
+            == 1700
+
+    def test_alpha_zero_equals_stratified(self, skewed2):
+        # same salt -> identical keep decisions
+        a = {r["k"] for r in SA.temperature_sample(
+            skewed2, "s", "k", alpha=0.0, salt="strat").collect()}
+        b = {r["k"] for r in SA.stratified_sample(skewed2, "s", "k").collect()}
+        assert a == b
+
+    def test_alpha_half_between_extremes(self, skewed2):
+        # big stratum: expect ~1600*sqrt(100/1600) = 400 kept (vs 100
+        # fully balanced, 1600 natural); small stratum kept whole
+        counts = {r["s"]: r["n"] for r in
+                  SA.temperature_sample(skewed2, "s", "k", alpha=0.5)
+                  .groupBy("s").agg(F.count("*").alias("n")).collect()}
+        assert counts["small"] == 100
+        assert 320 <= counts["big"] <= 480
+
+    def test_matches_duckdb_sqrt_threshold(self, skewed2):
+        got = sorted(r["k"] for r in SA.temperature_sample(
+            skewed2, "s", "k", alpha=0.5).collect())
+        con = duckdb.connect()
+        con.register("t", skewed2.toPandas())
+        want = sorted(r[0] for r in con.sql("""
+            WITH counts AS (SELECT s, count(*) AS n FROM t GROUP BY s),
+            tgt AS (SELECT min(n) AS mn FROM counts)
+            SELECT t.k FROM t JOIN counts c ON t.s = c.s, tgt
+            WHERE CAST('0x' || substr(md5('temp:' || CAST(t.k AS VARCHAR)),
+                       1, 8) AS BIGINT)
+              < CAST(floor(4294967296.0 * sqrt(CAST(tgt.mn AS DOUBLE)
+                                               / CAST(c.n AS DOUBLE)))
+                     AS BIGINT)
+        """).fetchall())
+        assert got == want
+
+    def test_rejects_out_of_range_alpha(self, skewed2):
+        with pytest.raises(ValueError):
+            SA.temperature_sample(skewed2, "s", "k", alpha=1.5)
+
+
 class TestAssignSplit:
     def test_partition_of_rows(self, keyed):
         counts = dict(
