@@ -3407,6 +3407,101 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+def curation_pipeline_stats(spark, sf_dir):
+    """Flagship composition: a full C4-style curation pass built purely
+    from the engine's own operators — per-doc profile (tokenize once),
+    quality gate (>= 0.8), exact near-identical dedup on the normalized
+    fingerprint (keep lowest doc_id), deterministic train/val/test split,
+    then per-split corpus accounting. Every stage is the already-oracled
+    primitive; the composed oracle replicates the chain end-to-end, so
+    the hash compare certifies the PIPELINE, not just its pieces.
+
+    Scale shape: profile is one scan (single tokenization, codegen);
+    dedup is one row_number window on the 32-byte fingerprint; split is a
+    pure map; the final agg is map-side-combinable. Two shuffles total
+    (fingerprint window, split/lang agg) regardless of corpus size."""
+    from parquet_index_spark.operators import sampling as SA
+    from parquet_index_spark.operators import text as X
+    docs = _t(spark, sf_dir, "documents")
+    prof = X.text_profile(docs)
+    good = prof.filter(F.col("quality") >= 0.8)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (good.withColumn("__rk", F.row_number().over(w))
+               .filter(F.col("__rk") == 1).drop("__rk"))
+    labeled = SA.assign_split(deduped, "doc_id")
+    return (labeled.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("sum_tokens"),
+                 F.countDistinct("pred_lang").alias("n_langs"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .orderBy("split"))
+
+
+CURATION_SQL = rf"""
+WITH prof AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> list_contains(['the','a','of','and','to'], t)))
+           / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+           AS sw_ratio,
+         list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                 t -> length(t)))
+           / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+           AS atl,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> list_contains(['the','a','of','and','to'], t))) AS s_en,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> list_contains(['der','die','das','und','zu'], t))) AS s_de,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> list_contains(['le','la','et','de','un'], t))) AS s_fr,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> list_contains(['el','la','y','de','un'], t))) AS s_es,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> list_contains(['的','了','是','在','我'], t))) AS s_zh,
+         md5(array_to_string(
+             string_split_regex(trim(lower(text)), '\s+'), ' '))
+           AS fingerprint
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_tokens, fingerprint,
+         round((
+           (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+                 THEN 1.0 ELSE 0.5 END) +
+           (CASE WHEN sw_ratio > 0.0 AND sw_ratio < 0.5
+                 THEN 1.0 ELSE 0.5 END) +
+           (CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN 1.0 ELSE 0.5 END)
+         ) / 3.0, 4) AS quality,
+         CASE
+           WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'unk'
+           WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en
+                AND s_zh >= s_de THEN 'zh'
+           WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+           WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+           WHEN s_en >= s_de THEN 'en'
+           ELSE 'de'
+         END AS pred_lang
+  FROM prof
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                 ORDER BY doc_id) AS rk
+    FROM scored WHERE quality >= 0.8)
+  WHERE rk = 1
+),
+labeled AS (
+  SELECT *, {{SPLIT_CASE}} AS split FROM deduped
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(count(DISTINCT pred_lang) AS BIGINT) AS n_langs,
+       min(doc_id) AS min_doc_id
+FROM labeled GROUP BY split ORDER BY split
+""".replace("{SPLIT_CASE}", _split_case_sql())
+
+
 def temperature_sample_langs(spark, sf_dir):
     """Temperature-flattened mixture (operators/sampling.temperature_
     sample, alpha=0.5): large languages are downweighted by
@@ -3531,6 +3626,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "rolling_anomaly_events": (rolling_anomaly_events, ROLLING_ANOMALY_SQL),
     "stratified_sample_langs": (stratified_sample_langs, STRATIFIED_SQL),
     "temperature_sample_langs": (temperature_sample_langs, TEMPERATURE_SQL),
+    "curation_pipeline_stats": (curation_pipeline_stats, CURATION_SQL),
     "idx_refresh_append": (idx_refresh_append, IDX_REFRESH_SQL),
     "hll_union_sketch_parts": (hll_union_sketch_parts, HLL_UNION_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),

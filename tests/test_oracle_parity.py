@@ -60,7 +60,8 @@ _CORE = {
     "stream_enrich_join", "idx_fast_count",
     "freq_terms_top20", "lang_id_confusion", "rolling_anomaly_events",
     "stratified_sample_langs", "temperature_sample_langs",
-    "idx_refresh_append", "hll_union_sketch_parts",
+    "curation_pipeline_stats", "idx_refresh_append",
+    "hll_union_sketch_parts",
 }
 
 
