@@ -24,8 +24,8 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # headline subset: index layer + heaviest delegated + pipeline ops
 BENCH_QUERIES = [
     "idx_point_lookup", "idx_range_scan", "idx_in_or_composite",
-    "idx_bitmap_point", "idx_zorder_range", "idx_events_time_range",
-    "idx_fast_count",
+    "idx_bitmap_point", "idx_zorder_range", "idx_hilbert_range",
+    "idx_events_time_range", "idx_fast_count",
     "q1_pricing_summary", "q3_shipping_priority", "q5_nation_volume",
     "q6_forecast_revenue", "q4_order_exists", "q12_priority_shipmode",
     "top3_orders_per_customer", "rollup_sales", "distinct_parts_per_flag",
@@ -305,16 +305,27 @@ def main() -> None:
         if not qctx.index.exists.parquet(z_dir):
             write_zordered(orders, z_dir, ["o_custkey", "o_orderkey"],
                            n_files=32, mode="overwrite")
-        zt = qctx.index.parquet(z_dir)
-        zt.filter("o_custkey BETWEEN 400 AND 600").count()
-        z_cust = qctx.index.last_prune_info
-        zt.filter("o_orderkey BETWEEN 10000 AND 20000").count()
-        z_ord = qctx.index.last_prune_info
-        return {
-            "total_files": z_cust.total_files,
-            "files_scanned_custkey_range": z_cust.selected_files,
-            "files_scanned_orderkey_range": z_ord.selected_files,
-        }
+        h_dir = z_dir + "_hilbert"
+        if not qctx.index.exists.parquet(h_dir):
+            write_zordered(orders, h_dir, ["o_custkey", "o_orderkey"],
+                           n_files=32, mode="overwrite", curve="hilbert")
+        out = {}
+        for label, path in (("morton", z_dir), ("hilbert", h_dir)):
+            t = qctx.index.parquet(path)
+            t.filter("o_custkey BETWEEN 400 AND 600").count()
+            cust = qctx.index.last_prune_info
+            t.filter("o_orderkey BETWEEN 10000 AND 20000").count()
+            okey = qctx.index.last_prune_info
+            t.filter("o_custkey BETWEEN 400 AND 600 "
+                     "AND o_orderkey BETWEEN 10000 AND 20000").count()
+            both = qctx.index.last_prune_info
+            out[label] = {
+                "total_files": cust.total_files,
+                "files_scanned_custkey_range": cust.selected_files,
+                "files_scanned_orderkey_range": okey.selected_files,
+                "files_scanned_2d_box": both.selected_files,
+            }
+        return out
 
     zorder_file_skip = _section(_zorder_section)
 

@@ -64,38 +64,108 @@ def zorder_key(df: DataFrame, cols: List[str], bits: int = 16):
         raise ValueError(
             f"zorder_key: bits*len(cols) = {bits * len(cols)} exceeds the "
             "63 usable bits of a long; lower bits or key fewer columns")
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
-    r = df.agg(*aggs).head()
-    top = (1 << bits) - 1
     k = len(cols)
     key = F.lit(0).cast("long")
-    for j, c in enumerate(cols):
-        mn, mx = float(r[f"__mn_{c}"]), float(r[f"__mx_{c}"])
-        span = (mx - mn) or 1.0
-        scaled = F.floor((F.col(c).cast("double") - F.lit(mn))
-                         / F.lit(span) * F.lit(float(top))).cast("long")
-        scaled = F.greatest(F.lit(0).cast("long"),
-                            F.least(F.lit(top).cast("long"), scaled))
+    for j, scaled in enumerate(_scaled_dims(df, cols, bits)):
         for i in range(bits):
             bit = F.shiftright(scaled, i).bitwiseAND(F.lit(1).cast("long"))
             key = key.bitwiseOR(F.shiftleft(bit, i * k + j))
     return key
 
 
+def _scaled_dims(df: DataFrame, cols: List[str], bits: int):
+    """Scale each clustering column to a ``bits``-bit integer by its
+    global min/max (one tiny driver-side agg — write-time only). Returns
+    the per-column scaled Columns."""
+    from pyspark.sql import functions as F
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    r = df.agg(*aggs).head()
+    top = (1 << bits) - 1
+    out = []
+    for c in cols:
+        mn, mx = float(r[f"__mn_{c}"]), float(r[f"__mx_{c}"])
+        span = (mx - mn) or 1.0
+        # multiply before dividing: (v*top)/span is exact when the values
+        # already sit on the target grid (v/span*top rounds 5/15*15 down
+        # to 4), so unit grids survive scaling bit-for-bit
+        scaled = F.floor((F.col(c).cast("double") - F.lit(mn))
+                         * F.lit(float(top)) / F.lit(span)).cast("long")
+        out.append(F.greatest(F.lit(0).cast("long"),
+                              F.least(F.lit(top).cast("long"), scaled)))
+    return out
+
+
+def with_hilbert_key(df: DataFrame, cols: List[str], bits: int = 16,
+                     out_col: str = "__hkey") -> DataFrame:
+    """Append a Hilbert-curve key over exactly two numeric columns.
+
+    The Hilbert curve has no diagonal jumps (unlike the Z-curve's seam
+    crossings), so consecutive key ranges cover genuinely contiguous
+    rectangles — each range-partitioned output file gets the tightest
+    possible min/max box on BOTH dimensions, which is exactly what the
+    index's fold prunes on. This is the clustering curve behind modern
+    lakehouse OPTIMIZE implementations.
+
+    Mechanism: the classic per-level quadrant rotation (d2xy's inverse),
+    but as ``bits`` STAGED projections rather than one composed Column —
+    each level's (x, y, d) feeds the next through multiply-referenced
+    non-trivial aliases, which CollapseProject keeps staged, so the
+    expression tree stays linear in ``bits`` instead of exploding 4^bits.
+    All JVM-side codegen; no Python in the row path. Write-time only.
+    """
+    from pyspark.sql import functions as F
+    if len(cols) != 2:
+        raise ValueError(
+            f"with_hilbert_key requires exactly 2 columns, got {len(cols)} "
+            "(use curve='morton' for other dimensionalities)")
+    if 2 * bits > 62:
+        raise ValueError(f"bits={bits} too large for a long Hilbert key")
+    sx, sy = _scaled_dims(df, cols, bits)
+    n = 1 << bits
+    one = F.lit(1).cast("long")
+    staged = df.withColumns({"__hx": sx, "__hy": sy,
+                             "__hd": F.lit(0).cast("long")})
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
+        rx = F.shiftright(x, i).bitwiseAND(one)
+        ry = F.shiftright(y, i).bitwiseAND(one)
+        d = d + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry)
+        flip = (ry == 0) & (rx == 1)
+        fx = F.when(flip, F.lit(n - 1).cast("long") - x).otherwise(x)
+        fy = F.when(flip, F.lit(n - 1).cast("long") - y).otherwise(y)
+        swap = ry == 0
+        staged = staged.withColumns({
+            "__hx": F.when(swap, fy).otherwise(fx),
+            "__hy": F.when(swap, fx).otherwise(fy),
+            "__hd": d,
+        })
+    return staged.withColumnRenamed("__hd", out_col).drop("__hx", "__hy")
+
+
 def write_zordered(df: DataFrame, path: str, zorder_by: List[str],
                    n_files: int = 32, bits: int = 16,
                    index_by: Optional[List[str]] = None,
-                   mode: str = "error") -> None:
-    """Write ``df`` Z-order-clustered on ``zorder_by`` and index it: range-
-    partition + sort by the Morton key so each parquet file covers a
-    compact Z-curve segment, then index the keyed columns — point/range
-    filters on ANY of them skip files via plain min/max stats. The key is
-    layout-only; it is not stored."""
-    key = zorder_key(df, zorder_by, bits)
-    out = (df.withColumn("__zkey", key)
-           .repartitionByRange(n_files, "__zkey")
+                   mode: str = "error", curve: str = "morton") -> None:
+    """Write ``df`` space-filling-curve-clustered on ``zorder_by`` and
+    index it: range-partition + sort by the curve key so each parquet
+    file covers a compact curve segment, then index the keyed columns —
+    point/range filters on ANY of them skip files via plain min/max
+    stats. The key is layout-only; it is not stored.
+
+    ``curve='morton'`` (default) interleaves bits — any dimensionality.
+    ``curve='hilbert'`` (2 columns) removes the Z-curve's seam jumps, so
+    per-file bounding boxes are strictly tighter on skewed range loads.
+    """
+    if curve == "hilbert":
+        out = with_hilbert_key(df, zorder_by, bits, out_col="__zkey")
+    elif curve == "morton":
+        out = df.withColumn("__zkey", zorder_key(df, zorder_by, bits))
+    else:
+        raise ValueError(f"unknown curve {curve!r}; use morton or hilbert")
+    out = (out.repartitionByRange(n_files, "__zkey")
            .sortWithinPartitions("__zkey")
            .drop("__zkey"))
     out.write.mode(mode).parquet(path)

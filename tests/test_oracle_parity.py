@@ -61,7 +61,7 @@ _CORE = {
     "freq_terms_top20", "lang_id_confusion", "rolling_anomaly_events",
     "stratified_sample_langs", "temperature_sample_langs",
     "curation_pipeline_stats", "idx_refresh_append",
-    "hll_union_sketch_parts",
+    "hll_union_sketch_parts", "idx_hilbert_range",
 }
 
 

@@ -84,6 +84,57 @@ class TestZOrder:
         with pytest.raises(ValueError, match="63 usable bits"):
             zorder_key(df, ["x", "y"], bits=32)
 
+    def test_hilbert_first_order_corners(self, spark):
+        from parquet_index_spark.sources import with_hilbert_key
+        df = spark.createDataFrame(
+            [Row(x=x, y=y) for x in (0, 1) for y in (0, 1)])
+        got = {(r["x"], r["y"]): r["__hkey"]
+               for r in with_hilbert_key(df, ["x", "y"], bits=1).collect()}
+        # the canonical first-order U: (0,0)->(0,1)->(1,1)->(1,0)
+        assert got == {(0, 0): 0, (0, 1): 1, (1, 1): 2, (1, 0): 3}
+
+    def test_hilbert_visits_grid_with_unit_steps(self, spark):
+        """Defining property: the curve visits every cell exactly once and
+        consecutive keys are Manhattan-adjacent — no diagonal seam jumps
+        (the Z-curve fails this; it is why Hilbert boxes are tighter)."""
+        from parquet_index_spark.sources import with_hilbert_key
+        n = 16
+        df = spark.createDataFrame(
+            [Row(x=x, y=y) for x in range(n) for y in range(n)])
+        rows = with_hilbert_key(df, ["x", "y"], bits=4).collect()
+        byd = {r["__hkey"]: (r["x"], r["y"]) for r in rows}
+        assert len(byd) == n * n
+        for d in range(n * n - 1):
+            (x1, y1), (x2, y2) = byd[d], byd[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, byd[d], byd[d + 1])
+
+    def test_hilbert_requires_two_columns(self, spark):
+        from parquet_index_spark.sources import with_hilbert_key
+        df = spark.createDataFrame([Row(x=1, y=2, z=3)])
+        with pytest.raises(ValueError, match="exactly 2"):
+            with_hilbert_key(df, ["x", "y", "z"])
+
+    def test_hilbert_layout_prunes_on_either_dimension(self, spark, ctx,
+                                                       tmp_table_dir):
+        from parquet_index_spark.sources import write_zordered
+        from pyspark.sql import functions as F
+        n = 100_000
+        df = (spark.range(n)
+              .select((F.hash("id") % 1000 + 1000).alias("x"),
+                      (F.hash(F.col("id") + 7) % 1000 + 1000).alias("y")))
+        hpath = os.path.join(tmp_table_dir, "h2d")
+        write_zordered(df, hpath, ["x", "y"], n_files=64, curve="hilbert")
+        t = ctx.index.parquet(hpath)
+        got = t.filter("x >= 1400 AND x < 1420").count()
+        x_info = ctx.index.last_prune_info
+        assert got == df.filter("x >= 1400 AND x < 1420").count()
+        got_y = t.filter("y >= 1400 AND y < 1420").count()
+        y_info = ctx.index.last_prune_info
+        assert got_y == df.filter("y >= 1400 AND y < 1420").count()
+        # a 2% slice of either dimension must skip most of the 64 files
+        assert x_info.selected_files <= 24, x_info
+        assert y_info.selected_files <= 24, y_info
+
     def test_zordered_layout_prunes_on_either_dimension(self, spark, ctx,
                                                         tmp_table_dir):
         from parquet_index_spark.sources import write_zordered
