@@ -3543,6 +3543,47 @@ FROM labeled GROUP BY split ORDER BY split
 """.replace("{SPLIT_CASE}", _split_case_sql())
 
 
+def trailing_30d_peak_spend(spark, sf_dir):
+    """Time-interval RANGE window frame (the one frame kind the other
+    window queries don't cover): each order's trailing-30-day spend via
+    ``rangeBetween`` over epoch seconds — value-based bounds, so peers on
+    the same day aggregate together regardless of row order. Per-customer
+    peak burst then rolls up by market segment. Exact decimal sums keep
+    the window and rollup engine-deterministic; one shuffle for the
+    window, one for the rollup, broadcastable dim join."""
+    orders = _t(spark, sf_dir, "orders")
+    sec = F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
+    w = (Window.partitionBy("o_custkey").orderBy(sec)
+         .rangeBetween(-30 * 86400, 0))
+    per_order = orders.select(
+        "o_custkey", F.sum(_dec("o_totalprice")).over(w).alias("t30"))
+    peaks = per_order.groupBy("o_custkey").agg(F.max("t30").alias("peak"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (peaks.join(cust, peaks.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"),
+                 F.max("peak").cast("double").alias("max_peak_30d"),
+                 F.sum("peak").cast("double").alias("total_peak_30d"))
+            .orderBy("c_mktsegment"))
+
+
+TRAILING_SQL = """
+WITH t AS (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS t30
+  FROM orders),
+peaks AS (SELECT o_custkey, max(t30) AS peak FROM t GROUP BY o_custkey)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(max(peak) AS DOUBLE) AS max_peak_30d,
+       CAST(sum(peak) AS DOUBLE) AS total_peak_30d
+FROM peaks JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def temperature_sample_langs(spark, sf_dir):
     """Temperature-flattened mixture (operators/sampling.temperature_
     sample, alpha=0.5): large languages are downweighted by
@@ -3669,6 +3710,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "temperature_sample_langs": (temperature_sample_langs, TEMPERATURE_SQL),
     "curation_pipeline_stats": (curation_pipeline_stats, CURATION_SQL),
     "idx_hilbert_range": (idx_hilbert_range, IDX_HILBERT_SQL),
+    "trailing_30d_peak_spend": (trailing_30d_peak_spend, TRAILING_SQL),
     "idx_refresh_append": (idx_refresh_append, IDX_REFRESH_SQL),
     "hll_union_sketch_parts": (hll_union_sketch_parts, HLL_UNION_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),
