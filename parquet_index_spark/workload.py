@@ -3465,10 +3465,18 @@ def curation_pipeline_stats(spark, sf_dir):
     from parquet_index_spark.operators import text as X
     docs = _t(spark, sf_dir, "documents")
     prof = X.text_profile(docs)
-    good = prof.filter(F.col("quality") >= 0.8)
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    deduped = (good.withColumn("__rk", F.row_number().over(w))
-               .filter(F.col("__rk") == 1).drop("__rk"))
+    # The quality gate is folded into the dedup window (good docs rank
+    # first) and applied ABOVE it rather than as a pre-filter: a filter
+    # below the window would be pushed through the staged profile
+    # projection, re-inlining the tokenizer ~8x per row into the gate
+    # predicate (the plan guard asserts exactly one split remains).
+    # Within a fingerprint group rank-1 is the lowest-doc_id GOOD doc
+    # whenever one exists, so filter-after == filter-before, row for row.
+    good = F.col("quality") >= 0.8
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.when(good, 0).otherwise(1), "doc_id")
+    deduped = (prof.withColumn("__rk", F.row_number().over(w))
+               .filter((F.col("__rk") == 1) & good).drop("__rk"))
     labeled = SA.assign_split(deduped, "doc_id")
     return (labeled.groupBy("split")
             .agg(F.count("*").alias("n_docs"),

@@ -194,6 +194,71 @@ def test_no_cartesian_sweep_all_batch_queries(spark):
     assert not bad, f"nested-loop joins crept into: {bad}"
 
 
+class TestRound4PlanQuality:
+    """Plan guards for the round-4 query surface: each new operator's
+    scale claim (from its docstring) is pinned as a plan assertion."""
+
+    def test_freq_terms_uses_take_ordered(self, spark):
+        """Top-k must be TakeOrderedAndProject, never a global sort."""
+        from parquet_index_spark.workload import freq_terms_top20
+        plan = plans.formatted_plan(freq_terms_top20(spark, SF_CORRECT))
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "GlobalLimit" not in plan or "TakeOrdered" in plan
+
+    def test_lang_id_single_scan_no_shuffle_before_agg(self, spark):
+        """Pure codegen expressions over one scan: exactly the final
+        aggregation exchange (plus AQE read), no joins."""
+        from parquet_index_spark.workload import lang_id_confusion
+        df = lang_id_confusion(spark, SF_CORRECT)
+        s = plans.join_strategies(df)
+        assert sum(s.values()) == 0, s
+
+    def test_rolling_anomaly_one_window_partitioning(self, spark):
+        """One shuffle for the user_id window + one for the event_type
+        rollup — no joins, no extra exchanges."""
+        from parquet_index_spark.workload import rolling_anomaly_events
+        df = rolling_anomaly_events(spark, SF_CORRECT)
+        s = plans.join_strategies(df)
+        assert sum(s.values()) == 0, s
+        plan = plans.formatted_plan(df)
+        assert plan.count("Window") >= 1
+
+    def test_sampling_broadcasts_stratum_counts(self, spark):
+        """The data stream must join the tiny counts frame by broadcast —
+        a shuffle join here would re-partition the whole corpus."""
+        from parquet_index_spark.workload import (
+            stratified_sample_langs, temperature_sample_langs)
+        for q in (stratified_sample_langs, temperature_sample_langs):
+            s = plans.join_strategies(q(spark, SF_CORRECT))
+            assert s["broadcast_hash"] >= 1, (q.__name__, s)
+            assert s["sort_merge"] == 0 and s["shuffled_hash"] == 0, \
+                (q.__name__, s)
+
+    def test_curation_pipeline_tokenizes_once(self, spark):
+        """The composed pipeline must inherit text_profile's single
+        tokenization — re-inlining would multiply the regex split across
+        every derived column."""
+        import re
+        from parquet_index_spark.workload import curation_pipeline_stats
+        df = curation_pipeline_stats(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert len(re.findall(r"split\(", plan)) == 1, plan
+
+    def test_hll_union_broadcasts_estimates(self, spark):
+        """The per-flag estimate side is a handful of rows — must join
+        broadcast, and the sketch rollup must not plan a join at all."""
+        from parquet_index_spark.workload import hll_union_sketch_parts
+        s = plans.join_strategies(hll_union_sketch_parts(spark, SF_CORRECT))
+        assert s["broadcast_hash"] >= 1 and s["nested_loop"] == 0, s
+
+    def test_trailing_range_frame_specified(self, spark):
+        """The window must carry a RANGE frame (value bounds), not ROWS."""
+        from parquet_index_spark.workload import trailing_30d_peak_spend
+        df = trailing_30d_peak_spend(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "specifiedwindowframe(RangeFrame" in plan, plan
+
+
 def test_text_profile_tokenizes_once(spark):
     """The staged text_profile must keep exactly ONE regex split in the
     optimized plan — the collapsed-projection form re-evaluated it ~10x
