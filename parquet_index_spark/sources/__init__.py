@@ -99,50 +99,79 @@ def _scaled_dims(df: DataFrame, cols: List[str], bits: int):
 
 def with_hilbert_key(df: DataFrame, cols: List[str], bits: int = 16,
                      out_col: str = "__hkey") -> DataFrame:
-    """Append a Hilbert-curve key over exactly two numeric columns.
+    """Append a Hilbert-curve key over two or more numeric columns.
 
     The Hilbert curve has no diagonal jumps (unlike the Z-curve's seam
     crossings), so consecutive key ranges cover genuinely contiguous
-    rectangles — each range-partitioned output file gets the tightest
-    possible min/max box on BOTH dimensions, which is exactly what the
-    index's fold prunes on. This is the clustering curve behind modern
-    lakehouse OPTIMIZE implementations.
+    boxes — each range-partitioned output file gets the tightest possible
+    min/max box on EVERY dimension, which is exactly what the index's
+    fold prunes on. This is the clustering curve behind modern lakehouse
+    OPTIMIZE implementations.
 
-    Mechanism: the classic per-level quadrant rotation (d2xy's inverse),
-    but as ``bits`` STAGED projections rather than one composed Column —
-    each level's (x, y, d) feeds the next through multiply-referenced
-    non-trivial aliases, which CollapseProject keeps staged, so the
-    expression tree stays linear in ``bits`` instead of exploding 4^bits.
-    All JVM-side codegen; no Python in the row path. Write-time only.
+    Mechanism: Skilling's axes-to-transpose transform (the standard
+    d-dimensional Hilbert encoding: per-level conditional XOR/exchange,
+    then Gray correction, then bit interleave) as a VECTORIZED numpy
+    pandas_udf. The state machine's sequential bit-level dependencies are
+    exactly the shape Catalyst column expressions handle worst — a staged
+    JVM-expression build measured a ~2 MB optimized plan and 25 s of
+    planning at bits=16 from partial operator inlining, while the Arrow-
+    batched kernel is O(bits*dims) numpy passes per batch with an O(1)
+    plan. This is a write-time-only path (clustered rewrites), so the
+    Python-worker hop amortizes over whole-table writes, never queries.
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
-    if len(cols) != 2:
+
+    d = len(cols)
+    if d < 2:
+        raise ValueError("with_hilbert_key requires at least 2 columns")
+    if d * bits > 62:
         raise ValueError(
-            f"with_hilbert_key requires exactly 2 columns, got {len(cols)} "
-            "(use curve='morton' for other dimensionalities)")
-    if 2 * bits > 62:
-        raise ValueError(f"bits={bits} too large for a long Hilbert key")
-    sx, sy = _scaled_dims(df, cols, bits)
-    n = 1 << bits
-    one = F.lit(1).cast("long")
-    staged = df.withColumns({"__hx": sx, "__hy": sy,
-                             "__hd": F.lit(0).cast("long")})
-    for i in range(bits - 1, -1, -1):
-        s = 1 << i
-        x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
-        rx = F.shiftright(x, i).bitwiseAND(one)
-        ry = F.shiftright(y, i).bitwiseAND(one)
-        d = d + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry)
-        flip = (ry == 0) & (rx == 1)
-        fx = F.when(flip, F.lit(n - 1).cast("long") - x).otherwise(x)
-        fy = F.when(flip, F.lit(n - 1).cast("long") - y).otherwise(y)
-        swap = ry == 0
-        staged = staged.withColumns({
-            "__hx": F.when(swap, fy).otherwise(fx),
-            "__hy": F.when(swap, fx).otherwise(fy),
-            "__hd": d,
-        })
-    return staged.withColumnRenamed("__hd", out_col).drop("__hx", "__hy")
+            f"bits*dims = {bits * d} exceeds the 62 usable key bits; "
+            "lower bits or key fewer columns")
+
+    @F.pandas_udf("long")
+    def _hkey(*dims):
+        X = [s.to_numpy(dtype=np.int64, copy=True) for s in dims]
+        m = 1 << (bits - 1)
+        # inverse-undo: per level, invert X0's low bits or exchange them
+        # with Xi's (Skilling, "Programming the Hilbert curve", 2004)
+        q = m
+        while q > 1:
+            p = q - 1
+            for i in range(d):
+                hi = (X[i] & q) != 0
+                t = (X[0] ^ X[i]) & p
+                t[hi] = 0
+                X[0] ^= t
+                X[i] ^= t
+                X[0][hi] ^= p
+            q >>= 1
+        # Gray encode across dimensions
+        for i in range(1, d):
+            X[i] ^= X[i - 1]
+        # correction term from the last dimension's set bits
+        t = np.zeros_like(X[0])
+        q = m
+        while q > 1:
+            hit = (X[d - 1] & q) != 0
+            t[hit] ^= q - 1
+            q >>= 1
+        for i in range(d):
+            X[i] ^= t
+        # interleave the transposed form: dim-major within each bit
+        # level, most significant level first
+        key = np.zeros_like(X[0])
+        for j in range(bits - 1, -1, -1):
+            for i in range(d):
+                key = (key << 1) | ((X[i] >> j) & 1)
+        return pd.Series(key)
+
+    names = [f"__hs{i}" for i in range(d)]
+    staged = df.withColumns(dict(zip(names, _scaled_dims(df, cols, bits))))
+    return (staged.withColumn(out_col, _hkey(*[F.col(n) for n in names]))
+            .drop(*names))
 
 
 def write_zordered(df: DataFrame, path: str, zorder_by: List[str],

@@ -108,11 +108,28 @@ class TestZOrder:
             (x1, y1), (x2, y2) = byd[d], byd[d + 1]
             assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, byd[d], byd[d + 1])
 
-    def test_hilbert_requires_two_columns(self, spark):
+    def test_hilbert_3d_visits_grid_with_unit_steps(self, spark):
+        """Skilling's transform generalizes past 2-D: the 3-D curve must
+        also be bijective with Manhattan-adjacent consecutive cells."""
         from parquet_index_spark.sources import with_hilbert_key
-        df = spark.createDataFrame([Row(x=1, y=2, z=3)])
-        with pytest.raises(ValueError, match="exactly 2"):
-            with_hilbert_key(df, ["x", "y", "z"])
+        m = 8
+        df = spark.createDataFrame(
+            [Row(x=x, y=y, z=z) for x in range(m)
+             for y in range(m) for z in range(m)])
+        rows = with_hilbert_key(df, ["x", "y", "z"], bits=3).collect()
+        byd = {r["__hkey"]: (r["x"], r["y"], r["z"]) for r in rows}
+        assert len(byd) == m ** 3
+        for d in range(m ** 3 - 1):
+            step = sum(abs(a - b) for a, b in zip(byd[d], byd[d + 1]))
+            assert step == 1, (d, byd[d], byd[d + 1])
+
+    def test_hilbert_rejects_bad_dimensionality(self, spark):
+        from parquet_index_spark.sources import with_hilbert_key
+        df = spark.createDataFrame([Row(x=1, y=2)])
+        with pytest.raises(ValueError, match="at least 2"):
+            with_hilbert_key(df, ["x"])
+        with pytest.raises(ValueError, match="62 usable"):
+            with_hilbert_key(df, ["x", "y"], bits=32)
 
     def test_hilbert_layout_prunes_on_either_dimension(self, spark, ctx,
                                                        tmp_table_dir):
