@@ -365,17 +365,31 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
         n_out = 1
     rows_inserted = n_updates - rows_updated
 
-    jvm = spark._jvm
     tmp = path.rstrip("/") + "__merge_tmp"
     bak = path.rstrip("/") + "__merge_bak"
     merged.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    _staged_swap(spark, path, tmp, bak, affected_abs, label="merge")
+    ctx.index.refresh.parquet(path)
+    return {"files_total": len(all_rel),
+            "files_rewritten": len(affected_rel),
+            "rows_updated": rows_updated,
+            "rows_inserted": rows_inserted}
+
+
+def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
+                 label: str = "rewrite") -> None:
+    """Flip ``path`` to the rewrite staged at ``tmp``: carry every entry
+    of the table EXCEPT the ``affected_abs`` data files into ``tmp`` via
+    rename (untouched data files, _metadata dirs, markers — no data
+    copied), then swap the directories with rollback at every step. The
+    table is never observable in a half-written state: readers see the
+    old directory until the final rename."""
+    jvm = spark._jvm
     fs, jpath = _fs_for(spark, path)
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
     jbak = jvm.org.apache.hadoop.fs.Path(bak)
     moved = []
     try:
-        # carry everything EXCEPT the rewritten data files into the new dir
-        # (untouched data files, _metadata dirs, _SUCCESS markers)
         for st in fs.listStatus(jpath):
             src = st.getPath()
             # compare scheme-free paths: Hadoop renders file:/x, we hold /x
@@ -385,7 +399,7 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
             if src.getName().startswith(("_", ".")) and fs.exists(dst):
                 continue  # marker the rewrite already produced (_SUCCESS)
             if not fs.rename(src, dst):
-                raise IOError(f"merge: could not stage {src} into rewrite")
+                raise IOError(f"{label}: could not stage {src} into rewrite")
             moved.append((dst, src))
     except Exception:
         for dst, src in reversed(moved):
@@ -397,20 +411,124 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
         for dst, src in reversed(moved):
             fs.rename(dst, src)
         fs.delete(jtmp, True)
-        raise IOError(f"merge: could not stage {path!r} aside")
+        raise IOError(f"{label}: could not stage {path!r} aside")
     if not fs.rename(jtmp, jpath):
         # restore the original dir, then the untouched files moved out of it
         fs.rename(jbak, jpath)
         for dst, src in reversed(moved):
             fs.rename(dst, src)
         fs.delete(jtmp, True)
-        raise IOError(f"merge: could not move rewrite into {path!r}")
+        raise IOError(f"{label}: could not move rewrite into {path!r}")
     fs.delete(jbak, True)
+
+
+def delete_where(ctx, path: str, predicate) -> dict:
+    """Index-accelerated ``DELETE WHERE``: remove every matching row with
+    the least possible IO, using BOTH fold directions.
+
+    Three-band decomposition per file (the count_where folds applied to
+    mutation): files whose every block provably FULLY matches are
+    dropped whole — no byte read; files that provably cannot hold a
+    matching row are untouched — not even carried through a rewrite;
+    only boundary files (may match, not proven full) are read and
+    rewritten with the exact negated predicate. On a time-clustered
+    100 TB table, "delete the old month" drops interior files from
+    metadata alone and rewrites the two boundary files. Soundness:
+    may-match is a superset of does-match (no matching row survives) and
+    full-match is a subset (no non-matching row is dropped); the
+    rewrite's row filter is exact.
+
+    Same staged-rename swap + rollback as merge_into, then an
+    incremental index refresh. Non-partitioned directory tables only.
+    Returns {files_total, files_dropped_whole, files_rewritten,
+    rows_deleted}.
+    """
+    import os
+
+    import numpy as np
+
+    from parquet_index_spark import collector
+    from parquet_index_spark import pruning as PR
+
+    table = ctx.index.parquet(path)
+    spark = table._spark
+    meta = table._metadata
+    if meta.partition_columns:
+        raise ValueError(
+            "delete_where supports non-partitioned tables only; "
+            f"{path!r} is partitioned by {list(meta.partition_columns)}")
+    pctx = meta.context()
+    all_rel = list(pctx.file_paths)
+    if collector.SELF_FILE in all_rel:
+        raise ValueError(
+            "delete_where requires a directory table (single-file tables "
+            "have no partial-rewrite granularity)")
+    ast, residual = table._compile(predicate)
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:  # noqa: BLE001
+        tz = None
+    if ast is None:
+        # unfoldable predicate: sound degradation — every file is a
+        # boundary file (full rewrite, exact row filter still applies)
+        may = np.ones(pctx.n, dtype=bool)
+        full = np.zeros(pctx.n, dtype=bool)
+    else:
+        may = PR.evaluate(ast, pctx, tz)
+        full = PR.evaluate_full(ast, pctx, tz)
+    nf = len(pctx.file_paths)
+    file_may = np.zeros(nf, dtype=bool)
+    file_may[pctx.file_ids[may]] = True
+    # whole-drop requires EVERY block of the file to fully match — a file
+    # mixing a full-match block with a no-match block must be REWRITTEN
+    # (its non-matching rows survive), not dropped
+    file_has_nonfull = np.zeros(nf, dtype=bool)
+    file_has_nonfull[pctx.file_ids[~full]] = True
+    whole = file_may & ~file_has_nonfull
+    boundary = file_may & file_has_nonfull
+    if not file_may.any():
+        return {"files_total": nf, "files_dropped_whole": 0,
+                "files_rewritten": 0, "rows_deleted": 0}
+    if whole.all():
+        raise ValueError(
+            "delete_where would remove every row; drop the table and its "
+            "index instead of deleting through them")
+
+    whole_rows = int(pctx.rows[whole[pctx.file_ids]].sum())
+    whole_abs = {os.path.abspath(collector.resolve_file(meta.table_path, p))
+                 for p, w in zip(pctx.file_paths, whole) if w}
+    boundary_abs = {os.path.abspath(collector.resolve_file(meta.table_path, p))
+                    for p, b in zip(pctx.file_paths, boundary) if b}
+
+    tmp = path.rstrip("/") + "__delete_tmp"
+    bak = path.rstrip("/") + "__delete_bak"
+    rows_deleted = whole_rows
+    if boundary_abs:
+        from pyspark.sql import functions as F
+
+        current = (spark.read.schema(meta.data_schema)
+                   .parquet(*sorted(boundary_abs)))
+        n_before = int(pctx.rows[boundary[pctx.file_ids]].sum())
+        # DELETE removes rows where pred is TRUE; rows where it is NULL
+        # survive (SQL three-valued semantics) — hence coalesce, not ~pred
+        kept = current.filter(F.coalesce(~residual, F.lit(True)))
+        kept.repartition(max(1, len(boundary_abs))) \
+            .write.mode("overwrite").parquet(tmp)
+        n_after = (spark.read.schema(meta.data_schema).parquet(tmp).count())
+        rows_deleted += n_before - n_after
+    else:
+        # whole-file drops only: stage an empty rewrite dir for the swap
+        fs, _ = _fs_for(spark, path)
+        jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+        fs.delete(jtmp, True)
+        fs.mkdirs(jtmp)
+    _staged_swap(spark, path, tmp, bak, whole_abs | boundary_abs,
+                 label="delete")
     ctx.index.refresh.parquet(path)
-    return {"files_total": len(all_rel),
-            "files_rewritten": len(affected_rel),
-            "rows_updated": rows_updated,
-            "rows_inserted": rows_inserted}
+    return {"files_total": nf,
+            "files_dropped_whole": int(whole.sum()),
+            "files_rewritten": len(boundary_abs),
+            "rows_deleted": int(rows_deleted)}
 
 
 def ingest_csv(spark, csv_path: str, table_path: str, *, header: bool = True,

@@ -3592,6 +3592,52 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def idx_delete_range(spark, sf_dir):
+    """Index-accelerated DELETE end-to-end (sources.delete_where): copy
+    orders into a key-clustered table, delete an interior key range —
+    interior files drop from metadata alone (full-match fold), only the
+    two boundary files are read and rewritten — then aggregate what
+    remains through the refreshed index. The oracle replicates the
+    delete relationally (WHERE NOT range), so the hash compare proves
+    on-disk delete semantics: a wrongly-dropped or wrongly-surviving
+    row breaks it."""
+    from parquet_index_spark.sources import delete_where
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_delete",
+                        os.path.basename(os.path.normpath(sf_dir)), "orders")
+    od = _t(spark, sf_dir, "orders")
+    # fresh table every run so the query is re-runnable/deterministic
+    od.repartitionByRange(16, "o_orderkey").write.mode("overwrite") \
+        .parquet(path)
+    ctx.index.create.mode("overwrite").indexBy("o_orderkey").parquet(path)
+    info = delete_where(ctx, path,
+                        "o_orderkey >= 400 AND o_orderkey < 1100")
+    assert info["rows_deleted"] > 0, info
+    t = ctx.index.parquet(path)
+    return (t.df.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.countDistinct("o_custkey").alias("n_customers"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key"))
+            .orderBy("o_orderstatus"))
+
+
+IDX_DELETE_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders
+WHERE NOT (o_orderkey >= 400 AND o_orderkey < 1100)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def temperature_sample_langs(spark, sf_dir):
     """Temperature-flattened mixture (operators/sampling.temperature_
     sample, alpha=0.5): large languages are downweighted by
@@ -3719,6 +3765,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "curation_pipeline_stats": (curation_pipeline_stats, CURATION_SQL),
     "idx_hilbert_range": (idx_hilbert_range, IDX_HILBERT_SQL),
     "trailing_30d_peak_spend": (trailing_30d_peak_spend, TRAILING_SQL),
+    "idx_delete_range": (idx_delete_range, IDX_DELETE_SQL),
     "idx_refresh_append": (idx_refresh_append, IDX_REFRESH_SQL),
     "hll_union_sketch_parts": (hll_union_sketch_parts, HLL_UNION_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),

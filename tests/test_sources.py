@@ -184,6 +184,79 @@ class TestZOrder:
                                              y_info.selected_files)
 
 
+class TestDeleteWhere:
+    def _clustered(self, spark, ctx, tmp_table_dir, name="dw"):
+        from pyspark.sql import functions as F
+        path = os.path.join(tmp_table_dir, name)
+        (spark.range(0, 100_000)
+         .select("id", (F.col("id") % 7).alias("v"))
+         .repartitionByRange(10, "id").sortWithinPartitions("id")
+         .write.parquet(path))
+        ctx.index.create.indexBy("id").parquet(path)
+        return path
+
+    def test_interior_range_drops_whole_files(self, spark, ctx,
+                                              tmp_table_dir):
+        """A clustered interior-range delete must drop interior files
+        from metadata alone and rewrite only the boundary files."""
+        from parquet_index_spark.sources import delete_where
+        path = self._clustered(spark, ctx, tmp_table_dir)
+        info = delete_where(ctx, path, "id >= 30000 AND id < 70000")
+        assert info["rows_deleted"] == 40_000
+        assert info["files_dropped_whole"] >= 2, info
+        assert info["files_rewritten"] <= 3, info
+        t = ctx.index.parquet(path)
+        assert t.df.count() == 60_000
+        assert t.filter("id = 50000").count() == 0
+        assert t.filter("id = 10").count() == 1
+        # the refreshed index still prunes
+        t.filter("id = 99000").count()
+        assert ctx.index.last_prune_info.selected_files == 1
+
+    def test_null_predicate_rows_survive(self, spark, ctx, tmp_table_dir):
+        """SQL three-valued semantics: DELETE WHERE v > 5 keeps rows
+        where v IS NULL."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import delete_where
+        path = os.path.join(tmp_table_dir, "dwn")
+        (spark.range(0, 1000)
+         .select("id", F.when(F.col("id") % 10 != 0, F.col("id") % 9)
+                 .alias("v"))
+         .repartitionByRange(4, "id").write.parquet(path))
+        ctx.index.create.indexBy("id", "v").parquet(path)
+        delete_where(ctx, path, "v > 5")
+        remaining = ctx.index.parquet(path).df
+        assert remaining.filter("v IS NULL").count() == 100
+        assert remaining.filter("v > 5").count() == 0
+
+    def test_no_match_is_noop(self, spark, ctx, tmp_table_dir):
+        from parquet_index_spark.sources import delete_where
+        path = self._clustered(spark, ctx, tmp_table_dir, "dw0")
+        info = delete_where(ctx, path, "id = -5")
+        assert info == {"files_total": 10, "files_dropped_whole": 0,
+                        "files_rewritten": 0, "rows_deleted": 0}
+        assert ctx.index.parquet(path).df.count() == 100_000
+
+    def test_delete_everything_refused(self, spark, ctx, tmp_table_dir):
+        from parquet_index_spark.sources import delete_where
+        path = self._clustered(spark, ctx, tmp_table_dir, "dwall")
+        with pytest.raises(ValueError, match="every row"):
+            delete_where(ctx, path, "id >= 0")
+
+    def test_unfoldable_predicate_still_exact(self, spark, ctx,
+                                              tmp_table_dir):
+        """Predicates outside the foldable grammar degrade to a sound
+        full rewrite with the exact row filter."""
+        from parquet_index_spark.sources import delete_where
+        path = self._clustered(spark, ctx, tmp_table_dir, "dwu")
+        info = delete_where(ctx, path, "pmod(id, 2) = 1")
+        assert info["files_dropped_whole"] == 0
+        assert info["files_rewritten"] == 10
+        assert info["rows_deleted"] == 50_000
+        assert ctx.index.parquet(path).filter("id = 11").count() == 0
+        assert ctx.index.parquet(path).filter("id = 10").count() == 1
+
+
 class TestCompaction:
     def test_compacts_small_files_and_refreshes_index(self, spark, ctx,
                                                       tmp_table_dir):
