@@ -531,6 +531,88 @@ def delete_where(ctx, path: str, predicate) -> dict:
             "rows_deleted": int(rows_deleted)}
 
 
+def update_where(ctx, path: str, predicate,
+                 assignments: dict) -> dict:
+    """Index-accelerated ``UPDATE ... SET ... WHERE``: rewrite only the
+    files that may hold a matching row; provably non-matching files are
+    not read, not rewritten, not even carried through a copy.
+
+    ``assignments`` maps column name -> Column (or SQL string) giving
+    the new value; non-matching rows in rewritten files keep their
+    original values via CASE (rows where the predicate is NULL are NOT
+    updated — SQL three-valued semantics). Pruning soundness is the
+    usual contract: may-match is a superset of does-match, so every row
+    the predicate selects lives in a rewritten file. Same staged-rename
+    swap + incremental refresh as merge_into/delete_where.
+    Non-partitioned directory tables only. Returns {files_total,
+    files_rewritten, rows_updated}.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_index_spark import collector
+    from parquet_index_spark.pruning import prune_files
+
+    if not assignments:
+        raise ValueError("update_where requires at least one assignment")
+    table = ctx.index.parquet(path)
+    spark = table._spark
+    meta = table._metadata
+    if meta.partition_columns:
+        raise ValueError(
+            "update_where supports non-partitioned tables only; "
+            f"{path!r} is partitioned by {list(meta.partition_columns)}")
+    pctx = meta.context()
+    all_rel = list(pctx.file_paths)
+    if collector.SELF_FILE in all_rel:
+        raise ValueError(
+            "update_where requires a directory table (single-file tables "
+            "have no partial-rewrite granularity)")
+    table_cols = [f.name for f in meta.data_schema.fields]
+    unknown = sorted(set(assignments) - set(table_cols))
+    if unknown:
+        raise ValueError(f"update_where: unknown columns {unknown}")
+    ast, residual = table._compile(predicate)
+    if ast is None:
+        affected_rel = set(all_rel)     # sound: rewrite everything
+    else:
+        try:
+            tz = spark.conf.get("spark.sql.session.timeZone")
+        except Exception:  # noqa: BLE001
+            tz = None
+        affected_rel = set(prune_files(ast, pctx, tz))
+    if not affected_rel:
+        return {"files_total": len(all_rel), "files_rewritten": 0,
+                "rows_updated": 0}
+    affected_abs = {os.path.abspath(collector.resolve_file(meta.table_path, f))
+                    for f in affected_rel}
+    current = (spark.read.schema(meta.data_schema)
+               .parquet(*sorted(affected_abs)))
+    hit = F.coalesce(residual, F.lit(False))
+    rows_updated = current.filter(hit).count()
+    out_cols = []
+    for c in table_cols:
+        if c in assignments:
+            new = assignments[c]
+            new = F.expr(new) if isinstance(new, str) else new
+            field_type = meta.data_schema[c].dataType.simpleString()
+            out_cols.append(F.when(hit, new.cast(field_type))
+                            .otherwise(F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    updated = current.select(*out_cols)
+    tmp = path.rstrip("/") + "__update_tmp"
+    bak = path.rstrip("/") + "__update_bak"
+    updated.repartition(max(1, len(affected_abs))) \
+        .write.mode("overwrite").parquet(tmp)
+    _staged_swap(spark, path, tmp, bak, affected_abs, label="update")
+    ctx.index.refresh.parquet(path)
+    return {"files_total": len(all_rel),
+            "files_rewritten": len(affected_rel),
+            "rows_updated": int(rows_updated)}
+
+
 def ingest_csv(spark, csv_path: str, table_path: str, *, header: bool = True,
                infer_schema: bool = True, **write_kwargs) -> None:
     """CSV -> indexed parquet (ingestion path for raw drops)."""

@@ -3638,6 +3638,60 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def idx_update_range(spark, sf_dir):
+    """Index-accelerated UPDATE end-to-end (sources.update_where): copy
+    orders into a key-clustered table, reprice an interior key range —
+    only the files whose stats may hold a matching key are read and
+    rewritten; the rest of the table is untouched (not even copied) —
+    then aggregate through the refreshed index. The oracle replicates
+    the UPDATE relationally (CASE over the same range), so the hash
+    compare proves on-disk update semantics."""
+    from parquet_index_spark.sources import update_where
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_update",
+                        os.path.basename(os.path.normpath(sf_dir)), "orders")
+    od = _t(spark, sf_dir, "orders")
+    # fresh table every run so the query is re-runnable/deterministic
+    od.repartitionByRange(16, "o_orderkey").write.mode("overwrite") \
+        .parquet(path)
+    ctx.index.create.mode("overwrite").indexBy("o_orderkey").parquet(path)
+    # exact decimal repricing: double*1.1 + round(…, 2) is engine-divergent
+    # at .xx5 boundaries; decimal products are exact in every engine
+    reprice = (_dec("o_totalprice") * F.lit("1.1").cast("decimal(3,2)"))
+    info = update_where(
+        ctx, path, "o_orderkey >= 400 AND o_orderkey < 1100",
+        {"o_totalprice": reprice, "o_orderpriority": F.lit("5-LOW")})
+    assert info["rows_updated"] > 0, info
+    t = ctx.index.parquet(path)
+    # 4-dp sum: repriced values are exact 4-dp decimals stored as double;
+    # a 2-dp cast would re-round them (engine-divergent at .xx5), while
+    # the nearest 4-dp decimal to each double is unambiguous
+    return (t.df.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(_dec("o_totalprice", 18, 4)).cast("double")
+                 .alias("total"))
+            .orderBy("o_orderpriority"))
+
+
+IDX_UPDATE_SQL = """
+WITH updated AS (
+  SELECT CASE WHEN o_orderkey >= 400 AND o_orderkey < 1100
+              THEN '5-LOW' ELSE o_orderpriority END AS o_orderpriority,
+         CASE WHEN o_orderkey >= 400 AND o_orderkey < 1100
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.1 AS DECIMAL(3,2)) AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders)
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM updated GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def temperature_sample_langs(spark, sf_dir):
     """Temperature-flattened mixture (operators/sampling.temperature_
     sample, alpha=0.5): large languages are downweighted by
@@ -3766,6 +3820,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_hilbert_range": (idx_hilbert_range, IDX_HILBERT_SQL),
     "trailing_30d_peak_spend": (trailing_30d_peak_spend, TRAILING_SQL),
     "idx_delete_range": (idx_delete_range, IDX_DELETE_SQL),
+    "idx_update_range": (idx_update_range, IDX_UPDATE_SQL),
     "idx_refresh_append": (idx_refresh_append, IDX_REFRESH_SQL),
     "hll_union_sketch_parts": (hll_union_sketch_parts, HLL_UNION_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),

@@ -62,7 +62,7 @@ _CORE = {
     "stratified_sample_langs", "temperature_sample_langs",
     "curation_pipeline_stats", "idx_refresh_append",
     "hll_union_sketch_parts", "idx_hilbert_range",
-    "trailing_30d_peak_spend", "idx_delete_range",
+    "trailing_30d_peak_spend", "idx_delete_range", "idx_update_range",
 }
 
 

@@ -257,6 +257,63 @@ class TestDeleteWhere:
         assert ctx.index.parquet(path).filter("id = 10").count() == 1
 
 
+class TestUpdateWhere:
+    def test_partial_rewrite_and_values(self, spark, ctx, tmp_table_dir):
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import update_where
+        path = os.path.join(tmp_table_dir, "uw")
+        (spark.range(0, 100_000)
+         .select("id", (F.col("id") % 7).cast("long").alias("v"))
+         .repartitionByRange(10, "id").sortWithinPartitions("id")
+         .write.parquet(path))
+        ctx.index.create.indexBy("id").parquet(path)
+        info = update_where(ctx, path, "id >= 30000 AND id < 40000",
+                            {"v": F.lit(999)})
+        assert info["rows_updated"] == 10_000
+        # clustered: only the touched slice rewrites
+        assert info["files_rewritten"] <= 3, info
+        t = ctx.index.parquet(path)
+        assert t.df.filter("v = 999").count() == 10_000
+        assert t.filter("id = 35000").head()["v"] == 999
+        assert t.filter("id = 50000").head()["v"] == 50000 % 7
+        assert t.df.count() == 100_000
+
+    def test_null_predicate_rows_not_updated(self, spark, ctx,
+                                             tmp_table_dir):
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import update_where
+        path = os.path.join(tmp_table_dir, "uwn")
+        (spark.range(0, 1000)
+         .select("id", F.when(F.col("id") % 10 != 0, F.col("id") % 9)
+                 .alias("v"))
+         .repartitionByRange(4, "id").write.parquet(path))
+        ctx.index.create.indexBy("id", "v").parquet(path)
+        update_where(ctx, path, "v > 5", {"v": F.lit(-1)})
+        remaining = ctx.index.parquet(path).df
+        assert remaining.filter("v IS NULL").count() == 100  # untouched
+        assert remaining.filter("v > 5").count() == 0
+        assert remaining.filter("v = -1").count() > 0
+
+    def test_no_match_is_noop(self, spark, ctx, tmp_table_dir):
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import update_where
+        path = os.path.join(tmp_table_dir, "uw0")
+        spark.range(0, 1000).repartitionByRange(4, "id").write.parquet(path)
+        ctx.index.create.indexBy("id").parquet(path)
+        info = update_where(ctx, path, "id = -1", {"id": F.lit(0)})
+        assert info == {"files_total": 4, "files_rewritten": 0,
+                        "rows_updated": 0}
+
+    def test_rejects_unknown_column(self, spark, ctx, tmp_table_dir):
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import update_where
+        path = os.path.join(tmp_table_dir, "uwx")
+        spark.range(0, 100).coalesce(2).write.parquet(path)
+        ctx.index.create.indexBy("id").parquet(path)
+        with pytest.raises(ValueError, match="unknown columns"):
+            update_where(ctx, path, "id > 0", {"nope": F.lit(1)})
+
+
 class TestCompaction:
     def test_compacts_small_files_and_refreshes_index(self, spark, ctx,
                                                       tmp_table_dir):
