@@ -368,6 +368,55 @@ def write_indexed_sink(stream_df: DataFrame, path: str, checkpoint: str,
             f"{timeout}s")
 
 
+def write_merge_sink(stream_df: DataFrame, path: str, checkpoint: str,
+                     ctx, key: str, seq_col: str = None,
+                     timeout: int = 300) -> None:
+    """Streaming CDC upsert into an INDEXED table: each micro-batch is
+    MERGEd (sources.merge_into — the index-accelerated partial rewrite)
+    instead of appended, so a change stream keeps a keyed table current
+    the way a Delta/Iceberg MERGE sink does. On a key-clustered 100 TB
+    table each batch rewrites only the handful of files whose stats may
+    hold a touched key; the index refreshes incrementally in the same
+    hook.
+
+    ``seq_col`` (e.g. an event timestamp) resolves multiple changes to
+    the same key WITHIN a batch to the latest one — without it a batch
+    carrying duplicate keys would upsert them all. Replay contract:
+    per-batch markers under ``<path>/_merge_sink_commits`` make replays
+    of committed batches no-ops; a crash between the merge and its
+    marker re-runs the merge on replay, which is idempotent (same keys
+    replaced with the same rows)."""
+    import os
+
+    from parquet_index_spark.sources import merge_into
+
+    commits = os.path.join(path, "_merge_sink_commits")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commits, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replay of a fully committed batch
+        b = batch_df
+        if seq_col is not None:
+            from pyspark.sql import Window
+            w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+            b = (b.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1).drop("__rn"))
+        merge_into(ctx, path, b, key)
+        os.makedirs(commits, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    q = (stream_df.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow CDC merge into {path!r} exceeded {timeout}s")
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       output_mode: str = "complete") -> DataFrame:
     """Drain all available input through the streaming engine into a memory

@@ -3692,6 +3692,61 @@ FROM updated GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def stream_merge_upsert(spark, sf_dir):
+    """Streaming CDC upsert end-to-end (streaming.write_merge_sink): a
+    change stream of repriced orders is read through Structured
+    Streaming (maxFilesPerTrigger=1 → multiple micro-batches) and each
+    batch MERGEs into a key-clustered indexed table via the partial-
+    rewrite path; the final aggregate reads through the refreshed index.
+    The oracle replicates the merged end-state relationally, so the hash
+    compare certifies streaming upsert semantics across batch
+    boundaries — a dropped or doubled batch breaks it."""
+    import shutil
+    from parquet_index_spark import streaming as ST
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_stream_merge",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    base, cdc, ckpt = (os.path.join(root, d)
+                       for d in ("orders", "cdc", "ckpt"))
+    od = _t(spark, sf_dir, "orders")
+    # fresh table + stream + checkpoint every run: deterministic replay
+    shutil.rmtree(root, ignore_errors=True)
+    od.repartitionByRange(8, "o_orderkey").write.parquet(base)
+    ctx.index.create.mode("overwrite").indexBy("o_orderkey").parquet(base)
+    updates = (od.filter("o_orderkey % 50 = 0")
+               .withColumn("o_orderstatus", F.lit("S"))
+               .withColumn("o_totalprice", F.lit(999.0)))
+    updates.coalesce(2).write.parquet(cdc)   # 2 files -> 2 micro-batches
+    stream = (spark.readStream.schema(od.schema)
+              .option("maxFilesPerTrigger", 1).parquet(cdc))
+    ST.write_merge_sink(stream, base, ckpt, ctx, "o_orderkey")
+    t = ctx.index.parquet(base)
+    return (t.df.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.countDistinct("o_orderkey").alias("n_keys"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("total"))
+            .orderBy("o_orderstatus"))
+
+
+STREAM_MERGE_SQL = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 50 = 0 THEN 'S'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 50 = 0 THEN 999.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders)
+SELECT o_orderstatus, count(*) AS n_orders,
+       count(DISTINCT o_orderkey) AS n_keys,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def temperature_sample_langs(spark, sf_dir):
     """Temperature-flattened mixture (operators/sampling.temperature_
     sample, alpha=0.5): large languages are downweighted by
@@ -3821,6 +3876,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "trailing_30d_peak_spend": (trailing_30d_peak_spend, TRAILING_SQL),
     "idx_delete_range": (idx_delete_range, IDX_DELETE_SQL),
     "idx_update_range": (idx_update_range, IDX_UPDATE_SQL),
+    "stream_merge_upsert": (stream_merge_upsert, STREAM_MERGE_SQL),
     "idx_refresh_append": (idx_refresh_append, IDX_REFRESH_SQL),
     "hll_union_sketch_parts": (hll_union_sketch_parts, HLL_UNION_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),

@@ -1001,3 +1001,86 @@ class TestIndexedSink:
         new_probe = 10_000_000 + probe
         if extra.filter(f"event_id = {new_probe}").count() == 1:
             assert t2.filter(f"event_id = {new_probe}").count() == 1
+
+
+class TestMergeSink:
+    def _base_table(self, spark, ctx, tmp_path, n=10_000):
+        from pyspark.sql import functions as F
+        path = str(tmp_path / "t")
+        (spark.range(0, n)
+         .select(F.col("id").alias("k"), (F.col("id") % 9).alias("v"),
+                 F.lit(0).cast("long").alias("seq"))
+         .repartitionByRange(5, "k").write.parquet(path))
+        ctx.index.create.indexBy("k").parquet(path)
+        return path
+
+    def test_cdc_batches_merge_across_micro_batches(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from parquet_index_spark import QueryContext, streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        spark.conf.set("spark.sql.index.metastore", str(tmp_path / "ms"))
+        ctx = QueryContext(spark)
+        path = self._base_table(spark, ctx, tmp_path)
+        schema = spark.read.parquet(path).schema
+        cdc = str(tmp_path / "cdc")
+        # updates for existing keys + brand-new keys, split into 2 files
+        ups = (spark.range(0, 200)
+               .select((F.col("id") * 100).alias("k"),
+                       F.lit(-5).cast("long").alias("v"),
+                       F.lit(1).cast("long").alias("seq")))
+        ups.coalesce(2).write.parquet(cdc)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(cdc))
+        ST.write_merge_sink(stream, path, str(tmp_path / "ck"), ctx, "k")
+        t = ctx.index.parquet(path).df
+        # keys 0..9900 step100 existed (100 of them); 10000..19900 are new
+        assert t.count() == 10_000 + 100
+        assert t.filter("v = -5").count() == 200
+        assert t.filter("k = 500").head()["v"] == -5
+        assert t.filter("k = 501").head()["v"] == 501 % 9
+        assert t.filter("k = 19900").count() == 1
+
+    def test_seq_col_resolves_in_batch_duplicates(self, spark, tmp_path):
+        from pyspark.sql import Row, functions as F
+        from parquet_index_spark import QueryContext, streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        spark.conf.set("spark.sql.index.metastore", str(tmp_path / "ms"))
+        ctx = QueryContext(spark)
+        path = self._base_table(spark, ctx, tmp_path, n=1000)
+        schema = spark.read.parquet(path).schema
+        cdc = str(tmp_path / "cdc")
+        rows = [Row(k=7, v=111, seq=1), Row(k=7, v=222, seq=3),
+                Row(k=7, v=133, seq=2)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(cdc)
+        stream = spark.readStream.schema(schema).parquet(cdc)
+        ST.write_merge_sink(stream, path, str(tmp_path / "ck"), ctx, "k",
+                            seq_col="seq")
+        t = ctx.index.parquet(path).df
+        got = t.filter("k = 7").collect()
+        assert len(got) == 1 and got[0]["v"] == 222  # latest seq wins
+
+    def test_replayed_batches_are_noops(self, spark, tmp_path):
+        """A fresh checkpoint replays batch ids from zero; the commit
+        markers must make the re-delivered batches no-ops."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark import QueryContext, streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        spark.conf.set("spark.sql.index.metastore", str(tmp_path / "ms"))
+        ctx = QueryContext(spark)
+        path = self._base_table(spark, ctx, tmp_path, n=1000)
+        schema = spark.read.parquet(path).schema
+        cdc = str(tmp_path / "cdc")
+        (spark.range(0, 50)
+         .select((F.col("id") + 2000).alias("k"),
+                 F.lit(-1).cast("long").alias("v"),
+                 F.lit(1).cast("long").alias("seq"))
+         .coalesce(1).write.parquet(cdc))
+        for ck in ("ck1", "ck2"):  # second run = full replay, new ckpt
+            stream = spark.readStream.schema(schema).parquet(cdc)
+            ST.write_merge_sink(stream, path, str(tmp_path / ck), ctx, "k")
+        t = ctx.index.parquet(path).df
+        assert t.count() == 1050          # inserts applied exactly once
+        assert t.filter("k >= 2000").count() == 50
