@@ -12,7 +12,7 @@ from typing import Dict, List
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from parquet_index_spark.operators.dedup import tokens
+from parquet_index_spark.operators.dedup import shingles, tokens
 
 # small, fixed stopword lists per language for the n-gram/stopword heuristic
 STOPWORDS: Dict[str, List[str]] = {
@@ -150,6 +150,40 @@ def bm25_rank(docs: DataFrame, query_terms: List[str], *,
                  F.count("*").alias("n_terms_hit"))
             .orderBy(F.col("bm25").desc(), F.col("doc_id"))
             .limit(top_k))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher/MassiveText-style intra-document repetition signals — the
+    classic web-crawl quality gates for boilerplate and degenerate text:
+
+    - ``dup_token_frac``: 1 - distinct/total tokens (vocabulary collapse)
+    - ``top_token_frac``: most frequent token's share of all tokens
+    - ``dup_bigram_frac``: 1 - distinct/total 2-grams (phrase looping)
+
+    Pure higher-order functions (array_distinct + a nested
+    transform/filter count for the mode) — JVM codegen, no Python, and
+    the identical expressions run in any list-capable SQL engine (the
+    DuckDB oracle uses the same nested lambdas). Cost is
+    O(distinct x total) per row, which is the right trade below ~1k
+    tokens; longer documents should pre-chunk (pack_chunks) first.
+    """
+    toks = tokens(text_col)
+    grams = shingles(text_col, k=2)
+    n = F.size("__toks").cast("double")
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct("__toks"),
+        lambda u: F.size(F.filter(F.col("__toks"), lambda t: t == u))))
+    return (df.select(F.col(id_col), toks.alias("__toks"),
+                      grams.alias("__grams"))
+            .select(
+                F.col(id_col),
+                F.round(1.0 - F.size(F.array_distinct("__toks")) / n, 6)
+                .alias("dup_token_frac"),
+                F.round(top_cnt / n, 6).alias("top_token_frac"),
+                F.round(1.0 - F.size(F.array_distinct("__grams"))
+                        / F.size("__grams").cast("double"), 6)
+                .alias("dup_bigram_frac")))
 
 
 def top_terms(df: DataFrame, k: int = 20, text_col: str = "text",

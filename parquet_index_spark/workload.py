@@ -3747,6 +3747,60 @@ FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def repetition_flags_by_lang(spark, sf_dir):
+    """Gopher/MassiveText repetition gates (operators/text.
+    repetition_signals): per-document duplicate-token, top-token, and
+    duplicate-bigram fractions rolled up per language, with a loopy-doc
+    counter. One scan, pure higher-order functions; the oracle runs the
+    identical nested-lambda expressions."""
+    from parquet_index_spark.operators.text import repetition_signals
+    docs = _t(spark, sf_dir, "documents")
+    sig = repetition_signals(docs)
+    labeled = docs.select("doc_id", "lang").join(sig, "doc_id")
+    return (labeled.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.sum(F.col("dup_token_frac")
+                               .cast("decimal(10,6)")).cast("double")
+                         / F.count("*"), 6).alias("avg_dup_token_frac"),
+                 F.round(F.max("top_token_frac"), 6)
+                 .alias("max_top_token_frac"),
+                 F.sum((F.col("dup_bigram_frac") > 0.05).cast("int"))
+                 .alias("n_loopy"))
+            .orderBy("lang"))
+
+
+REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(text), '\s+') AS toks,
+         list_transform(
+           generate_series(1, len(string_split_regex(trim(text), '\s+')) - 1),
+           j -> array_to_string(
+                  string_split_regex(trim(text), '\s+')[j:j+1], ' '))
+           AS grams
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, lang,
+         round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6)
+           AS dup_token_frac,
+         round(list_max(list_transform(list_distinct(toks),
+                 u -> len(list_filter(toks, t -> t = u))))
+               / CAST(len(toks) AS DOUBLE), 6) AS top_token_frac,
+         round(1.0 - len(list_distinct(grams))
+               / CAST(len(grams) AS DOUBLE), 6) AS dup_bigram_frac
+  FROM base
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(dup_token_frac AS DECIMAL(10,6))) AS DOUBLE)
+             / count(*), 6) AS avg_dup_token_frac,
+       round(max(top_token_frac), 6) AS max_top_token_frac,
+       CAST(sum(CASE WHEN dup_bigram_frac > 0.05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_loopy
+FROM sig GROUP BY lang ORDER BY lang
+"""
+
+
 def temperature_sample_langs(spark, sf_dir):
     """Temperature-flattened mixture (operators/sampling.temperature_
     sample, alpha=0.5): large languages are downweighted by
@@ -3877,6 +3931,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_delete_range": (idx_delete_range, IDX_DELETE_SQL),
     "idx_update_range": (idx_update_range, IDX_UPDATE_SQL),
     "stream_merge_upsert": (stream_merge_upsert, STREAM_MERGE_SQL),
+    "repetition_flags_by_lang": (repetition_flags_by_lang, REPETITION_SQL),
     "idx_refresh_append": (idx_refresh_append, IDX_REFRESH_SQL),
     "hll_union_sketch_parts": (hll_union_sketch_parts, HLL_UNION_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_COUNTS_SQL),

@@ -250,6 +250,24 @@ class TestText:
         got = X.top_terms(spark.createDataFrame(rows), k=1).collect()
         assert got[0]["term"] == "alpha"
 
+    def test_repetition_signals_known_values(self, spark):
+        rows = [Row(doc_id=1, text="a a a b"),
+                Row(doc_id=2, text="w x y z"),
+                Row(doc_id=3, text="x y")]        # shorter than bigram k
+        got = {r["doc_id"]: r for r in
+               X.repetition_signals(spark.createDataFrame(rows)).collect()}
+        # doc 1: 4 tokens / 2 distinct; top 'a'=3/4; bigrams
+        # [a a, a a, a b] -> 3 total / 2 distinct
+        assert got[1]["dup_token_frac"] == 0.5
+        assert got[1]["top_token_frac"] == 0.75
+        assert got[1]["dup_bigram_frac"] == round(1 - 2 / 3, 6)
+        # doc 2: all distinct -> zero repetition
+        assert got[2]["dup_token_frac"] == 0.0
+        assert got[2]["top_token_frac"] == 0.25
+        assert got[2]["dup_bigram_frac"] == 0.0
+        # doc 3: short-doc degenerate shingle -> no spurious repetition
+        assert got[3]["dup_bigram_frac"] == 0.0
+
 
 class TestTimeseries:
     def _series(self, spark, values):

@@ -63,7 +63,7 @@ _CORE = {
     "curation_pipeline_stats", "idx_refresh_append",
     "hll_union_sketch_parts", "idx_hilbert_range",
     "trailing_30d_peak_spend", "idx_delete_range", "idx_update_range",
-    "stream_merge_upsert",
+    "stream_merge_upsert", "repetition_flags_by_lang",
 }
 
 
