@@ -243,6 +243,27 @@ class TestDeleteWhere:
         with pytest.raises(ValueError, match="every row"):
             delete_where(ctx, path, "id >= 0")
 
+    @pytest.mark.parametrize("pred", [
+        "id < 9000",                          # prefix range
+        "id IN (5, 777, 99999, 123456)",      # point set (one key absent)
+        "id >= 91000 OR id < 2000",           # disjunctive, both edges
+        "id BETWEEN 20000 AND 20500 AND v = 3",  # conjunct w/ unindexed col
+    ])
+    def test_differential_vs_relational_delete(self, spark, ctx,
+                                               tmp_table_dir, pred):
+        """DELETE through the index must leave exactly the rows a
+        relational NOT-filter (with NULL-keep semantics) would."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import delete_where
+        path = self._clustered(spark, ctx, tmp_table_dir,
+                               f"dwdiff{abs(hash(pred)) % 10_000}")
+        original = spark.read.parquet(path)
+        want = sorted(map(tuple, original.filter(
+            F.coalesce(~F.expr(pred), F.lit(True))).collect()))
+        delete_where(ctx, path, pred)
+        got = sorted(map(tuple, ctx.index.parquet(path).df.collect()))
+        assert got == want
+
     def test_unfoldable_predicate_still_exact(self, spark, ctx,
                                               tmp_table_dir):
         """Predicates outside the foldable grammar degrade to a sound
