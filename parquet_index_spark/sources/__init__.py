@@ -326,6 +326,19 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
             f"updates columns {sorted(updates.columns)} != table columns "
             f"{sorted(table_cols)}")
     updates = updates.select(*table_cols)  # align column order
+    # type enforcement BEFORE any write: a mistyped batch (int batch into
+    # a bigint column) would otherwise land mixed-type files that only the
+    # later index refresh rejects — after the swap already happened
+    mismatched = [
+        (f.name, u.dataType.simpleString(), f.dataType.simpleString())
+        for u, f in zip(updates.schema.fields, meta.data_schema.fields)
+        if u.dataType != f.dataType]
+    if mismatched:
+        raise ValueError(
+            "merge_into: update column types must match the table "
+            "(cast the batch explicitly): " +
+            ", ".join(f"{n}: {got} != table {want}"
+                      for n, got, want in mismatched))
 
     vals = [r[0] for r in
             updates.select(key).distinct().limit(max_keys + 1).collect()]

@@ -3747,6 +3747,72 @@ FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def stream_merge_cdc_ops(spark, sf_dir):
+    """Streaming CDC with mixed change ops end-to-end
+    (streaming.write_merge_sink ``op_col``): the change stream carries
+    upserts AND deletes; per batch, delete-op rows remove their key
+    through the index-accelerated delete_where partial rewrite, upserts
+    MERGE, and seq_col resolves a key touched by both WITHIN a batch to
+    its latest change. The update and delete key sets are disjoint
+    because CROSS-batch order is arrival order (seq resolves only
+    within a micro-batch — the standard streaming-CDC contract), so the
+    end state is deterministic under any file-to-batch split. The
+    oracle replicates the merged end-state relationally — a resurrected
+    deleted key, a lost upsert, or a replayed batch breaks the hash."""
+    import shutil
+    from parquet_index_spark import streaming as ST
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_stream_cdc",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    base, cdc, ckpt = (os.path.join(root, d)
+                       for d in ("orders", "cdc", "ckpt"))
+    od = _t(spark, sf_dir, "orders")
+    # fresh table + stream + checkpoint every run: deterministic replay
+    shutil.rmtree(root, ignore_errors=True)
+    od.repartitionByRange(8, "o_orderkey").write.parquet(base)
+    ctx.index.create.mode("overwrite").indexBy("o_orderkey").parquet(base)
+    ups = (od.filter("o_orderkey % 50 = 0")
+           .withColumn("o_orderstatus", F.lit("S"))
+           .withColumn("o_totalprice", F.lit(999.0))
+           .withColumn("__op", F.lit("u"))
+           .withColumn("__seq", F.lit(1).cast("long")))
+    dels = (od.filter("o_orderkey % 97 = 1 AND o_orderkey % 50 <> 0")
+            .withColumn("__op", F.lit("d"))
+            .withColumn("__seq", F.lit(2).cast("long")))
+    ups.unionByName(dels).coalesce(2).write.parquet(cdc)  # 2 micro-batches
+    stream = (spark.readStream
+              .schema(spark.read.parquet(cdc).schema)
+              .option("maxFilesPerTrigger", 1).parquet(cdc))
+    ST.write_merge_sink(stream, base, ckpt, ctx, "o_orderkey",
+                        seq_col="__seq", op_col="__op")
+    t = ctx.index.parquet(base)
+    return (t.df.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.countDistinct("o_orderkey").alias("n_keys"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("total"))
+            .orderBy("o_orderstatus"))
+
+
+STREAM_CDC_OPS_SQL = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 50 = 0 THEN 'S'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 50 = 0 THEN 999.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT (o_orderkey % 97 = 1 AND o_orderkey % 50 <> 0))
+SELECT o_orderstatus, count(*) AS n_orders,
+       count(DISTINCT o_orderkey) AS n_keys,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def repetition_flags_by_lang(spark, sf_dir):
     """Gopher/MassiveText repetition gates (operators/text.
     repetition_signals): per-document duplicate-token, top-token, and
@@ -3919,7 +3985,9 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # were never driver-graded (or failed) in a prior round sit first so
     # every component earns a correctness row; the long tail of previously
     # driver-green entries keeps its local DuckDB-parity coverage via
-    # tests/test_oracle_parity.py. Round-4 additions lead the window.
+    # tests/test_oracle_parity.py. Round-5 additions lead the window,
+    # round-4's (all green in CORRECTNESS_r04) follow.
+    "stream_merge_cdc_ops": (stream_merge_cdc_ops, STREAM_CDC_OPS_SQL),
     "freq_terms_top20": (freq_terms_top20, FREQ_TERMS_SQL),
     "lang_id_confusion": (lang_id_confusion, LANG_CONFUSION_SQL),
     "rolling_anomaly_events": (rolling_anomaly_events, ROLLING_ANOMALY_SQL),

@@ -1079,9 +1079,12 @@ class TestMergeSink:
         got = t.filter("k = 7").collect()
         assert len(got) == 1 and got[0]["v"] == 222  # latest seq wins
 
-    def test_replayed_batches_are_noops(self, spark, tmp_path):
-        """A fresh checkpoint replays batch ids from zero; the commit
-        markers must make the re-delivered batches no-ops."""
+    def test_replayed_committed_batch_is_noop(self, spark, tmp_path):
+        """The replay guard: a batch whose (checkpoint, batch_id) marker
+        already exists is skipped entirely. Simulated by committing the
+        marker through the sink's own _ReplayMarkers BEFORE the run —
+        exactly the state a driver restart sees after a committed batch —
+        and asserting the re-delivered data is NOT applied."""
         from pyspark.sql import functions as F
         from parquet_index_spark import QueryContext, streaming as ST
         from parquet_index_spark.workload import ensure_session_confs
@@ -1096,9 +1099,71 @@ class TestMergeSink:
                  F.lit(-1).cast("long").alias("v"),
                  F.lit(1).cast("long").alias("seq"))
          .coalesce(1).write.parquet(cdc))
-        for ck in ("ck1", "ck2"):  # second run = full replay, new ckpt
+        ckpt = str(tmp_path / "ck1")
+        ST._ReplayMarkers(spark, path, "_merge_sink_commits",
+                          ckpt).commit(0)
+        stream = spark.readStream.schema(schema).parquet(cdc)
+        ST.write_merge_sink(stream, path, ckpt, ctx, "k")
+        t = ctx.index.parquet(path).df
+        assert t.count() == 1000          # single batch skipped as replay
+        assert t.filter("k >= 2000").count() == 0
+
+    def test_distinct_stream_same_table_not_skipped(self, spark, tmp_path):
+        """A SECOND logical stream into the same table (fresh checkpoint,
+        new data) restarts batch ids at 0; its batches must NOT match the
+        first stream's markers (round-4 ADVICE: table-global bare
+        batch-id markers silently dropped the second stream's data)."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark import QueryContext, streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        spark.conf.set("spark.sql.index.metastore", str(tmp_path / "ms"))
+        ctx = QueryContext(spark)
+        path = self._base_table(spark, ctx, tmp_path, n=1000)
+        schema = spark.read.parquet(path).schema
+        for i, ck in enumerate(("ck1", "ck2")):
+            cdc = str(tmp_path / f"cdc{i}")
+            (spark.range(0, 10)
+             .select((F.col("id") + 2000 + 100 * i).alias("k"),
+                     F.lit(-1 - i).cast("long").alias("v"),
+                     F.lit(1).cast("long").alias("seq"))
+             .coalesce(1).write.parquet(cdc))
             stream = spark.readStream.schema(schema).parquet(cdc)
             ST.write_merge_sink(stream, path, str(tmp_path / ck), ctx, "k")
         t = ctx.index.parquet(path).df
-        assert t.count() == 1050          # inserts applied exactly once
-        assert t.filter("k >= 2000").count() == 50
+        assert t.count() == 1020          # both streams' inserts landed
+        assert t.filter("k BETWEEN 2000 AND 2009 AND v = -1").count() == 10
+        assert t.filter("k BETWEEN 2100 AND 2109 AND v = -2").count() == 10
+
+    def test_cdc_delete_ops(self, spark, tmp_path):
+        """op_col contract: rows with the delete op remove their key,
+        others upsert; with seq_col the LATEST change per key wins —
+        upsert-then-delete deletes, delete-then-reinsert survives."""
+        from pyspark.sql import Row
+        from parquet_index_spark import QueryContext, streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        spark.conf.set("spark.sql.index.metastore", str(tmp_path / "ms"))
+        ctx = QueryContext(spark)
+        path = self._base_table(spark, ctx, tmp_path, n=1000)
+        cdc = str(tmp_path / "cdc")
+        rows = [
+            Row(k=5, v=500, seq=1, op="u"),    # plain update
+            Row(k=6, v=600, seq=1, op="d"),    # plain delete
+            Row(k=7, v=700, seq=1, op="u"),    # upsert then delete -> gone
+            Row(k=7, v=701, seq=2, op="d"),
+            Row(k=8, v=800, seq=1, op="d"),    # delete then reinsert -> 801
+            Row(k=8, v=801, seq=2, op="u"),
+            Row(k=5000, v=1, seq=1, op="u"),   # brand-new key
+        ]
+        spark.createDataFrame(rows).coalesce(1).write.parquet(cdc)
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(cdc).schema).parquet(cdc))
+        ST.write_merge_sink(stream, path, str(tmp_path / "ck"), ctx, "k",
+                            seq_col="seq", op_col="op")
+        t = ctx.index.parquet(path).df
+        assert t.count() == 1000 - 2 + 1   # k=6, k=7 deleted; k=5000 new
+        assert t.filter("k = 5").head()["v"] == 500
+        assert t.filter("k IN (6, 7)").count() == 0
+        assert t.filter("k = 8").head()["v"] == 801
+        assert t.filter("k = 5000").count() == 1

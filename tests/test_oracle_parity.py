@@ -64,6 +64,8 @@ _CORE = {
     "hll_union_sketch_parts", "idx_hilbert_range",
     "trailing_30d_peak_spend", "idx_delete_range", "idx_update_range",
     "stream_merge_upsert", "repetition_flags_by_lang",
+    # round-5 graded-window additions
+    "stream_merge_cdc_ops",
 }
 
 
