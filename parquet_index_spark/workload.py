@@ -3638,6 +3638,55 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def idx_delete_partitioned(spark, sf_dir):
+    """Partitioned-table DELETE end-to-end (sources.delete_where over a
+    hive layout): orders partitioned by o_orderstatus; ``DELETE WHERE
+    o_orderstatus = 'P'`` drops the whole partition from partition
+    pseudo-stats alone — zero files read or rewritten — and a second
+    row-level delete inside the 'F' partition rewrites only that
+    partition's files, with partition values recovered from paths
+    (basePath) through the partition-aware rewrite. The oracle
+    replicates both deletes relationally, so the hash certifies
+    partition-pruned DML semantics on a real hive layout."""
+    from parquet_index_spark.sources import delete_where
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_delete_part",
+                        os.path.basename(os.path.normpath(sf_dir)), "orders")
+    od = _t(spark, sf_dir, "orders")
+    # fresh table every run so the query is re-runnable/deterministic
+    od.repartition(4).write.partitionBy("o_orderstatus") \
+        .mode("overwrite").parquet(path)
+    ctx.index.create.mode("overwrite").indexBy("o_orderkey").parquet(path)
+    info1 = delete_where(ctx, path, "o_orderstatus = 'P'")
+    assert info1["files_rewritten"] == 0, info1   # metadata-only drop
+    info2 = delete_where(
+        ctx, path, "o_orderstatus = 'F' AND o_orderkey < 1000")
+    assert info2["rows_deleted"] > 0, info2
+    t = ctx.index.parquet(path)
+    return (t.df.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.countDistinct("o_orderstatus").alias("n_status"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+                 F.min("o_orderkey").alias("min_key"))
+            .orderBy("o_orderpriority"))
+
+
+IDX_DELETE_PART_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       count(DISTINCT o_orderstatus) AS n_status,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       min(o_orderkey) AS min_key
+FROM orders
+WHERE NOT (o_orderstatus = 'P')
+  AND NOT (o_orderstatus = 'F' AND o_orderkey < 1000)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def idx_update_range(spark, sf_dir):
     """Index-accelerated UPDATE end-to-end (sources.update_where): copy
     orders into a key-clustered table, reprice an interior key range —
@@ -3988,6 +4037,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # tests/test_oracle_parity.py. Round-5 additions lead the window,
     # round-4's (all green in CORRECTNESS_r04) follow.
     "stream_merge_cdc_ops": (stream_merge_cdc_ops, STREAM_CDC_OPS_SQL),
+    "idx_delete_partitioned": (idx_delete_partitioned, IDX_DELETE_PART_SQL),
     "freq_terms_top20": (freq_terms_top20, FREQ_TERMS_SQL),
     "lang_id_confusion": (lang_id_confusion, LANG_CONFUSION_SQL),
     "rolling_anomaly_events": (rolling_anomaly_events, ROLLING_ANOMALY_SQL),

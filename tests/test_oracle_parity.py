@@ -65,7 +65,7 @@ _CORE = {
     "trailing_30d_peak_spend", "idx_delete_range", "idx_update_range",
     "stream_merge_upsert", "repetition_flags_by_lang",
     # round-5 graded-window additions
-    "stream_merge_cdc_ops",
+    "stream_merge_cdc_ops", "idx_delete_partitioned",
 }
 
 

