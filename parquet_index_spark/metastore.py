@@ -13,7 +13,8 @@ dataspace = "source" | "catalog"; identifier = "parquet"; scheme from the
 table URI. SaveMode semantics on create and rollback-on-failure follow
 Metastore.scala:131-179; existence = dir + _SUCCESS (240-248); loads go
 through a small per-session cache (60-65: Guava 16 entries / 12h TTL —
-ours is a 16-entry LRU dict, invalidated on create/delete).
+ours is a 16-entry LRU dict with the same 12h expire-after-access,
+additionally invalidated on create/delete).
 """
 
 from __future__ import annotations
@@ -41,6 +42,12 @@ STATS_DIR = "stats"
 FILES_FILE = "files.parquet"
 
 CACHE_MAX_ENTRIES = 16
+
+#: expireAfterAccess-equivalent (Metastore.scala:60-65: Guava cache,
+#: 16 entries / 12h TTL). Without it a week-long notebook session querying
+#: a table whose index ANOTHER session rebuilt would serve stale metadata
+#: forever — create/delete invalidation only sees this session's writes.
+CACHE_TTL_SECONDS = 12 * 3600
 
 # Reference creation mode for the metastore root: rwxr--r--
 # (Metastore.scala:268-273, FsPermission(ALL, READ, READ)).
@@ -256,7 +263,7 @@ class IndexMetadata:
 class Metastore:
     """Metastore lifecycle: resolve/create/exists/delete/load + cache."""
 
-    def __init__(self, location: str):
+    def __init__(self, location: str, clock=time.monotonic):
         self.location = os.path.abspath(location)
         if not os.path.exists(self.location):
             os.makedirs(self.location, exist_ok=True)
@@ -267,7 +274,10 @@ class Metastore:
             except OSError:
                 pass
         _check_metastore_dir(self.location, require_write=True)
-        self._cache: "OrderedDict[str, IndexMetadata]" = OrderedDict()
+        # value = (metadata, last-access stamp); ``clock`` injectable for
+        # TTL tests (monotonic: wall-clock jumps must not mass-expire)
+        self._cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._clock = clock
 
     def index_dir(self, spec: LocationSpec) -> str:
         return os.path.join(self.location, spec.relative_dir())
@@ -320,8 +330,13 @@ class Metastore:
         path = self.index_dir(spec)
         cached = self._cache.get(path)
         if cached is not None:
-            self._cache.move_to_end(path)
-            return cached
+            md, stamp = cached
+            if self._clock() - stamp <= CACHE_TTL_SECONDS:
+                # expireAfterAccess semantics: each hit restarts the TTL
+                self._cache[path] = (md, self._clock())
+                self._cache.move_to_end(path)
+                return md
+            del self._cache[path]  # expired: fall through to a fresh load
         # root may have become unusable since construction (shared FS,
         # chmod); revalidate read access before touching index files
         _check_metastore_dir(self.location, require_write=False)
@@ -333,7 +348,7 @@ class Metastore:
             meta = json.load(fh)
         files = pq.read_table(os.path.join(path, FILES_FILE)).to_pandas()
         md = IndexMetadata(path, meta, files, filter_eager=filter_eager)
-        self._cache[path] = md
+        self._cache[path] = (md, self._clock())
         while len(self._cache) > CACHE_MAX_ENTRIES:
             self._cache.popitem(last=False)
         return md

@@ -134,7 +134,13 @@ def stratified_sample(df: DataFrame, stratum: str, key: ColumnOrName,
     # nested-loop join (scalar crossJoin) in the plan
     counts = counts.withColumn(
         "__t", F.min("__n").over(Window.partitionBy()))
-    threshold = F.expr(f"__t * {HASH_SPACE} div __n")
+    # DECIMAL(38,0) product: the long form __t * 2^32 overflows once the
+    # smallest stratum exceeds 2^31 rows (ANSI on: loud error; ANSI off:
+    # silent negative threshold -> empty sample). Decimal div is exact and
+    # bit-identical to long division below the overflow point, so the
+    # cross-engine keep-set contract is unchanged (round-4 ADVICE).
+    threshold = F.expr(
+        f"CAST(__t AS DECIMAL(38,0)) * {HASH_SPACE} div __n")
     labeled = df.join(F.broadcast(counts), stratum)
     return (labeled.filter(hash_bucket(key, salt) < threshold)
             .drop("__n", "__t"))

@@ -76,7 +76,14 @@ def zorder_key(df: DataFrame, cols: List[str], bits: int = 16):
 def _scaled_dims(df: DataFrame, cols: List[str], bits: int):
     """Scale each clustering column to a ``bits``-bit integer by its
     global min/max (one tiny driver-side agg — write-time only). Returns
-    the per-column scaled Columns."""
+    the per-column scaled Columns.
+
+    NULL values: greatest/least ignore NULL operands, so a NULL key
+    deterministically clamps to the TOP cell of its dimension — NULLs
+    cluster together at the high corner of the curve on both the Morton
+    and Hilbert paths (the layout key is write-time-only; query
+    correctness never depends on where NULL rows land, only that the
+    placement is deterministic)."""
     from pyspark.sql import functions as F
     aggs = []
     for c in cols:
@@ -85,6 +92,10 @@ def _scaled_dims(df: DataFrame, cols: List[str], bits: int):
     top = (1 << bits) - 1
     out = []
     for c in cols:
+        if r[f"__mn_{c}"] is None:
+            raise ValueError(
+                f"clustering column {c!r} has no non-null values; "
+                "cannot derive a curve scale for it")
         mn, mx = float(r[f"__mn_{c}"]), float(r[f"__mx_{c}"])
         span = (mx - mn) or 1.0
         # multiply before dividing: (v*top)/span is exact when the values

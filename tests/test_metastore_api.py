@@ -86,6 +86,31 @@ class TestMetastoreProtocol:
         t2 = ctx.index.parquet(path)
         assert t1._metadata is not t2._metadata
 
+    def test_cache_ttl_expires_after_access(self, spark, tmp_table_dir):
+        """12h expire-after-access (Metastore.scala:60-65): a stale entry
+        reloads after the TTL, an access inside the TTL restarts it —
+        clock injected, no sleeping."""
+        from parquet_index_spark.metastore import (
+            CACHE_TTL_SECONDS, LocationSpec, Metastore)
+        path = os.path.join(tmp_table_dir, "t")
+        spark.range(10).write.parquet(path)
+        from parquet_index_spark import QueryContext
+        ctx = QueryContext(spark)
+        ctx.index.create.indexBy("id").parquet(path)
+        ms_root = spark.conf.get("spark.sql.index.metastore")
+        now = [0.0]
+        ms = Metastore(ms_root, clock=lambda: now[0])
+        spec = LocationSpec(path)
+        m1 = ms.load(spec)
+        now[0] = CACHE_TTL_SECONDS - 10
+        m2 = ms.load(spec)                  # within TTL: cache hit...
+        assert m2 is m1
+        now[0] = 2 * CACHE_TTL_SECONDS - 20
+        assert ms.load(spec) is m1          # ...which restarted the TTL
+        now[0] = 3 * CACHE_TTL_SECONDS
+        m3 = ms.load(spec)                  # expired: fresh load
+        assert m3 is not m1
+
 
 class TestConfigSurface:
     def test_defaults(self, spark, tmp_metastore):

@@ -109,6 +109,20 @@ class TestStratifiedSample:
         """).fetchall())
         assert got == want
 
+    def test_threshold_survives_2_31_row_strata(self, spark):
+        """The decimal form of the keep-threshold must not overflow when
+        the smallest stratum exceeds 2^31 rows (round-4 ADVICE: the long
+        form wrapped negative with ANSI off -> silently empty sample).
+        Evaluated on literal counts — no need to build 2^31 rows."""
+        from parquet_index_spark.operators.sampling import HASH_SPACE
+        row = spark.createDataFrame(
+            [(3_000_000_000, 9_000_000_000)], "__t long, __n long"
+        ).selectExpr(
+            f"CAST(__t AS DECIMAL(38,0)) * {HASH_SPACE} div __n AS thr"
+        ).head()
+        assert row["thr"] == (3_000_000_000 * HASH_SPACE) // 9_000_000_000
+        assert row["thr"] > 0
+
 
 class TestTemperatureSample:
     @pytest.fixture(scope="class")

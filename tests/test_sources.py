@@ -123,6 +123,32 @@ class TestZOrder:
             step = sum(abs(a - b) for a, b in zip(byd[d], byd[d + 1]))
             assert step == 1, (d, byd[d], byd[d + 1])
 
+    def test_null_keys_cluster_deterministically(self, spark):
+        """NULL clustering values clamp to the TOP cell of their
+        dimension (greatest/least ignore NULL operands) on BOTH curve
+        paths — deterministic placement, no NaN crash in the Hilbert
+        numpy kernel (round-4 ADVICE), and an all-NULL column fails
+        loudly instead of TypeError-ing on float(None)."""
+        import pytest as _pytest
+        from parquet_index_spark.sources import (with_hilbert_key,
+                                                 zorder_key)
+        df = spark.createDataFrame(
+            [(None, 5), (3, None), (None, None), (7, 7)], "x int, y int")
+        got = with_hilbert_key(df, ["x", "y"], bits=4).collect()
+        assert len(got) == 4
+        keys = {(r["x"], r["y"]): r["__hkey"] for r in got}
+        assert all(k is not None for k in keys.values())
+        # NULLs land in the same curve cell as the true max -> same key
+        assert keys[(None, None)] == keys[(7, 7)]
+        mkeys = {(r["x"], r["y"]): r["mk"] for r in
+                 df.withColumn("mk", zorder_key(df, ["x", "y"], 4))
+                 .collect()}
+        assert mkeys[(None, None)] == mkeys[(7, 7)]
+        all_null = spark.createDataFrame([(None, 1), (None, 2)],
+                                         "x int, y int")
+        with _pytest.raises(ValueError, match="no non-null values"):
+            with_hilbert_key(all_null, ["x", "y"], bits=4).collect()
+
     def test_hilbert_rejects_bad_dimensionality(self, spark):
         from parquet_index_spark.sources import with_hilbert_key
         df = spark.createDataFrame([Row(x=1, y=2)])
