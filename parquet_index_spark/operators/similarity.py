@@ -128,13 +128,27 @@ def lsh_bucket_histogram(df: DataFrame, vec_col: str = "embedding",
 
 
 def query_probe_buckets(query_vec: Sequence[float], num_planes: int = 8,
-                        num_probes: int = 1) -> List[int]:
-    """The query's bucket plus multi-probe neighbors.
+                        num_probes: int = 1,
+                        max_flips: int = 3) -> List[int]:
+    """The query's bucket plus multi-probe neighbors, query-directed.
 
-    Multi-probe LSH: the buckets most likely to hold missed neighbors are
-    those differing in the planes where the query's dot product is closest
-    to zero. Probing them raises recall without more planes (i.e. without
-    shrinking buckets for everyone)."""
+    Multi-probe LSH (Lv et al., VLDB'07): the buckets most likely to hold
+    missed neighbors are those reached by flipping the planes where the
+    query's dot product is closest to zero. Perturbation sets are ranked
+    by TOTAL flipped margin — a two-bit flip of two near-zero planes
+    outranks a one-bit flip of a confident plane — over subsets of up to
+    ``max_flips`` planes; probing them raises recall without more planes
+    (i.e. without shrinking buckets for everyone). The first bucket is
+    always the query's own (num_probes=1 == exact-bucket probing).
+
+    On near-orthogonal vectors (no genuinely close neighbors, cos ~ 0.4)
+    sign agreement per plane is ~0.6 and true top-k scatter across many
+    buckets — recall stays low for ANY probe budget; that is the method's
+    physics, not a tuning failure (bench.py measures recall@10 against
+    the exact scan to keep this visible; the IVF tier is the quality
+    path for such distributions)."""
+    from itertools import combinations
+
     dots = []
     for p in range(num_planes):
         d = 0.0
@@ -146,11 +160,17 @@ def query_probe_buckets(query_vec: Sequence[float], num_planes: int = 8,
     for p, d in enumerate(dots):
         if d > 0:
             base |= 1 << p
-    # flip the lowest-confidence bits, one at a time, most marginal first
-    order = sorted(range(num_planes), key=lambda p: abs(dots[p]))
+    sets = []
+    for r in range(1, min(max_flips, num_planes) + 1):
+        for subset in combinations(range(num_planes), r):
+            sets.append((sum(abs(dots[p]) for p in subset), subset))
+    sets.sort()
     buckets = [base]
-    for p in order[:max(0, num_probes - 1)]:
-        buckets.append(base ^ (1 << p))
+    for _, subset in sets[:max(0, num_probes - 1)]:
+        flip = 0
+        for p in subset:
+            flip |= 1 << p
+        buckets.append(base ^ flip)
     return buckets
 
 

@@ -346,8 +346,10 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
     temp dir, untouched files and metadata entries are renamed in (cheap,
     no data copied), and the table flips via two directory renames with
     rollback; the index refresh afterwards diffs the manifest (removed +
-    new files) incrementally. Requires a non-partitioned table and
-    ``updates`` with exactly the table's columns.
+    new files) incrementally. ``updates`` must carry exactly the table's
+    columns (for a hive-partitioned table that includes the partition
+    columns; an update carrying a different partition value than the
+    stored row migrates the row between partition directories).
 
     Returns {files_total, files_rewritten, rows_updated, rows_inserted}.
     """
@@ -362,10 +364,7 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
     table = ctx.index.parquet(path)
     meta = table._metadata
     _require_index_current(spark, meta, "merge_into")
-    if meta.partition_columns:
-        raise ValueError(
-            "merge_into supports non-partitioned tables only; "
-            f"{path!r} is partitioned by {list(meta.partition_columns)}")
+    pcols = list(meta.partition_columns)
     table_cols = [f.name for f in meta.data_schema.fields]
     if sorted(updates.columns) != sorted(table_cols):
         raise ValueError(
@@ -411,8 +410,9 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
 
     n_updates = updates.count()
     if affected_abs:
-        current = spark.read.schema(meta.data_schema) \
-            .parquet(*sorted(affected_abs))
+        current = (spark.read.schema(meta.data_schema)
+                   .option("basePath", meta.table_path)
+                   .parquet(*sorted(affected_abs)))
         rows_updated = (updates.join(current.select(key), key, "left_semi")
                         .count())
         merged = current.join(updates.select(key), key, "left_anti") \
@@ -426,7 +426,17 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
 
     tmp = path.rstrip("/") + "__merge_tmp"
     bak = path.rstrip("/") + "__merge_bak"
-    merged.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    # partitioned: rewrite partition-aware (one task per partition value;
+    # see delete_where). A key whose update carries a DIFFERENT partition
+    # value migrates naturally — the stale row's file is in the affected
+    # set (key pruning is partition-agnostic) so the anti-join drops it,
+    # and partitionBy routes the fresh row to its new directory.
+    out = (merged.repartition(n_out, *pcols) if pcols
+           else merged.repartition(n_out))
+    writer = out.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(tmp)
     _staged_swap(spark, path, tmp, bak, affected_abs, label="merge")
     ctx.index.refresh.parquet(path)
     return {"files_total": len(all_rel),
@@ -475,7 +485,11 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
             if u in affected_abs:
                 continue
             dst = jvm.org.apache.hadoop.fs.Path(dst_dir, src.getName())
-            if st.isDirectory() and u in affected_dirs:
+            # merge (not rename) a dir when it holds affected files OR
+            # the rewrite already created its counterpart (an insert into
+            # an existing partition none of whose files matched): Hadoop
+            # rename onto an existing dir would NEST src inside it
+            if st.isDirectory() and (u in affected_dirs or fs.exists(dst)):
                 fs.mkdirs(dst)  # idempotent if the rewrite made it
                 stage(src, dst)
                 continue

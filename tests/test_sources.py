@@ -591,6 +591,41 @@ class TestMergeInto:
             merge_into(ctx, path, spark.createDataFrame(
                 [(None, 1, "x")], "k long, v long, s string"), "k")
 
+    def test_partitioned_upsert_insert_and_migration(self, spark, ctx,
+                                                     tmp_table_dir):
+        """MERGE on a hive-partitioned table: updates rewrite only
+        may-match files partition-aware; an insert into an existing
+        partition whose files did NOT match lands beside the renamed-in
+        originals (the swap's merge-not-nest guard); an update carrying
+        a different partition value migrates the row between partition
+        directories; a brand-new partition value creates its dir."""
+        from pyspark.sql import Row, functions as F
+        from parquet_index_spark.sources import merge_into
+        path = os.path.join(tmp_table_dir, "mip")
+        (spark.range(0, 4000)
+         .select(F.col("id").alias("k"), (F.col("id") % 4).alias("p"),
+                 (F.col("id") % 9).cast("long").alias("v"))
+         .repartitionByRange(4, "k").write.partitionBy("p").parquet(path))
+        ctx.index.create.indexBy("k").parquet(path)
+        ups = spark.createDataFrame([
+            Row(k=8, p=0, v=-1),         # in-place update, partition 0
+            Row(k=9, p=2, v=-2),         # MIGRATION: stored p=1 -> p=2
+            Row(k=100_000, p=3, v=-3),   # insert, existing partition
+            Row(k=100_001, p=9, v=-4),   # insert, brand-new partition
+        ]).select("k", F.col("p").cast("int"), "v")  # hive infers p: int
+        info = merge_into(ctx, path, ups, "k")
+        assert info["rows_updated"] == 2 and info["rows_inserted"] == 2
+        t = ctx.index.parquet(path).df
+        assert t.count() == 4002
+        assert t.filter("k = 8").head()["v"] == -1
+        mig = t.filter("k = 9").collect()
+        assert len(mig) == 1 and mig[0]["p"] == 2 and mig[0]["v"] == -2
+        assert t.filter("p = 9").count() == 1
+        assert t.filter("k = 100000 AND p = 3").count() == 1
+        # index stays consistent: point lookups prune and hit
+        got = ctx.index.parquet(path).filter("k = 100001").collect()
+        assert len(got) == 1 and got[0]["v"] == -4
+
     def test_insert_only_batch_keeps_all_files(self, spark, ctx,
                                                tmp_table_dir):
         """All-new keys above the table's max: min/max stats exclude every
