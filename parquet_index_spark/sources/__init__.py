@@ -290,26 +290,71 @@ def compact_table(spark, path: str, target_file_mb: int = 128,
     replaced, and rebuilds). The swap window is two renames — a reader
     racing it should go through the index, whose manifest flips atomically
     with the refresh. Returns {files_before, files_after, bytes}.
+
+    Hive-partitioned tables keep their layout: the rewrite range-
+    partitions on (partition columns, ...) so each task holds one (or a
+    boundary pair of) partition value(s) and the partitionBy write
+    re-creates the directory structure with per-partition file counts
+    proportional to their data share — a skewed partition compacts into
+    several files instead of one giant one.
     """
+    import os
+
+    from pyspark.sql import functions as F
+
     if target_file_mb < 1:
         raise ValueError(f"target_file_mb must be >= 1, got {target_file_mb}")
     files = _parquet_files(spark, path)
     if not files:
         raise ValueError(f"no parquet data files under {path!r}")
+    # hive layout detection from the data-file paths themselves (works
+    # without an index): dir components shaped name=value
+    fs, jpath = _fs_for(spark, path)
+    base = jpath.toUri().getPath().rstrip("/")
+    pcols: List[str] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        nm = st.getPath().getName()
+        if nm.endswith(".parquet") and not nm.startswith(("_", ".")):
+            rel = os.path.relpath(st.getPath().toUri().getPath(), base)
+            pcols = [comp.split("=", 1)[0]
+                     for comp in rel.split(os.sep)[:-1] if "=" in comp]
+            break
     total = sum(sz for _, sz in files)
     n_target = max(1, -(-total // (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     if zorder_by:
+        bad = sorted(set(zorder_by) & set(pcols))
+        if bad:
+            raise ValueError(
+                f"zorder_by columns {bad} are partition columns; the "
+                "directory layout already clusters them")
         key = zorder_key(df, zorder_by, bits)
-        out = (df.withColumn("__zkey", key)
-               .repartitionByRange(int(n_target), "__zkey")
-               .sortWithinPartitions("__zkey")
-               .drop("__zkey"))
+        spread = [F.col("__zkey")]
+        out = df.withColumn("__zkey", key)
     else:
-        out = df.repartition(int(n_target))
+        # rand spreads a skewed partition across adjacent range buckets
+        # (same pcol value stays contiguous), giving it a proportional
+        # share of the n_target output files
+        spread = [F.rand(42)] if pcols else []
+        out = df
+    if pcols or zorder_by:
+        out = (out.repartitionByRange(
+                   int(n_target), *[F.col(c) for c in pcols], *spread)
+               .sortWithinPartitions(*pcols, *[c for c in
+                                               (["__zkey"] if zorder_by
+                                                else [])]))
+        if zorder_by:
+            out = out.drop("__zkey")
+    else:
+        out = out.repartition(int(n_target))
     tmp = path.rstrip("/") + "__compact_tmp"
     bak = path.rstrip("/") + "__compact_bak"
-    out.write.mode("overwrite").parquet(tmp)
+    writer = out.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(tmp)
     fs, jpath = _fs_for(spark, path)
     jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
     jbak = spark._jvm.org.apache.hadoop.fs.Path(bak)

@@ -1135,6 +1135,41 @@ class TestMergeSink:
         assert t.filter("k BETWEEN 2000 AND 2009 AND v = -1").count() == 10
         assert t.filter("k BETWEEN 2100 AND 2109 AND v = -2").count() == 10
 
+    def test_cdc_into_partitioned_table(self, spark, tmp_path):
+        """The CDC merge sink drives a hive-partitioned target end-to-end
+        now that merge_into/delete_where are partition-aware: upserts
+        land in their partition dirs, deletes remove across partitions."""
+        from pyspark.sql import Row, functions as F
+        from parquet_index_spark import QueryContext, streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        spark.conf.set("spark.sql.index.metastore", str(tmp_path / "ms"))
+        ctx = QueryContext(spark)
+        path = str(tmp_path / "pt")
+        (spark.range(0, 2000)
+         .select(F.col("id").alias("k"),
+                 (F.col("id") % 4).cast("int").alias("p"),
+                 (F.col("id") % 9).cast("long").alias("v"))
+         .repartitionByRange(4, "k").write.partitionBy("p").parquet(path))
+        ctx.index.create.indexBy("k").parquet(path)
+        cdc = str(tmp_path / "cdc")
+        rows = [Row(k=4, p=0, v=400, op="u"),      # update in p=0
+                Row(k=5, p=1, v=500, op="d"),      # delete from p=1
+                Row(k=9000, p=2, v=1, op="u")]     # insert into p=2
+        (spark.createDataFrame(rows)
+         .select("k", F.col("p").cast("int"), "v", "op")
+         .coalesce(1).write.parquet(cdc))
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(cdc).schema).parquet(cdc))
+        ST.write_merge_sink(stream, path, str(tmp_path / "ck"), ctx, "k",
+                            op_col="op")
+        t = ctx.index.parquet(path).df
+        assert t.count() == 2000
+        assert t.filter("k = 4").head()["v"] == 400
+        assert t.filter("k = 5").count() == 0
+        got = t.filter("k = 9000").collect()
+        assert len(got) == 1 and got[0]["p"] == 2
+
     def test_cdc_delete_ops(self, spark, tmp_path):
         """op_col contract: rows with the delete op remove their key,
         others upsert; with seq_col the LATEST change per key wins —

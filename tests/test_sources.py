@@ -496,6 +496,38 @@ class TestCompaction:
         info = ctx.index.last_prune_info
         assert info.total_files == stats["files_after"]
 
+    def test_compact_partitioned_preserves_layout(self, spark, ctx,
+                                                  tmp_table_dir):
+        """Compacting a hive-partitioned table must keep the directory
+        layout (previously the rewrite folded partition values into
+        top-level data files, silently destroying the layout): fewer
+        files per partition dir, same rows, partition columns still
+        directory-encoded (not embedded in the data files)."""
+        import glob
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import compact_table
+        path = os.path.join(tmp_table_dir, "cp")
+        (spark.range(0, 30_000)
+         .select("id", (F.col("id") % 3).alias("p"),
+                 F.sha1(F.col("id").cast("string")).alias("payload"))
+         .repartition(8).write.partitionBy("p").parquet(path))
+        ctx.index.create.indexBy("id").parquet(path)
+        before = len(glob.glob(os.path.join(path, "p=*", "*.parquet")))
+        assert before == 24  # 8 tasks x 3 partitions
+        info = compact_table(spark, path, target_file_mb=128)
+        dirs = sorted(os.path.basename(d) for d in
+                      glob.glob(os.path.join(path, "p=*")))
+        assert dirs == ["p=0", "p=1", "p=2"]
+        after = glob.glob(os.path.join(path, "p=*", "*.parquet"))
+        assert len(after) < before
+        assert info["files_before"] == 24
+        t = ctx.index.parquet(path)
+        assert t.df.count() == 30_000
+        assert t.filter("id = 7").head()["p"] == 1
+        # partition values stay directory-encoded
+        one = spark.read.parquet(after[0])
+        assert "p" not in one.columns
+
     def test_compact_with_zorder_recluster(self, spark, ctx, tmp_table_dir):
         from parquet_index_spark.sources import compact_table
         from pyspark.sql import functions as F
