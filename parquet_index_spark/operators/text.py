@@ -268,3 +268,44 @@ def text_profile(df: DataFrame, text_col: str = "text",
         F.round((len_ok + sw_ok + atl_ok) / 3.0, 4).alias("quality"),
         best.alias("pred_lang"),
         "fingerprint")
+
+
+# PII patterns restricted to constructs Java regex (Spark) and RE2
+# (DuckDB) evaluate identically — no lookarounds, no backrefs. Redaction
+# order matters only across families that could nest; these three cannot
+# (emails need letters, phones are dash/dot-separated 3-3-4 digit runs,
+# IPv4 needs dotted digit quads), so any order yields the same text.
+PII_PATTERNS: Dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII detection counts — the release-gate signal of a
+    training-data pipeline (count first, redact or drop second).
+
+    One pass of JVM-side ``regexp_count`` per pattern family (codegen, no
+    Python); at 100 TB this is a map-only projection with zero shuffle.
+    Appends (n_emails, n_phones, n_ipv4, has_pii) so it composes with
+    :func:`redact_pii` on a single scan, no join."""
+    cnt = {k: F.regexp_count(F.col(text_col), F.lit(p))
+           for k, p in PII_PATTERNS.items()}
+    return df.withColumns({
+        "n_emails": cnt["email"],
+        "n_phones": cnt["phone"],
+        "n_ipv4": cnt["ipv4"],
+        "has_pii": cnt["email"] + cnt["phone"] + cnt["ipv4"] > 0})
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = None) -> DataFrame:
+    """Replace every PII match with a typed placeholder (``<EMAIL>``,
+    ``<PHONE>``, ``<IPV4>``) — the redact-in-place alternative to
+    dropping documents. Chained ``regexp_replace`` stays whole-stage
+    codegen; map-only at any scale."""
+    out = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return df.withColumn(out_col or text_col, out)

@@ -3916,6 +3916,83 @@ FROM sig GROUP BY lang ORDER BY lang
 """
 
 
+def pii_redaction_stats(spark, sf_dir):
+    """PII detect + redact end-to-end (operators/text.pii_signals /
+    redact_pii): the synthetic corpus carries no natural PII, so the
+    query plants deterministic emails/phones/IPv4s keyed on doc_id
+    (identical expression in the oracle), then counts per family and
+    measures the redaction's character delta per language. One scan,
+    map-only detection and redaction (regexp_count/regexp_replace in
+    codegen), one aggregation shuffle — the plan shape a 100 TB
+    release-gate pass needs. The oracle replays detection AND redaction
+    with the same RE2/Java-portable patterns, so the hash certifies
+    match semantics, placeholder substitution, and the count algebra."""
+    from parquet_index_spark.operators.text import pii_signals, redact_pii
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit(" from 10.0.0.7")).otherwise(F.lit("")))
+    base = docs.select("doc_id", "lang", aug.alias("text"))
+    x = redact_pii(pii_signals(base), "text", out_col="red")
+    return (x.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("has_pii").cast("long")).alias("docs_with_pii"),
+                 F.sum("n_emails").alias("total_emails"),
+                 F.sum("n_phones").alias("total_phones"),
+                 F.sum("n_ipv4").alias("total_ipv4"),
+                 F.sum(F.length("text") - F.length("red"))
+                 .alias("chars_redacted"))
+            .orderBy("lang"))
+
+
+PII_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.0.7'
+                 ELSE '' END AS text
+  FROM documents
+),
+sig AS (
+  SELECT lang,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text,
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+         len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+         length(text) - length(
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'))
+           AS delta
+  FROM base
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_emails + n_phones + n_ipv4 > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(sum(n_emails) AS BIGINT) AS total_emails,
+       CAST(sum(n_phones) AS BIGINT) AS total_phones,
+       CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+       CAST(sum(delta) AS BIGINT) AS chars_redacted
+FROM sig GROUP BY lang ORDER BY lang
+"""
+
+
 def temperature_sample_langs(spark, sf_dir):
     """Temperature-flattened mixture (operators/sampling.temperature_
     sample, alpha=0.5): large languages are downweighted by
@@ -4038,6 +4115,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # round-4's (all green in CORRECTNESS_r04) follow.
     "stream_merge_cdc_ops": (stream_merge_cdc_ops, STREAM_CDC_OPS_SQL),
     "idx_delete_partitioned": (idx_delete_partitioned, IDX_DELETE_PART_SQL),
+    "pii_redaction_stats": (pii_redaction_stats, PII_SQL),
     "freq_terms_top20": (freq_terms_top20, FREQ_TERMS_SQL),
     "lang_id_confusion": (lang_id_confusion, LANG_CONFUSION_SQL),
     "rolling_anomaly_events": (rolling_anomaly_events, ROLLING_ANOMALY_SQL),

@@ -202,6 +202,35 @@ class TestSimilarity:
 
 
 class TestText:
+    def test_pii_detect_and_redact(self, spark):
+        """Counts per family, typed placeholders, non-PII text untouched,
+        and no cross-family false positives (phone digits are not an IP,
+        an email's host is not an IP)."""
+        from parquet_index_spark.operators.text import (pii_signals,
+                                                        redact_pii)
+        rows = [
+            Row(doc_id=1, text="mail a.b_c%x@sub.example.org now"),
+            Row(doc_id=2, text="call 555-867-5309 or 555.123.4567"),
+            Row(doc_id=3, text="host 10.0.0.7 and 192.168.1.42"),
+            Row(doc_id=4, text="nothing sensitive 12345 here."),
+            Row(doc_id=5, text="x@y.io via 8.8.8.8 dial 111-222-3333"),
+        ]
+        df = pii_signals(spark.createDataFrame(rows))
+        got = {r["doc_id"]: r for r in redact_pii(df, "text", "red")
+               .collect()}
+        assert (got[1]["n_emails"], got[1]["n_phones"],
+                got[1]["n_ipv4"]) == (1, 0, 0)
+        assert got[1]["red"] == "mail <EMAIL> now"
+        assert got[2]["n_phones"] == 2 and got[2]["n_ipv4"] == 0
+        assert got[2]["red"] == "call <PHONE> or <PHONE>"
+        assert got[3]["n_ipv4"] == 2 and not got[3]["n_emails"]
+        assert got[3]["red"] == "host <IPV4> and <IPV4>"
+        assert not got[4]["has_pii"]
+        assert got[4]["red"] == got[4]["text"]
+        assert (got[5]["n_emails"], got[5]["n_phones"],
+                got[5]["n_ipv4"]) == (1, 1, 1)
+        assert got[5]["red"] == "<EMAIL> via <IPV4> dial <PHONE>"
+
     def test_profile_columns(self, docs):
         prof = X.text_profile(docs).collect()
         by_id = {r["doc_id"]: r for r in prof}
