@@ -358,3 +358,73 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
             f"connected_components did not converge in {max_iter} rounds; "
             "the graph has an extremely deep component — raise max_iter")
     return labels
+
+
+def repeated_spans(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", span_tokens: int = 8,
+                   max_docs: int = 2) -> DataFrame:
+    """Corpus-wide repeated spans: split each document into fixed-width
+    token spans and return the spans appearing in MORE than ``max_docs``
+    distinct documents — boilerplate (navigation chrome, license
+    footers, spam templates) by the C4/MassiveText definition.
+
+    Scale shape: posexplode feeds a map-side-combinable
+    (span -> distinct docs) aggregation; the output is only the
+    offending spans, which is bounded by corpus boilerplate volume —
+    small enough to broadcast back in :func:`span_dedup`."""
+    toks = tokens(text_col)
+    k = span_tokens
+    spans = F.transform(
+        F.sequence(F.lit(0),
+                   F.ceil(F.size(toks) / F.lit(k)).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)))
+    exploded = (df.select(F.col(id_col), spans.alias("__spans"))
+                .select(F.col(id_col),
+                        F.explode("__spans").alias("span")))
+    return (exploded.groupBy("span")
+            .agg(F.countDistinct(id_col).alias("n_docs"))
+            .filter(F.col("n_docs") > max_docs))
+
+
+def span_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", span_tokens: int = 8,
+               max_docs: int = 2) -> DataFrame:
+    """C4/MassiveText-style repeated-span removal: drop every span that
+    occurs in more than ``max_docs`` distinct documents and reassemble
+    each document from its surviving spans, order preserved.
+
+    Two shuffles at any corpus size: the span-frequency aggregation
+    (map-side combinable) and the per-document reassembly; the offending
+    span set itself is BROADCAST back onto the exploded stream (anti
+    join), so the heavy span stream is never shuffled by span. Returns
+    (id, clean text, n_spans, n_spans_removed)."""
+    toks = tokens(text_col)
+    k = span_tokens
+    spans = F.transform(
+        F.sequence(F.lit(0),
+                   F.ceil(F.size(toks) / F.lit(k)).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)))
+    bad = repeated_spans(df, text_col, id_col, span_tokens, max_docs)
+    exploded = (df.select(F.col(id_col), spans.alias("__spans"))
+                .select(F.col(id_col),
+                        F.posexplode("__spans").alias("pos", "span")))
+    kept = exploded.join(F.broadcast(bad.select("span")), "span",
+                         "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.sort_array(F.collect_list(
+                                F.struct("pos", "span"))),
+                            lambda s: s["span"])).alias("clean_text"),
+                    F.count("*").alias("n_kept")))
+    totals = df.select(F.col(id_col),
+                       F.size(spans).alias("n_spans"))
+    # a document whose every span was removed vanishes from `kept`; the
+    # left join resurrects it with empty text (caller gates on it)
+    return (totals.join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_spans",
+                    (F.col("n_spans") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("long").alias("n_spans_removed")))

@@ -3916,6 +3916,69 @@ FROM sig GROUP BY lang ORDER BY lang
 """
 
 
+def span_dedup_stats(spark, sf_dir):
+    """C4/MassiveText-style repeated-span removal end-to-end
+    (operators/dedup.span_dedup): 4-token spans occurring in more than
+    2 distinct documents (boilerplate by the C4 definition) are cut from
+    every document, which is reassembled from its surviving spans in
+    order. Two shuffles at any corpus size (span-frequency agg +
+    per-doc reassembly); the offending-span set broadcasts back as an
+    anti join, so the heavy exploded stream never shuffles by span. The
+    oracle replays the chunking, threshold, cut, and ordered
+    reassembly — one resurrected span or a reordered rebuild breaks the
+    hash."""
+    from parquet_index_spark.operators.dedup import span_dedup
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = span_dedup(docs, span_tokens=4, max_docs=2)
+    labeled = docs.select("doc_id", "lang").join(cleaned, "doc_id")
+    return (labeled.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_spans").alias("total_spans"),
+                 F.sum("n_spans_removed").alias("spans_removed"),
+                 F.sum(F.when(F.col("n_spans_removed") == 0, 1)
+                       .otherwise(0)).alias("docs_untouched"),
+                 F.sum(F.length("clean_text")).alias("clean_chars"))
+            .orderBy("lang"))
+
+
+SPAN_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+  FROM documents),
+spans_list AS (
+  SELECT doc_id, lang,
+         list_transform(
+           generate_series(0, CAST(ceil(len(t) / 4.0) AS INT) - 1),
+           i -> array_to_string(t[i*4+1 : i*4+4], ' ')) AS spans
+  FROM toks),
+spans AS (
+  SELECT doc_id, lang,
+         unnest(range(len(spans))) AS pos,
+         unnest(spans) AS span
+  FROM spans_list),
+bad AS (
+  SELECT span FROM spans GROUP BY span
+  HAVING count(DISTINCT doc_id) > 2),
+kept AS (SELECT s.* FROM spans s ANTI JOIN bad USING (span)),
+rebuilt AS (
+  SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+final AS (
+  SELECT sl.lang, len(sl.spans) AS n_spans,
+         coalesce(r.n_kept, 0) AS n_kept,
+         coalesce(r.clean_text, '') AS clean_text
+  FROM spans_list sl LEFT JOIN rebuilt r USING (doc_id))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_spans) AS BIGINT) AS total_spans,
+       CAST(sum(n_spans - n_kept) AS BIGINT) AS spans_removed,
+       CAST(sum(CASE WHEN n_spans = n_kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_untouched,
+       CAST(sum(length(clean_text)) AS BIGINT) AS clean_chars
+FROM final GROUP BY lang ORDER BY lang
+"""
+
+
 def pii_redaction_stats(spark, sf_dir):
     """PII detect + redact end-to-end (operators/text.pii_signals /
     redact_pii): the synthetic corpus carries no natural PII, so the
@@ -4116,6 +4179,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "stream_merge_cdc_ops": (stream_merge_cdc_ops, STREAM_CDC_OPS_SQL),
     "idx_delete_partitioned": (idx_delete_partitioned, IDX_DELETE_PART_SQL),
     "pii_redaction_stats": (pii_redaction_stats, PII_SQL),
+    "span_dedup_stats": (span_dedup_stats, SPAN_DEDUP_SQL),
     "freq_terms_top20": (freq_terms_top20, FREQ_TERMS_SQL),
     "lang_id_confusion": (lang_id_confusion, LANG_CONFUSION_SQL),
     "rolling_anomaly_events": (rolling_anomaly_events, ROLLING_ANOMALY_SQL),

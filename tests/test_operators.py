@@ -830,6 +830,35 @@ class TestScaleHardening:
         assert joined.filter("cluster_id <> re_cid").count() == 0
 
 
+class TestSpanDedup:
+    def test_repeated_spans_removed_order_preserved(self, spark):
+        """C4-style span removal: a span shared by >max_docs documents is
+        cut from every document; surviving spans keep their order; a doc
+        reduced to nothing survives as empty text with full accounting."""
+        from parquet_index_spark.operators.dedup import (repeated_spans,
+                                                         span_dedup)
+        rows = [
+            Row(doc_id=1, text="a b c d unique one here now"),
+            Row(doc_id=2, text="a b c d other words in doc"),
+            Row(doc_id=3, text="third time same span a b c d"),
+            Row(doc_id=4, text="totally different text body here"),
+            Row(doc_id=5, text="a b c d"),
+        ]
+        df = spark.createDataFrame(rows)
+        bad = repeated_spans(df, span_tokens=4, max_docs=2).collect()
+        assert [(r["span"], r["n_docs"]) for r in bad] == [("a b c d", 4)]
+        got = {r["doc_id"]: r for r in
+               span_dedup(df, span_tokens=4, max_docs=2).collect()}
+        assert got[1]["clean_text"] == "unique one here now"
+        assert got[3]["clean_text"] == "third time same span"
+        assert got[4]["clean_text"] == rows[3].text  # untouched
+        assert got[4]["n_spans_removed"] == 0
+        assert got[5]["clean_text"] == "" and got[5]["n_spans_removed"] == 1
+        # the count threshold: a span in exactly max_docs docs survives
+        few = spark.createDataFrame(rows[:2])
+        assert repeated_spans(few, span_tokens=4, max_docs=2).count() == 0
+
+
 class TestConnectedComponents:
     def _cc(self, spark, edges):
         df = spark.createDataFrame(edges, "id_a long, id_b long")

@@ -66,7 +66,7 @@ _CORE = {
     "stream_merge_upsert", "repetition_flags_by_lang",
     # round-5 graded-window additions
     "stream_merge_cdc_ops", "idx_delete_partitioned",
-    "pii_redaction_stats",
+    "pii_redaction_stats", "span_dedup_stats",
 }
 
 
