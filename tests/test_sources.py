@@ -290,6 +290,35 @@ class TestDeleteWhere:
         got = sorted(map(tuple, ctx.index.parquet(path).df.collect()))
         assert got == want
 
+    @pytest.mark.parametrize("pred", [
+        "p = 1",                                   # whole-partition drop
+        "p IN (0, 2) AND id < 300",                # partition + row range
+        "id BETWEEN 900 AND 2100",                 # spans partitions
+        "v = 4 OR p = 3",                          # disjunct across dims
+    ])
+    def test_differential_partitioned_delete(self, spark, ctx,
+                                             tmp_table_dir, pred):
+        """Partitioned DELETE sweep: same rows as the relational
+        NOT-filter across partition-only, mixed, and cross-partition
+        predicate shapes; partition values survive the rewrite."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import delete_where
+        path = os.path.join(tmp_table_dir,
+                            f"dwp{abs(hash(pred)) % 10_000}")
+        (spark.range(0, 4000)
+         .select("id", (F.col("id") % 4).alias("p"),
+                 F.when(F.col("id") % 10 != 0, F.col("id") % 9)
+                 .cast("long").alias("v"))
+         .repartitionByRange(3, "id").write.partitionBy("p").parquet(path))
+        ctx.index.create.indexBy("id", "v").parquet(path)
+        original = spark.read.parquet(path).select("id", "p", "v")
+        want = sorted(map(tuple, original.filter(
+            F.coalesce(~F.expr(pred), F.lit(True))).collect()))
+        delete_where(ctx, path, pred)
+        got = sorted(map(tuple, ctx.index.parquet(path).df
+                         .select("id", "p", "v").collect()))
+        assert got == want
+
     def test_partitioned_whole_partition_drop(self, spark, ctx,
                                               tmp_table_dir):
         """DELETE WHERE p = v on a hive-partitioned table: the partition
