@@ -292,11 +292,16 @@ def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     :func:`redact_pii` on a single scan, no join."""
     cnt = {k: F.regexp_count(F.col(text_col), F.lit(p))
            for k, p in PII_PATTERNS.items()}
-    return df.withColumns({
-        "n_emails": cnt["email"],
-        "n_phones": cnt["phone"],
-        "n_ipv4": cnt["ipv4"],
-        "has_pii": cnt["email"] + cnt["phone"] + cnt["ipv4"] > 0})
+    # has_pii references the count COLUMNS (not the regexp expressions):
+    # multiply-referenced non-trivial aliases survive CollapseProject in
+    # their own stage, so each pattern is evaluated once per row, not
+    # twice (same staging trick as text_profile)
+    return (df.withColumns({"n_emails": cnt["email"],
+                            "n_phones": cnt["phone"],
+                            "n_ipv4": cnt["ipv4"]})
+            .withColumn("has_pii",
+                        F.col("n_emails") + F.col("n_phones")
+                        + F.col("n_ipv4") > 0))
 
 
 def redact_pii(df: DataFrame, text_col: str = "text",

@@ -270,3 +270,34 @@ def test_text_profile_tokenizes_once(spark):
     docs = spark.read.parquet(os.path.join(SF_CORRECT, "documents.parquet"))
     plan = text_profile(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert len(re.findall(r"split\(", plan)) == 1, plan
+
+
+class TestRound5PlanQuality:
+    """Plan guards for the round-5 query surface."""
+
+    def test_pii_map_only_before_agg(self, spark):
+        """Detection + redaction are one projected scan: no joins at all,
+        the only exchange is the final language rollup."""
+        from parquet_index_spark.workload import pii_redaction_stats
+        df = pii_redaction_stats(spark, SF_CORRECT)
+        s = plans.join_strategies(df)
+        assert sum(s.values()) == 0, s
+        plan = plans.formatted_plan(df)
+        # 2 Exchange nodes (final agg + output sort), each printed twice
+        # by the formatted renderer
+        assert plan.count("Exchange") <= 4, plan
+        # each pattern: ONE regexp_extract_all (counts) + ONE
+        # regexp_replace (redaction) — has_pii must reference the count
+        # columns, not re-inline the extractions (CollapseProject guard)
+        assert plan.count("[A-Za-z0-9._%+-]+@") == 2, plan
+
+    def test_span_dedup_broadcasts_bad_spans(self, spark):
+        """The offending-span cut must be a broadcast anti join — a
+        shuffle join would repartition the whole exploded span stream by
+        span text."""
+        from parquet_index_spark.workload import span_dedup_stats
+        df = span_dedup_stats(spark, SF_CORRECT)
+        plan = plans.formatted_plan(df)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        s = plans.join_strategies(df)
+        assert s["broadcast_hash"] >= 1, s
