@@ -477,6 +477,38 @@ class TestUpdateWhere:
         assert info["rows_deleted"] == 50
         assert ctx.index.parquet(path).df.count() == 1050
 
+    @pytest.mark.parametrize("pred", [
+        "id < 900",                               # prefix range
+        "id IN (5, 777, 9999, 123456)",           # point set (one absent)
+        "id >= 9100 OR id < 200",                 # disjunctive, both edges
+        "v = 3 AND id BETWEEN 2000 AND 2500",     # conjunct w/ NULL-able v
+    ])
+    def test_differential_vs_relational_update(self, spark, ctx,
+                                               tmp_table_dir, pred):
+        """UPDATE through the index must produce exactly the rows a
+        relational CASE (with NULL-predicate rows untouched) would."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import update_where
+        path = os.path.join(tmp_table_dir,
+                            f"uwdiff{abs(hash(pred)) % 10_000}")
+        (spark.range(0, 10_000)
+         .select("id", F.when(F.col("id") % 10 != 0, F.col("id") % 9)
+                 .cast("long").alias("v"))
+         .repartitionByRange(6, "id").write.parquet(path))
+        ctx.index.create.indexBy("id", "v").parquet(path)
+        original = spark.read.parquet(path)
+        hit = F.coalesce(F.expr(pred), F.lit(False))
+        want = sorted(map(tuple, original.select(
+            "id", F.when(hit, F.lit(-1)).otherwise(F.col("v")).alias("v"))
+            .collect()))
+        n_hit = original.filter(hit).count()  # BEFORE the rewrite: the
+        # lazy df re-lists the mutated table if evaluated afterwards
+        info = update_where(ctx, path, pred, {"v": F.lit(-1)})
+        got = sorted(map(tuple,
+                         ctx.index.parquet(path).df.collect()))
+        assert got == want
+        assert info["rows_updated"] == n_hit
+
     def test_single_read_pass(self, spark, ctx, tmp_table_dir,
                               monkeypatch):
         """rows_updated comes from CollectMetrics (observe) inside the
