@@ -142,3 +142,35 @@ class TestStatlessFileSoundness:
                              spark.read.parquet(path).filter("id > 90"))
         finally:
             spark.conf.set("spark.sql.index.parquet.filter.enabled", "true")
+
+
+class TestDmlOnEvolvedTable:
+    def test_delete_and_update_across_schema_versions(self, spark, ctx,
+                                                      evolving_table):
+        """DML over a table whose newer files carry a late-added column:
+        the merged schema drives both the read (old files yield NULL tag)
+        and the rewrite; deleting by the new column must not touch old
+        rows (NULL predicate -> survive), and an update matching old rows
+        materializes the added column as NULL in the rewritten files
+        without inventing values."""
+        from parquet_index_spark.sources import delete_where, update_where
+        path = evolving_table
+        (spark.range(5000, 6000)
+         .select("id", (F.col("id") % 10).alias("bucket"),
+                 F.concat(F.lit("tag-"), F.col("id")).alias("tag"))
+         .repartition(2).write.mode("append").parquet(path))
+        ctx.index.create.indexBy("id").parquet(path)
+        # delete by the NEW column: v1 rows read tag as NULL -> survive
+        info = delete_where(ctx, path, "tag >= 'tag-59'")
+        t = ctx.index.parquet(path).df
+        assert info["rows_deleted"] == 100  # tag-59xx block
+        assert t.count() == 2000 - 100
+        assert t.filter("tag IS NULL").count() == 1000  # all v1 intact
+        # update OLD rows through a rewrite that must carry the merged
+        # schema: tag stays NULL for v1 rows, real for surviving v2 rows
+        info2 = update_where(ctx, path, "id < 100", {"bucket": F.lit(-1)})
+        t2 = ctx.index.parquet(path).df
+        assert info2["rows_updated"] == 100
+        assert t2.filter("bucket = -1").count() == 100
+        assert t2.filter("bucket = -1 AND tag IS NOT NULL").count() == 0
+        assert t2.filter("tag IS NOT NULL").count() == 900
