@@ -74,3 +74,31 @@ class TestReadmeReproduction:
         # generous bound: pruning must not make us slower; usually >>2x faster
         assert indexed_sec < plain_sec * 1.5, \
             f"indexed {indexed_sec:.2f}s vs plain {plain_sec:.2f}s"
+
+
+class TestAnnQuality:
+    def test_ivf_recall_at_10(self, spark, tmp_path):
+        """The IVF tier is the ANN quality path: recall@10 vs the exact
+        cosine scan must hold at the bench's nprobe (a probe-selection
+        regression would silently return wrong neighbors — latency-only
+        ANN benches are quality-blind)."""
+        import os
+        from parquet_index_spark import QueryContext
+        from parquet_index_spark.operators import similarity as S
+        from tests.conftest import SF_CORRECT
+        spark.conf.set("spark.sql.index.metastore", str(tmp_path / "ms"))
+        ctx = QueryContext(spark)
+        emb = spark.read.parquet(os.path.join(SF_CORRECT,
+                                              "embeddings.parquet"))
+        qvec = [float(x) for x in emb.filter("vec_id = 0")
+                .select("embedding").head()["embedding"]]
+        exact = {r["vec_id"] for r in
+                 S.cosine_topk(emb, qvec, k=10).collect()}
+        ivf_dir = str(tmp_path / "ivf")
+        S.write_ivf_indexed(emb, ivf_dir, ctx, n_centroids=16,
+                            files_per_cluster_hint=8)
+        got = {r["vec_id"] for r in
+               S.ivf_topk_indexed(ctx, ivf_dir, qvec, k=10,
+                                  nprobe=4).collect()}
+        recall = len(got & exact) / 10
+        assert recall >= 0.9, (recall, sorted(got), sorted(exact))
