@@ -388,7 +388,8 @@ def repeated_spans(df: DataFrame, text_col: str = "text",
 
 def span_dedup(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", span_tokens: int = 8,
-               max_docs: int = 2) -> DataFrame:
+               max_docs: int = 2,
+               broadcast_limit: int = 2_000_000) -> DataFrame:
     """C4/MassiveText-style repeated-span removal: drop every span that
     occurs in more than ``max_docs`` distinct documents and reassemble
     each document from its surviving spans, order preserved.
@@ -396,8 +397,13 @@ def span_dedup(df: DataFrame, text_col: str = "text",
     Two shuffles at any corpus size: the span-frequency aggregation
     (map-side combinable) and the per-document reassembly; the offending
     span set itself is BROADCAST back onto the exploded stream (anti
-    join), so the heavy span stream is never shuffled by span. Returns
-    (id, clean text, n_spans, n_spans_removed)."""
+    join), so the heavy span stream is never shuffled by span. Real
+    corpora keep the offending set small (it is bounded by boilerplate
+    volume), but a pathological one (near-duplicate crawl without prior
+    doc-level dedup) could blow the broadcast — above
+    ``broadcast_limit`` offending spans the cut degrades to a shuffle
+    anti join, trading the extra exchange for bounded executor memory.
+    Returns (id, clean text, n_spans, n_spans_removed)."""
     toks = tokens(text_col)
     k = span_tokens
     spans = F.transform(
@@ -408,8 +414,14 @@ def span_dedup(df: DataFrame, text_col: str = "text",
     exploded = (df.select(F.col(id_col), spans.alias("__spans"))
                 .select(F.col(id_col),
                         F.posexplode("__spans").alias("pos", "span")))
-    kept = exploded.join(F.broadcast(bad.select("span")), "span",
-                         "left_anti")
+    # persist so the size probe and the join share ONE materialization
+    # of the frequency agg; limit(n+1).count() bounds the probe itself —
+    # never a full count of a pathological offending set
+    bad_spans = bad.select("span").persist()
+    small = (bad_spans.limit(broadcast_limit + 1).count()
+             <= broadcast_limit)
+    bad_side = F.broadcast(bad_spans) if small else bad_spans
+    kept = exploded.join(bad_side, "span", "left_anti")
     rebuilt = (kept.groupBy(id_col)
                .agg(F.concat_ws(
                         " ",
