@@ -506,3 +506,82 @@ def run_available_now(stream_df: DataFrame, query_name: str,
             f"availableNow drain of {query_name!r} exceeded 300s; "
             "memory sink would be partial")
     return stream_df.sparkSession.table(query_name)
+
+
+RUNNING_ANOM_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("is_anomaly", T.BooleanType()),
+])
+
+RUNNING_ANOM_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    # arbitrary-precision sums as decimal STRINGS: ssq overflows int64
+    # past ~230 events per key, and the state-store Decimal round-trip
+    # is lossy for Python bigints — str(int) <-> int(str) is exact at
+    # any magnitude
+    T.StructField("s", T.StringType()),
+    T.StructField("ssq", T.StringType()),
+])
+
+
+def stream_running_anomaly(events: DataFrame, min_baseline: int = 5,
+                           threshold: int = 3) -> DataFrame:
+    """Streaming per-key anomaly detection: flag each event whose value
+    deviates more than ``threshold`` sample standard deviations from the
+    running mean of ALL its user's PRIOR events (past-only baseline, no
+    leakage) — the stateful-stream analog of
+    operators/timeseries.zscore_anomalies' windowed batch form.
+
+    Exactness/portability: values are scaled to micro-unit integers
+    IN-ENGINE (``cast(value as decimal(18,6)) * 1e6``) before the
+    stateful operator, the running (n, sum, sum-of-squares) state is
+    exact integer arithmetic (Python bigints in the worker; DECIMAL(38,0)
+    in the state store), and the flag is the all-integer squared-form
+    predicate ``(v*n - s)^2 * (n-1) > k^2 * (n*ssq - s^2) * n`` — so a
+    batch SQL engine doing the same cumulative-window integer math
+    produces bit-identical flags (the DuckDB oracle does exactly that).
+
+    Ordering contract: rows are processed in (event_time, event_id)
+    order WITHIN each micro-batch (sorted in the worker); across batches
+    order is arrival order, so a source replaying history must deliver
+    it time-ordered (one sorted file, or time-split files in order) for
+    parity with the batch window. State per key is three numbers —
+    a million-key stream carries megabytes."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k2 = threshold * threshold
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+        n, s, ssq = (int(state.get[0]), int(state.get[1]),
+                     int(state.get[2])) if state.exists else (0, 0, 0)
+        # a key's rows may span Arrow chunks: sort the whole batch, not
+        # each chunk (one key's per-batch rows fit a worker by the same
+        # argument as any applyInPandas group)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        ids, flags = [], []
+        if chunks:
+            batch = (pd.concat(chunks)
+                     .sort_values(["event_time", "event_id"]))
+            for eid, v in zip(batch["event_id"].astype("int64").tolist(),
+                              batch["__v6"].astype("int64").tolist()):
+                if n >= min_baseline:
+                    lhs = (v * n - s) ** 2 * (n - 1)
+                    rhs = k2 * (n * ssq - s * s) * n
+                    flags.append(lhs > rhs)
+                else:
+                    flags.append(False)
+                ids.append(eid)
+                n, s, ssq = n + 1, s + v, ssq + v * v
+        state.update((n, str(s), str(ssq)))
+        yield pd.DataFrame({"user_id": [key[0]] * len(ids),
+                            "event_id": ids, "is_anomaly": flags})
+
+    scaled = events.withColumn(
+        "__v6", (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("decimal(38,0)"))
+    return (scaled.groupBy("user_id")
+            .applyInPandasWithState(update, RUNNING_ANOM_OUTPUT,
+                                    RUNNING_ANOM_STATE, "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -3862,6 +3862,58 @@ FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def stream_running_anomaly(spark, sf_dir):
+    """Streaming per-key anomaly detection (streaming.
+    stream_running_anomaly): every event is flagged against the running
+    mean/variance of its user's PRIOR events, state crossing
+    micro-batches via applyInPandasWithState. Exactness contract: values
+    scale to micro-unit integers in-engine, the running (n, sum, ssq)
+    state is exact integer arithmetic, and the flag is the all-integer
+    squared-form predicate — so the DuckDB oracle's cumulative-window
+    integer math produces bit-identical flags; the hash compare
+    certifies the stateful stream against the batch window semantics."""
+    from parquet_index_spark import streaming as ST
+    _STREAM_COUNTER["n"] += 1
+    name = f"pis_stream_anom_{_STREAM_COUNTER['n']}"
+    stream = ST.read_event_stream(spark,
+                                  os.path.join(sf_dir, "events.parquet"))
+    drained = ST.run_available_now(ST.stream_running_anomaly(stream),
+                                   name, output_mode="append")
+    return (drained.groupBy((F.col("user_id") % 10).alias("bucket"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("is_anomaly").cast("long"))
+                 .alias("n_anomalies"),
+                 F.min(F.when(F.col("is_anomaly"), F.col("event_id")))
+                 .alias("first_anomaly_id"))
+            .orderBy("bucket"))
+
+
+STREAM_ANOM_SQL = """
+WITH scaled AS (
+  SELECT user_id, event_id, ts,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS v
+  FROM events),
+cum AS (
+  SELECT user_id, event_id, v,
+         count(*) OVER w AS n,
+         sum(v) OVER w AS s,
+         sum(v*v) OVER w AS ssq
+  FROM scaled
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+flags AS (
+  SELECT user_id, event_id,
+         (n >= 5 AND (v*n - s)*(v*n - s)*(n-1) > 9*(n*ssq - s*s)*n)
+           AS is_anomaly
+  FROM cum)
+SELECT user_id % 10 AS bucket, count(*) AS n_events,
+       CAST(sum(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       min(CASE WHEN is_anomaly THEN event_id END) AS first_anomaly_id
+FROM flags GROUP BY bucket ORDER BY bucket
+"""
+
+
 def repetition_flags_by_lang(spark, sf_dir):
     """Gopher/MassiveText repetition gates (operators/text.
     repetition_signals): per-document duplicate-token, top-token, and
@@ -4180,6 +4232,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_delete_partitioned": (idx_delete_partitioned, IDX_DELETE_PART_SQL),
     "pii_redaction_stats": (pii_redaction_stats, PII_SQL),
     "span_dedup_stats": (span_dedup_stats, SPAN_DEDUP_SQL),
+    "stream_running_anomaly": (stream_running_anomaly, STREAM_ANOM_SQL),
     "freq_terms_top20": (freq_terms_top20, FREQ_TERMS_SQL),
     "lang_id_confusion": (lang_id_confusion, LANG_CONFUSION_SQL),
     "rolling_anomaly_events": (rolling_anomaly_events, ROLLING_ANOMALY_SQL),

@@ -1031,6 +1031,35 @@ class TestStreamGapfill:
         assert starts[0] == b500 - 10 * W and starts[-1] == b500 - W
 
 
+class TestStreamRunningAnomaly:
+    def test_state_crosses_batches_and_matches_batch_math(self, spark,
+                                                          tmp_path):
+        """The baseline accumulates in batch 1 (time-split file 1); the
+        outlier arrives in batch 2 and can only be flagged if (n, sum,
+        ssq) survived the batch boundary. Flags must equal the exact
+        integer batch computation."""
+        import datetime as dt
+        from parquet_index_spark import streaming as ST
+        src = str(tmp_path / "src")
+        t0 = dt.datetime(2024, 1, 1)
+        mk = lambda i, v: (i, t0 + dt.timedelta(minutes=i), 1,
+                           "click", v, "{}")
+        early = [mk(i, float(10 + (i % 3))) for i in range(8)]  # 10,11,12
+        late = [mk(100, 500.0), mk(101, 11.0)]                  # spike
+        spark.createDataFrame(early, ST.EVENTS_SCHEMA).coalesce(1) \
+            .write.parquet(src)                                 # file 1
+        spark.createDataFrame(late, ST.EVENTS_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)                  # file 2
+        stream = ST.read_event_stream(spark, src, max_files_per_trigger=1)
+        out = ST.run_available_now(ST.stream_running_anomaly(stream),
+                                   "anom_xbatch", output_mode="append")
+        got = {r["event_id"]: r["is_anomaly"] for r in out.collect()}
+        assert len(got) == 10
+        assert got[100] is True            # needs batch-1 state
+        assert got[101] is False
+        assert not any(v for k, v in got.items() if k < 100)
+
+
 class TestIndexedSink:
     def test_stream_into_indexed_table(self, spark, tmp_path):
         """Streamed micro-batches land in the table AND the index follows:
