@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "hll_union_sketch_parts", "idx_refresh_append",
     "idx_delete_range", "idx_update_range",
     "idx_delete_partitioned", "stream_merge_cdc_ops",
+    "pii_redaction_stats", "span_dedup_stats", "stream_running_anomaly",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the

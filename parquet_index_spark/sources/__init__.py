@@ -845,3 +845,40 @@ def ensure_bucketed(df: DataFrame, table: str, path: str,
         write_bucketed(df, table, path, bucket_by, n_buckets,
                        sort_by=sort_by, mode="overwrite")
     return spark.table(table)
+
+
+def vacuum_table(spark, path: str) -> dict:
+    """Remove leftover staging/backup directories from interrupted DML:
+    ``<path>__{merge,delete,update,compact}_{tmp,bak}`` siblings. Every
+    mutation here stages beside the table and swaps by rename; a hard
+    crash between staging and swap can strand a sibling dir. Stranded
+    ``*_tmp`` is an unfinished rewrite (the table itself is untouched —
+    safe to drop); stranded ``*_bak`` means the crash hit INSIDE the
+    two-rename swap window — the table may BE the rewrite and the bak
+    the only copy of the pre-image, so bak dirs are only removed when
+    the table directory itself exists and is non-empty. Returns
+    {removed: [paths], kept: [paths]}."""
+    fs, jpath = _fs_for(spark, path)
+    jvm = spark._jvm
+    table_ok = False
+    if fs.exists(jpath):
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            nm = it.next().getPath().getName()
+            if nm.endswith(".parquet") and not nm.startswith(("_", ".")):
+                table_ok = True
+                break
+    removed, kept = [], []
+    base = path.rstrip("/")
+    for op in ("merge", "delete", "update", "compact"):
+        for kind in ("tmp", "bak"):
+            cand = f"{base}__{op}_{kind}"
+            jcand = jvm.org.apache.hadoop.fs.Path(cand)
+            if not fs.exists(jcand):
+                continue
+            if kind == "bak" and not table_ok:
+                kept.append(cand)  # possibly the only copy of the table
+                continue
+            fs.delete(jcand, True)
+            removed.append(cand)
+    return {"removed": removed, "kept": kept}

@@ -621,6 +621,30 @@ class TestCompaction:
             compact_table(spark, os.path.join(tmp_table_dir, "empty"))
 
 
+class TestVacuum:
+    def test_removes_stranded_tmp_keeps_orphan_bak(self, spark, ctx,
+                                                   tmp_table_dir):
+        """Stranded *_tmp dirs (crash before swap) are always safe to
+        drop; a *_bak with NO live table is potentially the only copy of
+        the pre-image and must be kept."""
+        from parquet_index_spark.sources import vacuum_table
+        path = os.path.join(tmp_table_dir, "vt")
+        spark.range(0, 100).coalesce(1).write.parquet(path)
+        os.makedirs(path + "__delete_tmp")
+        os.makedirs(path + "__merge_bak")
+        info = vacuum_table(spark, path)
+        assert sorted(os.path.basename(p) for p in info["removed"]) == \
+            ["vt__delete_tmp", "vt__merge_bak"]
+        assert not os.path.exists(path + "__delete_tmp")
+        # orphan bak: no table data -> bak is kept
+        path2 = os.path.join(tmp_table_dir, "vt2")
+        os.makedirs(path2 + "__update_bak")
+        info2 = vacuum_table(spark, path2)
+        assert info2["removed"] == []
+        assert info2["kept"] == [path2 + "__update_bak"]
+        assert os.path.exists(path2 + "__update_bak")
+
+
 class TestMergeInto:
     def _make_table(self, spark, ctx, tmp_table_dir, name="m"):
         path = os.path.join(tmp_table_dir, name)
