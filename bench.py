@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "idx_delete_range", "idx_update_range",
     "idx_delete_partitioned", "stream_merge_cdc_ops",
     "pii_redaction_stats", "span_dedup_stats", "stream_running_anomaly",
+    "idx_term_search",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the
@@ -400,6 +401,46 @@ def main() -> None:
 
     fast_count = _section(_fast_count_section)
 
+    # Term-index full-text needle lookup: membership over per-block
+    # distinct tokens prunes files; plain path scans + tokenizes the
+    # whole corpus. The idx_term_search warm-up above built the table.
+    def _term_search_section():
+        import tempfile as _tf
+        from pyspark.sql import functions as SF
+        tpath = os.path.join(_tf.gettempdir(), "spark_graft_termidx",
+                             os.path.basename(os.path.normpath(SF_DIR)),
+                             "docs")
+        ms = os.path.join(_tf.gettempdir(), "spark_graft_metastore",
+                          os.path.basename(os.path.normpath(SF_DIR)))
+        spark.conf.set("spark.sql.index.metastore", ms)
+        tctx = QueryContext(spark)
+        t = tctx.index.parquet(tpath)
+        t.contains_term("text", "sentinel400").collect()     # warm
+        t0 = time.time()
+        for _ in range(3):
+            rows = t.contains_term("text", "sentinel400").collect()
+        term_sec = round((time.time() - t0) / 3, 4)
+        prune = tctx.index.last_prune_info
+        plain_df = spark.read.parquet(tpath).filter(
+            SF.array_contains(SF.split(SF.trim("text"), r"\s+"),
+                              "sentinel400"))
+        plain_df.collect()                                   # warm
+        t0 = time.time()
+        for _ in range(3):
+            n_plain = plain_df.count()
+        plain_sec = round((time.time() - t0) / 3, 4)
+        return {
+            "total_files": prune.total_files,
+            "files_scanned": prune.selected_files,
+            "term_lookup_sec": term_sec,
+            "plain_scan_sec": plain_sec,
+            "speedup": round(plain_sec / max(term_sec, 1e-9), 2),
+            "rows": len(rows),
+            "counts_agree": bool(len(rows) == n_plain),
+        }
+
+    term_search = _section(_term_search_section)
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     out = {
         "metric": "workload_total_runtime",
@@ -443,6 +484,7 @@ def main() -> None:
         "ivf_file_skip": ivf_file_skip,
         "zorder_file_skip": zorder_file_skip,
         "fast_count": fast_count,
+        "term_search": term_search,
     }
     print(json.dumps(out))
     spark.stop()

@@ -244,20 +244,67 @@ def _footer_stats_for_file(abs_path: str, relpath: str,
     return rows_out, md.num_row_groups, md.num_rows
 
 
+def _term_stat_row(table, relpath: str, rg: int, n_rows: int,
+                   col: str, base: str, filter_type: str,
+                   dict_max_size: int, bloom_fpp: float) -> dict:
+    """Membership filter over a block's DISTINCT whitespace tokens — the
+    term index behind TermMatch full-text file skipping.
+
+    Tokenization soundness: ``ascii_split_whitespace`` splits on exactly
+    Java regex ``\\s`` ([ \\t\\n\\x0B\\f\\r]), the residual's
+    ``split(trim(text), '\\s+')`` alphabet — a Unicode-whitespace split
+    would fracture tokens the residual keeps whole and make the filter
+    miss them (unsound pruning). min/max are left absent (has_stats
+    False): TermMatch consults membership only, and the pseudo-column is
+    not addressable by ordinary predicates."""
+    row = _stat_row_base(relpath, rg, n_rows, col)
+    if table is None or base not in table.column_names:
+        return row  # no filter => TermMatch soundly may-match
+    chunk = table.column(base)
+    if isinstance(chunk, pa.ChunkedArray):
+        chunk = chunk.combine_chunks()
+    non_null = chunk.drop_null()
+    if len(non_null) == 0:
+        return row
+    terms = pc.unique(pc.list_flatten(pc.ascii_split_whitespace(
+        pc.ascii_trim_whitespace(non_null))))
+    term_list = [t for t in terms.to_pylist() if t]
+    dict_vals, bloom_bytes = build_filters(
+        term_list, ityp.STRING,
+        "dict" if filter_type == "dict" else "bloom",
+        dict_max_size, n_rows, bloom_fpp)
+    if dict_vals is not None:
+        row["dict_str"] = dict_vals
+    row["bloom"] = bloom_bytes
+    return row
+
+
 def _scan_stats_for_file(abs_path: str, relpath: str, index_cols: list,
                          filter_type: str, dict_max_size: int,
                          bloom_fpp: float) -> tuple:
     """Per-block stats + membership filters from a columnar data scan."""
+    from parquet_index_spark.predicates import TERMS_SUFFIX
+
     pf = pq.ParquetFile(abs_path)
     md = pf.metadata
     colnames = [c for c, _ in index_cols]
     present = {f.name for f in pf.schema_arrow}
+    # term pseudo-columns ("<col>#terms") read their BASE text column
+    term_bases = {c[:-len(TERMS_SUFFIX)] for c in colnames
+                  if c.endswith(TERMS_SUFFIX)}
     rows_out = []
     for rg in range(md.num_row_groups):
         want = [c for c in colnames if c in present]
+        want += [b for b in term_bases if b in present and b not in want]
         table = pf.read_row_group(rg, columns=want) if want else None
         n_rows = md.row_group(rg).num_rows
         for col, kind in index_cols:
+            if col.endswith(TERMS_SUFFIX):
+                rows_out.append(_term_stat_row(
+                    table, relpath, rg, n_rows, col,
+                    col[:-len(TERMS_SUFFIX)], filter_type, dict_max_size,
+                    bloom_fpp))
+                continue
             row = _stat_row_base(relpath, rg, n_rows, col)
             if col not in present:
                 # schema evolution: column absent from this file => all

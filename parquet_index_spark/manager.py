@@ -153,6 +153,25 @@ class IndexedDataFrame:
 
     where = filter
 
+    def contains_term(self, column: str, *terms: str) -> DataFrame:
+        """Full-text point lookup through the TERM index: rows whose
+        ``column`` contains EVERY ``term`` as a whitespace token.
+
+        Each term folds as a membership probe over the per-block token
+        filters (``termIndexBy``), so files that cannot contain a term
+        are never read — inverted-index-grade skipping for needle
+        queries over a 100 TB text corpus; the residual re-filter is the
+        exact array_contains over the same tokenization. Tables without
+        a term index soundly full-scan (with a warning-free plain
+        filter)."""
+        if not terms:
+            raise ValueError("contains_term requires at least one term")
+        if not all(isinstance(t, str) and t.strip() for t in terms):
+            raise ValueError("terms must be non-empty strings")
+        pred = P.And(tuple(P.TermMatch(column, t) for t in terms)) \
+            if len(terms) > 1 else P.TermMatch(column, terms[0])
+        return self.filter(pred)
+
     def count_where(self, predicate=None) -> int:
         """Metadata-accelerated count: ``count(*) WHERE pred`` answered
         from index statistics wherever they PROVE the predicate.
@@ -414,14 +433,33 @@ class CreateIndexCommand:
         self._columns = None
         return self
 
+    def termIndexBy(self, *columns) -> "CreateIndexCommand":
+        """Full-text TERM index over string columns (beyond reference):
+        per-block membership filters over each block's DISTINCT
+        whitespace tokens, so ``t.contains_term("text", "spark")`` skips
+        files that cannot contain the token — inverted-index-grade file
+        skipping from the same stats machinery, at bloom-bytes cost per
+        block. Composable with indexBy/indexByAll; requires filter
+        statistics enabled (the term filter IS a membership filter)."""
+        if len(columns) == 1 and isinstance(columns[0], (list, tuple)):
+            columns = tuple(columns[0])
+        if not columns:
+            raise ValueError("termIndexBy requires at least one column")
+        if not all(isinstance(c, str) for c in columns):
+            raise TypeError("termIndexBy columns must be strings")
+        self._term_columns = list(columns)
+        return self
+
     def parquet(self, path: str) -> None:
-        self._manager._create_index(path, self._mode, self._columns,
-                                    dataspace="source")
+        self._manager._create_index(
+            path, self._mode, self._columns, dataspace="source",
+            term_columns=getattr(self, "_term_columns", None))
 
     def table(self, table_name: str) -> None:
         info = resolve_catalog_table(self._manager.spark, table_name)
-        self._manager._create_index(info.location, self._mode, self._columns,
-                                    dataspace="catalog")
+        self._manager._create_index(
+            info.location, self._mode, self._columns, dataspace="catalog",
+            term_columns=getattr(self, "_term_columns", None))
 
 
 class ExistsIndexCommand:
@@ -558,7 +596,8 @@ class DataFrameIndexManager:
         return _metastore_for(self.spark, conf.metastore_location)
 
     def _create_index(self, path: str, mode: str,
-                      columns: Optional[List[str]], dataspace: str) -> None:
+                      columns: Optional[List[str]], dataspace: str,
+                      term_columns: Optional[List[str]] = None) -> None:
         conf = self._conf()
         metastore = self._metastore(conf)
         spec = LocationSpec(path, dataspace=dataspace)
@@ -581,8 +620,35 @@ class DataFrameIndexManager:
                     [fi["partition_values"].get(pcol) for fi in files])
             partition_columns[pcol] = kind
 
+        # term pseudo-columns travel as "<col>#terms" names so the
+        # rebuild-on-refresh path (which replays list(index_columns))
+        # round-trips them with zero extra metadata plumbing
+        from parquet_index_spark.predicates import TERMS_SUFFIX
+        terms = list(term_columns or [])
+        if columns is not None:
+            terms += [c[:-len(TERMS_SUFFIX)] for c in columns
+                      if c.endswith(TERMS_SUFFIX)]
+            columns = [c for c in columns if not c.endswith(TERMS_SUFFIX)]
         index_columns = self._resolve_index_columns(
             data_schema, partition_columns, columns)
+        for t in dict.fromkeys(terms):
+            if not conf.filter_enabled:
+                raise ValueError(
+                    "termIndexBy requires filter statistics "
+                    "(spark.sql.index.parquet.filter.enabled=true): the "
+                    "term index IS a membership filter")
+            if t in partition_columns:
+                raise ValueError(
+                    f"Column {t!r} is a partition column and cannot carry "
+                    "a term index")
+            if t not in data_schema.fieldNames():
+                raise ValueError(f"Column {t!r} does not exist in schema "
+                                 f"{data_schema.simpleString()}")
+            if data_schema[t].dataType.simpleString() != "string":
+                raise ValueError(
+                    f"termIndexBy column {t!r} must be string, got "
+                    f"{data_schema[t].dataType.simpleString()}")
+            index_columns[t + TERMS_SUFFIX] = ityp.STRING
 
         def writer(index_dir: str) -> None:
             stats_dir = os.path.join(index_dir, STATS_DIR)

@@ -186,6 +186,28 @@ class Trivial(Predicate):
         return F.lit(self.value)
 
 
+#: stats-row column-name suffix for a term index over a text column —
+#: encoding the pseudo-column in the name lets create/refresh/load carry
+#: it with zero extra plumbing
+TERMS_SUFFIX = "#terms"
+
+
+@dataclass(frozen=True)
+class TermMatch(Predicate):
+    """Whitespace-token membership: row matches when ``term`` is one of
+    the tokens of ``column`` (full-text point lookup). Foldable against a
+    TERM INDEX (`termIndexBy`): per-block bloom/dict filters over each
+    block's distinct tokens prune files that cannot contain the term;
+    blocks without a term filter soundly may-match. The residual re-filter
+    is the exact array_contains over the same whitespace tokenization."""
+    column: str
+    term: str
+
+    def to_spark(self) -> SparkColumn:
+        return F.array_contains(
+            F.split(F.trim(F.col(self.column)), r"\s+"), self.term)
+
+
 @dataclass(frozen=True)
 class Unsupported(Predicate):
     """A predicate the index cannot fold (LIKE, startswith, UDF, ...).
@@ -316,12 +338,19 @@ def push_not_down(p: Predicate, negate: bool = False) -> Predicate:
     if isinstance(p, Unsupported):
         # NOT over an unfoldable leaf: conservatively scan
         return Unsupported(lambda: ~p.builder(), f"not({p.description})")
+    if isinstance(p, TermMatch):
+        # absence of a term is not provable from membership filters:
+        # conservatively scan (residual keeps the exact negation)
+        return Unsupported(lambda: ~p.to_spark(),
+                           f"not(term_match({p.column}, {p.term!r}))")
     raise TypeError(f"cannot negate {p!r}")
 
 
 def referenced_columns(p: Predicate) -> set:
     if isinstance(p, (Eq, Ne, In, IsNull, IsNotNull, Gt, Ge, Lt, Le)):
         return {p.column}
+    if isinstance(p, TermMatch):
+        return {p.column + TERMS_SUFFIX}  # folds against the term index
     if isinstance(p, (And, Or)):
         out: set = set()
         for c in p.children:

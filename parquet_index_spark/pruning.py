@@ -196,6 +196,17 @@ def _eval(pred: P.Predicate, ctx: BlockStatsContext, tz: str = None) -> np.ndarr
     if isinstance(pred, P.Not):
         # push_not_down leaves Not only above Unsupported leaves
         return _true(ctx)
+    if isinstance(pred, P.TermMatch):
+        # term index: per-block membership over the column's distinct
+        # tokens; blocks (or tables) without a term filter soundly scan.
+        # Empty/whitespace terms are not stored in the filter (the
+        # residual's split can emit "" tokens at trim edges) => may-match
+        if not pred.term.strip():
+            return _true(ctx)
+        if pred.column + P.TERMS_SUFFIX not in ctx.columns:
+            return _true(ctx)
+        return _apply_membership(ctx, pred.column + P.TERMS_SUFFIX,
+                                 ityp.STRING, _true(ctx), [pred.term])
 
     stats = ctx.columns.get(pred.column)
     if stats is None:
@@ -344,7 +355,9 @@ def _eval_full(pred: P.Predicate, ctx: BlockStatsContext,
         return out
     if isinstance(pred, P.Trivial):
         return _true(ctx) if pred.value else _false(ctx)
-    if isinstance(pred, (P.Unsupported, P.Not)):
+    if isinstance(pred, (P.Unsupported, P.Not, P.TermMatch)):
+        # a membership filter can prove absence-of-evidence, never that
+        # EVERY row contains the term
         return _false(ctx)
 
     stats = ctx.columns.get(getattr(pred, "column", None))

@@ -179,6 +179,15 @@ def _compile(pred: P.Predicate, kinds: dict, tz: str = None,
         return F.lit(pred.value)
     if isinstance(pred, (P.Unsupported, P.Not)):
         return F.lit(True)
+    if isinstance(pred, P.TermMatch):
+        # term index: membership over the block's distinct tokens; a
+        # table without a term index (column absent) soundly scans
+        tcol = pred.column + P.TERMS_SUFFIX
+        if not pred.term.strip() or tcol not in kinds:
+            return F.lit(True)
+        if tcol not in memb_cols:
+            return F.lit(True)
+        return _membership_ok(tcol, ityp.STRING, [pred.term])
 
     kind = kinds.get(getattr(pred, "column", None))
     if kind is None:
@@ -377,8 +386,8 @@ def _compile_full(pred: P.Predicate, kinds: dict, tz: str = None) -> F.Column:
         return out
     if isinstance(pred, P.Trivial):
         return F.lit(pred.value)
-    if isinstance(pred, (P.Unsupported, P.Not)):
-        return F.lit(False)
+    if isinstance(pred, (P.Unsupported, P.Not, P.TermMatch)):
+        return F.lit(False)  # term membership can never prove full-match
     kind = kinds.get(getattr(pred, "column", None))
     if kind is None:
         return F.lit(False)

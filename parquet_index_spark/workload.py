@@ -3638,6 +3638,59 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def idx_term_search(spark, sf_dir):
+    """Full-text TERM-index search end-to-end (termIndexBy +
+    contains_term): documents copied with a deterministic sentinel token
+    appended to every 50th document, clustered by doc_id and
+    term-indexed — searching one sentinel prunes to the file(s) that can
+    contain it via per-block token membership, then the exact
+    array_contains residual re-filters. Inverted-index-grade needle
+    lookup over a text corpus from the same stats machinery. The oracle
+    replays the augmentation and the tokenized containment relationally,
+    so the hash certifies tokenization parity and match semantics."""
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_termidx",
+                        os.path.basename(os.path.normpath(sf_dir)), "docs")
+    docs = _t(spark, sf_dir, "documents")
+    if not ctx.index.exists.parquet(path):
+        aug = F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 50 == 0,
+                   F.concat(F.lit(" sentinel"),
+                            F.col("doc_id").cast("string")))
+            .otherwise(F.lit("")))
+        (docs.withColumn("text", aug)
+         .repartitionByRange(16, "doc_id").write.mode("overwrite")
+         .parquet(path))
+        ctx.index.create.mode("overwrite").indexBy("doc_id") \
+            .termIndexBy("text").parquet(path)
+    t = ctx.index.parquet(path)
+    hits = t.contains_term("text", "sentinel200")
+    info = ctx.index.last_prune_info
+    assert info.selected_files < info.total_files, info
+    return (hits.select("doc_id", "lang", "source",
+                        F.length("text").alias("n_aug_chars"))
+            .orderBy("doc_id"))
+
+
+IDX_TERM_SEARCH_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, lang, source,
+         text || CASE WHEN doc_id % 50 = 0
+                      THEN ' sentinel' || CAST(doc_id AS VARCHAR)
+                      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id, lang, source, length(text) AS n_aug_chars
+FROM aug
+WHERE list_contains(string_split_regex(trim(text), '\s+'), 'sentinel200')
+ORDER BY doc_id
+"""
+
+
 def idx_delete_partitioned(spark, sf_dir):
     """Partitioned-table DELETE end-to-end (sources.delete_where over a
     hive layout): orders partitioned by o_orderstatus; ``DELETE WHERE
@@ -4229,6 +4282,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # tests/test_oracle_parity.py. Round-5 additions lead the window,
     # round-4's (all green in CORRECTNESS_r04) follow.
     "stream_merge_cdc_ops": (stream_merge_cdc_ops, STREAM_CDC_OPS_SQL),
+    "idx_term_search": (idx_term_search, IDX_TERM_SEARCH_SQL),
     "idx_delete_partitioned": (idx_delete_partitioned, IDX_DELETE_PART_SQL),
     "pii_redaction_stats": (pii_redaction_stats, PII_SQL),
     "span_dedup_stats": (span_dedup_stats, SPAN_DEDUP_SQL),

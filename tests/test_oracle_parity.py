@@ -67,7 +67,7 @@ _CORE = {
     # round-5 graded-window additions
     "stream_merge_cdc_ops", "idx_delete_partitioned",
     "pii_redaction_stats", "span_dedup_stats",
-    "stream_running_anomaly",
+    "stream_running_anomaly", "idx_term_search",
 }
 
 

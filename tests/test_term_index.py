@@ -1,0 +1,189 @@
+"""Term index (full-text file skipping): collection, fold soundness,
+refresh round-trip, and the distributed-fold path.
+
+The term index stores per-block membership filters over each block's
+DISTINCT whitespace tokens under the pseudo-column ``<col>#terms``;
+``TermMatch`` folds against it and the residual re-filters with the exact
+``array_contains(split(trim(col), '\\s+'), term)``.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from parquet_index_spark import QueryContext
+from parquet_index_spark import predicates as P
+
+
+@pytest.fixture()
+def ctx(spark, tmp_metastore):
+    return QueryContext(spark)
+
+
+def _docs_table(spark, ctx, tmp_table_dir, name="td", filter_type=None,
+                term_index=True):
+    path = os.path.join(tmp_table_dir, name)
+    rows = ([Row(doc_id=i, text="alpha beta gamma") for i in range(100)]
+            + [Row(doc_id=100 + i, text="delta epsilon zeta")
+               for i in range(100)]
+            + [Row(doc_id=200 + i, text=f"needle tail{200 + i} word")
+               for i in range(100)])
+    (spark.createDataFrame(rows).repartitionByRange(6, "doc_id")
+     .write.parquet(path))
+    if filter_type:
+        spark.conf.set("spark.sql.index.parquet.filter.type", filter_type)
+    try:
+        cmd = ctx.index.create.indexBy("doc_id")
+        if term_index:
+            cmd = cmd.termIndexBy("text")
+        cmd.parquet(path)
+    finally:
+        if filter_type:
+            spark.conf.unset("spark.sql.index.parquet.filter.type")
+    return path
+
+
+class TestTermIndexPruning:
+    def test_prunes_and_matches_plain_scan(self, spark, ctx,
+                                           tmp_table_dir):
+        path = _docs_table(spark, ctx, tmp_table_dir)
+        t = ctx.index.parquet(path)
+        got = sorted(r["doc_id"] for r in
+                     t.contains_term("text", "needle").collect())
+        info = ctx.index.last_prune_info
+        assert got == list(range(200, 300))
+        assert info.selected_files < info.total_files
+        # exact needle: one document; bloom false positives may add a
+        # file or two (fpp .03) but most of the table stays unread
+        one = t.contains_term("text", "tail250").collect()
+        assert len(one) == 1 and one[0]["doc_id"] == 250
+        assert ctx.index.last_prune_info.selected_files \
+            < ctx.index.last_prune_info.total_files
+
+    def test_multi_term_is_conjunction(self, spark, ctx, tmp_table_dir):
+        # dict filter: exact membership, so file counts are deterministic
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tdc",
+                           filter_type="dict")
+        t = ctx.index.parquet(path)
+        assert t.contains_term("text", "alpha", "gamma").count() == 100
+        # terms from disjoint blocks: no row holds both
+        assert t.contains_term("text", "alpha", "delta").count() == 0
+        assert ctx.index.last_prune_info.selected_files == 0
+
+    def test_absent_term_prunes_everything(self, spark, ctx,
+                                           tmp_table_dir):
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tda",
+                           filter_type="dict")
+        t = ctx.index.parquet(path)
+        assert t.contains_term("text", "zzz_missing").count() == 0
+        assert ctx.index.last_prune_info.selected_files == 0
+
+    def test_dict_filter_type_supported(self, spark, ctx, tmp_table_dir):
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tdd",
+                           filter_type="dict")
+        t = ctx.index.parquet(path)
+        got = t.contains_term("text", "tail205").collect()
+        assert len(got) == 1 and got[0]["doc_id"] == 205
+        assert ctx.index.last_prune_info.selected_files <= 2
+
+    def test_no_term_index_soundly_scans(self, spark, ctx, tmp_table_dir):
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tdn",
+                           term_index=False)
+        t = ctx.index.parquet(path)
+        got = t.contains_term("text", "needle").count()
+        assert got == 100
+        info = ctx.index.last_prune_info
+        assert info.selected_files == info.total_files  # full, sound scan
+
+    def test_negation_scans_but_is_exact(self, spark, ctx, tmp_table_dir):
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tneg")
+        t = ctx.index.parquet(path)
+        got = t.filter(~P.TermMatch("text", "needle")).count()
+        assert got == 200  # exact complement via the residual
+
+    def test_or_with_range_predicate(self, spark, ctx, tmp_table_dir):
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tor")
+        t = ctx.index.parquet(path)
+        pred = P.TermMatch("text", "tail299") | P.Lt("doc_id", 10)
+        got = sorted(r["doc_id"] for r in t.filter(pred).collect())
+        assert got == list(range(10)) + [299]
+
+    def test_empty_term_rejected(self, spark, ctx, tmp_table_dir):
+        path = _docs_table(spark, ctx, tmp_table_dir, name="te")
+        t = ctx.index.parquet(path)
+        with pytest.raises(ValueError, match="non-empty"):
+            t.contains_term("text", "  ")
+        with pytest.raises(ValueError, match="at least one"):
+            t.contains_term("text")
+
+
+class TestTermIndexLifecycle:
+    def test_refresh_append_and_rebuild_roundtrip(self, spark, ctx,
+                                                  tmp_table_dir):
+        """Incremental refresh collects term stats for NEW files; the
+        rebuild path (file removed) round-trips the term columns through
+        their #terms names in metadata.index_columns."""
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tr")
+        (spark.createDataFrame([Row(doc_id=900, text="fresh uniquetoken")])
+         .coalesce(1).write.mode("append").parquet(path))
+        ctx.index.refresh.parquet(path)
+        t = ctx.index.parquet(path)
+        got = t.contains_term("text", "uniquetoken").collect()
+        assert len(got) == 1 and got[0]["doc_id"] == 900
+        assert ctx.index.last_prune_info.selected_files == 1
+        # force the rebuild path: rewrite the table (every file replaced)
+        df = spark.read.parquet(path)
+        rows = df.collect()
+        (spark.createDataFrame(rows, df.schema)
+         .repartitionByRange(4, "doc_id")
+         .write.mode("overwrite").parquet(path))
+        ctx.index.refresh.parquet(path)
+        t2 = ctx.index.parquet(path)
+        assert t2.contains_term("text", "uniquetoken").count() == 1
+        assert ctx.index.last_prune_info.selected_files \
+            < ctx.index.last_prune_info.total_files
+
+    def test_requires_filter_statistics(self, spark, ctx, tmp_table_dir):
+        path = os.path.join(tmp_table_dir, "tf")
+        spark.createDataFrame([Row(doc_id=1, text="a b")]) \
+            .write.parquet(path)
+        spark.conf.set("spark.sql.index.parquet.filter.enabled", "false")
+        try:
+            with pytest.raises(ValueError, match="filter statistics"):
+                ctx.index.create.indexBy("doc_id").termIndexBy("text") \
+                    .parquet(path)
+        finally:
+            spark.conf.unset("spark.sql.index.parquet.filter.enabled")
+
+    def test_validates_term_columns(self, spark, ctx, tmp_table_dir):
+        path = os.path.join(tmp_table_dir, "tv")
+        spark.createDataFrame([Row(doc_id=1, text="a b")]) \
+            .write.parquet(path)
+        with pytest.raises(ValueError, match="must be string"):
+            ctx.index.create.indexBy("text").termIndexBy("doc_id") \
+                .parquet(path)
+        with pytest.raises(ValueError, match="does not exist"):
+            ctx.index.create.indexBy("doc_id").termIndexBy("nope") \
+                .parquet(path)
+
+
+class TestTermIndexDistributedFold:
+    def test_spark_fold_matches_numpy_fold(self, spark, ctx,
+                                           tmp_table_dir):
+        """Force the distributed pruning path (threshold 0) and compare
+        survivors with the driver-side numpy fold."""
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tsf")
+        t = ctx.index.parquet(path)
+        for term, expect_rows in (("needle", 100), ("tail233", 1),
+                                  ("zzz", 0), ("alpha", 100)):
+            base = t.contains_term("text", term).count()
+            base_info = ctx.index.last_prune_info
+            spark.conf.set("spark.sql.index.pruning.sparkThreshold", "0")
+            try:
+                dist = t.contains_term("text", term).count()
+                dist_info = ctx.index.last_prune_info
+            finally:
+                spark.conf.unset("spark.sql.index.pruning.sparkThreshold")
+            assert dist == base == expect_rows
+            assert dist_info.selected_files == base_info.selected_files
