@@ -168,6 +168,42 @@ class TestTermIndexLifecycle:
                 .parquet(path)
 
 
+class TestTermIndexSoundness:
+    @pytest.mark.parametrize("filter_type", ["bloom", "dict"])
+    def test_randomized_differential(self, spark, ctx, tmp_table_dir,
+                                     filter_type):
+        """Seeded randomized sweep: for random corpora and random terms
+        (present, absent, and substring-of-a-token — which must NOT
+        match), the indexed result equals the plain tokenizing scan."""
+        import random
+        rng = random.Random(17)
+        vocab = [f"w{i}" for i in range(40)]
+        rows = [Row(doc_id=i,
+                    text=" ".join(rng.choices(vocab,
+                                              k=rng.randint(1, 12))))
+                for i in range(400)]
+        path = os.path.join(tmp_table_dir, f"trand_{filter_type}")
+        (spark.createDataFrame(rows).repartitionByRange(5, "doc_id")
+         .write.parquet(path))
+        spark.conf.set("spark.sql.index.parquet.filter.type", filter_type)
+        try:
+            ctx.index.create.indexBy("doc_id").termIndexBy("text") \
+                .parquet(path)
+        finally:
+            spark.conf.unset("spark.sql.index.parquet.filter.type")
+        t = ctx.index.parquet(path)
+        plain = spark.read.parquet(path)
+        probes = (rng.sample(vocab, 8) + ["w999", "absent"]
+                  + ["w1 w2", "w"])   # multi-word + prefix: no token match
+        for term in probes:
+            want = sorted(r["doc_id"] for r in plain.filter(
+                F.array_contains(F.split(F.trim("text"), r"\s+"), term)
+            ).collect())
+            got = sorted(r["doc_id"] for r in
+                         t.contains_term("text", term).collect())
+            assert got == want, (term, filter_type)
+
+
 class TestTermIndexDistributedFold:
     def test_spark_fold_matches_numpy_fold(self, spark, ctx,
                                            tmp_table_dir):
