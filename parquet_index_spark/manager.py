@@ -172,6 +172,20 @@ class IndexedDataFrame:
             if len(terms) > 1 else P.TermMatch(column, terms[0])
         return self.filter(pred)
 
+    def contains_any_term(self, column: str, *terms: str) -> DataFrame:
+        """Disjunctive variant of :meth:`contains_term`: rows whose
+        ``column`` contains AT LEAST ONE of the terms. A file survives
+        pruning if any term's membership probe passes — the OR fold over
+        the same per-block token filters (decontamination sweeps probe
+        banks of eval-set tokens this way)."""
+        if not terms:
+            raise ValueError("contains_any_term requires at least one term")
+        if not all(isinstance(t, str) and t.strip() for t in terms):
+            raise ValueError("terms must be non-empty strings")
+        pred = P.Or(tuple(P.TermMatch(column, t) for t in terms)) \
+            if len(terms) > 1 else P.TermMatch(column, terms[0])
+        return self.filter(pred)
+
     def count_where(self, predicate=None) -> int:
         """Metadata-accelerated count: ``count(*) WHERE pred`` answered
         from index statistics wherever they PROVE the predicate.

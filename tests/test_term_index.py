@@ -109,6 +109,18 @@ class TestTermIndexPruning:
         got = sorted(r["doc_id"] for r in t.filter(pred).collect())
         assert got == list(range(10)) + [299]
 
+    def test_contains_any_term_is_disjunction(self, spark, ctx,
+                                              tmp_table_dir):
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tany",
+                           filter_type="dict")
+        t = ctx.index.parquet(path)
+        got = t.contains_any_term("text", "alpha", "delta").count()
+        assert got == 200
+        info = ctx.index.last_prune_info
+        assert info.selected_files < info.total_files  # needle files only
+        assert t.contains_any_term("text", "zz1", "zz2").count() == 0
+        assert ctx.index.last_prune_info.selected_files == 0
+
     def test_empty_term_rejected(self, spark, ctx, tmp_table_dir):
         path = _docs_table(spark, ctx, tmp_table_dir, name="te")
         t = ctx.index.parquet(path)
