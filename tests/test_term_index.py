@@ -130,6 +130,23 @@ class TestTermIndexPruning:
             t.contains_term("text")
 
 
+class TestTermIndexComposition:
+    def test_count_where_scans_candidates_only(self, spark, ctx,
+                                               tmp_table_dir):
+        """TermMatch composes with the metadata-accelerated count: only
+        files whose token filter may hold the term are scanned (term
+        full-match is never claimed, so candidates re-count exactly)."""
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tcw",
+                           filter_type="dict")
+        t = ctx.index.parquet(path)
+        n = t.count_where(P.TermMatch("text", "needle"))
+        info = ctx.index.last_prune_info
+        assert n == 100
+        assert info.selected_files < info.total_files
+        assert t.count_where(P.TermMatch("text", "zz_missing")) == 0
+        assert ctx.index.last_prune_info.selected_files == 0
+
+
 class TestTermIndexLifecycle:
     def test_refresh_append_and_rebuild_roundtrip(self, spark, ctx,
                                                   tmp_table_dir):
