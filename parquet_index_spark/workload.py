@@ -3677,6 +3677,53 @@ def idx_term_search(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def idx_term_decontamination(spark, sf_dir):
+    """Decontamination sweep through the term index (contains_any_term):
+    probe the corpus for documents carrying ANY of a bank of eval-set
+    needle tokens — the OR fold over per-block token filters keeps the
+    scan to candidate files, the exact residual verifies. This is the
+    file-level prefilter a 100 TB decontamination pass needs before its
+    exact n-gram check: probe thousands of rare eval tokens against
+    metadata, read only the files that might hold one. Shares the
+    sentinel-augmented table with idx_term_search; the oracle replays
+    the augmentation and the disjunctive containment."""
+    idx_term_search(spark, sf_dir)   # ensures the indexed table exists
+    ctx = _CTX_CACHE[id(spark)]
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_termidx",
+                        os.path.basename(os.path.normpath(sf_dir)), "docs")
+    t = ctx.index.parquet(path)
+    probes = [f"sentinel{i}" for i in range(0, 500, 50)]
+    hits = t.contains_any_term("text", *probes)
+    info = ctx.index.last_prune_info
+    assert info.selected_files < info.total_files, info
+    return (hits.groupBy("lang")
+            .agg(F.count("*").alias("n_contaminated"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("lang"))
+
+
+IDX_TERM_DECON_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, lang,
+         text || CASE WHEN doc_id % 50 = 0
+                      THEN ' sentinel' || CAST(doc_id AS VARCHAR)
+                      ELSE '' END AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk
+  FROM aug),
+hits AS (
+  SELECT doc_id, lang FROM toks
+  WHERE list_has_any(tk, ['sentinel0','sentinel50','sentinel100',
+    'sentinel150','sentinel200','sentinel250','sentinel300',
+    'sentinel350','sentinel400','sentinel450']))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_contaminated,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM hits GROUP BY lang ORDER BY lang
+"""
+
+
 IDX_TERM_SEARCH_SQL = r"""
 WITH aug AS (
   SELECT doc_id, lang, source,
@@ -4283,6 +4330,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # round-4's (all green in CORRECTNESS_r04) follow.
     "stream_merge_cdc_ops": (stream_merge_cdc_ops, STREAM_CDC_OPS_SQL),
     "idx_term_search": (idx_term_search, IDX_TERM_SEARCH_SQL),
+    "idx_term_decontamination": (idx_term_decontamination,
+                                 IDX_TERM_DECON_SQL),
     "idx_delete_partitioned": (idx_delete_partitioned, IDX_DELETE_PART_SQL),
     "pii_redaction_stats": (pii_redaction_stats, PII_SQL),
     "span_dedup_stats": (span_dedup_stats, SPAN_DEDUP_SQL),
