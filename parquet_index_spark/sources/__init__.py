@@ -374,7 +374,8 @@ def compact_table(spark, path: str, target_file_mb: int = 128,
 
 
 def merge_into(ctx, path: str, updates: DataFrame, key: str,
-               max_keys: int = 100_000) -> dict:
+               max_keys: int = 100_000,
+               delete_keys=None) -> dict:
     """Index-accelerated MERGE (upsert by ``key``): rows in ``updates``
     replace same-key rows in the table; new keys are inserted. The index
     turns this from a full-table rewrite into a partial one — the update
@@ -396,7 +397,14 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
     columns; an update carrying a different partition value than the
     stored row migrates the row between partition directories).
 
-    Returns {files_total, files_rewritten, rows_updated, rows_inserted}.
+    ``delete_keys`` (iterable of non-null key values) removes those
+    keys IN THE SAME partial rewrite — a CDC batch carrying upserts and
+    deletes pays one pruning pass, one rewrite, one swap, one refresh
+    instead of two of each. Delete and upsert key sets must be disjoint
+    (the caller resolves a key touched by both — write_merge_sink's
+    seq_col latest-wins does); overlap raises rather than guessing an
+    order. Returns {files_total, files_rewritten, rows_updated,
+    rows_inserted, rows_deleted}.
     """
     import os
 
@@ -430,19 +438,34 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
             ", ".join(f"{n}: {got} != table {want}"
                       for n, got, want in mismatched))
 
+    dels = list(delete_keys or [])
+    if any(d is None for d in dels):
+        raise ValueError("merge_into: delete keys must be non-null")
     vals = [r[0] for r in
             updates.select(key).distinct().limit(max_keys + 1).collect()]
     if any(v is None for v in vals):
         raise ValueError("merge_into: update keys must be non-null")
-    if not vals:
+    overlap = set(dels) & set(vals)
+    if overlap:
+        raise ValueError(
+            "merge_into: delete and upsert key sets overlap "
+            f"(e.g. {sorted(overlap)[:3]}); resolve each key to its "
+            "latest change first (seq_col in write_merge_sink)")
+    if not vals and not dels:
         return {"files_total": len(meta.context().file_paths),
-                "files_rewritten": 0, "rows_updated": 0, "rows_inserted": 0}
+                "files_rewritten": 0, "rows_updated": 0,
+                "rows_inserted": 0, "rows_deleted": 0}
     if len(vals) > max_keys:
         # LIMITed sample: its min/max is unsound — aggregate the full side
         lo, hi = updates.agg(F.min(key), F.max(key)).head()
         ast = P.And((P.Ge(key, lo), P.Le(key, hi)))
-    else:
+    elif vals:
         ast = P.In(key, tuple(vals))
+    else:
+        ast = None
+    if dels:
+        dast = P.In(key, tuple(dels))
+        ast = dast if ast is None else P.Or((ast, dast))
     pctx = meta.context()
     affected_rel = set(prune_files(ast, pctx))
     all_rel = list(pctx.file_paths)
@@ -454,10 +477,21 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
                     for f in affected_rel}
 
     n_updates = updates.count()
+    rows_deleted = 0
     if affected_abs:
         current = (spark.read.schema(meta.data_schema)
                    .option("basePath", meta.table_path)
                    .parquet(*sorted(affected_abs)))
+        if dels:
+            # count inside the rewrite read (CollectMetrics), then cut;
+            # NULL-keyed table rows survive (isin is NULL for them)
+            from pyspark.sql import Observation
+            is_del = F.coalesce(F.col(key).isin(dels), F.lit(False))
+            obs = Observation("merge_deletes")
+            current = current.observe(
+                obs, F.sum(F.when(is_del, F.lit(1)).otherwise(F.lit(0)))
+                .alias("rows_deleted"))
+            current = current.filter(~is_del)
         rows_updated = (updates.join(current.select(key), key, "left_semi")
                         .count())
         merged = current.join(updates.select(key), key, "left_anti") \
@@ -482,12 +516,15 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(tmp)
+    if dels and affected_abs:
+        rows_deleted = int(obs.get["rows_deleted"] or 0)
     _staged_swap(spark, path, tmp, bak, affected_abs, label="merge")
     ctx.index.refresh.parquet(path)
     return {"files_total": len(all_rel),
             "files_rewritten": len(affected_rel),
             "rows_updated": rows_updated,
-            "rows_inserted": rows_inserted}
+            "rows_inserted": rows_inserted,
+            "rows_deleted": rows_deleted}
 
 
 def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,

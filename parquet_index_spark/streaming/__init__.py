@@ -425,9 +425,10 @@ def write_merge_sink(stream_df: DataFrame, path: str, checkpoint: str,
     the same key WITHIN a batch to the latest one — without it a batch
     carrying duplicate keys would upsert them all. ``op_col`` names an
     extra change-type column (not a table column): rows whose op equals
-    ``delete_op`` DELETE their key from the table (routed through
-    ``delete_where``'s exact row filter in the same index-accelerated
-    partial-rewrite style); every other op upserts. With both, the
+    ``delete_op`` DELETE their key from the table; every other op
+    upserts. Upserts and deletes apply in ONE index-accelerated partial
+    rewrite (merge_into's delete_keys) — one pruning pass, one staged
+    swap, one incremental refresh per micro-batch. With both, the
     latest change per key WITHIN a batch wins — an insert-then-delete
     batch deletes, a delete-then-reinsert batch upserts. ACROSS batches
     order is arrival order (each batch applies fully before the next;
@@ -442,8 +443,7 @@ def write_merge_sink(stream_df: DataFrame, path: str, checkpoint: str,
     no-ops; a crash between the merge and its marker re-runs the merge
     on replay, which is idempotent (same keys replaced with the same
     rows, same keys deleted)."""
-    from parquet_index_spark import predicates as P
-    from parquet_index_spark.sources import delete_where, merge_into
+    from parquet_index_spark.sources import merge_into
 
     markers = _ReplayMarkers(stream_df.sparkSession, path,
                              "_merge_sink_commits", checkpoint)
@@ -474,9 +474,10 @@ def write_merge_sink(stream_df: DataFrame, path: str, checkpoint: str,
             b = b.filter(~is_del).drop(op_col)
         else:
             del_keys = []
-        merge_into(ctx, path, b.select(*table_cols), key)  # empty = no-op
-        if del_keys:
-            delete_where(ctx, path, P.In(key, tuple(del_keys)))
+        # upserts AND deletes in ONE partial rewrite (one pruning pass,
+        # one swap, one refresh per batch; empty batch = no-op)
+        merge_into(ctx, path, b.select(*table_cols), key,
+                   delete_keys=del_keys)
         markers.commit(batch_id)
 
     q = (stream_df.writeStream.foreachBatch(handle)

@@ -757,3 +757,57 @@ class TestMergeInto:
         t = ctx.index.parquet(path)
         assert t.df.count() == 1002
         assert t.filter("k = 5000").count() == 1
+
+
+class TestMergeIntoDeleteKeys:
+    def test_combined_upsert_delete_single_rewrite(self, spark, ctx,
+                                                   tmp_table_dir):
+        """delete_keys removes keys in the SAME partial rewrite as the
+        upserts: counts exact, NULL-keyed rows survive, disjointness
+        enforced."""
+        from pyspark.sql import Row, functions as F
+        from parquet_index_spark.sources import merge_into
+        path = os.path.join(tmp_table_dir, "mdk")
+        (spark.range(0, 10_000)
+         .select(F.when(F.col("id") != 17, F.col("id")).alias("k"),
+                 (F.col("id") % 9).cast("long").alias("v"))
+         .repartitionByRange(8, "k").write.parquet(path))
+        ctx.index.create.indexBy("k").parquet(path)
+        ups = spark.createDataFrame(
+            [Row(k=5, v=-1), Row(k=50_000, v=-2)],
+            "k bigint, v bigint")
+        info = merge_into(ctx, path, ups, "k",
+                          delete_keys=[100, 101, 99_999])
+        assert info["rows_updated"] == 1 and info["rows_inserted"] == 1
+        assert info["rows_deleted"] == 2          # 99_999 absent
+        assert info["files_rewritten"] < info["files_total"]
+        t = ctx.index.parquet(path).df
+        assert t.count() == 10_000 - 2 + 1
+        assert t.filter("k IN (100, 101)").count() == 0
+        assert t.filter("k = 5").head()["v"] == -1
+        assert t.filter("k IS NULL").count() == 1  # NULL-keyed survives
+
+    def test_delete_only_batch(self, spark, ctx, tmp_table_dir):
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import merge_into
+        path = os.path.join(tmp_table_dir, "mdk2")
+        (spark.range(0, 1000)
+         .select(F.col("id").alias("k"), F.lit(1).cast("long").alias("v"))
+         .repartitionByRange(4, "k").write.parquet(path))
+        ctx.index.create.indexBy("k").parquet(path)
+        empty = spark.createDataFrame([], "k bigint, v bigint")
+        info = merge_into(ctx, path, empty, "k", delete_keys=[3, 4, 5])
+        assert info["rows_deleted"] == 3 and info["rows_updated"] == 0
+        assert ctx.index.parquet(path).df.count() == 997
+
+    def test_overlapping_keys_rejected(self, spark, ctx, tmp_table_dir):
+        from pyspark.sql import Row, functions as F
+        from parquet_index_spark.sources import merge_into
+        path = os.path.join(tmp_table_dir, "mdk3")
+        spark.range(0, 100).select(F.col("id").alias("k"),
+                                   F.lit(1).cast("long").alias("v")) \
+            .coalesce(2).write.parquet(path)
+        ctx.index.create.indexBy("k").parquet(path)
+        ups = spark.createDataFrame([Row(k=7, v=0)], "k bigint, v bigint")
+        with pytest.raises(ValueError, match="overlap"):
+            merge_into(ctx, path, ups, "k", delete_keys=[7])
