@@ -621,6 +621,69 @@ class TestCompaction:
             compact_table(spark, os.path.join(tmp_table_dir, "empty"))
 
 
+class TestStagedSwapRollback:
+    def test_partitioned_stage_failure_rolls_back(self, spark, ctx,
+                                                  tmp_table_dir,
+                                                  monkeypatch):
+        """Crash injection mid-stage: a poisoned FileSystem fails the
+        rename of an untouched file out of one partition dir AFTER other
+        partition entries already moved into the rewrite. The rollback
+        must restore the table byte-for-byte (moves undone, tmp gone)
+        and the retry without poison must succeed. (Permission-based
+        injection is impossible here: tests run as root, which bypasses
+        file modes.)"""
+        import glob
+        from pyspark.sql import functions as F
+        import parquet_index_spark.sources as SRC
+        from parquet_index_spark.sources import update_where
+        path = os.path.join(tmp_table_dir, "swaprb")
+        (spark.range(0, 6000)
+         .select("id", (F.col("id") % 3).alias("p"),
+                 (F.col("id") % 9).cast("long").alias("v"))
+         .repartitionByRange(6, "id").write.partitionBy("p").parquet(path))
+        ctx.index.create.indexBy("id").parquet(path)
+        before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+        class PoisonFS:
+            def __init__(self, fs):
+                self._fs = fs
+
+            def rename(self, src, dst):
+                s = src.toUri().getPath()
+                if "/p=2/" in s and s.endswith(".parquet"):
+                    return False  # injected mid-stage failure
+                return self._fs.rename(src, dst)
+
+            def __getattr__(self, name):
+                return getattr(self._fs, name)
+
+        orig = SRC._fs_for
+        monkeypatch.setattr(
+            SRC, "_fs_for",
+            lambda spark_, p: (lambda fs, jp: (PoisonFS(fs), jp))(
+                *orig(spark_, p)))
+        # id range confined to a slice: p=2 keeps UNAFFECTED files whose
+        # staging rename hits the poison after p=0/p=1 entries moved
+        with pytest.raises(IOError, match="could not stage"):
+            update_where(ctx, path, "id >= 2600 AND id < 2700",
+                         {"v": F.lit(-1)})
+        monkeypatch.setattr(SRC, "_fs_for", orig)
+        # table fully restored: same rows, partition dirs back in place,
+        # no half-staged rewrite left behind
+        assert sorted(os.path.basename(d) for d in
+                      glob.glob(os.path.join(path, "p=*"))) == \
+            ["p=0", "p=1", "p=2"]
+        assert not os.path.exists(path + "__update_tmp")
+        after = sorted(map(tuple, spark.read.parquet(path).collect()))
+        assert after == before
+        # retry without poison succeeds end-to-end
+        info = update_where(ctx, path, "id >= 2600 AND id < 2700",
+                            {"v": F.lit(-1)})
+        assert info["rows_updated"] == 100
+        t = ctx.index.parquet(path).df
+        assert t.filter("v = -1").count() == 100
+
+
 class TestVacuum:
     def test_removes_stranded_tmp_keeps_orphan_bak(self, spark, ctx,
                                                    tmp_table_dir):
