@@ -172,6 +172,34 @@ class IndexedDataFrame:
             if len(terms) > 1 else P.TermMatch(column, terms[0])
         return self.filter(pred)
 
+    def contains_phrase(self, column: str, phrase: str) -> DataFrame:
+        """Exact whitespace-token PHRASE search through the term index:
+        rows where ``column`` contains the phrase's tokens consecutively.
+
+        Pruning folds the AND of the phrase's distinct tokens against the
+        per-block token filters (a file lacking any one token cannot hold
+        the phrase); the residual then enforces adjacency exactly by
+        locating the space-joined phrase inside the whitespace-normalized
+        text. A file containing all tokens scattered is read but returns
+        no rows — sound, and still index-tight for rare-token phrases."""
+        toks = phrase.split()
+        if not toks:
+            raise ValueError("contains_phrase requires a non-empty phrase")
+        needle = " " + " ".join(toks) + " "
+
+        def residual():
+            norm = F.concat(F.lit(" "),
+                            F.regexp_replace(F.trim(F.col(column)),
+                                             r"\s+", " "),
+                            F.lit(" "))
+            return F.locate(needle, norm) > 0
+
+        pred = P.And(tuple(P.TermMatch(column, t)
+                           for t in dict.fromkeys(toks))
+                     + (P.Unsupported(residual,
+                                      f"phrase({phrase!r})"),))
+        return self.filter(pred)
+
     def contains_any_term(self, column: str, *terms: str) -> DataFrame:
         """Disjunctive variant of :meth:`contains_term`: rows whose
         ``column`` contains AT LEAST ONE of the terms. A file survives

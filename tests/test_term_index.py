@@ -109,6 +109,34 @@ class TestTermIndexPruning:
         got = sorted(r["doc_id"] for r in t.filter(pred).collect())
         assert got == list(range(10)) + [299]
 
+    def test_contains_phrase_requires_adjacency(self, spark, ctx,
+                                                tmp_table_dir):
+        """Phrase search: token-AND pruning + exact adjacency residual.
+        Tokens present but non-consecutive must NOT match; normalization
+        tolerates irregular whitespace."""
+        path = os.path.join(tmp_table_dir, "tph")
+        rows = [Row(doc_id=1, text="the quick brown fox jumps"),
+                Row(doc_id=2, text="brown the quick stone fox"),  # scattered
+                Row(doc_id=3, text="   quick   brown\tfox   "),   # messy ws
+                Row(doc_id=4, text="totally unrelated words here")]
+        (spark.createDataFrame(rows).repartitionByRange(2, "doc_id")
+         .write.parquet(path))
+        spark.conf.set("spark.sql.index.parquet.filter.type", "dict")
+        try:
+            ctx.index.create.indexBy("doc_id").termIndexBy("text") \
+                .parquet(path)
+        finally:
+            spark.conf.unset("spark.sql.index.parquet.filter.type")
+        t = ctx.index.parquet(path)
+        got = sorted(r["doc_id"] for r in
+                     t.contains_phrase("text", "quick brown fox").collect())
+        assert got == [1, 3]
+        # a token absent from the corpus prunes everything
+        assert t.contains_phrase("text", "quick missing").count() == 0
+        assert ctx.index.last_prune_info.selected_files == 0
+        with pytest.raises(ValueError, match="non-empty"):
+            t.contains_phrase("text", "   ")
+
     def test_contains_any_term_is_disjunction(self, spark, ctx,
                                               tmp_table_dir):
         path = _docs_table(spark, ctx, tmp_table_dir, name="tany",
