@@ -3703,6 +3703,44 @@ def idx_term_decontamination(spark, sf_dir):
             .orderBy("lang"))
 
 
+def idx_phrase_search(spark, sf_dir):
+    """Exact phrase search through the term index (contains_phrase):
+    the phrase's tokens fold as an AND of membership probes (a file
+    lacking any token is never read), the residual enforces adjacency
+    on whitespace-normalized text. Run against the shared term-indexed
+    documents table; the oracle replays normalization + position-based
+    phrase containment, so the hash certifies both the tokenization and
+    the adjacency semantics."""
+    idx_term_search(spark, sf_dir)   # ensures the indexed table exists
+    ctx = _CTX_CACHE[id(spark)]
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_termidx",
+                        os.path.basename(os.path.normpath(sf_dir)), "docs")
+    t = ctx.index.parquet(path)
+    hits = t.contains_phrase("text", "batch batch batch")
+    return (hits.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("lang"))
+
+
+IDX_PHRASE_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, lang,
+         text || CASE WHEN doc_id % 50 = 0
+                      THEN ' sentinel' || CAST(doc_id AS VARCHAR)
+                      ELSE '' END AS text
+  FROM documents),
+hits AS (
+  SELECT doc_id, lang FROM aug
+  WHERE position(' batch batch batch ' IN
+          ' ' || regexp_replace(trim(text), '\s+', ' ', 'g') || ' ') > 0)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM hits GROUP BY lang ORDER BY lang
+"""
+
+
 IDX_TERM_DECON_SQL = r"""
 WITH aug AS (
   SELECT doc_id, lang,
@@ -4332,6 +4370,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_term_search": (idx_term_search, IDX_TERM_SEARCH_SQL),
     "idx_term_decontamination": (idx_term_decontamination,
                                  IDX_TERM_DECON_SQL),
+    "idx_phrase_search": (idx_phrase_search, IDX_PHRASE_SQL),
     "idx_delete_partitioned": (idx_delete_partitioned, IDX_DELETE_PART_SQL),
     "pii_redaction_stats": (pii_redaction_stats, PII_SQL),
     "span_dedup_stats": (span_dedup_stats, SPAN_DEDUP_SQL),

@@ -68,7 +68,7 @@ _CORE = {
     "stream_merge_cdc_ops", "idx_delete_partitioned",
     "pii_redaction_stats", "span_dedup_stats",
     "stream_running_anomaly", "idx_term_search",
-    "idx_term_decontamination",
+    "idx_term_decontamination", "idx_phrase_search",
 }
 
 
