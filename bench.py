@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "idx_delete_range", "idx_update_range",
     "idx_delete_partitioned", "stream_merge_cdc_ops",
     "pii_redaction_stats", "span_dedup_stats", "stream_running_anomaly",
-    "idx_term_search",
+    "idx_term_search", "idx_term_decontamination", "idx_phrase_search",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the
