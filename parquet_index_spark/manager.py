@@ -214,6 +214,54 @@ class IndexedDataFrame:
             if len(terms) > 1 else P.TermMatch(column, terms[0])
         return self.filter(pred)
 
+    def explain_pruning(self, predicate) -> dict:
+        """Pruning diagnosis — the operability view of the index: for the
+        whole predicate and each foldable LEAF independently, how many
+        files the fold keeps. An index that isn't helping shows up as a
+        leaf keeping ~all files (column unindexed, literal un-coercible,
+        range spanning the table, filter-less blocks), and the tight
+        leaves show which clauses actually drive the skip. Driver-side
+        metadata fold only — no data IO, no job. Returns
+        {total_files, overall_files, pruned, leaves: {leaf: files}}."""
+        import numpy as np
+
+        from parquet_index_spark import pruning as PR
+
+        all_paths = self._metadata.all_file_paths()
+        ast, _residual = self._compile(predicate)
+        if ast is None:
+            return {"total_files": len(all_paths),
+                    "overall_files": len(all_paths), "pruned": False,
+                    "leaves": {}}
+        ctx = self._metadata.context()
+        try:
+            tz = self._spark.conf.get("spark.sql.session.timeZone")
+        except Exception:  # noqa: BLE001
+            tz = None
+
+        def n_files(mask: np.ndarray) -> int:
+            keep = np.zeros(len(ctx.file_paths), dtype=bool)
+            keep[ctx.file_ids[mask]] = True
+            return int(keep.sum())
+
+        leaves: dict = {}
+
+        def walk(p) -> None:
+            if isinstance(p, (P.And, P.Or)):
+                for c in p.children:
+                    walk(c)
+                return
+            if isinstance(p, P.Trivial):
+                return
+            desc = (f"unsupported({p.description})"
+                    if isinstance(p, P.Unsupported) else str(p))
+            leaves[desc] = n_files(PR.evaluate(p, ctx, tz))
+
+        walk(P.push_not_down(ast))
+        return {"total_files": len(all_paths),
+                "overall_files": n_files(PR.evaluate(ast, ctx, tz)),
+                "pruned": True, "leaves": leaves}
+
     def count_where(self, predicate=None) -> int:
         """Metadata-accelerated count: ``count(*) WHERE pred`` answered
         from index statistics wherever they PROVE the predicate.

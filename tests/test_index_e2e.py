@@ -231,3 +231,31 @@ class TestColumnPredicatePruning:
         info = self._check(spark, (F.col("l_partkey") == 5)
                            & (F.col("l_orderkey") < 50000))
         assert info.pruned  # the l_orderkey half still folds
+
+
+class TestExplainPruning:
+    def test_per_leaf_file_counts(self, spark, ctx, tmp_table_dir):
+        """The diagnosis shows which clause drives the skip: a tight key
+        range keeps few files, an unindexed-column clause keeps all, the
+        conjunction keeps the intersection-bound."""
+        import os
+        from pyspark.sql import functions as F
+        path = os.path.join(tmp_table_dir, "xp")
+        (spark.range(0, 10_000)
+         .select("id", (F.col("id") % 7).alias("v"))
+         .repartitionByRange(10, "id").write.parquet(path))
+        ctx.index.create.indexBy("id").parquet(path)
+        t = ctx.index.parquet(path)
+        rep = t.explain_pruning("id >= 3000 AND id < 3500 AND v = 2")
+        assert rep["pruned"] and rep["total_files"] == 10
+        assert rep["overall_files"] <= 2
+        leaves = rep["leaves"]
+        assert len(leaves) == 3
+        by_pref = {k.split("(")[0]: n for k, n in leaves.items()}
+        assert by_pref["Ge"] <= 8 and by_pref["Lt"] <= 5
+        # v is unindexed: its leaf keeps everything (the tell)
+        assert by_pref["Eq"] == 10
+        # unfoldable predicate: honest "no pruning" report
+        rep2 = t.explain_pruning(F.col("id").cast("string") == "5")
+        assert rep2 == {"total_files": 10, "overall_files": 10,
+                        "pruned": False, "leaves": {}}
