@@ -246,7 +246,8 @@ def _footer_stats_for_file(abs_path: str, relpath: str,
 
 def _term_stat_row(table, relpath: str, rg: int, n_rows: int,
                    col: str, base: str, filter_type: str,
-                   dict_max_size: int, bloom_fpp: float) -> dict:
+                   dict_max_size: int, bloom_fpp: float,
+                   bigrams: bool = False) -> dict:
     """Membership filter over a block's DISTINCT whitespace tokens — the
     term index behind TermMatch full-text file skipping.
 
@@ -266,9 +267,28 @@ def _term_stat_row(table, relpath: str, rg: int, n_rows: int,
     non_null = chunk.drop_null()
     if len(non_null) == 0:
         return row
-    terms = pc.unique(pc.list_flatten(pc.ascii_split_whitespace(
-        pc.ascii_trim_whitespace(non_null))))
+    split = pc.ascii_split_whitespace(pc.ascii_trim_whitespace(non_null))
+    terms = pc.unique(pc.list_flatten(split))
     term_list = [t for t in terms.to_pylist() if t]
+    if bigrams:
+        # adjacent in-row bigrams ("a b") join the same vocabulary so
+        # phrase queries prune on PAIRS. One pass over the flattened
+        # token stream; a position pairs with its successor unless the
+        # successor starts the next row's list (write-time only).
+        import numpy as np
+        flat = split.combine_chunks() if isinstance(
+            split, pa.ChunkedArray) else split
+        vals = flat.flatten().to_pylist()
+        if len(vals) > 1:
+            starts = set(np.asarray(flat.offsets)[1:-1].tolist())
+            seen = set()
+            for i in range(len(vals) - 1):
+                if (i + 1) in starts:
+                    continue  # row boundary: no cross-document bigram
+                a, b = vals[i], vals[i + 1]
+                if a and b:
+                    seen.add(a + " " + b)
+            term_list.extend(sorted(seen))
     dict_vals, bloom_bytes = build_filters(
         term_list, ityp.STRING,
         "dict" if filter_type == "dict" else "bloom",
@@ -283,15 +303,22 @@ def _scan_stats_for_file(abs_path: str, relpath: str, index_cols: list,
                          filter_type: str, dict_max_size: int,
                          bloom_fpp: float) -> tuple:
     """Per-block stats + membership filters from a columnar data scan."""
-    from parquet_index_spark.predicates import TERMS_SUFFIX
+    from parquet_index_spark.predicates import TERMS_SUFFIX, TERMS2_SUFFIX
 
     pf = pq.ParquetFile(abs_path)
     md = pf.metadata
     colnames = [c for c, _ in index_cols]
     present = {f.name for f in pf.schema_arrow}
-    # term pseudo-columns ("<col>#terms") read their BASE text column
-    term_bases = {c[:-len(TERMS_SUFFIX)] for c in colnames
-                  if c.endswith(TERMS_SUFFIX)}
+
+    # term pseudo-columns ("<col>#terms[2]") read their BASE text column
+    def _term_base(c):
+        if c.endswith(TERMS2_SUFFIX):
+            return c[:-len(TERMS2_SUFFIX)]
+        if c.endswith(TERMS_SUFFIX):
+            return c[:-len(TERMS_SUFFIX)]
+        return None
+
+    term_bases = {b for b in map(_term_base, colnames) if b is not None}
     rows_out = []
     for rg in range(md.num_row_groups):
         want = [c for c in colnames if c in present]
@@ -299,11 +326,12 @@ def _scan_stats_for_file(abs_path: str, relpath: str, index_cols: list,
         table = pf.read_row_group(rg, columns=want) if want else None
         n_rows = md.row_group(rg).num_rows
         for col, kind in index_cols:
-            if col.endswith(TERMS_SUFFIX):
+            base = _term_base(col)
+            if base is not None:
                 rows_out.append(_term_stat_row(
-                    table, relpath, rg, n_rows, col,
-                    col[:-len(TERMS_SUFFIX)], filter_type, dict_max_size,
-                    bloom_fpp))
+                    table, relpath, rg, n_rows, col, base,
+                    filter_type, dict_max_size, bloom_fpp,
+                    bigrams=col.endswith(TERMS2_SUFFIX)))
                 continue
             row = _stat_row_base(relpath, rg, n_rows, col)
             if col not in present:

@@ -194,8 +194,16 @@ class IndexedDataFrame:
                             F.lit(" "))
             return F.locate(needle, norm) > 0
 
-        pred = P.And(tuple(P.TermMatch(column, t)
-                           for t in dict.fromkeys(toks))
+        probes = [P.TermMatch(column, t) for t in dict.fromkeys(toks)]
+        # a #terms2 index also stores adjacent bigrams: probing the
+        # phrase's PAIRS (fold-only: adjacency truth comes from the
+        # residual) skips files where the tokens never sit side by side
+        # — decisive for phrases of individually-common words
+        if column + P.TERMS2_SUFFIX in self._metadata.index_columns:
+            probes += [P.TermMatch(column, f"{a} {b}", fold_only=True)
+                       for a, b in
+                       dict.fromkeys(zip(toks, toks[1:]))]
+        pred = P.And(tuple(probes)
                      + (P.Unsupported(residual,
                                       f"phrase({phrase!r})"),))
         return self.filter(pred)
@@ -713,15 +721,23 @@ class DataFrameIndexManager:
         # term pseudo-columns travel as "<col>#terms" names so the
         # rebuild-on-refresh path (which replays list(index_columns))
         # round-trips them with zero extra metadata plumbing
-        from parquet_index_spark.predicates import TERMS_SUFFIX
+        from parquet_index_spark.predicates import (TERMS_SUFFIX,
+                                                     TERMS2_SUFFIX)
         terms = list(term_columns or [])
+        legacy_terms = []
         if columns is not None:
-            terms += [c[:-len(TERMS_SUFFIX)] for c in columns
-                      if c.endswith(TERMS_SUFFIX)]
-            columns = [c for c in columns if not c.endswith(TERMS_SUFFIX)]
+            # rebuild-on-refresh replays stored names: route either
+            # generation back to its collection mode
+            terms += [c[:-len(TERMS2_SUFFIX)] for c in columns
+                      if c.endswith(TERMS2_SUFFIX)]
+            legacy_terms += [c[:-len(TERMS_SUFFIX)] for c in columns
+                             if c.endswith(TERMS_SUFFIX)
+                             and not c.endswith(TERMS2_SUFFIX)]
+            columns = [c for c in columns
+                       if not c.endswith((TERMS_SUFFIX, TERMS2_SUFFIX))]
         index_columns = self._resolve_index_columns(
             data_schema, partition_columns, columns)
-        for t in dict.fromkeys(terms):
+        for t in dict.fromkeys(terms + legacy_terms):
             if not conf.filter_enabled:
                 raise ValueError(
                     "termIndexBy requires filter statistics "
@@ -738,7 +754,8 @@ class DataFrameIndexManager:
                 raise ValueError(
                     f"termIndexBy column {t!r} must be string, got "
                     f"{data_schema[t].dataType.simpleString()}")
-            index_columns[t + TERMS_SUFFIX] = ityp.STRING
+            suffix = TERMS_SUFFIX if t in legacy_terms else TERMS2_SUFFIX
+            index_columns[t + suffix] = ityp.STRING
 
         def writer(index_dir: str) -> None:
             stats_dir = os.path.join(index_dir, STATS_DIR)

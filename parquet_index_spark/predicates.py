@@ -186,10 +186,14 @@ class Trivial(Predicate):
         return F.lit(self.value)
 
 
-#: stats-row column-name suffix for a term index over a text column —
-#: encoding the pseudo-column in the name lets create/refresh/load carry
-#: it with zero extra plumbing
+#: stats-row column-name suffixes for a term index over a text column —
+#: encoding the pseudo-column (and its vocabulary version) in the name
+#: lets create/refresh/load carry it with zero extra plumbing.
+#: "#terms": per-block distinct single tokens (round-5 initial format).
+#: "#terms2": tokens PLUS adjacent bigrams ("a b") — phrase queries can
+#: prune on pairs; single-token probes work against either.
 TERMS_SUFFIX = "#terms"
+TERMS2_SUFFIX = "#terms2"
 
 
 @dataclass(frozen=True)
@@ -199,11 +203,21 @@ class TermMatch(Predicate):
     TERM INDEX (`termIndexBy`): per-block bloom/dict filters over each
     block's distinct tokens prune files that cannot contain the term;
     blocks without a term filter soundly may-match. The residual re-filter
-    is the exact array_contains over the same whitespace tokenization."""
+    is the exact array_contains over the same whitespace tokenization.
+
+    ``fold_only=True`` (INTERNAL — contains_phrase only) makes the
+    residual trivially TRUE while the fold still prunes: used for
+    adjacent-bigram probes whose row-level truth is enforced by the
+    phrase's exact adjacency residual instead. Standalone fold_only
+    probes would be unsound (pruning stricter than the residual) — the
+    phrase composition is what restores the superset contract."""
     column: str
     term: str
+    fold_only: bool = False
 
     def to_spark(self) -> SparkColumn:
+        if self.fold_only:
+            return F.lit(True)
         return F.array_contains(
             F.split(F.trim(F.col(self.column)), r"\s+"), self.term)
 
@@ -350,7 +364,8 @@ def referenced_columns(p: Predicate) -> set:
     if isinstance(p, (Eq, Ne, In, IsNull, IsNotNull, Gt, Ge, Lt, Le)):
         return {p.column}
     if isinstance(p, TermMatch):
-        return {p.column + TERMS_SUFFIX}  # folds against the term index
+        # folds against whichever term-index generation the table carries
+        return {p.column + TERMS_SUFFIX, p.column + TERMS2_SUFFIX}
     if isinstance(p, (And, Or)):
         out: set = set()
         for c in p.children:

@@ -203,10 +203,12 @@ def _eval(pred: P.Predicate, ctx: BlockStatsContext, tz: str = None) -> np.ndarr
         # residual's split can emit "" tokens at trim edges) => may-match
         if not pred.term.strip():
             return _true(ctx)
-        if pred.column + P.TERMS_SUFFIX not in ctx.columns:
-            return _true(ctx)
-        return _apply_membership(ctx, pred.column + P.TERMS_SUFFIX,
-                                 ityp.STRING, _true(ctx), [pred.term])
+        for suf in (P.TERMS2_SUFFIX, P.TERMS_SUFFIX):
+            if pred.column + suf in ctx.columns:
+                return _apply_membership(ctx, pred.column + suf,
+                                         ityp.STRING, _true(ctx),
+                                         [pred.term])
+        return _true(ctx)
 
     stats = ctx.columns.get(pred.column)
     if stats is None:

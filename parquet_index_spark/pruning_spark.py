@@ -182,12 +182,13 @@ def _compile(pred: P.Predicate, kinds: dict, tz: str = None,
     if isinstance(pred, P.TermMatch):
         # term index: membership over the block's distinct tokens; a
         # table without a term index (column absent) soundly scans
-        tcol = pred.column + P.TERMS_SUFFIX
-        if not pred.term.strip() or tcol not in kinds:
+        if not pred.term.strip():
             return F.lit(True)
-        if tcol not in memb_cols:
-            return F.lit(True)
-        return _membership_ok(tcol, ityp.STRING, [pred.term])
+        for suf in (P.TERMS2_SUFFIX, P.TERMS_SUFFIX):
+            tcol = pred.column + suf
+            if tcol in kinds and tcol in memb_cols:
+                return _membership_ok(tcol, ityp.STRING, [pred.term])
+        return F.lit(True)
 
     kind = kinds.get(getattr(pred, "column", None))
     if kind is None:

@@ -137,6 +137,37 @@ class TestTermIndexPruning:
         with pytest.raises(ValueError, match="non-empty"):
             t.contains_phrase("text", "   ")
 
+    def test_phrase_prunes_on_bigrams(self, spark, ctx, tmp_table_dir):
+        """The #terms2 vocabulary stores adjacent bigrams: a phrase of
+        individually-COMMON words still prunes to the files where the
+        words sit side by side — single-token probes alone would keep
+        every file here."""
+        path = os.path.join(tmp_table_dir, "tbg")
+        rows = ([Row(doc_id=i, text="green blue red green blue")
+                 for i in range(100)]   # all tokens, never green-red/red-blue
+                + [Row(doc_id=100 + i, text="green red blue wall")
+                   for i in range(100)])  # the adjacency lives only here
+        (spark.createDataFrame(rows).repartitionByRange(4, "doc_id")
+         .write.parquet(path))
+        spark.conf.set("spark.sql.index.parquet.filter.type", "dict")
+        try:
+            ctx.index.create.indexBy("doc_id").termIndexBy("text") \
+                .parquet(path)
+        finally:
+            spark.conf.unset("spark.sql.index.parquet.filter.type")
+        t = ctx.index.parquet(path)
+        # every file holds every single token...
+        t.contains_term("text", "green").count()
+        assert ctx.index.last_prune_info.selected_files == 4
+        # ...but the phrase's bigram probe keeps only the adjacency files
+        got = t.contains_phrase("text", "green red blue").count()
+        info = ctx.index.last_prune_info
+        assert got == 100
+        assert info.selected_files == 2, info
+        # bigram order matters: reversed phrase exists nowhere
+        assert t.contains_phrase("text", "blue green").count() == 0
+        assert ctx.index.last_prune_info.selected_files == 0
+
     def test_contains_any_term_is_disjunction(self, spark, ctx,
                                               tmp_table_dir):
         path = _docs_table(spark, ctx, tmp_table_dir, name="tany",
