@@ -241,10 +241,12 @@ def idx_events_time_range(spark, sf_dir):
     ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
     tpath = os.path.join(tempfile.gettempdir(), "spark_graft_tscluster",
                          os.path.basename(os.path.normpath(sf_dir)), "events")
-    if not ctx.index.exists.parquet(tpath):
+    if not (ctx.index.exists.parquet(tpath) and os.path.isdir(tpath)):
+        # the isdir guard heals a metastore that outlived a /tmp sweep of
+        # the data dir (index over vanished files); overwrite rebuilds both
         (_t(spark, sf_dir, "events").repartitionByRange(16, "ts")
          .write.mode("overwrite").parquet(tpath))
-        ctx.index.create.mode("ignore").indexBy("ts", "event_type") \
+        ctx.index.create.mode("overwrite").indexBy("ts", "event_type") \
             .parquet(tpath)
     t = ctx.index.parquet(tpath)
     day = t.filter("ts >= timestamp'2024-01-05 00:00:00' "
@@ -285,10 +287,12 @@ def idx_fast_count(spark, sf_dir):
     ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
     tpath = os.path.join(tempfile.gettempdir(), "spark_graft_tscluster",
                          os.path.basename(os.path.normpath(sf_dir)), "events")
-    if not ctx.index.exists.parquet(tpath):
+    if not (ctx.index.exists.parquet(tpath) and os.path.isdir(tpath)):
+        # the isdir guard heals a metastore that outlived a /tmp sweep of
+        # the data dir (index over vanished files); overwrite rebuilds both
         (_t(spark, sf_dir, "events").repartitionByRange(16, "ts")
          .write.mode("overwrite").parquet(tpath))
-        ctx.index.create.mode("ignore").indexBy("ts", "event_type") \
+        ctx.index.create.mode("overwrite").indexBy("ts", "event_type") \
             .parquet(tpath)
     t = ctx.index.parquet(tpath)
     pred = ("ts >= timestamp'2024-01-03 00:00:00' "
@@ -322,7 +326,7 @@ def idx_zorder_range(spark, sf_dir):
     ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
     zpath = os.path.join(tempfile.gettempdir(), "spark_graft_zorder",
                          os.path.basename(os.path.normpath(sf_dir)), "orders")
-    if not ctx.index.exists.parquet(zpath):
+    if not (ctx.index.exists.parquet(zpath) and os.path.isdir(zpath)):
         from parquet_index_spark.sources import write_zordered
         write_zordered(_t(spark, sf_dir, "orders"), zpath,
                        ["o_custkey", "o_orderkey"], n_files=16,
@@ -359,7 +363,7 @@ def idx_hilbert_range(spark, sf_dir):
     ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
     hpath = os.path.join(tempfile.gettempdir(), "spark_graft_hilbert",
                          os.path.basename(os.path.normpath(sf_dir)), "orders")
-    if not ctx.index.exists.parquet(hpath):
+    if not (ctx.index.exists.parquet(hpath) and os.path.isdir(hpath)):
         from parquet_index_spark.sources import write_zordered
         write_zordered(_t(spark, sf_dir, "orders"), hpath,
                        ["o_custkey", "o_orderkey"], n_files=16,
@@ -2928,7 +2932,7 @@ def idx_join_dpp(spark, sf_dir):
     ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
     zpath = os.path.join(tempfile.gettempdir(), "spark_graft_zorder",
                          os.path.basename(os.path.normpath(sf_dir)), "orders")
-    if not ctx.index.exists.parquet(zpath):
+    if not (ctx.index.exists.parquet(zpath) and os.path.isdir(zpath)):
         from parquet_index_spark.sources import write_zordered
         write_zordered(_t(spark, sf_dir, "orders"), zpath,
                        ["o_custkey", "o_orderkey"], n_files=16,
@@ -3656,7 +3660,10 @@ def idx_term_search(spark, sf_dir):
     path = os.path.join(tempfile.gettempdir(), "spark_graft_termidx",
                         os.path.basename(os.path.normpath(sf_dir)), "docs")
     docs = _t(spark, sf_dir, "documents")
-    if not ctx.index.exists.parquet(path):
+    # build-if-missing must check the TABLE too: a metastore surviving a
+    # /tmp sweep that took the data dir would otherwise serve an index
+    # over vanished files (overwrite create below heals both)
+    if not (ctx.index.exists.parquet(path) and os.path.isdir(path)):
         aug = F.concat(
             F.col("text"),
             F.when(F.col("doc_id") % 50 == 0,
