@@ -474,6 +474,12 @@ def main() -> None:
                   "11.8s cold / 2.6s warm standalone); `queries_warm` "
                   "times a second invocation and is the operator's "
                   "steady-state cost",
+                  "term_search":
+                  "wall-clock speedup at sf0.1 is bounded by the fixed "
+                  "job floor like fast_count; the scale signal is "
+                  "files_scanned (token-membership pruning keeps needle "
+                  "lookups to the files that can contain the term at "
+                  "any corpus size)",
                   "fast_count":
                   "wall-clock speedup at sf0.1 is bounded by the ~90ms "
                   "fixed job floor; the scale signal is files_scanned "
