@@ -243,3 +243,45 @@ def pack_chunks(df: DataFrame, tokens: ColumnOrName, budget: int,
                         F.col(f"{out_prefix}_last")
                         - F.col(f"{out_prefix}_first") + 1)
             .drop("__pk_tok", "__pk_start"))
+
+
+def token_budget_sample(df: DataFrame, stratum: str, budgets: Dict,
+                        key: ColumnOrName, n_tokens: ColumnOrName,
+                        salt: str = "budget",
+                        keep_cumsum: bool = False) -> DataFrame:
+    """Materialize a data-mixture SPEC: per stratum, keep documents in
+    deterministic content-hash order until the stratum's TOKEN budget
+    fills (the "recipe -> concrete dataset" step of training-data
+    curation: '30B tokens of code, 10B of wiki, ...').
+
+    The cut rule keeps a document when the tokens BEFORE it (in hash
+    order) are still under budget, so the output overshoots by at most
+    one document per stratum and never undershoots while eligible data
+    remains — the standard greedy knapsack a mixture builder wants.
+    Strata absent from ``budgets`` are dropped (a recipe is a whitelist).
+
+    Determinism: hash order is content-keyed (md5), so re-sharding or
+    re-running selects the identical document set — and the DuckDB
+    oracle spells the same window arithmetic. Scale shape: ONE shuffle
+    (the per-stratum window over hash order); the budget map broadcasts
+    as a literal CASE. A pathologically hot stratum should be pre-thinned
+    with ``hash_sample`` first, as with ``cap_per_group``.
+    """
+    if not budgets:
+        raise ValueError("token_budget_sample requires a non-empty budgets map")
+    bucket = hash_bucket(key, salt)
+    w = (Window.partitionBy(stratum).orderBy(bucket, _as_col(key))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    budget_expr = F.lit(None).cast("long")
+    for name, b in sorted(budgets.items()):
+        budget_expr = F.when(F.col(stratum) == F.lit(name),
+                             F.lit(int(b)).cast("long")).otherwise(budget_expr)
+    out = (df.withColumn("__prior", F.coalesce(
+                F.sum(_as_col(n_tokens).cast("long")).over(w),
+                F.lit(0).cast("long")))
+           .withColumn("__budget", budget_expr)
+           .filter(F.col("__budget").isNotNull()
+                   & (F.col("__prior") < F.col("__budget"))))
+    if keep_cumsum:
+        return out.drop("__budget")
+    return out.drop("__prior", "__budget")

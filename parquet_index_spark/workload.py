@@ -4007,6 +4007,52 @@ FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def token_budget_mixture(spark, sf_dir):
+    """Mixture-spec materialization (operators/sampling.
+    token_budget_sample): per-language token budgets filled in
+    deterministic content-hash order — the 'recipe -> concrete dataset'
+    step ('X tokens of en, Y of de, ...'). One shuffle (the per-stratum
+    window over hash order); languages outside the recipe drop. The
+    oracle replays the hash ordering, running-total window, and greedy
+    cut with exact integer arithmetic — one extra or missing document
+    breaks the hash."""
+    from parquet_index_spark.operators.sampling import token_budget_sample
+    from parquet_index_spark.operators.text import token_count
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("n_tok", token_count("text").cast("long")))
+    sel = token_budget_sample(docs, "lang",
+                              {"en": 800, "de": 500, "fr": 300},
+                              "doc_id", "n_tok")
+    return (sel.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.min("doc_id").alias("first_doc"))
+            .orderBy("lang"))
+
+
+TOKEN_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\s+')) AS n_tok,
+         CAST('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)),
+                             1, 8) AS BIGINT) AS h
+  FROM documents WHERE lang IN ('en', 'de', 'fr')),
+c AS (
+  SELECT *, coalesce(sum(n_tok) OVER (
+      PARTITION BY lang ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM t),
+sel AS (
+  SELECT * FROM c
+  WHERE prior < CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500
+                          WHEN 'fr' THEN 300 END)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc
+FROM sel GROUP BY lang ORDER BY lang
+"""
+
+
 def stream_running_anomaly(spark, sf_dir):
     """Streaming per-key anomaly detection (streaming.
     stream_running_anomaly): every event is flagged against the running
@@ -4382,6 +4428,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "pii_redaction_stats": (pii_redaction_stats, PII_SQL),
     "span_dedup_stats": (span_dedup_stats, SPAN_DEDUP_SQL),
     "stream_running_anomaly": (stream_running_anomaly, STREAM_ANOM_SQL),
+    "token_budget_mixture": (token_budget_mixture, TOKEN_BUDGET_SQL),
     "freq_terms_top20": (freq_terms_top20, FREQ_TERMS_SQL),
     "lang_id_confusion": (lang_id_confusion, LANG_CONFUSION_SQL),
     "rolling_anomaly_events": (rolling_anomaly_events, ROLLING_ANOMALY_SQL),

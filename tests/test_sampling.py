@@ -300,3 +300,35 @@ class TestContamination:
         plan = (D.contaminated_docs(train, ev)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
+
+
+class TestTokenBudgetSample:
+    def test_greedy_fill_and_whitelist(self, spark):
+        """Per-stratum greedy fill in hash order: overshoot at most one
+        document, never undershoot while data remains; strata outside
+        the recipe drop; deterministic under repartitioning."""
+        import parquet_index_spark.operators.sampling as SA
+        rows = ([Row(k=i, s="a", n=10) for i in range(50)]       # 500 avail
+                + [Row(k=100 + i, s="b", n=7) for i in range(50)]
+                + [Row(k=200 + i, s="c", n=5) for i in range(10)])
+        df = spark.createDataFrame(rows)
+        budgets = {"a": 95, "b": 30}
+        got = SA.token_budget_sample(df, "s", budgets, "k", "n").collect()
+        by_s = {}
+        for r in got:
+            by_s.setdefault(r["s"], []).append(r)
+        assert set(by_s) == {"a", "b"}                  # c: not in recipe
+        for s_, b in budgets.items():
+            tot = sum(r["n"] for r in by_s[s_])
+            per_doc = by_s[s_][0]["n"]
+            assert b <= tot < b + per_doc               # fill, <=1 overshoot
+        # budget above availability: everything selected
+        all_c = SA.token_budget_sample(df, "s", {"c": 10_000},
+                                       "k", "n").collect()
+        assert len(all_c) == 10
+        # repartition-stable selection
+        again = SA.token_budget_sample(df.repartition(7), "s", budgets,
+                                       "k", "n").collect()
+        assert sorted(r["k"] for r in again) == sorted(r["k"] for r in got)
+        with pytest.raises(ValueError, match="non-empty"):
+            SA.token_budget_sample(df, "s", {}, "k", "n")
