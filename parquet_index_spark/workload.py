@@ -4053,6 +4053,108 @@ FROM sel GROUP BY lang ORDER BY lang
 """
 
 
+def curation_pipeline_v2(spark, sf_dir):
+    """Round-5 pipeline composition: planted-PII redaction -> corpus
+    span dedup -> token-budget mixture selection, certified as ONE chain
+    (the composed oracle replays redaction regexes, span chunking/cut/
+    rebuild, and the greedy budget window end-to-end — any stage drifting
+    breaks the hash, not just the stage's own unit test). Plan shape:
+    redaction is map-only on the scan; span dedup adds its two shuffles
+    (frequency agg + rebuild) with the offending-span broadcast cut; the
+    budget selection adds one per-language window — four shuffles total
+    at any corpus size."""
+    from parquet_index_spark.operators.dedup import span_dedup
+    from parquet_index_spark.operators.sampling import token_budget_sample
+    from parquet_index_spark.operators.text import redact_pii, token_count
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")))
+    red = redact_pii(docs.select("doc_id", "lang", aug.alias("text")),
+                     "text")
+    cleaned = span_dedup(red, span_tokens=4, max_docs=2)
+    labeled = (docs.select("doc_id", "lang").join(cleaned, "doc_id")
+               .withColumn("n_tok",
+                           token_count("clean_text").cast("long")))
+    sel = token_budget_sample(labeled, "lang",
+                              {"en": 600, "de": 400, "fr": 200},
+                              "doc_id", "n_tok")
+    return (sel.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.sum(F.when(F.col("n_spans_removed") == 0, 1)
+                       .otherwise(0)).alias("docs_untouched"),
+                 F.min("doc_id").alias("first_doc"))
+            .orderBy("lang"))
+
+
+CURATION_V2_SQL = r"""
+WITH red AS (
+  SELECT doc_id, lang,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               text || CASE WHEN doc_id % 7 = 0
+                            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com' ELSE '' END,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')
+           AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+  FROM red),
+spans_list AS (
+  SELECT doc_id, lang,
+         list_transform(
+           generate_series(0, CAST(ceil(len(t) / 4.0) AS INT) - 1),
+           i -> array_to_string(t[i*4+1 : i*4+4], ' ')) AS spans
+  FROM toks),
+spans AS (
+  SELECT doc_id, lang,
+         unnest(range(len(spans))) AS pos,
+         unnest(spans) AS span
+  FROM spans_list),
+bad AS (
+  SELECT span FROM spans GROUP BY span
+  HAVING count(DISTINCT doc_id) > 2),
+kept AS (SELECT s.* FROM spans s ANTI JOIN bad USING (span)),
+rebuilt AS (
+  SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+labeled AS (
+  SELECT sl.doc_id, sl.lang,
+         len(string_split_regex(trim(coalesce(r.clean_text, '')), '\s+'))
+           AS n_tok,
+         len(sl.spans) - coalesce(r.n_kept, 0) AS n_removed,
+         CAST('0x' || substr(md5('budget:' || CAST(sl.doc_id AS VARCHAR)),
+                             1, 8) AS BIGINT) AS h
+  FROM spans_list sl LEFT JOIN rebuilt r USING (doc_id)
+  WHERE sl.lang IN ('en', 'de', 'fr')),
+cum AS (
+  SELECT *, coalesce(sum(n_tok) OVER (
+      PARTITION BY lang ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM labeled),
+sel AS (
+  SELECT * FROM cum
+  WHERE prior < CASE lang WHEN 'en' THEN 600 WHEN 'de' THEN 400
+                          WHEN 'fr' THEN 200 END)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN n_removed = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_untouched,
+       min(doc_id) AS first_doc
+FROM sel GROUP BY lang ORDER BY lang
+"""
+
+
 def stream_running_anomaly(spark, sf_dir):
     """Streaming per-key anomaly detection (streaming.
     stream_running_anomaly): every event is flagged against the running
@@ -4429,6 +4531,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "span_dedup_stats": (span_dedup_stats, SPAN_DEDUP_SQL),
     "stream_running_anomaly": (stream_running_anomaly, STREAM_ANOM_SQL),
     "token_budget_mixture": (token_budget_mixture, TOKEN_BUDGET_SQL),
+    "curation_pipeline_v2": (curation_pipeline_v2, CURATION_V2_SQL),
     "freq_terms_top20": (freq_terms_top20, FREQ_TERMS_SQL),
     "lang_id_confusion": (lang_id_confusion, LANG_CONFUSION_SQL),
     "rolling_anomaly_events": (rolling_anomaly_events, ROLLING_ANOMALY_SQL),

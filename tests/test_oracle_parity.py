@@ -69,7 +69,7 @@ _CORE = {
     "pii_redaction_stats", "span_dedup_stats",
     "stream_running_anomaly", "idx_term_search",
     "idx_term_decontamination", "idx_phrase_search",
-    "token_budget_mixture",
+    "token_budget_mixture", "curation_pipeline_v2",
 }
 
 
