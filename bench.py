@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "idx_delete_partitioned", "stream_merge_cdc_ops",
     "pii_redaction_stats", "span_dedup_stats", "stream_running_anomaly",
     "idx_term_search", "idx_term_decontamination", "idx_phrase_search",
+    "token_budget_mixture", "curation_pipeline_v2",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the
