@@ -3723,7 +3723,7 @@ def idx_phrase_search(spark, sf_dir):
     path = os.path.join(tempfile.gettempdir(), "spark_graft_termidx",
                         os.path.basename(os.path.normpath(sf_dir)), "docs")
     t = ctx.index.parquet(path)
-    hits = t.contains_phrase("text", "batch batch batch")
+    hits = t.contains_phrase("text", "batch batch")
     return (hits.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").alias("min_doc"),
@@ -3740,7 +3740,7 @@ WITH aug AS (
   FROM documents),
 hits AS (
   SELECT doc_id, lang FROM aug
-  WHERE position(' batch batch batch ' IN
+  WHERE position(' batch batch ' IN
           ' ' || regexp_replace(trim(text), '\s+', ' ', 'g') || ' ') > 0)
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
