@@ -248,7 +248,8 @@ def pack_chunks(df: DataFrame, tokens: ColumnOrName, budget: int,
 def token_budget_sample(df: DataFrame, stratum: str, budgets: Dict,
                         key: ColumnOrName, n_tokens: ColumnOrName,
                         salt: str = "budget",
-                        keep_cumsum: bool = False) -> DataFrame:
+                        keep_cumsum: bool = False,
+                        range_bucket_bits: int = 12) -> DataFrame:
     """Materialize a data-mixture SPEC: per stratum, keep documents in
     deterministic content-hash order until the stratum's TOKEN budget
     fills (the "recipe -> concrete dataset" step of training-data
@@ -262,26 +263,64 @@ def token_budget_sample(df: DataFrame, stratum: str, budgets: Dict,
 
     Determinism: hash order is content-keyed (md5), so re-sharding or
     re-running selects the identical document set — and the DuckDB
-    oracle spells the same window arithmetic. Scale shape: ONE shuffle
-    (the per-stratum window over hash order); the budget map broadcasts
-    as a literal CASE. A pathologically hot stratum should be pre-thinned
-    with ``hash_sample`` first, as with ``cap_per_group``.
+    oracle spells the same window arithmetic.
+
+    Scale shape — DISTRIBUTED prefix sum, never one task per stratum:
+    a naive ``Window.partitionBy(stratum)`` running sum streams the
+    ENTIRE stratum ('30B tokens of code') through a single Spark task.
+    Instead the hash order is split into ``2^range_bucket_bits`` range
+    buckets (the top bits of the md5 bucket, so bucket order == hash
+    order):
+
+      1. per-(stratum, range-bucket) token sums — a tiny map-side-
+         combinable aggregate (|strata| * 4096 rows);
+      2. exclusive per-bucket prefix offsets over that tiny frame
+         (a window over metadata, not data), broadcast-joined back;
+      3. the running sum within each (stratum, range-bucket) — a window
+         whose partitions are ~1/4096th of a stratum each;
+      4. keep rows with ``offset + local_prior < budget``.
+
+    Identical keep set and ``__prior`` values as the single-window form
+    (the range bucket is a monotone function of the hash, so the global
+    order is unchanged), but the heavy window now has 4096-way
+    parallelism per stratum and per-task state bounded by a bucket, not
+    a corpus. Cost: one extra tiny aggregate + a broadcast join.
     """
     if not budgets:
         raise ValueError("token_budget_sample requires a non-empty budgets map")
+    if not 0 <= range_bucket_bits <= 31:
+        raise ValueError(
+            f"range_bucket_bits must be in [0, 31], got {range_bucket_bits}")
     bucket = hash_bucket(key, salt)
-    w = (Window.partitionBy(stratum).orderBy(bucket, _as_col(key))
-         .rowsBetween(Window.unboundedPreceding, -1))
     budget_expr = F.lit(None).cast("long")
     for name, b in sorted(budgets.items()):
         budget_expr = F.when(F.col(stratum) == F.lit(name),
                              F.lit(int(b)).cast("long")).otherwise(budget_expr)
-    out = (df.withColumn("__prior", F.coalesce(
-                F.sum(_as_col(n_tokens).cast("long")).over(w),
-                F.lit(0).cast("long")))
-           .withColumn("__budget", budget_expr)
-           .filter(F.col("__budget").isNotNull()
-                   & (F.col("__prior") < F.col("__budget"))))
-    if keep_cumsum:
-        return out.drop("__budget")
-    return out.drop("__prior", "__budget")
+    # hash space is [0, 2^32): top bits of the bucket give a range bucket
+    # that orders consistently with (bucket, key)
+    base = (df.withColumn("__budget", budget_expr)
+            .filter(F.col("__budget").isNotNull())
+            .withColumn("__tok", _as_col(n_tokens).cast("long"))
+            .withColumn("__bkt", bucket)
+            .withColumn("__rb",
+                        F.shiftright(F.col("__bkt"), 32 - range_bucket_bits)
+                        if range_bucket_bits else F.lit(0)))
+    # (1) tiny per-bucket sums; (2) exclusive prefix over the tiny frame
+    off_w = (Window.partitionBy(stratum).orderBy("__rb")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (base.groupBy(stratum, "__rb")
+               .agg(F.sum("__tok").alias("__rb_tok"))
+               .withColumn("__off", F.coalesce(F.sum("__rb_tok").over(off_w),
+                                               F.lit(0).cast("long")))
+               .drop("__rb_tok"))
+    # (3) local running sum within (stratum, range-bucket); (4) the cut
+    local_w = (Window.partitionBy(stratum, "__rb")
+               .orderBy("__bkt", _as_col(key))
+               .rowsBetween(Window.unboundedPreceding, -1))
+    out = (base.join(F.broadcast(offsets), [stratum, "__rb"])
+           .withColumn("__prior", F.col("__off") + F.coalesce(
+               F.sum("__tok").over(local_w), F.lit(0).cast("long")))
+           .filter(F.col("__prior") < F.col("__budget")))
+    # name-joins put join keys first; restore the caller's column order
+    keep = list(df.columns) + (["__prior"] if keep_cumsum else [])
+    return out.select(*keep)

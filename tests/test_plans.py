@@ -301,3 +301,36 @@ class TestRound5PlanQuality:
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
         s = plans.join_strategies(df)
         assert s["broadcast_hash"] >= 1, s
+
+
+class TestRound6PlanQuality:
+    """Plan guards for the round-6 scale fixes."""
+
+    def test_token_budget_window_is_range_bucketed(self, spark):
+        """The budget running sum must NEVER stream a whole stratum
+        through one task (round-5 verdict's scale-killer): every window
+        in the plan has to reference the __rb range bucket — the heavy
+        local window partitions on (stratum, __rb), and the offsets
+        window (over the tiny per-bucket aggregate) orders by __rb. A
+        regression back to Window.partitionBy(stratum) alone would show
+        a windowspec with no __rb and fail here."""
+        import re
+        from parquet_index_spark.workload import token_budget_mixture
+        df = token_budget_mixture(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, plan
+        solo = [s for s in specs if "__rb" not in s]
+        assert not solo, f"whole-stratum window(s) back in the plan: {solo}"
+        # and the heavy window really is co-partitioned on the bucket
+        assert any("__rb" in s and "__bkt" in s for s in specs), specs
+
+    def test_token_budget_offsets_broadcast(self, spark):
+        """The per-bucket prefix offsets (|strata| * 4096 rows of
+        metadata) must come back via a broadcast join, not a shuffle of
+        the document stream."""
+        from parquet_index_spark.workload import token_budget_mixture
+        df = token_budget_mixture(spark, SF_CORRECT)
+        s = plans.join_strategies(df)
+        assert s["broadcast_hash"] >= 1, s
+        assert s["nested_loop"] == 0, s
