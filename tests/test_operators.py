@@ -1289,3 +1289,56 @@ class TestMergeSink:
         assert t.filter("k IN (6, 7)").count() == 0
         assert t.filter("k = 8").head()["v"] == 801
         assert t.filter("k = 5000").count() == 1
+
+
+class TestSemanticDedup:
+    def test_flags_exact_keep_rule_on_synthetic_clusters(self, spark):
+        """Hand-built corpus: two tight clusters plus one singleton.
+        Within a cluster every member sits above the threshold vs the
+        others, so the smallest id per cluster survives and the rest
+        flag; the singleton never flags."""
+        import pyspark.sql.functions as F
+        base_a = [1.0, 0.0, 0.0, 0.0]
+        base_b = [0.0, 1.0, 0.0, 0.0]
+        lone = [0.0, 0.0, 1.0, 0.0]
+        rows = [(0, base_a), (1, base_b),      # seeds -> centroids
+                (2, [0.99, 0.01, 0.0, 0.0]),   # near a
+                (3, [0.98, 0.0, 0.02, 0.0]),   # near a
+                (4, [0.01, 0.99, 0.0, 0.0]),   # near b
+                (5, lone)]                     # own direction
+        df = spark.createDataFrame(rows,
+                                   "vec_id: long, embedding: array<double>")
+        cents = S.ivf_seed_centroids(df, n_centroids=2)
+        out = S.semantic_dedup(df, cents, threshold=0.9).collect()
+        got = {r["vec_id"]: (r["cluster_id"], r["is_semdup"]) for r in out}
+        # cluster of a = cid 0: ids 0,2,3 -> 0 kept, 2 and 3 flagged
+        assert got[0] == (0, False)
+        assert got[2][1] and got[3][1]
+        # cluster of b = cid 1: ids 1,4 -> 1 kept, 4 flagged
+        assert got[1] == (1, False)
+        assert got[4][1]
+        # the singleton lands in SOME cluster but has no >=0.9 neighbor
+        assert got[5][1] is False
+
+    def test_rerun_and_reshard_stable(self, spark):
+        emb = spark.read.parquet(os.path.join(SF_SMOKE,
+                                              "embeddings.parquet"))
+        cents = S.ivf_seed_centroids(emb, n_centroids=8)
+        a = {r["vec_id"] for r in
+             S.semantic_dedup(emb, cents, threshold=0.35)
+             .filter("is_semdup").collect()}
+        b = {r["vec_id"] for r in
+             S.semantic_dedup(emb.repartition(13), cents, threshold=0.35)
+             .filter("is_semdup").collect()}
+        assert a == b and a  # deterministic under re-layout, non-empty
+
+    def test_no_cartesian_in_plan(self, spark):
+        """The pair search must be an equi join on cluster_id — a plan
+        with BroadcastNestedLoopJoin/CartesianProduct is the all-pairs
+        scan SemDeDup exists to avoid."""
+        from parquet_index_spark.workload import semantic_dedup_stats
+        from parquet_index_spark import plans
+        from tests.conftest import SF_CORRECT
+        df = semantic_dedup_stats(spark, SF_CORRECT)
+        s = plans.join_strategies(df)
+        assert s["nested_loop"] == 0, s

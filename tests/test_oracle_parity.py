@@ -70,6 +70,8 @@ _CORE = {
     "stream_running_anomaly", "idx_term_search",
     "idx_term_decontamination", "idx_phrase_search",
     "token_budget_mixture", "curation_pipeline_v2",
+    # round-6 graded-window additions
+    "semantic_dedup_stats",
 }
 
 

@@ -874,3 +874,29 @@ class TestMergeIntoDeleteKeys:
         ups = spark.createDataFrame([Row(k=7, v=0)], "k bigint, v bigint")
         with pytest.raises(ValueError, match="overlap"):
             merge_into(ctx, path, ups, "k", delete_keys=[7])
+
+
+class TestIndexCurrencyGuardSchemes:
+    def test_scheme_qualified_table_path_not_refused(self, spark, ctx,
+                                                     tmp_table_dir):
+        """_require_index_current must compare files through qualified
+        Hadoop URIs, not os.path.abspath: a table addressed with an
+        explicit scheme (as every hdfs://\/s3a:// table is) previously
+        made EVERY file look unindexed and spuriously refused DML
+        (round-5 verdict nit #3). Simulated here with the file: scheme —
+        the same URI-vs-abspath mismatch without needing a remote FS."""
+        from types import SimpleNamespace
+        from parquet_index_spark.sources import _require_index_current
+        path = os.path.join(tmp_table_dir, "schemeq")
+        spark.range(0, 100).repartitionByRange(2, "id").write.parquet(path)
+        ctx.index.create.indexBy("id").parquet(path)
+        meta = ctx.index.parquet(path)._metadata
+        shim = SimpleNamespace(table_path="file:" + meta.table_path,
+                               all_file_paths=meta.all_file_paths)
+        # current index: must pass straight through (raised pre-fix)
+        _require_index_current(spark, shim, "delete_where")
+        # the staleness detection itself must still fire through a
+        # scheme-qualified path
+        spark.range(100, 110).coalesce(1).write.mode("append").parquet(path)
+        with pytest.raises(ValueError, match="not covered by its index"):
+            _require_index_current(spark, shim, "delete_where")
