@@ -831,17 +831,105 @@ class DataFrameIndexManager:
         n_files = len(files)
         n_blocks = int(files["blocks"].sum())
         n_rows = int(files["rows"].sum())
+        sat = self._filter_saturation(metadata)
+        none_sat = (0, None, None, None, None, False)
         rows = [("TABLE", "", n_files, n_blocks, n_rows,
-                 metadata.filter_type or "none")]
+                 metadata.filter_type or "none") + none_sat]
         for col, kind in metadata.index_columns.items():
             rows.append(("INDEXED_COLUMN", col, n_files, n_blocks, n_rows,
-                         metadata.filter_type or "none"))
+                         metadata.filter_type or "none")
+                        + sat.get(col, none_sat))
         for col, kind in metadata.partition_columns.items():
             rows.append(("PARTITION_COLUMN", col, n_files, n_blocks, n_rows,
-                         "exact"))
+                         "exact") + none_sat)
         return self.spark.createDataFrame(
             rows, schema="entry string, column string, n_files long, "
-                         "n_blocks long, n_rows long, filter_type string")
+                         "n_blocks long, n_rows long, filter_type string, "
+                         "filter_blocks long, max_stored_items long, "
+                         "design_item_cap long, max_fill double, "
+                         "max_est_fpp double, saturated boolean")
+
+    @staticmethod
+    def _filter_saturation(metadata) -> dict:
+        """Per-column membership-filter capacity telemetry (round-5
+        verdict ask #8): term/bigram vocabularies (``<col>#terms2`` can
+        approach the 2^20 bloom sizing cap on long documents) degrade
+        SILENTLY — an overfilled bloom still prunes soundly but its
+        false-positive rate climbs toward may-match-everything. Recover
+        the fill state from the stored filters themselves (no metadata
+        schema change, works on existing indexes):
+
+        - bloom: fill = popcount/num_bits; est stored items
+          n = -(m/k)·ln(1-fill); design capacity n0 = m·ln2/k (what the
+          filter was sized for — the insert cap at sizing time was
+          BLOOM_MAX_ITEMS); est fpp = fill^k. ``saturated`` when a block
+          holds >10% more items than its design capacity.
+        - dict / bitmap: exact membership — stored items reported, fpp 0,
+          never saturated.
+
+        Returns {column: (filter_blocks, max_stored_items,
+        design_item_cap, max_fill, max_est_fpp, saturated)}."""
+        import math
+
+        import numpy as np
+
+        from parquet_index_spark.statistics import (_BITMAP_MAGIC, _MAGIC,
+                                                    BitmapFilter,
+                                                    BloomFilter)
+
+        stats = metadata._load_stats()
+        out = {}
+        if stats.num_rows == 0:
+            return out
+        st = stats.select(["column", "dict_long", "dict_str",
+                           "bloom"]).to_pandas()
+        for col, sub in st.groupby("column"):
+            blocks = 0
+            max_items = 0
+            cap = None
+            max_fill = None
+            max_fpp = None
+            saturated = False
+            for dl, ds, bl in zip(sub["dict_long"], sub["dict_str"],
+                                  sub["bloom"]):
+                d = ds if ds is not None else dl
+                if d is not None:
+                    blocks += 1
+                    max_items = max(max_items, len(d))
+                    max_fpp = max(max_fpp or 0.0, 0.0)
+                    continue
+                if bl is None:
+                    continue
+                b = bytes(bl)
+                blocks += 1
+                if b[:8] == _BITMAP_MAGIC:
+                    bm = BitmapFilter.from_bytes(b)
+                    bits = np.frombuffer(bytes(bm.bits), dtype=np.uint8)
+                    max_items = max(max_items,
+                                    int(np.unpackbits(bits).sum()))
+                    max_fpp = max(max_fpp or 0.0, 0.0)
+                    continue
+                if b[:8] != _MAGIC:
+                    continue  # unknown future format: no telemetry
+                bf = BloomFilter.from_bytes(b)
+                m, k = bf.num_bits, bf.num_hashes
+                set_bits = int(np.unpackbits(
+                    np.frombuffer(bytes(bf.bits), dtype=np.uint8)).sum())
+                fill = min(set_bits / max(m, 1), 1.0)
+                design = max(1, round(m * math.log(2) / max(k, 1)))
+                est = (int(-(m / max(k, 1)) * math.log(1.0 - fill))
+                       if fill < 1.0 else m)
+                fpp = fill ** k
+                max_items = max(max_items, est)
+                cap = max(cap or 0, design)
+                max_fill = max(max_fill or 0.0, round(fill, 4))
+                max_fpp = max(max_fpp or 0.0, round(fpp, 6))
+                if est > 1.1 * design:
+                    saturated = True
+            if blocks:
+                out[col] = (blocks, max_items, cap, max_fill, max_fpp,
+                            saturated)
+        return out
 
     def _merge_refresh_schema(self, metastore: Metastore, spec: LocationSpec,
                               metadata: IndexMetadata,

@@ -377,3 +377,71 @@ class TestGlobPathRejection:
     def test_plain_path_unaffected(self, tmp_path):
         spec = LocationSpec(str(tmp_path / "plain_table"))
         assert spec.table_path.endswith("plain_table")
+
+
+class TestDescribeSaturation:
+    def test_term_index_reports_fill_and_fpp(self, spark, ctx,
+                                             tmp_table_dir):
+        """describe surfaces per-column membership-filter capacity:
+        term-indexed columns report filter_blocks / fill / est fpp so an
+        operator can see phrase-index (bigram) vocabulary pressure
+        before pruning degrades to may-match."""
+        path = os.path.join(tmp_table_dir, "dsat")
+        docs = [(i, " ".join(f"w{i}_{j}" for j in range(30)))
+                for i in range(50)]
+        spark.createDataFrame(docs, "doc_id: long, text: string") \
+            .coalesce(1).write.parquet(path)
+        (ctx.index.create.indexBy("doc_id").termIndexBy("text")
+            .parquet(path))
+        desc = {r["column"]: r
+                for r in ctx.index.describe.parquet(path).collect()}
+        terms = desc["text#terms2"]
+        assert terms["filter_blocks"] >= 1
+        assert terms["max_stored_items"] > 0
+        # healthy index: under design capacity, tiny fpp, not saturated
+        assert terms["saturated"] is False
+        if terms["max_fill"] is not None:       # bloom-backed
+            assert 0.0 < terms["max_fill"] < 0.55
+            assert terms["max_est_fpp"] < 0.05
+            assert terms["design_item_cap"] >= terms["max_stored_items"]
+        # non-filter rows carry the null telemetry shape
+        assert desc[""]["filter_blocks"] == 0
+
+    def test_oversized_block_flags_saturated(self):
+        """A block whose vocabulary overflowed its bloom's design
+        capacity (the 2^20 sizing cap on long documents) must flag
+        ``saturated`` with an honest fpp estimate — telemetry is
+        recovered from the stored bits alone, so it works on existing
+        indexes. Exercised directly on a deliberately 10x-overfilled
+        filter (building a 2^20-term block in-test is minutes of CPU;
+        the math is identical at any scale)."""
+        import pyarrow as pa
+        from parquet_index_spark.collector import STATS_SCHEMA
+        from parquet_index_spark.manager import DataFrameIndexManager
+        from parquet_index_spark.statistics import BloomFilter
+
+        bf = BloomFilter.create(100, 0.03)   # sized for 100 items
+        for i in range(1000):                # ...holds 1000
+            bf.put_bytes(f"tok{i}".encode())
+        healthy = BloomFilter.create(100, 0.03)
+        for i in range(80):
+            healthy.put_bytes(f"tok{i}".encode())
+        rows = [
+            {"path": "f.parquet", "block": 0, "rows": 10,
+             "column": "text#terms2", "nulls": 0, "has_stats": False,
+             "bloom": bf.to_bytes()},
+            {"path": "f.parquet", "block": 1, "rows": 10,
+             "column": "text#terms2", "nulls": 0, "has_stats": False,
+             "bloom": healthy.to_bytes()},
+        ]
+        stats = pa.Table.from_pylist(rows, schema=STATS_SCHEMA)
+
+        class _Meta:
+            def _load_stats(self):
+                return stats
+
+        sat = DataFrameIndexManager._filter_saturation(_Meta())
+        blocks, items, cap, fill, fpp, saturated = sat["text#terms2"]
+        assert blocks == 2 and saturated is True
+        assert items > 1.1 * cap             # overflow detected
+        assert fill > 0.9 and fpp > 0.5      # near-useless filter, said so
