@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "pii_redaction_stats", "span_dedup_stats", "stream_running_anomaly",
     "idx_term_search", "idx_term_decontamination", "idx_phrase_search",
     "token_budget_mixture", "curation_pipeline_v2",
-    "semantic_dedup_stats",
+    "semantic_dedup_stats", "quality_gate_by_lang",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the

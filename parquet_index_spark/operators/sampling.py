@@ -324,3 +324,42 @@ def token_budget_sample(df: DataFrame, stratum: str, budgets: Dict,
     # name-joins put join keys first; restore the caller's column order
     keep = list(df.columns) + (["__prior"] if keep_cumsum else [])
     return out.select(*keep)
+
+
+def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
+                           fraction: float, order_by: ColumnOrName,
+                           *tiebreak: ColumnOrName,
+                           keep_rank: bool = False) -> DataFrame:
+    """Per-group FRACTIONAL quota: keep the best ``ceil(fraction * n)``
+    rows of every group, preferring the lowest ``order_by`` (pass
+    ``F.desc(score)`` to keep highest) — the "keep the top 30% by
+    quality per domain" curation primitive. Where :func:`cap_per_group`
+    cuts at an absolute count, this cuts at a group-relative one, so a
+    small domain keeps proportionally as much as a huge one.
+
+    Exact and deterministic (unlike percentile-threshold gating, whose
+    approximate quantiles move between runs): the cut is a rank bound,
+    ``tiebreak`` must include a unique id so reruns keep identical rows.
+    ``ceil(fraction * n)`` uses IEEE double multiply — correctly rounded
+    in every engine, so a SQL oracle draws the identical boundary.
+
+    Scale shape: one tiny per-group count agg broadcast back, one window
+    shuffle on the group key (the unavoidable one — the quota is a
+    group property). Same pre-thinning advice as cap_per_group for
+    pathologically hot groups.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    counts = df.groupBy(_as_col(group)).agg(F.count("*").alias("__n"))
+    gname = group if isinstance(group, str) else None
+    if gname is None:
+        raise ValueError("top_fraction_per_group requires a column NAME "
+                         "for group (the count join is by name)")
+    w = Window.partitionBy(gname).orderBy(
+        _as_col(order_by), *[_as_col(t) for t in tiebreak])
+    kept = (df.join(F.broadcast(counts), gname)
+            .withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank")
+                    <= F.ceil(F.lit(float(fraction)) * F.col("__n"))))
+    keep = list(df.columns) + (["__rank"] if keep_rank else [])
+    return kept.select(*keep)

@@ -853,6 +853,15 @@ def ingest_json(spark, json_path: str, table_path: str, **write_kwargs) -> None:
     write_indexed(df, table_path, **write_kwargs)
 
 
+def ingest_orc(spark, orc_path: str, table_path: str, **write_kwargs) -> None:
+    """ORC -> indexed parquet. The index layer itself is parquet-only
+    (reference parity: README.md:40-47 supports parquet exclusively), so
+    other columnar drops convert on ingest — Spark's native ORC reader
+    keeps the conversion a straight columnar copy."""
+    df = spark.read.orc(orc_path)
+    write_indexed(df, table_path, **write_kwargs)
+
+
 def write_bucketed(df: DataFrame, table: str, path: str,
                    bucket_by: List[str], n_buckets: int,
                    sort_by: Optional[List[str]] = None,

@@ -71,7 +71,7 @@ _CORE = {
     "idx_term_decontamination", "idx_phrase_search",
     "token_budget_mixture", "curation_pipeline_v2",
     # round-6 graded-window additions
-    "semantic_dedup_stats",
+    "semantic_dedup_stats", "quality_gate_by_lang",
 }
 
 

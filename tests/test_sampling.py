@@ -332,3 +332,40 @@ class TestTokenBudgetSample:
         assert sorted(r["k"] for r in again) == sorted(r["k"] for r in got)
         with pytest.raises(ValueError, match="non-empty"):
             SA.token_budget_sample(df, "s", {}, "k", "n")
+
+
+class TestTopFractionPerGroup:
+    def test_fractional_quota_exact_rank_cut(self, spark):
+        from pyspark.sql import functions as F
+        rows = [(g, i, float(i % 7)) for g in ("a", "b")
+                for i in range(10)] + [("c", 0, 1.0)]
+        df = spark.createDataFrame(rows, "g: string, k: long, score: double")
+        kept = SA.top_fraction_per_group(df, "g", 0.3,
+                                         F.desc("score"), F.asc("k"))
+        by_g = {}
+        for r in kept.collect():
+            by_g.setdefault(r["g"], []).append(r)
+        # ceil(0.3 * 10) = 3 for a/b; ceil(0.3 * 1) = 1 for c
+        assert len(by_g["a"]) == 3 and len(by_g["b"]) == 3
+        assert len(by_g["c"]) == 1
+        # the kept set is the top scores with k as deterministic tiebreak
+        top = sorted(((-r["score"], r["k"]) for r in by_g["a"]))
+        assert top == sorted(((-float(i % 7), i) for i in range(10)))[:3]
+        # column order preserved; no helper columns leak
+        assert kept.columns == ["g", "k", "score"]
+        # keep_rank exposes the rank
+        ranked = SA.top_fraction_per_group(df, "g", 0.3, F.desc("score"),
+                                           F.asc("k"), keep_rank=True)
+        assert ranked.columns == ["g", "k", "score", "__rank"]
+        # fraction bounds + repartition stability
+        again = SA.top_fraction_per_group(df.repartition(5), "g", 0.3,
+                                          F.desc("score"), F.asc("k"))
+        assert sorted((r["g"], r["k"]) for r in again.collect()) == \
+            sorted((r["g"], r["k"]) for r in kept.collect())
+        with pytest.raises(ValueError, match="fraction"):
+            SA.top_fraction_per_group(df, "g", 1.5, F.desc("score"))
+        # fraction=1 keeps everything, fraction=0 keeps nothing
+        assert SA.top_fraction_per_group(
+            df, "g", 1.0, F.desc("score"), F.asc("k")).count() == 21
+        assert SA.top_fraction_per_group(
+            df, "g", 0.0, F.desc("score"), F.asc("k")).count() == 0

@@ -64,6 +64,18 @@ class TestIngestion:
         ingest_json(spark, js, out, index_by=["id"])
         assert ctx.index.parquet(out).filter("id = 1").count() == 1
 
+    def test_orc_roundtrip(self, spark, ctx, tmp_table_dir):
+        from parquet_index_spark.sources import ingest_orc
+        orc = os.path.join(tmp_table_dir, "in_orc")
+        spark.createDataFrame(
+            [Row(id=i, v=f"v{i}") for i in range(20)]) \
+            .coalesce(1).write.orc(orc)
+        out = os.path.join(tmp_table_dir, "orc_table")
+        ingest_orc(spark, orc, out, index_by=["id"])
+        t = ctx.index.parquet(out)
+        assert t.filter("id = 7").head()["v"] == "v7"
+        assert t.df.count() == 20
+
 
 class TestZOrder:
     def test_zorder_key_is_monotone_per_dimension_corner(self, spark):
