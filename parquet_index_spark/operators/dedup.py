@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -440,3 +442,87 @@ def span_dedup(df: DataFrame, text_col: str = "text",
                     "n_spans",
                     (F.col("n_spans") - F.coalesce("n_kept", F.lit(0)))
                     .cast("long").alias("n_spans_removed")))
+
+
+def dedup_against_corpus(df_new: DataFrame, corpus: DataFrame,
+                         key: str = "text", fpp: float = 0.01,
+                         expected_corpus_items: Optional[int] = None,
+                         max_broadcast_keys: int = 2_000_000) -> DataFrame:
+    """Incremental dedup of a NEW batch against an EXISTING corpus:
+    return the rows of ``df_new`` whose ``key`` does not already appear
+    in ``corpus`` — 'dedup today's crawl against the 100 TB lake'
+    without ever shuffling the lake.
+
+    Exactly ``df_new ANTI JOIN corpus ON key`` (the oracle spells that),
+    but shaped for an asymmetric corpus:
+
+    1. *Approximate pass, no corpus shuffle*: every corpus partition
+       builds a partial bloom over ``xxhash64(key)`` (one shared (m, k)
+       sizing so partials OR-merge; vectorized numpy inserts); the
+       driver ORs the partials — n_partitions filter blobs, bounded
+       metadata, ~12 MB for 10M keys at 1% fpp — and broadcasts the
+       merged filter. New rows failing the probe are DEFINITIVELY new
+       (blooms have no false negatives) and pass through untouched.
+    2. *Exact pass over candidates only*: surviving candidates (true
+       dups + ~fpp false positives) have their distinct keys semi-joined
+       against the corpus — broadcast when they fit (``limit(n+1)``
+       probe, the span_dedup pattern), shuffle anti-join fallback above
+       ``max_broadcast_keys`` (sound, just costlier). False positives
+       fall out here, so the result is exact regardless of fpp.
+
+    NULL keys follow SQL anti-join semantics (never equal, always kept).
+    At corpus sizes where a single bloom would exceed broadcast budget
+    (billions of keys), raise ``fpp`` or pre-partition by key range and
+    run per range; correctness never depends on the filter.
+    """
+    import math
+
+    from parquet_index_spark.statistics import BloomFilter
+
+    spark = df_new.sparkSession
+    n = int(expected_corpus_items or corpus.count())
+    n = max(n, 1)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+
+    hashed = corpus.select(F.xxhash64(F.col(key)).alias("__h"))
+
+    def _partials(batches):
+        bf = BloomFilter(m, k)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                seen = True
+                bf.put_longs_vectorized(pdf["__h"].to_numpy())
+        if seen:
+            yield pd.DataFrame({"bloom": [bf.to_bytes()]})
+
+    merged = BloomFilter(m, k)
+    import numpy as np
+    acc = np.frombuffer(merged.bits, dtype=np.uint8).copy()
+    for row in hashed.mapInPandas(_partials, "bloom binary").collect():
+        acc |= np.frombuffer(bytes(row["bloom"])[16:], dtype=np.uint8)
+    merged.bits = bytearray(acc.tobytes())
+    bc = spark.sparkContext.broadcast(merged.to_bytes())
+
+    @F.pandas_udf("boolean")
+    def _might(h: pd.Series) -> pd.Series:
+        bf = BloomFilter.from_bytes(bc.value)
+        return pd.Series(
+            bf.might_contain_longs_vectorized(h.to_numpy(dtype="int64")))
+
+    flagged = df_new.withColumn(
+        "__maybe", F.col(key).isNotNull()
+        & _might(F.xxhash64(F.col(key))))
+    candidates = flagged.filter("__maybe").select(F.col(key)).distinct()
+    n_cand = candidates.limit(max_broadcast_keys + 1).count()
+    if n_cand <= max_broadcast_keys:
+        matched = (corpus.join(F.broadcast(candidates), key, "left_semi")
+                   .select(F.col(key)).distinct())
+        out = (flagged.join(F.broadcast(matched), [key], "left_anti")
+               .drop("__maybe"))
+    else:
+        out = (flagged.drop("__maybe")
+               .join(corpus.select(F.col(key)).distinct(), [key],
+                     "left_anti"))
+    return out.select(*df_new.columns)

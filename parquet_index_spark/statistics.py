@@ -148,6 +148,35 @@ class BloomFilter:
                                            (idx & np.uint64(7)).astype(np.uint8)))
         self.bits = bytearray(bits.tobytes())
 
+    def might_contain_longs_vectorized(self, values):
+        """Vectorized membership probe for an int64 numpy array — the
+        read-side mirror of :meth:`put_longs_vectorized` (identical hash
+        pipeline, so a value inserted by one is always found by the
+        other). Returns a numpy bool array."""
+        import numpy as np
+        x = np.asarray(values, dtype=np.int64).view(np.uint64).copy()
+        for shift_mul in ((33, _MIX_C1), (33, _MIX_C2)):
+            x ^= x >> np.uint64(shift_mul[0])
+            x *= np.uint64(shift_mul[1])
+        x ^= x >> np.uint64(33)
+        h1 = x
+        y = h1 + np.uint64(_GOLDEN)
+        for shift_mul in ((33, _MIX_C1), (33, _MIX_C2)):
+            y ^= y >> np.uint64(shift_mul[0])
+            y *= np.uint64(shift_mul[1])
+        y ^= y >> np.uint64(33)
+        h2 = y | np.uint64(1)
+        m = np.uint64(self.num_bits)
+        bits = np.frombuffer(self.bits, dtype=np.uint8)
+        out = np.ones(len(x), dtype=bool)
+        for i in range(self.num_hashes):
+            idx = (h1 + np.uint64(i) * h2) % m
+            byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+            bit = (byte >> (idx & np.uint64(7)).astype(np.uint8)) \
+                & np.uint8(1)
+            out &= bit.astype(bool)
+        return out
+
     def to_bytes(self) -> bytes:
         header = _MAGIC + struct.pack(">II", self.num_bits, self.num_hashes)
         return header + bytes(self.bits)

@@ -4638,6 +4638,44 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def incremental_dedup_stats(spark, sf_dir):
+    """Incremental dedup of a new batch against an existing corpus
+    (dedup_against_corpus): the even-doc_id half of documents plays the
+    standing corpus, the odd half the fresh crawl, keyed on a 5-token
+    content prefix (the corpus has no exact text dups; the prefix key
+    gives genuine cross-half collisions). Phase 1 is a broadcast bloom
+    over xxhash64(key) built from per-partition partials — the corpus is
+    never shuffled; phase 2 resolves candidates exactly, so the result
+    equals a plain anti join and the oracle spells exactly that."""
+    from parquet_index_spark.operators.dedup import dedup_against_corpus
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.withColumn(
+        "__k", F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")),
+                                                r"\s+"), 1, 5)))
+    corpus = keyed.filter("doc_id % 2 = 0")
+    new = keyed.filter("doc_id % 2 = 1")
+    fresh = dedup_against_corpus(new, corpus, key="__k")
+    return (fresh.groupBy("lang")
+            .agg(F.count("*").alias("n_new"),
+                 F.sum("n_chars").alias("new_chars"))
+            .orderBy("lang"))
+
+
+INCREMENTAL_DEDUP_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         array_to_string(string_split_regex(trim(text), '\s+')[1:5], ' ')
+           AS k
+  FROM documents
+)
+SELECT n.lang, count(*) AS n_new, CAST(sum(n.n_chars) AS BIGINT) AS new_chars
+FROM d n
+WHERE n.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM d c WHERE c.doc_id % 2 = 0 AND c.k = n.k)
+GROUP BY n.lang ORDER BY n.lang
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # Ordering contract: the driver grades the FIRST 50 keys. Entries that
     # were never driver-graded (or failed) in a prior round sit first so
@@ -4765,6 +4803,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
     "semantic_dedup_stats": (semantic_dedup_stats, SEMANTIC_DEDUP_SQL),
     "quality_gate_by_lang": (quality_gate_by_lang, QUALITY_GATE_SQL),
+    "incremental_dedup_stats": (incremental_dedup_stats,
+                                INCREMENTAL_DEDUP_SQL),
 }
 
 # Round-6 grading window (round-5 verdict ask #6): the driver grades the
@@ -4777,6 +4817,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
 _R6_WINDOW = [
     # round-6 additions: never driver-graded yet
     "semantic_dedup_stats", "quality_gate_by_lang",
+    "incremental_dedup_stats",
     "ann_topk_lsh_probed", "stream_dedup_events", "stream_sink_roundtrip",
     "salted_skew_join", "dedup_exact_stats", "dedup_prefix_groups",
     "dedup_group_assignment", "dedup_keep_best", "jaccard_neardup_pairs",
@@ -4794,7 +4835,7 @@ _R6_WINDOW = [
     "top3_orders_per_customer", "distinct_parts_per_flag",
     "percentile_quantities", "setop_active_building_buyers",
     "scalar_functions_showcase", "merge_upsert_orders",
-    "bucketed_colocated_join", "customers_without_orders",
+    "bucketed_colocated_join",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R6_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R6_WINDOW}}

@@ -1342,3 +1342,64 @@ class TestSemanticDedup:
         df = semantic_dedup_stats(spark, SF_CORRECT)
         s = plans.join_strategies(df)
         assert s["nested_loop"] == 0, s
+
+
+class TestDedupAgainstCorpus:
+    def test_matches_plain_anti_join(self, spark):
+        """The two-phase bloom+exact form must equal df_new ANTI JOIN
+        corpus exactly (false positives fall out in the exact pass)."""
+        from parquet_index_spark.operators.dedup import dedup_against_corpus
+        corpus = spark.createDataFrame(
+            [(i, f"text {i % 40}") for i in range(200)], "id: long, t: string")
+        new = spark.createDataFrame(
+            [(1000 + i, f"text {i}") for i in range(120)],
+            "id: long, t: string")
+        got = dedup_against_corpus(new, corpus, key="t")
+        want = new.join(corpus.select("t").distinct(), ["t"], "left_anti")
+        assert sorted(r["id"] for r in got.collect()) == \
+            sorted(r["id"] for r in want.collect())
+        # keys 0..39 collide with the corpus; 40..119 are new
+        assert got.count() == 80
+        assert got.columns == new.columns
+
+    def test_shuffle_fallback_same_result(self, spark):
+        """Forcing the candidate set past max_broadcast_keys must flip to
+        the shuffle anti-join and return the identical rows."""
+        from parquet_index_spark.operators.dedup import dedup_against_corpus
+        corpus = spark.createDataFrame(
+            [(i, f"k{i}") for i in range(50)], "id: long, t: string")
+        new = spark.createDataFrame(
+            [(100 + i, f"k{i * 2}") for i in range(50)], "id: long, t: string")
+        a = dedup_against_corpus(new, corpus, key="t")
+        b = dedup_against_corpus(new, corpus, key="t", max_broadcast_keys=0)
+        assert sorted(r["id"] for r in a.collect()) == \
+            sorted(r["id"] for r in b.collect())
+
+    def test_null_keys_follow_anti_join_semantics(self, spark):
+        from parquet_index_spark.operators.dedup import dedup_against_corpus
+        corpus = spark.createDataFrame(
+            [(1, "x"), (2, None)], "id: long, t: string")
+        new = spark.createDataFrame(
+            [(10, "x"), (11, None), (12, "y")], "id: long, t: string")
+        got = sorted(r["id"] for r in
+                     dedup_against_corpus(new, corpus, key="t").collect())
+        # "x" is a dup; NULL never equals NULL (kept); "y" is new
+        assert got == [11, 12]
+
+    def test_vectorized_bloom_probe_roundtrip(self):
+        import numpy as np
+        from parquet_index_spark.statistics import BloomFilter
+        bf = BloomFilter.create(1000, 0.01)
+        ins = np.arange(-500, 500, dtype=np.int64) * 1_234_567
+        bf.put_longs_vectorized(ins)
+        assert bf.might_contain_longs_vectorized(ins).all()  # no false neg
+        probe = np.arange(10_000, 20_000, dtype=np.int64) * 999_331
+        fp = bf.might_contain_longs_vectorized(probe).mean()
+        assert fp < 0.05, fp                                  # ~fpp
+        # scalar and vectorized paths agree bit-for-bit
+        for v in (0, 1, -1, 2**62, -2**62):
+            assert bf.might_contain_pair(
+                *__import__("parquet_index_spark.statistics",
+                            fromlist=["x"])._hash_pair_long(v)) == \
+                bool(bf.might_contain_longs_vectorized(
+                    np.array([v], dtype=np.int64))[0])

@@ -72,6 +72,7 @@ _CORE = {
     "token_budget_mixture", "curation_pipeline_v2",
     # round-6 graded-window additions
     "semantic_dedup_stats", "quality_gate_by_lang",
+    "incremental_dedup_stats",
 }
 
 
