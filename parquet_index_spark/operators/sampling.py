@@ -363,3 +363,70 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
                     <= F.ceil(F.lit(float(fraction)) * F.col("__n"))))
     keep = list(df.columns) + (["__rank"] if keep_rank else [])
     return kept.select(*keep)
+
+
+def pack_bins(df: DataFrame, tokens: ColumnOrName, budget: int,
+              shard: ColumnOrName, id_col: ColumnOrName,
+              out_col: str = "bin") -> DataFrame:
+    """Per-shard first-fit-decreasing (FFD) bin packing: assign every
+    document a bin id so each bin's token total stays within ``budget``
+    — the 'pack sequences into fixed context windows without splitting
+    documents' training-prep layout (vs :func:`pack_chunks`, which
+    concatenates and SPLITS at chunk boundaries). FFD is the classic
+    11/9-OPT + 1 guarantee, so the bin count stays near the token-sum
+    lower bound.
+
+    Deterministic: documents sort by (tokens DESC, id ASC) within their
+    shard before packing, so re-runs and re-shardings produce identical
+    assignments. A document larger than ``budget`` gets a bin of its own
+    (never split, never dropped — flag oversized docs upstream if they
+    should be).
+
+    Scale shape: packing is inherently sequential per packing domain, so
+    the SHARD is the parallelism unit (the same contract as pack_chunks:
+    shards are the unit of training-file output). One shuffle on the
+    shard key; per-task state is one shard's docs in pandas plus its
+    open-bin capacities. Python is unavoidable here (iterative
+    data-dependent state — not expressible in DataFrame ops), so it runs
+    as ONE applyInPandas over Arrow batches, not per-row UDF calls.
+    Bin ids are per-shard ordinals.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    import numpy as np
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    tok_name = tokens if isinstance(tokens, str) else None
+    id_name = id_col if isinstance(id_col, str) else None
+    shard_name = shard if isinstance(shard, str) else None
+    if None in (tok_name, id_name, shard_name):
+        raise ValueError("pack_bins requires column NAMES for tokens, "
+                         "shard, and id_col (applyInPandas key contract)")
+    # fresh StructType: StructType.add MUTATES (and returns) the df's
+    # cached schema object, which desyncs the python-side schema from the
+    # JVM plan and breaks downstream resolution
+    from pyspark.sql.types import LongType, StructField, StructType
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(out_col, LongType())])
+
+    def _pack(pdf):
+        order = np.lexsort((pdf[id_name].to_numpy(),
+                            -pdf[tok_name].to_numpy()))
+        toks = pdf[tok_name].to_numpy()
+        bins = np.empty(len(pdf), dtype=np.int64)
+        remaining: list = []          # open-bin remaining capacity
+        for row in order:
+            t = int(toks[row])
+            for b, cap in enumerate(remaining):
+                if cap >= t:
+                    remaining[b] = cap - t
+                    bins[row] = b
+                    break
+            else:
+                remaining.append(max(budget - t, 0))
+                bins[row] = len(remaining) - 1
+        out = pdf.copy()
+        out[out_col] = bins
+        return out
+
+    return df.groupBy(shard_name).applyInPandas(_pack, out_schema)

@@ -4676,6 +4676,29 @@ GROUP BY n.lang ORDER BY n.lang
 """
 
 
+def pack_bins_by_source(spark, sf_dir):
+    """FFD sequence packing (pack_bins): pack each source's documents
+    into 4096-char bins without splitting documents, then report per-
+    source bin counts, the fullest bin, and utilization. Deterministic
+    (FFD over (chars DESC, doc_id ASC)) but inherently iterative — not
+    SQL-expressible, so this is a rows-only driver check; exactness is
+    covered by the reference-implementation differential in
+    TestPackBins (invariants: budget respected, bin ids dense, count
+    near the token-sum lower bound)."""
+    from parquet_index_spark.operators.sampling import pack_bins
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_bins(docs, "n_chars", 4096, "source", "doc_id")
+    per_bin = (packed.groupBy("source", "bin")
+               .agg(F.sum("n_chars").alias("bin_chars")))
+    return (per_bin.groupBy("source")
+            .agg(F.count("*").alias("n_bins"),
+                 F.max("bin_chars").alias("max_bin_chars"),
+                 F.sum("bin_chars").alias("total_chars"))
+            .withColumn("within_budget",
+                        F.col("max_bin_chars") <= F.lit(4096))
+            .orderBy("source"))
+
+
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # Ordering contract: the driver grades the FIRST 50 keys. Entries that
     # were never driver-graded (or failed) in a prior round sit first so
@@ -4805,6 +4828,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "quality_gate_by_lang": (quality_gate_by_lang, QUALITY_GATE_SQL),
     "incremental_dedup_stats": (incremental_dedup_stats,
                                 INCREMENTAL_DEDUP_SQL),
+    "pack_bins_by_source": (pack_bins_by_source, None),
 }
 
 # Round-6 grading window (round-5 verdict ask #6): the driver grades the
@@ -4817,7 +4841,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
 _R6_WINDOW = [
     # round-6 additions: never driver-graded yet
     "semantic_dedup_stats", "quality_gate_by_lang",
-    "incremental_dedup_stats",
+    "incremental_dedup_stats", "pack_bins_by_source",
     "ann_topk_lsh_probed", "stream_dedup_events", "stream_sink_roundtrip",
     "salted_skew_join", "dedup_exact_stats", "dedup_prefix_groups",
     "dedup_group_assignment", "dedup_keep_best", "jaccard_neardup_pairs",
@@ -4835,7 +4859,6 @@ _R6_WINDOW = [
     "top3_orders_per_customer", "distinct_parts_per_flag",
     "percentile_quantities", "setop_active_building_buyers",
     "scalar_functions_showcase", "merge_upsert_orders",
-    "bucketed_colocated_join",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R6_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R6_WINDOW}}

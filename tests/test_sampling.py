@@ -369,3 +369,56 @@ class TestTopFractionPerGroup:
             df, "g", 1.0, F.desc("score"), F.asc("k")).count() == 21
         assert SA.top_fraction_per_group(
             df, "g", 0.0, F.desc("score"), F.asc("k")).count() == 0
+
+
+class TestPackBins:
+    def test_ffd_reference_differential_and_invariants(self, spark):
+        import numpy as np
+        rows = [("s1", i, int(v)) for i, v in enumerate(
+            np.random.default_rng(3).integers(10, 900, size=80))]
+        rows += [("s2", 100 + i, 950) for i in range(5)]   # near-budget docs
+        rows += [("s2", 200, 2000)]                        # oversized doc
+        df = spark.createDataFrame(rows, "src: string, k: long, n: long")
+        out = SA.pack_bins(df, "n", 1000, "src", "k").collect()
+
+        # reference FFD implementation (independent of the operator)
+        def ffd(items, budget):
+            bins, assign = [], {}
+            for k, n in sorted(items, key=lambda x: (-x[1], x[0])):
+                for b, cap in enumerate(bins):
+                    if cap >= n:
+                        bins[b] -= n
+                        assign[k] = b
+                        break
+                else:
+                    bins.append(max(budget - n, 0))
+                    assign[k] = len(bins) - 1
+            return assign
+
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["src"], []).append(r)
+        for src, rs in by_src.items():
+            items = [(r["k"], r["n"]) for r in rs]
+            want = ffd(items, 1000)
+            got = {r["k"]: r["bin"] for r in rs}
+            assert got == want, src
+            # invariants: budget respected (oversized doc alone), dense ids
+            totals = {}
+            for r in rs:
+                totals[r["bin"]] = totals.get(r["bin"], 0) + r["n"]
+            for b, tot in totals.items():
+                n_in_bin = sum(1 for r in rs if r["bin"] == b)
+                assert tot <= 1000 or n_in_bin == 1
+            assert sorted(totals) == list(range(len(totals)))
+            # FFD bound: bins <= ceil(11/9 * LB) + 1
+            lb = -(-sum(n for _, n in items) // 1000)
+            assert len(totals) <= -(-11 * lb // 9) + 1
+
+        # repartition-stable
+        again = SA.pack_bins(df.repartition(7), "n", 1000, "src", "k") \
+            .collect()
+        assert sorted((r["src"], r["k"], r["bin"]) for r in again) == \
+            sorted((r["src"], r["k"], r["bin"]) for r in out)
+        with pytest.raises(ValueError, match="budget"):
+            SA.pack_bins(df, "n", 0, "src", "k")
