@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "idx_term_search", "idx_term_decontamination", "idx_phrase_search",
     "token_budget_mixture", "curation_pipeline_v2",
     "semantic_dedup_stats", "quality_gate_by_lang",
-    "incremental_dedup_stats",
+    "incremental_dedup_stats", "pack_bins_by_source",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the

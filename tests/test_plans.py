@@ -334,3 +334,23 @@ class TestRound6PlanQuality:
         s = plans.join_strategies(df)
         assert s["broadcast_hash"] >= 1, s
         assert s["nested_loop"] == 0, s
+
+    def test_incremental_dedup_broadcasts_candidates(self, spark):
+        """dedup_against_corpus's exact pass must be broadcast joins —
+        a shuffle of the corpus by key is exactly what the operator
+        exists to avoid (the fallback path is opt-in via the key cap)."""
+        from parquet_index_spark.workload import incremental_dedup_stats
+        df = incremental_dedup_stats(spark, SF_CORRECT)
+        s = plans.join_strategies(df)
+        assert s["broadcast_hash"] >= 2, s   # semi (matched) + anti (cut)
+        assert s["sort_merge"] == 0 and s["shuffled_hash"] == 0, s
+        assert s["nested_loop"] == 0, s
+
+    def test_quality_gate_single_window_shuffle(self, spark):
+        """top_fraction_per_group: the count agg comes back via
+        broadcast; the only data shuffle is the per-group window."""
+        from parquet_index_spark.workload import quality_gate_by_lang
+        df = quality_gate_by_lang(spark, SF_CORRECT)
+        s = plans.join_strategies(df)
+        assert s["broadcast_hash"] >= 1, s
+        assert s["nested_loop"] == 0, s

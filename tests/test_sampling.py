@@ -422,3 +422,30 @@ class TestPackBins:
             sorted((r["src"], r["k"], r["bin"]) for r in out)
         with pytest.raises(ValueError, match="budget"):
             SA.pack_bins(df, "n", 0, "src", "k")
+
+
+class TestTokenBudgetPrefixSumEquivalence:
+    @pytest.mark.parametrize("bits", [0, 4, 12])
+    def test_identical_keep_set_across_bucketings(self, spark, bits):
+        """The distributed prefix sum must select the BYTE-IDENTICAL
+        document set and cumsum values at any range-bucket granularity:
+        bits=0 degenerates to the old single-window-per-stratum form, so
+        equality across bits proves the restructure changed only the
+        parallelism, not the semantics."""
+        import numpy as np
+        rng = np.random.default_rng(11)
+        rows = [(f"s{i % 3}", i, int(t))
+                for i, t in enumerate(rng.integers(1, 500, size=300))]
+        df = spark.createDataFrame(rows, "s: string, k: long, n: long")
+        budgets = {"s0": 5_000, "s1": 900, "s2": 0}
+        got = sorted(
+            (r["s"], r["k"], r["__prior"]) for r in
+            SA.token_budget_sample(df, "s", budgets, "k", "n",
+                                   keep_cumsum=True,
+                                   range_bucket_bits=bits).collect())
+        want = sorted(
+            (r["s"], r["k"], r["__prior"]) for r in
+            SA.token_budget_sample(df, "s", budgets, "k", "n",
+                                   keep_cumsum=True,
+                                   range_bucket_bits=12).collect())
+        assert got == want and got
