@@ -222,7 +222,8 @@ class IndexedDataFrame:
             if len(terms) > 1 else P.TermMatch(column, terms[0])
         return self.filter(pred)
 
-    def explain_pruning(self, predicate) -> dict:
+    def explain_pruning(self, predicate,
+                        include_saturation: bool = False) -> dict:
         """Pruning diagnosis — the operability view of the index: for the
         whole predicate and each foldable LEAF independently, how many
         files the fold keeps. An index that isn't helping shows up as a
@@ -230,7 +231,16 @@ class IndexedDataFrame:
         range spanning the table, filter-less blocks), and the tight
         leaves show which clauses actually drive the skip. Driver-side
         metadata fold only — no data IO, no job. Returns
-        {total_files, overall_files, pruned, leaves: {leaf: files}}."""
+        {total_files, overall_files, pruned, leaves: {leaf: files}}.
+
+        ``include_saturation=True`` additionally attaches the per-column
+        membership-filter capacity telemetry from ``describe`` (fill,
+        est stored items vs design cap, est fpp, saturated flag) under
+        ``filter_saturation`` — the companion diagnosis when a term or
+        phrase leaf keeps ~all files: a saturated ``#terms2`` bloom
+        means the vocabulary outgrew the filter, not that the predicate
+        is unselective. Popcounts every stored filter, so it costs one
+        pass over the stats metadata."""
         import numpy as np
 
         from parquet_index_spark import pruning as PR
@@ -266,9 +276,17 @@ class IndexedDataFrame:
             leaves[desc] = n_files(PR.evaluate(p, ctx, tz))
 
         walk(P.push_not_down(ast))
-        return {"total_files": len(all_paths),
-                "overall_files": n_files(PR.evaluate(ast, ctx, tz)),
-                "pruned": True, "leaves": leaves}
+        out = {"total_files": len(all_paths),
+               "overall_files": n_files(PR.evaluate(ast, ctx, tz)),
+               "pruned": True, "leaves": leaves}
+        if include_saturation:
+            sat = DataFrameIndexManager._filter_saturation(self._metadata)
+            out["filter_saturation"] = {
+                col: {"filter_blocks": b, "max_stored_items": i,
+                      "design_item_cap": cap, "max_fill": fill,
+                      "max_est_fpp": fpp, "saturated": s}
+                for col, (b, i, cap, fill, fpp, s) in sat.items()}
+        return out
 
     def count_where(self, predicate=None) -> int:
         """Metadata-accelerated count: ``count(*) WHERE pred`` answered

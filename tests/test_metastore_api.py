@@ -445,3 +445,21 @@ class TestDescribeSaturation:
         assert blocks == 2 and saturated is True
         assert items > 1.1 * cap             # overflow detected
         assert fill > 0.9 and fpp > 0.5      # near-useless filter, said so
+
+    def test_explain_pruning_attaches_saturation(self, spark, ctx,
+                                                 tmp_table_dir):
+        path = os.path.join(tmp_table_dir, "dsat2")
+        docs = [(i, " ".join(f"t{i}_{j}" for j in range(20)))
+                for i in range(40)]
+        spark.createDataFrame(docs, "doc_id: long, text: string") \
+            .coalesce(1).write.parquet(path)
+        (ctx.index.create.indexBy("doc_id").termIndexBy("text")
+            .parquet(path))
+        t = ctx.index.parquet(path)
+        base = t.explain_pruning("doc_id = 3")
+        assert "filter_saturation" not in base        # opt-in
+        d = t.explain_pruning("doc_id = 3", include_saturation=True)
+        sat = d["filter_saturation"]
+        assert "text#terms2" in sat
+        assert sat["text#terms2"]["filter_blocks"] >= 1
+        assert sat["text#terms2"]["saturated"] is False
