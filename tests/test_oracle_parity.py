@@ -72,7 +72,8 @@ _CORE = {
     "token_budget_mixture", "curation_pipeline_v2",
     # round-6 graded-window additions
     "semantic_dedup_stats", "quality_gate_by_lang",
-    "incremental_dedup_stats",
+    "incremental_dedup_stats", "pack_bins_by_source",
+    "curation_pipeline_v3",
 }
 
 
