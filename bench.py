@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "token_budget_mixture", "curation_pipeline_v2",
     "semantic_dedup_stats", "quality_gate_by_lang",
     "incremental_dedup_stats", "pack_bins_by_source",
-    "curation_pipeline_v3",
+    "curation_pipeline_v3", "shuffle_shard_stats",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the

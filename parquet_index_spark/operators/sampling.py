@@ -430,3 +430,30 @@ def pack_bins(df: DataFrame, tokens: ColumnOrName, budget: int,
         return out
 
     return df.groupBy(shard_name).applyInPandas(_pack, out_schema)
+
+
+def shuffle_assign(df: DataFrame, key: ColumnOrName, n_shards: int,
+                   salt: str = "shuffle", shard_col: str = "shard",
+                   order_col: str = "shuffle_order") -> DataFrame:
+    """Deterministic GLOBAL shuffle for training-data export, without a
+    global sort: every row gets a content-keyed shard id
+    (``md5 % n_shards``) and a within-shard order key (an independent
+    md5), so writing ``repartition on shard, sortWithinPartitions on
+    order key`` materializes a uniformly shuffled dataset — the standard
+    way a 100 TB corpus is shuffled for training (a true global
+    ``ORDER BY random()`` is a single-task sort and non-reproducible).
+
+    Properties a training pipeline needs, all content-keyed: the
+    permutation is identical across re-runs, re-shardings, and engines
+    (the oracle spells the same md5 arithmetic); appending new data
+    never moves existing rows between shards; changing ``salt`` draws an
+    independent permutation (epoch reshuffles). Pure map-side
+    projection — no shuffle, no state; the one data shuffle happens at
+    write time, keyed by the shard column.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return (df.withColumn(shard_col,
+                          hash_bucket(key, f"{salt}:shard")
+                          % F.lit(int(n_shards)))
+            .withColumn(order_col, hash_bucket(key, f"{salt}:order")))

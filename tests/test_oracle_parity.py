@@ -73,7 +73,7 @@ _CORE = {
     # round-6 graded-window additions
     "semantic_dedup_stats", "quality_gate_by_lang",
     "incremental_dedup_stats", "pack_bins_by_source",
-    "curation_pipeline_v3",
+    "curation_pipeline_v3", "shuffle_shard_stats",
 }
 
 

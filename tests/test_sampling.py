@@ -449,3 +449,35 @@ class TestTokenBudgetPrefixSumEquivalence:
                                    keep_cumsum=True,
                                    range_bucket_bits=12).collect())
         assert got == want and got
+
+
+class TestShuffleAssign:
+    def test_matches_duckdb_and_properties(self, spark, keyed):
+        shuf = SA.shuffle_assign(keyed, "k", n_shards=8)
+        rows = shuf.collect()
+        con = duckdb.connect()
+        want = {r[0]: (r[1], r[2]) for r in con.sql("""
+            SELECT range,
+                   CAST('0x' || substr(md5('shuffle:shard:'
+                        || CAST(range AS VARCHAR)), 1, 8) AS BIGINT) % 8,
+                   CAST('0x' || substr(md5('shuffle:order:'
+                        || CAST(range AS VARCHAR)), 1, 8) AS BIGINT)
+            FROM range(0, 2000)""").fetchall()}
+        for r in rows:
+            assert (r["shard"], r["shuffle_order"]) == want[r["k"]]
+        # balance: 2000 keys over 8 shards ~ 250 each (loose 5-sigma band)
+        from collections import Counter
+        c = Counter(r["shard"] for r in rows)
+        assert set(c) == set(range(8))
+        assert all(175 <= n <= 325 for n in c.values()), c
+        # independent salts -> an independent permutation
+        other = {(r["k"], r["shard"]) for r in
+                 SA.shuffle_assign(keyed, "k", 8, salt="epoch2").collect()}
+        same = sum(1 for r in rows if (r["k"], r["shard"]) in other)
+        assert same < 2000 * 0.25  # ~1/8 expected agreement
+        # map-only: no exchange in the plan
+        plan = (SA.shuffle_assign(keyed, "k", 8)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+        with pytest.raises(ValueError, match="n_shards"):
+            SA.shuffle_assign(keyed, "k", 0)
