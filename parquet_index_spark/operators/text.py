@@ -314,3 +314,54 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     for kind, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     return df.withColumn(out_col or text_col, out)
+
+
+def vocab_drift(df_a: DataFrame, df_b: DataFrame, group: str,
+                text_col: str = "text") -> DataFrame:
+    """Corpus drift monitor: per-``group`` total-variation distance
+    between two snapshots' unigram distributions —
+    ``TV = 1/2 * sum_t |p_a(t) - p_b(t)|`` in [0, 1], the
+    "did this month's crawl shift under me" signal a training pipeline
+    watches between snapshots. TV over KL on purpose: it needs no
+    smoothing for unseen tokens and is computable in EXACT integer
+    arithmetic — the per-token contribution is
+    ``|n_a(t) * T_b - n_b(t) * T_a|`` (DECIMAL(38,0), overflow-safe past
+    2^63 token-count products), summed exactly, with one final
+    correctly-rounded double division — so any engine reproduces the
+    identical rounded value (log-based divergences inherit libm's
+    last-ulp variance).
+
+    Scale shape: two map-side-combinable (group, token) count aggs, one
+    full-outer equi join on (group, token) — vocabulary-sized, not
+    corpus-sized — with the per-group totals broadcast back. Returns
+    (group, vocab_a, vocab_b, tv_distance).
+    """
+    def freqs(df, n_col):
+        return (df.select(F.col(group),
+                          F.explode(tokens(text_col)).alias("tok"))
+                .filter(F.col("tok") != "")
+                .groupBy(group, "tok")
+                .agg(F.count("*").cast("long").alias(n_col)))
+
+    fa = freqs(df_a, "na")
+    fb = freqs(df_b, "nb")
+    ta = fa.groupBy(group).agg(F.sum("na").alias("Ta"),
+                               F.count("*").alias("va"))
+    tb = fb.groupBy(group).agg(F.sum("nb").alias("Tb"),
+                               F.count("*").alias("vb"))
+    j = (fa.join(fb, [group, "tok"], "full_outer")
+         .na.fill(0, ["na", "nb"])
+         .join(F.broadcast(ta), group)
+         .join(F.broadcast(tb), group))
+    contrib = F.expr(
+        "abs(CAST(na AS DECIMAL(38,0)) * Tb - CAST(nb AS DECIMAL(38,0)) * Ta)")
+    return (j.groupBy(group)
+            .agg(F.sum(contrib).alias("__num"),
+                 F.max("Ta").alias("__ta"), F.max("Tb").alias("__tb"),
+                 F.max("va").alias("vocab_a"), F.max("vb").alias("vocab_b"))
+            .select(F.col(group), "vocab_a", "vocab_b",
+                    F.round(F.col("__num").cast("double")
+                            / (F.lit(2.0) * F.col("__ta").cast("double")
+                               * F.col("__tb").cast("double")), 6)
+                    .alias("tv_distance"))
+            .orderBy(group))

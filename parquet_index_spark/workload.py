@@ -4884,6 +4884,53 @@ FROM s GROUP BY shard ORDER BY shard
 """
 
 
+def vocab_drift_by_lang(spark, sf_dir):
+    """Corpus drift between snapshots (vocab_drift): the even-doc_id half
+    of documents plays last month's snapshot, the odd half this month's;
+    per-lang total-variation distance between their unigram
+    distributions plus vocabulary sizes. Exact integer contributions
+    (DECIMAL(38,0) cross products) with one final rounded double
+    division, so the oracle reproduces the value bit-for-bit — the
+    engine-portable alternative to libm-dependent KL."""
+    from parquet_index_spark.operators.text import vocab_drift
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_drift(docs.filter("doc_id % 2 = 0"),
+                       docs.filter("doc_id % 2 = 1"), group="lang")
+
+
+VOCAB_DRIFT_SQL = r"""
+WITH ea AS (
+  SELECT lang, t.tok FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok) t
+  WHERE doc_id % 2 = 0 AND t.tok <> ''
+),
+eb AS (
+  SELECT lang, t.tok FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok) t
+  WHERE doc_id % 2 = 1 AND t.tok <> ''
+),
+fa AS (SELECT lang, tok, count(*) AS na FROM ea GROUP BY lang, tok),
+fb AS (SELECT lang, tok, count(*) AS nb FROM eb GROUP BY lang, tok),
+ta AS (SELECT lang, sum(na) AS Ta, count(*) AS va FROM fa GROUP BY lang),
+tb AS (SELECT lang, sum(nb) AS Tb, count(*) AS vb FROM fb GROUP BY lang),
+j AS (
+  SELECT COALESCE(fa.lang, fb.lang) AS lang,
+         COALESCE(fa.tok, fb.tok) AS tok,
+         COALESCE(fa.na, 0) AS na, COALESCE(fb.nb, 0) AS nb
+  FROM fa FULL OUTER JOIN fb ON fa.lang = fb.lang AND fa.tok = fb.tok
+)
+SELECT j.lang, CAST(ta.va AS BIGINT) AS vocab_a,
+       CAST(tb.vb AS BIGINT) AS vocab_b,
+       round(CAST(sum(abs(CAST(j.na AS DECIMAL(38,0)) * tb.Tb
+                          - CAST(j.nb AS DECIMAL(38,0)) * ta.Ta)) AS DOUBLE)
+             / (2.0 * CAST(ta.Ta AS DOUBLE) * CAST(tb.Tb AS DOUBLE)), 6)
+         AS tv_distance
+FROM j JOIN ta ON j.lang = ta.lang JOIN tb ON j.lang = tb.lang
+GROUP BY j.lang, ta.va, tb.vb, ta.Ta, tb.Tb
+ORDER BY j.lang
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # Ordering contract: the driver grades the FIRST 50 keys. Entries that
     # were never driver-graded (or failed) in a prior round sit first so
@@ -5016,6 +5063,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "pack_bins_by_source": (pack_bins_by_source, None),
     "curation_pipeline_v3": (curation_pipeline_v3, CURATION_V3_SQL),
     "shuffle_shard_stats": (shuffle_shard_stats, SHUFFLE_SHARD_SQL),
+    "vocab_drift_by_lang": (vocab_drift_by_lang, VOCAB_DRIFT_SQL),
 }
 
 # Round-6 grading window (round-5 verdict ask #6): the driver grades the
@@ -5030,6 +5078,7 @@ _R6_WINDOW = [
     "semantic_dedup_stats", "quality_gate_by_lang",
     "incremental_dedup_stats", "pack_bins_by_source",
     "curation_pipeline_v3", "shuffle_shard_stats",
+    "vocab_drift_by_lang",
     "ann_topk_lsh_probed", "stream_dedup_events", "stream_sink_roundtrip",
     "salted_skew_join", "dedup_exact_stats", "dedup_prefix_groups",
     "dedup_group_assignment", "dedup_keep_best", "jaccard_neardup_pairs",
@@ -5045,7 +5094,7 @@ _R6_WINDOW = [
     "q17_small_quantity_revenue", "q19_disjunctive_predicates",
     "q22_global_sales_opportunity", "idx_join_dpp",
     "top3_orders_per_customer", "distinct_parts_per_flag",
-    "percentile_quantities", "setop_active_building_buyers",
+    "percentile_quantities",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R6_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R6_WINDOW}}

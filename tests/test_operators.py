@@ -1403,3 +1403,26 @@ class TestDedupAgainstCorpus:
                             fromlist=["x"])._hash_pair_long(v)) == \
                 bool(bf.might_contain_longs_vectorized(
                     np.array([v], dtype=np.int64))[0])
+
+
+class TestVocabDrift:
+    def test_known_value_and_bounds(self, spark):
+        from parquet_index_spark.operators.text import vocab_drift
+        a = spark.createDataFrame(
+            [("g", "x x y"), ("g", "y z")], "lang: string, text: string")
+        b = spark.createDataFrame(
+            [("g", "x w w w")], "lang: string, text: string")
+        # a: x=2,y=2,z=1 (T=5); b: x=1,w=3 (T=4)
+        # TV = 1/2 (|2/5-1/4| + |2/5-0| + |1/5-0| + |0-3/4|)
+        #    = 1/2 (0.15 + 0.4 + 0.2 + 0.75) = 0.75
+        row = vocab_drift(a, b, "lang").head()
+        assert row["tv_distance"] == 0.75
+        assert row["vocab_a"] == 3 and row["vocab_b"] == 2
+        # identical corpora -> zero drift
+        z = vocab_drift(a, a, "lang").head()
+        assert z["tv_distance"] == 0.0
+        # disjoint vocabularies -> max drift 1.0
+        c = spark.createDataFrame([("g", "q r s")],
+                                  "lang: string, text: string")
+        m = vocab_drift(a, c, "lang").head()
+        assert m["tv_distance"] == 1.0
