@@ -849,23 +849,36 @@ class DataFrameIndexManager:
         n_files = len(files)
         n_blocks = int(files["blocks"].sum())
         n_rows = int(files["rows"].sum())
+        # size accounting: data bytes from the manifest; index bytes from
+        # the metastore dir — the index-overhead ratio is the first thing
+        # an operator sizing a 100 TB rollout asks for
+        table_bytes = int(files["size"].sum()) if "size" in files else None
+        index_bytes = 0
+        for root, _dirs, fnames in os.walk(metadata.index_dir):
+            for fn in fnames:
+                try:
+                    index_bytes += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
         sat = self._filter_saturation(metadata)
         none_sat = (0, None, None, None, None, False)
         rows = [("TABLE", "", n_files, n_blocks, n_rows,
-                 metadata.filter_type or "none") + none_sat]
+                 metadata.filter_type or "none") + none_sat
+                + (table_bytes, index_bytes)]
         for col, kind in metadata.index_columns.items():
             rows.append(("INDEXED_COLUMN", col, n_files, n_blocks, n_rows,
                          metadata.filter_type or "none")
-                        + sat.get(col, none_sat))
+                        + sat.get(col, none_sat) + (None, None))
         for col, kind in metadata.partition_columns.items():
             rows.append(("PARTITION_COLUMN", col, n_files, n_blocks, n_rows,
-                         "exact") + none_sat)
+                         "exact") + none_sat + (None, None))
         return self.spark.createDataFrame(
             rows, schema="entry string, column string, n_files long, "
                          "n_blocks long, n_rows long, filter_type string, "
                          "filter_blocks long, max_stored_items long, "
                          "design_item_cap long, max_fill double, "
-                         "max_est_fpp double, saturated boolean")
+                         "max_est_fpp double, saturated boolean, "
+                         "table_bytes long, index_bytes long")
 
     @staticmethod
     def _filter_saturation(metadata) -> dict:

@@ -463,3 +463,20 @@ class TestDescribeSaturation:
         assert "text#terms2" in sat
         assert sat["text#terms2"]["filter_blocks"] >= 1
         assert sat["text#terms2"]["saturated"] is False
+
+    def test_describe_reports_size_accounting(self, spark, ctx,
+                                              tmp_table_dir):
+        """The TABLE row carries table_bytes (manifest sum) and
+        index_bytes (metastore dir walk) — the index-overhead ratio an
+        operator sizing a rollout asks for first."""
+        path = os.path.join(tmp_table_dir, "dsz")
+        spark.range(0, 5000).selectExpr("id", "CAST(id AS STRING) AS s") \
+            .repartition(4).write.parquet(path)
+        ctx.index.create.indexBy("id", "s").parquet(path)
+        desc = {r["entry"]: r
+                for r in ctx.index.describe.parquet(path).collect()}
+        t = desc["TABLE"]
+        assert t["table_bytes"] > 0 and t["index_bytes"] > 0
+        # (no index<data ratio assert: at toy scale per-block blooms can
+        # exceed the compact data; the ratio only means something at SF)
+        assert desc["INDEXED_COLUMN"]["table_bytes"] is None
