@@ -487,6 +487,8 @@ def dedup_against_corpus(df_new: DataFrame, corpus: DataFrame,
 
     hashed = corpus.select(F.xxhash64(F.col(key)).alias("__h"))
 
+    import numpy as np
+
     def _partials(batches):
         bf = BloomFilter(m, k)
         seen = False
@@ -497,13 +499,32 @@ def dedup_against_corpus(df_new: DataFrame, corpus: DataFrame,
         if seen:
             yield pd.DataFrame({"bloom": [bf.to_bytes()]})
 
-    merged = BloomFilter(m, k)
-    import numpy as np
-    acc = np.frombuffer(merged.bits, dtype=np.uint8).copy()
-    for row in hashed.mapInPandas(_partials, "bloom binary").collect():
-        acc |= np.frombuffer(bytes(row["bloom"])[16:], dtype=np.uint8)
-    merged.bits = bytearray(acc.tobytes())
-    bc = spark.sparkContext.broadcast(merged.to_bytes())
+    def _or_blobs(blobs) -> bytes:
+        acc = None
+        for blob in blobs:
+            b = np.frombuffer(bytes(blob)[16:], dtype=np.uint8)
+            acc = b.copy() if acc is None else (acc | b)
+        out = BloomFilter(m, k)
+        if acc is not None:  # no blobs => empty corpus => empty filter
+            out.bits = bytearray(acc.tobytes())
+        return out.to_bytes()
+
+    partials = hashed.mapInPandas(_partials, "bloom binary")
+    # tree merge: one partial per corpus partition means a 100k-partition
+    # lake would collect 100k filter blobs to the driver — fold them to
+    # <=64 executor-side first (a tiny shuffle of blobs, not data), so
+    # the driver collect is bounded by 64 * filter size at any scale
+    if hashed.rdd.getNumPartitions() > 64:
+        def _merge_group(pdf):
+            return pd.DataFrame({"bloom": [_or_blobs(pdf["bloom"])]})
+        partials = (partials
+                    .withColumn("__g",
+                                F.monotonically_increasing_id() % 64)
+                    .groupBy("__g").applyInPandas(_merge_group,
+                                                  "bloom binary"))
+    merged_bytes = _or_blobs(
+        row["bloom"] for row in partials.collect())
+    bc = spark.sparkContext.broadcast(merged_bytes)
 
     @F.pandas_udf("boolean")
     def _might(h: pd.Series) -> pd.Series:

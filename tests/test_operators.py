@@ -1426,3 +1426,24 @@ class TestVocabDrift:
                                   "lang: string, text: string")
         m = vocab_drift(a, c, "lang").head()
         assert m["tv_distance"] == 1.0
+
+class TestDedupAgainstCorpusTreeMerge:
+    def test_tree_merge_path_and_empty_corpus(self, spark):
+        """>64 corpus partitions flips to the executor-side blob tree
+        merge (bounded driver collect); result identical. An empty
+        corpus keeps everything."""
+        from parquet_index_spark.operators.dedup import dedup_against_corpus
+        corpus = spark.createDataFrame(
+            [(i, f"k{i}") for i in range(300)],
+            "id: long, t: string").repartition(100)
+        new = spark.createDataFrame(
+            [(1000 + i, f"k{i * 3}") for i in range(200)],
+            "id: long, t: string")
+        got = sorted(r["id"] for r in
+                     dedup_against_corpus(new, corpus, key="t").collect())
+        want = sorted(r["id"] for r in
+                      new.join(corpus.select("t").distinct(), ["t"],
+                               "left_anti").collect())
+        assert got == want
+        empty = spark.createDataFrame([], "id: long, t: string")
+        assert dedup_against_corpus(new, empty, key="t").count() == 200
