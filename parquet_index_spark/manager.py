@@ -912,55 +912,74 @@ class DataFrameIndexManager:
         out = {}
         if stats.num_rows == 0:
             return out
-        st = stats.select(["column", "dict_long", "dict_str",
-                           "bloom"]).to_pandas()
-        for col, sub in st.groupby("column"):
-            blocks = 0
-            max_items = 0
-            cap = None
-            max_fill = None
-            max_fpp = None
-            saturated = False
-            for dl, ds, bl in zip(sub["dict_long"], sub["dict_str"],
-                                  sub["bloom"]):
-                d = ds if ds is not None else dl
-                if d is not None:
-                    blocks += 1
-                    max_items = max(max_items, len(d))
-                    max_fpp = max(max_fpp or 0.0, 0.0)
-                    continue
-                if bl is None:
-                    continue
-                b = bytes(bl)
-                blocks += 1
-                if b[:8] == _BITMAP_MAGIC:
-                    bm = BitmapFilter.from_bytes(b)
-                    bits = np.frombuffer(bytes(bm.bits), dtype=np.uint8)
-                    max_items = max(max_items,
-                                    int(np.unpackbits(bits).sum()))
-                    max_fpp = max(max_fpp or 0.0, 0.0)
-                    continue
-                if b[:8] != _MAGIC:
-                    continue  # unknown future format: no telemetry
-                bf = BloomFilter.from_bytes(b)
-                m, k = bf.num_bits, bf.num_hashes
-                set_bits = int(np.unpackbits(
-                    np.frombuffer(bytes(bf.bits), dtype=np.uint8)).sum())
-                fill = min(set_bits / max(m, 1), 1.0)
-                design = max(1, round(m * math.log(2) / max(k, 1)))
-                est = (int(-(m / max(k, 1)) * math.log(1.0 - fill))
-                       if fill < 1.0 else m)
-                fpp = fill ** k
-                max_items = max(max_items, est)
-                cap = max(cap or 0, design)
-                max_fill = max(max_fill or 0.0, round(fill, 4))
-                max_fpp = max(max_fpp or 0.0, round(fpp, 6))
-                if est > 1.1 * design:
-                    saturated = True
-            if blocks:
-                out[col] = (blocks, max_items, cap, max_fill, max_fpp,
-                            saturated)
+        # stream record batches instead of one to_pandas(): the blooms
+        # column is the bulk of the stats table, and a diagnostic must
+        # not need the whole thing resident at once on a million-block
+        # table. State per column is six scalars.
+        acc: dict = {}
+        for batch in stats.select(["column", "dict_long", "dict_str",
+                                   "bloom"]).to_batches(max_chunksize=4096):
+            cols = batch.column(0).to_pylist()
+            dls = batch.column(1).to_pylist()
+            dss = batch.column(2).to_pylist()
+            bls = batch.column(3).to_pylist()
+            for col, dl, ds, bl in zip(cols, dls, dss, bls):
+                st = acc.setdefault(col, {"blocks": 0, "max_items": 0,
+                                          "cap": None, "max_fill": None,
+                                          "max_fpp": None,
+                                          "saturated": False})
+                DataFrameIndexManager._sat_one(st, dl, ds, bl)
+        for col, st in acc.items():
+            if st["blocks"]:
+                out[col] = (st["blocks"], st["max_items"], st["cap"],
+                            st["max_fill"], st["max_fpp"], st["saturated"])
         return out
+
+    @staticmethod
+    def _sat_one(st: dict, dl, ds, bl) -> None:
+        """Fold one block's filter into a column's saturation state."""
+        import math
+
+        import numpy as np
+
+        from parquet_index_spark.statistics import (_BITMAP_MAGIC, _MAGIC,
+                                                    BitmapFilter,
+                                                    BloomFilter)
+
+        d = ds if ds is not None else dl
+        if d is not None:                         # exact dict membership
+            st["blocks"] += 1
+            st["max_items"] = max(st["max_items"], len(d))
+            st["max_fpp"] = max(st["max_fpp"] or 0.0, 0.0)
+            return
+        if bl is None:
+            return
+        b = bytes(bl)
+        st["blocks"] += 1
+        if b[:8] == _BITMAP_MAGIC:                # exact bitmap membership
+            bm = BitmapFilter.from_bytes(b)
+            bits = np.frombuffer(bytes(bm.bits), dtype=np.uint8)
+            st["max_items"] = max(st["max_items"],
+                                  int(np.unpackbits(bits).sum()))
+            st["max_fpp"] = max(st["max_fpp"] or 0.0, 0.0)
+            return
+        if b[:8] != _MAGIC:
+            return  # unknown future format: no telemetry
+        bf = BloomFilter.from_bytes(b)
+        m, k = bf.num_bits, bf.num_hashes
+        set_bits = int(np.unpackbits(
+            np.frombuffer(bytes(bf.bits), dtype=np.uint8)).sum())
+        fill = min(set_bits / max(m, 1), 1.0)
+        design = max(1, round(m * math.log(2) / max(k, 1)))
+        est = (int(-(m / max(k, 1)) * math.log(1.0 - fill))
+               if fill < 1.0 else m)
+        fpp = fill ** k
+        st["max_items"] = max(st["max_items"], est)
+        st["cap"] = max(st["cap"] or 0, design)
+        st["max_fill"] = max(st["max_fill"] or 0.0, round(fill, 4))
+        st["max_fpp"] = max(st["max_fpp"] or 0.0, round(fpp, 6))
+        if est > 1.1 * design:
+            st["saturated"] = True
 
     def _merge_refresh_schema(self, metastore: Metastore, spec: LocationSpec,
                               metadata: IndexMetadata,
