@@ -511,6 +511,30 @@ def main() -> None:
 
     term_search = _section(_term_search_section)
 
+    # Term-index capacity telemetry at sf0.1: the describe saturation
+    # readout on the real term table — evidence the health signal works
+    # on data, not just the synthetic overfilled-block unit test
+    def _term_health_section():
+        import tempfile as _tf
+        tpath = os.path.join(_tf.gettempdir(), "spark_graft_termidx",
+                             os.path.basename(os.path.normpath(SF_DIR)),
+                             "docs")
+        rows = qctx.index.describe.parquet(tpath).collect()
+        out = {}
+        for r in rows:
+            if r["entry"] == "INDEXED_COLUMN" and "#terms" in r["column"]:
+                out[r["column"]] = {
+                    "filter_blocks": r["filter_blocks"],
+                    "max_stored_items": r["max_stored_items"],
+                    "design_item_cap": r["design_item_cap"],
+                    "max_fill": r["max_fill"],
+                    "max_est_fpp": r["max_est_fpp"],
+                    "saturated": r["saturated"],
+                }
+        return out
+
+    term_index_health = _section(_term_health_section)
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     out = {
         "metric": "workload_total_runtime",
@@ -568,6 +592,7 @@ def main() -> None:
         "zorder_file_skip": zorder_file_skip,
         "fast_count": fast_count,
         "term_search": term_search,
+        "term_index_health": term_index_health,
     }
     print(json.dumps(out))
     # full payload to a committed per-round file: the driver's own

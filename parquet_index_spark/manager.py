@@ -288,6 +288,61 @@ class IndexedDataFrame:
                 for col, (b, i, cap, fill, fpp, s) in sat.items()}
         return out
 
+    def recommend_filter_types(self) -> list:
+        """Filter-type advisor: from the OBSERVED per-block statistics,
+        which membership filter each indexed column should use —
+        ``dict`` when every block's distinct count fits the configured
+        dict cap (exact membership, smallest), ``bitmap`` when an
+        integer column's per-block value span fits a dense bitset
+        (exact, no fpp), else ``bloom``. An operator picks filter.type
+        once per table; this turns that guess into a measurement. Reads
+        the same stats metadata as describe (streamed, driver-bounded).
+        Returns [{column, kind, max_distinct_per_block, max_block_span,
+        current_type, recommended_type, reason}, ...]."""
+        from parquet_index_spark.config import IndexConf
+        from parquet_index_spark.statistics import BITMAP_MAX_RANGE
+
+        conf = IndexConf.from_spark(self._spark)
+        meta = self._metadata
+        sat = DataFrameIndexManager._filter_saturation(meta)
+        spans: dict = {}
+        stats = meta._load_stats()
+        if stats.num_rows:
+            for batch in stats.select(
+                    ["column", "has_stats", "min_long",
+                     "max_long"]).to_batches(max_chunksize=8192):
+                for col, has, mn, mx in zip(batch.column(0).to_pylist(),
+                                            batch.column(1).to_pylist(),
+                                            batch.column(2).to_pylist(),
+                                            batch.column(3).to_pylist()):
+                    if has and mn is not None and mx is not None:
+                        spans[col] = max(spans.get(col, 0), mx - mn)
+        out = []
+        int_kinds = {ityp.INT, ityp.LONG, ityp.DATE, ityp.TIMESTAMP,
+                     ityp.TIMESTAMP_NTZ}
+        for col, kind in meta.index_columns.items():
+            items = sat.get(col, (0, None, None, None, None, False))[1]
+            span = spans.get(col)
+            if items is not None and items <= conf.dict_max_size:
+                rec, why = "dict", (
+                    f"max ~{items} distinct/block fits dict cap "
+                    f"{conf.dict_max_size}: exact membership, smallest")
+            elif kind in int_kinds and span is not None \
+                    and span < BITMAP_MAX_RANGE:
+                rec, why = "bitmap", (
+                    f"integer span {span} < {BITMAP_MAX_RANGE}: dense "
+                    "bitset is exact with no false positives")
+            else:
+                rec, why = "bloom", (
+                    "high per-block cardinality (and span, for ints): "
+                    "bloom is the only filter that stays small")
+            out.append({"column": col, "kind": kind,
+                        "max_distinct_per_block": items,
+                        "max_block_span": span,
+                        "current_type": meta.filter_type or "none",
+                        "recommended_type": rec, "reason": why})
+        return out
+
     def count_where(self, predicate=None) -> int:
         """Metadata-accelerated count: ``count(*) WHERE pred`` answered
         from index statistics wherever they PROVE the predicate.

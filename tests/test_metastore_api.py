@@ -480,3 +480,31 @@ class TestDescribeSaturation:
         # (no index<data ratio assert: at toy scale per-block blooms can
         # exceed the compact data; the ratio only means something at SF)
         assert desc["INDEXED_COLUMN"]["table_bytes"] is None
+
+
+class TestRecommendFilterTypes:
+    def test_recommendations_follow_observed_stats(self, spark, ctx,
+                                                   tmp_table_dir):
+        from pyspark.sql import functions as F
+        path = os.path.join(tmp_table_dir, "rec")
+        (spark.range(0, 20_000)
+         .select("id",                                     # dense ints
+                 (F.col("id") % 13).alias("lowcard"),      # tiny dict
+                 F.concat(F.lit("u"), (F.col("id") * 7919) % 1_000_000)
+                 .cast("string").alias("highcard"),        # wide strings
+                 (F.col("id") * 1_000_000).alias("wide"))  # huge span
+         .repartition(4).write.parquet(path))
+        ctx.index.create.indexBy("id", "lowcard", "highcard", "wide") \
+            .parquet(path)
+        rec = {r["column"]: r for r in
+               ctx.index.parquet(path).recommend_filter_types()}
+        assert rec["lowcard"]["recommended_type"] == "dict"
+        # ~5000 distinct ids per block > dict cap, span < 2^20 -> bitmap
+        assert rec["id"]["recommended_type"] == "bitmap"
+        # huge span, high cardinality int -> bloom
+        assert rec["wide"]["recommended_type"] == "bloom"
+        # strings never bitmap; high-cardinality -> bloom
+        assert rec["highcard"]["recommended_type"] == "bloom"
+        for r in rec.values():
+            assert r["current_type"] in ("bloom", "dict", "bitmap", "none")
+            assert r["reason"]
