@@ -659,3 +659,45 @@ def semantic_dedup(df: DataFrame, centroids: List[tuple],
             .withColumn("is_semdup",
                         F.coalesce(F.col("__dup"), F.lit(False)))
             .drop("__dup"))
+
+
+def semantic_contamination(train_df: DataFrame, eval_df: DataFrame,
+                           centroids: List[tuple], threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space eval-set decontamination — the semantic complement
+    of n-gram-overlap checks (``dedup.contaminated_docs``): flag every
+    EVAL example whose embedding has a TRAIN neighbor at cosine >=
+    ``threshold`` within the same IVF cluster (a paraphrased or
+    translated test question shares no shingles but sits next to its
+    source in embedding space).
+
+    Same quantizer discipline as :func:`semantic_dedup`: both sides
+    assign map-only against the shared ``centroids``; the pair search is
+    an equi join on ``cluster_id`` — train x eval within a cluster, never
+    all-pairs — with sims rounded to 6 decimals for engine portability.
+    Rows with NULL embeddings keep cluster_id NULL and are never flagged.
+    Returns ``eval_df`` + ``cluster_id`` + ``is_contaminated``.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    ev = ivf_assign(eval_df, centroids, id_col, vec_col)
+    tr = (ivf_assign(train_df, centroids, id_col, vec_col)
+          .filter(F.col("cluster_id").isNotNull())
+          .withColumn("__tv", _as_double(F.col(vec_col)))
+          .select("cluster_id", F.col("__tv"),
+                  norm(F.col("__tv")).alias("__tn")))
+    e = (ev.filter(F.col("cluster_id").isNotNull())
+         .withColumn("__ev", _as_double(F.col(vec_col)))
+         .select("cluster_id", F.col(id_col).alias("__eid"),
+                 F.col("__ev"), norm(F.col("__ev")).alias("__en")))
+    hits = (e.join(tr, "cluster_id")
+            .filter(F.round(dot(F.col("__ev"), F.col("__tv"))
+                            / (F.col("__en") * F.col("__tn")), 6)
+                    >= F.lit(float(threshold)))
+            .select(F.col("__eid").alias(id_col)).distinct()
+            .withColumn("__hit", F.lit(True)))
+    return (ev.join(hits, [id_col], "left")
+            .withColumn("is_contaminated",
+                        F.coalesce(F.col("__hit"), F.lit(False)))
+            .drop("__hit"))

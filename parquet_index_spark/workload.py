@@ -4931,6 +4931,74 @@ ORDER BY j.lang
 """
 
 
+def semantic_contamination_stats(spark, sf_dir):
+    """Embedding-space decontamination (semantic_contamination): even
+    vec_ids play the train corpus, odd the eval set; an eval example is
+    contaminated when a train neighbor in its IVF cluster (quantizer
+    seeded from the 16 smallest TRAIN ids) sits at cosine >= 0.35 — the
+    semantic complement of the n-gram contamination_by_lang check
+    (catches paraphrases that share no shingles). Per-label totals; the
+    oracle replays assignment and the cross-table pair cut exactly."""
+    from parquet_index_spark.operators.similarity import (
+        ivf_seed_centroids, semantic_contamination)
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.filter("vec_id % 2 = 0")
+    evalset = emb.filter("vec_id % 2 = 1")
+    cents = ivf_seed_centroids(train, n_centroids=16)
+    flagged = semantic_contamination(train, evalset, cents, threshold=0.35)
+    return (flagged.groupBy("label")
+            .agg(F.count("*").alias("n_eval"),
+                 F.sum(F.col("is_contaminated").cast("long"))
+                 .alias("n_contaminated"))
+            .orderBy("label"))
+
+
+SEMANTIC_CONTAM_SQL = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+                   ORDER BY vec_id LIMIT 16)
+),
+assign_sims AS (
+  SELECT em.vec_id, c.cid,
+         round(sum(CAST(em.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))
+               / (sqrt(sum(CAST(em.embedding[i] AS DOUBLE)
+                           * CAST(em.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(c.ce[i] AS DOUBLE)
+                             * CAST(c.ce[i] AS DOUBLE)))), 6) AS sim
+  FROM embeddings em, cent c, (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY em.vec_id, c.cid
+),
+best AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+    FROM assign_sims) WHERE rn = 1
+),
+hits AS (
+  SELECT DISTINCT e.vec_id
+  FROM best e JOIN best t ON e.cid = t.cid
+  JOIN embeddings ee ON ee.vec_id = e.vec_id
+  JOIN embeddings te ON te.vec_id = t.vec_id,
+       (SELECT unnest(generate_series(1, 64)) AS i)
+  WHERE e.vec_id % 2 = 1 AND t.vec_id % 2 = 0
+  GROUP BY e.vec_id, t.vec_id
+  HAVING round(sum(CAST(ee.embedding[i] AS DOUBLE)
+                   * CAST(te.embedding[i] AS DOUBLE))
+               / (sqrt(sum(CAST(ee.embedding[i] AS DOUBLE)
+                           * CAST(ee.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(te.embedding[i] AS DOUBLE)
+                             * CAST(te.embedding[i] AS DOUBLE)))), 6)
+         >= 0.35
+)
+SELECT em.label, count(*) AS n_eval,
+       count(h.vec_id) AS n_contaminated
+FROM embeddings em LEFT JOIN hits h ON h.vec_id = em.vec_id
+WHERE em.vec_id % 2 = 1
+GROUP BY em.label ORDER BY em.label
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # Ordering contract: the driver grades the FIRST 50 keys. Entries that
     # were never driver-graded (or failed) in a prior round sit first so
@@ -5064,6 +5132,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "curation_pipeline_v3": (curation_pipeline_v3, CURATION_V3_SQL),
     "shuffle_shard_stats": (shuffle_shard_stats, SHUFFLE_SHARD_SQL),
     "vocab_drift_by_lang": (vocab_drift_by_lang, VOCAB_DRIFT_SQL),
+    "semantic_contamination_stats": (semantic_contamination_stats,
+                                     SEMANTIC_CONTAM_SQL),
 }
 
 # Round-6 grading window (round-5 verdict ask #6): the driver grades the
@@ -5078,7 +5148,7 @@ _R6_WINDOW = [
     "semantic_dedup_stats", "quality_gate_by_lang",
     "incremental_dedup_stats", "pack_bins_by_source",
     "curation_pipeline_v3", "shuffle_shard_stats",
-    "vocab_drift_by_lang",
+    "vocab_drift_by_lang", "semantic_contamination_stats",
     "ann_topk_lsh_probed", "stream_dedup_events", "stream_sink_roundtrip",
     "salted_skew_join", "dedup_exact_stats", "dedup_prefix_groups",
     "dedup_group_assignment", "dedup_keep_best", "jaccard_neardup_pairs",
@@ -5094,7 +5164,6 @@ _R6_WINDOW = [
     "q17_small_quantity_revenue", "q19_disjunctive_predicates",
     "q22_global_sales_opportunity", "idx_join_dpp",
     "top3_orders_per_customer", "distinct_parts_per_flag",
-    "percentile_quantities",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R6_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R6_WINDOW}}

@@ -1447,3 +1447,30 @@ class TestDedupAgainstCorpusTreeMerge:
         assert got == want
         empty = spark.createDataFrame([], "id: long, t: string")
         assert dedup_against_corpus(new, empty, key="t").count() == 200
+
+
+class TestSemanticContamination:
+    def test_flags_planted_neighbors_cross_table(self, spark):
+        """Eval rows planted next to train rows flag; isolated eval rows
+        don't; train rows themselves are never in the output."""
+        train = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id: long, embedding: array<double>")
+        evalset = spark.createDataFrame(
+            [(1, [0.99, 0.01, 0.0, 0.0]),     # next to train 0
+             (3, [0.0, 0.0, 1.0, 0.0]),       # isolated direction
+             (5, [0.01, 0.98, 0.0, 0.0])],    # next to train 2
+            "vec_id: long, embedding: array<double>")
+        cents = S.ivf_seed_centroids(train, n_centroids=2)
+        out = {r["vec_id"]: r["is_contaminated"] for r in
+               S.semantic_contamination(train, evalset, cents,
+                                        threshold=0.9).collect()}
+        assert out == {1: True, 3: False, 5: True}
+
+    def test_no_cartesian_in_plan(self, spark):
+        from parquet_index_spark.workload import semantic_contamination_stats
+        from parquet_index_spark import plans
+        from tests.conftest import SF_CORRECT
+        df = semantic_contamination_stats(spark, SF_CORRECT)
+        s = plans.join_strategies(df)
+        assert s["nested_loop"] == 0, s

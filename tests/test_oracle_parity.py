@@ -74,7 +74,7 @@ _CORE = {
     "semantic_dedup_stats", "quality_gate_by_lang",
     "incremental_dedup_stats", "pack_bins_by_source",
     "curation_pipeline_v3", "shuffle_shard_stats",
-    "vocab_drift_by_lang",
+    "vocab_drift_by_lang", "semantic_contamination_stats",
 }
 
 
