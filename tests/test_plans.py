@@ -354,3 +354,11 @@ class TestRound6PlanQuality:
         s = plans.join_strategies(df)
         assert s["broadcast_hash"] >= 1, s
         assert s["nested_loop"] == 0, s
+
+    def test_vocab_drift_scans_each_side_once(self, spark):
+        """Totals must come from windows over the vocabulary-sized
+        grouped frame, not an agg-join-back that re-plans the corpus
+        scan subtree — the original form read the corpus 4x."""
+        from parquet_index_spark.workload import vocab_drift_by_lang
+        df = vocab_drift_by_lang(spark, SF_CORRECT)
+        assert len(plans.read_schemas(df)) == 2, plans.read_schemas(df)
