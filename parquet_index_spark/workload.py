@@ -4076,9 +4076,13 @@ def curation_pipeline_v2(spark, sf_dir):
     red = redact_pii(docs.select("doc_id", "lang", aug.alias("text")),
                      "text")
     cleaned = span_dedup(red, span_tokens=4, max_docs=2)
+    # budget selection references its input twice (per-bucket offsets +
+    # the prefix-sum join): checkpoint the dedup output so the whole
+    # redact+span-dedup subtree is not re-planned per reference
     labeled = (docs.select("doc_id", "lang").join(cleaned, "doc_id")
                .withColumn("n_tok",
-                           token_count("clean_text").cast("long")))
+                           token_count("clean_text").cast("long"))
+               .localCheckpoint())
     sel = token_budget_sample(labeled, "lang",
                               {"en": 600, "de": 400, "fr": 200},
                               "doc_id", "n_tok")
@@ -4724,14 +4728,21 @@ def curation_pipeline_v3(spark, sf_dir):
     keyed = docs.withColumn(
         "__k", F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")),
                                                 r"\s+"), 1, 5)))
+    # stage boundaries are localCheckpoint'd: each stage's consumers
+    # reference its output 2-3x (self-joins, count-then-join probes), and
+    # without materialization Catalyst re-plans the ENTIRE upstream
+    # subtree per reference — measured 48 parquet scans for the composed
+    # plan vs 7 with checkpoints. At 100 TB each stage output is a small
+    # fraction of its input, so materializing it is far cheaper than
+    # re-running every prior stage multiplicatively.
     fresh = dedup_against_corpus(keyed.filter("doc_id % 2 = 1"),
                                  keyed.filter("doc_id % 2 = 0"),
-                                 key="__k")
+                                 key="__k").localCheckpoint()
     fe = (fresh.join(emb, fresh["doc_id"] == emb["vec_id"])
           .select("doc_id", "lang", "n_chars", "text", "embedding"))
     cents = ivf_seed_centroids(fe, n_centroids=16, id_col="doc_id")
     sem = (semantic_dedup(fe, cents, threshold=0.35, id_col="doc_id")
-           .filter(~F.col("is_semdup")))
+           .filter(~F.col("is_semdup")).localCheckpoint())
     scored = sem.withColumn("q", TX.quality_score("text"))
     gated = top_fraction_per_group(scored, "lang", 0.5,
                                    F.desc("q"), F.asc("doc_id"))
