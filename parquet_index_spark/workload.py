@@ -5010,6 +5010,58 @@ GROUP BY em.label ORDER BY em.label
 """
 
 
+def stream_shuffle_split_stats(spark, sf_dir):
+    """Curation primitives under Structured Streaming: the events stream
+    gets the SAME content-keyed shard/split assignment the batch
+    operators use (shuffle_assign + assign_split are stateless map-side
+    projections, so they compose with readStream unchanged) — a
+    streaming ingest can route documents to training shards and splits
+    on arrival with bit-identical results to a batch backfill. Drained
+    with availableNow, aggregated per (shard, split); the oracle is the
+    batch md5 arithmetic, certifying stream/batch parity."""
+    from parquet_index_spark import streaming as ST
+    from parquet_index_spark.operators.sampling import (assign_split,
+                                                        shuffle_assign)
+    _STREAM_COUNTER["n"] += 1
+    name = f"pis_stream_shuffle_{_STREAM_COUNTER['n']}"
+    stream = ST.read_event_stream(spark,
+                                  os.path.join(sf_dir, "events.parquet"))
+    routed = assign_split(shuffle_assign(stream, "event_id", n_shards=8),
+                          "event_id")
+    drained = ST.run_available_now(
+        routed.select("event_id", "shard", "split"), name,
+        output_mode="append")
+    return (drained.groupBy("shard", "split")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("first_event"))
+            .orderBy("shard", "split"))
+
+
+def _stream_shuffle_split_sql() -> str:
+    # thresholds come from split_thresholds itself (the sample_split
+    # pattern), so both engines cut at the SAME precomputed integers
+    from parquet_index_spark.operators.sampling import split_thresholds
+    bounds = split_thresholds()
+    whens = "".join(f" WHEN b < {t} THEN '{name}'"
+                    for name, t in bounds[:-1])
+    return f"""
+WITH s AS (
+  SELECT event_id,
+         CAST('0x' || substr(md5('shuffle:shard:'
+              || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+         CAST('0x' || substr(md5('split:'
+              || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS b
+  FROM events
+)
+SELECT shard, CASE{whens} ELSE '{bounds[-1][0]}' END AS split,
+       count(*) AS n_events, min(event_id) AS first_event
+FROM s GROUP BY 1, 2 ORDER BY shard, split
+"""
+
+
+STREAM_SHUFFLE_SPLIT_SQL = _stream_shuffle_split_sql()
+
+
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # Ordering contract: the driver grades the FIRST 50 keys. Entries that
     # were never driver-graded (or failed) in a prior round sit first so
@@ -5145,6 +5197,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "vocab_drift_by_lang": (vocab_drift_by_lang, VOCAB_DRIFT_SQL),
     "semantic_contamination_stats": (semantic_contamination_stats,
                                      SEMANTIC_CONTAM_SQL),
+    "stream_shuffle_split_stats": (stream_shuffle_split_stats,
+                                   STREAM_SHUFFLE_SPLIT_SQL),
 }
 
 # Round-6 grading window (round-5 verdict ask #6): the driver grades the
@@ -5160,6 +5214,7 @@ _R6_WINDOW = [
     "incremental_dedup_stats", "pack_bins_by_source",
     "curation_pipeline_v3", "shuffle_shard_stats",
     "vocab_drift_by_lang", "semantic_contamination_stats",
+    "stream_shuffle_split_stats",
     "ann_topk_lsh_probed", "stream_dedup_events", "stream_sink_roundtrip",
     "salted_skew_join", "dedup_exact_stats", "dedup_prefix_groups",
     "dedup_group_assignment", "dedup_keep_best", "jaccard_neardup_pairs",
@@ -5174,7 +5229,7 @@ _R6_WINDOW = [
     "q4_order_exists", "q18_large_volume_customers", "q10_returned_items",
     "q17_small_quantity_revenue", "q19_disjunctive_predicates",
     "q22_global_sales_opportunity", "idx_join_dpp",
-    "top3_orders_per_customer", "distinct_parts_per_flag",
+    "top3_orders_per_customer",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R6_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R6_WINDOW}}
