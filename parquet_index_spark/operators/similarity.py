@@ -611,7 +611,8 @@ def clustered_embeddings(spark, n_clusters: int = 32, per_cluster: int = 128,
 
 def semantic_dedup(df: DataFrame, centroids: List[tuple],
                    threshold: float = 0.95, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   materialize: bool = True) -> DataFrame:
     """SemDeDup-style semantic near-duplicate flagging (Abbas et al.,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication", arXiv:2303.09540): cluster the corpus with the IVF
@@ -637,6 +638,12 @@ def semantic_dedup(df: DataFrame, centroids: List[tuple],
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     assigned = ivf_assign(df, centroids, id_col, vec_col)
+    if materialize:
+        # the assigned frame is referenced three times (both self-join
+        # sides + the flag join); unmaterialized, Catalyst re-plans the
+        # scan AND the argmax assignment per reference — 3x corpus scans
+        # + 3x quantizer compute (the dedup_group_assignment precedent)
+        assigned = assigned.localCheckpoint()
     pre = (assigned
            .filter(F.col("cluster_id").isNotNull())
            .withColumn("__v", _as_double(F.col(vec_col)))
@@ -664,7 +671,8 @@ def semantic_dedup(df: DataFrame, centroids: List[tuple],
 def semantic_contamination(train_df: DataFrame, eval_df: DataFrame,
                            centroids: List[tuple], threshold: float = 0.95,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           materialize: bool = True) -> DataFrame:
     """Embedding-space eval-set decontamination — the semantic complement
     of n-gram-overlap checks (``dedup.contaminated_docs``): flag every
     EVAL example whose embedding has a TRAIN neighbor at cosine >=
@@ -682,6 +690,10 @@ def semantic_contamination(train_df: DataFrame, eval_df: DataFrame,
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     ev = ivf_assign(eval_df, centroids, id_col, vec_col)
+    if materialize:
+        # ev is referenced twice (pair probe + flag join); checkpoint so
+        # the eval assignment runs once (semantic_dedup's rationale)
+        ev = ev.localCheckpoint()
     tr = (ivf_assign(train_df, centroids, id_col, vec_col)
           .filter(F.col("cluster_id").isNotNull())
           .withColumn("__tv", _as_double(F.col(vec_col)))
