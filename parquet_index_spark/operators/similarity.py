@@ -365,7 +365,12 @@ def _ivf_assign_literal(df: DataFrame, centroids: List[tuple],
     normed = (df.withColumn("__vd", _as_double(F.col(vec_col)))
               .withColumn("__vnorm", norm(F.col("__vd"))))
     best = F.array_max(_centroid_sim_structs("__vd", centroids, "__vnorm"))
-    return (normed.withColumn("cluster_id", best["cid"])
+    # NULL embeddings must keep cluster_id NULL (the broadcast path's
+    # contract): without the guard, array_max over structs with NULL sims
+    # still surfaces a cid and silently adopts orphan rows into a cluster
+    return (normed.withColumn("cluster_id",
+                              F.when(F.col(vec_col).isNotNull(),
+                                     best["cid"]))
             .drop("__vd", "__vnorm"))
 
 

@@ -1474,3 +1474,24 @@ class TestSemanticContamination:
         df = semantic_contamination_stats(spark, SF_CORRECT)
         s = plans.join_strategies(df)
         assert s["nested_loop"] == 0, s
+
+    def test_null_embeddings_never_flagged(self, spark):
+        """NULL embeddings keep cluster_id NULL and are never flagged —
+        in either the dedup or the contamination direction."""
+        train = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (2, None)],
+            "vec_id: long, embedding: array<double>")
+        evalset = spark.createDataFrame(
+            [(1, [0.99, 0.01]), (3, None)],
+            "vec_id: long, embedding: array<double>")
+        cents = S.ivf_seed_centroids(train.filter("embedding IS NOT NULL"),
+                                     n_centroids=1)
+        con = {r["vec_id"]: (r["cluster_id"], r["is_contaminated"])
+               for r in S.semantic_contamination(
+                   train, evalset, cents, threshold=0.9).collect()}
+        assert con[1] == (0, True)
+        assert con[3] == (None, False)
+        dup = {r["vec_id"]: r["is_semdup"] for r in
+               S.semantic_dedup(evalset, cents, threshold=0.9,
+                                id_col="vec_id").collect()}
+        assert dup[3] is False
