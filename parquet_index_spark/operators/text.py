@@ -343,33 +343,23 @@ def vocab_drift(df_a: DataFrame, df_b: DataFrame, group: str,
                 .groupBy(group, "tok")
                 .agg(F.count("*").cast("long").alias(n_col)))
 
-    # totals as windows over the GROUPED (vocabulary-sized) frame, not a
-    # second aggregation: an agg-then-join-back re-plans the whole corpus
-    # scan subtree (Catalyst duplicates unmaterialized DAG reuse — this
-    # read the corpus 4x), while a window per group costs one pass over
-    # the vocab rows. The per-group window partition is vocabulary-sized
-    # (sublinear in corpus), not corpus-sized — the distinction that made
-    # token_budget_sample's data-sized window a scale-killer does not
-    # apply; a pathological vocab can still be pre-bucketed upstream.
-    from pyspark.sql import Window
-    wa = Window.partitionBy(group)
-    fa = (freqs(df_a, "na")
-          .withColumn("Ta", F.sum("na").over(wa))
-          .withColumn("va", F.count("*").over(wa)))
-    fb = (freqs(df_b, "nb")
-          .withColumn("Tb", F.sum("nb").over(wa))
-          .withColumn("vb", F.count("*").over(wa)))
+    # each side's frequency frame is referenced twice (totals + the
+    # full-outer join): checkpoint it so the corpus is scanned ONCE per
+    # side (unmaterialized, Catalyst re-plans the scan subtree per
+    # reference — the original form read the corpus 4x), and totals stay
+    # a map-side-combinable agg broadcast back (no per-group window that
+    # would funnel a language's whole vocabulary through one task). The
+    # checkpointed frame is vocabulary-sized — sublinear in corpus.
+    fa = freqs(df_a, "na").localCheckpoint()
+    fb = freqs(df_b, "nb").localCheckpoint()
+    ta = fa.groupBy(group).agg(F.sum("na").alias("Ta"),
+                               F.count("*").alias("va"))
+    tb = fb.groupBy(group).agg(F.sum("nb").alias("Tb"),
+                               F.count("*").alias("vb"))
     j = (fa.join(fb, [group, "tok"], "full_outer")
-         .na.fill(0, ["na", "nb"]))
-    # full-outer nulls: a token absent from one side carries that side's
-    # totals as NULL — backfill with the group max (totals are constant
-    # per group, so max over the group recovers them)
-    jw = Window.partitionBy(group)
-    j = (j.withColumn("Ta", F.max("Ta").over(jw))
-         .withColumn("va", F.max("va").over(jw))
-         .withColumn("Tb", F.max("Tb").over(jw))
-         .withColumn("vb", F.max("vb").over(jw))
-         .filter(F.col("Ta").isNotNull() & F.col("Tb").isNotNull()))
+         .na.fill(0, ["na", "nb"])
+         .join(F.broadcast(ta), group)
+         .join(F.broadcast(tb), group))
     contrib = F.expr(
         "abs(CAST(na AS DECIMAL(38,0)) * Tb - CAST(nb AS DECIMAL(38,0)) * Ta)")
     return (j.groupBy(group)
