@@ -1,0 +1,146 @@
+"""Scale-up evidence harness: replicate the sf0.1 tables Nx and measure
+the headline operators at 1x vs Nx on the same session.
+
+The graded bench proves correctness and absolute speed at sf0.1; this
+harness measures the SLOPE — what actually backs the 100 TB claims:
+
+- index build should scale ~linearly with data (executor-sharded stats
+  collection, no driver bottleneck);
+- point-query file-skip SELECTIVITY should stay constant (files scanned
+  grows with file count only if the data layout does);
+- the distributed-prefix-sum token budget, exact dedup, and the bloom
+  corpus-dedup build should scale ~linearly (no single-task stage, no
+  driver collect that grows with data).
+
+Writes STRESS_<label>.json next to the repo's bench payloads and prints
+one JSON line. Run standalone (not concurrently with pytest/bench — the
+tables live under /tmp/spark_graft_stress). STRESS_SCALE env overrides
+the replication factor (default 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE = int(os.environ.get("STRESS_SCALE", "8"))
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+ROOT = "/tmp/spark_graft_stress"
+
+
+def _timed(fn):
+    t0 = time.time()
+    out = fn()
+    return round(time.time() - t0, 3), out
+
+
+def _replicate(df, key_col: str, copies: int, n_files: int, path: str):
+    """Union `copies` re-keyed copies so keys stay unique and min/max
+    stats stay informative, clustered on the key like the 1x layout."""
+    span = df.agg(F.max(key_col)).head()[0] + 1
+    parts = [df.withColumn(key_col, F.col(key_col) + F.lit(i * span))
+             for i in range(copies)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    (out.repartitionByRange(n_files, key_col)
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite").parquet(path))
+
+
+def main() -> None:
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .appName("parquet-index-spark-stress")
+             .config("spark.sql.shuffle.partitions", CPUS)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "8g")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from parquet_index_spark import QueryContext
+    from parquet_index_spark.operators.dedup import dedup_against_corpus
+    from parquet_index_spark.operators.sampling import token_budget_sample
+
+    shutil.rmtree(ROOT, ignore_errors=True)
+    spark.conf.set("spark.sql.index.metastore", os.path.join(ROOT, "ms"))
+    ctx = QueryContext(spark)
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    report = {"scale": SCALE, "sf_dir": SF_DIR, "cpus": int(CPUS),
+              "rows_1x": li.count(), "docs_1x": docs.count()}
+
+    tables = {}
+    for label, copies in (("1x", 1), ("Nx", SCALE)):
+        lpath = os.path.join(ROOT, f"lineitem_{label}")
+        dpath = os.path.join(ROOT, f"docs_{label}")
+        _replicate(li, "l_orderkey", copies, 16 * copies, lpath)
+        _replicate(docs, "doc_id", copies, 4 * copies, dpath)
+        tables[label] = (lpath, dpath)
+
+    for label, (lpath, dpath) in tables.items():
+        r = {}
+        # 1. index build: executor-sharded stats collection
+        r["index_build_sec"], _ = _timed(
+            lambda: ctx.index.create.mode("overwrite")
+            .indexBy("l_orderkey", "l_returnflag").parquet(lpath))
+        # 2. point query: selectivity must not degrade with file count
+        t = ctx.index.parquet(lpath)
+        t.filter("l_orderkey = 4242").collect()          # warm
+        r["point_sec"], _ = _timed(
+            lambda: t.filter("l_orderkey = 4242").collect())
+        info = ctx.index.last_prune_info
+        r["point_files"] = f"{info.selected_files}/{info.total_files}"
+        r["point_selectivity"] = round(
+            info.selected_files / info.total_files, 4)
+        # 3. distributed-prefix-sum budget mixture over the doc corpus
+        d = spark.read.parquet(dpath)
+        budgets = {lang: 200_000 for lang in
+                   ("en", "de", "fr", "es", "zh")}
+        r["token_budget_sec"], n = _timed(
+            lambda: token_budget_sample(d, "lang", budgets,
+                                        "doc_id", "n_chars").count())
+        r["token_budget_rows"] = n
+        # 4. exact dedup aggregation
+        r["dedup_exact_sec"], _ = _timed(
+            lambda: d.groupBy(F.md5("text")).count()
+            .filter("count > 1").count())
+        # 5. bloom corpus-dedup build + probe (tree-merged partials)
+        r["corpus_dedup_sec"], n2 = _timed(
+            lambda: dedup_against_corpus(
+                d.filter("doc_id % 2 = 1"), d.filter("doc_id % 2 = 0"),
+                key="text").count())
+        r["corpus_dedup_new_rows"] = n2
+        report[label] = r
+
+    # slopes: Nx time / 1x time, vs the ideal SCALE
+    slopes = {}
+    for k in ("index_build_sec", "token_budget_sec", "dedup_exact_sec",
+              "corpus_dedup_sec"):
+        a, b = report["1x"][k], report["Nx"][k]
+        slopes[k] = round(b / max(a, 1e-9), 2)
+    report["slopes_vs_ideal"] = {"ideal": float(SCALE), **slopes}
+    report["selectivity_constant"] = (
+        report["1x"]["point_selectivity"]
+        >= report["Nx"]["point_selectivity"])
+
+    print(json.dumps(report))
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from bench import _round_label  # committed per-round like bench
+    with open(os.path.join(here, f"STRESS_{_round_label()}.json"),
+              "w") as f:
+        json.dump(report, f, indent=1)
+        f.write("\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
