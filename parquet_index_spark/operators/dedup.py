@@ -473,7 +473,10 @@ def dedup_against_corpus(df_new: DataFrame, corpus: DataFrame,
     NULL keys follow SQL anti-join semantics (never equal, always kept).
     At corpus sizes where a single bloom would exceed broadcast budget
     (billions of keys), raise ``fpp`` or pre-partition by key range and
-    run per range; correctness never depends on the filter.
+    run per range; correctness never depends on the filter. Pass
+    ``expected_corpus_items`` at scale — without it, filter sizing pays
+    one extra ``corpus.count()`` scan (a rough overestimate is fine: the
+    filter just comes out larger).
     """
     import math
 
@@ -513,13 +516,16 @@ def dedup_against_corpus(df_new: DataFrame, corpus: DataFrame,
     # tree merge: one partial per corpus partition means a 100k-partition
     # lake would collect 100k filter blobs to the driver — fold them to
     # <=64 executor-side first (a tiny shuffle of blobs, not data), so
-    # the driver collect is bounded by 64 * filter size at any scale
+    # the driver collect is bounded by 64 * filter size at any scale.
+    # Group by the PARTITION id: each partial is row 0 of its partition,
+    # so monotonically_increasing_id (pid << 33 | row) is a multiple of
+    # 2^33 for every row and mod-64 of it is always 0 — that form
+    # collapsed the merge into one task holding all partials at once
     if hashed.rdd.getNumPartitions() > 64:
         def _merge_group(pdf):
             return pd.DataFrame({"bloom": [_or_blobs(pdf["bloom"])]})
         partials = (partials
-                    .withColumn("__g",
-                                F.monotonically_increasing_id() % 64)
+                    .withColumn("__g", F.spark_partition_id() % 64)
                     .groupBy("__g").applyInPandas(_merge_group,
                                                   "bloom binary"))
     merged_bytes = _or_blobs(
@@ -535,7 +541,11 @@ def dedup_against_corpus(df_new: DataFrame, corpus: DataFrame,
     flagged = df_new.withColumn(
         "__maybe", F.col(key).isNotNull()
         & _might(F.xxhash64(F.col(key))))
-    candidates = flagged.filter("__maybe").select(F.col(key)).distinct()
+    # checkpoint the (small) candidate key set: it is referenced by the
+    # size probe AND the semi-join; unmaterialized, each reference
+    # re-runs the new side's scan + bloom probe + distinct shuffle
+    candidates = (flagged.filter("__maybe").select(F.col(key)).distinct()
+                  .localCheckpoint())
     n_cand = candidates.limit(max_broadcast_keys + 1).count()
     if n_cand <= max_broadcast_keys:
         matched = (corpus.join(F.broadcast(candidates), key, "left_semi")

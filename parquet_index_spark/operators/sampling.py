@@ -291,7 +291,11 @@ def token_budget_sample(df: DataFrame, stratum: str, budgets: Dict,
     if not 0 <= range_bucket_bits <= 31:
         raise ValueError(
             f"range_bucket_bits must be in [0, 31], got {range_bucket_bits}")
-    bucket = hash_bucket(key, salt)
+    # NULL keys hash to NULL; coalesce to -1 so they keep the window
+    # form's position (nulls sorted FIRST within the stratum — -1 sorts
+    # before the [0, 2^32) hash space) instead of vanishing through the
+    # null-unsafe range-bucket equi-join
+    bucket = F.coalesce(hash_bucket(key, salt), F.lit(-1).cast("long"))
     budget_expr = F.lit(None).cast("long")
     for name, b in sorted(budgets.items()):
         budget_expr = F.when(F.col(stratum) == F.lit(name),
@@ -343,21 +347,23 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     ``ceil(fraction * n)`` uses IEEE double multiply — correctly rounded
     in every engine, so a SQL oracle draws the identical boundary.
 
-    Scale shape: one tiny per-group count agg broadcast back, one window
-    shuffle on the group key (the unavoidable one — the quota is a
-    group property). Same pre-thinning advice as cap_per_group for
-    pathologically hot groups.
+    Scale shape: ONE window shuffle on the group key (the unavoidable
+    one — the quota is a group property); the group count rides the same
+    exchange as the rank window, so there is no join and NULL groups are
+    quota'd as their own partition (cap_per_group semantics). Same
+    pre-thinning advice as cap_per_group for pathologically hot groups.
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    counts = df.groupBy(_as_col(group)).agg(F.count("*").alias("__n"))
-    gname = group if isinstance(group, str) else None
-    if gname is None:
-        raise ValueError("top_fraction_per_group requires a column NAME "
-                         "for group (the count join is by name)")
-    w = Window.partitionBy(gname).orderBy(
+    # group size via a count window over the SAME partitioning as the
+    # rank window: Spark reuses the one exchange, and NULL groups are
+    # quota'd as their own partition (a broadcast-count equi-join
+    # silently dropped them — null-unsafe equality — and disagreed with
+    # sibling cap_per_group, whose window keeps the NULL group)
+    w = Window.partitionBy(_as_col(group)).orderBy(
         _as_col(order_by), *[_as_col(t) for t in tiebreak])
-    kept = (df.join(F.broadcast(counts), gname)
+    wn = Window.partitionBy(_as_col(group))
+    kept = (df.withColumn("__n", F.count("*").over(wn))
             .withColumn("__rank", F.row_number().over(w))
             .filter(F.col("__rank")
                     <= F.ceil(F.lit(float(fraction)) * F.col("__n"))))
@@ -439,9 +445,14 @@ def shuffle_assign(df: DataFrame, key: ColumnOrName, n_shards: int,
     global sort: every row gets a content-keyed shard id
     (``md5 % n_shards``) and a within-shard order key (an independent
     md5), so writing ``repartition on shard, sortWithinPartitions on
-    order key`` materializes a uniformly shuffled dataset — the standard
-    way a 100 TB corpus is shuffled for training (a true global
+    (order key, key)`` materializes a uniformly shuffled dataset — the
+    standard way a 100 TB corpus is shuffled for training (a true global
     ``ORDER BY random()`` is a single-task sort and non-reproducible).
+    The ``key`` tiebreak in the sort matters at scale: the 32-bit order
+    key collides within a shard past ~77k rows (birthday bound), and
+    sorting on it alone would leave tied rows in arbitrary
+    partition-arrival order — breaking the re-run reproducibility this
+    operator exists for.
 
     Properties a training pipeline needs, all content-keyed: the
     permutation is identical across re-runs, re-shardings, and engines

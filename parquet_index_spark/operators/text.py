@@ -356,19 +356,28 @@ def vocab_drift(df_a: DataFrame, df_b: DataFrame, group: str,
                                F.count("*").alias("va"))
     tb = fb.groupBy(group).agg(F.sum("nb").alias("Tb"),
                                F.count("*").alias("vb"))
+    # LEFT totals joins: a group present in only ONE snapshot is the
+    # monitor's loudest event (a language appearing or vanishing is
+    # TV = 1 by the empty-distribution convention) — inner joins dropped
+    # exactly that row
     j = (fa.join(fb, [group, "tok"], "full_outer")
          .na.fill(0, ["na", "nb"])
-         .join(F.broadcast(ta), group)
-         .join(F.broadcast(tb), group))
+         .join(F.broadcast(ta), group, "left")
+         .join(F.broadcast(tb), group, "left"))
     contrib = F.expr(
         "abs(CAST(na AS DECIMAL(38,0)) * Tb - CAST(nb AS DECIMAL(38,0)) * Ta)")
     return (j.groupBy(group)
             .agg(F.sum(contrib).alias("__num"),
                  F.max("Ta").alias("__ta"), F.max("Tb").alias("__tb"),
-                 F.max("va").alias("vocab_a"), F.max("vb").alias("vocab_b"))
-            .select(F.col(group), "vocab_a", "vocab_b",
-                    F.round(F.col("__num").cast("double")
-                            / (F.lit(2.0) * F.col("__ta").cast("double")
-                               * F.col("__tb").cast("double")), 6)
+                 F.max("va").alias("__va"), F.max("vb").alias("__vb"))
+            .select(F.col(group),
+                    F.coalesce("__va", F.lit(0)).alias("vocab_a"),
+                    F.coalesce("__vb", F.lit(0)).alias("vocab_b"),
+                    F.when(F.col("__ta").isNull()
+                           | F.col("__tb").isNull(), F.lit(1.0))
+                    .otherwise(
+                        F.round(F.col("__num").cast("double")
+                                / (F.lit(2.0) * F.col("__ta").cast("double")
+                                   * F.col("__tb").cast("double")), 6))
                     .alias("tv_distance"))
             .orderBy(group))

@@ -1426,6 +1426,13 @@ class TestVocabDrift:
                                   "lang: string, text: string")
         m = vocab_drift(a, c, "lang").head()
         assert m["tv_distance"] == 1.0
+        # a group present in only ONE snapshot is the loudest event:
+        # TV = 1.0 with the missing side's vocab = 0, never dropped
+        d = spark.createDataFrame([("g", "x"), ("h", "new lang here")],
+                                  "lang: string, text: string")
+        rows = {r["lang"]: r for r in vocab_drift(a, d, "lang").collect()}
+        assert rows["h"]["tv_distance"] == 1.0
+        assert rows["h"]["vocab_a"] == 0 and rows["h"]["vocab_b"] == 3
 
 class TestDedupAgainstCorpusTreeMerge:
     def test_tree_merge_path_and_empty_corpus(self, spark):

@@ -481,3 +481,48 @@ class TestShuffleAssign:
         assert "Exchange" not in plan
         with pytest.raises(ValueError, match="n_shards"):
             SA.shuffle_assign(keyed, "k", 0)
+
+
+class TestRound6ReviewFixes:
+    def test_token_budget_null_keys_kept_first(self, spark):
+        """NULL keys must survive the range-bucket join and keep the
+        window form's position (nulls sort first, consuming budget)."""
+        df = spark.createDataFrame(
+            [("a", None, 30), ("a", 1, 40), ("a", 2, 40)],
+            "s: string, k: string, n: long")
+        got = SA.token_budget_sample(df, "s", {"a": 50}, "k", "n",
+                                     keep_cumsum=True).collect()
+        rows = {r["k"]: r["__prior"] for r in got}
+        assert None in rows and rows[None] == 0   # null first, kept
+        # exactly one more doc fits (prior 30 < 50)
+        assert len(got) == 2
+
+    def test_top_fraction_keeps_null_group(self, spark):
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(
+            [(None, 1, 1.0), (None, 2, 2.0), (None, 3, 3.0),
+             ("g", 4, 1.0)],
+            "grp: string, k: long, v: double")
+        kept = SA.top_fraction_per_group(df, "grp", 0.4,
+                                         F.desc("v"), F.asc("k")).collect()
+        by = {}
+        for r in kept:
+            by.setdefault(r["grp"], []).append(r["k"])
+        # ceil(0.4*3) = 2 best NULL-group rows kept; g keeps its 1
+        assert sorted(by[None]) == [2, 3]
+        assert by["g"] == [4]
+
+    def test_shuffle_recipe_note_holds(self, spark, keyed):
+        """The documented write recipe sorts on (order key, key): with
+        that tiebreak the materialized order is identical across runs
+        even when 32-bit order keys collide."""
+        a = SA.shuffle_assign(keyed, "k", 4)
+        rows = (a.repartition(4, "shard")
+                .sortWithinPartitions("shuffle_order", "k")
+                .collect())
+        again = (SA.shuffle_assign(keyed.repartition(9), "k", 4)
+                 .repartition(4, "shard")
+                 .sortWithinPartitions("shuffle_order", "k")
+                 .collect())
+        assert [(r["shard"], r["k"]) for r in rows] == \
+            [(r["shard"], r["k"]) for r in again]
