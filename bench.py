@@ -567,6 +567,14 @@ def main() -> None:
                   "measures [9.34 cold(streaming bootstrap), 2.74, 2.62, "
                   "2.55] — steady state at the 2.88s prior best, operator "
                   "unchanged",
+                  "minhash_lsh_pairs":
+                  "r6 warm-pass 6.06s flag attributed to host noise: the "
+                  "same session's COLD run was 1.81s and a standalone 4x "
+                  "repeat measures [7.75 cold, 1.88, 1.73, 1.58] — steady "
+                  "state at the 1.53s prior best, operator unchanged "
+                  "(warm-slower-than-cold is the session-GC signature, "
+                  "likely checkpoint-block pressure late in the 66-query "
+                  "pass)",
                   "cold_vs_warm":
                   "`queries` times the FIRST invocation (comparable "
                   "with prior rounds, but carries page-cache misses, "
