@@ -5062,6 +5062,69 @@ FROM s GROUP BY 1, 2 ORDER BY shard, split
 STREAM_SHUFFLE_SPLIT_SQL = _stream_shuffle_split_sql()
 
 
+def split_leakage_audit(spark, sf_dir):
+    """Split-leakage audit — the INTERNAL complement of eval-set
+    decontamination: after the deterministic md5 train/val/test split
+    (assign_split), count the TRAIN documents that share a distinct
+    word 4-gram with the TEST split, per language. Content duplicated
+    across the split boundary inflates eval scores silently; this is
+    the check a pipeline runs after every split materialization. The
+    test split's shingle set is broadcast (it is the 10% side), so the
+    train side never shuffles before the final rollup — the
+    contamination_by_lang machinery pointed at the pipeline's own
+    splits."""
+    from parquet_index_spark.operators import dedup as D
+    from parquet_index_spark.operators.sampling import assign_split
+    docs = assign_split(_t(spark, sf_dir, "documents"), "doc_id")
+    tr = docs.filter(F.col("split") == "train")
+    te = docs.filter(F.col("split") == "test")
+    hits = D.contaminated_docs(tr, te, shingle_k=4)
+    labeled = (tr.select(F.col("doc_id").alias("train_id"), "lang")
+               .join(hits, "train_id", "left"))
+    return (labeled.groupBy("lang")
+            .agg(F.count("*").alias("n_train"),
+                 F.count("n_shared_shingles").alias("n_leaky"),
+                 F.coalesce(F.sum("n_shared_shingles"), F.lit(0))
+                 .alias("total_shared"))
+            .orderBy("lang"))
+
+
+def _split_leakage_sql() -> str:
+    return rf"""
+WITH labeled AS (
+  SELECT doc_id, lang, text, {_split_case_sql()} AS split FROM documents),
+toks AS (
+  SELECT doc_id, lang, split,
+         string_split_regex(trim(text), '\s+') AS toks
+  FROM labeled),
+sh4 AS (
+  SELECT doc_id, lang, split,
+         list_distinct(CASE WHEN len(toks) <= 4
+           THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(generate_series(1, len(toks) - 3),
+                               j -> array_to_string(toks[j:j+3], ' ')) END)
+           AS shingles
+  FROM toks),
+tr AS (
+  SELECT doc_id, lang, unnest(shingles) AS s FROM sh4
+  WHERE split = 'train'),
+evs AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh4 WHERE split = 'test'),
+hits AS (
+  SELECT tr.doc_id, count(DISTINCT tr.s) AS n_shared
+  FROM tr JOIN evs ON tr.s = evs.s GROUP BY tr.doc_id)
+SELECT l.lang, CAST(count(*) AS BIGINT) AS n_train,
+       CAST(count(h.doc_id) AS BIGINT) AS n_leaky,
+       CAST(COALESCE(sum(h.n_shared), 0) AS BIGINT) AS total_shared
+FROM labeled l LEFT JOIN hits h ON l.doc_id = h.doc_id
+WHERE l.split = 'train'
+GROUP BY l.lang ORDER BY l.lang
+"""
+
+
+SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # Ordering contract: the driver grades the FIRST 50 keys. Entries that
     # were never driver-graded (or failed) in a prior round sit first so
@@ -5199,6 +5262,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
                                      SEMANTIC_CONTAM_SQL),
     "stream_shuffle_split_stats": (stream_shuffle_split_stats,
                                    STREAM_SHUFFLE_SPLIT_SQL),
+    "split_leakage_audit": (split_leakage_audit, SPLIT_LEAKAGE_SQL),
 }
 
 # Round-6 grading window (round-5 verdict ask #6): the driver grades the
@@ -5214,7 +5278,7 @@ _R6_WINDOW = [
     "incremental_dedup_stats", "pack_bins_by_source",
     "curation_pipeline_v3", "shuffle_shard_stats",
     "vocab_drift_by_lang", "semantic_contamination_stats",
-    "stream_shuffle_split_stats",
+    "stream_shuffle_split_stats", "split_leakage_audit",
     "ann_topk_lsh_probed", "stream_dedup_events", "stream_sink_roundtrip",
     "salted_skew_join", "dedup_exact_stats", "dedup_prefix_groups",
     "dedup_group_assignment", "dedup_keep_best", "jaccard_neardup_pairs",
@@ -5229,7 +5293,6 @@ _R6_WINDOW = [
     "q4_order_exists", "q18_large_volume_customers", "q10_returned_items",
     "q17_small_quantity_revenue", "q19_disjunctive_predicates",
     "q22_global_sales_opportunity", "idx_join_dpp",
-    "top3_orders_per_customer",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R6_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R6_WINDOW}}

@@ -75,7 +75,7 @@ _CORE = {
     "incremental_dedup_stats", "pack_bins_by_source",
     "curation_pipeline_v3", "shuffle_shard_stats",
     "vocab_drift_by_lang", "semantic_contamination_stats",
-    "stream_shuffle_split_stats",
+    "stream_shuffle_split_stats", "split_leakage_audit",
 }
 
 
