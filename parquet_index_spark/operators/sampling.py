@@ -291,18 +291,21 @@ def token_budget_sample(df: DataFrame, stratum: str, budgets: Dict,
     if not 0 <= range_bucket_bits <= 31:
         raise ValueError(
             f"range_bucket_bits must be in [0, 31], got {range_bucket_bits}")
-    # NULL keys hash to NULL; coalesce to -1 so they keep the window
-    # form's position (nulls sorted FIRST within the stratum — -1 sorts
-    # before the [0, 2^32) hash space) instead of vanishing through the
-    # null-unsafe range-bucket equi-join
-    bucket = F.coalesce(hash_bucket(key, salt), F.lit(-1).cast("long"))
+    bucket = hash_bucket(key, salt)
     budget_expr = F.lit(None).cast("long")
     for name, b in sorted(budgets.items()):
         budget_expr = F.when(F.col(stratum) == F.lit(name),
                              F.lit(int(b)).cast("long")).otherwise(budget_expr)
     # hash space is [0, 2^32): top bits of the bucket give a range bucket
-    # that orders consistently with (bucket, key)
-    base = (df.withColumn("__budget", budget_expr)
+    # that orders consistently with (bucket, key). NULL keys are DROPPED
+    # explicitly: a content-keyed mixture has no deterministic position
+    # for a row with no content key — every NULL ties with every other
+    # NULL in the greedy order, so whichever subset 'fills' the budget
+    # would be partition-arrival-dependent (the old whole-stratum window
+    # form had the same tie and was just as nondeterministic about it).
+    # Assign surrogate keys upstream if NULL-key rows must participate.
+    base = (df.filter(_as_col(key).isNotNull())
+            .withColumn("__budget", budget_expr)
             .filter(F.col("__budget").isNotNull())
             .withColumn("__tok", _as_col(n_tokens).cast("long"))
             .withColumn("__bkt", bucket)

@@ -1830,10 +1830,13 @@ def sample_split_stats(spark, sf_dir):
             .orderBy("split", "lang"))
 
 
-def _split_case_sql() -> str:
+def _split_case_sql(key: str = "doc_id") -> str:
+    """The assign_split CASE over ``key``, thresholds from
+    split_thresholds itself so every oracle cuts at the SAME precomputed
+    integers (one spelling, reused by batch and streaming oracles)."""
     from parquet_index_spark.operators.sampling import split_thresholds
     bounds = split_thresholds()
-    bucket = ("CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),"
+    bucket = (f"CAST('0x' || substr(md5('split:' || CAST({key} AS VARCHAR)),"
               " 1, 8) AS BIGINT)")
     whens = "".join(
         f" WHEN {bucket} < {t} THEN '{name}'" for name, t in bounds[:-1])
@@ -4590,8 +4593,9 @@ def quality_gate_by_lang(spark, sf_dir):
     the composite quality heuristic, keep the best ceil(0.3 * n) per
     lang via an exact rank cut (top_fraction_per_group — deterministic,
     unlike approximate-percentile thresholds), and report per-lang
-    totals. One tiny count agg broadcast back + one window shuffle on
-    lang; the oracle spells the identical scoring and IEEE-double cut."""
+    totals. ONE window shuffle on lang — the group count rides the same
+    exchange as the rank window, no join anywhere (plan-guarded); the
+    oracle spells the identical scoring and IEEE-double cut."""
     from parquet_index_spark.operators import text as TX
     from parquet_index_spark.operators.sampling import top_fraction_per_group
     docs = _t(spark, sf_dir, "documents")
@@ -4930,13 +4934,15 @@ j AS (
          COALESCE(fa.na, 0) AS na, COALESCE(fb.nb, 0) AS nb
   FROM fa FULL OUTER JOIN fb ON fa.lang = fb.lang AND fa.tok = fb.tok
 )
-SELECT j.lang, CAST(ta.va AS BIGINT) AS vocab_a,
-       CAST(tb.vb AS BIGINT) AS vocab_b,
-       round(CAST(sum(abs(CAST(j.na AS DECIMAL(38,0)) * tb.Tb
-                          - CAST(j.nb AS DECIMAL(38,0)) * ta.Ta)) AS DOUBLE)
-             / (2.0 * CAST(ta.Ta AS DOUBLE) * CAST(tb.Tb AS DOUBLE)), 6)
-         AS tv_distance
-FROM j JOIN ta ON j.lang = ta.lang JOIN tb ON j.lang = tb.lang
+SELECT j.lang, CAST(COALESCE(ta.va, 0) AS BIGINT) AS vocab_a,
+       CAST(COALESCE(tb.vb, 0) AS BIGINT) AS vocab_b,
+       CASE WHEN ta.Ta IS NULL OR tb.Tb IS NULL THEN 1.0
+            ELSE round(
+              CAST(sum(abs(CAST(j.na AS DECIMAL(38,0)) * tb.Tb
+                           - CAST(j.nb AS DECIMAL(38,0)) * ta.Ta)) AS DOUBLE)
+              / (2.0 * CAST(ta.Ta AS DOUBLE) * CAST(tb.Tb AS DOUBLE)), 6)
+       END AS tv_distance
+FROM j LEFT JOIN ta ON j.lang = ta.lang LEFT JOIN tb ON j.lang = tb.lang
 GROUP BY j.lang, ta.va, tb.vb, ta.Ta, tb.Tb
 ORDER BY j.lang
 """
@@ -5038,23 +5044,17 @@ def stream_shuffle_split_stats(spark, sf_dir):
 
 
 def _stream_shuffle_split_sql() -> str:
-    # thresholds come from split_thresholds itself (the sample_split
-    # pattern), so both engines cut at the SAME precomputed integers
-    from parquet_index_spark.operators.sampling import split_thresholds
-    bounds = split_thresholds()
-    whens = "".join(f" WHEN b < {t} THEN '{name}'"
-                    for name, t in bounds[:-1])
+    # one spelling of the split arithmetic: _split_case_sql keyed on
+    # event_id — the same helper the batch sample_split oracle uses
     return f"""
 WITH s AS (
   SELECT event_id,
          CAST('0x' || substr(md5('shuffle:shard:'
               || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
-         CAST('0x' || substr(md5('split:'
-              || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS b
+         {_split_case_sql("event_id")} AS split
   FROM events
 )
-SELECT shard, CASE{whens} ELSE '{bounds[-1][0]}' END AS split,
-       count(*) AS n_events, min(event_id) AS first_event
+SELECT shard, split, count(*) AS n_events, min(event_id) AS first_event
 FROM s GROUP BY 1, 2 ORDER BY shard, split
 """
 

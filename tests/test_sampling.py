@@ -484,18 +484,22 @@ class TestShuffleAssign:
 
 
 class TestRound6ReviewFixes:
-    def test_token_budget_null_keys_kept_first(self, spark):
-        """NULL keys must survive the range-bucket join and keep the
-        window form's position (nulls sort first, consuming budget)."""
+    def test_token_budget_null_keys_dropped_explicitly(self, spark):
+        """NULL keys are excluded by contract: every NULL ties with
+        every other NULL in the greedy order, so any 'kept' subset would
+        be partition-arrival-dependent (the old window form had the same
+        tie). The documented policy is a deterministic drop — non-null
+        rows budget exactly as if the NULLs were never there."""
         df = spark.createDataFrame(
-            [("a", None, 30), ("a", 1, 40), ("a", 2, 40)],
+            [("a", None, 30), ("a", "x1", 40), ("a", "x2", 40)],
             "s: string, k: string, n: long")
         got = SA.token_budget_sample(df, "s", {"a": 50}, "k", "n",
                                      keep_cumsum=True).collect()
-        rows = {r["k"]: r["__prior"] for r in got}
-        assert None in rows and rows[None] == 0   # null first, kept
-        # exactly one more doc fits (prior 30 < 50)
-        assert len(got) == 2
+        keys = {r["k"] for r in got}
+        assert None not in keys
+        # greedy fill over the non-null rows: first fits, second starts
+        # past budget
+        assert len(got) == 2 and {r["__prior"] for r in got} == {0, 40}
 
     def test_top_fraction_keeps_null_group(self, spark):
         from pyspark.sql import functions as F
