@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "curation_pipeline_v3", "shuffle_shard_stats",
     "vocab_drift_by_lang", "semantic_contamination_stats",
     "stream_shuffle_split_stats", "split_leakage_audit",
+    "idx_compact_roundtrip",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the
@@ -60,7 +61,7 @@ BENCH_QUERIES = [
 # double-count a build
 SELF_BUILDING = {"idx_refresh_append", "idx_delete_range",
                  "idx_update_range", "idx_delete_partitioned",
-                 "stream_merge_cdc_ops"}
+                 "stream_merge_cdc_ops", "idx_compact_roundtrip"}
 
 
 def _sf_label() -> str:

@@ -76,6 +76,7 @@ _CORE = {
     "curation_pipeline_v3", "shuffle_shard_stats",
     "vocab_drift_by_lang", "semantic_contamination_stats",
     "stream_shuffle_split_stats", "split_leakage_audit",
+    "idx_compact_roundtrip",
 }
 
 
