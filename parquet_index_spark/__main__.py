@@ -1,0 +1,67 @@
+"""Operator CLI: ``python -m parquet_index_spark <cmd> <table_path>``.
+
+A thin wrapper over the diagnostic surface so an operator at a terminal
+can inspect an index without writing a script:
+
+- ``describe <path>``   — the describe summary (coverage, filter
+  saturation, table/index byte accounting)
+- ``recommend <path>``  — the filter-type advisor (measured distincts
+  and spans -> dict / bitmap / bloom per column)
+- ``explain <path> <predicate>`` — per-leaf pruning diagnosis with
+  saturation attached
+
+Honors ``SPARK_GRAFT_METASTORE`` (falls back to the session default
+resolution). Local-mode session; diagnostics are metadata-only, so this
+never scans the table's data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def _usage() -> int:
+    print(__doc__)
+    return 2
+
+
+def main(argv) -> int:
+    if len(argv) < 2:
+        return _usage()
+    cmd, path = argv[0], argv[1]
+    if cmd not in ("describe", "recommend", "explain"):
+        return _usage()
+    if cmd == "explain" and len(argv) < 3:
+        return _usage()
+
+    from pyspark.sql import SparkSession
+
+    from parquet_index_spark import QueryContext
+
+    spark = (SparkSession.builder.master("local[4]")
+             .appName("parquet-index-spark-cli")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    ms = os.environ.get("SPARK_GRAFT_METASTORE")
+    if ms:
+        spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = QueryContext(spark)
+    try:
+        if cmd == "describe":
+            ctx.index.describe.parquet(path).show(100, truncate=False)
+        elif cmd == "recommend":
+            for rec in ctx.index.parquet(path).recommend_filter_types():
+                print(json.dumps(rec))
+        else:
+            d = ctx.index.parquet(path).explain_pruning(
+                argv[2], include_saturation=True)
+            print(json.dumps(d, indent=1, default=str))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
