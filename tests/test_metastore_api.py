@@ -508,3 +508,14 @@ class TestRecommendFilterTypes:
         for r in rec.values():
             assert r["current_type"] in ("bloom", "dict", "bitmap", "none")
             assert r["reason"]
+
+
+class TestCli:
+    def test_usage_paths_no_spark(self):
+        """Bad invocations exit 2 with usage, before any session spins
+        up (the happy paths are wrappers over methods tested above and
+        are driven in the verify flows)."""
+        from parquet_index_spark.__main__ import main
+        assert main([]) == 2
+        assert main(["bogus", "/x"]) == 2
+        assert main(["explain", "/x"]) == 2   # missing predicate
