@@ -334,12 +334,14 @@ def token_budget_sample(df: DataFrame, stratum: str, budgets: Dict,
 
 
 def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
-                           fraction: float, order_by: ColumnOrName,
+                           fraction: float, score: ColumnOrName,
                            *tiebreak: ColumnOrName,
-                           keep_rank: bool = False) -> DataFrame:
+                           descending: bool = False,
+                           keep_rank: bool = False,
+                           range_buckets: int = 4096) -> DataFrame:
     """Per-group FRACTIONAL quota: keep the best ``ceil(fraction * n)``
-    rows of every group, preferring the lowest ``order_by`` (pass
-    ``F.desc(score)`` to keep highest) — the "keep the top 30% by
+    rows of every group, preferring the lowest ``score`` (pass
+    ``descending=True`` to keep highest) — the "keep the top 30% by
     quality per domain" curation primitive. Where :func:`cap_per_group`
     cuts at an absolute count, this cuts at a group-relative one, so a
     small domain keeps proportionally as much as a huge one.
@@ -349,27 +351,93 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     ``tiebreak`` must include a unique id so reruns keep identical rows.
     ``ceil(fraction * n)`` uses IEEE double multiply — correctly rounded
     in every engine, so a SQL oracle draws the identical boundary.
+    ``score`` must be numeric and non-NaN; NULL scores sort the way the
+    default Spark ordering would (first when ascending, last when
+    descending). NULL groups are quota'd as their own group.
 
-    Scale shape: ONE window shuffle on the group key (the unavoidable
-    one — the quota is a group property); the group count rides the same
-    exchange as the rank window, so there is no join and NULL groups are
-    quota'd as their own partition (cap_per_group semantics). Same
-    pre-thinning advice as cap_per_group for pathologically hot groups.
+    Scale shape — DISTRIBUTED rank cut, never one task per group: a
+    naive ``row_number() OVER (PARTITION BY group ORDER BY score)``
+    streams the ENTIRE group through a single Spark task — at 100 TB a
+    dominant group (English ~ half a web corpus) funnels ~50 TB through
+    one sort. Instead the score range is split per group into
+    ``range_buckets`` buckets (a monotone function of the score, so
+    bucket order == score order and equal scores share a bucket):
+
+      1. per-group score extremes — one tiny map-side-combinable agg,
+         broadcast back to bucketize each row;
+      2. per-(group, bucket) counts — another tiny agg
+         (|groups| * range_buckets rows max);
+      3. exclusive bucket prefix offsets + the group total ``n`` and cut
+         rank ``k = ceil(fraction * n)`` — windows over that tiny
+         metadata frame, broadcast back;
+      4. buckets entirely past the cut (``offset >= k``) are dropped
+         BEFORE any shuffle; the exact rank window runs partitioned by
+         (group, bucket), so per-task state is one bucket, not a group,
+         and the global rank is ``offset + local rank``.
+
+    Identical keep set and ranks as the single-window form (equivalence
+    test in tests/test_sampling.py); the heavy window gains
+    ``range_buckets``-way parallelism per group. A group whose score is
+    constant degenerates to one bucket — pre-thin such groups with
+    :func:`hash_sample` as with cap_per_group.
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    # group size via a count window over the SAME partitioning as the
-    # rank window: Spark reuses the one exchange, and NULL groups are
-    # quota'd as their own partition (a broadcast-count equi-join
-    # silently dropped them — null-unsafe equality — and disagreed with
-    # sibling cap_per_group, whose window keeps the NULL group)
-    w = Window.partitionBy(_as_col(group)).orderBy(
-        _as_col(order_by), *[_as_col(t) for t in tiebreak])
-    wn = Window.partitionBy(_as_col(group))
-    kept = (df.withColumn("__n", F.count("*").over(wn))
-            .withColumn("__rank", F.row_number().over(w))
-            .filter(F.col("__rank")
-                    <= F.ceil(F.lit(float(fraction)) * F.col("__n"))))
+    if range_buckets < 1:
+        raise ValueError(
+            f"range_buckets must be >= 1, got {range_buckets}")
+    g = _as_col(group)
+    s = _as_col(score).cast("double")
+    s_dir = (_as_col(score).desc() if descending else _as_col(score).asc())
+    # (1) per-group score extremes: tiny agg, broadcast back. groupBy is
+    # NULL-safe (NULL is its own group) and the join back uses eqNullSafe
+    # so NULL groups keep cap_per_group semantics (a name equi-join would
+    # silently drop them).
+    mm = df.groupBy(g.alias("__tf_g")).agg(
+        F.min(s).alias("__tf_mn"), F.max(s).alias("__tf_mx"))
+    base = df.join(F.broadcast(mm), g.eqNullSafe(F.col("__tf_g")))
+    # monotone bucketization: lower bucket == better rank position.
+    # Equal scores always share a bucket; NULL scores get a sentinel
+    # bucket at the end Spark's default null ordering puts them.
+    span = F.col("__tf_mx") - F.col("__tf_mn")
+    pos = (F.col("__tf_mx") - s) if descending else (s - F.col("__tf_mn"))
+    raw = F.floor(pos / span * F.lit(int(range_buckets)))
+    null_bkt = int(range_buckets) if descending else -1
+    bkt = (F.when(s.isNull(), F.lit(null_bkt))
+           .when(span <= F.lit(0.0), F.lit(0))
+           .otherwise(F.least(raw, F.lit(int(range_buckets) - 1))))
+    base = base.withColumn("__tf_bkt", bkt.cast("long"))
+    # (2)+(3) per-(group, bucket) counts; offsets / n / k over the tiny
+    # frame (windows over metadata, not data); buckets fully past the
+    # cut are dropped here, so they never reach the rank shuffle
+    cnts = (base.groupBy("__tf_g", "__tf_bkt")
+            .agg(F.count("*").alias("__tf_c")))
+    w_off = (Window.partitionBy("__tf_g").orderBy("__tf_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (cnts
+            .withColumn("__tf_off",
+                        F.coalesce(F.sum("__tf_c").over(w_off),
+                                   F.lit(0).cast("long")))
+            .withColumn("__tf_n",
+                        F.sum("__tf_c").over(Window.partitionBy("__tf_g")))
+            .withColumn("__tf_k",
+                        F.ceil(F.lit(float(fraction)) * F.col("__tf_n")))
+            .filter(F.col("__tf_off") < F.col("__tf_k"))
+            .select(F.col("__tf_g").alias("__tf_g2"),
+                    F.col("__tf_bkt").alias("__tf_b2"),
+                    "__tf_off", "__tf_k"))
+    # (4) exact rank only inside surviving buckets: the window partitions
+    # by (group, bucket) — per-task state is one bucket. offset + local
+    # rank IS the global rank (bucket order == score order, equal scores
+    # never straddle buckets).
+    out = base.join(F.broadcast(offs),
+                    F.col("__tf_g").eqNullSafe(F.col("__tf_g2"))
+                    & (F.col("__tf_bkt") == F.col("__tf_b2")))
+    w_loc = (Window.partitionBy("__tf_g", "__tf_bkt")
+             .orderBy(s_dir, *[_as_col(t) for t in tiebreak]))
+    kept = (out.withColumn("__rank",
+                           F.col("__tf_off") + F.row_number().over(w_loc))
+            .filter(F.col("__rank") <= F.col("__tf_k")))
     keep = list(df.columns) + (["__rank"] if keep_rank else [])
     return kept.select(*keep)
 

@@ -346,20 +346,25 @@ class TestRound6PlanQuality:
         assert s["sort_merge"] == 0 and s["shuffled_hash"] == 0, s
         assert s["nested_loop"] == 0, s
 
-    def test_quality_gate_single_window_shuffle(self, spark):
-        """top_fraction_per_group: the group count rides the SAME window
-        exchange as the rank — no join anywhere in the gate (the count
-        window and rank window share partitioning, so Spark plans one
-        Exchange for both)."""
+    def test_quality_gate_distributed_rank_cut(self, spark):
+        """top_fraction_per_group (round-6 verdict ask #1): the rank cut
+        must be DISTRIBUTED — bucket-count metadata comes back via
+        broadcast joins, and NO row_number window partitioned by the
+        group alone remains (that shape funnels a dominant language
+        through one task at 100 TB). Every row_number spec must carry
+        the score-bucket column in its partitioning."""
         from parquet_index_spark.workload import quality_gate_by_lang
         df = quality_gate_by_lang(spark, SF_CORRECT)
         s = plans.join_strategies(df)
-        assert sum(s.values()) == 0, s
+        # extremes + offsets joins (subtree re-references multiply the
+        # count) — all broadcast, never a shuffle of the document stream
+        assert s["broadcast_hash"] >= 2, s
+        assert s["sort_merge"] == 0 and s["shuffled_hash"] == 0, s
+        assert s["nested_loop"] == 0, s
         plan = plans.formatted_plan(df)
-        # the two windows must not plant a second pre-agg exchange:
-        # one window exchange + the final groupBy + the output sort
-        # (formatted renderer prints each twice)
-        assert plan.count("Exchange") <= 6, plan
+        for line in plan.splitlines():
+            if "row_number" in line:
+                assert "__tf_bkt" in line, line
 
     def test_vocab_drift_scans_each_side_once(self, spark):
         """Totals must come from windows over the vocabulary-sized

@@ -340,8 +340,8 @@ class TestTopFractionPerGroup:
         rows = [(g, i, float(i % 7)) for g in ("a", "b")
                 for i in range(10)] + [("c", 0, 1.0)]
         df = spark.createDataFrame(rows, "g: string, k: long, score: double")
-        kept = SA.top_fraction_per_group(df, "g", 0.3,
-                                         F.desc("score"), F.asc("k"))
+        kept = SA.top_fraction_per_group(df, "g", 0.3, "score",
+                                         F.asc("k"), descending=True)
         by_g = {}
         for r in kept.collect():
             by_g.setdefault(r["g"], []).append(r)
@@ -354,21 +354,81 @@ class TestTopFractionPerGroup:
         # column order preserved; no helper columns leak
         assert kept.columns == ["g", "k", "score"]
         # keep_rank exposes the rank
-        ranked = SA.top_fraction_per_group(df, "g", 0.3, F.desc("score"),
-                                           F.asc("k"), keep_rank=True)
+        ranked = SA.top_fraction_per_group(df, "g", 0.3, "score",
+                                           F.asc("k"), descending=True,
+                                           keep_rank=True)
         assert ranked.columns == ["g", "k", "score", "__rank"]
+        # ranks are the GLOBAL per-group ranks (offset + local rank)
+        for r in ranked.collect():
+            assert 1 <= r["__rank"] <= 3
         # fraction bounds + repartition stability
         again = SA.top_fraction_per_group(df.repartition(5), "g", 0.3,
-                                          F.desc("score"), F.asc("k"))
+                                          "score", F.asc("k"),
+                                          descending=True)
         assert sorted((r["g"], r["k"]) for r in again.collect()) == \
             sorted((r["g"], r["k"]) for r in kept.collect())
         with pytest.raises(ValueError, match="fraction"):
-            SA.top_fraction_per_group(df, "g", 1.5, F.desc("score"))
+            SA.top_fraction_per_group(df, "g", 1.5, "score",
+                                      descending=True)
+        with pytest.raises(ValueError, match="range_buckets"):
+            SA.top_fraction_per_group(df, "g", 0.3, "score",
+                                      range_buckets=0)
         # fraction=1 keeps everything, fraction=0 keeps nothing
         assert SA.top_fraction_per_group(
-            df, "g", 1.0, F.desc("score"), F.asc("k")).count() == 21
+            df, "g", 1.0, "score", F.asc("k"),
+            descending=True).count() == 21
         assert SA.top_fraction_per_group(
-            df, "g", 0.0, F.desc("score"), F.asc("k")).count() == 0
+            df, "g", 0.0, "score", F.asc("k"),
+            descending=True).count() == 0
+
+    def test_distributed_cut_equivalence_vs_single_window(self, spark):
+        """The round-6 verdict ask: the score-bucketed distributed rank
+        cut must produce a BYTE-IDENTICAL keep set (and ranks) vs the
+        naive whole-group window form, across ties, NULL groups, NULL
+        scores, constant-score groups, and both directions."""
+        from pyspark.sql import Window
+        import random
+        rng = random.Random(7)
+        rows = []
+        for g in ("a", "b", None, "const", "tiny"):
+            n = {"a": 200, "b": 57, None: 31, "const": 40, "tiny": 1}[g]
+            for i in range(n):
+                if g == "const":
+                    s = 5.0
+                elif g == "a" and i % 11 == 0:
+                    s = None                      # NULL scores mixed in
+                else:
+                    s = float(rng.choice([1, 2, 2, 3, 5, 8, 8, 13]))
+                rows.append((g, i, s))
+        df = spark.createDataFrame(
+            rows, "g: string, k: long, score: double")
+
+        def naive(frac, descending):
+            order = (F.desc("score") if descending else F.asc("score"))
+            w = Window.partitionBy("g").orderBy(order, F.asc("k"))
+            wn = Window.partitionBy("g")
+            return (df.withColumn("__n", F.count("*").over(wn))
+                    .withColumn("__rank", F.row_number().over(w))
+                    .filter(F.col("__rank")
+                            <= F.ceil(F.lit(float(frac)) * F.col("__n")))
+                    .select("g", "k", "score", "__rank"))
+
+        for frac in (0.1, 0.3, 0.5, 1.0):
+            for descending in (True, False):
+                for buckets in (1, 7, 4096):
+                    got = SA.top_fraction_per_group(
+                        df, "g", frac, "score", F.asc("k"),
+                        descending=descending, keep_rank=True,
+                        range_buckets=buckets)
+                    want = naive(frac, descending)
+
+                    def keyf(t):
+                        g, k, s, rank = t
+                        return (g is None, g or "", k,
+                                s is None, s or 0.0, rank)
+                    assert sorted(map(tuple, got.collect()), key=keyf) \
+                        == sorted(map(tuple, want.collect()), key=keyf), \
+                        (frac, descending, buckets)
 
 
 class TestPackBins:
@@ -507,8 +567,9 @@ class TestRound6ReviewFixes:
             [(None, 1, 1.0), (None, 2, 2.0), (None, 3, 3.0),
              ("g", 4, 1.0)],
             "grp: string, k: long, v: double")
-        kept = SA.top_fraction_per_group(df, "grp", 0.4,
-                                         F.desc("v"), F.asc("k")).collect()
+        kept = SA.top_fraction_per_group(df, "grp", 0.4, "v",
+                                         F.asc("k"),
+                                         descending=True).collect()
         by = {}
         for r in kept:
             by.setdefault(r["grp"], []).append(r["k"])
