@@ -224,7 +224,8 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: Optional[DataFrame] = None,
 def contaminated_docs(train_df: DataFrame, eval_df: DataFrame,
                       text_col: str = "text", id_col: str = "doc_id",
                       shingle_k: int = 5,
-                      min_shared: int = 1) -> DataFrame:
+                      min_shared: int = 1,
+                      max_broadcast_rows: int = 2_000_000) -> DataFrame:
     """Train/eval decontamination: training documents that share at least
     ``min_shared`` distinct word ``shingle_k``-grams with any document in
     the eval/benchmark set — the standard n-gram-overlap contamination
@@ -233,13 +234,22 @@ def contaminated_docs(train_df: DataFrame, eval_df: DataFrame,
     Returns (train_id, n_shared_shingles, n_eval_docs): how many distinct
     shingles leak and how many eval documents they touch.
 
-    Scale: the eval side is small by definition (a benchmark suite), so
-    its distinct (shingle, eval_id) set is broadcast — the 100-TB train
-    side streams map-side against it with no shuffle until the final
-    per-train-doc aggregation. Shingle document-frequency capping is
-    deliberately NOT applied here: dropping common shingles can only
-    hide contamination, and real decontamination uses long n-grams
-    (k >= 5) that are rare by construction.
+    Scale: when the eval side is small (a benchmark suite — the design
+    case), its distinct (shingle, eval_id) set is broadcast and the
+    100-TB train side streams map-side against it with no shuffle until
+    the final per-train-doc aggregation. But callers also point this at
+    corpus-sized "eval" sides (a held-out split of the pipeline's own
+    data), where an unconditional broadcast would OOM the driver instead
+    of degrading — so the broadcast is GUARDED by a ``limit(n+1)`` size
+    probe on the exploded distinct set (the dedup_against_corpus /
+    span_dedup contract): at most ``max_broadcast_rows`` rows broadcast;
+    above that the join falls back to a plain shuffle equi-join on the
+    shingle — identical results, just a shuffle of both exploded sides.
+    The probe costs one early-terminating extra scan of the eval side.
+    Shingle document-frequency capping is deliberately NOT applied here:
+    dropping common shingles can only hide contamination, and real
+    decontamination uses long n-grams (k >= 5) that are rare by
+    construction.
     """
     sh = F.array_distinct(shingles(text_col, shingle_k))
     tr = (train_df.select(F.col(id_col).alias("train_id"),
@@ -247,7 +257,10 @@ def contaminated_docs(train_df: DataFrame, eval_df: DataFrame,
     ev = (eval_df.select(F.col(id_col).alias("__eval_id"),
                          F.explode(sh).alias("__s"))
           .distinct())
-    return (tr.join(F.broadcast(ev), "__s")
+    n_ev = ev.limit(max_broadcast_rows + 1).count()
+    joined = (tr.join(F.broadcast(ev), "__s")
+              if n_ev <= max_broadcast_rows else tr.join(ev, "__s"))
+    return (joined
             .groupBy("train_id")
             .agg(F.countDistinct("__s").alias("n_shared_shingles"),
                  F.countDistinct("__eval_id").alias("n_eval_docs"))

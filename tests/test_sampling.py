@@ -301,6 +301,31 @@ class TestContamination:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
 
+    def test_oversized_eval_falls_back_to_shuffle_join(self, spark):
+        """Round-6 verdict ask #2: when the eval side's exploded distinct
+        shingle set exceeds max_broadcast_rows, the broadcast must give
+        way to a shuffle equi-join — same results, no driver-sized
+        collect. Forced here with a tiny cap."""
+        train = spark.createDataFrame(
+            [Row(doc_id=i, text=f"common prefix words shared by doc {i} "
+                                "and the eval split alike")
+             for i in range(30)])
+        ev = spark.createDataFrame(
+            [Row(doc_id=1000 + i, text=f"common prefix words shared by "
+                                       f"doc {i} and the eval split alike")
+             for i in range(10)])
+        want = sorted(map(tuple, D.contaminated_docs(
+            train, ev, shingle_k=4).collect()))
+        got_df = D.contaminated_docs(train, ev, shingle_k=4,
+                                     max_broadcast_rows=5)
+        got = sorted(map(tuple, got_df.collect()))
+        assert got == want and len(got) >= 10
+        # the fallback must not PLANT a broadcast hint (AQE may still
+        # choose broadcast at runtime for tiny sides — that's fine; the
+        # hazard was the unconditional hint overriding size logic)
+        opt = got_df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in opt and "broadcast" not in opt.lower()
+
 
 class TestTokenBudgetSample:
     def test_greedy_fill_and_whitelist(self, spark):
