@@ -490,18 +490,38 @@ def pack_bins(df: DataFrame, tokens: ColumnOrName, budget: int,
         order = np.lexsort((pdf[id_name].to_numpy(),
                             -pdf[tok_name].to_numpy()))
         toks = pdf[tok_name].to_numpy()
-        bins = np.empty(len(pdf), dtype=np.int64)
-        remaining: list = []          # open-bin remaining capacity
+        n = len(pdf)
+        bins = np.empty(n, dtype=np.int64)
+        # first-fit via a max-capacity segment tree over bin INDEXES
+        # (a heap keyed by capacity would pick the wrong bin: first-fit
+        # means the LOWEST-indexed bin that fits). Leaf j holds bin j's
+        # remaining capacity (-1 = not yet opened, below any t >= 0);
+        # descending left-first finds the leftmost fitting bin in
+        # O(log n), replacing the linear open-bin scan that was
+        # O(n * bins) per shard.
+        size = 1
+        while size < max(n, 1):
+            size *= 2
+        tree = np.full(2 * size, -1, dtype=np.int64)
+        n_bins = 0
         for row in order:
             t = int(toks[row])
-            for b, cap in enumerate(remaining):
-                if cap >= t:
-                    remaining[b] = cap - t
-                    bins[row] = b
-                    break
+            if tree[1] >= t:
+                i = 1
+                while i < size:
+                    i = 2 * i if tree[2 * i] >= t else 2 * i + 1
+                b = i - size
+                tree[i] -= t
             else:
-                remaining.append(max(budget - t, 0))
-                bins[row] = len(remaining) - 1
+                b = n_bins
+                n_bins += 1
+                i = size + b
+                tree[i] = max(budget - t, 0)
+            bins[row] = b
+            i //= 2
+            while i:
+                tree[i] = max(tree[2 * i], tree[2 * i + 1])
+                i //= 2
         out = pdf.copy()
         out[out_col] = bins
         return out
