@@ -9,10 +9,14 @@ can inspect an index without writing a script:
   and spans -> dict / bitmap / bloom per column)
 - ``explain <path> <predicate>`` — per-leaf pruning diagnosis with
   saturation attached
+- ``recommend-ivf <path> [target_cluster_size] [n_centroids]`` — the
+  IVF quantizer sizing advisor over the table's ``embedding`` column
+  (k from corpus size / target cluster size; warns when the proposal
+  implies clusters past semantic_dedup's enumeration cap)
 
 Honors ``SPARK_GRAFT_METASTORE`` (falls back to the session default
-resolution). Local-mode session; diagnostics are metadata-only, so this
-never scans the table's data.
+resolution). Local-mode session; diagnostics are metadata-only except
+``recommend-ivf``, which pays one count() of the embedding column.
 """
 
 from __future__ import annotations
@@ -31,7 +35,7 @@ def main(argv) -> int:
     if len(argv) < 2:
         return _usage()
     cmd, path = argv[0], argv[1]
-    if cmd not in ("describe", "recommend", "explain"):
+    if cmd not in ("describe", "recommend", "explain", "recommend-ivf"):
         return _usage()
     if cmd == "explain" and len(argv) < 3:
         return _usage()
@@ -54,6 +58,14 @@ def main(argv) -> int:
         elif cmd == "recommend":
             for rec in ctx.index.parquet(path).recommend_filter_types():
                 print(json.dumps(rec))
+        elif cmd == "recommend-ivf":
+            from parquet_index_spark.operators.similarity import (
+                recommend_ivf)
+            target = int(argv[2]) if len(argv) > 2 else 10_000
+            k = int(argv[3]) if len(argv) > 3 else None
+            print(json.dumps(recommend_ivf(
+                spark.read.parquet(path), target_cluster_size=target,
+                n_centroids=k)))
         else:
             d = ctx.index.parquet(path).explain_pruning(
                 argv[2], include_saturation=True)

@@ -16,7 +16,7 @@ bucket first, verify cosine within buckets.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -617,7 +617,8 @@ def clustered_embeddings(spark, n_clusters: int = 32, per_cluster: int = 128,
 def semantic_dedup(df: DataFrame, centroids: List[tuple],
                    threshold: float = 0.95, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   materialize: bool = True) -> DataFrame:
+                   materialize: bool = True,
+                   max_cluster_size: Optional[int] = 100_000) -> DataFrame:
     """SemDeDup-style semantic near-duplicate flagging (Abbas et al.,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication", arXiv:2303.09540): cluster the corpus with the IVF
@@ -639,9 +640,24 @@ def semantic_dedup(df: DataFrame, centroids: List[tuple],
     engine draws the same cut. Adds ``cluster_id`` and ``is_semdup``;
     rows with NULL embeddings keep cluster_id NULL and are never
     flagged.
+
+    ``max_cluster_size`` is the LSH ``max_bucket_size`` contract applied
+    to the quantizer: a degenerate quantizer (too-small k, collapsed
+    centroids) can put a web-scale corpus into ONE cluster, turning the
+    equi self-join into a silent quadratic stage. Clusters larger than
+    the cap are excluded from pair enumeration (their rows keep
+    ``is_semdup = False``), bounding generated pairs at
+    ``k * max_cluster_size^2``. The cap is not silent: route
+    :func:`semdedup_oversize_clusters` (same arguments) to audit what
+    was skipped, and re-quantize with a larger k
+    (:func:`recommend_ivf`) or raise the cap deliberately. Pass
+    ``max_cluster_size=None`` to disable.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_cluster_size is not None and max_cluster_size < 1:
+        raise ValueError(
+            f"max_cluster_size must be >= 1 or None, got {max_cluster_size}")
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     if materialize:
         # the assigned frame is referenced three times (both self-join
@@ -656,6 +672,15 @@ def semantic_dedup(df: DataFrame, centroids: List[tuple],
                    F.col(id_col).alias("__id"),
                    F.col("__v"),
                    norm(F.col("__v")).alias("__n")))
+    if max_cluster_size is not None:
+        # cluster census is a tiny map-side-combinable agg (<= k rows);
+        # broadcast the surviving cluster ids so oversize clusters never
+        # reach the self-join
+        ok = (pre.groupBy("cluster_id")
+              .agg(F.count("*").alias("__cn"))
+              .filter(F.col("__cn") <= F.lit(int(max_cluster_size)))
+              .select("cluster_id"))
+        pre = pre.join(F.broadcast(ok), "cluster_id")
     x = pre.select("cluster_id", F.col("__id").alias("__xid"),
                    F.col("__v").alias("__xv"), F.col("__n").alias("__xn"))
     y = pre.select("cluster_id", F.col("__id").alias("__yid"),
@@ -671,6 +696,78 @@ def semantic_dedup(df: DataFrame, centroids: List[tuple],
             .withColumn("is_semdup",
                         F.coalesce(F.col("__dup"), F.lit(False)))
             .drop("__dup"))
+
+
+def semdedup_oversize_clusters(df: DataFrame, centroids: List[tuple],
+                               max_cluster_size: int = 100_000,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """The clusters :func:`semantic_dedup` excluded under the same cap —
+    the audit trail that keeps the cap honest (mirrors
+    ``lsh_oversize_buckets``): returns (cluster_id, n_docs, share) for
+    every cluster past ``max_cluster_size``, with ``share`` the cluster's
+    fraction of all assigned rows (a share near 1.0 means the quantizer
+    collapsed and needs a larger k — see :func:`recommend_ivf`).
+
+    One map-only assignment + one tiny aggregation; the share window
+    runs over the <= k-row census frame, never data.
+    """
+    if max_cluster_size < 1:
+        raise ValueError(
+            f"max_cluster_size must be >= 1, got {max_cluster_size}")
+    sizes = (ivf_assign(df, centroids, id_col, vec_col)
+             .filter(F.col("cluster_id").isNotNull())
+             .groupBy("cluster_id")
+             .agg(F.count("*").alias("n_docs")))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return (sizes
+            .withColumn("share", F.round(F.col("n_docs") / total, 6))
+            .filter(F.col("n_docs") > F.lit(int(max_cluster_size)))
+            .orderBy(F.desc("n_docs"), "cluster_id"))
+
+
+def recommend_ivf(df: DataFrame, target_cluster_size: int = 10_000,
+                  n_centroids: Optional[int] = None,
+                  max_cluster_size: int = 100_000,
+                  vec_col: str = "embedding") -> dict:
+    """Quantizer sizing advisor for the semantic tier (the
+    ``recommend_filter_types`` precedent applied to IVF): derive the
+    centroid count from corpus size / target cluster size — the SemDeDup
+    paper's regime (k in the tens of thousands at web scale so clusters
+    stay in the ten-thousands) — and warn when a proposed ``n_centroids``
+    implies average clusters beyond ``max_cluster_size``, i.e. beyond
+    what :func:`semantic_dedup`'s cap will enumerate.
+
+    Returns a dict: ``n_rows`` (rows with a non-NULL embedding),
+    ``recommended_centroids``, ``expected_cluster_size`` (at the
+    recommendation or at ``n_centroids`` when given), and ``warnings``.
+    Driver-side cost is one count() of the corpus.
+    """
+    if target_cluster_size < 1:
+        raise ValueError(
+            f"target_cluster_size must be >= 1, got {target_cluster_size}")
+    import math
+    n = df.filter(F.col(vec_col).isNotNull()).count()
+    rec = max(1, math.ceil(n / target_cluster_size))
+    k = int(n_centroids) if n_centroids else rec
+    expected = math.ceil(n / k) if n else 0
+    warnings = []
+    if n and expected > max_cluster_size:
+        warnings.append(
+            f"n_centroids={k} implies ~{expected}-row clusters, past "
+            f"max_cluster_size={max_cluster_size}: semantic_dedup will "
+            f"skip (and audit) every average-sized cluster — use >= "
+            f"{max(1, math.ceil(n / max_cluster_size))} centroids")
+    elif n and expected > target_cluster_size * 10:
+        warnings.append(
+            f"n_centroids={k} implies ~{expected}-row clusters, 10x the "
+            f"target {target_cluster_size}: within-cluster pair cost "
+            f"grows as size^2 — consider {rec} centroids")
+    return {"n_rows": n, "recommended_centroids": rec,
+            "n_centroids": k, "expected_cluster_size": expected,
+            "target_cluster_size": int(target_cluster_size),
+            "max_cluster_size": int(max_cluster_size),
+            "warnings": warnings}
 
 
 def semantic_contamination(train_df: DataFrame, eval_df: DataFrame,

@@ -519,3 +519,4 @@ class TestCli:
         assert main([]) == 2
         assert main(["bogus", "/x"]) == 2
         assert main(["explain", "/x"]) == 2   # missing predicate
+        assert main(["recommend-ivf"]) == 2   # missing path

@@ -1343,6 +1343,56 @@ class TestSemanticDedup:
         s = plans.join_strategies(df)
         assert s["nested_loop"] == 0, s
 
+    def test_degenerate_quantizer_caps_instead_of_quadratic(self, spark):
+        """Round-6 verdict ask #4: one collapsed centroid puts every doc
+        in ONE cluster — the cap must exclude it from pair enumeration
+        (no silent |n|^2 stage, nothing flagged) and the oversize audit
+        must surface it; with the cap lifted the same inputs flag."""
+        rows = [(i, [1.0, 0.0, float(i) * 1e-4, 0.0]) for i in range(40)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id: long, embedding: array<double>")
+        cents = [(0, [1.0, 0.0, 0.0, 0.0])]       # degenerate quantizer
+        capped = S.semantic_dedup(df, cents, threshold=0.9,
+                                  max_cluster_size=10)
+        assert capped.filter("is_semdup").count() == 0
+        assert capped.count() == 40               # rows pass through
+        audit = S.semdedup_oversize_clusters(df, cents,
+                                             max_cluster_size=10).collect()
+        assert len(audit) == 1
+        assert audit[0]["n_docs"] == 40 and audit[0]["share"] == 1.0
+        # cap lifted: the same corpus flags (39 dups of the smallest id)
+        lifted = S.semantic_dedup(df, cents, threshold=0.9,
+                                  max_cluster_size=None)
+        assert lifted.filter("is_semdup").count() == 39
+        # an adequate cap leaves results untouched and audits nothing
+        roomy = S.semantic_dedup(df, cents, threshold=0.9,
+                                 max_cluster_size=1000)
+        assert roomy.filter("is_semdup").count() == 39
+        assert S.semdedup_oversize_clusters(
+            df, cents, max_cluster_size=1000).count() == 0
+
+    def test_recommend_ivf_sizing_and_warnings(self, spark):
+        """recommend_ivf derives k = ceil(n / target) and warns when a
+        proposed n_centroids implies clusters past the semantic_dedup
+        cap (round-6 verdict ask #6)."""
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(100)]
+            + [(100, None)],                      # NULL embeddings excluded
+            "vec_id: long, embedding: array<double>")
+        rec = S.recommend_ivf(df, target_cluster_size=10)
+        assert rec["n_rows"] == 100
+        assert rec["recommended_centroids"] == 10
+        assert rec["expected_cluster_size"] == 10
+        assert rec["warnings"] == []
+        # proposed quantizer beyond the cap -> loud warning with the fix
+        bad = S.recommend_ivf(df, target_cluster_size=10, n_centroids=1,
+                              max_cluster_size=50)
+        assert bad["expected_cluster_size"] == 100
+        assert len(bad["warnings"]) == 1
+        assert "max_cluster_size=50" in bad["warnings"][0]
+        with pytest.raises(ValueError, match="target_cluster_size"):
+            S.recommend_ivf(df, target_cluster_size=0)
+
 
 class TestDedupAgainstCorpus:
     def test_matches_plain_anti_join(self, spark):
