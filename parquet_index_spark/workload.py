@@ -5381,35 +5381,43 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_compact_roundtrip": (idx_compact_roundtrip, IDX_COMPACT_SQL),
 }
 
-# Round-6 grading window (round-5 verdict ask #6): the driver grades the
-# FIRST 50 keys, so the window rotates oldest-proven-first each round —
-# these are the entries whose latest green driver row is oldest (never-
-# graded round-6 additions lead, then the r2-era block, then r3). The
-# rotated-out round-4/5 entries keep local DuckDB-parity coverage via
-# tests/test_oracle_parity.py's full sweep; union driver coverage across
-# rounds stays complete.
-_R6_WINDOW = [
-    # round-6 additions: never driver-graded yet
-    "semantic_dedup_stats", "quality_gate_by_lang",
-    "incremental_dedup_stats", "pack_bins_by_source",
-    "curation_pipeline_v3", "shuffle_shard_stats",
-    "vocab_drift_by_lang", "semantic_contamination_stats",
-    "stream_shuffle_split_stats", "split_leakage_audit",
-    "idx_compact_roundtrip",
-    "ann_topk_lsh_probed", "stream_dedup_events", "stream_sink_roundtrip",
-    "salted_skew_join", "dedup_exact_stats", "dedup_prefix_groups",
-    "dedup_group_assignment", "dedup_keep_best", "jaccard_neardup_pairs",
-    "simhash_fingerprints", "text_profile_by_lang", "doc_fingerprints",
-    "token_count_stats", "tfidf_top_terms", "bm25_search",
-    "profile_orders_columns", "sample_split_stats", "quota_per_source",
-    "pack_chunks_by_source", "contamination_by_lang", "ann_cosine_topk",
-    "lsh_bucket_histogram", "embedding_similar_pairs", "ivf_ann_topk",
-    "idx_range_scan", "idx_in_or_composite", "idx_not_range",
-    "idx_orders_priority", "idx_events_point", "idx_column_predicate",
-    "idx_bitmap_point", "q5_nation_volume", "q6_forecast_revenue",
-    "q4_order_exists", "q18_large_volume_customers", "q10_returned_items",
-    "q17_small_quantity_revenue", "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
+# Round-7 grading window (round-5 verdict ask #6 policy): the driver
+# grades the FIRST 50 keys, so the window rotates oldest-proven-first
+# each round — EXCEPT that queries whose implementation changed this
+# round lead regardless of when they were last proven, because changed
+# code needs a fresh driver certification (verdict asks #1-#5, #8 each
+# name their 'Done = row stays green' query). The rotated-out entries
+# keep local DuckDB-parity coverage via tests/test_oracle_parity.py's
+# full sweep; union driver coverage across rounds stays complete.
+_R7_WINDOW = [
+    # round-7 changed surface: distributed rank cut (quality gate, v3
+    # pipeline), broadcast-guarded leakage audit / contamination, FFD
+    # oracle (the r6 no_oracle row), SemDeDup cluster cap, maintain_table
+    # policy, scheme-portable DML internals
+    "pack_bins_by_source", "idx_compact_roundtrip",
+    "quality_gate_by_lang", "curation_pipeline_v3",
+    "split_leakage_audit", "contamination_by_lang",
+    "semantic_dedup_stats", "semantic_contamination_stats",
+    "incremental_dedup_stats", "idx_delete_range", "idx_update_range",
+    "stream_merge_upsert",
+    # oldest-proven-first rotation (tools/rotate_window.py)
+    "idx_join_dpp", "top3_orders_per_customer",
+    "distinct_parts_per_flag", "percentile_quantities",
+    "setop_active_building_buyers", "scalar_functions_showcase",
+    "merge_upsert_orders", "bucketed_colocated_join",
+    "customers_without_orders", "idx_point_lookup", "idx_zorder_range",
+    "q1_pricing_summary", "q3_shipping_priority", "minhash_lsh_pairs",
+    "multimodal_pipeline", "q21_suppliers_kept_waiting",
+    "cube_order_status", "pivot_flag_quantities",
+    "unpivot_order_measures", "listagg_status_by_priority",
+    "approx_percentile_bounds", "ann_topk_per_label",
+    "range_join_windows", "overlap_join_windows", "time_bucket_gapfill",
+    "stream_merge_cdc_ops", "idx_term_search",
+    "idx_term_decontamination", "idx_phrase_search",
+    "idx_delete_partitioned", "pii_redaction_stats", "span_dedup_stats",
+    "stream_running_anomaly", "token_budget_mixture",
+    "curation_pipeline_v2", "freq_terms_top20", "lang_id_confusion",
+    "rolling_anomaly_events",
 ]
-QUERIES = {**{k: QUERIES[k] for k in _R6_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in _R6_WINDOW}}
+QUERIES = {**{k: QUERIES[k] for k in _R7_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in _R7_WINDOW}}
