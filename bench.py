@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "curation_pipeline_v3", "shuffle_shard_stats",
     "vocab_drift_by_lang", "semantic_contamination_stats",
     "stream_shuffle_split_stats", "split_leakage_audit",
-    "idx_compact_roundtrip",
+    "idx_compact_roundtrip", "idx_prefix_scan",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the
@@ -496,6 +496,55 @@ def main() -> None:
 
     fast_count = _section(_fast_count_section)
 
+    # LIKE-prefix pruning (beyond-reference: the reference full-scans
+    # StringStartsWith): part clustered by p_type so each prefix family
+    # lands in few of 32 files; string min/max interval + dict prefix
+    # probes keep the scan to those files at any corpus size
+    def _prefix_skip_section():
+        ptable = os.path.join(skip_dir, "part_typed32")
+        if not os.path.exists(ptable):
+            (spark.read.parquet(os.path.join(SF_DIR, "part.parquet"))
+             .repartitionByRange(32, "p_type", "p_partkey")
+             .write.mode("overwrite").parquet(ptable))
+        spark.conf.set("spark.sql.index.metastore",
+                       os.path.join(skip_dir, "ms_prefix"))
+        pctx = QueryContext(spark)
+        key = "spark.sql.index.parquet.filter.type"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, "dict")
+        try:
+            if not pctx.index.exists.parquet(ptable):
+                pctx.index.create.indexBy("p_partkey", "p_type").parquet(ptable)
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+        t = pctx.index.parquet(ptable)
+        pred = "p_type LIKE 'PROMO%'"
+        n_idx = t.filter(pred).count()                 # warm
+        t0 = time.time()
+        for _ in range(3):
+            n_idx = t.filter(pred).count()
+        idx_sec = round((time.time() - t0) / 3, 4)
+        prune = pctx.index.last_prune_info
+        plain_df = spark.read.parquet(ptable)
+        n_plain = plain_df.filter(pred).count()        # warm
+        t0 = time.time()
+        for _ in range(3):
+            n_plain = plain_df.filter(pred).count()
+        plain_sec = round((time.time() - t0) / 3, 4)
+        return {
+            "total_files": prune.total_files,
+            "files_scanned": prune.selected_files,
+            "indexed_sec": idx_sec,
+            "plain_sec": plain_sec,
+            "speedup": round(plain_sec / max(idx_sec, 1e-9), 2),
+            "counts_agree": bool(n_idx == n_plain),
+        }
+
+    prefix_skip = _section(_prefix_skip_section)
+
     # Term-index full-text needle lookup: membership over per-block
     # distinct tokens prunes files; plain path scans + tokenizes the
     # whole corpus. The idx_term_search warm-up above built the table.
@@ -639,6 +688,7 @@ def main() -> None:
         "ivf_file_skip": ivf_file_skip,
         "zorder_file_skip": zorder_file_skip,
         "fast_count": fast_count,
+        "prefix_skip": prefix_skip,
         "term_search": term_search,
         "term_index_health": term_index_health,
         "compaction": compaction,

@@ -223,8 +223,62 @@ class TermMatch(Predicate):
 
 
 @dataclass(frozen=True)
+class StartsWith(Predicate):
+    """Literal-prefix match — ``col LIKE 'p%'`` / ``col.startswith(p)``.
+
+    Beyond-reference: the reference folds StringStartsWith to "keep the
+    file" (ParquetIndexFilters.scala:128-136 lists it under unsupported
+    filters => Trivial(true)); string min/max order statistics can do
+    better. All strings with prefix p form the interval
+    ``[p, prefix_upper_bound(p))`` in lexicographic order, so a block may
+    match iff ``max >= p AND min < prefix_upper_bound(p)`` — sound even
+    against parquet's truncated footer bounds, because truncation only
+    widens [min, max]. Dict filter statistics refine further (a stored
+    distinct-value set with no member starting with p refutes the block);
+    bloom/bitmap filters are hash-based and carry no prefix evidence.
+    """
+    column: str
+    prefix: str
+
+    def to_spark(self) -> SparkColumn:
+        return F.col(self.column).startswith(self.prefix)
+
+
+def prefix_upper_bound(prefix: str) -> Optional[str]:
+    """Smallest string greater than EVERY string with this prefix, or
+    None when no such string exists (all code points at the maximum —
+    then only the lower bound applies; "" also has no upper bound).
+
+    Increment the rightmost incrementable code point and truncate:
+    exactly the exclusive upper end of the prefix interval under
+    code-point order (== UTF-8 binary order, which Spark strings use).
+    """
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
+def like_pattern_to_predicate(name: str, pattern: str) -> Predicate:
+    """SQL LIKE -> foldable predicate where the pattern allows.
+
+    - no wildcards at all => exact equality (LIKE 'abc' is ``= 'abc'``);
+    - literal prefix + single trailing ``%`` => StartsWith;
+    - anything else (``_``, interior ``%``, escapes) => Unsupported
+      (sound full scan with the exact LIKE as residual).
+    """
+    if "\\" not in pattern and "_" not in pattern:
+        if "%" not in pattern:
+            return Eq(name, pattern)
+        if pattern.endswith("%") and "%" not in pattern[:-1]:
+            return StartsWith(name, pattern[:-1])
+    return Unsupported(lambda: F.col(name).like(pattern), f"like({name})")
+
+
+@dataclass(frozen=True)
 class Unsupported(Predicate):
-    """A predicate the index cannot fold (LIKE, startswith, UDF, ...).
+    """A predicate the index cannot fold (LIKE, endswith, UDF, ...).
 
     Folds to "scan the file" (reference: ParquetIndexFilters.scala:128-136);
     still convertible to a Spark Column for residual evaluation.
@@ -283,8 +337,7 @@ class ColumnRef:
         return And((Ge(self._name, low), Le(self._name, high)))
 
     def startswith(self, s: str) -> Predicate:
-        name = self._name
-        return Unsupported(lambda: F.col(name).startswith(s), f"startswith({name})")
+        return StartsWith(self._name, s)
 
     def endswith(self, s: str) -> Predicate:
         name = self._name
@@ -295,8 +348,7 @@ class ColumnRef:
         return Unsupported(lambda: F.col(name).contains(s), f"contains({name})")
 
     def like(self, pattern: str) -> Predicate:
-        name = self._name
-        return Unsupported(lambda: F.col(name).like(pattern), f"like({name})")
+        return like_pattern_to_predicate(self._name, pattern)
 
 
 def col(name: str) -> ColumnRef:
@@ -357,11 +409,18 @@ def push_not_down(p: Predicate, negate: bool = False) -> Predicate:
         # conservatively scan (residual keeps the exact negation)
         return Unsupported(lambda: ~p.to_spark(),
                            f"not(term_match({p.column}, {p.term!r}))")
+    if isinstance(p, StartsWith):
+        # NOT (prefix match): a block proven all-prefix by min/max could
+        # be pruned, but the may-match fold has no full-match channel —
+        # conservatively scan (residual keeps the exact negation)
+        return Unsupported(lambda: ~p.to_spark(),
+                           f"not(startswith({p.column}, {p.prefix!r}))")
     raise TypeError(f"cannot negate {p!r}")
 
 
 def referenced_columns(p: Predicate) -> set:
-    if isinstance(p, (Eq, Ne, In, IsNull, IsNotNull, Gt, Ge, Lt, Le)):
+    if isinstance(p, (Eq, Ne, In, IsNull, IsNotNull, Gt, Ge, Lt, Le,
+                      StartsWith)):
         return {p.column}
     if isinstance(p, TermMatch):
         # folds against whichever term-index generation the table carries
@@ -655,7 +714,9 @@ class _Parser:
         if (ttype, tval) == ("kw", "LIKE"):
             self.next()
             pattern = self.literal()
-            node = Unsupported(lambda: F.col(name).like(pattern), f"like({name})")
+            if not isinstance(pattern, str):
+                raise SqlParseError(f"LIKE needs a string pattern in {self.sql!r}")
+            node = like_pattern_to_predicate(name, pattern)
             return Not(node) if negated else node
         raise SqlParseError(f"unsupported predicate on {name!r} in {self.sql!r}")
 

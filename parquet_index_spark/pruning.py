@@ -265,6 +265,26 @@ def _eval(pred: P.Predicate, ctx: BlockStatsContext, tz: str = None) -> np.ndarr
         v = _norm_literal(pred.value, kind, tz)
         return _true(ctx) if v is None else \
             (stats.has & _cmp_arrays(stats, v, "min_le")) | _statless_maybe(stats, ctx)
+    if isinstance(pred, P.StartsWith):
+        # beyond-reference: strings with prefix p form the interval
+        # [p, prefix_upper_bound(p)) under the same lexicographic order
+        # min/max are stored in, so the may-match test is interval
+        # intersection (sound vs truncated footer bounds — truncation
+        # only widens [min, max]). Dict filters refine: a stored
+        # distinct set with no member starting with p refutes the block.
+        if kind != ityp.STRING:
+            return _true(ctx)  # prefix probe on non-string stats => scan
+        p = pred.prefix
+        hi = P.prefix_upper_bound(p)
+        out = stats.has & _cmp_arrays(stats, p, "max_ge")
+        if hi is not None:
+            out &= _cmp_arrays(stats, hi, "min_lt")
+        out = out | _statless_maybe(stats, ctx)
+        if p and out.any():
+            memb = ctx.membership(pred.column)
+            if memb is not None:
+                out = memb.refine_prefix(out, p)
+        return out
     return _true(ctx)
 
 
@@ -411,4 +431,14 @@ def _eval_full(pred: P.Predicate, ctx: BlockStatsContext,
     if isinstance(pred, P.Le):
         v = _norm_literal(pred.value, kind, tz)
         return _false(ctx) if v is None else nn0 & _cmp_full(stats, v, "max_le")
+    if isinstance(pred, P.StartsWith):
+        # every row has the prefix iff the whole [min, max] range sits
+        # inside [p, prefix_upper_bound(p)) — and no row is null
+        if kind != ityp.STRING:
+            return _false(ctx)
+        hi = P.prefix_upper_bound(pred.prefix)
+        out = nn0 & _cmp_full(stats, pred.prefix, "min_ge")
+        if hi is not None:
+            out &= _cmp_full(stats, hi, "max_lt")
+        return out
     return _false(ctx)

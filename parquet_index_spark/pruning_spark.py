@@ -239,6 +239,27 @@ def _compile(pred: P.Predicate, kinds: dict, tz: str = None,
         return _leaf(c, kind, "lt", pred.value, tz)
     if isinstance(pred, P.Le):
         return _leaf(c, kind, "le", pred.value, tz)
+    if isinstance(pred, P.StartsWith):
+        # prefix interval [p, prefix_upper_bound(p)) against string
+        # min/max, with string-dict refinement (pruning._eval's
+        # StartsWith rule, distributed)
+        if kind != ityp.STRING:
+            return F.lit(True)
+        p = pred.prefix
+        has = F.coalesce(F.col(f"{c}__has"), F.lit(False))
+        nulls = F.coalesce(F.col(f"{c}__nulls"), F.lit(-1))
+        statless = ~has & (nulls != F.col("__rows"))
+        rng = has & (F.col(f"{c}__max_s") >= F.lit(p))
+        hi = P.prefix_upper_bound(p)
+        if hi is not None:
+            rng = rng & (F.col(f"{c}__min_s") < F.lit(hi))
+        out = F.coalesce(rng, F.lit(False)) | statless
+        if p and c in memb_cols:
+            ds = F.col(f"{c}__dict_s")
+            has_ds = ds.isNotNull() & (F.size(ds) > 0)
+            ds_ok = F.exists(ds, lambda x: x.startswith(F.lit(p)))
+            out = out & F.when(has_ds, ds_ok).otherwise(F.lit(True))
+        return out
     return F.lit(True)
 
 
@@ -415,6 +436,18 @@ def _compile_full(pred: P.Predicate, kinds: dict, tz: str = None) -> F.Column:
         return _full_leaf(c, kind, "lt", pred.value, tz)
     if isinstance(pred, P.Le):
         return _full_leaf(c, kind, "le", pred.value, tz)
+    if isinstance(pred, P.StartsWith):
+        # all-prefix block: [min, max] inside [p, prefix_upper_bound(p))
+        # with zero nulls (pruning._eval_full's StartsWith rule)
+        if kind != ityp.STRING:
+            return F.lit(False)
+        has = F.coalesce(F.col(f"{c}__has"), F.lit(False))
+        nn0 = has & (F.coalesce(F.col(f"{c}__nulls"), F.lit(-1)) == 0)
+        out = nn0 & (F.col(f"{c}__min_s") >= F.lit(pred.prefix))
+        hi = P.prefix_upper_bound(pred.prefix)
+        if hi is not None:
+            out = out & (F.col(f"{c}__max_s") < F.lit(hi))
+        return F.coalesce(out, F.lit(False))
     return F.lit(False)
 
 

@@ -390,6 +390,34 @@ class ColumnMembership:
         return cls.build(dict_long, dict_str, bloom)
 
     # -- probing -----------------------------------------------------------
+    def refine_prefix(self, candidates, prefix: str):
+        """AND the candidate mask with "some stored string starts with
+        ``prefix``" for blocks carrying a STRING dict filter.
+
+        Only string dicts hold prefix evidence: bloom/bitmap filters are
+        hash-based (a prefix has no hash) and long dicts are a different
+        type — all of those pass through unchanged (sound). One vectorized
+        pass: flag every stored value, then segment-reduce per block over
+        the dict offsets.
+        """
+        import numpy as np
+        if self.dict_str is None or not prefix or not candidates.any():
+            return candidates
+        str_counts = np.diff(self.str_offsets)
+        has_str = str_counts > 0
+        if not (candidates & has_str).any():
+            return candidates
+        flags = np.fromiter((s.startswith(prefix) for s in self.dict_str),
+                            dtype=bool, count=len(self.dict_str))
+        nz = np.nonzero(has_str)[0]
+        # offsets of zero-length segments repeat, so reducing at only the
+        # non-empty starts still yields exactly one sum per non-empty block
+        seg_any = np.add.reduceat(
+            flags.astype(np.int64), self.str_offsets[nz]) > 0
+        out = candidates.copy()
+        out[nz] &= seg_any
+        return out
+
     def refine(self, candidates, values: list, kind: str):
         """AND the candidate mask with "some probe value might be present".
 

@@ -424,6 +424,37 @@ FROM events WHERE user_id = 42 AND event_type = 'click'
 """
 
 
+def idx_prefix_scan(spark, sf_dir):
+    """LIKE-prefix pushdown through the index (predicates.StartsWith).
+
+    Beyond-reference: the reference lists StringStartsWith under
+    unsupported filters and keeps every file
+    (ParquetIndexFilters.scala:128-136); our fold prunes on the string
+    min/max interval [p, prefix_upper_bound(p)) and refines with
+    dict-filter prefix probes (pruning.py StartsWith rule), with the
+    exact LIKE re-applied as the residual. At 100 TB this turns a
+    categorical-prefix filter over a string-clustered table from a full
+    scan into a few-file read."""
+    t = _indexed(spark, sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"])
+    return (t.filter("p_type LIKE 'PROMO%' AND p_size <= 20")
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("cnt"),
+                 _dsum(_dec("p_retailprice"), "sum_price"),
+                 F.min("p_type").alias("min_type"))
+            .orderBy("p_brand"))
+
+
+IDX_PREFIX_SQL = """
+SELECT p_brand, count(*) AS cnt,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       min(p_type) AS min_type
+FROM part
+WHERE p_type LIKE 'PROMO%' AND p_size <= 20
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 # ---------------------------------------------------------------------------
 # delegated relational queries (SURVEY §2B)
 # ---------------------------------------------------------------------------
@@ -5357,6 +5388,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_events_point": (idx_events_point, IDX_EVENTS_SQL),
     "idx_column_predicate": (idx_column_predicate, IDX_COLUMN_SQL),
     "idx_bitmap_point": (idx_bitmap_point, IDX_BITMAP_SQL),
+    "idx_prefix_scan": (idx_prefix_scan, IDX_PREFIX_SQL),
     "q5_nation_volume": (q5_nation_volume, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q4_order_exists": (q4_order_exists, Q4_SQL),
@@ -5394,7 +5426,7 @@ _R7_WINDOW = [
     # pipeline), broadcast-guarded leakage audit / contamination, FFD
     # oracle (the r6 no_oracle row), SemDeDup cluster cap, maintain_table
     # policy, scheme-portable DML internals
-    "pack_bins_by_source", "idx_compact_roundtrip",
+    "idx_prefix_scan", "pack_bins_by_source", "idx_compact_roundtrip",
     "quality_gate_by_lang", "curation_pipeline_v3",
     "split_leakage_audit", "contamination_by_lang",
     "semantic_dedup_stats", "semantic_contamination_stats",

@@ -47,6 +47,9 @@ PREDICATES = [
     "grp = 2 AND id < 3000",
     "NOT (id BETWEEN 100 AND 9900)",
     "id IS NOT NULL AND s < 's00100'",
+    "s LIKE 's0900%'",
+    "s LIKE 'zz%'",
+    "NOT (s LIKE 's0%')",
 ]
 
 
@@ -140,6 +143,7 @@ MEMBERSHIP_PREDICATES = [
     "id IN (5, 5005, 99999)",
     "s = 's00042'",
     "id = 1234 OR s = 's09999'",
+    "s LIKE 's0004%'",
 ]
 
 

@@ -64,9 +64,13 @@ class TestParser:
         assert parse_sql_predicate("NOT (a = 1 AND b = 2)") == \
             P.Not(P.And((P.Eq("a", 1), P.Eq("b", 2))))
 
-    def test_like_is_unsupported_leaf(self):
-        p = parse_sql_predicate("a LIKE 'x%'")
-        assert isinstance(p, P.Unsupported)
+    def test_like_lowering(self):
+        # prefix patterns fold (StartsWith); general patterns stay
+        # unsupported leaves (sound full scan with LIKE as residual)
+        assert parse_sql_predicate("a LIKE 'x%'") == P.StartsWith("a", "x")
+        assert parse_sql_predicate("a LIKE 'xyz'") == P.Eq("a", "xyz")
+        assert isinstance(parse_sql_predicate("a LIKE '%x%'"), P.Unsupported)
+        assert isinstance(parse_sql_predicate("a LIKE 'x_y%'"), P.Unsupported)
 
     def test_keywords_case_insensitive(self):
         assert parse_sql_predicate("a in (1) and b is null") == \
