@@ -8,6 +8,7 @@ the hot path).
 """
 
 from parquet_index_spark.operators import (dedup, profile, similarity, text,
-                                           multimodal)
+                                           multimodal, validate)
 
-__all__ = ["dedup", "profile", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "profile", "similarity", "text", "multimodal",
+           "validate"]

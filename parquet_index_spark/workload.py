@@ -767,6 +767,56 @@ FROM flagged GROUP BY user_id ORDER BY user_id
 """
 
 
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix over events: a user's cohort is
+    the epoch-week of their first event; cell (cohort_week, week_offset)
+    counts distinct users active exactly that many weeks later — the
+    standard activation/retention rollup a training-data telemetry
+    pipeline reports.
+
+    Scale shape: one distinct over (user_id, week) — partial-agg
+    shuffle on the pair — then a per-user min window on the SAME
+    user_id partitioning (no extra co-location needed beyond the
+    user_id shuffle; per-user week sets are bounded by calendar weeks,
+    so no skew blow-up), then a partial-agg count-distinct into the
+    tiny cohort×offset grid. Week math is exact long µs division
+    (epoch_us semantics shared with the DuckDB oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    week_us = 604_800_000_000
+    # exact long floor-division (a double intermediate could misbucket
+    # at week boundaries — same rule as time_bucket_gapfill)
+    activity = (ev.select(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {week_us}")
+        .alias("week")).distinct())
+    w = Window.partitionBy("user_id")
+    return (activity
+            .withColumn("cohort_week", F.min("week").over(w))
+            .groupBy("cohort_week",
+                     (F.col("week") - F.col("cohort_week"))
+                     .alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .orderBy("cohort_week", "week_offset"))
+
+
+COHORT_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM activity
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM cohorts
+GROUP BY cohort_week, week - cohort_week
+ORDER BY cohort_week, week_offset
+"""
+
+
 def q18_large_volume_customers(spark, sf_dir):
     """TPC-H Q18 shape: IN-subquery over a HAVING aggregate."""
     li = _t(spark, sf_dir, "lineitem")
@@ -3230,6 +3280,67 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def data_quality_audit(spark, sf_dir):
+    """Declarative constraint audit over orders (operators/validate.py):
+    five row-local rules (not-null, uniqueness, range, value-set, regex)
+    compile into ONE map-side-combinable aggregation pass, and the
+    customer referential rule is one left join aggregated in its own
+    job — 100-TB cost is one scan plus one key join no matter how many
+    rules the contract grows. The report is a per-rule violations frame
+    a curation pipeline can gate stages on."""
+    from parquet_index_spark.operators import validate as V
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return V.validate(orders, [
+        V.not_null("o_orderkey"),
+        V.unique("o_orderkey"),
+        V.in_range("o_totalprice", lo=0),
+        V.in_set("o_orderstatus", ["O", "F", "P"]),
+        V.matches("o_orderpriority", "^[1-5]-"),
+        V.foreign_key("o_custkey", customer, "c_custkey"),
+    ])
+
+
+DATA_QUALITY_SQL = """
+WITH tot AS (SELECT count(*) AS total_rows FROM orders)
+SELECT rule, col_name, violations, total_rows, violations = 0 AS passed
+FROM (
+  SELECT 'not_null' AS rule, 'o_orderkey' AS col_name,
+         (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS violations,
+         total_rows FROM tot
+  UNION ALL
+  SELECT 'unique', 'o_orderkey',
+         (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders),
+         total_rows FROM tot
+  UNION ALL
+  SELECT 'in_range', 'o_totalprice',
+         (SELECT count(*) FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_totalprice < 0),
+         total_rows FROM tot
+  UNION ALL
+  SELECT 'in_set', 'o_orderstatus',
+         (SELECT count(*) FROM orders
+          WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F', 'P')),
+         total_rows FROM tot
+  UNION ALL
+  SELECT 'matches', 'o_orderpriority',
+         (SELECT count(*) FROM orders
+          WHERE o_orderpriority IS NOT NULL
+            AND NOT regexp_matches(o_orderpriority, '^[1-5]-')),
+         total_rows FROM tot
+  UNION ALL
+  SELECT 'foreign_key', 'o_custkey',
+         (SELECT count(*) FROM orders o
+          LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+            ON o.o_custkey = c.c_custkey
+          WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL),
+         total_rows FROM tot
+)
+ORDER BY rule, col_name
+"""
+
+
 def profile_orders_columns(spark, sf_dir):
     """Data-quality profile of the orders table: null counts, exact
     cardinality, and rendered min/max for every column, in ONE scan
@@ -5315,6 +5426,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_events_time_range": (idx_events_time_range, IDX_TIME_RANGE_SQL),
     "idx_fast_count": (idx_fast_count, IDX_FAST_COUNT_SQL),
     "sessionize_events": (sessionize_events, SESSION_SQL),
+    "cohort_retention": (cohort_retention, COHORT_SQL),
     "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
     "rollup_sales": (rollup_sales, ROLLUP_SQL),
     "cumulative_spend": (cumulative_spend, CUMSUM_SQL),
@@ -5373,6 +5485,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "bm25_search": (bm25_search, BM25_SQL),
     "profile_orders_columns": (profile_orders_columns, PROFILE_COLUMNS_SQL),
+    "data_quality_audit": (data_quality_audit, DATA_QUALITY_SQL),
     "sample_split_stats": (sample_split_stats, SAMPLE_SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
     "pack_chunks_by_source": (pack_chunks_by_source, PACK_CHUNKS_SQL),
@@ -5426,7 +5539,8 @@ _R7_WINDOW = [
     # pipeline), broadcast-guarded leakage audit / contamination, FFD
     # oracle (the r6 no_oracle row), SemDeDup cluster cap, maintain_table
     # policy, scheme-portable DML internals
-    "idx_prefix_scan", "pack_bins_by_source", "idx_compact_roundtrip",
+    "idx_prefix_scan", "cohort_retention", "data_quality_audit",
+    "pack_bins_by_source", "idx_compact_roundtrip",
     "quality_gate_by_lang", "curation_pipeline_v3",
     "split_leakage_audit", "contamination_by_lang",
     "semantic_dedup_stats", "semantic_contamination_stats",
