@@ -66,8 +66,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from parquet_index_spark import QueryContext
-    from parquet_index_spark.operators.dedup import dedup_against_corpus
-    from parquet_index_spark.operators.sampling import token_budget_sample
+    from parquet_index_spark.operators.dedup import (contaminated_docs,
+                                                     dedup_against_corpus)
+    from parquet_index_spark.operators.sampling import (
+        token_budget_sample, top_fraction_per_group)
 
     shutil.rmtree(ROOT, ignore_errors=True)
     spark.conf.set("spark.sql.index.metastore", os.path.join(ROOT, "ms"))
@@ -119,12 +121,29 @@ def main() -> None:
                 d.filter("doc_id % 2 = 1"), d.filter("doc_id % 2 = 0"),
                 key="text").count())
         r["corpus_dedup_new_rows"] = n2
+        # 6. round-7 distributed rank cut: the quality gate must not
+        # funnel a dominant language through one task (the r6 verdict's
+        # whole-group-window finding, restructured to bucket prefix sums)
+        r["quality_gate_sec"], n3 = _timed(
+            lambda: top_fraction_per_group(
+                d, "lang", 0.1, "n_chars", "doc_id",
+                descending=True).count())
+        r["quality_gate_rows"] = n3
+        # 7. round-7 guarded leakage audit: 10% of the corpus as the
+        # eval side with a deliberately tiny broadcast cap, forcing the
+        # shuffle-join fallback path that replaces the unconditional
+        # broadcast (r6 verdict finding #2)
+        r["leakage_audit_sec"], n4 = _timed(
+            lambda: contaminated_docs(
+                d.filter("doc_id % 10 != 0"), d.filter("doc_id % 10 = 0"),
+                max_broadcast_rows=10_000).count())
+        r["leakage_audit_rows"] = n4
         report[label] = r
 
     # slopes: Nx time / 1x time, vs the ideal SCALE
     slopes = {}
     for k in ("index_build_sec", "token_budget_sec", "dedup_exact_sec",
-              "corpus_dedup_sec"):
+              "corpus_dedup_sec", "quality_gate_sec", "leakage_audit_sec"):
         a, b = report["1x"][k], report["Nx"][k]
         slopes[k] = round(b / max(a, 1e-9), 2)
     report["slopes_vs_ideal"] = {"ideal": float(SCALE), **slopes}
