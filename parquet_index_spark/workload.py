@@ -817,6 +817,77 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def funnel_conversion(spark, sf_dir):
+    """Batch conversion funnel with strict event ordering: a user counts
+    for step k only with an event strictly LATER than their step-(k-1)
+    time (view -> click -> purchase; first qualifying event wins each
+    step). The streaming variant (stream_funnel_join) handles two live
+    steps; this is the offline k-step drop-off report with per-step
+    average time-to-convert.
+
+    Scale shape: each step is a filtered partial-agg on user_id followed
+    by an equi-join back on user_id — the chain re-uses the user_id hash
+    partitioning across stages (no cross-step windows over whole event
+    history, no per-user arrays), so a power user costs their own event
+    count and nothing more. Lag math is exact long µs; the average is a
+    DECIMAL sum over a long count (engine-portable double)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch_us("ts").alias("us"))
+    s1 = (ev.filter("event_type = 'view'")
+          .groupBy("user_id").agg(F.min("us").alias("t1")))
+    s2 = (ev.filter("event_type = 'click'").join(s1, "user_id")
+          .filter("us > t1")
+          .groupBy("user_id").agg(F.min("us").alias("t2"),
+                                  F.min("t1").alias("t1")))
+    s3 = (ev.filter("event_type = 'purchase'").join(s2, "user_id")
+          .filter("us > t2")
+          .groupBy("user_id").agg(F.min("us").alias("t3"),
+                                  F.min("t2").alias("t2")))
+    null_lag = F.lit(None).cast("long").alias("lag_us")
+    steps = (s1.select(F.lit("1_view").alias("step"), "user_id", null_lag)
+             .unionByName(s2.select(F.lit("2_click").alias("step"), "user_id",
+                                    (F.col("t2") - F.col("t1")).alias("lag_us")))
+             .unionByName(s3.select(F.lit("3_purchase").alias("step"), "user_id",
+                                    (F.col("t3") - F.col("t2")).alias("lag_us"))))
+    return (steps.groupBy("step")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 (F.sum(F.col("lag_us").cast("decimal(38,0)")).cast("double")
+                  / F.count("lag_us")).alias("avg_lag_us"))
+            .orderBy("step"))
+
+
+FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+s1 AS (
+  SELECT user_id, min(us) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(us) AS t2, min(t1) AS t1
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(us) AS t3, min(t2) AS t2
+  FROM ev e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id
+),
+steps AS (
+  SELECT '1_view' AS step, user_id, CAST(NULL AS BIGINT) AS lag_us FROM s1
+  UNION ALL
+  SELECT '2_click', user_id, t2 - t1 FROM s2
+  UNION ALL
+  SELECT '3_purchase', user_id, t3 - t2 FROM s3
+)
+SELECT step, count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(lag_us AS DECIMAL(38,0))) AS DOUBLE) / count(lag_us)
+         AS avg_lag_us
+FROM steps GROUP BY step ORDER BY step
+"""
+
+
 def q18_large_volume_customers(spark, sf_dir):
     """TPC-H Q18 shape: IN-subquery over a HAVING aggregate."""
     li = _t(spark, sf_dir, "lineitem")
@@ -5427,6 +5498,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_fast_count": (idx_fast_count, IDX_FAST_COUNT_SQL),
     "sessionize_events": (sessionize_events, SESSION_SQL),
     "cohort_retention": (cohort_retention, COHORT_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
     "rollup_sales": (rollup_sales, ROLLUP_SQL),
     "cumulative_spend": (cumulative_spend, CUMSUM_SQL),
@@ -5540,6 +5612,7 @@ _R7_WINDOW = [
     # oracle (the r6 no_oracle row), SemDeDup cluster cap, maintain_table
     # policy, scheme-portable DML internals
     "idx_prefix_scan", "cohort_retention", "data_quality_audit",
+    "funnel_conversion",
     "pack_bins_by_source", "idx_compact_roundtrip",
     "quality_gate_by_lang", "curation_pipeline_v3",
     "split_leakage_audit", "contamination_by_lang",
