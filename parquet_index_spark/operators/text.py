@@ -107,6 +107,51 @@ def document_fingerprint(text_col: str = "text") -> Column:
     return F.md5(normalized)
 
 
+def chunk_sliding(df: DataFrame, *, chunk_tokens: int, stride_tokens: int,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window chunker with overlap — the RAG / context-window
+    pretraining primitive ``pack_chunks`` (concat-and-cut) does not
+    cover: every document yields chunks of ``chunk_tokens`` whitespace
+    tokens starting every ``stride_tokens`` (overlap = chunk - stride;
+    the final chunk is the short tail). Deterministic: chunk boundaries
+    depend only on the document's own tokens.
+
+    Returns one row per chunk: every input column except ``text_col``
+    passes through (ids, lang, source, ... — no join-back needed), plus
+    ``(chunk_index, start_token, n_chunk_tokens, chunk_text)``.
+
+    Scale: pure map-side codegen — tokenize, ``sequence()`` the start
+    offsets, explode, ``slice``+``array_join`` — no shuffle, no Python,
+    no per-document state beyond the row. Output row count is
+    ~``total_tokens / stride``; at 100 TB feed it straight into a
+    partitioned writer (chunks inherit the input's partitioning).
+    Engine-portable: generate_series/list-slice reproduce it in SQL
+    (workload CHUNK_OVERLAP_SQL).
+    """
+    if chunk_tokens <= 0 or stride_tokens <= 0:
+        raise ValueError("chunk_tokens and stride_tokens must be positive")
+    if id_col not in df.columns:
+        raise ValueError(f"id column {id_col!r} absent")
+    keep = [c for c in df.columns if c != text_col]
+    df = df.withColumn("__toks", tokens(text_col)) \
+           .withColumn("__n", F.size("__toks"))
+    start = F.col("start_token")
+    return (df
+            .withColumn("start_token",
+                        F.explode(F.expr(
+                            f"sequence(0, __n - 1, {stride_tokens})")))
+            .select(
+                *keep,
+                F.floor(start / stride_tokens).alias("chunk_index"),
+                start,
+                F.least(F.lit(chunk_tokens),
+                        F.col("__n") - start).alias("n_chunk_tokens"),
+                F.array_join(
+                    F.slice("__toks", start + 1, chunk_tokens), " ")
+                .alias("chunk_text")))
+
+
 def bm25_rank(docs: DataFrame, query_terms: List[str], *,
               k1: float = 1.2, b: float = 0.75,
               text_col: str = "text", id_col: str = "doc_id",

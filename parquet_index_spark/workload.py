@@ -3351,6 +3351,47 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def chunk_overlap_stats(spark, sf_dir):
+    """Sliding-window chunking with overlap (operators/text.chunk_sliding:
+    64-token chunks every 48 tokens => 16-token overlap) — the RAG /
+    context-window materialization step. Map-side codegen only (tokenize,
+    sequence, explode, slice); the single shuffle is this report's tiny
+    per-lang rollup, which also content-verifies the chunk text through
+    engine-portable md5 and length sums."""
+    from parquet_index_spark.operators.text import chunk_sliding
+    docs = _t(spark, sf_dir, "documents")
+    ch = chunk_sliding(docs.select("doc_id", "lang", "text"),
+                       chunk_tokens=64, stride_tokens=48)
+    return (ch.groupBy("lang")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_chunks"),
+                 F.sum("n_chunk_tokens").alias("sum_chunk_tokens"),
+                 F.sum(F.length("chunk_text")).alias("sum_chunk_chars"),
+                 F.countDistinct(F.md5("chunk_text"))
+                 .alias("n_distinct_chunks"))
+            .orderBy("lang"))
+
+
+CHUNK_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t,
+         len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang,
+         least(64, n - s) AS n_chunk_tokens,
+         array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+  FROM toks, unnest(generate_series(0, n - 1, 48)) AS u(s)
+)
+SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+       CAST(sum(length(chunk_text)) AS BIGINT) AS sum_chunk_chars,
+       count(DISTINCT md5(chunk_text)) AS n_distinct_chunks
+FROM chunks GROUP BY lang ORDER BY lang
+"""
+
+
 def data_quality_audit(spark, sf_dir):
     """Declarative constraint audit over orders (operators/validate.py):
     five row-local rules (not-null, uniqueness, range, value-set, regex)
@@ -5558,6 +5599,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "bm25_search": (bm25_search, BM25_SQL),
     "profile_orders_columns": (profile_orders_columns, PROFILE_COLUMNS_SQL),
     "data_quality_audit": (data_quality_audit, DATA_QUALITY_SQL),
+    "chunk_overlap_stats": (chunk_overlap_stats, CHUNK_OVERLAP_SQL),
     "sample_split_stats": (sample_split_stats, SAMPLE_SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
     "pack_chunks_by_source": (pack_chunks_by_source, PACK_CHUNKS_SQL),
@@ -5612,7 +5654,7 @@ _R7_WINDOW = [
     # oracle (the r6 no_oracle row), SemDeDup cluster cap, maintain_table
     # policy, scheme-portable DML internals
     "idx_prefix_scan", "cohort_retention", "data_quality_audit",
-    "funnel_conversion",
+    "funnel_conversion", "chunk_overlap_stats",
     "pack_bins_by_source", "idx_compact_roundtrip",
     "quality_gate_by_lang", "curation_pipeline_v3",
     "split_leakage_audit", "contamination_by_lang",

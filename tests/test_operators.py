@@ -1552,3 +1552,67 @@ class TestSemanticContamination:
                S.semantic_dedup(evalset, cents, threshold=0.9,
                                 id_col="vec_id").collect()}
         assert dup[3] is False
+
+
+class TestChunkSliding:
+    """operators/text.chunk_sliding — overlap chunker invariants."""
+
+    def _chunks(self, spark, text, chunk=4, stride=3):
+        df = spark.createDataFrame([Row(doc_id=1, lang="en", text=text)])
+        return (X.chunk_sliding(df, chunk_tokens=chunk,
+                                stride_tokens=stride)
+                .orderBy("chunk_index").collect())
+
+    def test_exact_chunks_and_tail(self, spark):
+        rows = self._chunks(spark, "a b c d e f g h i j")  # 10 tokens
+        texts = [r["chunk_text"] for r in rows]
+        assert texts == ["a b c d", "d e f g", "g h i j", "j"]
+        assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4, 1]
+        assert [r["start_token"] for r in rows] == [0, 3, 6, 9]
+        assert [r["chunk_index"] for r in rows] == [0, 1, 2, 3]
+
+    def test_overlap_is_chunk_minus_stride(self, spark):
+        rows = self._chunks(spark, "a b c d e f", chunk=4, stride=2)
+        texts = [r["chunk_text"] for r in rows]
+        # consecutive chunks share exactly chunk-stride = 2 tokens
+        assert texts[0].split()[-2:] == texts[1].split()[:2]
+
+    def test_short_doc_single_chunk(self, spark):
+        rows = self._chunks(spark, "x y", chunk=64, stride=48)
+        assert len(rows) == 1
+        assert rows[0]["chunk_text"] == "x y"
+        assert rows[0]["n_chunk_tokens"] == 2
+
+    def test_reconstruction_covers_every_token(self, spark):
+        # union of [start, start+chunk) windows covers 0..n-1 for any
+        # stride <= chunk: no token is lost
+        text = " ".join(f"t{i}" for i in range(23))
+        rows = self._chunks(spark, text, chunk=5, stride=4)
+        seen = set()
+        for r in rows:
+            seen |= set(range(r["start_token"],
+                              r["start_token"] + r["n_chunk_tokens"]))
+        assert seen == set(range(23))
+
+    def test_passthrough_columns_survive(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=7, lang="de", source="web", text="a b c")])
+        out = X.chunk_sliding(df, chunk_tokens=2, stride_tokens=2)
+        r = out.collect()[0]
+        assert (r["doc_id"], r["lang"], r["source"]) == (7, "de", "web")
+        assert "text" not in out.columns
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="a")])
+        with pytest.raises(ValueError):
+            X.chunk_sliding(df, chunk_tokens=0, stride_tokens=1)
+        with pytest.raises(ValueError):
+            X.chunk_sliding(df, chunk_tokens=4, stride_tokens=3,
+                            id_col="nope")
+
+    def test_map_only_no_joins(self, spark):
+        from parquet_index_spark import plans
+        df = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+        out = X.chunk_sliding(df, chunk_tokens=2, stride_tokens=2)
+        s = plans.join_strategies(out)
+        assert sum(s.values()) == 0, s
