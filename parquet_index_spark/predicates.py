@@ -223,6 +223,23 @@ class TermMatch(Predicate):
 
 
 @dataclass(frozen=True)
+class NullSafeEq(Predicate):
+    """``a <=> v`` for a non-null literal v (``a <=> NULL`` parses
+    straight to IsNull). Beyond-reference: EqualNullSafe is on the
+    reference's unsupported list (ParquetIndexFilters.scala:128-136,
+    keep every file), but it folds exactly: with v non-null it keeps the
+    same rows as ``a = v``, so push_not_down lowers it to Eq for the
+    fold, and its exact negation is ``a IS NULL OR a != v`` — both
+    shapes the fold already handles. to_spark stays the true null-safe
+    operator so the residual is exact under any composition."""
+    column: str
+    value: Any
+
+    def to_spark(self) -> SparkColumn:
+        return F.col(self.column).eqNullSafe(_lit_to_spark(self.value))
+
+
+@dataclass(frozen=True)
 class StartsWith(Predicate):
     """Literal-prefix match — ``col LIKE 'p%'`` / ``col.startswith(p)``.
 
@@ -322,6 +339,11 @@ class ColumnRef:
     def __le__(self, other: Any) -> Predicate:
         return Le(self._name, other)
 
+    def eqNullSafe(self, other: Any) -> Predicate:
+        if other is None:
+            return IsNull(self._name)
+        return NullSafeEq(self._name, other)
+
     def isin(self, *values: Any) -> Predicate:
         if len(values) == 1 and isinstance(values[0], (list, tuple, set)):
             values = tuple(values[0])
@@ -373,6 +395,11 @@ def push_not_down(p: Predicate, negate: bool = False) -> Predicate:
     """
     if isinstance(p, Not):
         return push_not_down(p.child, not negate)
+    if isinstance(p, NullSafeEq) and not negate:
+        # fold-equivalent lowering (the filter keeps the same rows as
+        # Eq when v is non-null); the residual still uses the exact
+        # to_spark of the ORIGINAL tree, so this only shapes the fold
+        return Eq(p.column, p.value)
     if isinstance(p, And):
         kids = tuple(push_not_down(c, negate) for c in p.children)
         return Or(kids) if negate else And(kids)
@@ -415,12 +442,15 @@ def push_not_down(p: Predicate, negate: bool = False) -> Predicate:
         # conservatively scan (residual keeps the exact negation)
         return Unsupported(lambda: ~p.to_spark(),
                            f"not(startswith({p.column}, {p.prefix!r}))")
+    if isinstance(p, NullSafeEq):
+        # exact 3VL complement: NOT (a <=> v) keeps nulls AND mismatches
+        return Or((IsNull(p.column), Ne(p.column, p.value)))
     raise TypeError(f"cannot negate {p!r}")
 
 
 def referenced_columns(p: Predicate) -> set:
     if isinstance(p, (Eq, Ne, In, IsNull, IsNotNull, Gt, Ge, Lt, Le,
-                      StartsWith)):
+                      StartsWith, NullSafeEq)):
         return {p.column}
     if isinstance(p, TermMatch):
         # folds against whichever term-index generation the table carries
@@ -448,7 +478,7 @@ _TOKEN_RE = re.compile(
     | (?P<num>-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+)
     | (?P<qident>`(?:[^`]|``)+`)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,)
+    | (?P<op><=>|<=|>=|<>|!=|=|<|>|\(|\)|,)
     )""",
     re.VERBOSE,
 )
@@ -673,9 +703,14 @@ class _Parser:
     def comparison(self) -> Predicate:
         name = self.column_operand()
         ttype, tval = self.peek()
-        if ttype == "op" and tval in ("=", "!=", "<>", "<", "<=", ">", ">="):
+        if ttype == "op" and tval in ("=", "!=", "<>", "<", "<=", ">", ">=",
+                                      "<=>"):
             self.next()
             value = self.literal()
+            if tval == "<=>":
+                # null-safe equality: <=> NULL is exactly IS NULL
+                return IsNull(name) if value is None \
+                    else NullSafeEq(name, value)
             if value is None:
                 # `a = NULL` is never true; keep Spark semantics via residual
                 return Trivial(False) if tval == "=" else Trivial(False)

@@ -130,6 +130,11 @@ class TestDifferential:
     def test_like_passthrough(self, spark):
         self._check(spark, "l_returnflag LIKE 'R%'")
 
+    def test_null_safe_eq(self, spark):
+        self._check(spark, "l_orderkey <=> 1")
+        # the negation must KEEP null rows (3VL-exact complement)
+        self._check(spark, "NOT (l_returnflag <=> 'R')")
+
     def test_dsl_predicate(self, spark):
         indexed = self.ctx.index.parquet(self.path).filter(
             (col("l_orderkey") == 1) | (col("l_linenumber") > 5))

@@ -32,6 +32,9 @@ def eval_row(pred, x):
     """True / False / None(unknown) for column value x (None = SQL NULL)."""
     if isinstance(pred, P.Eq):
         return None if x is None else x == pred.value
+    if isinstance(pred, P.NullSafeEq):
+        # null-safe equality never yields UNKNOWN
+        return False if x is None else x == pred.value
     if isinstance(pred, P.Ne):
         return None if x is None else x != pred.value
     if isinstance(pred, P.In):
@@ -82,6 +85,7 @@ leaf_st = st.one_of(
               st.lists(lit_st, min_size=1, max_size=4).map(tuple)),
     st.builds(P.IsNull, st.just("a")),
     st.builds(P.IsNotNull, st.just("a")),
+    st.builds(P.NullSafeEq, st.just("a"), lit_st),
 )
 
 pred_st = st.recursive(

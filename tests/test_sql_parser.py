@@ -72,6 +72,15 @@ class TestParser:
         assert isinstance(parse_sql_predicate("a LIKE '%x%'"), P.Unsupported)
         assert isinstance(parse_sql_predicate("a LIKE 'x_y%'"), P.Unsupported)
 
+    def test_null_safe_equality(self):
+        assert parse_sql_predicate("a <=> 5") == P.NullSafeEq("a", 5)
+        assert parse_sql_predicate("a <=> NULL") == P.IsNull("a")
+        # fold lowering: positive form prunes like Eq; negation keeps
+        # nulls (exact 3VL complement), unlike NOT (a = 5)
+        assert P.push_not_down(P.NullSafeEq("a", 5)) == P.Eq("a", 5)
+        assert P.push_not_down(P.Not(P.NullSafeEq("a", 5))) == \
+            P.Or((P.IsNull("a"), P.Ne("a", 5)))
+
     def test_keywords_case_insensitive(self):
         assert parse_sql_predicate("a in (1) and b is null") == \
             P.And((P.In("a", (1,)), P.IsNull("b")))
