@@ -424,6 +424,34 @@ FROM events WHERE user_id = 42 AND event_type = 'click'
 """
 
 
+def idx_null_safe_point(spark, sf_dir):
+    """Null-safe point lookup through the index (predicates.NullSafeEq).
+    Beyond-reference: EqualNullSafe is on the reference's unsupported
+    list (ParquetIndexFilters.scala:128-136, keep every file); here the
+    positive form prunes exactly like Eq and the negation keeps NULL
+    rows via the exact 3VL complement — both shapes certified against
+    DuckDB's IS [NOT] DISTINCT FROM."""
+    t = _indexed(spark, sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderstatus",
+                  "o_orderdate", "o_orderpriority"])
+    return (t.filter("o_orderpriority <=> '1-URGENT' "
+                     "AND NOT (o_orderstatus <=> 'F') "
+                     "AND o_orderkey < 20000")
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_orderpriority")
+            .orderBy("o_orderkey"))
+
+
+IDX_NULL_SAFE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+FROM orders
+WHERE o_orderpriority IS NOT DISTINCT FROM '1-URGENT'
+  AND o_orderstatus IS DISTINCT FROM 'F'
+  AND o_orderkey < 20000
+ORDER BY o_orderkey
+"""
+
+
 def idx_prefix_scan(spark, sf_dir):
     """LIKE-prefix pushdown through the index (predicates.StartsWith).
 
@@ -5616,6 +5644,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_column_predicate": (idx_column_predicate, IDX_COLUMN_SQL),
     "idx_bitmap_point": (idx_bitmap_point, IDX_BITMAP_SQL),
     "idx_prefix_scan": (idx_prefix_scan, IDX_PREFIX_SQL),
+    "idx_null_safe_point": (idx_null_safe_point, IDX_NULL_SAFE_SQL),
     "q5_nation_volume": (q5_nation_volume, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q4_order_exists": (q4_order_exists, Q4_SQL),
@@ -5653,8 +5682,8 @@ _R7_WINDOW = [
     # pipeline), broadcast-guarded leakage audit / contamination, FFD
     # oracle (the r6 no_oracle row), SemDeDup cluster cap, maintain_table
     # policy, scheme-portable DML internals
-    "idx_prefix_scan", "cohort_retention", "data_quality_audit",
-    "funnel_conversion", "chunk_overlap_stats",
+    "idx_prefix_scan", "idx_null_safe_point", "cohort_retention",
+    "data_quality_audit", "funnel_conversion", "chunk_overlap_stats",
     "pack_bins_by_source", "idx_compact_roundtrip",
     "quality_gate_by_lang", "curation_pipeline_v3",
     "split_leakage_audit", "contamination_by_lang",
