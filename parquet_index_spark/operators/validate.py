@@ -61,6 +61,14 @@ class Rule:
         if self.kind == "unique":
             # duplicate rows among non-null values; one expand, same scan
             return F.count(self.column) - F.countDistinct(self.column)
+        if self.kind == "unique_approx":
+            # HLL estimate: no distinct expand/shuffle at 100 TB; the
+            # report is an ESTIMATE (can be slightly negative noise,
+            # clamped) — use `unique` when the gate must be exact
+            return F.greatest(
+                F.lit(0).cast("long"),
+                F.count(self.column)
+                - F.approx_count_distinct(self.column, rsd=0.01))
         if self.kind == "in_range":
             cond = F.lit(False)
             if self.lo is not None:
@@ -81,8 +89,13 @@ def not_null(column: str) -> Rule:
     return Rule("not_null", column)
 
 
-def unique(column: str) -> Rule:
-    return Rule("unique", column)
+def unique(column: str, approximate: bool = False) -> Rule:
+    """Exact by default (count - countDistinct, one expand in the shared
+    pass). ``approximate=True`` swaps in an HLL estimate (rsd 1%) — at
+    100 TB the exact distinct is the single most expensive rule, and a
+    duplicate-rate GATE usually tolerates estimation; keep exact for
+    primary-key contracts."""
+    return Rule("unique_approx" if approximate else "unique", column)
 
 
 def in_range(column: str, lo=None, hi=None) -> Rule:

@@ -404,16 +404,23 @@ class ColumnMembership:
         if self.dict_str is None or not prefix or not candidates.any():
             return candidates
         str_counts = np.diff(self.str_offsets)
-        has_str = str_counts > 0
-        if not (candidates & has_str).any():
+        probe = candidates & (str_counts > 0)
+        if not probe.any():
             return candidates
-        flags = np.fromiter((s.startswith(prefix) for s in self.dict_str),
-                            dtype=bool, count=len(self.dict_str))
-        nz = np.nonzero(has_str)[0]
-        # offsets of zero-length segments repeat, so reducing at only the
-        # non-empty starts still yields exactly one sum per non-empty block
-        seg_any = np.add.reduceat(
-            flags.astype(np.int64), self.str_offsets[nz]) > 0
+        # probe ONLY the values of candidate blocks (range-surviving —
+        # typically a handful): a startswith over the whole concatenated
+        # dict pool would be O(total stored values) per query at
+        # metadata scale
+        val_sel = np.repeat(probe, str_counts)
+        vals = self.dict_str[val_sel]
+        flags = np.fromiter((s.startswith(prefix) for s in vals),
+                            dtype=bool, count=len(vals))
+        nz = np.nonzero(probe)[0]
+        # within the selected pool, candidate segments are contiguous;
+        # their starts are the cumulative counts of the PRIOR candidates
+        starts = np.concatenate(
+            ([0], np.cumsum(str_counts[nz])[:-1]))
+        seg_any = np.add.reduceat(flags.astype(np.int64), starts) > 0
         out = candidates.copy()
         out[nz] &= seg_any
         return out

@@ -118,3 +118,23 @@ class TestScaleShape:
         s = plans.join_strategies(report)
         assert sum(s.values()) >= 1, s
         assert s["nested_loop"] == 0, s
+
+
+class TestApproxUnique:
+    def test_approx_unique_close_to_exact(self, spark):
+        from pyspark.sql import Row
+        df = spark.createDataFrame(
+            [Row(id=i % 800) for i in range(1000)])   # 200 dups
+        exact = V.validate(df, [V.unique("id")]).collect()[0]
+        approx = V.validate(df, [V.unique("id", approximate=True)]) \
+            .collect()[0]
+        assert exact["violations"] == 200
+        assert approx["rule"] == "unique_approx"
+        assert abs(approx["violations"] - 200) <= 25  # rsd 1% envelope
+        assert approx["violations"] >= 0
+
+    def test_approx_unique_clean_table_not_negative(self, spark):
+        from pyspark.sql import Row
+        df = spark.createDataFrame([Row(id=i) for i in range(500)])
+        r = V.validate(df, [V.unique("id", approximate=True)]).collect()[0]
+        assert r["violations"] >= 0
