@@ -360,6 +360,22 @@ class TestPrefixEndToEnd:
         info = ctx.index.last_prune_info
         assert info.selected_files == info.total_files
 
+    def test_prefix_delete_drops_whole_files(self, spark, ctx, typed_table):
+        """DML inherits the prefix fold's FULL band: on a p_type-clustered
+        table, DELETE WHERE p_type LIKE 'PROMO%' drops the all-PROMO
+        interior files from metadata with zero bytes read; only boundary
+        files rewrite. Result must equal the plain-SQL delete."""
+        from parquet_index_spark.sources import delete_where
+        expect = (spark.read.parquet(typed_table)
+                  .filter("NOT (p_type LIKE 'PROMO%')").count())
+        ctx.index.create.indexBy("id", "p_type").parquet(typed_table)
+        info = delete_where(ctx, typed_table, "p_type LIKE 'PROMO%'")
+        assert info["files_dropped_whole"] >= 1, info
+        assert info["files_rewritten"] < info["files_total"], info
+        after = spark.read.parquet(typed_table)
+        assert after.count() == expect
+        assert after.filter("p_type LIKE 'PROMO%'").count() == 0
+
     def test_count_where_uses_full_band(self, spark, ctx, typed_table):
         """Metadata-accelerated count with a prefix predicate: the clusters
         make whole files all-PROMO, so part of the count comes from footer
