@@ -53,7 +53,9 @@ BENCH_QUERIES = [
     "curation_pipeline_v3", "shuffle_shard_stats",
     "vocab_drift_by_lang", "semantic_contamination_stats",
     "stream_shuffle_split_stats", "split_leakage_audit",
-    "idx_compact_roundtrip", "idx_prefix_scan",
+    "idx_compact_roundtrip", "idx_prefix_scan", "idx_null_safe_point",
+    "cohort_retention", "funnel_conversion", "data_quality_audit",
+    "chunk_overlap_stats",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the

@@ -3420,6 +3420,61 @@ FROM chunks GROUP BY lang ORDER BY lang
 """
 
 
+def chunk_dedup_pipeline(spark, sf_dir):
+    """Chunk-then-dedup composition: sliding 64/48 chunks over documents,
+    exact cross-document chunk dedup (md5 identity, keep the smallest
+    (doc_id, chunk_index) occurrence), per-lang keep/drop accounting —
+    the materialization path that feeds packed pretraining shards
+    without repeated boilerplate chunks.
+
+    Scale shape: the chunker is map-only; the dedup window partitions by
+    the chunk HASH (max cardinality => per-partition groups of a few
+    rows, skew-immune by construction — the opposite of a whole-group
+    window); the rollup is a tiny per-lang grid."""
+    from parquet_index_spark.operators.text import chunk_sliding
+    docs = _t(spark, sf_dir, "documents")
+    ch = chunk_sliding(docs.select("doc_id", "lang", "text"),
+                       chunk_tokens=64, stride_tokens=48)
+    w = Window.partitionBy(F.md5("chunk_text")) \
+        .orderBy("doc_id", "chunk_index")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    return (ranked.groupBy("lang")
+            .agg(F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+                 .alias("kept_chunks"),
+                 F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+                 .alias("dup_chunks"),
+                 F.sum(F.when(F.col("rn") == 1, F.col("n_chunk_tokens"))
+                       .otherwise(0)).alias("kept_tokens"))
+            .orderBy("lang"))
+
+
+CHUNK_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t,
+         len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang, s,
+         least(64, n - s) AS n_chunk_tokens,
+         array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+  FROM toks, unnest(generate_series(0, n - 1, 48)) AS u(s)
+),
+ranked AS (
+  SELECT lang, n_chunk_tokens,
+         row_number() OVER (PARTITION BY md5(chunk_text)
+                            ORDER BY doc_id, s) AS rn
+  FROM chunks
+)
+SELECT lang,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_chunks,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dup_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN n_chunk_tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM ranked GROUP BY lang ORDER BY lang
+"""
+
+
 def data_quality_audit(spark, sf_dir):
     """Declarative constraint audit over orders (operators/validate.py):
     five row-local rules (not-null, uniqueness, range, value-set, regex)
@@ -5628,6 +5683,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "profile_orders_columns": (profile_orders_columns, PROFILE_COLUMNS_SQL),
     "data_quality_audit": (data_quality_audit, DATA_QUALITY_SQL),
     "chunk_overlap_stats": (chunk_overlap_stats, CHUNK_OVERLAP_SQL),
+    "chunk_dedup_pipeline": (chunk_dedup_pipeline, CHUNK_DEDUP_SQL),
     "sample_split_stats": (sample_split_stats, SAMPLE_SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
     "pack_chunks_by_source": (pack_chunks_by_source, PACK_CHUNKS_SQL),
@@ -5684,6 +5740,7 @@ _R7_WINDOW = [
     # policy, scheme-portable DML internals
     "idx_prefix_scan", "idx_null_safe_point", "cohort_retention",
     "data_quality_audit", "funnel_conversion", "chunk_overlap_stats",
+    "chunk_dedup_pipeline",
     "pack_bins_by_source", "idx_compact_roundtrip",
     "quality_gate_by_lang", "curation_pipeline_v3",
     "split_leakage_audit", "contamination_by_lang",
