@@ -119,7 +119,10 @@ def chunk_sliding(df: DataFrame, *, chunk_tokens: int, stride_tokens: int,
 
     Returns one row per chunk: every input column except ``text_col``
     passes through (ids, lang, source, ... — no join-back needed), plus
-    ``(chunk_index, start_token, n_chunk_tokens, chunk_text)``.
+    ``(chunk_index, start_token, n_chunk_tokens, chunk_text)``. A NULL
+    ``text_col`` yields zero chunk rows for that document (documented
+    drop; run a ``validate.not_null`` gate first if that matters).
+    Input columns may not use the four output names above (ValueError).
 
     Scale: pure map-side codegen — tokenize, ``sequence()`` the start
     offsets, explode, ``slice``+``array_join`` — no shuffle, no Python,
@@ -133,14 +136,27 @@ def chunk_sliding(df: DataFrame, *, chunk_tokens: int, stride_tokens: int,
         raise ValueError("chunk_tokens and stride_tokens must be positive")
     if id_col not in df.columns:
         raise ValueError(f"id column {id_col!r} absent")
+    reserved = {"chunk_index", "start_token", "n_chunk_tokens",
+                "chunk_text"}
+    clash = reserved & {c for c in df.columns if c != text_col}
+    if clash:
+        raise ValueError(
+            f"input columns collide with chunk output names: {sorted(clash)}")
     keep = [c for c in df.columns if c != text_col]
-    df = df.withColumn("__toks", tokens(text_col)) \
+    # NULL text yields zero chunk rows (explode of an empty array), the
+    # same rows DuckDB's unnest(generate_series(NULL)) drops — never a
+    # NULL-boundary sequence() error, never a silent engine divergence
+    df = df.withColumn("__toks",
+                       F.coalesce(tokens(text_col),
+                                  F.array().cast("array<string>"))) \
            .withColumn("__n", F.size("__toks"))
     start = F.col("start_token")
     return (df
             .withColumn("start_token",
-                        F.explode(F.expr(
-                            f"sequence(0, __n - 1, {stride_tokens})")))
+                        F.explode(F.when(
+                            F.col("__n") > 0,
+                            F.expr(f"sequence(0, __n - 1, {stride_tokens})"))
+                            .otherwise(F.array().cast("array<int>"))))
             .select(
                 *keep,
                 F.floor(start / stride_tokens).alias("chunk_index"),

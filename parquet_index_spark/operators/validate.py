@@ -139,13 +139,15 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
             aggs.append(r._violations().alias(f"__v{i}"))
         one = df.agg(*aggs)
         # unpivot the single aggregate row into per-rule report rows —
-        # stays in the plan (no driver round-trip)
-        stacked = ", ".join(
-            f"'{r.kind}', '{r.column}', __v{i}"
-            for i, r in enumerate(row_local))
-        parts.append(one.selectExpr(
-            f"stack({len(row_local)}, {stacked}) AS (rule, col_name, violations)",
-            "total_rows"))
+        # stays in the plan (no driver round-trip). Pure Column API:
+        # names ride as literals, never interpolated into SQL text, so
+        # quotes/commas in column names cannot corrupt the expression
+        entries = F.array(*[
+            F.struct(F.lit(r.kind).alias("rule"),
+                     F.lit(r.column).alias("col_name"),
+                     F.col(f"__v{i}").cast("long").alias("violations"))
+            for i, r in enumerate(row_local)])
+        parts.append(one.select(F.inline(entries), "total_rows"))
 
     for r in fks:
         keys = (r.ref.select(F.col(r.ref_column).alias("__ref_key"))

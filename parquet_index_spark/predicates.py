@@ -269,11 +269,18 @@ def prefix_upper_bound(prefix: str) -> Optional[str]:
     Increment the rightmost incrementable code point and truncate:
     exactly the exclusive upper end of the prefix interval under
     code-point order (== UTF-8 binary order, which Spark strings use).
+    An increment landing in the surrogate block (U+D800-U+DFFF — not
+    encodable, F.lit would reject it) skips to U+E000: a slightly looser
+    but still-valid upper bound (every prefixed string's code point at
+    that position is <= U+D7FF < U+E000).
     """
     for i in range(len(prefix) - 1, -1, -1):
         cp = ord(prefix[i])
         if cp < 0x10FFFF:
-            return prefix[:i] + chr(cp + 1)
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return prefix[:i] + chr(nxt)
     return None
 
 

@@ -5761,10 +5761,7 @@ _R7_WINDOW = [
     "range_join_windows", "overlap_join_windows", "time_bucket_gapfill",
     "stream_merge_cdc_ops", "idx_term_search",
     "idx_term_decontamination", "idx_phrase_search",
-    "idx_delete_partitioned", "pii_redaction_stats", "span_dedup_stats",
-    "stream_running_anomaly", "token_budget_mixture",
-    "curation_pipeline_v2", "freq_terms_top20", "lang_id_confusion",
-    "rolling_anomaly_events",
+    "idx_delete_partitioned", "pii_redaction_stats",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R7_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R7_WINDOW}}

@@ -1616,3 +1616,18 @@ class TestChunkSliding:
         out = X.chunk_sliding(df, chunk_tokens=2, stride_tokens=2)
         s = plans.join_strategies(out)
         assert sum(s.values()) == 0, s
+
+    def test_null_text_yields_zero_chunks(self, spark):
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+        schema = StructType([StructField("doc_id", LongType()),
+                             StructField("text", StringType())])
+        df = spark.createDataFrame([(1, "a b c"), (2, None)], schema)
+        out = X.chunk_sliding(df, chunk_tokens=2, stride_tokens=2)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 1]
+
+    def test_reserved_output_names_rejected(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, chunk_text="x", text="a b")])
+        with pytest.raises(ValueError, match="collide"):
+            X.chunk_sliding(df, chunk_tokens=2, stride_tokens=2)

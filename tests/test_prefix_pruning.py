@@ -321,7 +321,12 @@ def typed_table(spark, tmp_table_dir):
          "cast(id % 6 AS int) + 1), ' ', "
          "element_at(array('ANODIZED','BRUSHED','BURNISHED','PLATED','POLISHED'), "
          "cast(id % 5 AS int) + 1)) AS p_type")
-     .repartitionByRange(10, "p_type", "id")
+     # 24 range partitions over 6 p_type families: the 5 family
+     # boundaries can straddle at most 10 files, so every family keeps
+     # interior all-one-family files REGARDLESS of the range sampler's
+     # boundary draw (the whole-file-drop DELETE test needs that
+     # deterministically)
+     .repartitionByRange(24, "p_type", "id")
      .write.parquet(path))
     return path
 
@@ -385,3 +390,21 @@ class TestPrefixEndToEnd:
         expect = spark.read.parquet(typed_table) \
             .filter("p_type LIKE 'PROMO%'").count()
         assert t.count_where("p_type LIKE 'PROMO%'") == expect
+
+
+class TestSurrogateBoundary:
+    def test_upper_bound_skips_surrogate_block(self):
+        hi = P.prefix_upper_bound("x" + chr(0xD7FF))
+        assert hi == "x" + chr(0xE000)
+        # still a valid exclusive supremum of the prefixed interval
+        assert ("x" + chr(0xD7FF) + MAXC * 3) < hi
+        assert not hi.startswith("x" + chr(0xD7FF))
+
+    def test_surrogate_adjacent_prefix_folds_in_spark(self, spark, ctx,
+                                                      typed_table):
+        """The distributed compile must accept the bound (F.lit rejects
+        lone surrogates); the query still answers correctly."""
+        ctx.index.create.indexBy("id", "p_type").parquet(typed_table)
+        t = ctx.index.parquet(typed_table)
+        pred = col("p_type").startswith("x" + chr(0xD7FF))
+        assert t.filter(pred).count() == 0
