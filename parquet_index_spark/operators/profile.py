@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -78,3 +78,63 @@ def profile_columns(df: DataFrame, columns: Optional[List[str]] = None,
             .select("e.col_name", "n_rows", "e.n_nulls", "e.n_distinct",
                     "e.min_value", "e.max_value")
             .orderBy("col_name"))
+
+
+def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
+             value_col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance per group — the
+    numeric-distribution drift monitor that pairs with
+    ``text.vocab_drift`` (categorical TV distance): how far does a
+    metric's distribution (doc length, quality score, token count) move
+    between two corpus snapshots?
+
+    Entirely INTEGER arithmetic until the last division, so the result
+    is engine-portable bit-for-bit: with cumulative counts ``ca, cb``
+    and totals ``na, nb``, ``|ca/na - cb/nb| = |ca*nb - cb*na| / (na*nb)``
+    and the numerator is exact in int64. Returns one row per group:
+    ``(group, n_a, n_b, ks_num, ks)`` where ``ks = ks_num/(na*nb)``.
+    NULL metric values are dropped; groups present in only one snapshot
+    report ks = 1.0 (supremum at every value).
+
+    Scale shape: one union scan -> partial-agg count per (group, value)
+    — the heavy reduction, map-side combinable — then cumulative-sum
+    windows over DISTINCT VALUES per group (cardinality of the metric,
+    not of the corpus: thousands of doc-length values, not billions of
+    docs). For a continuous metric, quantize first (``F.round`` /
+    bucketize) so the distinct-value set stays bounded; the KS of the
+    quantized distribution is what gets compared round over round.
+    """
+    a = df_a.select(F.col(group).alias("g"),
+                    F.col(value_col).alias("v")).where(F.col(value_col).isNotNull()) \
+        .withColumn("side_a", F.lit(1)).withColumn("side_b", F.lit(0))
+    b = df_b.select(F.col(group).alias("g"),
+                    F.col(value_col).alias("v")).where(F.col(value_col).isNotNull()) \
+        .withColumn("side_a", F.lit(0)).withColumn("side_b", F.lit(1))
+    per_val = (a.unionByName(b)
+               .groupBy("g", "v")
+               .agg(F.sum("side_a").alias("ca"), F.sum("side_b").alias("cb")))
+    wcum = Window.partitionBy("g").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("g")
+    cum = (per_val
+           .withColumn("cca", F.sum("ca").over(wcum))
+           .withColumn("ccb", F.sum("cb").over(wcum))
+           .withColumn("na", F.sum("ca").over(wall))
+           .withColumn("nb", F.sum("cb").over(wall)))
+    # DECIMAL(38,0) cross products: long*long overflows past ~3e9 rows
+    # per side, and the whole point is exactness (vocab_drift's rule)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    diff = F.abs(dec("cca") * dec("nb") - dec("ccb") * dec("na"))
+    return (cum.groupBy("g")
+            .agg(F.max(diff).alias("ks_num"),
+                 F.max("na").alias("n_a"), F.max("nb").alias("n_b"))
+            .select(F.col("g").alias(group), "n_a", "n_b",
+                    # numerator computed exactly in DECIMAL(38,0), then
+                    # emitted as DOUBLE (engine-portable rendering; the
+                    # int->double conversion is deterministic)
+                    F.col("ks_num").cast("double").alias("ks_num"),
+                    F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                           F.col("ks_num").cast("double")
+                           / (dec("n_a") * dec("n_b")).cast("double"))
+                    .otherwise(F.lit(1.0)).alias("ks"))
+            .orderBy(group))

@@ -3420,6 +3420,52 @@ FROM chunks GROUP BY lang ORDER BY lang
 """
 
 
+def ks_drift_doclen(spark, sf_dir):
+    """Exact per-lang two-sample KS distance on document length between
+    two corpus snapshots (operators/profile.ks_drift) — the numeric-
+    distribution drift monitor beside vocab_drift's categorical TV
+    distance. Integer-exact numerator (DECIMAL(38,0) cross products);
+    the cumulative windows run over DISTINCT length values per lang,
+    not documents, so the window cost is metric cardinality."""
+    from parquet_index_spark.operators.profile import ks_drift
+    docs = _t(spark, sf_dir, "documents")
+    return ks_drift(docs.filter("doc_id % 2 = 0"),
+                    docs.filter("doc_id % 2 = 1"),
+                    "lang", "n_chars")
+
+
+KS_DRIFT_SQL = """
+WITH u AS (
+  SELECT lang AS g, n_chars AS v,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS sa,
+         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS sb
+  FROM documents WHERE n_chars IS NOT NULL
+),
+per_val AS (
+  SELECT g, v, sum(sa) AS ca, sum(sb) AS cb FROM u GROUP BY g, v
+),
+cum AS (
+  SELECT g,
+         sum(ca) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cca,
+         sum(cb) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS ccb,
+         sum(ca) OVER (PARTITION BY g) AS na,
+         sum(cb) OVER (PARTITION BY g) AS nb
+  FROM per_val
+)
+SELECT g AS lang,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(max(abs(cca * nb - ccb * na)) AS DOUBLE) AS ks_num,
+       CASE WHEN max(na) > 0 AND max(nb) > 0
+            THEN CAST(max(abs(cca * nb - ccb * na)) AS DOUBLE)
+                 / CAST(max(na) * max(nb) AS DOUBLE)
+            ELSE 1.0 END AS ks
+FROM cum GROUP BY g ORDER BY lang
+"""
+
+
 def chunk_dedup_pipeline(spark, sf_dir):
     """Chunk-then-dedup composition: sliding 64/48 chunks over documents,
     exact cross-document chunk dedup (md5 identity, keep the smallest
@@ -5684,6 +5730,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "data_quality_audit": (data_quality_audit, DATA_QUALITY_SQL),
     "chunk_overlap_stats": (chunk_overlap_stats, CHUNK_OVERLAP_SQL),
     "chunk_dedup_pipeline": (chunk_dedup_pipeline, CHUNK_DEDUP_SQL),
+    "ks_drift_doclen": (ks_drift_doclen, KS_DRIFT_SQL),
     "sample_split_stats": (sample_split_stats, SAMPLE_SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
     "pack_chunks_by_source": (pack_chunks_by_source, PACK_CHUNKS_SQL),
@@ -5740,7 +5787,7 @@ _R7_WINDOW = [
     # policy, scheme-portable DML internals
     "idx_prefix_scan", "idx_null_safe_point", "cohort_retention",
     "data_quality_audit", "funnel_conversion", "chunk_overlap_stats",
-    "chunk_dedup_pipeline",
+    "chunk_dedup_pipeline", "ks_drift_doclen",
     "pack_bins_by_source", "idx_compact_roundtrip",
     "quality_gate_by_lang", "curation_pipeline_v3",
     "split_leakage_audit", "contamination_by_lang",
@@ -5761,7 +5808,7 @@ _R7_WINDOW = [
     "range_join_windows", "overlap_join_windows", "time_bucket_gapfill",
     "stream_merge_cdc_ops", "idx_term_search",
     "idx_term_decontamination", "idx_phrase_search",
-    "idx_delete_partitioned", "pii_redaction_stats",
+    "idx_delete_partitioned",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R7_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R7_WINDOW}}

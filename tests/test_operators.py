@@ -1631,3 +1631,42 @@ class TestChunkSliding:
             [Row(doc_id=1, chunk_text="x", text="a b")])
         with pytest.raises(ValueError, match="collide"):
             X.chunk_sliding(df, chunk_tokens=2, stride_tokens=2)
+
+
+class TestKsDrift:
+    """operators/profile.ks_drift — exact two-sample KS per group."""
+
+    def test_known_distributions(self, spark):
+        from parquet_index_spark.operators.profile import ks_drift
+        a = spark.createDataFrame([Row(g="x", v=i) for i in [1, 2, 3, 4]])
+        b = spark.createDataFrame([Row(g="x", v=i) for i in [3, 4, 5, 6]])
+        r = ks_drift(a, b, "g", "v").collect()[0]
+        # CDF gap peaks at v=2 (2/4 vs 0/4): ks = 0.5, numerator 2*4 = 8
+        assert (r["n_a"], r["n_b"]) == (4, 4)
+        assert r["ks_num"] == 8.0
+        assert r["ks"] == 0.5
+
+    def test_identical_distributions_zero(self, spark):
+        from parquet_index_spark.operators.profile import ks_drift
+        a = spark.createDataFrame([Row(g="x", v=i % 5) for i in range(50)])
+        r = ks_drift(a, a, "g", "v").collect()[0]
+        assert r["ks"] == 0.0 and r["ks_num"] == 0.0
+
+    def test_one_sided_group_is_full_drift(self, spark):
+        from parquet_index_spark.operators.profile import ks_drift
+        a = spark.createDataFrame([Row(g="only_a", v=1), Row(g="both", v=1)])
+        b = spark.createDataFrame([Row(g="both", v=1)])
+        got = {r["g"]: r["ks"] for r in ks_drift(a, b, "g", "v").collect()}
+        assert got["only_a"] == 1.0
+        assert got["both"] == 0.0
+
+    def test_nulls_dropped(self, spark):
+        from parquet_index_spark.operators.profile import ks_drift
+        from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                       StructType)
+        schema = StructType([StructField("g", StringType()),
+                             StructField("v", IntegerType())])
+        a = spark.createDataFrame([("x", 1), ("x", None)], schema)
+        b = spark.createDataFrame([("x", 1), ("x", None)], schema)
+        r = ks_drift(a, b, "g", "v").collect()[0]
+        assert (r["n_a"], r["n_b"], r["ks"]) == (1, 1, 0.0)
