@@ -172,6 +172,28 @@ class IndexedDataFrame:
             if len(terms) > 1 else P.TermMatch(column, terms[0])
         return self.filter(pred)
 
+    def contains_term_prefix(self, column: str, prefix: str) -> DataFrame:
+        """Token-PREFIX search through the term index: rows whose
+        ``column`` has SOME whitespace token starting with ``prefix``
+        (wildcard / autocomplete lookup, ``token LIKE 'pre%'``).
+
+        Pruning uses the per-block token DICT filters: a block whose
+        stored distinct-token set has no member starting with the
+        prefix cannot match (statistics.ColumnMembership.refine_prefix,
+        the same machinery behind LIKE-prefix pruning on indexed
+        columns). Bloom term filters are hash-based — no prefix
+        evidence — and soundly scan, so build the term index with
+        ``filter.type=dict`` where prefix search matters. The residual
+        is the exact per-token startswith."""
+        if not isinstance(prefix, str) or not prefix.strip():
+            raise ValueError("contains_term_prefix requires a non-empty "
+                             "prefix")
+        if any(ch.isspace() for ch in prefix):
+            raise ValueError("prefix must be a single-token prefix "
+                             "(no whitespace); use contains_phrase for "
+                             "multi-token adjacency")
+        return self.filter(P.TermPrefixMatch(column, prefix))
+
     def contains_phrase(self, column: str, phrase: str) -> DataFrame:
         """Exact whitespace-token PHRASE search through the term index:
         rows where ``column`` contains the phrase's tokens consecutively.

@@ -301,6 +301,28 @@ def like_pattern_to_predicate(name: str, pattern: str) -> Predicate:
 
 
 @dataclass(frozen=True)
+class TermPrefixMatch(Predicate):
+    """Token-PREFIX membership: row matches when SOME whitespace token
+    of ``column`` starts with ``prefix`` (wildcard search /
+    autocomplete over a 100 TB corpus). Foldable against a TERM INDEX
+    whose blocks carry DICT filters: the stored distinct-token set
+    refutes blocks with no token starting with the prefix (statistics.
+    ColumnMembership.refine_prefix); bloom-filtered blocks hold no
+    prefix evidence and soundly scan. The residual is the exact
+    per-token startswith over the same whitespace tokenization.
+    ``prefix`` must be non-empty and whitespace-free (a #terms2 dict
+    also stores bigrams, whose first token is always stored singly too,
+    so bigram entries can only ADD may-matches — sound)."""
+    column: str
+    prefix: str
+
+    def to_spark(self) -> SparkColumn:
+        p = self.prefix
+        return F.exists(F.split(F.trim(F.col(self.column)), r"\s+"),
+                        lambda t: t.startswith(p))
+
+
+@dataclass(frozen=True)
 class Unsupported(Predicate):
     """A predicate the index cannot fold (LIKE, endswith, UDF, ...).
 
@@ -452,6 +474,11 @@ def push_not_down(p: Predicate, negate: bool = False) -> Predicate:
     if isinstance(p, NullSafeEq):
         # exact 3VL complement: NOT (a <=> v) keeps nulls AND mismatches
         return Or((IsNull(p.column), Ne(p.column, p.value)))
+    if isinstance(p, TermPrefixMatch):
+        # absence of a token prefix is not provable from membership
+        # filters: conservatively scan (residual keeps exact negation)
+        return Unsupported(lambda: ~p.to_spark(),
+                           f"not(term_prefix({p.column}, {p.prefix!r}))")
     raise TypeError(f"cannot negate {p!r}")
 
 
@@ -459,7 +486,7 @@ def referenced_columns(p: Predicate) -> set:
     if isinstance(p, (Eq, Ne, In, IsNull, IsNotNull, Gt, Ge, Lt, Le,
                       StartsWith, NullSafeEq)):
         return {p.column}
-    if isinstance(p, TermMatch):
+    if isinstance(p, (TermMatch, TermPrefixMatch)):
         # folds against whichever term-index generation the table carries
         return {p.column + TERMS_SUFFIX, p.column + TERMS2_SUFFIX}
     if isinstance(p, (And, Or)):

@@ -209,6 +209,19 @@ def _eval(pred: P.Predicate, ctx: BlockStatsContext, tz: str = None) -> np.ndarr
                                          ityp.STRING, _true(ctx),
                                          [pred.term])
         return _true(ctx)
+    if isinstance(pred, P.TermPrefixMatch):
+        # token-prefix probe: only DICT term filters carry prefix
+        # evidence (refine_prefix); bloom blocks and tables without a
+        # term index soundly scan
+        if not pred.prefix.strip():
+            return _true(ctx)
+        for suf in (P.TERMS2_SUFFIX, P.TERMS_SUFFIX):
+            if pred.column + suf in ctx.columns:
+                memb = ctx.membership(pred.column + suf)
+                if memb is None:
+                    return _true(ctx)
+                return memb.refine_prefix(_true(ctx), pred.prefix)
+        return _true(ctx)
 
     stats = ctx.columns.get(pred.column)
     if stats is None:
@@ -377,7 +390,8 @@ def _eval_full(pred: P.Predicate, ctx: BlockStatsContext,
         return out
     if isinstance(pred, P.Trivial):
         return _true(ctx) if pred.value else _false(ctx)
-    if isinstance(pred, (P.Unsupported, P.Not, P.TermMatch)):
+    if isinstance(pred, (P.Unsupported, P.Not, P.TermMatch,
+                         P.TermPrefixMatch)):
         # a membership filter can prove absence-of-evidence, never that
         # EVERY row contains the term
         return _false(ctx)

@@ -189,6 +189,19 @@ def _compile(pred: P.Predicate, kinds: dict, tz: str = None,
             if tcol in kinds and tcol in memb_cols:
                 return _membership_ok(tcol, ityp.STRING, [pred.term])
         return F.lit(True)
+    if isinstance(pred, P.TermPrefixMatch):
+        # token-prefix probe against the term dict (bloom: no evidence)
+        p = pred.prefix
+        if not p.strip():
+            return F.lit(True)
+        for suf in (P.TERMS2_SUFFIX, P.TERMS_SUFFIX):
+            tcol = pred.column + suf
+            if tcol in kinds and tcol in memb_cols:
+                ds = F.col(f"{tcol}__dict_s")
+                has_ds = ds.isNotNull() & (F.size(ds) > 0)
+                ds_ok = F.exists(ds, lambda x: x.startswith(F.lit(p)))
+                return F.when(has_ds, ds_ok).otherwise(F.lit(True))
+        return F.lit(True)
 
     kind = kinds.get(getattr(pred, "column", None))
     if kind is None:
@@ -408,7 +421,8 @@ def _compile_full(pred: P.Predicate, kinds: dict, tz: str = None) -> F.Column:
         return out
     if isinstance(pred, P.Trivial):
         return F.lit(pred.value)
-    if isinstance(pred, (P.Unsupported, P.Not, P.TermMatch)):
+    if isinstance(pred, (P.Unsupported, P.Not, P.TermMatch,
+                         P.TermPrefixMatch)):
         return F.lit(False)  # term membership can never prove full-match
     kind = kinds.get(getattr(pred, "column", None))
     if kind is None:

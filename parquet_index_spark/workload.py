@@ -4174,6 +4174,71 @@ ORDER BY doc_id
 """
 
 
+def idx_term_prefix_search(spark, sf_dir):
+    """Token-PREFIX search through the term index
+    (manager.contains_term_prefix / predicates.TermPrefixMatch):
+    documents carry the same deterministic sentinel augmentation as
+    idx_term_search but the index is built with ``filter.type=dict`` —
+    exact per-block distinct-token sets — so probing ``sentinel2*``
+    prunes to the files whose stored token set has a member with that
+    prefix (wildcard / autocomplete lookup; bloom filters hold no
+    prefix evidence). The residual is the exact per-token startswith;
+    the oracle replays augmentation + tokenized LIKE."""
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_termpfx",
+                        os.path.basename(os.path.normpath(sf_dir)), "docs")
+    docs = _t(spark, sf_dir, "documents")
+    if not (ctx.index.exists.parquet(path) and os.path.isdir(path)):
+        aug = F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 50 == 0,
+                   F.concat(F.lit(" sentinel"),
+                            F.col("doc_id").cast("string")))
+            .otherwise(F.lit("")))
+        (docs.withColumn("text", aug)
+         .repartitionByRange(16, "doc_id").write.mode("overwrite")
+         .parquet(path))
+        key = "spark.sql.index.parquet.filter.type"
+        try:
+            old = spark.conf.get(key)
+        except Exception:  # noqa: BLE001
+            old = None
+        spark.conf.set(key, "dict")
+        try:
+            ctx.index.create.mode("overwrite").indexBy("doc_id") \
+                .termIndexBy("text").parquet(path)
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+    t = ctx.index.parquet(path)
+    hits = t.contains_term_prefix("text", "sentinel2")
+    info = ctx.index.last_prune_info
+    assert info.selected_files < info.total_files, info
+    return (hits.select("doc_id", "lang", "source")
+            .orderBy("doc_id"))
+
+
+IDX_TERM_PREFIX_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, lang, source,
+         text || CASE WHEN doc_id % 50 = 0
+                      THEN ' sentinel' || CAST(doc_id AS VARCHAR)
+                      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id, lang, source
+FROM aug
+WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
+                      t -> t LIKE 'sentinel2%')) > 0
+ORDER BY doc_id
+"""
+
+
 def idx_delete_partitioned(spark, sf_dir):
     """Partitioned-table DELETE end-to-end (sources.delete_where over a
     hive layout): orders partitioned by o_orderstatus; ``DELETE WHERE
@@ -5632,6 +5697,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # round-4's (all green in CORRECTNESS_r04) follow.
     "stream_merge_cdc_ops": (stream_merge_cdc_ops, STREAM_CDC_OPS_SQL),
     "idx_term_search": (idx_term_search, IDX_TERM_SEARCH_SQL),
+    "idx_term_prefix_search": (idx_term_prefix_search, IDX_TERM_PREFIX_SQL),
     "idx_term_decontamination": (idx_term_decontamination,
                                  IDX_TERM_DECON_SQL),
     "idx_phrase_search": (idx_phrase_search, IDX_PHRASE_SQL),
@@ -5787,7 +5853,7 @@ _R7_WINDOW = [
     # policy, scheme-portable DML internals
     "idx_prefix_scan", "idx_null_safe_point", "cohort_retention",
     "data_quality_audit", "funnel_conversion", "chunk_overlap_stats",
-    "chunk_dedup_pipeline", "ks_drift_doclen",
+    "chunk_dedup_pipeline", "ks_drift_doclen", "idx_term_prefix_search",
     "pack_bins_by_source", "idx_compact_roundtrip",
     "quality_gate_by_lang", "curation_pipeline_v3",
     "split_leakage_audit", "contamination_by_lang",
@@ -5808,7 +5874,6 @@ _R7_WINDOW = [
     "range_join_windows", "overlap_join_windows", "time_bucket_gapfill",
     "stream_merge_cdc_ops", "idx_term_search",
     "idx_term_decontamination", "idx_phrase_search",
-    "idx_delete_partitioned",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R7_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R7_WINDOW}}

@@ -311,3 +311,75 @@ class TestTermIndexDistributedFold:
                 spark.conf.unset("spark.sql.index.pruning.sparkThreshold")
             assert dist == base == expect_rows
             assert dist_info.selected_files == base_info.selected_files
+
+
+class TestTermPrefix:
+    """contains_term_prefix — token-prefix search through the dict term
+    index (TermPrefixMatch; bloom filters carry no prefix evidence)."""
+
+    def test_prefix_prunes_and_matches_plain(self, spark, ctx,
+                                             tmp_table_dir):
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tp",
+                          filter_type="dict")
+        t = ctx.index.parquet(path)
+        got = sorted(r["doc_id"] for r in
+                     t.contains_term_prefix("text", "eps").collect())
+        info = ctx.index.last_prune_info
+        assert got == list(range(100, 200))
+        assert info.selected_files < info.total_files, info
+        plain = sorted(
+            r["doc_id"] for r in spark.read.parquet(path)
+            .filter(F.exists(F.split(F.trim("text"), r"\s+"),
+                             lambda x: x.startswith("eps"))).collect())
+        assert got == plain
+
+    def test_shared_prefix_family(self, spark, ctx, tmp_table_dir):
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tp2",
+                          filter_type="dict")
+        t = ctx.index.parquet(path)
+        got = sorted(r["doc_id"] for r in
+                     t.contains_term_prefix("text", "tail2").collect())
+        assert got == list(range(200, 300))
+        info = ctx.index.last_prune_info
+        assert info.selected_files < info.total_files, info
+
+    def test_absent_prefix_prunes_everything(self, spark, ctx,
+                                             tmp_table_dir):
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tp3",
+                          filter_type="dict")
+        t = ctx.index.parquet(path)
+        assert t.contains_term_prefix("text", "zzz").count() == 0
+        assert ctx.index.last_prune_info.selected_files == 0
+
+    def test_bloom_scans_but_is_exact(self, spark, ctx, tmp_table_dir):
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tp4",
+                          filter_type="bloom")
+        t = ctx.index.parquet(path)
+        got = sorted(r["doc_id"] for r in
+                     t.contains_term_prefix("text", "gam").collect())
+        assert got == list(range(0, 100))
+
+    def test_no_term_index_soundly_scans(self, spark, ctx, tmp_table_dir):
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tp5",
+                          term_index=False)
+        t = ctx.index.parquet(path)
+        assert t.contains_term_prefix("text", "delt").count() == 100
+        assert ctx.index.last_prune_info.selected_files == \
+            ctx.index.last_prune_info.total_files
+
+    def test_validation(self, spark, ctx, tmp_table_dir):
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tp6",
+                          filter_type="dict")
+        t = ctx.index.parquet(path)
+        with pytest.raises(ValueError):
+            t.contains_term_prefix("text", "")
+        with pytest.raises(ValueError):
+            t.contains_term_prefix("text", "two words")
+
+    def test_negation_scans_but_is_exact(self, spark, ctx, tmp_table_dir):
+        from parquet_index_spark import predicates as P
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tp7",
+                          filter_type="dict")
+        t = ctx.index.parquet(path)
+        got = t.filter(P.Not(P.TermPrefixMatch("text", "eps"))).count()
+        assert got == 200  # everything except the epsilon docs
