@@ -55,7 +55,8 @@ BENCH_QUERIES = [
     "stream_shuffle_split_stats", "split_leakage_audit",
     "idx_compact_roundtrip", "idx_prefix_scan", "idx_null_safe_point",
     "cohort_retention", "funnel_conversion", "data_quality_audit",
-    "chunk_overlap_stats", "chunk_dedup_pipeline",
+    "chunk_overlap_stats", "chunk_dedup_pipeline", "ks_drift_doclen",
+    "idx_term_prefix_search",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the

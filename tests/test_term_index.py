@@ -383,3 +383,20 @@ class TestTermPrefix:
         t = ctx.index.parquet(path)
         got = t.filter(P.Not(P.TermPrefixMatch("text", "eps"))).count()
         assert got == 200  # everything except the epsilon docs
+
+    def test_distributed_fold_matches_numpy(self, spark, ctx,
+                                            tmp_table_dir):
+        """TermPrefixMatch parity between the numpy and Spark-job
+        pruning executions (the term pseudo-column's dict arrays ride
+        the pivoted stats frame in the distributed path)."""
+        from parquet_index_spark import predicates as P
+        from parquet_index_spark.pruning import prune_files
+        from parquet_index_spark.pruning_spark import prune_files_with_spark
+        path = _docs_table(spark, ctx, tmp_table_dir, name="tp8",
+                          filter_type="dict")
+        metadata = ctx.index.parquet(path)._metadata
+        for prefix in ("eps", "tail2", "zzz", "a"):
+            pred = P.TermPrefixMatch("text", prefix)
+            numpy_files = set(prune_files(pred, metadata.context()))
+            spark_files = set(prune_files_with_spark(spark, metadata, pred))
+            assert spark_files == numpy_files, prefix
