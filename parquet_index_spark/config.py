@@ -25,6 +25,11 @@ DICT_MAX_SIZE = "spark.sql.index.parquet.filter.dict.maxSize"
 # query ~= n_blocks * fpp (400 blocks at 0.03 -> ~12 extra; at 0.001 ->
 # ~0.4). Lower fpp costs ~2x metadata per decade: bits/item = 1.44*log2(1/fpp)
 BLOOM_FPP = "spark.sql.index.parquet.filter.bloom.fpp"
+# every incremental refresh appends stats shard(s); a per-micro-batch
+# write_indexed_sink stream would accumulate thousands and degrade every
+# metadata read. Past this shard count, refresh compacts the stats dir
+# (staged swap with crash recovery). 0 disables.
+REFRESH_MAX_SHARDS = "spark.sql.index.parquet.refresh.maxShards"
 
 DEFAULT_METASTORE_DIR = "index_metastore"
 
@@ -49,6 +54,7 @@ class IndexConf:
     filter_eager_loading: bool
     dict_max_size: int
     bloom_fpp: float
+    refresh_max_shards: int
 
     @classmethod
     def from_spark(cls, spark: SparkSession) -> "IndexConf":
@@ -91,4 +97,5 @@ class IndexConf:
             filter_eager_loading=_bool(get(PARQUET_FILTER_EAGER_LOADING), False),
             dict_max_size=int(get(DICT_MAX_SIZE, "4096") or 4096),
             bloom_fpp=float(get(BLOOM_FPP, "0.03") or 0.03),
+            refresh_max_shards=int(get(REFRESH_MAX_SHARDS, "64") or 64),
         )

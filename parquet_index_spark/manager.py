@@ -33,7 +33,7 @@ from parquet_index_spark import collector, predicates as P, types as ityp
 from parquet_index_spark.catalog import resolve_catalog_table
 from parquet_index_spark.config import IndexConf
 from parquet_index_spark.metastore import (
-    FILES_FILE, METADATA_FILE, STATS_DIR,
+    FILES_FILE, METADATA_FILE, STATS_DIR, SUCCESS_FILE,
     IndexMetadata, IndexNotFoundError, LocationSpec, Metastore,
 )
 from parquet_index_spark.pruning import prune_files
@@ -1119,11 +1119,69 @@ class DataFrameIndexManager:
         os.replace(tmp, meta_path)
         metadata.data_schema = merged
 
+    @staticmethod
+    def _recover_stats_swap(index_dir: str) -> None:
+        """Heal an interrupted stats-shard compaction (the staged-rename
+        swap below): a bak dir without a stats dir means the crash hit
+        between the two renames — restore it; a bak beside a stats dir
+        means the crash hit after the swap — drop the leftover. Either
+        way the manifest never changed, so restoring ``_SUCCESS``
+        re-commits a consistent index (compact_table's recovery
+        contract, sources/__init__.py)."""
+        import shutil
+
+        stats_dir = os.path.join(index_dir, STATS_DIR)
+        bak = stats_dir + ".__compact_bak"
+        tmp = stats_dir + ".__compact_tmp"
+        if os.path.isdir(bak):
+            if not os.path.isdir(stats_dir):
+                os.rename(bak, stats_dir)
+            else:
+                shutil.rmtree(bak)
+            marker = os.path.join(index_dir, SUCCESS_FILE)
+            if not os.path.isfile(marker):
+                with open(marker, "w"):
+                    pass
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _compact_stats_shards(self, index_dir: str, n_shards: int) -> int:
+        """Rewrite the stats dir into few shards (a refresh-per-micro-
+        batch stream accumulates one per batch; every metadata read pays
+        for the file count). The swap drops ``_SUCCESS`` first so a
+        crash mid-swap leaves the index recoverably absent, never a
+        half-swapped stats dir behind a valid marker; the manifest (the
+        commit point) is untouched throughout."""
+        import shutil
+
+        stats_dir = os.path.join(index_dir, STATS_DIR)
+        tmp = stats_dir + ".__compact_tmp"
+        bak = stats_dir + ".__compact_bak"
+        shutil.rmtree(tmp, ignore_errors=True)
+        target = max(1, min(8, n_shards // 8))
+        (self.spark.read.parquet(stats_dir)
+         .repartition(target)
+         .write.mode("overwrite").parquet(tmp))
+        marker = os.path.join(index_dir, SUCCESS_FILE)
+        os.remove(marker)
+        try:
+            os.rename(stats_dir, bak)
+            os.rename(tmp, stats_dir)
+            shutil.rmtree(bak)
+        finally:
+            # both rename orders leave a consistent (old or compacted)
+            # stats dir by here, or recovery rebuilds it on next entry
+            if os.path.isdir(stats_dir):
+                with open(marker, "w"):
+                    pass
+        return len([f for f in os.listdir(stats_dir)
+                    if f.endswith(".parquet")])
+
     def _refresh_index(self, path: str, dataspace: str) -> dict:
         """Incremental refresh; returns a summary dict (mode/new/removed)."""
         conf = self._conf()
         metastore = self._metastore(conf)
         spec = LocationSpec(path, dataspace=dataspace)
+        self._recover_stats_swap(metastore.index_dir(spec))
         if not metastore.exists(spec):
             raise IndexNotFoundError(
                 f"No index to refresh for {spec.table_path}; create it first")
@@ -1184,8 +1242,19 @@ class DataFrameIndexManager:
         pq.write_table(files_table, tmp)
         os.replace(tmp, manifest)
         metastore.invalidate(index_dir)
-        return {"mode": "incremental", "new_files": len(new_files),
-                "removed_or_changed": 0}
+        out = {"mode": "incremental", "new_files": len(new_files),
+               "removed_or_changed": 0}
+        # threshold-gated shard compaction AFTER the commit: refresh-per-
+        # micro-batch streams otherwise accumulate one shard per batch
+        # and every metadata read pays for the file count
+        n_shards = len([f for f in os.listdir(stats_dir)
+                        if f.endswith(".parquet")])
+        if conf.refresh_max_shards > 0 and n_shards > conf.refresh_max_shards:
+            out["shards_before"] = n_shards
+            out["shards_after"] = self._compact_stats_shards(
+                index_dir, n_shards)
+            metastore.invalidate(index_dir)
+        return out
 
     def _exists_index(self, path: str, dataspace: str) -> bool:
         conf = self._conf()

@@ -104,3 +104,77 @@ class TestRefreshAtomicity:
         assert sorted(r["id"] for r in rows) == sorted(r["id"] for r in plain)
         info = ctx.index.last_prune_info
         assert info.pruned
+
+
+class TestShardCompaction:
+    """Threshold-gated stats-shard compaction: refresh-per-micro-batch
+    streams accumulate one shard per refresh; past refresh.maxShards the
+    stats dir is rewritten behind a staged, crash-recoverable swap."""
+
+    def _shards(self, ctx, path):
+        from parquet_index_spark.config import IndexConf
+        from parquet_index_spark.metastore import (STATS_DIR, LocationSpec,
+                                                   Metastore)
+        conf = IndexConf.from_spark(ctx._spark)
+        d = Metastore(conf.metastore_location).index_dir(LocationSpec(path))
+        sd = os.path.join(d, STATS_DIR)
+        return d, sorted(f for f in os.listdir(sd) if f.endswith(".parquet"))
+
+    def test_compacts_past_threshold_and_stays_correct(self, spark, ctx,
+                                                       growing_table):
+        spark.conf.set("spark.sql.index.parquet.refresh.maxShards", "3")
+        try:
+            ctx.index.create.indexBy("id").parquet(growing_table)
+            lo = 10_000
+            outs = []
+            for i in range(5):
+                spark.range(lo + i * 100, lo + i * 100 + 100).coalesce(1) \
+                    .write.mode("append").parquet(growing_table)
+                outs.append(ctx.index.refresh.parquet(growing_table))
+            compacted = [o for o in outs if "shards_before" in o]
+            assert compacted, outs
+            assert all(o["shards_after"] < o["shards_before"]
+                       for o in compacted)
+            _d, shards = self._shards(ctx, growing_table)
+            assert len(shards) <= 8
+            # correctness + pruning survive the rewrite (membership blobs
+            # ride the stats rows through the compaction)
+            t = ctx.index.parquet(growing_table)
+            assert_same_rows(
+                t.filter("id = 10250"),
+                spark.read.parquet(growing_table).filter("id = 10250"))
+            info = ctx.index.last_prune_info
+            assert info.selected_files < info.total_files
+        finally:
+            spark.conf.unset("spark.sql.index.parquet.refresh.maxShards")
+
+    def test_crash_between_renames_recovers(self, spark, ctx,
+                                            growing_table):
+        import shutil
+        from parquet_index_spark.metastore import STATS_DIR, SUCCESS_FILE
+        ctx.index.create.indexBy("id").parquet(growing_table)
+        d, _ = self._shards(ctx, growing_table)
+        sd = os.path.join(d, STATS_DIR)
+        # simulate the crash window: stats renamed away, marker dropped
+        os.remove(os.path.join(d, SUCCESS_FILE))
+        os.rename(sd, sd + ".__compact_bak")
+        assert not ctx.index.exists.parquet(growing_table)  # recoverable-absent
+        spark.range(7000, 7100).coalesce(1).write.mode("append") \
+            .parquet(growing_table)
+        out = ctx.index.refresh.parquet(growing_table)      # heals, then refreshes
+        assert out["mode"] == "incremental"
+        t = ctx.index.parquet(growing_table)
+        assert_same_rows(t.filter("id = 7050"),
+                         spark.read.parquet(growing_table).filter("id = 7050"))
+
+    def test_disabled_with_zero(self, spark, ctx, growing_table):
+        spark.conf.set("spark.sql.index.parquet.refresh.maxShards", "0")
+        try:
+            ctx.index.create.indexBy("id").parquet(growing_table)
+            for i in range(4):
+                spark.range(20_000 + i * 10, 20_000 + i * 10 + 10) \
+                    .coalesce(1).write.mode("append").parquet(growing_table)
+                out = ctx.index.refresh.parquet(growing_table)
+            assert "shards_before" not in out
+        finally:
+            spark.conf.unset("spark.sql.index.parquet.refresh.maxShards")
