@@ -951,24 +951,31 @@ class DataFrameIndexManager:
                 except OSError:
                     pass
         sat = self._filter_saturation(metadata)
+        # shard-count telemetry: the refresh.maxShards compaction trigger
+        # is sized against this number (streams append one per batch)
+        sdir = os.path.join(metadata.index_dir, STATS_DIR)
+        n_shards = len([f for f in os.listdir(sdir)
+                        if f.endswith(".parquet")]) \
+            if os.path.isdir(sdir) else 0
         none_sat = (0, None, None, None, None, False)
         rows = [("TABLE", "", n_files, n_blocks, n_rows,
                  metadata.filter_type or "none") + none_sat
-                + (table_bytes, index_bytes)]
+                + (table_bytes, index_bytes, n_shards)]
         for col, kind in metadata.index_columns.items():
             rows.append(("INDEXED_COLUMN", col, n_files, n_blocks, n_rows,
                          metadata.filter_type or "none")
-                        + sat.get(col, none_sat) + (None, None))
+                        + sat.get(col, none_sat) + (None, None, None))
         for col, kind in metadata.partition_columns.items():
             rows.append(("PARTITION_COLUMN", col, n_files, n_blocks, n_rows,
-                         "exact") + none_sat + (None, None))
+                         "exact") + none_sat + (None, None, None))
         return self.spark.createDataFrame(
             rows, schema="entry string, column string, n_files long, "
                          "n_blocks long, n_rows long, filter_type string, "
                          "filter_blocks long, max_stored_items long, "
                          "design_item_cap long, max_fill double, "
                          "max_est_fpp double, saturated boolean, "
-                         "table_bytes long, index_bytes long")
+                         "table_bytes long, index_bytes long, "
+                         "stats_shards long")
 
     @staticmethod
     def _filter_saturation(metadata) -> dict:
