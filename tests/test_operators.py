@@ -1107,6 +1107,42 @@ class TestIndexedSink:
         if extra.filter(f"event_id = {new_probe}").count() == 1:
             assert t2.filter(f"event_id = {new_probe}").count() == 1
 
+    def test_stream_compacts_stats_shards(self, spark, tmp_path):
+        """The motivating case for refresh.maxShards: a per-micro-batch
+        refreshing sink must not grow the stats dir one shard per batch
+        forever — with the threshold set low, the stream's own refreshes
+        keep the shard count bounded and queries stay correct."""
+        from parquet_index_spark import QueryContext, streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        spark.conf.set("spark.sql.index.metastore", str(tmp_path / "ms"))
+        spark.conf.set("spark.sql.index.parquet.refresh.maxShards", "3")
+        try:
+            ctx = QueryContext(spark)
+            src = str(tmp_path / "src")
+            table = str(tmp_path / "tbl")
+            ev = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+            for i in range(6):
+                ev.filter(f"event_id % 6 = {i}").coalesce(1) \
+                    .write.mode("append").parquet(src)
+            stream = ST.read_event_stream(spark, src, max_files_per_trigger=1)
+            ST.write_indexed_sink(stream.drop("event_time"), table,
+                                  str(tmp_path / "ck"), ctx,
+                                  ["event_id", "user_id"])
+            from parquet_index_spark.metastore import (STATS_DIR,
+                                                       LocationSpec,
+                                                       Metastore)
+            d = Metastore(str(tmp_path / "ms")).index_dir(LocationSpec(table))
+            shards = [f for f in os.listdir(os.path.join(d, STATS_DIR))
+                      if f.endswith(".parquet")]
+            assert len(shards) <= 4, shards  # bounded, not one-per-batch
+            t = ctx.index.parquet(table)
+            assert t.df.count() == ev.count()
+            probe = ev.select("event_id").head()["event_id"]
+            assert t.filter(f"event_id = {probe}").count() == 1
+        finally:
+            spark.conf.unset("spark.sql.index.parquet.refresh.maxShards")
+
 
 class TestMergeSink:
     def _base_table(self, spark, ctx, tmp_path, n=10_000):
