@@ -13,6 +13,12 @@ can inspect an index without writing a script:
   IVF quantizer sizing advisor over the table's ``embedding`` column
   (k from corpus size / target cluster size; warns when the proposal
   implies clusters past semantic_dedup's enumeration cap)
+- ``validate <path> <rule> [<rule> ...]`` — the data-quality rules
+  engine over a parquet table; rules are ``kind:column[:arg[,arg]]``:
+  ``not_null:c``  ``unique:c``  ``unique~:c`` (HLL approximate)
+  ``range:c:lo,hi`` (either bound may be empty)  ``set:c:a,b,c``
+  ``regex:c:pattern``. Prints one JSON line per rule; exit code 1 when
+  any rule fails (pipeline-gate friendly).
 
 Honors ``SPARK_GRAFT_METASTORE`` (falls back to the session default
 resolution). Local-mode session; diagnostics are metadata-only except
@@ -35,15 +41,20 @@ def main(argv) -> int:
     if len(argv) < 2:
         return _usage()
     cmd, path = argv[0], argv[1]
-    if cmd not in ("describe", "recommend", "explain", "recommend-ivf"):
+    if cmd not in ("describe", "recommend", "explain", "recommend-ivf",
+                   "validate"):
         return _usage()
-    if cmd == "explain" and len(argv) < 3:
+    if cmd in ("explain", "validate") and len(argv) < 3:
         return _usage()
 
     from pyspark.sql import SparkSession
 
     from parquet_index_spark import QueryContext
 
+    # only stop the session on exit if this invocation created it
+    # (getOrCreate inside a host process would otherwise kill the
+    # host's session)
+    owns_session = SparkSession.getActiveSession() is None
     spark = (SparkSession.builder.master("local[4]")
              .appName("parquet-index-spark-cli")
              .config("spark.ui.enabled", "false").getOrCreate())
@@ -66,13 +77,57 @@ def main(argv) -> int:
             print(json.dumps(recommend_ivf(
                 spark.read.parquet(path), target_cluster_size=target,
                 n_centroids=k)))
+        elif cmd == "validate":
+            from parquet_index_spark.operators import validate as V
+            rules = [_parse_rule(spec) for spec in argv[2:]]
+            report = V.validate(spark.read.parquet(path), rules).collect()
+            failed = False
+            for r in report:
+                print(json.dumps(r.asDict()))
+                failed = failed or not r["passed"]
+            if failed:
+                return 1
         else:
             d = ctx.index.parquet(path).explain_pruning(
                 argv[2], include_saturation=True)
             print(json.dumps(d, indent=1, default=str))
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
     return 0
+
+
+def _parse_rule(spec: str):
+    """``kind:column[:arg[,arg]]`` -> a validate.Rule (see module doc)."""
+    from parquet_index_spark.operators import validate as V
+
+    parts = spec.split(":", 2)
+    if len(parts) < 2:
+        raise SystemExit(f"bad rule {spec!r}: expected kind:column[:args]")
+    kind, column = parts[0], parts[1]
+    arg = parts[2] if len(parts) > 2 else None
+    if kind == "not_null":
+        return V.not_null(column)
+    if kind == "unique":
+        return V.unique(column)
+    if kind == "unique~":
+        return V.unique(column, approximate=True)
+    if kind == "range":
+        if arg is None or "," not in arg:
+            raise SystemExit(f"range rule needs lo,hi in {spec!r}")
+        lo_s, hi_s = arg.split(",", 1)
+        lo = float(lo_s) if lo_s else None
+        hi = float(hi_s) if hi_s else None
+        return V.in_range(column, lo=lo, hi=hi)
+    if kind == "set":
+        if not arg:
+            raise SystemExit(f"set rule needs values in {spec!r}")
+        return V.in_set(column, arg.split(","))
+    if kind == "regex":
+        if not arg:
+            raise SystemExit(f"regex rule needs a pattern in {spec!r}")
+        return V.matches(column, arg)
+    raise SystemExit(f"unknown rule kind {kind!r} in {spec!r}")
 
 
 if __name__ == "__main__":

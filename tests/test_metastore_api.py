@@ -525,3 +525,29 @@ class TestCli:
         assert main(["bogus", "/x"]) == 2
         assert main(["explain", "/x"]) == 2   # missing predicate
         assert main(["recommend-ivf"]) == 2   # missing path
+        assert main(["validate", "/x"]) == 2  # missing rules
+
+    def test_rule_specs_parse_no_spark(self):
+        from parquet_index_spark.__main__ import _parse_rule
+        from parquet_index_spark.operators import validate as V
+        assert _parse_rule("not_null:c") == V.not_null("c")
+        assert _parse_rule("unique:c") == V.unique("c")
+        assert _parse_rule("unique~:c") == V.unique("c", approximate=True)
+        assert _parse_rule("range:c:0,10") == V.in_range("c", 0.0, 10.0)
+        assert _parse_rule("range:c:0,") == V.in_range("c", lo=0.0)
+        assert _parse_rule("set:c:a,b") == V.in_set("c", ["a", "b"])
+        assert _parse_rule("regex:c:^x-") == V.matches("c", "^x-")
+        import pytest as _pt
+        for bad in ("nope", "what:c", "range:c", "set:c", "regex:c"):
+            with _pt.raises(SystemExit):
+                _parse_rule(bad)
+
+    def test_validate_cli_gates_on_failure(self, spark, tmp_table_dir):
+        from parquet_index_spark.__main__ import main
+        p = os.path.join(tmp_table_dir, "cli_dirty")
+        spark.createDataFrame([(1,), (1,), (None,)], "id int") \
+            .write.parquet(p)
+        assert main(["validate", p, "not_null:id", "unique:id"]) == 1
+        clean = os.path.join(tmp_table_dir, "cli_clean")
+        spark.range(5).write.parquet(clean)
+        assert main(["validate", clean, "not_null:id", "unique:id"]) == 0
