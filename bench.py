@@ -663,11 +663,11 @@ def main() -> None:
     # more measurement after full session hygiene; if the clean reading
     # passes the gate, the flag moves to noise_adjudicated with both
     # readings on record — a surviving flag is a real regression.
-    regressions = _regressions(timings, _best_prior_times(), warm_timings)
+    best = _best_prior_times()  # one glob+parse of the committed payloads
+    regressions = _regressions(timings, best, warm_timings)
     noise_adjudicated = {}
     if regressions:
         _session_hygiene()
-        best = _best_prior_times()
         for name in list(regressions):
             fn, _oracle = QUERIES[name]
             try:
@@ -707,7 +707,7 @@ def main() -> None:
         "regressions": regressions,
         "noise_adjudicated": noise_adjudicated,
         "rebaselined": {q: {"warm_sec": warm_timings.get(q, timings.get(q)),
-                            "best_prior_sec": _best_prior_times().get(q),
+                            "best_prior_sec": best.get(q),
                             "why": why}
                         for q, why in _REBASELINED.items()},
         # r3 flagged lsh_bucket_histogram 1.28s(r1) -> 1.87s(r3) with no

@@ -54,7 +54,8 @@ def main(argv) -> int:
     # only stop the session on exit if this invocation created it
     # (getOrCreate inside a host process would otherwise kill the
     # host's session)
-    owns_session = SparkSession.getActiveSession() is None
+    owns_session = (SparkSession.getActiveSession() is None
+                    and SparkSession.getDefaultSession() is None)
     spark = (SparkSession.builder.master("local[4]")
              .appName("parquet-index-spark-cli")
              .config("spark.ui.enabled", "false").getOrCreate())
@@ -116,8 +117,14 @@ def _parse_rule(spec: str):
         if arg is None or "," not in arg:
             raise SystemExit(f"range rule needs lo,hi in {spec!r}")
         lo_s, hi_s = arg.split(",", 1)
-        lo = float(lo_s) if lo_s else None
-        hi = float(hi_s) if hi_s else None
+        try:
+            lo = float(lo_s) if lo_s else None
+            hi = float(hi_s) if hi_s else None
+        except ValueError:
+            raise SystemExit(f"range bounds must be numeric in {spec!r}")
+        if lo is None and hi is None:
+            raise SystemExit(f"range rule needs at least one bound "
+                             f"in {spec!r}")
         return V.in_range(column, lo=lo, hi=hi)
     if kind == "set":
         if not arg:

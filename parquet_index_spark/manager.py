@@ -1140,15 +1140,24 @@ class DataFrameIndexManager:
         stats_dir = os.path.join(index_dir, STATS_DIR)
         bak = stats_dir + ".__compact_bak"
         tmp = stats_dir + ".__compact_tmp"
+        marker = os.path.join(index_dir, SUCCESS_FILE)
         if os.path.isdir(bak):
             if not os.path.isdir(stats_dir):
                 os.rename(bak, stats_dir)
             else:
                 shutil.rmtree(bak)
-            marker = os.path.join(index_dir, SUCCESS_FILE)
             if not os.path.isfile(marker):
                 with open(marker, "w"):
                     pass
+        elif (os.path.isdir(tmp) and os.path.isdir(stats_dir)
+              and not os.path.isfile(marker)):
+            # crash between remove(marker) and the first rename: stats
+            # and manifest are both untouched, and the tmp dir (created
+            # BEFORE the marker drop) is the signature that distinguishes
+            # this from an interrupted CREATE (which must stay absent) —
+            # re-commit by restoring the marker
+            with open(marker, "w"):
+                pass
         shutil.rmtree(tmp, ignore_errors=True)
 
     def _compact_stats_shards(self, index_dir: str, n_shards: int) -> int:
@@ -1173,11 +1182,15 @@ class DataFrameIndexManager:
         try:
             os.rename(stats_dir, bak)
             os.rename(tmp, stats_dir)
+            # restore the marker BEFORE dropping the (possibly large)
+            # bak dir: the index-absent window is just the two renames
+            with open(marker, "w"):
+                pass
             shutil.rmtree(bak)
         finally:
             # both rename orders leave a consistent (old or compacted)
             # stats dir by here, or recovery rebuilds it on next entry
-            if os.path.isdir(stats_dir):
+            if os.path.isdir(stats_dir) and not os.path.isfile(marker):
                 with open(marker, "w"):
                     pass
         return len([f for f in os.listdir(stats_dir)

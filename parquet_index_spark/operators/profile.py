@@ -94,7 +94,10 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
     and the numerator is exact in int64. Returns one row per group:
     ``(group, n_a, n_b, ks_num, ks)`` where ``ks = ks_num/(na*nb)``.
     NULL metric values are dropped; groups present in only one snapshot
-    report ks = 1.0 (supremum at every value).
+    report ks = 1.0 with a NULL ``ks_num`` (the statistic's numerator is
+    undefined when a side has no samples — emitting 0 there would
+    contradict the ks=1 verdict for anyone reconstructing the exact
+    ratio).
 
     Scale shape: one union scan -> partial-agg count per (group, value)
     — the heavy reduction, map-side combinable — then cumulative-sum
@@ -131,8 +134,10 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
             .select(F.col("g").alias(group), "n_a", "n_b",
                     # numerator computed exactly in DECIMAL(38,0), then
                     # emitted as DOUBLE (engine-portable rendering; the
-                    # int->double conversion is deterministic)
-                    F.col("ks_num").cast("double").alias("ks_num"),
+                    # int->double conversion is deterministic). NULL for
+                    # one-sided groups (see docstring).
+                    F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                           F.col("ks_num").cast("double")).alias("ks_num"),
                     F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
                            F.col("ks_num").cast("double")
                            / (dec("n_a") * dec("n_b")).cast("double"))

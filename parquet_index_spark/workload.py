@@ -3457,7 +3457,8 @@ cum AS (
 SELECT g AS lang,
        CAST(max(na) AS BIGINT) AS n_a,
        CAST(max(nb) AS BIGINT) AS n_b,
-       CAST(max(abs(cca * nb - ccb * na)) AS DOUBLE) AS ks_num,
+       CASE WHEN max(na) > 0 AND max(nb) > 0
+            THEN CAST(max(abs(cca * nb - ccb * na)) AS DOUBLE) END AS ks_num,
        CASE WHEN max(na) > 0 AND max(nb) > 0
             THEN CAST(max(abs(cca * nb - ccb * na)) AS DOUBLE)
                  / CAST(max(na) * max(nb) AS DOUBLE)

@@ -178,3 +178,25 @@ class TestShardCompaction:
             assert "shards_before" not in out
         finally:
             spark.conf.unset("spark.sql.index.parquet.refresh.maxShards")
+
+    def test_crash_before_first_rename_recovers(self, spark, ctx,
+                                                growing_table):
+        """The narrowest crash window: marker removed, tmp written, but
+        neither rename happened. Recovery must re-commit (stats AND
+        manifest are untouched) instead of leaving the index absent —
+        distinguished from an interrupted CREATE by the tmp dir."""
+        import shutil
+        from parquet_index_spark.metastore import STATS_DIR, SUCCESS_FILE
+        ctx.index.create.indexBy("id").parquet(growing_table)
+        d, _ = self._shards(ctx, growing_table)
+        sd = os.path.join(d, STATS_DIR)
+        shutil.copytree(sd, sd + ".__compact_tmp")
+        os.remove(os.path.join(d, SUCCESS_FILE))
+        spark.range(8000, 8100).coalesce(1).write.mode("append") \
+            .parquet(growing_table)
+        out = ctx.index.refresh.parquet(growing_table)
+        assert out["mode"] == "incremental"
+        assert not os.path.isdir(sd + ".__compact_tmp")
+        t = ctx.index.parquet(growing_table)
+        assert_same_rows(t.filter("id = 8050"),
+                         spark.read.parquet(growing_table).filter("id = 8050"))
