@@ -376,3 +376,60 @@ class TestRound6PlanQuality:
         # the two materialized vocab frames, never a re-planned corpus
         # scan subtree
         assert len(plans.read_schemas(df)) <= 2, plans.read_schemas(df)
+
+
+class TestRound7PlanQuality:
+    """Plan pins for the round-7 operators: each docstring's scale claim
+    becomes an assertion so a regression to a worse plan fails here, at
+    test time, instead of on a cluster."""
+
+    def test_chunker_is_map_only(self, spark):
+        """chunk_sliding promises pure map-side codegen: the stats
+        rollup's aggregation is the ONLY exchange-bearing stage and no
+        join of any kind appears."""
+        from parquet_index_spark.workload import chunk_overlap_stats
+        df = chunk_overlap_stats(spark, SF_CORRECT)
+        s = plans.join_strategies(df)
+        assert sum(s.values()) == 0, s
+        assert len(plans.read_schemas(df)) == 1  # one scan of documents
+
+    def test_chunk_dedup_windows_by_hash_not_group(self, spark):
+        """The dedup window partitions by the chunk HASH (max
+        cardinality, skew-immune), never by a whole-group key."""
+        from parquet_index_spark.workload import chunk_dedup_pipeline
+        df = chunk_dedup_pipeline(spark, SF_CORRECT)
+        plan = plans.formatted_plan(df)
+        assert "md5" in plan and "Window" in plan
+        assert sum(plans.join_strategies(df).values()) == 0
+
+    def test_cohort_retention_no_joins_single_scan(self, spark):
+        from parquet_index_spark.workload import cohort_retention
+        df = cohort_retention(spark, SF_CORRECT)
+        assert sum(plans.join_strategies(df).values()) == 0
+        assert len(plans.read_schemas(df)) == 1
+
+    def test_funnel_steps_are_equi_joins(self, spark):
+        """Three chained filtered aggregates joined back on user_id —
+        equi-joins only, and events is scanned once per step, never
+        windowed whole."""
+        from parquet_index_spark.workload import funnel_conversion
+        df = funnel_conversion(spark, SF_CORRECT)
+        s = plans.join_strategies(df)
+        assert s["nested_loop"] == 0, s
+        assert sum(s.values()) >= 2, s
+
+    def test_data_quality_single_pass_plus_fk_join(self, spark):
+        """Five row-local rules share ONE aggregation scan of orders;
+        the referential rule adds one orders scan + one customer scan —
+        three table reads total no matter how many row-local rules."""
+        from parquet_index_spark.workload import data_quality_audit
+        df = data_quality_audit(spark, SF_CORRECT)
+        s = plans.join_strategies(df)
+        assert s["nested_loop"] == 0, s
+        assert len(plans.read_schemas(df)) <= 3, plans.read_schemas(df)
+
+    def test_ks_drift_no_joins(self, spark):
+        from parquet_index_spark.workload import ks_drift_doclen
+        df = ks_drift_doclen(spark, SF_CORRECT)
+        assert sum(plans.join_strategies(df).values()) == 0
+        assert "Window" in plans.formatted_plan(df)
