@@ -853,31 +853,45 @@ def funnel_conversion(spark, sf_dir):
     steps; this is the offline k-step drop-off report with per-step
     average time-to-convert.
 
-    Scale shape: each step is a filtered partial-agg on user_id followed
-    by an equi-join back on user_id — the chain re-uses the user_id hash
-    partitioning across stages (no cross-step windows over whole event
-    history, no per-user arrays), so a power user costs their own event
-    count and nothing more. Lag math is exact long µs; the average is a
+    Scale shape: ONE scan of events (pre-filtered map-side to the three
+    step types) and ONE user_id shuffle — the three step times are
+    chained conditional-min windows over the SAME partitioning, which
+    Catalyst plans as consecutive Window operators with no intermediate
+    exchange; per-user event history is bounded, and the final rollup is
+    a three-row grid. Lag math is exact long µs; the average is a
     DECIMAL sum over a long count (engine-portable double)."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", _epoch_us("ts").alias("us"))
-    s1 = (ev.filter("event_type = 'view'")
-          .groupBy("user_id").agg(F.min("us").alias("t1")))
-    s2 = (ev.filter("event_type = 'click'").join(s1, "user_id")
-          .filter("us > t1")
-          .groupBy("user_id").agg(F.min("us").alias("t2"),
-                                  F.min("t1").alias("t1")))
-    s3 = (ev.filter("event_type = 'purchase'").join(s2, "user_id")
-          .filter("us > t2")
-          .groupBy("user_id").agg(F.min("us").alias("t3"),
-                                  F.min("t2").alias("t2")))
-    null_lag = F.lit(None).cast("long").alias("lag_us")
-    steps = (s1.select(F.lit("1_view").alias("step"), "user_id", null_lag)
-             .unionByName(s2.select(F.lit("2_click").alias("step"), "user_id",
-                                    (F.col("t2") - F.col("t1")).alias("lag_us")))
-             .unionByName(s3.select(F.lit("3_purchase").alias("step"), "user_id",
-                                    (F.col("t3") - F.col("t2")).alias("lag_us"))))
-    return (steps.groupBy("step")
+    steps = [("view", "t1"), ("click", "t2"), ("purchase", "t3")]
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin([s for s, _ in steps]))
+          .select("user_id", "event_type", _epoch_us("ts").alias("us")))
+    w = Window.partitionBy("user_id")
+    cur = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view",
+                           F.col("us"))).over(w))
+    for (etype, tcol), (_p, prev) in zip(steps[1:], steps):
+        cur = cur.withColumn(
+            tcol, F.min(F.when((F.col("event_type") == etype)
+                               & (F.col("us") > F.col(prev)),
+                               F.col("us"))).over(w))
+    per_user = (cur.groupBy("user_id")
+                .agg(*[F.min(t).alias(t) for _s, t in steps]))
+    # inline-unpivot instead of a 3-way union of filters over per_user:
+    # reusing an unmaterialized frame re-plans the whole upstream per
+    # branch (3 scans/shuffles); one array<struct> explode keeps the
+    # single scan + single shuffle the docstring promises
+    entries = F.array(
+        F.struct(F.lit("1_view").alias("step"),
+                 F.col("t1").isNotNull().alias("hit"),
+                 F.lit(None).cast("long").alias("lag_us")),
+        F.struct(F.lit("2_click").alias("step"),
+                 F.col("t2").isNotNull().alias("hit"),
+                 (F.col("t2") - F.col("t1")).alias("lag_us")),
+        F.struct(F.lit("3_purchase").alias("step"),
+                 F.col("t3").isNotNull().alias("hit"),
+                 (F.col("t3") - F.col("t2")).alias("lag_us")))
+    rows = (per_user.select("user_id", F.inline(entries))
+            .filter("hit"))
+    return (rows.groupBy("step")
             .agg(F.countDistinct("user_id").alias("n_users"),
                  (F.sum(F.col("lag_us").cast("decimal(38,0)")).cast("double")
                   / F.count("lag_us")).alias("avg_lag_us"))

@@ -408,15 +408,17 @@ class TestRound7PlanQuality:
         assert sum(plans.join_strategies(df).values()) == 0
         assert len(plans.read_schemas(df)) == 1
 
-    def test_funnel_steps_are_equi_joins(self, spark):
-        """Three chained filtered aggregates joined back on user_id —
-        equi-joins only, and events is scanned once per step, never
-        windowed whole."""
+    def test_funnel_single_scan_no_joins(self, spark):
+        """The funnel is ONE scan of events and ONE user_id shuffle:
+        chained conditional-min windows over the same partitioning plan
+        as consecutive Window operators with no joins and no re-scan
+        per step."""
         from parquet_index_spark.workload import funnel_conversion
         df = funnel_conversion(spark, SF_CORRECT)
         s = plans.join_strategies(df)
-        assert s["nested_loop"] == 0, s
-        assert sum(s.values()) >= 2, s
+        assert sum(s.values()) == 0, s
+        assert len(plans.read_schemas(df)) == 1, plans.read_schemas(df)
+        assert plans.formatted_plan(df).count("Window") >= 1
 
     def test_data_quality_single_pass_plus_fk_join(self, spark):
         """Five row-local rules share ONE aggregation scan of orders;
