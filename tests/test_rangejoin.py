@@ -122,10 +122,32 @@ class TestDppJoin:
         assert_same_rows(out, expected)
         pi = ctx.index.last_prune_info
         assert pi.total_files == 16
-        # 2 keys on a 16-file Z-layout: min/max keeps ~4 files per key,
-        # blooms trim further; anything at/under half the table proves the
-        # dim-derived fold reached the index
-        assert pi.selected_files <= 8
+        # the Z-layout's file boundaries come from repartitionByRange's
+        # SAMPLED split points, so a fixed file-count threshold flakes
+        # run to run; derive the bound from the actual layout instead:
+        # the fold may never keep more files than those whose true
+        # o_custkey [min, max] contains a probe key (blooms only refute
+        # further), and it must beat a full scan
+        import glob as _glob
+        import pyarrow.parquet as _pq
+        range_match = 0
+        for f in _glob.glob(os.path.join(fact, "*.parquet")):
+            md = _pq.ParquetFile(f).metadata
+            sch = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+            ci = sch["o_custkey"]
+            hit = False
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or st.min is None:
+                    hit = True
+                    break
+                if any(st.min <= k <= st.max for k in (421, 900)):
+                    hit = True
+                    break
+            range_match += hit
+        assert pi.selected_files <= range_match, (pi, range_match)
+        assert pi.selected_files < pi.total_files
 
     def test_empty_dim_yields_zero_files_and_rows(self, spark, tmp_metastore,
                                                   tmp_table_dir):
