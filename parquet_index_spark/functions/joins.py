@@ -44,7 +44,8 @@ def salted_join(large: DataFrame, small: DataFrame,
 
 def dpp_join(ctx, fact_path: str, fact_key: str, dim: DataFrame,
              dim_key: str, how: str = "inner",
-             max_keys: int = 100_000) -> DataFrame:
+             max_keys: int = 100_000,
+             max_broadcast_rows: int = 4_000_000) -> DataFrame:
     """Star-schema join with index-driven file pruning of the fact side —
     the file-level analog of Spark's dynamic partition pruning
     (reference parity: the reference prunes only from literal predicates,
@@ -55,9 +56,20 @@ def dpp_join(ctx, fact_path: str, fact_key: str, dim: DataFrame,
     (bounded by ``max_keys`` — the same "dim side is small" premise Spark's
     own DPP and broadcast joins rest on), folded into the fact's index as
     an IN-set predicate so only fact files whose stats/membership filters
-    can contain those keys are scanned, then the dim is broadcast-joined.
-    Past ``max_keys`` the fold degrades to the [min, max] range — still
-    sound, still prunes when the fact is clustered on the key.
+    can contain those keys are scanned, then the dim is joined. Past
+    ``max_keys`` the fold degrades to the [min, max] range — still sound,
+    still prunes when the fact is clustered on the key.
+
+    The join itself broadcasts the dim only under a ``limit(n+1)`` ROW
+    probe against ``max_broadcast_rows`` (the span_dedup /
+    dedup_against_corpus contract): distinct-key count under ``max_keys``
+    does not bound dim rows or bytes (a wide or key-duplicated dim can
+    blow the broadcast budget), so above the cap — and always on the
+    ``> max_keys`` degraded branch, whose premise is "dim is big" — the
+    forced hint is dropped and the join strategy returns to Catalyst's
+    own size-based choice (a shuffle join for a genuinely large dim).
+    Identical results; the file-level pruning (this operator's point)
+    is unaffected.
 
     Returns the joined DataFrame (all fact columns + non-key dim columns).
     """
@@ -67,10 +79,11 @@ def dpp_join(ctx, fact_path: str, fact_key: str, dim: DataFrame,
             dim.select(dim_key).distinct().limit(max_keys + 1).collect()]
     vals = [v for v in vals if v is not None]
     fact = ctx.index.parquet(fact_path)
+    big_dim = len(vals) > max_keys
     if not vals:
         # empty dim: nothing can join; In(()) folds to select zero files
         pruned = fact.filter(P.In(fact_key, ()))
-    elif len(vals) > max_keys:
+    elif big_dim:
         # the collected vals are a LIMITed sample — their min/max is not a
         # sound bound; aggregate the full dim for the true range
         lo, hi = dim.agg(F.min(dim_key), F.max(dim_key)).head()
@@ -78,7 +91,15 @@ def dpp_join(ctx, fact_path: str, fact_key: str, dim: DataFrame,
                                     P.Le(fact_key, hi))))
     else:
         pruned = fact.filter(P.In(fact_key, tuple(vals)))
+    if big_dim:
+        # >max_keys distinct keys: the dim exceeded the "small side"
+        # premise — don't probe, don't broadcast
+        broadcastable = False
+    else:
+        broadcastable = (dim.limit(max_broadcast_rows + 1).count()
+                         <= max_broadcast_rows)
     cond = pruned[fact_key] == dim[dim_key]
     out_cols = ([pruned[c] for c in pruned.columns] +
                 [dim[c] for c in dim.columns if c != dim_key])
-    return pruned.join(F.broadcast(dim), cond, how).select(*out_cols)
+    right = F.broadcast(dim) if broadcastable else dim
+    return pruned.join(right, cond, how).select(*out_cols)
