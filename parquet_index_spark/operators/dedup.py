@@ -245,7 +245,12 @@ def contaminated_docs(train_df: DataFrame, eval_df: DataFrame,
     span_dedup contract): at most ``max_broadcast_rows`` rows broadcast;
     above that the join falls back to a plain shuffle equi-join on the
     shingle — identical results, just a shuffle of both exploded sides.
-    The probe costs one early-terminating extra scan of the eval side.
+    The eval-side distinct set is checkpointed BEFORE the probe: its
+    exploded-shingle shuffle must complete for ``distinct()`` anyway, so
+    materializing it once means the probe is a count over the
+    checkpointed frame and the join reuses it — one eval-side shuffle
+    total, not two (round-7 ADVICE; the checkpointed frame is
+    distinct-shingle-sized, spilled to executor disk if large).
     Shingle document-frequency capping is deliberately NOT applied here:
     dropping common shingles can only hide contamination, and real
     decontamination uses long n-grams (k >= 5) that are rare by
@@ -256,7 +261,8 @@ def contaminated_docs(train_df: DataFrame, eval_df: DataFrame,
                           F.explode(sh).alias("__s")))
     ev = (eval_df.select(F.col(id_col).alias("__eval_id"),
                          F.explode(sh).alias("__s"))
-          .distinct())
+          .distinct()
+          .localCheckpoint())
     n_ev = ev.limit(max_broadcast_rows + 1).count()
     joined = (tr.join(F.broadcast(ev), "__s")
               if n_ev <= max_broadcast_rows else tr.join(ev, "__s"))

@@ -81,51 +81,116 @@ def profile_columns(df: DataFrame, columns: Optional[List[str]] = None,
 
 
 def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
-             value_col: str) -> DataFrame:
+             value_col: str, range_buckets: int = 4096) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov distance per group — the
     numeric-distribution drift monitor that pairs with
     ``text.vocab_drift`` (categorical TV distance): how far does a
     metric's distribution (doc length, quality score, token count) move
-    between two corpus snapshots?
+    between two corpus snapshots? ``value_col`` must be numeric and
+    non-NaN (the bucketizer divides through its range).
 
-    Entirely INTEGER arithmetic until the last division, so the result
-    is engine-portable bit-for-bit: with cumulative counts ``ca, cb``
-    and totals ``na, nb``, ``|ca/na - cb/nb| = |ca*nb - cb*na| / (na*nb)``
-    and the numerator is exact in int64. Returns one row per group:
-    ``(group, n_a, n_b, ks_num, ks)`` where ``ks = ks_num/(na*nb)``.
-    NULL metric values are dropped; groups present in only one snapshot
-    report ks = 1.0 with a NULL ``ks_num`` (the statistic's numerator is
-    undefined when a side has no samples — emitting 0 there would
-    contradict the ks=1 verdict for anyone reconstructing the exact
-    ratio).
+    Exactness: with cumulative counts ``ca, cb`` and totals ``na, nb``,
+    ``|ca/na - cb/nb| = |ca*nb - cb*na| / (na*nb)`` — the numerator
+    ``ks_num`` is computed EXACTLY (integer counts, DECIMAL(38,0) cross
+    products), so it is engine-portable bit-for-bit. The final ``ks``
+    divides that exact numerator by ``na*nb`` in DOUBLE: it is exact
+    only up to the double rounding of ``ks_num`` and ``na*nb`` (lossless
+    below 2^53, one correctly-rounded ulp beyond), and portable because
+    every IEEE engine performs the identical int->double conversion and
+    division. Returns one row per group: ``(group, n_a, n_b, ks_num,
+    ks)``. NULL metric values are dropped; groups present in only one
+    snapshot report ks = 1.0 with a NULL ``ks_num`` (the statistic's
+    numerator is undefined when a side has no samples — emitting 0
+    there would contradict the ks=1 verdict for anyone reconstructing
+    the exact ratio).
 
-    Scale shape: one union scan -> partial-agg count per (group, value)
-    — the heavy reduction, map-side combinable — then cumulative-sum
-    windows over DISTINCT VALUES per group (cardinality of the metric,
-    not of the corpus: thousands of doc-length values, not billions of
-    docs). For a continuous metric, quantize first (``F.round`` /
-    bucketize) so the distinct-value set stays bounded; the KS of the
-    quantized distribution is what gets compared round over round.
+    Scale shape — DISTRIBUTED CDF, never one task per group (round-7
+    verdict: the old per-group ``orderBy(v)`` cumulative window funneled
+    a dominant group's whole distinct-value set — unbounded for a
+    continuous metric — through a single task; the cure is the
+    ``top_fraction_per_group`` bucketed-prefix template):
+
+      1. one union scan -> per-(group, value) counts — the heavy
+         map-side-combinable reduction, checkpointed so the corpus is
+         scanned ONCE (the frame is distinct-value-sized, sublinear in
+         corpus);
+      2. per-group value extremes + side totals — a tiny agg over that
+         frame, broadcast back to bucketize each value into
+         ``range_buckets`` value-range buckets (a monotone function of
+         the value, so bucket order == value order and equal values
+         share a bucket);
+      3. per-(group, bucket) count sums + exclusive bucket prefix
+         offsets — windows over the tiny |groups| x buckets metadata
+         frame, broadcast back;
+      4. cumulative sums only WITHIN a (group, bucket) partition; the
+         global cumulative count is offset + local sum, and the KS max
+         is the max over bucket maxima.
+
+    Identical ``ks_num`` as the single-window form (bucketing is pure
+    partitioning; the counts are unchanged). The broadcasts are
+    metadata-sized — |groups| and |groups| x ``range_buckets`` rows;
+    ``group`` is assumed to be a LOW-CARDINALITY key (language, domain,
+    source — the drift-monitoring regime). For a near-unique group key
+    the broadcasts approach data size: pre-aggregate or bucket such
+    keys upstream.
     """
+    if range_buckets < 1:
+        raise ValueError(
+            f"range_buckets must be >= 1, got {range_buckets}")
     a = df_a.select(F.col(group).alias("g"),
                     F.col(value_col).alias("v")).where(F.col(value_col).isNotNull()) \
         .withColumn("side_a", F.lit(1)).withColumn("side_b", F.lit(0))
     b = df_b.select(F.col(group).alias("g"),
                     F.col(value_col).alias("v")).where(F.col(value_col).isNotNull()) \
         .withColumn("side_a", F.lit(0)).withColumn("side_b", F.lit(1))
+    # (1) the heavy reduction, referenced three times below (extremes,
+    # bucket counts, the cumulative pass) — checkpoint so the union scan
+    # runs once (vocab_drift's rule: unmaterialized reuse re-plans the
+    # whole scan subtree per reference)
     per_val = (a.unionByName(b)
                .groupBy("g", "v")
-               .agg(F.sum("side_a").alias("ca"), F.sum("side_b").alias("cb")))
-    wcum = Window.partitionBy("g").orderBy("v") \
+               .agg(F.sum("side_a").alias("ca"), F.sum("side_b").alias("cb"))
+               .localCheckpoint())
+    # (2) per-group extremes + totals (tiny; one row per group). The
+    # join back is eqNullSafe: a NULL group is its own group here, and a
+    # name equi-join would silently drop it.
+    mm = per_val.groupBy(F.col("g").alias("__ks_g")).agg(
+        F.min(F.col("v").cast("double")).alias("__mn"),
+        F.max(F.col("v").cast("double")).alias("__mx"),
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    base = per_val.join(F.broadcast(mm),
+                        F.col("g").eqNullSafe(F.col("__ks_g"))).drop("__ks_g")
+    span = F.col("__mx") - F.col("__mn")
+    raw = F.floor((F.col("v").cast("double") - F.col("__mn")) / span
+                  * F.lit(int(range_buckets)))
+    bkt = (F.when(span <= F.lit(0.0), F.lit(0))
+           .otherwise(F.least(raw, F.lit(int(range_buckets) - 1))))
+    base = base.withColumn("__bkt", bkt.cast("long"))
+    # (3) per-(group, bucket) sums; exclusive prefix offsets over the
+    # tiny metadata frame (a window over |groups| x buckets rows, not
+    # over the data)
+    w_off = (Window.partitionBy("g").orderBy("__bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (base.groupBy("g", "__bkt")
+            .agg(F.sum("ca").alias("__bca"), F.sum("cb").alias("__bcb"))
+            .withColumn("__offa", F.coalesce(F.sum("__bca").over(w_off),
+                                             F.lit(0).cast("long")))
+            .withColumn("__offb", F.coalesce(F.sum("__bcb").over(w_off),
+                                             F.lit(0).cast("long")))
+            .select(F.col("g").alias("__ks_g2"),
+                    F.col("__bkt").alias("__bkt2"), "__offa", "__offb"))
+    cum_src = base.join(F.broadcast(offs),
+                        F.col("g").eqNullSafe(F.col("__ks_g2"))
+                        & (F.col("__bkt") == F.col("__bkt2")))
+    # (4) cumulative only within a (group, bucket); global = offset +
+    # local (bucket order == value order, equal values share a bucket)
+    wcum = Window.partitionBy("g", "__bkt").orderBy("v") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy("g")
-    cum = (per_val
-           .withColumn("cca", F.sum("ca").over(wcum))
-           .withColumn("ccb", F.sum("cb").over(wcum))
-           .withColumn("na", F.sum("ca").over(wall))
-           .withColumn("nb", F.sum("cb").over(wall)))
+    cum = (cum_src
+           .withColumn("cca", F.col("__offa") + F.sum("ca").over(wcum))
+           .withColumn("ccb", F.col("__offb") + F.sum("cb").over(wcum)))
     # DECIMAL(38,0) cross products: long*long overflows past ~3e9 rows
-    # per side, and the whole point is exactness (vocab_drift's rule)
+    # per side, and ks_num must stay exact (vocab_drift's rule)
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     diff = F.abs(dec("cca") * dec("nb") - dec("ccb") * dec("na"))
     return (cum.groupBy("g")

@@ -345,7 +345,10 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
                            *tiebreak: ColumnOrName,
                            descending: bool = False,
                            keep_rank: bool = False,
-                           range_buckets: int = 4096) -> DataFrame:
+                           range_buckets: int = 4096,
+                           degenerate_escape: bool = False,
+                           degenerate_floor: int = 1_000_000,
+                           max_broadcast_rows: int = 4_000_000) -> DataFrame:
     """Per-group FRACTIONAL quota: keep the best ``ceil(fraction * n)``
     rows of every group, preferring the lowest ``score`` (pass
     ``descending=True`` to keep highest) — the "keep the top 30% by
@@ -384,25 +387,85 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
 
     Identical keep set and ranks as the single-window form (equivalence
     test in tests/test_sampling.py); the heavy window gains
-    ``range_buckets``-way parallelism per group. A group whose score is
-    constant degenerates to one bucket — pre-thin such groups with
-    :func:`hash_sample` as with cap_per_group.
+    ``range_buckets``-way parallelism per group.
+
+    Degenerate groups (round-7 verdict #4): a group whose score span is
+    ZERO collapses to one bucket and silently recreates the whole-group
+    window this operator was rebuilt to kill. Two defenses:
+
+    - AUDIT (always on when the metadata fits the broadcast cap): any
+      constant-score group with more than ``degenerate_floor`` rows
+      raises a ``UserWarning`` naming the groups, so the collapse
+      surfaces instead of OOMing a task at 100x scale.
+    - ESCAPE (``degenerate_escape=True``): constant-score groups are
+      sub-bucketed by a hash of the ``tiebreak`` columns instead, so
+      the rank window still parallelizes ``range_buckets``-way. Since
+      every score in such a group ties, ANY deterministic preference
+      among them satisfies the "top fraction by score" contract — but
+      note the kept subset follows content-hash order rather than raw
+      ``tiebreak`` order (reruns and re-shardings are still identical;
+      requires a discriminating ``tiebreak``). Off by default because
+      it changes which tied rows are kept vs the documented
+      (score, tiebreak) order.
+
+    Broadcast regime (round-7 ADVICE): the two metadata frames —
+    per-group extremes (|groups| rows) and surviving-bucket offsets (up
+    to |groups| x ``range_buckets`` rows) — are checkpointed, size-probed
+    against ``max_broadcast_rows``, and broadcast only under the cap;
+    past it (a near-unique group key) the joins fall back to plain
+    shuffle equi-joins — identical results, no driver-sized broadcast.
+    The checkpoint also pins each metadata frame so the final plan scans
+    the data exactly three times (extremes agg, bucket-count agg, the
+    rank pass) instead of re-planning the subtree per reference.
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     if range_buckets < 1:
         raise ValueError(
             f"range_buckets must be >= 1, got {range_buckets}")
+    if degenerate_escape:
+        if not tiebreak:
+            raise ValueError(
+                "degenerate_escape requires at least one tiebreak column "
+                "(the hash sub-bucket is derived from it)")
+        for t in tiebreak:
+            if str(_as_col(t)).endswith(("NULLS FIRST'>", "NULLS LAST'>")):
+                raise ValueError(
+                    "degenerate_escape requires PLAIN tiebreak columns "
+                    "(no F.asc/F.desc wrappers — a sort order cannot be "
+                    "hashed; ascending is the default order anyway): "
+                    f"got {t}")
     g = _as_col(group)
     s = _as_col(score).cast("double")
     s_dir = (_as_col(score).desc() if descending else _as_col(score).asc())
-    # (1) per-group score extremes: tiny agg, broadcast back. groupBy is
-    # NULL-safe (NULL is its own group) and the join back uses eqNullSafe
-    # so NULL groups keep cap_per_group semantics (a name equi-join would
-    # silently drop them).
+    # (1) per-group score extremes (+ row count for the degenerate
+    # audit): tiny agg, checkpointed (one scan, reused by probe + join)
+    # and broadcast only under the row cap. groupBy is NULL-safe (NULL
+    # is its own group) and the join back uses eqNullSafe so NULL groups
+    # keep cap_per_group semantics (a name equi-join would silently
+    # drop them).
     mm = df.groupBy(g.alias("__tf_g")).agg(
-        F.min(s).alias("__tf_mn"), F.max(s).alias("__tf_mx"))
-    base = df.join(F.broadcast(mm), g.eqNullSafe(F.col("__tf_g")))
+        F.min(s).alias("__tf_mn"), F.max(s).alias("__tf_mx"),
+        F.count("*").alias("__tf_cnt")).localCheckpoint()
+    mm_small = mm.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
+    if mm_small:
+        # the audit is only affordable when |groups| is bounded — a tiny
+        # filter over the checkpointed frame, no data rescans
+        deg = (mm.filter((F.col("__tf_mn") == F.col("__tf_mx"))
+                         & (F.col("__tf_cnt") > F.lit(int(degenerate_floor))))
+               .select("__tf_g", "__tf_cnt").limit(20).collect())
+        if deg and not degenerate_escape:
+            import warnings
+            warnings.warn(
+                "top_fraction_per_group: constant-score group(s) "
+                f"{[(r[0], r[1]) for r in deg]} exceed "
+                f"degenerate_floor={degenerate_floor} rows and collapse "
+                "to ONE score bucket — the rank window degenerates to a "
+                "single task per such group. Pass degenerate_escape=True "
+                "(tiebreak-hash sub-bucketing) or pre-thin these groups.",
+                UserWarning, stacklevel=2)
+    mm_b = F.broadcast(mm) if mm_small else mm
+    base = df.join(mm_b, g.eqNullSafe(F.col("__tf_g")))
     # monotone bucketization: lower bucket == better rank position.
     # Equal scores always share a bucket; NULL scores get a sentinel
     # bucket at the end Spark's default null ordering puts them.
@@ -410,10 +473,25 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     pos = (F.col("__tf_mx") - s) if descending else (s - F.col("__tf_mn"))
     raw = F.floor(pos / span * F.lit(int(range_buckets)))
     null_bkt = int(range_buckets) if descending else -1
+    # the escape hash: [0, 2^32) from the tiebreak columns; bucket =
+    # floor(h * B / 2^32) in long arithmetic (h < 2^32, B <= 2^31 —
+    # no overflow), monotone in h, equal h shares a bucket. It also
+    # joins the window ORDER (below) so offset + local rank stays the
+    # global rank: bucket order == (constant score, hash) order.
+    if degenerate_escape:
+        h = F.pmod(F.xxhash64(*[_as_col(t) for t in tiebreak]),
+                   F.lit(1 << 32))
+        esc_h = F.when(s.isNotNull() & (span <= F.lit(0.0)), h) \
+            .otherwise(F.lit(0)).cast("long")
+        deg_bkt = F.floor(esc_h * F.lit(int(range_buckets)) / F.lit(1 << 32))
+    else:
+        esc_h = F.lit(0).cast("long")
+        deg_bkt = F.lit(0)
     bkt = (F.when(s.isNull(), F.lit(null_bkt))
-           .when(span <= F.lit(0.0), F.lit(0))
+           .when(span <= F.lit(0.0), deg_bkt)
            .otherwise(F.least(raw, F.lit(int(range_buckets) - 1))))
-    base = base.withColumn("__tf_bkt", bkt.cast("long"))
+    base = base.withColumn("__tf_bkt", bkt.cast("long")) \
+        .withColumn("__tf_h", esc_h)
     # (2)+(3) per-(group, bucket) counts; offsets / n / k over the tiny
     # frame (windows over metadata, not data); buckets fully past the
     # cut are dropped here, so they never reach the rank shuffle
@@ -432,16 +510,22 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
             .filter(F.col("__tf_off") < F.col("__tf_k"))
             .select(F.col("__tf_g").alias("__tf_g2"),
                     F.col("__tf_bkt").alias("__tf_b2"),
-                    "__tf_off", "__tf_k"))
+                    "__tf_off", "__tf_k")
+            .localCheckpoint())
+    offs_b = (F.broadcast(offs)
+              if offs.limit(max_broadcast_rows + 1).count()
+              <= max_broadcast_rows else offs)
     # (4) exact rank only inside surviving buckets: the window partitions
     # by (group, bucket) — per-task state is one bucket. offset + local
     # rank IS the global rank (bucket order == score order, equal scores
-    # never straddle buckets).
-    out = base.join(F.broadcast(offs),
+    # never straddle buckets; in an escaped degenerate group, bucket
+    # order == tiebreak-hash order and __tf_h joins the ORDER below).
+    out = base.join(offs_b,
                     F.col("__tf_g").eqNullSafe(F.col("__tf_g2"))
                     & (F.col("__tf_bkt") == F.col("__tf_b2")))
     w_loc = (Window.partitionBy("__tf_g", "__tf_bkt")
-             .orderBy(s_dir, *[_as_col(t) for t in tiebreak]))
+             .orderBy(s_dir, F.col("__tf_h").asc(),
+                      *[_as_col(t) for t in tiebreak]))
     kept = (out.withColumn("__rank",
                            F.col("__tf_off") + F.row_number().over(w_loc))
             .filter(F.col("__rank") <= F.col("__tf_k")))

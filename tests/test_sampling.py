@@ -456,6 +456,97 @@ class TestTopFractionPerGroup:
                         (frac, descending, buckets)
 
 
+class TestTopFractionDegenerate:
+    """Round-7 verdict #4: the constant-score collapse must SURFACE
+    (audit warning) and, with the escape on, still parallelize."""
+
+    def _const_df(self, spark, n=600):
+        rows = [("big", i, 5.0) for i in range(n)] + \
+               [("ok", i, float(i)) for i in range(20)]
+        return spark.createDataFrame(rows,
+                                     "g: string, k: long, score: double")
+
+    def test_audit_warns_on_dominant_constant_score_group(self, spark):
+        import warnings
+        df = self._const_df(spark)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            SA.top_fraction_per_group(df, "g", 0.5, "score", "k",
+                                      degenerate_floor=100).count()
+        msgs = [str(x.message) for x in w
+                if "constant-score" in str(x.message)]
+        assert msgs and "big" in msgs[0], msgs
+        # small constant groups stay under the floor: no warning
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            SA.top_fraction_per_group(df, "g", 0.5, "score", "k",
+                                      degenerate_floor=10_000).count()
+        assert not [x for x in w if "constant-score" in str(x.message)]
+
+    def test_escape_parallelizes_and_keeps_exact_quota(self, spark):
+        from pyspark.sql import functions as F
+        import warnings
+        df = self._const_df(spark)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            kept = SA.top_fraction_per_group(
+                df, "g", 0.5, "score", "k", keep_rank=True,
+                range_buckets=8, degenerate_escape=True,
+                degenerate_floor=100)
+            rows = kept.collect()
+        assert not [x for x in w if "constant-score" in str(x.message)]
+        big = [r for r in rows if r["g"] == "big"]
+        # exact quota with unique global ranks 1..k
+        assert len(big) == 300
+        assert sorted(r["__rank"] for r in big) == list(range(1, 301))
+        # deterministic across re-sharding
+        again = SA.top_fraction_per_group(
+            df.repartition(7), "g", 0.5, "score", "k",
+            range_buckets=8, degenerate_escape=True)
+        assert sorted((r["g"], r["k"]) for r in again.collect()) == \
+            sorted((r["g"], r["k"]) for r in rows)
+        # the group's rows really spread across >1 hash sub-bucket (no
+        # single task receives the whole group): recompute the escape
+        # bucketization the operator uses
+        n_buckets = (df.filter("g = 'big'")
+                     .select(F.floor(
+                         F.pmod(F.xxhash64("k"), F.lit(1 << 32))
+                         * F.lit(8) / F.lit(1 << 32)).alias("b"))
+                     .distinct().count())
+        assert n_buckets > 1
+        # and the plan's rank window still partitions by (group, bucket)
+        from parquet_index_spark import plans
+        plan = plans.formatted_plan(
+            SA.top_fraction_per_group(df, "g", 0.5, "score", "k",
+                                      range_buckets=8,
+                                      degenerate_escape=True))
+        for line in plan.splitlines():
+            if "row_number" in line:
+                assert "__tf_bkt" in line, line
+
+    def test_escape_validates_tiebreak(self, spark):
+        from pyspark.sql import functions as F
+        df = self._const_df(spark, n=10)
+        with pytest.raises(ValueError, match="tiebreak"):
+            SA.top_fraction_per_group(df, "g", 0.5, "score",
+                                      degenerate_escape=True)
+        with pytest.raises(ValueError, match="PLAIN"):
+            SA.top_fraction_per_group(df, "g", 0.5, "score", F.asc("k"),
+                                      degenerate_escape=True)
+
+    def test_broadcast_guard_fallback_identical(self, spark):
+        """Past the metadata row cap the extremes/offsets come back via
+        plain equi-joins (round-7 ADVICE) — identical keep set."""
+        df = self._const_df(spark, n=50)
+        base = SA.top_fraction_per_group(df, "g", 0.3, "score", "k",
+                                         keep_rank=True)
+        guarded = SA.top_fraction_per_group(df, "g", 0.3, "score", "k",
+                                            keep_rank=True,
+                                            max_broadcast_rows=0)
+        assert sorted(map(tuple, base.collect())) == \
+            sorted(map(tuple, guarded.collect()))
+
+
 class TestPackBins:
     def test_ffd_reference_differential_and_invariants(self, spark):
         import numpy as np
