@@ -43,16 +43,74 @@ class TestRefresh:
         info = ctx.index.last_prune_info
         assert info.total_files == 6 and info.selected_files == 1
 
-    def test_rebuild_on_removed_file(self, spark, ctx, growing_table):
+    def test_retracts_removed_files_metadata_only(self, spark, ctx,
+                                                  growing_table,
+                                                  monkeypatch):
+        """Round-7 verdict #5: files that VANISH (a retention delete)
+        retract from the manifest alone — no data-file scan, no shard
+        rewrite, no full rebuild. Asserted by making the stats job
+        unreachable."""
+        from parquet_index_spark import collector
         ctx.index.create.indexBy("id").parquet(growing_table)
-        data_files = [f for f in os.listdir(growing_table)
-                      if f.endswith(".parquet")]
+        data_files = sorted(f for f in os.listdir(growing_table)
+                            if f.endswith(".parquet"))
         os.remove(os.path.join(growing_table, data_files[0]))
+
+        def boom(*a, **k):
+            raise AssertionError("retraction must not scan data files")
+        monkeypatch.setattr(collector, "run_stats_job", boom)
         out = ctx.index.refresh.parquet(growing_table)
-        assert out["mode"] == "rebuild"
+        assert out["mode"] == "retract" and out["retracted"] == 1
+        assert out["new_files"] == 0
+        monkeypatch.undo()
         t = ctx.index.parquet(growing_table)
         assert_same_rows(t.filter("id >= 0"),
                          spark.read.parquet(growing_table).filter("id >= 0"))
+        # pruning still works over the retained manifest
+        t.filter("id = 999").collect()
+        info = ctx.index.last_prune_info
+        assert info.total_files == 3
+
+    def test_retract_and_append_in_one_refresh(self, spark, ctx,
+                                               growing_table):
+        """Remove one file AND append another: one incremental refresh
+        retracts + indexes the new file; queries stay correct."""
+        ctx.index.create.indexBy("id").parquet(growing_table)
+        data_files = sorted(f for f in os.listdir(growing_table)
+                            if f.endswith(".parquet"))
+        os.remove(os.path.join(growing_table, data_files[0]))
+        spark.range(5000, 5100).coalesce(1).write.mode("append") \
+            .parquet(growing_table)
+        out = ctx.index.refresh.parquet(growing_table)
+        assert out["mode"] == "incremental"
+        assert out["new_files"] == 1 and out["retracted"] == 1
+        t = ctx.index.parquet(growing_table)
+        assert_same_rows(t.filter("id >= 0"),
+                         spark.read.parquet(growing_table).filter("id >= 0"))
+        assert t.filter("id = 5050").count() == 1
+
+    def test_rebuild_on_file_rewritten_in_place(self, spark, ctx,
+                                                growing_table):
+        """Same path, different size: the stored block stats no longer
+        describe the rows — only a full rebuild is sound."""
+        import pyarrow.parquet as pq_
+        import pyarrow as pa_
+        ctx.index.create.indexBy("id").parquet(growing_table)
+        data_files = sorted(f for f in os.listdir(growing_table)
+                            if f.endswith(".parquet"))
+        victim = os.path.join(growing_table, data_files[0])
+        pq_.write_table(
+            pa_.table({"id": pa_.array([123456789, 7], type=pa_.int64())}),
+            victim)
+        # drop the local-FS checksum sidecar the out-of-band rewrite
+        # invalidated (a real overwrite-in-place would rewrite it too)
+        crc = os.path.join(growing_table, f".{data_files[0]}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        out = ctx.index.refresh.parquet(growing_table)
+        assert out["mode"] == "rebuild"
+        t = ctx.index.parquet(growing_table)
+        assert t.filter("id = 123456789").count() == 1
 
     def test_refresh_missing_index_raises(self, ctx, growing_table):
         with pytest.raises(IndexNotFoundError):
@@ -148,6 +206,40 @@ class TestShardCompaction:
         finally:
             spark.conf.unset("spark.sql.index.parquet.refresh.maxShards")
 
+    def test_compaction_purges_retracted_orphan_stats(self, spark, ctx,
+                                                      growing_table):
+        """Retraction drops manifest rows only; the orphaned stats rows
+        must be purged by the next shard compaction (the rewrite is the
+        natural purge point) so a retract-heavy table's metadata does
+        not grow without bound."""
+        import pyarrow.parquet as pq_
+        from parquet_index_spark.metastore import STATS_DIR
+        spark.conf.set("spark.sql.index.parquet.refresh.maxShards", "2")
+        try:
+            ctx.index.create.indexBy("id").parquet(growing_table)
+            data_files = sorted(f for f in os.listdir(growing_table)
+                                if f.endswith(".parquet"))
+            os.remove(os.path.join(growing_table, data_files[0]))
+            out = ctx.index.refresh.parquet(growing_table)
+            assert out["mode"] == "retract"
+            # append twice to push shard count past the threshold
+            for lo in (30_000, 31_000):
+                spark.range(lo, lo + 50).coalesce(1).write.mode("append") \
+                    .parquet(growing_table)
+                out = ctx.index.refresh.parquet(growing_table)
+            assert any("shards_before" in o for o in [out]), out
+            d, _shards = self._shards(ctx, growing_table)
+            stats = pq_.read_table(os.path.join(d, STATS_DIR),
+                                   columns=["path"])
+            live = set(stats.column("path").to_pylist())
+            assert data_files[0] not in live, sorted(live)
+            t = ctx.index.parquet(growing_table)
+            assert_same_rows(
+                t.filter("id >= 0"),
+                spark.read.parquet(growing_table).filter("id >= 0"))
+        finally:
+            spark.conf.unset("spark.sql.index.parquet.refresh.maxShards")
+
     def test_crash_between_renames_recovers(self, spark, ctx,
                                             growing_table):
         import shutil
@@ -158,10 +250,15 @@ class TestShardCompaction:
         # simulate the crash window: stats renamed away, marker dropped
         os.remove(os.path.join(d, SUCCESS_FILE))
         os.rename(sd, sd + ".__compact_bak")
-        assert not ctx.index.exists.parquet(growing_table)  # recoverable-absent
+        # the READ path self-heals (round-7 ADVICE): exists() restores
+        # the stats dir + marker instead of reporting the index absent
+        # until some future refresh happens to run
+        assert ctx.index.exists.parquet(growing_table)
+        assert os.path.isdir(sd) and not os.path.isdir(sd + ".__compact_bak")
+        assert os.path.isfile(os.path.join(d, SUCCESS_FILE))
         spark.range(7000, 7100).coalesce(1).write.mode("append") \
             .parquet(growing_table)
-        out = ctx.index.refresh.parquet(growing_table)      # heals, then refreshes
+        out = ctx.index.refresh.parquet(growing_table)
         assert out["mode"] == "incremental"
         t = ctx.index.parquet(growing_table)
         assert_same_rows(t.filter("id = 7050"),
