@@ -851,51 +851,28 @@ def funnel_conversion(spark, sf_dir):
     time (view -> click -> purchase; first qualifying event wins each
     step). The streaming variant (stream_funnel_join) handles two live
     steps; this is the offline k-step drop-off report with per-step
-    average time-to-convert.
+    average time-to-convert. Delegates to the parameterized k-step
+    operator (operators/events.funnel — round-7 verdict #8); the
+    one-scan/one-shuffle shape and exact-µs lag arithmetic live there."""
+    from parquet_index_spark.operators.events import funnel
+    return funnel(_t(spark, sf_dir, "events"),
+                  ["view", "click", "purchase"])
 
-    Scale shape: ONE scan of events (pre-filtered map-side to the three
-    step types) and ONE user_id shuffle — the three step times are
-    chained conditional-min windows over the SAME partitioning, which
-    Catalyst plans as consecutive Window operators with no intermediate
-    exchange; per-user event history is bounded, and the final rollup is
-    a three-row grid. Lag math is exact long µs; the average is a
-    DECIMAL sum over a long count (engine-portable double)."""
-    steps = [("view", "t1"), ("click", "t2"), ("purchase", "t3")]
-    ev = (_t(spark, sf_dir, "events")
-          .filter(F.col("event_type").isin([s for s, _ in steps]))
-          .select("user_id", "event_type", _epoch_us("ts").alias("us")))
-    w = Window.partitionBy("user_id")
-    cur = ev.withColumn(
-        "t1", F.min(F.when(F.col("event_type") == "view",
-                           F.col("us"))).over(w))
-    for (etype, tcol), (_p, prev) in zip(steps[1:], steps):
-        cur = cur.withColumn(
-            tcol, F.min(F.when((F.col("event_type") == etype)
-                               & (F.col("us") > F.col(prev)),
-                               F.col("us"))).over(w))
-    per_user = (cur.groupBy("user_id")
-                .agg(*[F.min(t).alias(t) for _s, t in steps]))
-    # inline-unpivot instead of a 3-way union of filters over per_user:
-    # reusing an unmaterialized frame re-plans the whole upstream per
-    # branch (3 scans/shuffles); one array<struct> explode keeps the
-    # single scan + single shuffle the docstring promises
-    entries = F.array(
-        F.struct(F.lit("1_view").alias("step"),
-                 F.col("t1").isNotNull().alias("hit"),
-                 F.lit(None).cast("long").alias("lag_us")),
-        F.struct(F.lit("2_click").alias("step"),
-                 F.col("t2").isNotNull().alias("hit"),
-                 (F.col("t2") - F.col("t1")).alias("lag_us")),
-        F.struct(F.lit("3_purchase").alias("step"),
-                 F.col("t3").isNotNull().alias("hit"),
-                 (F.col("t3") - F.col("t2")).alias("lag_us")))
-    rows = (per_user.select("user_id", F.inline(entries))
-            .filter("hit"))
-    return (rows.groupBy("step")
-            .agg(F.countDistinct("user_id").alias("n_users"),
-                 (F.sum(F.col("lag_us").cast("decimal(38,0)")).cast("double")
-                  / F.count("lag_us")).alias("avg_lag_us"))
-            .orderBy("step"))
+
+def funnel_conversion_windowed(spark, sf_dir):
+    """Four-step funnel (view -> click -> signup -> purchase) with a
+    2-day conversion-window horizon: step k must land within 2 days of
+    the chosen step-(k-1) event (first-touch anchoring, no
+    re-anchoring). Exercises the k-parameterization and the window
+    bound of operators/events.funnel; the bound compares exact long µs,
+    so Spark and the SQL oracle draw the identical boundary."""
+    from parquet_index_spark.operators.events import funnel
+    return funnel(_t(spark, sf_dir, "events"),
+                  ["view", "click", "signup", "purchase"],
+                  within_us=WINDOWED_FUNNEL_US)
+
+
+WINDOWED_FUNNEL_US = 2 * 86_400_000_000  # 2 days in µs
 
 
 FUNNEL_SQL = """
@@ -928,6 +905,12 @@ SELECT step, count(DISTINCT user_id) AS n_users,
          AS avg_lag_us
 FROM steps GROUP BY step ORDER BY step
 """
+
+
+def _windowed_funnel_sql():
+    from parquet_index_spark.operators.events import funnel_oracle_sql
+    return funnel_oracle_sql(["view", "click", "signup", "purchase"],
+                             within_us=WINDOWED_FUNNEL_US)
 
 
 def q18_large_volume_customers(spark, sf_dir):
@@ -5750,6 +5733,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "sessionize_events": (sessionize_events, SESSION_SQL),
     "cohort_retention": (cohort_retention, COHORT_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "funnel_conversion_windowed": (funnel_conversion_windowed,
+                                   _windowed_funnel_sql()),
     "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
     "rollup_sales": (rollup_sales, ROLLUP_SQL),
     "cumulative_spend": (cumulative_spend, CUMSUM_SQL),

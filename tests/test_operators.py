@@ -1669,6 +1669,106 @@ class TestChunkSliding:
             X.chunk_sliding(df, chunk_tokens=2, stride_tokens=2)
 
 
+class TestFunnel:
+    """operators/events.funnel — parameterized k-step strict-ordered
+    funnel with an optional conversion window (round-7 verdict #8)."""
+
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            [Row(user_id=u, event_type=t,
+                 ts=__import__("datetime").datetime(2024, 1, 1)
+                 + __import__("datetime").timedelta(microseconds=us))
+             for u, t, us in rows])
+
+    def test_strict_order_and_first_touch_anchoring(self, spark):
+        from parquet_index_spark.operators.events import funnel
+        rows = [
+            # u1 converts fully: view@0, click@10, buy@20
+            (1, "view", 0), (1, "click", 10), (1, "buy", 20),
+            # u2: click BEFORE first view -> no step 2
+            (2, "click", 5), (2, "view", 10),
+            # u3: first-touch anchor at view@0; its only click@50 follows
+            # a later view@40 — still counts (click > anchor), lag from
+            # the ANCHOR (50), not the later view
+            (3, "view", 0), (3, "view", 40), (3, "click", 50),
+            # u4: same-µs click as view is NOT strictly later
+            (4, "view", 7), (4, "click", 7),
+        ]
+        out = {r["step"]: r for r in
+               funnel(self._ev(spark, rows),
+                      ["view", "click", "buy"]).collect()}
+        assert out["1_view"]["n_users"] == 4
+        assert out["1_view"]["avg_lag_us"] is None
+        assert out["2_click"]["n_users"] == 2          # u1, u3
+        assert out["2_click"]["avg_lag_us"] == (10 + 50) / 2
+        assert out["3_buy"]["n_users"] == 1            # u1
+        assert out["3_buy"]["avg_lag_us"] == 10.0
+
+    def test_window_bound_is_inclusive_exact_us(self, spark):
+        from parquet_index_spark.operators.events import funnel
+        rows = [
+            (1, "view", 0), (1, "click", 100),    # exactly at the bound
+            (2, "view", 0), (2, "click", 101),    # one µs past it
+        ]
+        out = {r["step"]: r for r in
+               funnel(self._ev(spark, rows), ["view", "click"],
+                      within_us=100).collect()}
+        assert out["2_click"]["n_users"] == 1
+        assert out["2_click"]["avg_lag_us"] == 100.0
+
+    def test_window_no_reanchoring(self, spark):
+        from parquet_index_spark.operators.events import funnel
+        # anchor view@0, window 100; only click@150 — a later view@100
+        # would put it in range, but first-touch semantics do not
+        # re-anchor
+        rows = [(1, "view", 0), (1, "view", 100), (1, "click", 150)]
+        out = {r["step"]: r["n_users"] for r in
+               funnel(self._ev(spark, rows), ["view", "click"],
+                      within_us=100).collect()}
+        assert out.get("2_click") is None
+
+    def test_deep_funnel_labels_zero_padded(self, spark):
+        from parquet_index_spark.operators.events import funnel
+        steps = [f"e{i}" for i in range(12)]
+        rows = [(1, s, i * 10) for i, s in enumerate(steps)]
+        out = funnel(self._ev(spark, rows), steps).collect()
+        labels = [r["step"] for r in out]
+        assert labels == sorted(labels)
+        assert labels[0] == "01_e0" and labels[-1] == "12_e11"
+        assert all(r["n_users"] == 1 for r in out)
+
+    def test_validation(self, spark):
+        from parquet_index_spark.operators.events import funnel
+        df = self._ev(spark, [(1, "view", 0)])
+        with pytest.raises(ValueError, match=">= 2 steps"):
+            funnel(df, ["view"])
+        with pytest.raises(ValueError, match="distinct"):
+            funnel(df, ["view", "view"])
+        with pytest.raises(ValueError, match="within_us"):
+            funnel(df, ["view", "click"], within_us=0)
+
+    def test_oracle_sql_twin_matches(self, spark):
+        """funnel_oracle_sql must replay the identical greedy chain in
+        DuckDB (the harness relies on this for any steps/window)."""
+        import duckdb
+        from parquet_index_spark.operators.events import (funnel,
+                                                          funnel_oracle_sql)
+        rng = __import__("random").Random(11)
+        rows = []
+        for u in range(40):
+            for _ in range(rng.randint(1, 12)):
+                rows.append((u, rng.choice(["view", "click", "buy", "x"]),
+                             rng.randint(0, 1000)))
+        df = self._ev(spark, rows)
+        got = [tuple(r) for r in
+               funnel(df, ["view", "click", "buy"], within_us=300).collect()]
+        con = duckdb.connect()
+        con.register("events", df.toPandas())
+        want = con.sql(funnel_oracle_sql(["view", "click", "buy"],
+                                         within_us=300)).fetchall()
+        assert got == [tuple(w) for w in want]
+
+
 class TestKsDrift:
     """operators/profile.ks_drift — exact two-sample KS per group."""
 

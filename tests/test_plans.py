@@ -413,12 +413,15 @@ class TestRound7PlanQuality:
         chained conditional-min windows over the same partitioning plan
         as consecutive Window operators with no joins and no re-scan
         per step."""
-        from parquet_index_spark.workload import funnel_conversion
-        df = funnel_conversion(spark, SF_CORRECT)
-        s = plans.join_strategies(df)
-        assert sum(s.values()) == 0, s
-        assert len(plans.read_schemas(df)) == 1, plans.read_schemas(df)
-        assert plans.formatted_plan(df).count("Window") >= 1
+        from parquet_index_spark.workload import (funnel_conversion,
+                                                  funnel_conversion_windowed)
+        for fn in (funnel_conversion, funnel_conversion_windowed):
+            df = fn(spark, SF_CORRECT)
+            s = plans.join_strategies(df)
+            assert sum(s.values()) == 0, (fn.__name__, s)
+            assert len(plans.read_schemas(df)) == 1, \
+                (fn.__name__, plans.read_schemas(df))
+            assert plans.formatted_plan(df).count("Window") >= 1
 
     def test_data_quality_single_pass_plus_fk_join(self, spark):
         """Five row-local rules share ONE aggregation scan of orders;
