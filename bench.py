@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "cohort_retention", "funnel_conversion", "data_quality_audit",
     "chunk_overlap_stats", "chunk_dedup_pipeline", "ks_drift_doclen",
     "idx_term_prefix_search",
+    "funnel_conversion_windowed",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the
@@ -771,7 +772,6 @@ def main() -> None:
         "term_index_health": term_index_health,
         "compaction": compaction,
     }
-    print(json.dumps(out))
     # full payload to a committed per-round file: the driver's own
     # capture truncates stdout ("parsed": null since r4), which starved
     # _best_prior_times of recent history — this file is the durable
@@ -784,6 +784,35 @@ def main() -> None:
             here, f"BENCH_LOCAL_{_round_label()}{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
+    # the driver tail-captures stdout, so the FULL board (notes,
+    # adjudications) used to truncate and parse to null (r7 verdict #3).
+    # The LAST stdout line is now a compact single-line summary — the
+    # driver-contract fields plus totals/errors/regressions and the
+    # headline scale signals; the full board lives in the file above.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "index_build_sec": index_build_sec,
+        "errors": errors,
+        "regressions": {k: {kk: v[kk] for kk in ("cold_sec", "warm_sec",
+                                                 "best_prior_sec",
+                                                 "post_hygiene_sec")
+                            if kk in v}
+                        for k, v in regressions.items()},
+        "signals": {
+            "file_skip": file_skip,
+            "fast_count_files": fast_count.get("files_scanned"),
+            "zorder_file_skip": zorder_file_skip,
+            "ann_file_skip": ann_file_skip,
+            "term_index_max_fill": term_index_health.get("max_fill"),
+            "compaction": compaction,
+        },
+        "board_file": f"BENCH_LOCAL_{_round_label()}{suffix}.json",
+    }
+    print(json.dumps(compact, separators=(",", ":"), default=str))
     spark.stop()
 
 

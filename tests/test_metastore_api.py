@@ -514,6 +514,48 @@ class TestRecommendFilterTypes:
         if rec["lowcard"]["current_type"] == "bloom":
             assert "estimate" in rec["lowcard"]["reason"]
 
+    def test_estimated_counts_get_margin_exact_counts_do_not(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """The decision boundary itself (r6 ADVICE / r7 verdict #6a):
+        a FILL-DERIVED estimate just under the dict cap must NOT tip the
+        advice to 'dict' (20% safety margin) while an EXACT count of the
+        same size does. Saturation rows are crafted directly so the
+        boundary is hit deterministically."""
+        from parquet_index_spark.config import IndexConf
+        from parquet_index_spark.manager import DataFrameIndexManager
+        path = os.path.join(tmp_table_dir, "recmargin")
+        spark.range(0, 100).selectExpr("CAST(id AS STRING) AS s") \
+            .coalesce(1).write.parquet(path)
+        ctx.index.create.indexBy("s").parquet(path)
+        t = ctx.index.parquet(path)
+        cap = IndexConf.from_spark(spark).dict_max_size
+        near_cap = cap - 1          # inside the 20% margin band
+        safe = int(cap * 0.7)       # below the margined cap
+
+        # estimated (design cap present) at cap-1 -> NOT dict
+        monkeypatch.setattr(
+            DataFrameIndexManager, "_filter_saturation",
+            staticmethod(lambda meta: {"s": (4, near_cap, cap, 0.9,
+                                             0.01, False)}))
+        rec = {r["column"]: r for r in t.recommend_filter_types()}
+        assert rec["s"]["recommended_type"] == "bloom", rec["s"]
+        # estimated but comfortably under 0.8*cap -> dict, flagged
+        monkeypatch.setattr(
+            DataFrameIndexManager, "_filter_saturation",
+            staticmethod(lambda meta: {"s": (4, safe, cap, 0.5,
+                                             0.01, False)}))
+        rec = {r["column"]: r for r in t.recommend_filter_types()}
+        assert rec["s"]["recommended_type"] == "dict"
+        assert "estimate" in rec["s"]["reason"]
+        # EXACT count (no design cap) at cap-1 -> dict, no estimate flag
+        monkeypatch.setattr(
+            DataFrameIndexManager, "_filter_saturation",
+            staticmethod(lambda meta: {"s": (4, near_cap, None, None,
+                                             None, False)}))
+        rec = {r["column"]: r for r in t.recommend_filter_types()}
+        assert rec["s"]["recommended_type"] == "dict"
+        assert "estimate" not in rec["s"]["reason"]
+
 
 class TestCli:
     def test_usage_paths_no_spark(self):
