@@ -81,7 +81,8 @@ def profile_columns(df: DataFrame, columns: Optional[List[str]] = None,
 
 
 def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
-             value_col: str, range_buckets: int = 4096) -> DataFrame:
+             value_col: str, range_buckets: int = 4096,
+             max_broadcast_rows: int = 4_000_000) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov distance per group — the
     numeric-distribution drift monitor that pairs with
     ``text.vocab_drift`` (categorical TV distance): how far does a
@@ -127,12 +128,13 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
          is the max over bucket maxima.
 
     Identical ``ks_num`` as the single-window form (bucketing is pure
-    partitioning; the counts are unchanged). The broadcasts are
-    metadata-sized — |groups| and |groups| x ``range_buckets`` rows;
-    ``group`` is assumed to be a LOW-CARDINALITY key (language, domain,
-    source — the drift-monitoring regime). For a near-unique group key
-    the broadcasts approach data size: pre-aggregate or bucket such
-    keys upstream.
+    partitioning; the counts are unchanged). The metadata frames —
+    |groups| and |groups| x ``range_buckets`` rows — are broadcast only
+    under a ``limit(n+1)`` row probe against ``max_broadcast_rows`` (the
+    ``top_fraction_per_group`` contract): the design regime is a
+    LOW-CARDINALITY ``group`` (language, domain, source), but a
+    near-unique key degrades to plain shuffle joins instead of a
+    driver-sized broadcast.
     """
     if range_buckets < 1:
         raise ValueError(
@@ -157,8 +159,11 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
     mm = per_val.groupBy(F.col("g").alias("__ks_g")).agg(
         F.min(F.col("v").cast("double")).alias("__mn"),
         F.max(F.col("v").cast("double")).alias("__mx"),
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
-    base = per_val.join(F.broadcast(mm),
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")).localCheckpoint()
+    mm_b = (F.broadcast(mm)
+            if mm.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
+            else mm)
+    base = per_val.join(mm_b,
                         F.col("g").eqNullSafe(F.col("__ks_g"))).drop("__ks_g")
     span = F.col("__mx") - F.col("__mn")
     raw = F.floor((F.col("v").cast("double") - F.col("__mn")) / span
@@ -178,8 +183,12 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
             .withColumn("__offb", F.coalesce(F.sum("__bcb").over(w_off),
                                              F.lit(0).cast("long")))
             .select(F.col("g").alias("__ks_g2"),
-                    F.col("__bkt").alias("__bkt2"), "__offa", "__offb"))
-    cum_src = base.join(F.broadcast(offs),
+                    F.col("__bkt").alias("__bkt2"), "__offa", "__offb")
+            .localCheckpoint())
+    offs_b = (F.broadcast(offs)
+              if offs.limit(max_broadcast_rows + 1).count()
+              <= max_broadcast_rows else offs)
+    cum_src = base.join(offs_b,
                         F.col("g").eqNullSafe(F.col("__ks_g2"))
                         & (F.col("__bkt") == F.col("__bkt2")))
     # (4) cumulative only within a (group, bucket); global = offset +

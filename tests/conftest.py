@@ -14,12 +14,17 @@ SF_CORRECT = os.path.join(TESTDATA, "sf0.01")
 def spark():
     session = (
         SparkSession.builder
-        .master("local[4]")
+        .master(os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]"))
         .appName("parquet-index-spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        # Test-only latency trims: Janino compilation dominates tiny
+        # queries, so skip whole-stage codegen when the env asks; prod
+        # defaults (codegen on) are untouched.
+        .config("spark.sql.codegen.wholeStage",
+                os.environ.get("SPARK_GRAFT_TEST_CODEGEN", "true"))
         .getOrCreate()
     )
     yield session

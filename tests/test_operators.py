@@ -1827,6 +1827,35 @@ class TestKsDrift:
         en = next(r for r in got if r["g"] == "en")
         assert (en["n_a"], en["n_b"], en["ks_num"]) == (na, nb, float(ks_num))
 
+    def test_broadcast_guard_falls_back_to_shuffle(self, spark):
+        """The metadata frames (per-group extremes, bucket offsets)
+        broadcast only under the limit(n+1) row probe — with the cap at
+        0 both joins must fall back to plain shuffle joins (a
+        near-unique group key would make the broadcasts driver-sized)
+        and the results must be identical."""
+        from parquet_index_spark import plans
+        from parquet_index_spark.operators.profile import ks_drift
+        a = spark.createDataFrame(
+            [Row(g=["en", "de"][i % 2], v=(i * 37) % 97) for i in range(200)])
+        b = spark.createDataFrame(
+            [Row(g=["en", "de"][i % 2], v=(i * 13) % 89) for i in range(150)])
+        # the guard drops the FORCED hint; Catalyst's own size estimate
+        # would still broadcast these tiny test frames — disable
+        # auto-broadcast to observe the fallback strategy (the
+        # dpp_join fallback-test contract)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            guarded = ks_drift(a, b, "g", "v", max_broadcast_rows=0)
+            default = ks_drift(a, b, "g", "v")
+            assert ([r.asDict() for r in guarded.collect()]
+                    == [r.asDict() for r in default.collect()])
+            s = plans.join_strategies(guarded)
+            assert s["broadcast_hash"] == 0, s
+            assert s["nested_loop"] == 0, s
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
     def test_nulls_dropped(self, spark):
         from parquet_index_spark.operators.profile import ks_drift
         from pyspark.sql.types import (IntegerType, StringType, StructField,
