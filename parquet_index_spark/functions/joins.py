@@ -71,15 +71,37 @@ def dpp_join(ctx, fact_path: str, fact_key: str, dim: DataFrame,
     Identical results; the file-level pruning (this operator's point)
     is unaffected.
 
-    Returns the joined DataFrame (all fact columns + non-key dim columns).
+    INNER joins only: the whole point is pruning fact files that cannot
+    match any dim key, which is unsound for a fact-preserving join (a
+    LEFT/FULL/ANTI join must still emit the pruned files' rows) and a
+    semi join projects no dim columns. Returns the joined DataFrame
+    (all fact columns + non-key dim columns).
     """
     from parquet_index_spark import predicates as P
 
-    vals = [r[0] for r in
-            dim.select(dim_key).distinct().limit(max_keys + 1).collect()]
-    vals = [v for v in vals if v is not None]
+    if how != "inner":
+        raise ValueError(
+            f"dpp_join supports how='inner' only, got {how!r}: file "
+            "pruning from the dim's key set drops fact rows a "
+            "fact-preserving join must keep")
+    # one materialization of the (possibly filtered/joined) dim plan:
+    # the distinct-key collect, the broadcast row probe, and the join
+    # itself all reuse it (the localCheckpoint-before-count-then-join
+    # rule; without it the dim subtree re-executes three times)
+    dim = dim.localCheckpoint()
+    sampled = [r[0] for r in
+               dim.select(dim_key).distinct().limit(max_keys + 1).collect()]
+    # the over-cap check counts the PRE-null-filter sample: a NULL key
+    # in the sample would otherwise mask a >max_keys dim and the IN fold
+    # below would prune files holding the unsampled keys, silently
+    # dropping join rows. NULL itself never equi-joins, so it is safe to
+    # drop from the fold VALUES — just not from the size check.
+    big_dim = len(sampled) > max_keys
+    vals = [v for v in sampled if v is not None]
     fact = ctx.index.parquet(fact_path)
-    big_dim = len(vals) > max_keys
+    # vals empty means the dim has no non-NULL keys at all (distinct
+    # yields at most one NULL row): nothing can equi-join regardless of
+    # dim size, so the zero-file fold is sound even when big_dim
     if not vals:
         # empty dim: nothing can join; In(()) folds to select zero files
         pruned = fact.filter(P.In(fact_key, ()))

@@ -1137,31 +1137,54 @@ class DataFrameIndexManager:
         means the crash hit after the swap — drop the leftover. Either
         way the manifest never changed, so restoring ``_SUCCESS``
         re-commits a consistent index (compact_table's recovery
-        contract, sources/__init__.py)."""
+        contract, sources/__init__.py).
+
+        Invoked from READ paths too (exists/load self-heal), so it must
+        be harmless beside a LIVE writer: on a healthy index (marker +
+        stats, no bak) it returns without touching anything — in
+        particular not the tmp dir, which during a concurrent
+        compaction's write phase (marker still present, the long part)
+        is an active Spark output; _compact_stats_shards pre-cleans its
+        own stale tmp at entry instead. The post-marker-drop rename
+        window is two renames wide; a reader that collides with it (or
+        with another recovering reader) tolerates losing the rename race
+        and re-checks state rather than failing the read."""
         import shutil
 
         stats_dir = os.path.join(index_dir, STATS_DIR)
         bak = stats_dir + ".__compact_bak"
         tmp = stats_dir + ".__compact_tmp"
         marker = os.path.join(index_dir, SUCCESS_FILE)
-        if os.path.isdir(bak):
-            if not os.path.isdir(stats_dir):
-                os.rename(bak, stats_dir)
-            else:
-                shutil.rmtree(bak)
-            if not os.path.isfile(marker):
+        if (os.path.isfile(marker) and os.path.isdir(stats_dir)
+                and not os.path.isdir(bak)):
+            return  # healthy — do not disturb a possibly-live writer
+        try:
+            if os.path.isdir(bak):
+                if not os.path.isdir(stats_dir):
+                    os.rename(bak, stats_dir)
+                else:
+                    shutil.rmtree(bak)
+                if not os.path.isfile(marker):
+                    with open(marker, "w"):
+                        pass
+            elif (os.path.isdir(tmp) and os.path.isdir(stats_dir)
+                  and not os.path.isfile(marker)):
+                # crash between remove(marker) and the first rename: stats
+                # and manifest are both untouched, and the tmp dir (created
+                # BEFORE the marker drop) is the signature that
+                # distinguishes this from an interrupted CREATE (which must
+                # stay absent) — re-commit by restoring the marker
                 with open(marker, "w"):
                     pass
-        elif (os.path.isdir(tmp) and os.path.isdir(stats_dir)
-              and not os.path.isfile(marker)):
-            # crash between remove(marker) and the first rename: stats
-            # and manifest are both untouched, and the tmp dir (created
-            # BEFORE the marker drop) is the signature that distinguishes
-            # this from an interrupted CREATE (which must stay absent) —
-            # re-commit by restoring the marker
-            with open(marker, "w"):
-                pass
-        shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+        except OSError:
+            # lost a rename race to a concurrent recoverer (or the writer
+            # itself finishing): if the index ended consistent, just
+            # restore the marker if it is the only thing missing
+            if (os.path.isdir(stats_dir) and not os.path.isdir(bak)
+                    and not os.path.isfile(marker)):
+                with open(marker, "w"):
+                    pass
 
     def _compact_stats_shards(self, index_dir: str, n_shards: int) -> int:
         """Rewrite the stats dir into few shards (a refresh-per-micro-

@@ -448,13 +448,15 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
         F.min(s).alias("__tf_mn"), F.max(s).alias("__tf_mx"),
         F.count("*").alias("__tf_cnt")).localCheckpoint()
     mm_small = mm.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
-    if mm_small:
+    if mm_small and not degenerate_escape:
         # the audit is only affordable when |groups| is bounded — a tiny
-        # filter over the checkpointed frame, no data rescans
+        # filter over the checkpointed frame, no data rescans. With the
+        # escape on, the warning below can never fire, so skip the
+        # collect entirely rather than run a job whose result is unused.
         deg = (mm.filter((F.col("__tf_mn") == F.col("__tf_mx"))
                          & (F.col("__tf_cnt") > F.lit(int(degenerate_floor))))
                .select("__tf_g", "__tf_cnt").limit(20).collect())
-        if deg and not degenerate_escape:
+        if deg:
             import warnings
             warnings.warn(
                 "top_fraction_per_group: constant-score group(s) "

@@ -33,7 +33,11 @@ def _naive(points, intervals, how="inner"):
 
 
 class TestIntervalJoin:
-    @pytest.mark.parametrize("width", [1, 7, 100, 1000])
+    @pytest.mark.parametrize("width", [
+        pytest.param(1, marks=pytest.mark.slow),
+        pytest.param(7, marks=pytest.mark.slow),
+        100,
+        pytest.param(1000, marks=pytest.mark.slow)])
     def test_matches_naive_inner(self, spark, width):
         p, iv = _points(spark), _intervals(spark)
         out = interval_join(p, iv, "ts", "lo", "hi", bucket_width=width)
@@ -106,6 +110,38 @@ class TestDppJoin:
         write_zordered(orders, fact, ["o_custkey", "o_orderkey"],
                        n_files=16, mode="overwrite")
         return QueryContext(spark), fact, orders
+
+    def test_rejects_fact_preserving_joins(self, spark, tmp_metastore,
+                                           tmp_table_dir):
+        """File pruning from the dim key set is only sound for INNER:
+        a LEFT/FULL/ANTI join must still emit pruned files' fact rows,
+        so those hows are refused instead of silently dropping rows."""
+        from parquet_index_spark.functions.joins import dpp_join
+        ctx, fact, _orders = self._ctx_and_fact(spark, tmp_metastore,
+                                                tmp_table_dir)
+        dim = spark.createDataFrame([(421, "x")], "c_custkey: long, c: string")
+        for how in ("left", "full", "left_anti", "left_semi"):
+            with pytest.raises(ValueError, match="inner"):
+                dpp_join(ctx, fact, "o_custkey", dim, "c_custkey", how=how)
+
+    def test_null_key_cannot_mask_oversized_dim(self, spark, tmp_metastore,
+                                                tmp_table_dir):
+        """The over-cap check counts the PRE-null-filter distinct sample:
+        with a NULL key among > max_keys distinct values, the old
+        post-filter count could land exactly AT the cap and fold an
+        INCOMPLETE IN-set, silently dropping join rows. Results must
+        equal the plain join no matter which keys the limit sampled."""
+        from parquet_index_spark.functions.joins import dpp_join
+        ctx, fact, orders = self._ctx_and_fact(spark, tmp_metastore,
+                                               tmp_table_dir)
+        keys = [(long, f"c{long}") for long in range(400, 450)]
+        dim = spark.createDataFrame(keys + [(None, "cnull")],
+                                    "c_custkey: long, c_name: string")
+        out = dpp_join(ctx, fact, "o_custkey", dim, "c_custkey", max_keys=5)
+        expected = (orders.join(dim,
+                                orders["o_custkey"] == dim["c_custkey"])
+                    .select(*[orders[c] for c in orders.columns], "c_name"))
+        assert_same_rows(out, expected)
 
     def test_prunes_files_and_matches_plain_join(self, spark, tmp_metastore,
                                                  tmp_table_dir):
@@ -239,7 +275,11 @@ class TestOverlapJoin:
         return spark.createDataFrame(
             rows, f"{name}_id long, {name}_lo long, {name}_hi long")
 
-    @pytest.mark.parametrize("width", [1, 7, 100, 1000])
+    @pytest.mark.parametrize("width", [
+        pytest.param(1, marks=pytest.mark.slow),
+        pytest.param(7, marks=pytest.mark.slow),
+        100,
+        pytest.param(1000, marks=pytest.mark.slow)])
     def test_matches_naive(self, spark, width):
         from parquet_index_spark.operators.rangejoin import overlap_join
         a, b = self._ivs(spark, "a"), self._ivs(spark, "b")
