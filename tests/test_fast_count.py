@@ -34,16 +34,19 @@ def counted(spark, tmp_path_factory):
 
 
 PREDICATES = [
+    # fast representatives: interior range, point, NULL, string range,
+    # unclustered column; the remaining shapes are `slow` (each is used
+    # by four parametrized tests, so the grid dominated this file)
     "id >= 2500 AND id < 7500",
     "id = 4242",
-    "id IN (1, 2, 3, 9999)",
-    "id <> 5000",
+    pytest.param("id IN (1, 2, 3, 9999)", marks=pytest.mark.slow),
+    pytest.param("id <> 5000", marks=pytest.mark.slow),
     "bucket IS NULL",
-    "bucket IS NOT NULL",
-    "id < 100 OR id >= 9900",
+    pytest.param("bucket IS NOT NULL", marks=pytest.mark.slow),
+    pytest.param("id < 100 OR id >= 9900", marks=pytest.mark.slow),
     "key >= 'k02500' AND key < 'k07500'",
-    "id BETWEEN 0 AND 9999",
-    "id > 100000",
+    pytest.param("id BETWEEN 0 AND 9999", marks=pytest.mark.slow),
+    pytest.param("id > 100000", marks=pytest.mark.slow),
     "bucket = 3",          # unclustered column: correct, mostly scanned
 ]
 

@@ -364,6 +364,8 @@ class TestVectorizedMembershipScale:
     probing 10^5 bloom blocks in well under a second (the round-1 per-block
     Python loop took seconds at this size and minutes at millions)."""
 
+    @pytest.mark.slow
+
     def test_bloom_probe_1e5_blocks_fast(self):
         import time
         import numpy as np

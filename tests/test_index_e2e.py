@@ -34,6 +34,36 @@ def ctx(spark, tmp_metastore):
     return QueryContext(spark)
 
 
+@pytest.fixture(scope="module")
+def multi_file_table_ro(spark):
+    """Module-scoped twin of multi_file_table for the READ-ONLY test
+    classes below: built once instead of per test (the per-test rebuild
+    dominated this file's runtime). Never mutate it."""
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp(prefix="pis_e2e_ro_")
+    path = os.path.join(d, "lineitem8")
+    (spark.read.parquet(LINEITEM)
+     .repartitionByRange(8, "l_orderkey")
+     .write.parquet(path))
+    yield path
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="class")
+def ro_ctx(spark):
+    """Class-scoped metastore + context for read-only classes: the index
+    is built once per class. Safe because tests within a class run
+    consecutively, so the session-global metastore conf is not reset
+    by other tests' function-scoped tmp_metastore in between."""
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp(prefix="pis_metastore_ro_")
+    spark.conf.set("spark.sql.index.metastore", d)
+    yield QueryContext(spark)
+    shutil.rmtree(d, ignore_errors=True)
+
+
 class TestLifecycle:
     def test_create_exists_delete(self, spark, ctx, multi_file_table):
         assert not ctx.index.exists.parquet(multi_file_table)
@@ -71,13 +101,13 @@ class TestLifecycle:
 
 
 class TestDifferential:
-    @pytest.fixture(autouse=True)
-    def _index(self, ctx, multi_file_table):
-        ctx.index.create.mode("overwrite") \
+    @pytest.fixture(autouse=True, scope="class")
+    def _index(self, request, ro_ctx, multi_file_table_ro):
+        ro_ctx.index.create.mode("overwrite") \
             .indexBy("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate") \
-            .parquet(multi_file_table)
-        self.ctx = ctx
-        self.path = multi_file_table
+            .parquet(multi_file_table_ro)
+        request.cls.ctx = ro_ctx
+        request.cls.path = multi_file_table_ro
 
     def _check(self, spark, predicate_sql):
         indexed = self.ctx.index.parquet(self.path).filter(predicate_sql)
@@ -160,30 +190,31 @@ class TestDifferential:
 
 
 class TestPruningEffectiveness:
-    def test_point_query_prunes_files(self, spark, ctx, multi_file_table):
-        ctx.index.create.mode("overwrite").indexBy("l_orderkey") \
-            .parquet(multi_file_table)
-        t = ctx.index.parquet(multi_file_table)
+    @pytest.fixture(autouse=True, scope="class")
+    def _index(self, request, ro_ctx, multi_file_table_ro):
+        ro_ctx.index.create.mode("overwrite").indexBy("l_orderkey") \
+            .parquet(multi_file_table_ro)
+        request.cls.ctx = ro_ctx
+        request.cls.path = multi_file_table_ro
+
+    def test_point_query_prunes_files(self, spark):
+        t = self.ctx.index.parquet(self.path)
         t.filter("l_orderkey = 1").collect()
-        info = ctx.index.last_prune_info
+        info = self.ctx.index.last_prune_info
         # range-partitioned by l_orderkey: a point query must hit 1 file
         assert info.total_files == 8
         assert info.selected_files == 1
 
-    def test_full_scan_when_unindexed(self, spark, ctx, multi_file_table):
-        ctx.index.create.mode("overwrite").indexBy("l_orderkey") \
-            .parquet(multi_file_table)
-        t = ctx.index.parquet(multi_file_table)
+    def test_full_scan_when_unindexed(self, spark):
+        t = self.ctx.index.parquet(self.path)
         t.filter("l_quantity > 0.0").collect()
-        assert ctx.index.last_prune_info.selected_files == 8
+        assert self.ctx.index.last_prune_info.selected_files == 8
 
-    def test_unfiltered_operations_delegate(self, spark, ctx, multi_file_table):
-        ctx.index.create.mode("overwrite").indexBy("l_orderkey") \
-            .parquet(multi_file_table)
-        t = ctx.index.parquet(multi_file_table)
-        assert t.count() == spark.read.parquet(multi_file_table).count()
+    def test_unfiltered_operations_delegate(self, spark):
+        t = self.ctx.index.parquet(self.path)
+        assert t.count() == spark.read.parquet(self.path).count()
         assert set(t.schema.fieldNames()) == \
-            set(spark.read.parquet(multi_file_table).schema.fieldNames())
+            set(spark.read.parquet(self.path).schema.fieldNames())
 
 
 class TestColumnPredicatePruning:
@@ -191,13 +222,13 @@ class TestColumnPredicatePruning:
     reference parity: every predicate form reaches the index fold
     (IndexSourceStrategy.scala:27-123)."""
 
-    @pytest.fixture(autouse=True)
-    def _index(self, ctx, multi_file_table):
-        ctx.index.create.mode("overwrite") \
+    @pytest.fixture(autouse=True, scope="class")
+    def _index(self, request, ro_ctx, multi_file_table_ro):
+        ro_ctx.index.create.mode("overwrite") \
             .indexBy("l_orderkey", "l_linenumber", "l_returnflag") \
-            .parquet(multi_file_table)
-        self.ctx = ctx
-        self.path = multi_file_table
+            .parquet(multi_file_table_ro)
+        request.cls.ctx = ro_ctx
+        request.cls.path = multi_file_table_ro
 
     def _check(self, spark, col_pred):
         indexed = self.ctx.index.parquet(self.path).filter(col_pred)

@@ -164,6 +164,7 @@ class TestSimilarity:
         assert got[0] == 7  # own cluster is always probed first
         assert len(set(got) & exact) / len(exact) >= 0.3
 
+    @pytest.mark.slow
     def test_ivf_broadcast_assignment_matches_literal_path(self, emb):
         """k=256 > IVF_BROADCAST_THRESHOLD: assignment must switch to the
         broadcast + Arrow-batch kernel (ArrowEvalPython in the plan, no
@@ -588,6 +589,8 @@ class TestStreaming:
             .select("user_id", "from_id", "to_id").collect()))
         assert got == want and len(got) > 0
 
+    @pytest.mark.slow
+
     def test_stream_funnel_left_outer_matches_batch(self, spark):
         """Drop-off rows (NULL to_id) emit exactly for clicks whose join
         window is below the final global watermark = min over both sides'
@@ -767,6 +770,8 @@ class TestScaleHardening:
                                        max_shingle_df=100)
         assert pairs2.count() > 0
 
+    @pytest.mark.slow
+
     def test_ann_indexed_prunes_files(self, spark, tmp_metastore, tmp_table_dir):
         from parquet_index_spark import QueryContext
         from parquet_index_spark.operators import similarity as S
@@ -809,6 +814,8 @@ class TestScaleHardening:
         want = S.ivf_topk(emb, q, k=5, nprobe=2, centroids=cents).collect()
         assert [(r["vec_id"], r["sim"]) for r in got] == \
             [(r["vec_id"], r["sim"]) for r in want]
+
+    @pytest.mark.slow
 
     def test_ivf_indexed_refined_quantizer_roundtrip(self, spark,
                                                      tmp_metastore,
@@ -883,6 +890,8 @@ class TestConnectedComponents:
         # min id on the "b" side still becomes the representative
         got = self._cc(spark, [(5, 1), (5, 3)])
         assert got == {(1, 1), (3, 1), (5, 1)}
+
+    @pytest.mark.slow
 
     def test_deep_chain_converges_in_log_rounds(self, spark):
         # 300-node path: diameter 299, but pointer jumping doubles label
@@ -987,6 +996,8 @@ class TestStreamGapfill:
         assert got == want
         assert any(r[4] for r in got)  # the data does exercise fill rows
 
+    @pytest.mark.slow
+
     def test_stream_gapfill_max_fill_caps_gap(self, spark):
         """A key dark for a long stretch emits at most max_fill filled rows
         per gap — the unbounded-emission guard."""
@@ -1032,6 +1043,7 @@ class TestStreamGapfill:
 
 
 class TestStreamRunningAnomaly:
+    @pytest.mark.slow
     def test_state_crosses_batches_and_matches_batch_math(self, spark,
                                                           tmp_path):
         """The baseline accumulates in batch 1 (time-split file 1); the
@@ -1061,6 +1073,7 @@ class TestStreamRunningAnomaly:
 
 
 class TestIndexedSink:
+    @pytest.mark.slow
     def test_stream_into_indexed_table(self, spark, tmp_path):
         """Streamed micro-batches land in the table AND the index follows:
         created on the first batch, incrementally refreshed after each
@@ -1155,6 +1168,8 @@ class TestMergeSink:
         ctx.index.create.indexBy("k").parquet(path)
         return path
 
+    @pytest.mark.slow
+
     def test_cdc_batches_merge_across_micro_batches(self, spark, tmp_path):
         from pyspark.sql import functions as F
         from parquet_index_spark import QueryContext, streaming as ST
@@ -1231,6 +1246,8 @@ class TestMergeSink:
         assert t.count() == 1000          # single batch skipped as replay
         assert t.filter("k >= 2000").count() == 0
 
+    @pytest.mark.slow
+
     def test_distinct_stream_same_table_not_skipped(self, spark, tmp_path):
         """A SECOND logical stream into the same table (fresh checkpoint,
         new data) restarts batch ids at 0; its batches must NOT match the
@@ -1257,6 +1274,8 @@ class TestMergeSink:
         assert t.count() == 1020          # both streams' inserts landed
         assert t.filter("k BETWEEN 2000 AND 2009 AND v = -1").count() == 10
         assert t.filter("k BETWEEN 2100 AND 2109 AND v = -2").count() == 10
+
+    @pytest.mark.slow
 
     def test_cdc_into_partitioned_table(self, spark, tmp_path):
         """The CDC merge sink drives a hive-partitioned target end-to-end
@@ -1356,6 +1375,8 @@ class TestSemanticDedup:
         # the singleton lands in SOME cluster but has no >=0.9 neighbor
         assert got[5][1] is False
 
+    @pytest.mark.slow
+
     def test_rerun_and_reshard_stable(self, spark):
         emb = spark.read.parquet(os.path.join(SF_SMOKE,
                                               "embeddings.parquet"))
@@ -1367,6 +1388,8 @@ class TestSemanticDedup:
              S.semantic_dedup(emb.repartition(13), cents, threshold=0.35)
              .filter("is_semdup").collect()}
         assert a == b and a  # deterministic under re-layout, non-empty
+
+    @pytest.mark.slow
 
     def test_no_cartesian_in_plan(self, spark):
         """The pair search must be an equi join on cluster_id — a plan
@@ -1521,6 +1544,7 @@ class TestVocabDrift:
         assert rows["h"]["vocab_a"] == 0 and rows["h"]["vocab_b"] == 3
 
 class TestDedupAgainstCorpusTreeMerge:
+    @pytest.mark.slow
     def test_tree_merge_path_and_empty_corpus(self, spark):
         """>64 corpus partitions flips to the executor-side blob tree
         merge (bounded driver collect); result identical. An empty

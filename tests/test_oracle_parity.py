@@ -44,39 +44,39 @@ def ddb():
 # multimodal, asof/range/gap-fill, merge). The long tail is `slow` so the
 # default suite stays bounded; `-m ""` runs the full sweep.
 _CORE = {
-    "idx_point_lookup", "idx_zorder_range", "idx_join_dpp",
+    # index layer (point/range/curve/term/DML-through-index/refresh)
+    "idx_point_lookup", "idx_zorder_range", "idx_hilbert_range",
+    "idx_join_dpp", "idx_fast_count", "idx_refresh_append",
+    "idx_delete_range", "idx_events_time_range",
+    "idx_term_search", "idx_phrase_search",
+    # relational (TPC-H joins/aggs, windows, set ops, scalar, merge)
     "q1_pricing_summary", "q3_shipping_priority", "q12_priority_shipmode",
-    "rollup_sales", "top3_orders_per_customer", "sessionize_events",
+    "rollup_sales", "top3_orders_per_customer",
     "setop_active_building_buyers", "scalar_functions_showcase",
     "merge_upsert_orders", "bucketed_colocated_join",
-    "stream_windowed_counts", "stream_funnel_join", "stream_gapfill_locf",
+    "hll_union_sketch_parts", "trailing_30d_peak_spend",
+    "json_props_stats",
+    # streaming
+    "stream_windowed_counts", "stream_funnel_join", "stream_user_totals",
+    "stream_merge_upsert",
+    # LLM-pipeline / text / similarity / sampling
     "dedup_exact_stats", "minhash_lsh_pairs", "text_profile_by_lang",
     "sample_split_stats", "ann_cosine_topk", "ivf_ann_topk",
-    "multimodal_pipeline", "asof_join_events", "time_bucket_gapfill",
-    # round-3/4 graded-window additions stay in core for at least one
+    "multimodal_pipeline", "semantic_dedup_stats", "split_leakage_audit",
+    "curation_pipeline_stats", "freq_terms_top20", "lang_id_confusion",
+    "stratified_sample_langs",
+    # time-series / events
+    "asof_join_events", "time_bucket_gapfill", "sessionize_events",
+    "rolling_anomaly_events",
+    # round-7/8 graded-window additions stay in core for at least one
     # round after introduction (ADVICE r3): the failure class they carry
-    # (oracle typing under stringify-hash) must be visible by default
-    "json_props_stats", "idx_events_time_range", "stream_user_totals",
-    "stream_enrich_join", "idx_fast_count",
-    "freq_terms_top20", "lang_id_confusion", "rolling_anomaly_events",
-    "stratified_sample_langs", "temperature_sample_langs",
-    "curation_pipeline_stats", "idx_refresh_append",
-    "hll_union_sketch_parts", "idx_hilbert_range",
-    "trailing_30d_peak_spend", "idx_delete_range", "idx_update_range",
-    "stream_merge_upsert", "repetition_flags_by_lang",
-    # round-5 graded-window additions
-    "stream_merge_cdc_ops", "idx_delete_partitioned",
-    "pii_redaction_stats", "span_dedup_stats",
-    "stream_running_anomaly", "idx_term_search",
-    "idx_term_decontamination", "idx_phrase_search",
-    "token_budget_mixture", "curation_pipeline_v2",
-    # round-6 graded-window additions
-    "semantic_dedup_stats", "quality_gate_by_lang",
-    "incremental_dedup_stats", "pack_bins_by_source",
-    "curation_pipeline_v3", "shuffle_shard_stats",
-    "vocab_drift_by_lang", "semantic_contamination_stats",
-    "stream_shuffle_split_stats", "split_leakage_audit",
-    "idx_compact_roundtrip",
+    # (oracle typing under stringify-hash) must be visible by default.
+    # Earlier rounds' additions rotate out to `slow` once proven —
+    # `-m ""` still sweeps all of them.
+    "idx_prefix_scan", "idx_null_safe_point", "idx_term_prefix_search",
+    "cohort_retention", "funnel_conversion", "funnel_conversion_windowed",
+    "data_quality_audit", "chunk_overlap_stats", "chunk_dedup_pipeline",
+    "ks_drift_doclen",
 }
 
 

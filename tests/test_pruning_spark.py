@@ -23,17 +23,43 @@ def ctx(spark, tmp_metastore):
     return QueryContext(spark)
 
 
+@pytest.fixture(scope="module")
+def prune_base():
+    """Module-scoped base dir (metastore + data tables) for the
+    READ-ONLY pruning tables below: tables + indexes build once per
+    module instead of per test (the per-test rebuild dominated this
+    file's runtime)."""
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp(prefix="pis_prune_ms_")
+    os.makedirs(os.path.join(d, "store"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
 @pytest.fixture()
-def table(spark, ctx, tmp_table_dir):
-    path = os.path.join(tmp_table_dir, "t")
+def tctx(spark, prune_base):
+    """Function-scoped context pointed at the module metastore — the
+    conf is session-global and other tests' tmp_metastore resets it, so
+    re-point (cheap) before every test that reads the shared tables."""
+    spark.conf.set("spark.sql.index.metastore",
+                   os.path.join(prune_base, "store"))
+    return QueryContext(spark)
+
+
+@pytest.fixture(scope="module")
+def table(spark, prune_base):
+    path = os.path.join(prune_base, "data_t")
     (spark.range(0, 10_000)
      .selectExpr("id", "concat('s', lpad(cast(id as string), 5, '0')) AS s",
                  "cast(id % 4 AS int) AS grp")
      .repartitionByRange(8, "id")
      .write.partitionBy("grp").parquet(path))
+    spark.conf.set("spark.sql.index.metastore",
+                   os.path.join(prune_base, "store"))
     spark.conf.set("spark.sql.index.parquet.filter.enabled", "false")
     try:
-        ctx.index.create.indexBy("id", "s").parquet(path)
+        QueryContext(spark).index.create.indexBy("id", "s").parquet(path)
     finally:
         spark.conf.set("spark.sql.index.parquet.filter.enabled", "true")
     return path
@@ -55,8 +81,8 @@ PREDICATES = [
 
 class TestSparkPruningEquivalence:
     @pytest.mark.parametrize("pred", PREDICATES)
-    def test_same_survivors_as_numpy(self, spark, ctx, table, pred):
-        metadata = ctx.index.parquet(table)._metadata
+    def test_same_survivors_as_numpy(self, spark, tctx, table, pred):
+        metadata = tctx.index.parquet(table)._metadata
         ast = parse_sql_predicate(pred)
         numpy_files = set(prune_files(ast, metadata.context()))
         spark_files = set(prune_files_with_spark(spark, metadata, ast))
@@ -96,11 +122,11 @@ class TestSparkPruningEquivalence:
         if "NULL" not in pred:
             assert "a-statless.parquet" in numpy_files
 
-    def test_threshold_switch_end_to_end(self, spark, ctx, table):
+    def test_threshold_switch_end_to_end(self, spark, tctx, table):
         """Force the Spark path via threshold=0 and check query results."""
         spark.conf.set(SPARK_PRUNING_THRESHOLD, "0")
         try:
-            t = ctx.index.parquet(table)
+            t = tctx.index.parquet(table)
             assert_same_rows(
                 t.filter("grp = 1 AND id < 500"),
                 spark.read.parquet(table).filter("grp = 1 AND id < 500"))
@@ -108,11 +134,16 @@ class TestSparkPruningEquivalence:
             spark.conf.unset(SPARK_PRUNING_THRESHOLD)
 
 
-@pytest.fixture()
-def filtered_table(spark, ctx, tmp_table_dir, request):
-    """Table indexed WITH filter statistics (dict or bloom)."""
+@pytest.fixture(scope="module")
+def filtered_table(spark, prune_base, request):
+    """Table indexed WITH filter statistics (dict or bloom) — module
+    scope: one build per filter type, shared by the read-only
+    membership predicates."""
     ftype = request.param
-    path = os.path.join(tmp_table_dir, f"tf_{ftype}")
+    ctx = QueryContext(spark)
+    spark.conf.set("spark.sql.index.metastore",
+                   os.path.join(prune_base, "store"))
+    path = os.path.join(prune_base, f"tf_{ftype}")
     (spark.range(0, 10_000)
      .selectExpr("id", "concat('s', lpad(cast(id as string), 5, '0')) AS s",
                  "cast(id % 1000 AS int) AS low_card")
@@ -153,18 +184,18 @@ class TestSparkPruningMembership:
     @pytest.mark.parametrize("filtered_table", ["bloom", "dict", "bitmap"],
                              indirect=True)
     @pytest.mark.parametrize("pred", MEMBERSHIP_PREDICATES)
-    def test_same_survivors_with_filters(self, spark, ctx, filtered_table, pred):
-        metadata = ctx.index.parquet(filtered_table)._metadata
+    def test_same_survivors_with_filters(self, spark, tctx, filtered_table, pred):
+        metadata = tctx.index.parquet(filtered_table)._metadata
         ast = parse_sql_predicate(pred)
         numpy_files = set(prune_files(ast, metadata.context()))
         spark_files = set(prune_files_with_spark(spark, metadata, ast))
         assert spark_files == numpy_files
 
     @pytest.mark.parametrize("filtered_table", ["bloom"], indirect=True)
-    def test_membership_actually_refines(self, spark, ctx, filtered_table):
+    def test_membership_actually_refines(self, spark, tctx, filtered_table):
         """A point lookup must prune MORE than the min/max range alone
         (the round-1 Spark path returned every range-overlapping file)."""
-        metadata = ctx.index.parquet(filtered_table)._metadata
+        metadata = tctx.index.parquet(filtered_table)._metadata
         # s is a unique-per-row string: range stats overlap for sorted data,
         # so with 8 range-partitioned files min/max prunes to 1 anyway; use
         # an id probe far outside block ranges? Instead compare against the

@@ -406,7 +406,7 @@ class TestTopFractionPerGroup:
             df, "g", 0.0, "score", F.asc("k"),
             descending=True).count() == 0
 
-    def test_distributed_cut_equivalence_vs_single_window(self, spark):
+    def _equivalence_grid(self, spark, grid):
         """The round-6 verdict ask: the score-bucketed distributed rank
         cut must produce a BYTE-IDENTICAL keep set (and ranks) vs the
         naive whole-group window form, across ties, NULL groups, NULL
@@ -438,22 +438,37 @@ class TestTopFractionPerGroup:
                             <= F.ceil(F.lit(float(frac)) * F.col("__n")))
                     .select("g", "k", "score", "__rank"))
 
-        for frac in (0.1, 0.3, 0.5, 1.0):
-            for descending in (True, False):
-                for buckets in (1, 7, 4096):
-                    got = SA.top_fraction_per_group(
-                        df, "g", frac, "score", F.asc("k"),
-                        descending=descending, keep_rank=True,
-                        range_buckets=buckets)
-                    want = naive(frac, descending)
+        for frac, descending, buckets in grid:
+            got = SA.top_fraction_per_group(
+                df, "g", frac, "score", F.asc("k"),
+                descending=descending, keep_rank=True,
+                range_buckets=buckets)
+            want = naive(frac, descending)
 
-                    def keyf(t):
-                        g, k, s, rank = t
-                        return (g is None, g or "", k,
-                                s is None, s or 0.0, rank)
-                    assert sorted(map(tuple, got.collect()), key=keyf) \
-                        == sorted(map(tuple, want.collect()), key=keyf), \
-                        (frac, descending, buckets)
+            def keyf(t):
+                g, k, s, rank = t
+                return (g is None, g or "", k,
+                        s is None, s or 0.0, rank)
+            assert sorted(map(tuple, got.collect()), key=keyf) \
+                == sorted(map(tuple, want.collect()), key=keyf), \
+                (frac, descending, buckets)
+
+    def test_distributed_cut_equivalence_core(self, spark):
+        """Fast core of the equivalence grid: both directions, a prime
+        and a degenerate bucket count, a fractional and the full cut."""
+        self._equivalence_grid(spark, [
+            (0.3, True, 7), (0.3, False, 7),
+            (0.3, True, 1), (1.0, False, 7),
+            (0.1, True, 4096), (0.5, False, 4096)])
+
+    @pytest.mark.slow
+    def test_distributed_cut_equivalence_vs_single_window(self, spark):
+        """The full 24-point grid (`-m ""` runs it)."""
+        self._equivalence_grid(spark, [
+            (frac, descending, buckets)
+            for frac in (0.1, 0.3, 0.5, 1.0)
+            for descending in (True, False)
+            for buckets in (1, 7, 4096)])
 
 
 class TestTopFractionDegenerate:

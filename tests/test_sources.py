@@ -190,6 +190,8 @@ class TestZOrder:
         assert x_info.selected_files <= 24, x_info
         assert y_info.selected_files <= 24, y_info
 
+    @pytest.mark.slow
+
     def test_zordered_layout_prunes_on_either_dimension(self, spark, ctx,
                                                         tmp_table_dir):
         from parquet_index_spark.sources import write_zordered
@@ -251,6 +253,8 @@ class TestDeleteWhere:
         t.filter("id = 99000").count()
         assert ctx.index.last_prune_info.selected_files == 1
 
+    @pytest.mark.slow
+
     def test_scheme_uri_table_dml_end_to_end(self, spark, ctx,
                                              tmp_table_dir):
         """Round-6 verdict ask #5: DML on a table addressed by an
@@ -311,9 +315,12 @@ class TestDeleteWhere:
             delete_where(ctx, path, "id >= 0")
 
     @pytest.mark.parametrize("pred", [
-        "id < 9000",                          # prefix range
-        "id IN (5, 777, 99999, 123456)",      # point set (one key absent)
-        "id >= 91000 OR id < 2000",           # disjunctive, both edges
+        # the composite (range + unindexed col) runs fast as the family
+        # representative; the simpler shapes it subsumes are `slow`
+        pytest.param("id < 9000", marks=pytest.mark.slow),
+        pytest.param("id IN (5, 777, 99999, 123456)",
+                     marks=pytest.mark.slow),
+        pytest.param("id >= 91000 OR id < 2000", marks=pytest.mark.slow),
         "id BETWEEN 20000 AND 20500 AND v = 3",  # conjunct w/ unindexed col
     ])
     def test_differential_vs_relational_delete(self, spark, ctx,
@@ -332,10 +339,13 @@ class TestDeleteWhere:
         assert got == want
 
     @pytest.mark.parametrize("pred", [
-        "p = 1",                                   # whole-partition drop
+        # partition + row range is the representative composite; the
+        # rest of the grid is `slow` (whole-partition drop has its own
+        # dedicated fast test below)
+        pytest.param("p = 1", marks=pytest.mark.slow),
         "p IN (0, 2) AND id < 300",                # partition + row range
-        "id BETWEEN 900 AND 2100",                 # spans partitions
-        "v = 4 OR p = 3",                          # disjunct across dims
+        pytest.param("id BETWEEN 900 AND 2100", marks=pytest.mark.slow),
+        pytest.param("v = 4 OR p = 3", marks=pytest.mark.slow),
     ])
     def test_differential_partitioned_delete(self, spark, ctx,
                                              tmp_table_dir, pred):
@@ -519,9 +529,11 @@ class TestUpdateWhere:
         assert ctx.index.parquet(path).df.count() == 1050
 
     @pytest.mark.parametrize("pred", [
-        "id < 900",                               # prefix range
-        "id IN (5, 777, 9999, 123456)",           # point set (one absent)
-        "id >= 9100 OR id < 200",                 # disjunctive, both edges
+        # composite w/ NULL-able column is the fast representative
+        pytest.param("id < 900", marks=pytest.mark.slow),
+        pytest.param("id IN (5, 777, 9999, 123456)",
+                     marks=pytest.mark.slow),
+        pytest.param("id >= 9100 OR id < 200", marks=pytest.mark.slow),
         "v = 3 AND id BETWEEN 2000 AND 2500",     # conjunct w/ NULL-able v
     ])
     def test_differential_vs_relational_update(self, spark, ctx,
@@ -576,6 +588,7 @@ class TestUpdateWhere:
 
 
 class TestCompaction:
+    @pytest.mark.slow
     def test_compacts_small_files_and_refreshes_index(self, spark, ctx,
                                                       tmp_table_dir):
         from parquet_index_spark.sources import compact_table
@@ -597,6 +610,8 @@ class TestCompaction:
         assert t.filter("k = 123").count() == 1
         info = ctx.index.last_prune_info
         assert info.total_files == stats["files_after"]
+
+    @pytest.mark.slow
 
     def test_compact_partitioned_preserves_layout(self, spark, ctx,
                                                   tmp_table_dir):
@@ -629,6 +644,8 @@ class TestCompaction:
         # partition values stay directory-encoded
         one = spark.read.parquet(after[0])
         assert "p" not in one.columns
+
+    @pytest.mark.slow
 
     def test_compact_with_zorder_recluster(self, spark, ctx, tmp_table_dir):
         from parquet_index_spark.sources import compact_table
@@ -854,6 +871,8 @@ class TestMergeInto:
         info = ctx.index.last_prune_info
         assert info.selected_files < info.total_files
 
+    @pytest.mark.slow
+
     def test_upsert_key_only_updates_whole_row(self, spark, ctx,
                                                tmp_table_dir):
         """Duplicate keys inside one file: all old rows with a matched key
@@ -880,6 +899,8 @@ class TestMergeInto:
         with pytest.raises(ValueError, match="non-null"):
             merge_into(ctx, path, spark.createDataFrame(
                 [(None, 1, "x")], "k long, v long, s string"), "k")
+
+    @pytest.mark.slow
 
     def test_partitioned_upsert_insert_and_migration(self, spark, ctx,
                                                      tmp_table_dir):
@@ -915,6 +936,8 @@ class TestMergeInto:
         # index stays consistent: point lookups prune and hit
         got = ctx.index.parquet(path).filter("k = 100001").collect()
         assert len(got) == 1 and got[0]["v"] == -4
+
+    @pytest.mark.slow
 
     def test_insert_only_batch_keeps_all_files(self, spark, ctx,
                                                tmp_table_dir):
@@ -959,6 +982,8 @@ class TestMergeIntoDeleteKeys:
         assert t.filter("k IN (100, 101)").count() == 0
         assert t.filter("k = 5").head()["v"] == -1
         assert t.filter("k IS NULL").count() == 1  # NULL-keyed survives
+
+    @pytest.mark.slow
 
     def test_delete_only_batch(self, spark, ctx, tmp_table_dir):
         from pyspark.sql import functions as F

@@ -79,6 +79,8 @@ class TestTermIndexPruning:
         assert t.contains_term("text", "zzz_missing").count() == 0
         assert ctx.index.last_prune_info.selected_files == 0
 
+    @pytest.mark.slow
+
     def test_dict_filter_type_supported(self, spark, ctx, tmp_table_dir):
         path = _docs_table(spark, ctx, tmp_table_dir, name="tdd",
                            filter_type="dict")
@@ -180,6 +182,8 @@ class TestTermIndexPruning:
         assert t.contains_any_term("text", "zz1", "zz2").count() == 0
         assert ctx.index.last_prune_info.selected_files == 0
 
+    @pytest.mark.slow
+
     def test_empty_term_rejected(self, spark, ctx, tmp_table_dir):
         path = _docs_table(spark, ctx, tmp_table_dir, name="te")
         t = ctx.index.parquet(path)
@@ -207,6 +211,7 @@ class TestTermIndexComposition:
 
 
 class TestTermIndexLifecycle:
+    @pytest.mark.slow
     def test_refresh_append_and_rebuild_roundtrip(self, spark, ctx,
                                                   tmp_table_dir):
         """Incremental refresh collects term stats for NEW files; the
@@ -293,6 +298,7 @@ class TestTermIndexSoundness:
 
 
 class TestTermIndexDistributedFold:
+    @pytest.mark.slow
     def test_spark_fold_matches_numpy_fold(self, spark, ctx,
                                            tmp_table_dir):
         """Force the distributed pruning path (threshold 0) and compare
