@@ -5838,42 +5838,38 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_compact_roundtrip": (idx_compact_roundtrip, IDX_COMPACT_SQL),
 }
 
-# Round-7 grading window (round-5 verdict ask #6 policy): the driver
+# Round-8 grading window (round-5 verdict ask #6 policy): the driver
 # grades the FIRST 50 keys, so the window rotates oldest-proven-first
 # each round — EXCEPT that queries whose implementation changed this
 # round lead regardless of when they were last proven, because changed
-# code needs a fresh driver certification (verdict asks #1-#5, #8 each
-# name their 'Done = row stays green' query). The rotated-out entries
+# code needs a fresh driver certification. The rotated-out entries
 # keep local DuckDB-parity coverage via tests/test_oracle_parity.py's
 # full sweep; union driver coverage across rounds stays complete.
-_R7_WINDOW = [
-    # round-7 changed surface: distributed rank cut (quality gate, v3
-    # pipeline), broadcast-guarded leakage audit / contamination, FFD
-    # oracle (the r6 no_oracle row), SemDeDup cluster cap, maintain_table
-    # policy, scheme-portable DML internals
-    "idx_prefix_scan", "idx_null_safe_point", "cohort_retention",
-    "data_quality_audit", "funnel_conversion", "chunk_overlap_stats",
-    "chunk_dedup_pipeline", "ks_drift_doclen", "idx_term_prefix_search",
-    "pack_bins_by_source", "idx_compact_roundtrip",
-    "quality_gate_by_lang", "curation_pipeline_v3",
-    "split_leakage_audit", "contamination_by_lang",
-    "semantic_dedup_stats", "semantic_contamination_stats",
-    "incremental_dedup_stats", "idx_delete_range", "idx_update_range",
-    "stream_merge_upsert",
+_R8_WINDOW = [
+    # round-8 changed surface: k-step funnel operator (+ the new
+    # windowed variant), distributed + broadcast-guarded KS CDF,
+    # dpp_join guard/NULL-cap/inner-only fixes, top_fraction degenerate
+    # audit+escape (quality gate, v3 pipeline), manifest-only refresh
+    # retraction, checkpointed contamination probe
+    "funnel_conversion_windowed", "funnel_conversion", "ks_drift_doclen",
+    "idx_join_dpp", "quality_gate_by_lang", "curation_pipeline_v3",
+    "idx_refresh_append", "contamination_by_lang", "split_leakage_audit",
     # oldest-proven-first rotation (tools/rotate_window.py)
-    "idx_join_dpp", "top3_orders_per_customer",
-    "distinct_parts_per_flag", "percentile_quantities",
-    "setop_active_building_buyers", "scalar_functions_showcase",
-    "merge_upsert_orders", "bucketed_colocated_join",
-    "customers_without_orders", "idx_point_lookup", "idx_zorder_range",
-    "q1_pricing_summary", "q3_shipping_priority", "minhash_lsh_pairs",
-    "multimodal_pipeline", "q21_suppliers_kept_waiting",
-    "cube_order_status", "pivot_flag_quantities",
-    "unpivot_order_measures", "listagg_status_by_priority",
-    "approx_percentile_bounds", "ann_topk_per_label",
-    "range_join_windows", "overlap_join_windows", "time_bucket_gapfill",
-    "stream_merge_cdc_ops", "idx_term_search",
-    "idx_term_decontamination", "idx_phrase_search",
+    "idx_delete_partitioned", "pii_redaction_stats", "span_dedup_stats",
+    "stream_running_anomaly", "token_budget_mixture", "curation_pipeline_v2",
+    "freq_terms_top20", "lang_id_confusion", "rolling_anomaly_events",
+    "stratified_sample_langs", "temperature_sample_langs",
+    "curation_pipeline_stats", "idx_hilbert_range", "trailing_30d_peak_spend",
+    "repetition_flags_by_lang", "hll_union_sketch_parts",
+    "stream_windowed_counts", "stream_session_windows", "stream_funnel_join",
+    "stream_funnel_left_outer", "stream_gapfill_locf", "stream_user_totals",
+    "stream_enrich_join", "json_props_stats", "idx_events_time_range",
+    "idx_fast_count", "sessionize_events", "q12_priority_shipmode",
+    "rollup_sales", "cumulative_spend", "asof_join_events",
+    "approx_distinct_parts", "q2_min_cost_supplier", "q7_nation_trade",
+    "q8_market_share", "q9_product_profit", "q11_important_parts",
+    "q13_order_distribution", "q14_brand_revenue_share", "q15_top_supplier",
+    "q16_supplier_part_counts",
 ]
-QUERIES = {**{k: QUERIES[k] for k in _R7_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in _R7_WINDOW}}
+QUERIES = {**{k: QUERIES[k] for k in _R8_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in _R8_WINDOW}}

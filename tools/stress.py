@@ -66,8 +66,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from parquet_index_spark import QueryContext
+    from parquet_index_spark.functions.joins import dpp_join
     from parquet_index_spark.operators.dedup import (contaminated_docs,
                                                      dedup_against_corpus)
+    from parquet_index_spark.operators.profile import ks_drift
     from parquet_index_spark.operators.sampling import (
         token_budget_sample, top_fraction_per_group)
 
@@ -138,12 +140,33 @@ def main() -> None:
                 d.filter("doc_id % 10 != 0"), d.filter("doc_id % 10 = 0"),
                 max_broadcast_rows=10_000).count())
         r["leakage_audit_rows"] = n4
+        # 8. round-8 distributed KS CDF: per-(group, bucket) prefix sums
+        # replace the per-group distinct-value window (r7 verdict #2) —
+        # the slope must stay near-linear even though the distinct
+        # n_chars set grows with the corpus
+        r["ks_drift_sec"], n5 = _timed(
+            lambda: ks_drift(d.filter("doc_id % 2 = 0"),
+                             d.filter("doc_id % 2 = 1"),
+                             "lang", "n_chars").count())
+        r["ks_drift_groups"] = n5
+        # 9. round-8 guarded dpp_join on its shuffle-fallback path
+        # (max_broadcast_rows=1 forces the no-hint join the guard
+        # degrades to; file pruning from the IN fold still applies)
+        dim = (spark.read.parquet(lpath).select("l_orderkey").distinct()
+               .filter("l_orderkey % 1997 = 0")
+               .withColumnRenamed("l_orderkey", "k")
+               .withColumn("nm", F.concat(F.lit("n"), F.col("k"))))
+        r["dpp_fallback_sec"], n6 = _timed(
+            lambda: dpp_join(ctx, lpath, "l_orderkey", dim, "k",
+                             max_broadcast_rows=1).count())
+        r["dpp_fallback_rows"] = n6
         report[label] = r
 
     # slopes: Nx time / 1x time, vs the ideal SCALE
     slopes = {}
     for k in ("index_build_sec", "token_budget_sec", "dedup_exact_sec",
-              "corpus_dedup_sec", "quality_gate_sec", "leakage_audit_sec"):
+              "corpus_dedup_sec", "quality_gate_sec", "leakage_audit_sec",
+              "ks_drift_sec", "dpp_fallback_sec"):
         a, b = report["1x"][k], report["Nx"][k]
         slopes[k] = round(b / max(a, 1e-9), 2)
     report["slopes_vs_ideal"] = {"ideal": float(SCALE), **slopes}
