@@ -135,6 +135,16 @@ _REBASELINED = {
         "1.4-2.0s at sf0.1 vs 0.573s for the old single-window form — "
         "the deliberate small-scale cost of a 32x-flat slope "
         "(STRESS_r07 quality_gate_sec slope 1.43 vs ideal 32)",
+    "ks_drift_doclen":
+        "r8 replaces the per-group distinct-value cumulative window "
+        "(r7 verdict scale-killer #2: one task per group, unbounded for "
+        "a continuous metric) with the bucketed prefix-offset CDF; the "
+        "distinct-value frame is localCheckpointed so the corpus scans "
+        "once, and the metadata broadcasts are guarded by one count "
+        "job. Steady-state standalone ~1.4s at sf0.1 vs 0.373s for the "
+        "old single-window form — the same deliberate small-scale cost "
+        "as quality_gate_by_lang, bought back at scale (STRESS_r08 "
+        "ks_drift_sec slope 1.66 vs ideal 32)",
 }
 
 

@@ -129,12 +129,13 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
 
     Identical ``ks_num`` as the single-window form (bucketing is pure
     partitioning; the counts are unchanged). The metadata frames —
-    |groups| and |groups| x ``range_buckets`` rows — are broadcast only
-    under a ``limit(n+1)`` row probe against ``max_broadcast_rows`` (the
-    ``top_fraction_per_group`` contract): the design regime is a
-    LOW-CARDINALITY ``group`` (language, domain, source), but a
-    near-unique key degrades to plain shuffle joins instead of a
-    driver-sized broadcast.
+    |groups| and at most |groups| x ``range_buckets`` rows — broadcast
+    only under ``max_broadcast_rows`` (the ``top_fraction_per_group``
+    contract): ONE count over the checkpointed extremes frame guards
+    both (the offsets frame is bounded by the product, so it needs no
+    probe of its own). The design regime is a LOW-CARDINALITY ``group``
+    (language, domain, source); a near-unique key degrades to plain
+    shuffle joins instead of a driver-sized broadcast.
     """
     if range_buckets < 1:
         raise ValueError(
@@ -160,9 +161,13 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
         F.min(F.col("v").cast("double")).alias("__mn"),
         F.max(F.col("v").cast("double")).alias("__mx"),
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")).localCheckpoint()
-    mm_b = (F.broadcast(mm)
-            if mm.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
-            else mm)
+    # ONE guard job decides both broadcasts: mm is exactly one row per
+    # group (count over the checkpointed frame is near-free), and offs
+    # below has AT MOST n_groups * range_buckets rows, so the
+    # conservative product bound spares offs its own checkpoint + probe
+    n_groups = mm.count()
+    mm_b = F.broadcast(mm) if n_groups <= max_broadcast_rows else mm
+    offs_small = n_groups * int(range_buckets) <= max_broadcast_rows
     base = per_val.join(mm_b,
                         F.col("g").eqNullSafe(F.col("__ks_g"))).drop("__ks_g")
     span = F.col("__mx") - F.col("__mn")
@@ -183,11 +188,8 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
             .withColumn("__offb", F.coalesce(F.sum("__bcb").over(w_off),
                                              F.lit(0).cast("long")))
             .select(F.col("g").alias("__ks_g2"),
-                    F.col("__bkt").alias("__bkt2"), "__offa", "__offb")
-            .localCheckpoint())
-    offs_b = (F.broadcast(offs)
-              if offs.limit(max_broadcast_rows + 1).count()
-              <= max_broadcast_rows else offs)
+                    F.col("__bkt").alias("__bkt2"), "__offa", "__offb"))
+    offs_b = F.broadcast(offs) if offs_small else offs
     cum_src = base.join(offs_b,
                         F.col("g").eqNullSafe(F.col("__ks_g2"))
                         & (F.col("__bkt") == F.col("__bkt2")))
