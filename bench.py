@@ -57,7 +57,7 @@ BENCH_QUERIES = [
     "cohort_retention", "funnel_conversion", "data_quality_audit",
     "chunk_overlap_stats", "chunk_dedup_pipeline", "ks_drift_doclen",
     "idx_term_prefix_search",
-    "funnel_conversion_windowed",
+    "funnel_conversion_windowed", "tv_drift_doclen",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the

@@ -80,6 +80,108 @@ def profile_columns(df: DataFrame, columns: Optional[List[str]] = None,
             .orderBy("col_name"))
 
 
+def _bucketed_side_counts(df_a: DataFrame, df_b: DataFrame, group: str,
+                          value_col: str, range_buckets: int,
+                          max_broadcast_rows: int):
+    """Shared front half of the two-sample drift statistics: one union
+    scan -> per-(group, value) side counts (the heavy map-side-combinable
+    reduction, checkpointed so the corpus scans once), per-group value
+    extremes + side totals (one row per group, broadcast under the row
+    cap — ONE count job over the checkpointed frame guards every
+    metadata broadcast downstream), and a monotone value-range
+    bucketization (bucket order == value order, equal values share a
+    bucket; a zero span collapses to bucket 0).
+
+    Returns ``(base, offs_small)``: ``base`` has columns
+    ``g, v, ca, cb, na, nb, __mn, __mx, __bkt``; ``offs_small`` says
+    whether a per-(group, bucket) metadata frame (at most
+    |groups| x range_buckets rows) may be broadcast."""
+    if range_buckets < 1:
+        raise ValueError(
+            f"range_buckets must be >= 1, got {range_buckets}")
+    a = df_a.select(F.col(group).alias("g"),
+                    F.col(value_col).alias("v")).where(F.col(value_col).isNotNull()) \
+        .withColumn("side_a", F.lit(1)).withColumn("side_b", F.lit(0))
+    b = df_b.select(F.col(group).alias("g"),
+                    F.col(value_col).alias("v")).where(F.col(value_col).isNotNull()) \
+        .withColumn("side_a", F.lit(0)).withColumn("side_b", F.lit(1))
+    # the heavy reduction, referenced repeatedly below — checkpoint so
+    # the union scan runs once (vocab_drift's rule: unmaterialized reuse
+    # re-plans the whole scan subtree per reference)
+    per_val = (a.unionByName(b)
+               .groupBy("g", "v")
+               .agg(F.sum("side_a").alias("ca"), F.sum("side_b").alias("cb"))
+               .localCheckpoint())
+    # per-group extremes + totals (tiny; one row per group). The join
+    # back is eqNullSafe: a NULL group is its own group here, and a
+    # name equi-join would silently drop it.
+    mm = per_val.groupBy(F.col("g").alias("__ks_g")).agg(
+        F.min(F.col("v").cast("double")).alias("__mn"),
+        F.max(F.col("v").cast("double")).alias("__mx"),
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")).localCheckpoint()
+    n_groups = mm.count()
+    mm_b = F.broadcast(mm) if n_groups <= max_broadcast_rows else mm
+    offs_small = n_groups * int(range_buckets) <= max_broadcast_rows
+    base = per_val.join(mm_b,
+                        F.col("g").eqNullSafe(F.col("__ks_g"))).drop("__ks_g")
+    span = F.col("__mx") - F.col("__mn")
+    raw = F.floor((F.col("v").cast("double") - F.col("__mn")) / span
+                  * F.lit(int(range_buckets)))
+    bkt = (F.when(span <= F.lit(0.0), F.lit(0))
+           .otherwise(F.least(raw, F.lit(int(range_buckets) - 1))))
+    return base.withColumn("__bkt", bkt.cast("long")), offs_small
+
+
+def tv_drift(df_a: DataFrame, df_b: DataFrame, group: str,
+             value_col: str, range_buckets: int = 4096,
+             max_broadcast_rows: int = 4_000_000) -> DataFrame:
+    """Exact histogram total-variation distance per group — the
+    mass-based numeric drift statistic beside :func:`ks_drift` (which
+    reports the MAX CDF deviation, blind to where the rest of the mass
+    moved) and ``text.vocab_drift`` (categorical TV): half the summed
+    absolute difference between the two snapshots' value-histogram
+    proportions over ``range_buckets`` equal-width buckets of the
+    group's observed value range. 0 = identical histograms at this
+    resolution, 1 = disjoint. Unlike KS, the statistic depends on the
+    bucket grid — report it alongside the bucket count and compare like
+    with like round over round.
+
+    Exactness: with per-bucket counts ``ca, cb`` and totals ``na, nb``,
+    ``0.5 * sum |ca/na - cb/nb| = sum |ca*nb - cb*na| / (2*na*nb)`` —
+    the numerator ``tv_num`` is an exact DECIMAL(38,0) integer sum
+    (order-independent, unlike a sum of per-bucket doubles), divided
+    once in DOUBLE. Engine-portable bit-for-bit under the same
+    int->double contract as ks_drift. Groups present in only one
+    snapshot report tv = 1.0 with a NULL ``tv_num``. Returns one row
+    per group: ``(group, n_a, n_b, tv_num, tv)``.
+
+    Scale shape: strictly map-side-combinable aggregations end to end —
+    one union scan, per-(group, value) counts, per-(group, bucket)
+    sums, a per-group rollup. NO windows at all (TV needs no cumulative
+    pass), so there is no per-group serial stage to distribute; the
+    bucketization's metadata broadcast is guarded exactly as in
+    ks_drift."""
+    base, _offs_small = _bucketed_side_counts(
+        df_a, df_b, group, value_col, range_buckets, max_broadcast_rows)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    per_bkt = (base.groupBy("g", "__bkt")
+               .agg(F.sum("ca").alias("bca"), F.sum("cb").alias("bcb"),
+                    F.max("na").alias("na"), F.max("nb").alias("nb")))
+    diff = F.abs(dec("bca") * dec("nb") - dec("bcb") * dec("na"))
+    two = F.lit(2).cast("decimal(38,0)")
+    return (per_bkt.groupBy("g")
+            .agg(F.sum(diff).alias("tv_num"),
+                 F.max("na").alias("n_a"), F.max("nb").alias("n_b"))
+            .select(F.col("g").alias(group), "n_a", "n_b",
+                    F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                           F.col("tv_num").cast("double")).alias("tv_num"),
+                    F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                           F.col("tv_num").cast("double")
+                           / (two * dec("n_a") * dec("n_b")).cast("double"))
+                    .otherwise(F.lit(1.0)).alias("tv"))
+            .orderBy(group))
+
+
 def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
              value_col: str, range_buckets: int = 4096,
              max_broadcast_rows: int = 4_000_000) -> DataFrame:
@@ -137,45 +239,8 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
     (language, domain, source); a near-unique key degrades to plain
     shuffle joins instead of a driver-sized broadcast.
     """
-    if range_buckets < 1:
-        raise ValueError(
-            f"range_buckets must be >= 1, got {range_buckets}")
-    a = df_a.select(F.col(group).alias("g"),
-                    F.col(value_col).alias("v")).where(F.col(value_col).isNotNull()) \
-        .withColumn("side_a", F.lit(1)).withColumn("side_b", F.lit(0))
-    b = df_b.select(F.col(group).alias("g"),
-                    F.col(value_col).alias("v")).where(F.col(value_col).isNotNull()) \
-        .withColumn("side_a", F.lit(0)).withColumn("side_b", F.lit(1))
-    # (1) the heavy reduction, referenced three times below (extremes,
-    # bucket counts, the cumulative pass) — checkpoint so the union scan
-    # runs once (vocab_drift's rule: unmaterialized reuse re-plans the
-    # whole scan subtree per reference)
-    per_val = (a.unionByName(b)
-               .groupBy("g", "v")
-               .agg(F.sum("side_a").alias("ca"), F.sum("side_b").alias("cb"))
-               .localCheckpoint())
-    # (2) per-group extremes + totals (tiny; one row per group). The
-    # join back is eqNullSafe: a NULL group is its own group here, and a
-    # name equi-join would silently drop it.
-    mm = per_val.groupBy(F.col("g").alias("__ks_g")).agg(
-        F.min(F.col("v").cast("double")).alias("__mn"),
-        F.max(F.col("v").cast("double")).alias("__mx"),
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb")).localCheckpoint()
-    # ONE guard job decides both broadcasts: mm is exactly one row per
-    # group (count over the checkpointed frame is near-free), and offs
-    # below has AT MOST n_groups * range_buckets rows, so the
-    # conservative product bound spares offs its own checkpoint + probe
-    n_groups = mm.count()
-    mm_b = F.broadcast(mm) if n_groups <= max_broadcast_rows else mm
-    offs_small = n_groups * int(range_buckets) <= max_broadcast_rows
-    base = per_val.join(mm_b,
-                        F.col("g").eqNullSafe(F.col("__ks_g"))).drop("__ks_g")
-    span = F.col("__mx") - F.col("__mn")
-    raw = F.floor((F.col("v").cast("double") - F.col("__mn")) / span
-                  * F.lit(int(range_buckets)))
-    bkt = (F.when(span <= F.lit(0.0), F.lit(0))
-           .otherwise(F.least(raw, F.lit(int(range_buckets) - 1))))
-    base = base.withColumn("__bkt", bkt.cast("long"))
+    base, offs_small = _bucketed_side_counts(
+        df_a, df_b, group, value_col, range_buckets, max_broadcast_rows)
     # (3) per-(group, bucket) sums; exclusive prefix offsets over the
     # tiny metadata frame (a window over |groups| x buckets rows, not
     # over the data)

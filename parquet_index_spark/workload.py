@@ -3431,6 +3431,70 @@ def ks_drift_doclen(spark, sf_dir):
                     "lang", "n_chars")
 
 
+def tv_drift_doclen(spark, sf_dir):
+    """Exact per-lang histogram total-variation distance on document
+    length between two corpus snapshots (operators/profile.tv_drift) —
+    the mass-based drift monitor beside ks_drift's max-CDF deviation:
+    KS can report a tiny statistic while the bulk of the mass shuffles
+    around inside the CDF envelope; TV charges every moved proportion.
+    Integer-exact numerator (DECIMAL(38,0) sum of |ca*nb - cb*na| over
+    4096 value-range buckets), one DOUBLE division at the end; NO
+    windows anywhere — strictly map-side-combinable aggregations."""
+    from parquet_index_spark.operators.profile import tv_drift
+    docs = _t(spark, sf_dir, "documents")
+    return tv_drift(docs.filter("doc_id % 2 = 0"),
+                    docs.filter("doc_id % 2 = 1"),
+                    "lang", "n_chars")
+
+
+TV_DRIFT_SQL = """
+WITH u AS (
+  SELECT lang AS g, n_chars AS v,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS sa,
+         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS sb
+  FROM documents WHERE n_chars IS NOT NULL
+),
+per_val AS (
+  SELECT g, v, CAST(sum(sa) AS BIGINT) AS ca, CAST(sum(sb) AS BIGINT) AS cb
+  FROM u GROUP BY g, v
+),
+mm AS (
+  SELECT g AS mg, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx,
+         CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM per_val GROUP BY g
+),
+bucketed AS (
+  -- the bucket expression mirrors tv_drift's Spark form op for op:
+  -- floor((CAST(v AS DOUBLE) - mn) / span * 4096), clamped, zero-span
+  -- collapses to bucket 0 (IEEE double ops are correctly rounded, so
+  -- both engines draw identical bucket boundaries)
+  SELECT g, ca, cb, na, nb,
+         CASE WHEN mx - mn <= 0 THEN 0
+              ELSE LEAST(FLOOR((CAST(v AS DOUBLE) - mn) / (mx - mn) * 4096),
+                         4095) END AS bkt
+  FROM per_val JOIN mm ON g IS NOT DISTINCT FROM mg
+),
+per_bkt AS (
+  SELECT g, bkt,
+         CAST(sum(ca) AS BIGINT) AS bca, CAST(sum(cb) AS BIGINT) AS bcb,
+         max(na) AS na, max(nb) AS nb
+  FROM bucketed GROUP BY g, bkt
+)
+SELECT g AS lang,
+       max(na) AS n_a, max(nb) AS n_b,
+       CASE WHEN max(na) > 0 AND max(nb) > 0
+            THEN CAST(sum(abs(CAST(bca AS HUGEINT) * nb
+                              - CAST(bcb AS HUGEINT) * na)) AS DOUBLE)
+       END AS tv_num,
+       CASE WHEN max(na) > 0 AND max(nb) > 0
+            THEN CAST(sum(abs(CAST(bca AS HUGEINT) * nb
+                              - CAST(bcb AS HUGEINT) * na)) AS DOUBLE)
+                 / CAST(2 * CAST(max(na) AS HUGEINT) * max(nb) AS DOUBLE)
+            ELSE 1.0 END AS tv
+FROM per_bkt GROUP BY g ORDER BY lang
+"""
+
+
 KS_DRIFT_SQL = """
 WITH u AS (
   SELECT lang AS g, n_chars AS v,
@@ -5797,6 +5861,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "chunk_overlap_stats": (chunk_overlap_stats, CHUNK_OVERLAP_SQL),
     "chunk_dedup_pipeline": (chunk_dedup_pipeline, CHUNK_DEDUP_SQL),
     "ks_drift_doclen": (ks_drift_doclen, KS_DRIFT_SQL),
+    "tv_drift_doclen": (tv_drift_doclen, TV_DRIFT_SQL),
     "sample_split_stats": (sample_split_stats, SAMPLE_SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
     "pack_chunks_by_source": (pack_chunks_by_source, PACK_CHUNKS_SQL),
@@ -5851,6 +5916,7 @@ _R8_WINDOW = [
     # dpp_join guard/NULL-cap/inner-only fixes, top_fraction degenerate
     # audit+escape (quality gate, v3 pipeline), manifest-only refresh
     # retraction, checkpointed contamination probe
+    "tv_drift_doclen",
     "funnel_conversion_windowed", "funnel_conversion", "ks_drift_doclen",
     "idx_join_dpp", "quality_gate_by_lang", "curation_pipeline_v3",
     "idx_refresh_append", "contamination_by_lang", "split_leakage_audit",
@@ -5869,7 +5935,6 @@ _R8_WINDOW = [
     "approx_distinct_parts", "q2_min_cost_supplier", "q7_nation_trade",
     "q8_market_share", "q9_product_profit", "q11_important_parts",
     "q13_order_distribution", "q14_brand_revenue_share", "q15_top_supplier",
-    "q16_supplier_part_counts",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R8_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R8_WINDOW}}

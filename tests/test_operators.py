@@ -1793,6 +1793,52 @@ class TestFunnel:
         assert got == [tuple(w) for w in want]
 
 
+class TestTvDrift:
+    """operators/profile.tv_drift — exact histogram TV distance per
+    group (the mass-based complement to KS's max deviation)."""
+
+    def test_known_value_integer_buckets(self, spark):
+        from parquet_index_spark.operators.profile import tv_drift
+        a = spark.createDataFrame([Row(g="x", v=i) for i in [0, 1, 2, 3, 4]])
+        b = spark.createDataFrame([Row(g="x", v=i) for i in [0, 1, 2, 3, 9]])
+        # B=10 over range [0,9]: every value its own bucket; histograms
+        # differ at 4 (1/5 vs 0) and 9 (0 vs 1/5) -> TV = 0.2 exactly,
+        # numerator |1*5-0*5| + |0*5-1*5| = 10
+        r = tv_drift(a, b, "g", "v", range_buckets=10).collect()[0]
+        assert (r["n_a"], r["n_b"]) == (5, 5)
+        assert r["tv_num"] == 10.0 and r["tv"] == 0.2
+
+    def test_identical_distributions_zero(self, spark):
+        from parquet_index_spark.operators.profile import tv_drift
+        a = spark.createDataFrame([Row(g="x", v=i % 7) for i in range(70)])
+        r = tv_drift(a, a, "g", "v").collect()[0]
+        assert r["tv"] == 0.0 and r["tv_num"] == 0.0
+
+    def test_disjoint_is_one_and_one_sided_is_one(self, spark):
+        from parquet_index_spark.operators.profile import tv_drift
+        a = spark.createDataFrame([Row(g="x", v=i) for i in range(10)]
+                                  + [Row(g="only_a", v=1)])
+        b = spark.createDataFrame([Row(g="x", v=i + 100) for i in range(10)])
+        got = {r["g"]: r for r in tv_drift(a, b, "g", "v",
+                                           range_buckets=4).collect()}
+        # disjoint supports: every bucket one-sided -> TV = 1 (exact)
+        assert got["x"]["tv"] == 1.0 and got["x"]["tv_num"] == 200.0
+        assert got["only_a"]["tv"] == 1.0 and got["only_a"]["tv_num"] is None
+
+    def test_no_windows_in_plan(self, spark):
+        """TV needs no cumulative pass: the plan must contain NO Window
+        operator at all (ks_drift's bucketed windows are its cost; TV is
+        strictly map-side-combinable aggregation)."""
+        from parquet_index_spark import plans
+        from parquet_index_spark.workload import tv_drift_doclen
+        from tests.conftest import SF_CORRECT
+        df = tv_drift_doclen(spark, SF_CORRECT)
+        plan = plans.formatted_plan(df)
+        assert "Window" not in plan, plan
+        s = plans.join_strategies(df)
+        assert s["nested_loop"] == 0, s
+
+
 class TestKsDrift:
     """operators/profile.ks_drift — exact two-sample KS per group."""
 

@@ -76,7 +76,7 @@ _CORE = {
     "idx_prefix_scan", "idx_null_safe_point", "idx_term_prefix_search",
     "cohort_retention", "funnel_conversion", "funnel_conversion_windowed",
     "data_quality_audit", "chunk_overlap_stats", "chunk_dedup_pipeline",
-    "ks_drift_doclen",
+    "ks_drift_doclen", "tv_drift_doclen",
 }
 
 
