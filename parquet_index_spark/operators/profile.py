@@ -92,10 +92,10 @@ def _bucketed_side_counts(df_a: DataFrame, df_b: DataFrame, group: str,
     bucketization (bucket order == value order, equal values share a
     bucket; a zero span collapses to bucket 0).
 
-    Returns ``(base, offs_small)``: ``base`` has columns
-    ``g, v, ca, cb, na, nb, __mn, __mx, __bkt``; ``offs_small`` says
-    whether a per-(group, bucket) metadata frame (at most
-    |groups| x range_buckets rows) may be broadcast."""
+    Returns ``(base, n_groups)``: ``base`` has columns
+    ``g, v, ca, cb, na, nb, __mn, __mx, __bkt``; ``n_groups`` (the
+    exact group count, already paid for by the guard job) lets callers
+    size their own per-(group, bucket) metadata frames."""
     if range_buckets < 1:
         raise ValueError(
             f"range_buckets must be >= 1, got {range_buckets}")
@@ -121,7 +121,6 @@ def _bucketed_side_counts(df_a: DataFrame, df_b: DataFrame, group: str,
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")).localCheckpoint()
     n_groups = mm.count()
     mm_b = F.broadcast(mm) if n_groups <= max_broadcast_rows else mm
-    offs_small = n_groups * int(range_buckets) <= max_broadcast_rows
     base = per_val.join(mm_b,
                         F.col("g").eqNullSafe(F.col("__ks_g"))).drop("__ks_g")
     span = F.col("__mx") - F.col("__mn")
@@ -129,7 +128,7 @@ def _bucketed_side_counts(df_a: DataFrame, df_b: DataFrame, group: str,
                   * F.lit(int(range_buckets)))
     bkt = (F.when(span <= F.lit(0.0), F.lit(0))
            .otherwise(F.least(raw, F.lit(int(range_buckets) - 1))))
-    return base.withColumn("__bkt", bkt.cast("long")), offs_small
+    return base.withColumn("__bkt", bkt.cast("long")), n_groups
 
 
 def tv_drift(df_a: DataFrame, df_b: DataFrame, group: str,
@@ -161,7 +160,7 @@ def tv_drift(df_a: DataFrame, df_b: DataFrame, group: str,
     pass), so there is no per-group serial stage to distribute; the
     bucketization's metadata broadcast is guarded exactly as in
     ks_drift."""
-    base, _offs_small = _bucketed_side_counts(
+    base, _n_groups = _bucketed_side_counts(
         df_a, df_b, group, value_col, range_buckets, max_broadcast_rows)
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     per_bkt = (base.groupBy("g", "__bkt")
@@ -234,12 +233,14 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
     |groups| and at most |groups| x ``range_buckets`` rows — broadcast
     only under ``max_broadcast_rows`` (the ``top_fraction_per_group``
     contract): ONE count over the checkpointed extremes frame guards
-    both (the offsets frame is bounded by the product, so it needs no
-    probe of its own). The design regime is a LOW-CARDINALITY ``group``
-    (language, domain, source); a near-unique key degrades to plain
-    shuffle joins instead of a driver-sized broadcast.
+    the extremes broadcast and, via the ``n_groups * range_buckets``
+    worst-case bound, usually the offsets broadcast too; only the
+    ambiguous band (n_groups under the cap but the product over it)
+    pays a real row probe. The design regime is a LOW-CARDINALITY
+    ``group`` (language, domain, source); a near-unique key degrades to
+    plain shuffle joins instead of a driver-sized broadcast.
     """
-    base, offs_small = _bucketed_side_counts(
+    base, n_groups = _bucketed_side_counts(
         df_a, df_b, group, value_col, range_buckets, max_broadcast_rows)
     # (3) per-(group, bucket) sums; exclusive prefix offsets over the
     # tiny metadata frame (a window over |groups| x buckets rows, not
@@ -254,7 +255,22 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
                                              F.lit(0).cast("long")))
             .select(F.col("g").alias("__ks_g2"),
                     F.col("__bkt").alias("__bkt2"), "__offa", "__offb"))
-    offs_b = F.broadcast(offs) if offs_small else offs
+    # three-tier guard for the offsets broadcast, reusing the group
+    # count the shared guard job already paid for: the worst-case
+    # product bound decides for free in the common regimes (clearly
+    # under the cap, or n_groups alone already over it — offs has at
+    # least one row per populated group); only the ambiguous band in
+    # between pays a real row probe (checkpoint + limit(n+1) count),
+    # so mid-cardinality group keys still get their broadcast
+    if n_groups * int(range_buckets) <= max_broadcast_rows:
+        offs_b = F.broadcast(offs)
+    elif n_groups > max_broadcast_rows:
+        offs_b = offs
+    else:
+        offs = offs.localCheckpoint()
+        offs_b = (F.broadcast(offs)
+                  if offs.limit(max_broadcast_rows + 1).count()
+                  <= max_broadcast_rows else offs)
     cum_src = base.join(offs_b,
                         F.col("g").eqNullSafe(F.col("__ks_g2"))
                         & (F.col("__bkt") == F.col("__bkt2")))

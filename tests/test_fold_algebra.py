@@ -365,7 +365,6 @@ class TestVectorizedMembershipScale:
     Python loop took seconds at this size and minutes at millions)."""
 
     @pytest.mark.slow
-
     def test_bloom_probe_1e5_blocks_fast(self):
         import time
         import numpy as np

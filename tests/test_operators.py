@@ -590,7 +590,6 @@ class TestStreaming:
         assert got == want and len(got) > 0
 
     @pytest.mark.slow
-
     def test_stream_funnel_left_outer_matches_batch(self, spark):
         """Drop-off rows (NULL to_id) emit exactly for clicks whose join
         window is below the final global watermark = min over both sides'
@@ -771,7 +770,6 @@ class TestScaleHardening:
         assert pairs2.count() > 0
 
     @pytest.mark.slow
-
     def test_ann_indexed_prunes_files(self, spark, tmp_metastore, tmp_table_dir):
         from parquet_index_spark import QueryContext
         from parquet_index_spark.operators import similarity as S
@@ -816,7 +814,6 @@ class TestScaleHardening:
             [(r["vec_id"], r["sim"]) for r in want]
 
     @pytest.mark.slow
-
     def test_ivf_indexed_refined_quantizer_roundtrip(self, spark,
                                                      tmp_metastore,
                                                      tmp_table_dir):
@@ -892,7 +889,6 @@ class TestConnectedComponents:
         assert got == {(1, 1), (3, 1), (5, 1)}
 
     @pytest.mark.slow
-
     def test_deep_chain_converges_in_log_rounds(self, spark):
         # 300-node path: diameter 299, but pointer jumping doubles label
         # distance per round — 12 rounds must suffice (log2(300) ~ 8.2)
@@ -997,7 +993,6 @@ class TestStreamGapfill:
         assert any(r[4] for r in got)  # the data does exercise fill rows
 
     @pytest.mark.slow
-
     def test_stream_gapfill_max_fill_caps_gap(self, spark):
         """A key dark for a long stretch emits at most max_fill filled rows
         per gap — the unbounded-emission guard."""
@@ -1169,7 +1164,6 @@ class TestMergeSink:
         return path
 
     @pytest.mark.slow
-
     def test_cdc_batches_merge_across_micro_batches(self, spark, tmp_path):
         from pyspark.sql import functions as F
         from parquet_index_spark import QueryContext, streaming as ST
@@ -1247,7 +1241,6 @@ class TestMergeSink:
         assert t.filter("k >= 2000").count() == 0
 
     @pytest.mark.slow
-
     def test_distinct_stream_same_table_not_skipped(self, spark, tmp_path):
         """A SECOND logical stream into the same table (fresh checkpoint,
         new data) restarts batch ids at 0; its batches must NOT match the
@@ -1276,7 +1269,6 @@ class TestMergeSink:
         assert t.filter("k BETWEEN 2100 AND 2109 AND v = -2").count() == 10
 
     @pytest.mark.slow
-
     def test_cdc_into_partitioned_table(self, spark, tmp_path):
         """The CDC merge sink drives a hive-partitioned target end-to-end
         now that merge_into/delete_where are partition-aware: upserts
@@ -1376,7 +1368,6 @@ class TestSemanticDedup:
         assert got[5][1] is False
 
     @pytest.mark.slow
-
     def test_rerun_and_reshard_stable(self, spark):
         emb = spark.read.parquet(os.path.join(SF_SMOKE,
                                               "embeddings.parquet"))
@@ -1390,7 +1381,6 @@ class TestSemanticDedup:
         assert a == b and a  # deterministic under re-layout, non-empty
 
     @pytest.mark.slow
-
     def test_no_cartesian_in_plan(self, spark):
         """The pair search must be an equi join on cluster_id — a plan
         with BroadcastNestedLoopJoin/CartesianProduct is the all-pairs
@@ -1899,10 +1889,12 @@ class TestKsDrift:
 
     def test_broadcast_guard_falls_back_to_shuffle(self, spark):
         """The metadata frames (per-group extremes, bucket offsets)
-        broadcast only under the limit(n+1) row probe — with the cap at
-        0 both joins must fall back to plain shuffle joins (a
-        near-unique group key would make the broadcasts driver-sized)
-        and the results must be identical."""
+        broadcast only under max_broadcast_rows (one group-count guard
+        job; the offsets side adds a real row probe only in the
+        ambiguous mid-cardinality band) — with the cap at 0 both joins
+        must fall back to plain shuffle joins (a near-unique group key
+        would make the broadcasts driver-sized) and the results must be
+        identical."""
         from parquet_index_spark import plans
         from parquet_index_spark.operators.profile import ks_drift
         a = spark.createDataFrame(

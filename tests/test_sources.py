@@ -191,7 +191,6 @@ class TestZOrder:
         assert y_info.selected_files <= 24, y_info
 
     @pytest.mark.slow
-
     def test_zordered_layout_prunes_on_either_dimension(self, spark, ctx,
                                                         tmp_table_dir):
         from parquet_index_spark.sources import write_zordered
@@ -254,7 +253,6 @@ class TestDeleteWhere:
         assert ctx.index.last_prune_info.selected_files == 1
 
     @pytest.mark.slow
-
     def test_scheme_uri_table_dml_end_to_end(self, spark, ctx,
                                              tmp_table_dir):
         """Round-6 verdict ask #5: DML on a table addressed by an
@@ -612,7 +610,6 @@ class TestCompaction:
         assert info.total_files == stats["files_after"]
 
     @pytest.mark.slow
-
     def test_compact_partitioned_preserves_layout(self, spark, ctx,
                                                   tmp_table_dir):
         """Compacting a hive-partitioned table must keep the directory
@@ -646,7 +643,6 @@ class TestCompaction:
         assert "p" not in one.columns
 
     @pytest.mark.slow
-
     def test_compact_with_zorder_recluster(self, spark, ctx, tmp_table_dir):
         from parquet_index_spark.sources import compact_table
         from pyspark.sql import functions as F
@@ -872,7 +868,6 @@ class TestMergeInto:
         assert info.selected_files < info.total_files
 
     @pytest.mark.slow
-
     def test_upsert_key_only_updates_whole_row(self, spark, ctx,
                                                tmp_table_dir):
         """Duplicate keys inside one file: all old rows with a matched key
@@ -901,7 +896,6 @@ class TestMergeInto:
                 [(None, 1, "x")], "k long, v long, s string"), "k")
 
     @pytest.mark.slow
-
     def test_partitioned_upsert_insert_and_migration(self, spark, ctx,
                                                      tmp_table_dir):
         """MERGE on a hive-partitioned table: updates rewrite only
@@ -938,7 +932,6 @@ class TestMergeInto:
         assert len(got) == 1 and got[0]["v"] == -4
 
     @pytest.mark.slow
-
     def test_insert_only_batch_keeps_all_files(self, spark, ctx,
                                                tmp_table_dir):
         """All-new keys above the table's max: min/max stats exclude every
@@ -984,7 +977,6 @@ class TestMergeIntoDeleteKeys:
         assert t.filter("k IS NULL").count() == 1  # NULL-keyed survives
 
     @pytest.mark.slow
-
     def test_delete_only_batch(self, spark, ctx, tmp_table_dir):
         from pyspark.sql import functions as F
         from parquet_index_spark.sources import merge_into

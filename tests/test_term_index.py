@@ -80,7 +80,6 @@ class TestTermIndexPruning:
         assert ctx.index.last_prune_info.selected_files == 0
 
     @pytest.mark.slow
-
     def test_dict_filter_type_supported(self, spark, ctx, tmp_table_dir):
         path = _docs_table(spark, ctx, tmp_table_dir, name="tdd",
                            filter_type="dict")
@@ -183,7 +182,6 @@ class TestTermIndexPruning:
         assert ctx.index.last_prune_info.selected_files == 0
 
     @pytest.mark.slow
-
     def test_empty_term_rejected(self, spark, ctx, tmp_table_dir):
         path = _docs_table(spark, ctx, tmp_table_dir, name="te")
         t = ctx.index.parquet(path)
