@@ -531,7 +531,7 @@ def q3_shipping_priority(spark, sf_dir):
         "l_shipdate > TIMESTAMP '1998-03-15 00:00:00'")
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"))
             .agg(_dsum(revenue, "revenue"))
             .orderBy(F.desc("revenue"), "l_orderkey")
@@ -1023,7 +1023,7 @@ def q19_disjunctive_predicates(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     band1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & \
         (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
     band2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & \
@@ -1154,7 +1154,7 @@ def q14_brand_revenue_share(spark, sf_dir):
         "l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'")
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     brand = F.col("p_brand") == "Brand#1"
     return joined.agg(
         F.round(
@@ -1291,7 +1291,7 @@ def q9_product_profit(spark, sf_dir):
     amount = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
               - _dec("p_retailprice") * _dec("l_quantity")
               * F.lit(0.8).cast("decimal(3,1)"))
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (li.join(part, li.l_partkey == part.p_partkey)
             .join(supp, li.l_suppkey == supp.s_suppkey)
             .join(orders, li.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -1353,7 +1353,7 @@ def q20_part_suppliers(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'")
-    big = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    big = (li.join(part, li.l_partkey == part.p_partkey)
            .groupBy("l_suppkey")
            .agg(F.sum(_dec("l_quantity")).alias("qty"))
            .filter(F.col("qty") > 300)
@@ -2598,17 +2598,24 @@ def stream_enrich_join(spark, sf_dir):
     Stream-static inner joins are STATELESS (each micro-batch joins
     against the static side; nothing is buffered), and broadcasting the
     dim keeps the stream side shuffle-free — at 100 TB/day of events the
-    per-batch cost is a map-side hash lookup. Drained with availableNow,
-    then aggregated by market segment; DECIMAL-summed so the total is
-    order-independent across engines."""
+    per-batch cost is a map-side hash lookup. The dim is broadcast only
+    under the repo-standard limit(n+1) row probe (customer SCALES with
+    the corpus; past the cap the join degrades to a shuffle per
+    micro-batch instead of OOMing every executor). Drained with
+    availableNow, then aggregated by market segment; DECIMAL-summed so
+    the total is order-independent across engines."""
     from parquet_index_spark import streaming as ST
     _STREAM_COUNTER["n"] += 1
     name = f"pis_stream_enrich_{_STREAM_COUNTER['n']}"
     stream = ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    max_broadcast_rows = 4_000_000
+    cust_b = (F.broadcast(cust)
+              if cust.limit(max_broadcast_rows + 1).count()
+              <= max_broadcast_rows else cust)
     enriched = (stream.filter(F.col("event_type") == "purchase")
-                .join(F.broadcast(cust), "user_id")
+                .join(cust_b, "user_id")
                 .select("event_id", "value", "c_mktsegment"))
     drained = ST.run_available_now(enriched, name, output_mode="append")
     return (drained.groupBy("c_mktsegment")
@@ -2799,7 +2806,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     part = _t(spark, sf_dir, "part").filter("p_size = 5")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    offers = (li.join(F.broadcast(part.select("p_partkey")),
+    offers = (li.join(part.select("p_partkey"),
                       li.l_partkey == F.col("p_partkey"))
               .groupBy("l_partkey", "l_suppkey")
               .agg(F.min(_dec("l_extendedprice")).alias("cost")))
@@ -2845,10 +2852,10 @@ def q11_important_parts(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation").filter("n_name = 'NATION_3'")
     value = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
-    national = (li.join(F.broadcast(
+    national = (li.join(
                     supp.join(F.broadcast(nation),
                               supp.s_nationkey == nation.n_nationkey)
-                    .select("s_suppkey")),
+                    .select("s_suppkey"),
                 li.l_suppkey == F.col("s_suppkey")))
     per_part = (national.groupBy("l_partkey")
                 .agg(F.sum(value).alias("value_dec")))
@@ -2930,9 +2937,9 @@ def q16_supplier_part_counts(spark, sf_dir):
         "p_brand <> 'Brand#1' AND p_size IN (1, 3, 5, 7)")
     bad_supp = (_t(spark, sf_dir, "supplier")
                 .filter("s_name LIKE '%7'").select("s_suppkey"))
-    bridged = (li.join(F.broadcast(part),
+    bridged = (li.join(part,
                        li.l_partkey == part.p_partkey)
-               .join(F.broadcast(bad_supp),
+               .join(bad_supp,
                      li.l_suppkey == F.col("s_suppkey"), "left_anti"))
     return (bridged.groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
