@@ -187,19 +187,51 @@ def temperature_sample(df: DataFrame, stratum: str, key: ColumnOrName,
 
 
 def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
-                  order_by: ColumnOrName, *tiebreak: ColumnOrName,
-                  keep_rank: bool = False) -> DataFrame:
-    """Per-group quota: keep at most ``n`` rows per group, preferring the
-    lowest ``order_by`` (pass e.g. ``F.desc("n_chars")`` to prefer
-    longest). ``tiebreak`` columns make the cut deterministic — always
-    include a unique id so reruns keep identical rows.
+                  order_by: "ColumnOrName | None" = None,
+                  *tiebreak: ColumnOrName,
+                  keep_rank: bool = False,
+                  score: "ColumnOrName | None" = None,
+                  descending: bool = False,
+                  range_buckets: int = 4096,
+                  degenerate_escape: bool = False,
+                  degenerate_floor: int = 1_000_000,
+                  max_broadcast_rows: int = 4_000_000) -> DataFrame:
+    """Per-group quota: keep at most ``n`` rows per group — the "cap
+    documents per domain" primitive of web-corpus curation. ``tiebreak``
+    columns make the cut deterministic — always include a unique id so
+    reruns keep identical rows.
 
-    The shuffle is one hash partition on the group key; per-group work
-    is a bounded sort + row_number. This is the "cap documents per
-    domain" primitive of web-corpus curation.
+    Scale shape — two paths, identical keep sets when both apply
+    (equivalence-tested):
+
+    - ``score=`` (a NUMERIC preference plus the ``descending`` flag):
+      the cut runs as :func:`top_fraction_per_group`'s DISTRIBUTED
+      bucketed rank cut with ``k = n`` — per-task state is one score
+      bucket, never a whole group. Use this form whenever a dominant
+      group can be large (the same one-task-per-group window shape the
+      round-6/7 verdicts killed in the fractional gate and the KS CDF);
+      it inherits the degenerate-group audit/escape and the guarded
+      metadata broadcasts.
+    - ``order_by`` (ANY orderable expression, including ``F.desc``
+      wrappers — prefers the lowest): the classic one-shuffle
+      ``row_number() OVER (PARTITION BY group ORDER BY ...)``. Correct
+      for any orderable type but streams each group through a single
+      task; keep it for bounded groups or non-numeric preferences.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if (score is None) == (order_by is None):
+        raise ValueError(
+            "pass exactly one of order_by (any orderable type, "
+            "single-task per group) or score (numeric, distributed "
+            "rank cut)")
+    if score is not None:
+        return top_fraction_per_group(
+            df, group, 1.0, score, *tiebreak, descending=descending,
+            keep_rank=keep_rank, range_buckets=range_buckets,
+            degenerate_escape=degenerate_escape,
+            degenerate_floor=degenerate_floor,
+            max_broadcast_rows=max_broadcast_rows, _cap_rows=int(n))
     w = Window.partitionBy(_as_col(group)).orderBy(
         _as_col(order_by), *[_as_col(t) for t in tiebreak])
     ranked = df.withColumn("__rank", F.row_number().over(w))
@@ -348,7 +380,8 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
                            range_buckets: int = 4096,
                            degenerate_escape: bool = False,
                            degenerate_floor: int = 1_000_000,
-                           max_broadcast_rows: int = 4_000_000) -> DataFrame:
+                           max_broadcast_rows: int = 4_000_000,
+                           _cap_rows: "int | None" = None) -> DataFrame:
     """Per-group FRACTIONAL quota: keep the best ``ceil(fraction * n)``
     rows of every group, preferring the lowest ``score`` (pass
     ``descending=True`` to keep highest) — the "keep the top 30% by
@@ -418,7 +451,7 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     the data exactly three times (extremes agg, bucket-count agg, the
     rank pass) instead of re-planning the subtree per reference.
     """
-    if not 0.0 <= fraction <= 1.0:
+    if _cap_rows is None and not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     if range_buckets < 1:
         raise ValueError(
@@ -508,6 +541,11 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
             .withColumn("__tf_n",
                         F.sum("__tf_c").over(Window.partitionBy("__tf_g")))
             .withColumn("__tf_k",
+                        # _cap_rows: cap_per_group rides the same cut
+                        # with an absolute k instead of ceil(frac * n)
+                        F.least(F.lit(int(_cap_rows)).cast("long"),
+                                F.col("__tf_n"))
+                        if _cap_rows is not None else
                         F.ceil(F.lit(float(fraction)) * F.col("__tf_n")))
             .filter(F.col("__tf_off") < F.col("__tf_k"))
             .select(F.col("__tf_g").alias("__tf_g2"),

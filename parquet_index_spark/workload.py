@@ -2042,12 +2042,13 @@ FROM labeled GROUP BY split, lang ORDER BY split, lang
 def quota_per_source(spark, sf_dir):
     """Per-source quota capping (the "cap documents per domain" curation
     primitive): keep the 5 longest documents per source with a
-    deterministic doc_id tiebreak, then summarize what survived. One
-    shuffle on the group key."""
+    deterministic doc_id tiebreak, then summarize what survived. Uses
+    the DISTRIBUTED score path (bucketed rank cut with k = n) — a
+    dominant source never funnels through one task."""
     from parquet_index_spark.operators import sampling as SA
     docs = _t(spark, sf_dir, "documents")
-    kept = SA.cap_per_group(docs, "source", 5,
-                            F.col("n_chars").desc(), F.col("doc_id"))
+    kept = SA.cap_per_group(docs, "source", 5, None, F.col("doc_id"),
+                            score="n_chars", descending=True)
     return (kept.groupBy("source")
             .agg(F.count("*").alias("n_kept"),
                  F.sum("n_chars").alias("kept_chars"),
@@ -5923,7 +5924,7 @@ _R8_WINDOW = [
     # dpp_join guard/NULL-cap/inner-only fixes, top_fraction degenerate
     # audit+escape (quality gate, v3 pipeline), manifest-only refresh
     # retraction, checkpointed contamination probe
-    "tv_drift_doclen",
+    "tv_drift_doclen", "quota_per_source",
     "funnel_conversion_windowed", "funnel_conversion", "ks_drift_doclen",
     "idx_join_dpp", "quality_gate_by_lang", "curation_pipeline_v3",
     "idx_refresh_append", "contamination_by_lang", "split_leakage_audit",
@@ -5941,7 +5942,7 @@ _R8_WINDOW = [
     "rollup_sales", "cumulative_spend", "asof_join_events",
     "approx_distinct_parts", "q2_min_cost_supplier", "q7_nation_trade",
     "q8_market_share", "q9_product_profit", "q11_important_parts",
-    "q13_order_distribution", "q14_brand_revenue_share", "q15_top_supplier",
+    "q13_order_distribution", "q14_brand_revenue_share",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R8_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R8_WINDOW}}

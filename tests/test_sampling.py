@@ -227,6 +227,41 @@ class TestCapPerGroup:
         with pytest.raises(ValueError):
             SA.cap_per_group(grouped, "g", 0, "v")
 
+    def test_score_path_equals_window_path(self, spark):
+        """The distributed bucketed cut (score=) must keep the EXACT
+        same rows (including tie resolution) as the classic whole-group
+        window path, across group sizes, ties, NULL groups, NULL
+        scores, both directions, and n larger than a group."""
+        rows = []
+        for gi, g in enumerate(("big", "small", None, "const")):
+            m = [200, 3, 17, 40][gi]
+            for i in range(m):
+                v = 5.0 if g == "const" else float((i * 37) % 23)
+                if g == "big" and i % 13 == 0:
+                    v = None
+                rows.append((g, i, v))
+        df = spark.createDataFrame(rows, "g: string, uid: long, v: double")
+        for n in (1, 5, 50):
+            for desc in (True, False):
+                order = F.col("v").desc() if desc else F.col("v").asc()
+                want = SA.cap_per_group(df, "g", n, order, "uid",
+                                        keep_rank=True)
+                got = SA.cap_per_group(df, "g", n, None, "uid",
+                                       keep_rank=True, score="v",
+                                       descending=desc, range_buckets=7)
+
+                def key(t):
+                    g, uid, v, rank = t
+                    return (g is None, g or "", uid)
+                assert sorted(map(tuple, got.collect()), key=key) \
+                    == sorted(map(tuple, want.collect()), key=key), (n, desc)
+
+    def test_rejects_both_or_neither_preference(self, grouped):
+        with pytest.raises(ValueError, match="exactly one"):
+            SA.cap_per_group(grouped, "g", 2, "v", score="v")
+        with pytest.raises(ValueError, match="exactly one"):
+            SA.cap_per_group(grouped, "g", 2)
+
 
 class TestPackChunks:
     @pytest.fixture(scope="class")
