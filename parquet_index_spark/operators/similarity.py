@@ -571,9 +571,13 @@ def cosine_topk_grouped(df: DataFrame, query_vec: Sequence[float],
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         exclude_ids: Sequence[int] = ()) -> DataFrame:
     """Exact top-k by cosine similarity WITHIN each group (e.g. per label,
-    per tenant, per language): one scan, one window — the shuffle key is
-    the group, so every group's top-k is resolved in parallel instead of
-    k separate filtered queries. Returns (group, id, sim, rank<=k)."""
+    per tenant, per language): one scan, then the DISTRIBUTED bucketed
+    rank cut (sampling.cap_per_group's score path) — a dominant group
+    (one tenant holding most of the corpus) never funnels through a
+    single task the way a plain
+    ``row_number() OVER (PARTITION BY group ORDER BY sim)`` would.
+    Returns (group, id, sim, rank<=k)."""
+    from parquet_index_spark.operators.sampling import cap_per_group
     q = _query_lit(query_vec)
     emb = F.col("__vd")
     sim = F.round(dot(emb, q) / (norm(emb) * F.lit(_py_norm(query_vec))), 4)
@@ -581,9 +585,9 @@ def cosine_topk_grouped(df: DataFrame, query_vec: Sequence[float],
            .select(F.col(group_col), F.col(id_col), sim.alias("sim")))
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(list(exclude_ids)))
-    w = Window.partitionBy(group_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (out.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return (cap_per_group(out, group_col, k, None, id_col,
+                          score="sim", descending=True, keep_rank=True)
+            .withColumnRenamed("__rank", "rank"))
 
 
 def clustered_embeddings(spark, n_clusters: int = 32, per_cluster: int = 128,
