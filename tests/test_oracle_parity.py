@@ -53,9 +53,7 @@ _CORE = {
     "q1_pricing_summary", "q3_shipping_priority", "q12_priority_shipmode",
     "rollup_sales", "top3_orders_per_customer",
     "setop_active_building_buyers", "scalar_functions_showcase",
-    "merge_upsert_orders", "bucketed_colocated_join",
-    "hll_union_sketch_parts", "trailing_30d_peak_spend",
-    "json_props_stats",
+    "merge_upsert_orders", "bucketed_colocated_join", "trailing_30d_peak_spend",
     # streaming
     "stream_windowed_counts", "stream_funnel_join", "stream_user_totals",
     "stream_merge_upsert",
@@ -63,11 +61,9 @@ _CORE = {
     "dedup_exact_stats", "minhash_lsh_pairs", "text_profile_by_lang",
     "sample_split_stats", "ann_cosine_topk", "ivf_ann_topk",
     "multimodal_pipeline", "semantic_dedup_stats", "split_leakage_audit",
-    "curation_pipeline_stats", "freq_terms_top20", "lang_id_confusion",
-    "stratified_sample_langs",
+    "curation_pipeline_stats", "stratified_sample_langs",
     # time-series / events
     "asof_join_events", "time_bucket_gapfill", "sessionize_events",
-    "rolling_anomaly_events",
     # round-7/8 graded-window additions stay in core for at least one
     # round after introduction (ADVICE r3): the failure class they carry
     # (oracle typing under stringify-hash) must be visible by default.
@@ -77,6 +73,7 @@ _CORE = {
     "cohort_retention", "funnel_conversion", "funnel_conversion_windowed",
     "data_quality_audit", "chunk_overlap_stats", "chunk_dedup_pipeline",
     "ks_drift_doclen", "tv_drift_doclen",
+    "quota_per_source", "ann_topk_per_label",
 }
 
 

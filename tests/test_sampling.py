@@ -227,7 +227,7 @@ class TestCapPerGroup:
         with pytest.raises(ValueError):
             SA.cap_per_group(grouped, "g", 0, "v")
 
-    def test_score_path_equals_window_path(self, spark):
+    def _score_vs_window_grid(self, spark, grid):
         """The distributed bucketed cut (score=) must keep the EXACT
         same rows (including tie resolution) as the classic whole-group
         window path, across group sizes, ties, NULL groups, NULL
@@ -241,20 +241,27 @@ class TestCapPerGroup:
                     v = None
                 rows.append((g, i, v))
         df = spark.createDataFrame(rows, "g: string, uid: long, v: double")
-        for n in (1, 5, 50):
-            for desc in (True, False):
-                order = F.col("v").desc() if desc else F.col("v").asc()
-                want = SA.cap_per_group(df, "g", n, order, "uid",
-                                        keep_rank=True)
-                got = SA.cap_per_group(df, "g", n, None, "uid",
-                                       keep_rank=True, score="v",
-                                       descending=desc, range_buckets=7)
+        for n, desc in grid:
+            order = F.col("v").desc() if desc else F.col("v").asc()
+            want = SA.cap_per_group(df, "g", n, order, "uid",
+                                    keep_rank=True)
+            got = SA.cap_per_group(df, "g", n, None, "uid",
+                                   keep_rank=True, score="v",
+                                   descending=desc, range_buckets=7)
 
-                def key(t):
-                    g, uid, v, rank = t
-                    return (g is None, g or "", uid)
-                assert sorted(map(tuple, got.collect()), key=key) \
-                    == sorted(map(tuple, want.collect()), key=key), (n, desc)
+            def key(t):
+                g, uid, v, rank = t
+                return (g is None, g or "", uid)
+            assert sorted(map(tuple, got.collect()), key=key) \
+                == sorted(map(tuple, want.collect()), key=key), (n, desc)
+
+    def test_score_path_equals_window_path_core(self, spark):
+        self._score_vs_window_grid(spark, [(5, True), (1, False)])
+
+    @pytest.mark.slow
+    def test_score_path_equals_window_path(self, spark):
+        self._score_vs_window_grid(
+            spark, [(n, d) for n in (1, 5, 50) for d in (True, False)])
 
     def test_rejects_both_or_neither_preference(self, grouped):
         with pytest.raises(ValueError, match="exactly one"):
