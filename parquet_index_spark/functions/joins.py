@@ -16,6 +16,19 @@ from typing import List, Optional, Union
 from pyspark.sql import DataFrame, functions as F
 
 
+def broadcast_if_small(df: DataFrame,
+                       max_rows: int = 4_000_000) -> DataFrame:
+    """The repo-standard guarded broadcast: localCheckpoint ``df`` (so
+    the probe and the consuming join share ONE materialization instead
+    of re-executing the subtree — the count-then-join rule), probe its
+    row count with ``limit(n+1)``, and return it broadcast-hinted under
+    the cap or plain above it (Catalyst's size-based choice then
+    applies — a shuffle join instead of an executor OOM)."""
+    df = df.localCheckpoint()
+    small = df.limit(max_rows + 1).count() <= max_rows
+    return F.broadcast(df) if small else df
+
+
 def salted_join(large: DataFrame, small: DataFrame,
                 on: Union[str, List[str]], salt: int = 16,
                 how: str = "inner") -> DataFrame:

@@ -571,11 +571,18 @@ def cosine_topk_grouped(df: DataFrame, query_vec: Sequence[float],
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         exclude_ids: Sequence[int] = ()) -> DataFrame:
     """Exact top-k by cosine similarity WITHIN each group (e.g. per label,
-    per tenant, per language): one scan, then the DISTRIBUTED bucketed
-    rank cut (sampling.cap_per_group's score path) — a dominant group
-    (one tenant holding most of the corpus) never funnels through a
-    single task the way a plain
+    per tenant, per language), resolved by the DISTRIBUTED bucketed rank
+    cut (sampling.cap_per_group's score path) — a dominant group (one
+    tenant holding most of the corpus) never funnels through a single
+    task the way a plain
     ``row_number() OVER (PARTITION BY group ORDER BY sim)`` would.
+
+    The similarity arithmetic (the 64-dim dot/norm per row — the
+    expensive part) runs in ONE scan: the narrow (group, id, sim)
+    projection is localCheckpointed before the cut, so the cut's three
+    metadata/rank passes read the materialized projection instead of
+    recomputing the dot products. The checkpoint makes this call EAGER
+    (it runs the scan when invoked, not at the first action).
     Returns (group, id, sim, rank<=k)."""
     from parquet_index_spark.operators.sampling import cap_per_group
     q = _query_lit(query_vec)
@@ -585,6 +592,7 @@ def cosine_topk_grouped(df: DataFrame, query_vec: Sequence[float],
            .select(F.col(group_col), F.col(id_col), sim.alias("sim")))
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(list(exclude_ids)))
+    out = out.localCheckpoint()
     return (cap_per_group(out, group_col, k, None, id_col,
                           score="sim", descending=True, keep_rank=True)
             .withColumnRenamed("__rank", "rank"))

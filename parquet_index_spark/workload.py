@@ -2609,14 +2609,11 @@ def stream_enrich_join(spark, sf_dir):
     _STREAM_COUNTER["n"] += 1
     name = f"pis_stream_enrich_{_STREAM_COUNTER['n']}"
     stream = ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    from parquet_index_spark.functions.joins import broadcast_if_small
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment")
-    max_broadcast_rows = 4_000_000
-    cust_b = (F.broadcast(cust)
-              if cust.limit(max_broadcast_rows + 1).count()
-              <= max_broadcast_rows else cust)
     enriched = (stream.filter(F.col("event_type") == "purchase")
-                .join(cust_b, "user_id")
+                .join(broadcast_if_small(cust), "user_id")
                 .select("event_id", "value", "c_mktsegment"))
     drained = ST.run_available_now(enriched, name, output_mode="append")
     return (drained.groupBy("c_mktsegment")
@@ -5919,30 +5916,34 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
 # keep local DuckDB-parity coverage via tests/test_oracle_parity.py's
 # full sweep; union driver coverage across rounds stays complete.
 _R8_WINDOW = [
-    # round-8 changed surface: k-step funnel operator (+ the new
-    # windowed variant), distributed + broadcast-guarded KS CDF,
-    # dpp_join guard/NULL-cap/inner-only fixes, top_fraction degenerate
-    # audit+escape (quality gate, v3 pipeline), manifest-only refresh
-    # retraction, checkpointed contamination probe
-    "tv_drift_doclen", "quota_per_source",
-    "funnel_conversion_windowed", "funnel_conversion", "ks_drift_doclen",
-    "idx_join_dpp", "quality_gate_by_lang", "curation_pipeline_v3",
+    # round-8 changed surface first (changed code needs a fresh driver
+    # certification): the new TV drift + distributed-quota queries, the
+    # k-step funnels, distributed/guarded KS CDF, dpp_join fixes,
+    # top_fraction consumers, refresh retraction, checkpointed
+    # contamination probe, the per-label ANN top-k on the distributed
+    # rank cut, the guarded stream-enrich dim, and every TPC-H query
+    # whose forced scaling-table broadcast was dropped
+    "tv_drift_doclen", "quota_per_source", "funnel_conversion_windowed",
+    "funnel_conversion", "ks_drift_doclen", "idx_join_dpp",
+    "ann_topk_per_label", "quality_gate_by_lang", "curation_pipeline_v3",
     "idx_refresh_append", "contamination_by_lang", "split_leakage_audit",
+    "stream_enrich_join", "q3_shipping_priority",
+    "q19_disjunctive_predicates", "q16_supplier_part_counts",
+    "q20_part_suppliers", "q14_brand_revenue_share", "q2_min_cost_supplier",
+    "q9_product_profit", "q11_important_parts",
     # oldest-proven-first rotation (tools/rotate_window.py)
-    "idx_delete_partitioned", "pii_redaction_stats", "span_dedup_stats",
-    "stream_running_anomaly", "token_budget_mixture", "curation_pipeline_v2",
-    "freq_terms_top20", "lang_id_confusion", "rolling_anomaly_events",
-    "stratified_sample_langs", "temperature_sample_langs",
-    "curation_pipeline_stats", "idx_hilbert_range", "trailing_30d_peak_spend",
+    "idx_delete_partitioned",
+    "pii_redaction_stats", "span_dedup_stats", "stream_running_anomaly",
+    "token_budget_mixture", "curation_pipeline_v2", "freq_terms_top20",
+    "lang_id_confusion", "rolling_anomaly_events", "stratified_sample_langs",
+    "temperature_sample_langs", "curation_pipeline_stats",
+    "idx_hilbert_range", "trailing_30d_peak_spend",
     "repetition_flags_by_lang", "hll_union_sketch_parts",
     "stream_windowed_counts", "stream_session_windows", "stream_funnel_join",
     "stream_funnel_left_outer", "stream_gapfill_locf", "stream_user_totals",
-    "stream_enrich_join", "json_props_stats", "idx_events_time_range",
-    "idx_fast_count", "sessionize_events", "q12_priority_shipmode",
-    "rollup_sales", "cumulative_spend", "asof_join_events",
-    "approx_distinct_parts", "q2_min_cost_supplier", "q7_nation_trade",
-    "q8_market_share", "q9_product_profit", "q11_important_parts",
-    "q13_order_distribution", "q14_brand_revenue_share",
+    "json_props_stats", "idx_events_time_range", "idx_fast_count",
+    "sessionize_events", "q12_priority_shipmode", "rollup_sales",
+    "cumulative_spend",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R8_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R8_WINDOW}}

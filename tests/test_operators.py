@@ -1444,7 +1444,6 @@ class TestSemanticDedup:
 
 
 class TestDedupAgainstCorpus:
-    @pytest.mark.slow
     def test_matches_plain_anti_join(self, spark):
         """The two-phase bloom+exact form must equal df_new ANTI JOIN
         corpus exactly (false positives fall out in the exact pass)."""
