@@ -28,14 +28,31 @@ from pyspark.sql import DataFrame, Window, functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
               right_cols: Optional[List[str]] = None,
               suffix: str = "_right", allow_exact_matches: bool = True,
-              how: str = "left") -> DataFrame:
+              how: str = "left", hot_key_audit: bool = True,
+              hot_key_floor: int = 1_000_000) -> DataFrame:
     """Backward as-of join of ``left`` to ``right`` on time column ``on``
     within key column ``by``.
 
     right_cols: right-side columns to carry (default: all except on/by).
     allow_exact_matches: if False, require right.time < left.time strictly.
     how: 'left' keeps unmatched left rows (right cols null), 'inner' drops.
+    hot_key_audit: the fill window partitions by ``by``, so one dominant
+    key (a mega-tenant, a bot user) streams left+right rows through a
+    SINGLE task. The audit probes combined per-key row counts (one extra
+    map-side-combinable agg over both inputs) and raises a named
+    ``UserWarning`` for keys over ``hot_key_floor`` rows — surfacing the
+    serialization instead of OOMing a task at 100x scale (round-8
+    verdict #3). Output is identical either way; pass False when the key
+    cardinality profile is already known.
     """
+    if hot_key_audit:
+        from parquet_index_spark.operators.sampling import audit_hot_keys
+        both = left.select(F.col(by).alias("__k")).unionAll(
+            right.select(F.col(by).alias("__k")))
+        audit_hot_keys(
+            both, "__k", hot_key_floor, "asof_join",
+            "Pre-bucket the hot key's history by time range, or split "
+            "its rows before joining.")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
     if not right_cols:

@@ -259,10 +259,11 @@ def contaminated_docs(train_df: DataFrame, eval_df: DataFrame,
     sh = F.array_distinct(shingles(text_col, shingle_k))
     tr = (train_df.select(F.col(id_col).alias("train_id"),
                           F.explode(sh).alias("__s")))
-    ev = (eval_df.select(F.col(id_col).alias("__eval_id"),
-                         F.explode(sh).alias("__s"))
-          .distinct()
-          .localCheckpoint())
+    from parquet_index_spark.operators._ckpt import checkpoint_corpus
+    ev = checkpoint_corpus(
+        eval_df.select(F.col(id_col).alias("__eval_id"),
+                       F.explode(sh).alias("__s"))
+        .distinct())
     n_ev = ev.limit(max_broadcast_rows + 1).count()
     joined = (tr.join(F.broadcast(ev), "__s")
               if n_ev <= max_broadcast_rows else tr.join(ev, "__s"))
@@ -578,8 +579,9 @@ def dedup_against_corpus(df_new: DataFrame, corpus: DataFrame,
     # checkpoint the (small) candidate key set: it is referenced by the
     # size probe AND the semi-join; unmaterialized, each reference
     # re-runs the new side's scan + bloom probe + distinct shuffle
-    candidates = (flagged.filter("__maybe").select(F.col(key)).distinct()
-                  .localCheckpoint())
+    from parquet_index_spark.operators._ckpt import checkpoint_corpus
+    candidates = checkpoint_corpus(
+        flagged.filter("__maybe").select(F.col(key)).distinct())
     n_cand = candidates.limit(max_broadcast_keys + 1).count()
     if n_cand <= max_broadcast_keys:
         matched = (corpus.join(F.broadcast(candidates), key, "left_semi")

@@ -95,10 +95,18 @@ def _bucketed_side_counts(df_a: DataFrame, df_b: DataFrame, group: str,
     Returns ``(base, n_groups)``: ``base`` has columns
     ``g, v, ca, cb, na, nb, __mn, __mx, __bkt``; ``n_groups`` (the
     exact group count, already paid for by the guard job) lets callers
-    size their own per-(group, bucket) metadata frames."""
-    if range_buckets < 1:
+    size their own per-(group, bucket) metadata frames.
+
+    The heavy per-(group, value) frame honors
+    ``spark.sql.index.checkpoint.reliable`` (see ``operators._ckpt``):
+    the default local checkpoint is fast but a lost executor fails the
+    job; the reliable mode recomputes or replays instead."""
+    if not 1 <= range_buckets <= (1 << 31):
+        # the escape/bucket arithmetic multiplies a [0, 2^32) hash by
+        # range_buckets in long math — a ceiling above 2^31 overflows
+        # silently and corrupts bucket assignment (round-8 ADVICE)
         raise ValueError(
-            f"range_buckets must be >= 1, got {range_buckets}")
+            f"range_buckets must be in [1, 2^31], got {range_buckets}")
     a = df_a.select(F.col(group).alias("g"),
                     F.col(value_col).alias("v")).where(F.col(value_col).isNotNull()) \
         .withColumn("side_a", F.lit(1)).withColumn("side_b", F.lit(0))
@@ -108,10 +116,14 @@ def _bucketed_side_counts(df_a: DataFrame, df_b: DataFrame, group: str,
     # the heavy reduction, referenced repeatedly below — checkpoint so
     # the union scan runs once (vocab_drift's rule: unmaterialized reuse
     # re-plans the whole scan subtree per reference)
-    per_val = (a.unionByName(b)
-               .groupBy("g", "v")
-               .agg(F.sum("side_a").alias("ca"), F.sum("side_b").alias("cb"))
-               .localCheckpoint())
+    from parquet_index_spark.operators._ckpt import checkpoint_corpus
+    # ~corpus-sized for a continuous metric: honor the reliable-
+    # checkpoint conf so a lost executor at 100 TB recomputes instead
+    # of failing the job (round-8 verdict #5)
+    per_val = checkpoint_corpus(
+        a.unionByName(b)
+        .groupBy("g", "v")
+        .agg(F.sum("side_a").alias("ca"), F.sum("side_b").alias("cb")))
     # per-group extremes + totals (tiny; one row per group). The join
     # back is eqNullSafe: a NULL group is its own group here, and a
     # name equi-join would silently drop it.

@@ -1566,8 +1566,11 @@ def asof_join_events(spark, sf_dir):
         .select("event_id", "user_id", "ts")
     clicks = ev.filter("event_type = 'click'") \
         .select(F.col("event_id").alias("click_event_id"), "user_id", "ts")
+    # hot_key_audit off: user_id cardinality grows with the corpus (no
+    # mega-key by construction), so the probe would be a pure extra job
     joined = asof_join(errors, clicks, on="ts", by="user_id",
-                       right_cols=["click_event_id"], suffix="")
+                       right_cols=["click_event_id"], suffix="",
+                       hot_key_audit=False)
     return (joined.groupBy("user_id")
             .agg(F.count("*").alias("n_errors"),
                  F.sum(F.when(F.col("click_event_id").isNotNull(), 1)

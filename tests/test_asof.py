@@ -96,3 +96,41 @@ class TestAtomicRowCarry:
                             right_cols=["v"], suffix="").collect()
             # greatest payload among the t=50 ties wins, every time
             assert out[0]["v"] == 9
+
+
+class TestAsofHotKeyAudit:
+    """Round-8 verdict #3: the fill window partitions by key — a
+    dominant key must surface, not silently stream through one task."""
+
+    def test_warns_on_hot_key_and_output_unchanged(self, spark):
+        import warnings
+        left = spark.createDataFrame(
+            [("u1", i, i) for i in range(200)] + [("u2", 5, 99)],
+            "key: string, t: long, lid: long")
+        right = spark.createDataFrame(
+            [("u1", i, float(i)) for i in range(100)],
+            "key: string, t: long, price: double")
+        base = sorted(
+            (r["key"], r["lid"], r["price_right"]) for r in
+            asof_join(left, right, on="t", by="key",
+                      hot_key_audit=False).collect())
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = sorted(
+                (r["key"], r["lid"], r["price_right"]) for r in
+                asof_join(left, right, on="t", by="key",
+                          hot_key_floor=150).collect())
+        msgs = [str(x.message) for x in w if "hot key" in str(x.message)]
+        assert msgs and "asof_join" in msgs[0] and "u1" in msgs[0]
+        assert got == base
+
+    def test_quiet_under_floor(self, spark):
+        import warnings
+        left = spark.createDataFrame([("u1", 1, 1)],
+                                     "key: string, t: long, lid: long")
+        right = spark.createDataFrame([("u1", 0, 2.0)],
+                                      "key: string, t: long, price: double")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            asof_join(left, right, on="t", by="key").count()
+        assert not [x for x in w if "hot key" in str(x.message)]

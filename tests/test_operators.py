@@ -1928,3 +1928,55 @@ class TestKsDrift:
         b = spark.createDataFrame([("x", 1), ("x", None)], schema)
         r = ks_drift(a, b, "g", "v").collect()[0]
         assert (r["n_a"], r["n_b"], r["ks"]) == (1, 1, 0.0)
+
+
+class TestReliableCheckpoint:
+    """Round-8 verdict #5: corpus-sized materializations honor
+    ``spark.sql.index.checkpoint.reliable`` — identical results, but a
+    lost executor recomputes (persist keeps lineage) or replays from
+    durable storage (checkpoint dir) instead of failing the job."""
+
+    def _drift_inputs(self, spark):
+        a = spark.createDataFrame(
+            [Row(g=["en", "de"][i % 2], v=(i * 37) % 97) for i in range(200)])
+        b = spark.createDataFrame(
+            [Row(g=["en", "de"][i % 2], v=(i * 13) % 89) for i in range(150)])
+        return a, b
+
+    def test_persist_fallback_identical(self, spark):
+        from parquet_index_spark.operators.profile import ks_drift, tv_drift
+        a, b = self._drift_inputs(spark)
+        want_ks = [r.asDict() for r in ks_drift(a, b, "g", "v").collect()]
+        want_tv = [r.asDict() for r in tv_drift(a, b, "g", "v").collect()]
+        spark.conf.set("spark.sql.index.checkpoint.reliable", "true")
+        try:
+            # no checkpoint dir set in the test session by default =>
+            # the persist(DISK_ONLY) fallback branch
+            got_ks = [r.asDict() for r in ks_drift(a, b, "g", "v").collect()]
+            got_tv = [r.asDict() for r in tv_drift(a, b, "g", "v").collect()]
+        finally:
+            spark.conf.unset("spark.sql.index.checkpoint.reliable")
+        assert got_ks == want_ks
+        assert got_tv == want_tv
+
+    def test_checkpoint_dir_branch_identical(self, spark, tmp_path):
+        from parquet_index_spark.operators.dedup import dedup_against_corpus
+        from parquet_index_spark.operators.profile import tv_drift
+        a, b = self._drift_inputs(spark)
+        want = [r.asDict() for r in tv_drift(a, b, "g", "v").collect()]
+        corpus = spark.createDataFrame([Row(k=f"d{i}") for i in range(50)])
+        new = spark.createDataFrame(
+            [Row(k=f"d{i}", x=i) for i in range(40, 60)])
+        want_dd = sorted(
+            r["k"] for r in dedup_against_corpus(new, corpus, "k").collect())
+        spark.conf.set("spark.sql.index.checkpoint.reliable", "true")
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        try:
+            got = [r.asDict() for r in tv_drift(a, b, "g", "v").collect()]
+            got_dd = sorted(
+                r["k"] for r in
+                dedup_against_corpus(new, corpus, "k").collect())
+        finally:
+            spark.conf.unset("spark.sql.index.checkpoint.reliable")
+        assert got == want
+        assert got_dd == want_dd and got_dd == [f"d{i}" for i in range(50, 60)]

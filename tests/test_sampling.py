@@ -590,6 +590,17 @@ class TestTopFractionDegenerate:
         with pytest.raises(ValueError, match="PLAIN"):
             SA.top_fraction_per_group(df, "g", 0.5, "score", F.asc("k"),
                                       degenerate_escape=True)
+        # structural detection (round-8 ADVICE): every SortOrder shape,
+        # not just the two reprs the old string-match knew about
+        for bad in (F.desc("k"), F.col("k").asc_nulls_last(),
+                    F.col("k").desc_nulls_first()):
+            with pytest.raises(ValueError, match="PLAIN"):
+                SA.top_fraction_per_group(df, "g", 0.5, "score", bad,
+                                          degenerate_escape=True)
+        # and a plain expression (non-trivial, parenthesized) passes
+        SA.top_fraction_per_group(df, "g", 0.5, "score",
+                                  F.col("k") + F.lit(1),
+                                  degenerate_escape=True).count()
 
     def test_broadcast_guard_fallback_identical(self, spark):
         """Past the metadata row cap the extremes/offsets come back via
@@ -764,3 +775,69 @@ class TestRound6ReviewFixes:
                  .collect())
         assert [(r["shard"], r["k"]) for r in rows] == \
             [(r["shard"], r["k"]) for r in again]
+
+
+class TestHotKeyAudit:
+    """Round-8 verdict #3 + #7: per-key window paths surface dominant
+    keys with a named UserWarning instead of silently serializing."""
+
+    def _skewed(self, spark, n_big=300):
+        rows = [("big", i) for i in range(n_big)] + \
+               [("ok", i) for i in range(10)]
+        return spark.createDataFrame(rows, "g: string, k: long")
+
+    def test_cap_per_group_order_by_warns_on_hot_group(self, spark):
+        import warnings
+        df = self._skewed(spark)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = SA.cap_per_group(df, "g", 5, "k",
+                                   degenerate_floor=100).collect()
+        msgs = [str(x.message) for x in w if "hot key" in str(x.message)]
+        assert msgs and "cap_per_group" in msgs[0] and "big" in msgs[0]
+        # the audit changes NOTHING about the keep set
+        assert sorted((r["g"], r["k"]) for r in out) == \
+            [("big", i) for i in range(5)] + [("ok", i) for i in range(5)]
+
+    def test_cap_per_group_order_by_quiet_under_floor(self, spark):
+        import warnings
+        df = self._skewed(spark)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            SA.cap_per_group(df, "g", 5, "k",
+                             degenerate_floor=10_000).count()
+        assert not [x for x in w if "hot key" in str(x.message)]
+        # and the audit can be skipped outright (no probe job)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            SA.cap_per_group(df, "g", 5, "k", degenerate_floor=100,
+                             hot_key_audit=False).count()
+        assert not [x for x in w if "hot key" in str(x.message)]
+
+    def test_public_cap_score_path_surfaces_constant_score_group(
+            self, spark):
+        """Verdict #7: a quota_per_source-style caller (PUBLIC
+        cap_per_group with score=) must inherit the constant-score
+        degenerate audit from the bucketed rank cut."""
+        import warnings
+        rows = [("big", i, 5.0) for i in range(300)] + \
+               [("ok", i, float(i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "g: string, k: long, s: double")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = SA.cap_per_group(df, "g", 5, None, F.col("k"), score="s",
+                                   descending=True,
+                                   degenerate_floor=100).collect()
+        msgs = [str(x.message) for x in w
+                if "constant-score" in str(x.message)]
+        assert msgs and "big" in msgs[0], msgs
+        assert len([r for r in out if r["g"] == "big"]) == 5
+
+    def test_range_buckets_ceiling_validated(self, spark):
+        df = self._skewed(spark, n_big=5)
+        with pytest.raises(ValueError, match="2\\^31"):
+            SA.top_fraction_per_group(df, "g", 0.5, "k", "k",
+                                      range_buckets=(1 << 31) + 1)
+        from parquet_index_spark.operators.profile import tv_drift
+        with pytest.raises(ValueError, match="2\\^31"):
+            tv_drift(df, df, "g", "k", range_buckets=(1 << 31) + 1)
