@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "chunk_overlap_stats", "chunk_dedup_pipeline", "ks_drift_doclen",
     "idx_term_prefix_search",
     "funnel_conversion_windowed", "tv_drift_doclen",
+    "idx_refresh_rewrite", "earliest_events_per_user",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the
@@ -65,7 +66,8 @@ BENCH_QUERIES = [
 # double-count a build
 SELF_BUILDING = {"idx_refresh_append", "idx_delete_range",
                  "idx_update_range", "idx_delete_partitioned",
-                 "stream_merge_cdc_ops", "idx_compact_roundtrip"}
+                 "stream_merge_cdc_ops", "idx_compact_roundtrip",
+                 "idx_refresh_rewrite"}
 
 
 def _sf_label() -> str:

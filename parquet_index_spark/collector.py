@@ -392,6 +392,13 @@ def collect_partition(task_index: int, tasks: Iterable[dict], table_root: str,
     for task in tasks:
         relpath = task["path"]
         abs_path = resolve_file(table_root, relpath)
+        # None (a pre-mtime caller) maps to the -1 "unknown" sentinel;
+        # 0 and negative mtimes are LEGITIMATE fingerprints (epoch-
+        # normalized files from reproducible builds / tar --mtime=@0) —
+        # a falsy check here would silently re-open the same-size-
+        # rewrite hole for exactly those files
+        mtime = task.get("mtime_ns")
+        mtime = -1 if mtime is None else int(mtime)
         if filter_enabled and index_cols:
             rows, blocks, total = _scan_stats_for_file(
                 abs_path, relpath, index_cols, filter_type, dict_max_size,
@@ -405,7 +412,7 @@ def collect_partition(task_index: int, tasks: Iterable[dict], table_root: str,
             # between listing and this scan keeps the older fingerprint,
             # so the NEXT refresh sees the change — conservative by
             # construction (re-statting could absorb the rewrite)
-            "mtime_ns": task.get("mtime_ns") or -1,
+            "mtime_ns": mtime,
             "rows": total,
             "partition_json": json.dumps(task["partition_values"], sort_keys=True),
         })

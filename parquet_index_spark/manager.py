@@ -948,7 +948,15 @@ class DataFrameIndexManager:
         # an operator sizing a 100 TB rollout asks for
         table_bytes = int(files["size"].sum()) if "size" in files else None
         index_bytes = 0
-        for root, _dirs, fnames in os.walk(metadata.index_dir):
+        for root, dirs, fnames in os.walk(metadata.index_dir):
+            # recovery artifacts (an abandoned compaction's staging dir,
+            # kept for live-writer safety until the next compaction's
+            # entry pre-clean) are not index overhead — counting them
+            # would double-report the stats footprint on a read-mostly
+            # table whose compaction once crashed
+            dirs[:] = [d for d in dirs
+                       if not d.endswith(("__compact_tmp",
+                                          "__compact_bak"))]
             for fn in fnames:
                 try:
                     index_bytes += os.path.getsize(os.path.join(root, fn))
@@ -958,20 +966,41 @@ class DataFrameIndexManager:
         # shard-count telemetry: the refresh.maxShards compaction trigger
         # is sized against this number (streams append one per batch)
         sdir = os.path.join(metadata.index_dir, STATS_DIR)
-        n_shards = len([f for f in os.listdir(sdir)
-                        if f.endswith(".parquet")]) \
-            if os.path.isdir(sdir) else 0
+        shard_files = [f for f in os.listdir(sdir)
+                       if f.endswith(".parquet")] \
+            if os.path.isdir(sdir) else []
+        n_shards = len(shard_files)
+        # orphan telemetry (round-8 verdict #8): manifest-only retraction
+        # leaves stats/filter rows for vanished files in the shards until
+        # the next compaction purges them. Reads still ignore orphans
+        # (the manifest is the commit point), but they cost every
+        # metadata read — surface the count so operators can see when a
+        # compaction is due. Path column only (dict-encoded, tiny), no
+        # stats/bloom bytes touched.
+        orphan_rows = 0
+        if shard_files:
+            import pyarrow.compute as pc
+            live = pa.array(files["path"].tolist(), type=pa.string())
+            for fn in shard_files:
+                try:
+                    col = pq.read_table(os.path.join(sdir, fn),
+                                        columns=["path"])["path"]
+                except OSError:
+                    continue
+                known = pc.sum(pc.cast(pc.is_in(col, value_set=live),
+                                       pa.int64())).as_py() or 0
+                orphan_rows += len(col) - known
         none_sat = (0, None, None, None, None, False)
         rows = [("TABLE", "", n_files, n_blocks, n_rows,
                  metadata.filter_type or "none") + none_sat
-                + (table_bytes, index_bytes, n_shards)]
+                + (table_bytes, index_bytes, n_shards, orphan_rows)]
         for col, kind in metadata.index_columns.items():
             rows.append(("INDEXED_COLUMN", col, n_files, n_blocks, n_rows,
                          metadata.filter_type or "none")
-                        + sat.get(col, none_sat) + (None, None, None))
+                        + sat.get(col, none_sat) + (None, None, None, None))
         for col, kind in metadata.partition_columns.items():
             rows.append(("PARTITION_COLUMN", col, n_files, n_blocks, n_rows,
-                         "exact") + none_sat + (None, None, None))
+                         "exact") + none_sat + (None, None, None, None))
         return self.spark.createDataFrame(
             rows, schema="entry string, column string, n_files long, "
                          "n_blocks long, n_rows long, filter_type string, "
@@ -979,7 +1008,7 @@ class DataFrameIndexManager:
                          "design_item_cap long, max_fill double, "
                          "max_est_fpp double, saturated boolean, "
                          "table_bytes long, index_bytes long, "
-                         "stats_shards long")
+                         "stats_shards long, orphan_stats_rows long")
 
     @staticmethod
     def _filter_saturation(metadata) -> dict:
@@ -1168,8 +1197,13 @@ class DataFrameIndexManager:
                 if not os.path.isfile(marker):
                     with open(marker, "w"):
                         pass
-                # a bak dir means the swap itself was interrupted — the
-                # leftover tmp (if any) is dead output; safe to clear
+                # a bak dir is either a crashed swap OR a LIVE writer
+                # between its two renames. Restoring the OLD stats is
+                # sound in both cases (the manifest never changed), and
+                # the writer tolerates losing this race — its swap
+                # catches the failed rename, abandons the compaction,
+                # and re-establishes the marker invariant — so clearing
+                # the tmp dir here cannot strand it inconsistent.
                 shutil.rmtree(tmp, ignore_errors=True)
             elif (os.path.isdir(tmp) and os.path.isdir(stats_dir)
                   and not os.path.isfile(marker)):
@@ -1233,7 +1267,21 @@ class DataFrameIndexManager:
             # bak dir: the index-absent window is just the two renames
             with open(marker, "w"):
                 pass
-            shutil.rmtree(bak)
+            shutil.rmtree(bak, ignore_errors=True)
+        except OSError:
+            # lost the swap race to a concurrent reader's recovery (it
+            # saw the marker-less window, restored the old stats dir
+            # and/or cleared our tmp). The compaction is ABANDONED, not
+            # failed: the manifest never changed and the old stats are
+            # consistent, so re-establish the invariant (stats dir +
+            # marker) and drop whatever staging we still own. The next
+            # threshold-triggered refresh simply compacts again.
+            if not os.path.isdir(stats_dir) and os.path.isdir(bak):
+                try:
+                    os.rename(bak, stats_dir)
+                except OSError:
+                    pass  # another recoverer got there first
+            shutil.rmtree(tmp, ignore_errors=True)
         finally:
             # both rename orders leave a consistent (old or compacted)
             # stats dir by here, or recovery rebuilds it on next entry
@@ -1270,8 +1318,11 @@ class DataFrameIndexManager:
             if int(old_row["size"]) != cur["size"]:
                 return True
             stored_mtime = old_row.get("mtime_ns")
+            # unknown = missing column (pre-mtime manifest) or the exact
+            # -1 sentinel; 0 and other negatives are legitimate
+            # fingerprints (epoch-normalized or pre-epoch mtimes)
             if stored_mtime is None or pd.isna(stored_mtime) \
-                    or int(stored_mtime) < 0:
+                    or int(stored_mtime) == -1:
                 return False
             return int(stored_mtime) != cur["mtime_ns"]
 

@@ -43,9 +43,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     ``UserWarning`` for keys over ``hot_key_floor`` rows — surfacing the
     serialization instead of OOMing a task at 100x scale (round-8
     verdict #3). Output is identical either way; pass False when the key
-    cardinality profile is already known.
+    cardinality profile is already known. NOTE: the probe makes the call
+    EAGER (it runs a Spark job at composition time and re-reads both
+    inputs); streaming inputs skip it automatically (a batch job cannot
+    run on an unstarted stream).
     """
-    if hot_key_audit:
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, by)]
+    if not right_cols:
+        raise ValueError("asof_join needs at least one right column to carry")
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    if hot_key_audit and not (left.isStreaming or right.isStreaming):
         from parquet_index_spark.operators.sampling import audit_hot_keys
         both = left.select(F.col(by).alias("__k")).unionAll(
             right.select(F.col(by).alias("__k")))
@@ -53,10 +62,6 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
             both, "__k", hot_key_floor, "asof_join",
             "Pre-bucket the hot key's history by time range, or split "
             "its rows before joining.")
-    if right_cols is None:
-        right_cols = [c for c in right.columns if c not in (on, by)]
-    if not right_cols:
-        raise ValueError("asof_join needs at least one right column to carry")
 
     carried = [f"{c}{suffix}" for c in right_cols]
 
@@ -91,8 +96,6 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     out = filled.filter(F.col("__is_left") == 1)
     if how == "inner":
         out = out.filter(F.col("__r").isNotNull())
-    elif how != "left":
-        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
     for c, cc in zip(right_cols, carried):
         out = out.withColumn(cc, F.col("__r")[c])
     return out.drop("__is_left", "__r")

@@ -257,7 +257,9 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
       #3), a dominant group no longer serializes SILENTLY: groups over
       ``degenerate_floor`` rows raise a named ``UserWarning`` (one extra
       map-side-combinable probe; ``hot_key_audit=False`` skips it when
-      the group cardinality profile is already known).
+      the group cardinality profile is already known). The probe makes
+      the call EAGER on this path — matching the score path, which
+      already probes its metadata broadcasts; streaming inputs skip it.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -273,7 +275,7 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
             degenerate_escape=degenerate_escape,
             degenerate_floor=degenerate_floor,
             max_broadcast_rows=max_broadcast_rows, _cap_rows=int(n))
-    if hot_key_audit:
+    if hot_key_audit and not df.isStreaming:
         audit_hot_keys(
             df, group, degenerate_floor, "cap_per_group",
             "Pass score= (the distributed bucketed rank cut) for large "

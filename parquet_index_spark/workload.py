@@ -5013,6 +5013,101 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def idx_refresh_rewrite(spark, sf_dir):
+    """Same-size in-place rewrite detection end-to-end (round-9: the
+    manifest's listing-time ``mtime_ns`` fingerprint — refresh treats
+    size-OR-mtime change as a rewrite, manager.py). Two fixed-width
+    uncompressed files are indexed; file 1 is then rewritten IN PLACE to
+    a different key range at the IDENTICAL byte size. A size-only diff
+    (the pre-round-9 trigger, and the reference's posture — it never
+    reconciles external changes at all, SURVEY §7) would keep the stale
+    block stats and prune the rewritten file out of the probe below, so
+    a wrong (empty) aggregate fails the hash compare — the correctness
+    gate IS the fingerprint proof."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_rewrite",
+                        os.path.basename(os.path.normpath(sf_dir)), "t")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    opts = dict(compression="none", use_dictionary=False)
+    pq.write_table(
+        pa.table({"id": pa.array(range(0, 10000), type=pa.int64())}),
+        os.path.join(path, "f1.parquet"), **opts)
+    pq.write_table(
+        pa.table({"id": pa.array(range(20000, 30000), type=pa.int64())}),
+        os.path.join(path, "f2.parquet"), **opts)
+    ctx.index.create.mode("overwrite").indexBy("id").parquet(path)
+    before = os.path.getsize(os.path.join(path, "f1.parquet"))
+    # same shape, type, and encoding => same byte size, new key range
+    pq.write_table(
+        pa.table({"id": pa.array(range(100000, 110000), type=pa.int64())}),
+        os.path.join(path, "f1.parquet"), **opts)
+    assert os.path.getsize(os.path.join(path, "f1.parquet")) == before
+    info = ctx.index.refresh.parquet(path)
+    assert info["mode"] == "rebuild", info
+    t = ctx.index.parquet(path)
+    return (t.filter("id >= 50000")
+            .agg(F.count("*").alias("n"),
+                 F.min("id").alias("min_id"),
+                 F.max("id").alias("max_id"),
+                 F.sum("id").alias("sum_id")))
+
+
+IDX_REFRESH_REWRITE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n, min(id) AS min_id,
+       max(id) AS max_id, CAST(sum(id) AS BIGINT) AS sum_id
+FROM range(100000, 110000) t(id)
+"""
+
+
+def earliest_events_per_user(spark, sf_dir):
+    """First-N-per-key selection through cap_per_group's ORDER_BY path
+    (operators/sampling.py): each user's 3 earliest events with an
+    event_id tiebreak — the any-orderable-type form whose row_number
+    window streams one task per key (documented cost; the score path is
+    the scale form, and since round 9 this path carries the hot-key
+    audit). Oracle: the equivalent ROW_NUMBER CTE."""
+    from parquet_index_spark.operators import sampling as SA
+    ev = _t(spark, sf_dir, "events")
+    # hot_key_audit off: user_id cardinality scales with the corpus (no
+    # mega-key by construction), so the probe would be a pure extra job
+    kept = SA.cap_per_group(ev, "user_id", 3, F.col("ts"),
+                            F.col("event_id"), hot_key_audit=False)
+    return (kept.groupBy("event_type")
+            .agg(F.count("*").alias("n_kept"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.min("event_id").alias("min_event"),
+                 F.max("event_id").alias("max_event"))
+            .orderBy("event_type"))
+
+
+EARLIEST_EVENTS_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(event_id) AS min_event,
+       max(event_id) AS max_event
+FROM ranked
+WHERE rn <= 3
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def hll_union_sketch_parts(spark, sf_dir):
     """Mergeable-sketch distinct counting: per-(flag, month) DataSketches
     HLL partials unioned to flag level, estimate checked against the
@@ -5909,44 +6004,46 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
                                    STREAM_SHUFFLE_SPLIT_SQL),
     "split_leakage_audit": (split_leakage_audit, SPLIT_LEAKAGE_SQL),
     "idx_compact_roundtrip": (idx_compact_roundtrip, IDX_COMPACT_SQL),
+    # round-9 additions
+    "idx_refresh_rewrite": (idx_refresh_rewrite, IDX_REFRESH_REWRITE_SQL),
+    "earliest_events_per_user": (earliest_events_per_user,
+                                 EARLIEST_EVENTS_SQL),
 }
 
-# Round-8 grading window (round-5 verdict ask #6 policy): the driver
+# Round-9 grading window (round-5 verdict ask #6 policy): the driver
 # grades the FIRST 50 keys, so the window rotates oldest-proven-first
 # each round — EXCEPT that queries whose implementation changed this
 # round lead regardless of when they were last proven, because changed
 # code needs a fresh driver certification. The rotated-out entries
 # keep local DuckDB-parity coverage via tests/test_oracle_parity.py's
 # full sweep; union driver coverage across rounds stays complete.
-_R8_WINDOW = [
-    # round-8 changed surface first (changed code needs a fresh driver
-    # certification): the new TV drift + distributed-quota queries, the
-    # k-step funnels, distributed/guarded KS CDF, dpp_join fixes,
-    # top_fraction consumers, refresh retraction, checkpointed
-    # contamination probe, the per-label ANN top-k on the distributed
-    # rank cut, the guarded stream-enrich dim, and every TPC-H query
-    # whose forced scaling-table broadcast was dropped
-    "tv_drift_doclen", "quota_per_source", "funnel_conversion_windowed",
-    "funnel_conversion", "ks_drift_doclen", "idx_join_dpp",
-    "ann_topk_per_label", "quality_gate_by_lang", "curation_pipeline_v3",
-    "idx_refresh_append", "contamination_by_lang", "split_leakage_audit",
-    "stream_enrich_join", "q3_shipping_priority",
-    "q19_disjunctive_predicates", "q16_supplier_part_counts",
-    "q20_part_suppliers", "q14_brand_revenue_share", "q2_min_cost_supplier",
-    "q9_product_profit", "q11_important_parts",
+_R9_WINDOW = [
+    # round-9 changed surface first (changed code needs a fresh driver
+    # certification): the two new queries (same-size-rewrite refresh
+    # proof, cap_per_group order_by path), the refresh-accounting +
+    # fingerprint consumers, the hot-key-audited asof, the
+    # cap_per_group/top_fraction validation surface, and every consumer
+    # of the reliable-checkpoint sites (_bucketed_side_counts,
+    # contaminated_docs, dedup_against_corpus)
+    "idx_refresh_rewrite", "earliest_events_per_user",
+    "idx_refresh_append", "asof_join_events", "quota_per_source",
+    "quality_gate_by_lang", "ann_topk_per_label", "ks_drift_doclen",
+    "tv_drift_doclen", "contamination_by_lang", "incremental_dedup_stats",
+    "curation_pipeline_v3", "split_leakage_audit",
     # oldest-proven-first rotation (tools/rotate_window.py)
-    "idx_delete_partitioned",
-    "pii_redaction_stats", "span_dedup_stats", "stream_running_anomaly",
-    "token_budget_mixture", "curation_pipeline_v2", "freq_terms_top20",
-    "lang_id_confusion", "rolling_anomaly_events", "stratified_sample_langs",
-    "temperature_sample_langs", "curation_pipeline_stats",
-    "idx_hilbert_range", "trailing_30d_peak_spend",
-    "repetition_flags_by_lang", "hll_union_sketch_parts",
-    "stream_windowed_counts", "stream_session_windows", "stream_funnel_join",
-    "stream_funnel_left_outer", "stream_gapfill_locf", "stream_user_totals",
-    "json_props_stats", "idx_events_time_range", "idx_fast_count",
-    "sessionize_events", "q12_priority_shipmode", "rollup_sales",
-    "cumulative_spend",
+    "approx_distinct_parts", "q7_nation_trade",
+    "q8_market_share", "q13_order_distribution", "q15_top_supplier",
+    "ann_topk_lsh_probed", "stream_dedup_events", "stream_sink_roundtrip",
+    "salted_skew_join", "dedup_exact_stats", "dedup_prefix_groups",
+    "dedup_group_assignment", "dedup_keep_best", "jaccard_neardup_pairs",
+    "simhash_fingerprints", "text_profile_by_lang", "doc_fingerprints",
+    "token_count_stats", "tfidf_top_terms", "bm25_search",
+    "profile_orders_columns", "sample_split_stats", "pack_chunks_by_source",
+    "ann_cosine_topk", "lsh_bucket_histogram", "embedding_similar_pairs",
+    "ivf_ann_topk", "idx_range_scan", "idx_in_or_composite",
+    "idx_not_range", "idx_orders_priority", "idx_events_point",
+    "idx_column_predicate", "idx_bitmap_point", "q5_nation_volume",
+    "q6_forecast_revenue", "q4_order_exists",
 ]
-QUERIES = {**{k: QUERIES[k] for k in _R8_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in _R8_WINDOW}}
+QUERIES = {**{k: QUERIES[k] for k in _R9_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in _R9_WINDOW}}

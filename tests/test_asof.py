@@ -1,9 +1,16 @@
 """Unit tests for the as-of join operator (crafted data, known answers)."""
 
+from functools import partial
+
 import pytest
 from pyspark.sql import Row
 
-from parquet_index_spark.operators.asof import asof_join
+from parquet_index_spark.operators.asof import asof_join as _asof_join
+
+# semantics tests skip the hot-key probe job (one extra Spark job per
+# call adds up across the suite); the audit itself is tested explicitly
+# in TestAsofHotKeyAudit with hot_key_audit=True
+asof_join = partial(_asof_join, hot_key_audit=False)
 
 
 @pytest.fixture(scope="module")
@@ -119,7 +126,7 @@ class TestAsofHotKeyAudit:
             got = sorted(
                 (r["key"], r["lid"], r["price_right"]) for r in
                 asof_join(left, right, on="t", by="key",
-                          hot_key_floor=150).collect())
+                          hot_key_audit=True, hot_key_floor=150).collect())
         msgs = [str(x.message) for x in w if "hot key" in str(x.message)]
         assert msgs and "asof_join" in msgs[0] and "u1" in msgs[0]
         assert got == base
@@ -132,5 +139,6 @@ class TestAsofHotKeyAudit:
                                       "key: string, t: long, price: double")
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
-            asof_join(left, right, on="t", by="key").count()
+            asof_join(left, right, on="t", by="key",
+                      hot_key_audit=True).count()
         assert not [x for x in w if "hot key" in str(x.message)]

@@ -383,3 +383,95 @@ class TestShardCompaction:
         assert_same_rows(t.filter("id >= 8000"),
                          spark.read.parquet(growing_table)
                          .filter("id >= 8000"))
+
+
+class TestOrphanTelemetry:
+    """Round-8 verdict #8: manifest-only retraction leaves orphaned
+    stats rows until the next shard compaction — describe() surfaces
+    the count so operators can see when a compaction is due."""
+
+    def test_describe_reports_and_compaction_purges(self, spark, ctx,
+                                                    tmp_table_dir):
+        path = os.path.join(tmp_table_dir, "orphans")
+        spark.range(0, 1000).repartition(4).write.parquet(path)
+        ctx.index.create.indexBy("id").parquet(path)
+
+        def table_row():
+            return [r for r in ctx.index.describe.parquet(path).collect()
+                    if r["entry"] == "TABLE"][0]
+
+        assert table_row()["orphan_stats_rows"] == 0
+        data_files = sorted(f for f in os.listdir(path)
+                            if f.endswith(".parquet"))
+        os.remove(os.path.join(path, data_files[0]))
+        out = ctx.index.refresh.parquet(path)
+        assert out["mode"] == "retract"
+        t = table_row()
+        # the vanished file's stats rows linger as orphans (>=1 block)
+        assert t["orphan_stats_rows"] >= 1
+        assert t["n_files"] == 3  # manifest already retracted
+        # a compaction purges them: drive it via the refresh threshold
+        spark.conf.set("spark.sql.index.parquet.refresh.maxShards", "1")
+        try:
+            spark.range(5000, 5100).coalesce(1).write.mode("append") \
+                .parquet(path)
+            out = ctx.index.refresh.parquet(path)
+            assert "shards_after" in out
+        finally:
+            spark.conf.unset("spark.sql.index.parquet.refresh.maxShards")
+        assert table_row()["orphan_stats_rows"] == 0
+        # INDEXED_COLUMN rows carry no orphan count (TABLE-level metric)
+        col_rows = [r for r in ctx.index.describe.parquet(path).collect()
+                    if r["entry"] == "INDEXED_COLUMN"]
+        assert all(r["orphan_stats_rows"] is None for r in col_rows)
+
+
+class TestCompactionRaceTolerance:
+    """Round-9 review: a concurrent reader's recovery can win the swap
+    race (restore the old stats dir and clear the writer's tmp) — the
+    writer must ABANDON the compaction gracefully, not raise out of
+    refresh with the index inconsistent."""
+
+    def test_lost_swap_race_abandons_gracefully(self, spark, ctx,
+                                                growing_table,
+                                                monkeypatch):
+        import shutil as _sh
+        from parquet_index_spark import manager as M
+        from parquet_index_spark.config import IndexConf
+        from parquet_index_spark.metastore import (STATS_DIR, SUCCESS_FILE,
+                                                   LocationSpec, Metastore)
+        ctx.index.create.indexBy("id").parquet(growing_table)
+        conf = IndexConf.from_spark(spark)
+        d = Metastore(conf.metastore_location).index_dir(
+            LocationSpec(growing_table))
+        sd = os.path.join(d, STATS_DIR)
+        mgr = ctx.index  # DataFrameIndexManager owns the compaction swap
+
+        real_rename = os.rename
+
+        def racing_rename(src, dst):
+            # the reader recovery fires in the writer's between-renames
+            # window: it restores bak -> stats and clears the tmp dir,
+            # then the writer's rename(tmp, stats) fails
+            if src.endswith("__compact_tmp"):
+                bak = sd + ".__compact_bak"
+                if os.path.isdir(bak) and not os.path.isdir(sd):
+                    real_rename(bak, sd)
+                _sh.rmtree(src, ignore_errors=True)
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(M.os, "rename", racing_rename)
+        n_before = len([f for f in os.listdir(sd)
+                        if f.endswith(".parquet")])
+        out = mgr._compact_stats_shards(d, n_before)  # must NOT raise
+        monkeypatch.undo()
+        # invariant re-established: old stats + marker, no staging left
+        assert os.path.isdir(sd)
+        assert os.path.isfile(os.path.join(d, SUCCESS_FILE))
+        assert not os.path.isdir(sd + ".__compact_tmp")
+        assert not os.path.isdir(sd + ".__compact_bak")
+        assert out == n_before  # abandoned: uncompacted count reported
+        # and the index still answers correctly
+        t = ctx.index.parquet(growing_table)
+        assert_same_rows(t.filter("id >= 0"),
+                         spark.read.parquet(growing_table).filter("id >= 0"))

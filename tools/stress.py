@@ -69,9 +69,10 @@ def main() -> None:
     from parquet_index_spark.functions.joins import dpp_join
     from parquet_index_spark.operators.dedup import (contaminated_docs,
                                                      dedup_against_corpus)
-    from parquet_index_spark.operators.profile import ks_drift
+    from parquet_index_spark.operators.profile import ks_drift, tv_drift
     from parquet_index_spark.operators.sampling import (
-        token_budget_sample, top_fraction_per_group)
+        cap_per_group, token_budget_sample, top_fraction_per_group)
+    from parquet_index_spark.operators.similarity import cosine_topk_grouped
 
     shutil.rmtree(ROOT, ignore_errors=True)
     spark.conf.set("spark.sql.index.metastore", os.path.join(ROOT, "ms"))
@@ -79,18 +80,24 @@ def main() -> None:
 
     li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     report = {"scale": SCALE, "sf_dir": SF_DIR, "cpus": int(CPUS),
-              "rows_1x": li.count(), "docs_1x": docs.count()}
+              "rows_1x": li.count(), "docs_1x": docs.count(),
+              "emb_1x": emb.count()}
+    query_vec = [float(x) for x in
+                 emb.filter("vec_id = 0").head()["embedding"]]
 
     tables = {}
     for label, copies in (("1x", 1), ("Nx", SCALE)):
         lpath = os.path.join(ROOT, f"lineitem_{label}")
         dpath = os.path.join(ROOT, f"docs_{label}")
+        epath = os.path.join(ROOT, f"emb_{label}")
         _replicate(li, "l_orderkey", copies, 16 * copies, lpath)
         _replicate(docs, "doc_id", copies, 4 * copies, dpath)
-        tables[label] = (lpath, dpath)
+        _replicate(emb, "vec_id", copies, max(4, 2 * copies), epath)
+        tables[label] = (lpath, dpath, epath)
 
-    for label, (lpath, dpath) in tables.items():
+    for label, (lpath, dpath, epath) in tables.items():
         r = {}
         # 1. index build: executor-sharded stats collection
         r["index_build_sec"], _ = _timed(
@@ -160,13 +167,36 @@ def main() -> None:
             lambda: dpp_join(ctx, lpath, "l_orderkey", dim, "k",
                              max_broadcast_rows=1).count())
         r["dpp_fallback_rows"] = n6
+        # 10. round-8 exact histogram TV drift: strictly map-side-
+        # combinable aggs, no windows — the slope should track the
+        # corpus scan, nothing steeper
+        r["tv_drift_sec"], n7 = _timed(
+            lambda: tv_drift(d.filter("doc_id % 2 = 0"),
+                             d.filter("doc_id % 2 = 1"),
+                             "lang", "n_chars").count())
+        r["tv_drift_groups"] = n7
+        # 11. round-8 cap_per_group SCORE path (the distributed bucketed
+        # rank cut with k = n): a dominant language must not serialize
+        r["cap_score_sec"], n8 = _timed(
+            lambda: cap_per_group(d, "lang", 500, None, "doc_id",
+                                  score="n_chars",
+                                  descending=True).count())
+        r["cap_score_rows"] = n8
+        # 12. round-8 grouped cosine top-k on the same rank cut: the
+        # dot/norm projection is one scan, the cut is distributed
+        e = spark.read.parquet(epath)
+        r["cosine_topk_sec"], n9 = _timed(
+            lambda: cosine_topk_grouped(e, query_vec, k=3,
+                                        group_col="label").count())
+        r["cosine_topk_rows"] = n9
         report[label] = r
 
     # slopes: Nx time / 1x time, vs the ideal SCALE
     slopes = {}
     for k in ("index_build_sec", "token_budget_sec", "dedup_exact_sec",
               "corpus_dedup_sec", "quality_gate_sec", "leakage_audit_sec",
-              "ks_drift_sec", "dpp_fallback_sec"):
+              "ks_drift_sec", "dpp_fallback_sec", "tv_drift_sec",
+              "cap_score_sec", "cosine_topk_sec"):
         a, b = report["1x"][k], report["Nx"][k]
         slopes[k] = round(b / max(a, 1e-9), 2)
     report["slopes_vs_ideal"] = {"ideal": float(SCALE), **slopes}
