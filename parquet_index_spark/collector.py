@@ -396,9 +396,18 @@ def collect_partition(task_index: int, tasks: Iterable[dict], table_root: str,
         # 0 and negative mtimes are LEGITIMATE fingerprints (epoch-
         # normalized files from reproducible builds / tar --mtime=@0) —
         # a falsy check here would silently re-open the same-size-
-        # rewrite hole for exactly those files
+        # rewrite hole for exactly those files. A genuine mtime of
+        # exactly -1 ns (one ns before epoch) would collide with the
+        # sentinel and silently downgrade to size-only, so perturb it to
+        # -2: the later comparison against the raw stat then reads as a
+        # spurious rewrite — a SOUND full rebuild, never a missed one.
         mtime = task.get("mtime_ns")
-        mtime = -1 if mtime is None else int(mtime)
+        if mtime is None:
+            mtime = -1
+        elif int(mtime) == -1:
+            mtime = -2
+        else:
+            mtime = int(mtime)
         if filter_enabled and index_cols:
             rows, blocks, total = _scan_stats_for_file(
                 abs_path, relpath, index_cols, filter_type, dict_max_size,

@@ -938,6 +938,11 @@ class DataFrameIndexManager:
         conf = self._conf()
         metastore = self._metastore(conf)
         spec = LocationSpec(path, dataspace=dataspace)
+        # self-heal an interrupted compaction swap like every other read
+        # path (exists/load) — describe is the compaction-health surface
+        # (orphan telemetry), so it least of all should report a
+        # recoverable index as absent
+        self._recover_stats_swap(metastore.index_dir(spec))
         metadata = metastore.load(spec, filter_eager=False)
         files = metadata.files
         n_files = len(files)
@@ -966,9 +971,16 @@ class DataFrameIndexManager:
         # shard-count telemetry: the refresh.maxShards compaction trigger
         # is sized against this number (streams append one per batch)
         sdir = os.path.join(metadata.index_dir, STATS_DIR)
-        shard_files = [f for f in os.listdir(sdir)
-                       if f.endswith(".parquet")] \
-            if os.path.isdir(sdir) else []
+        try:
+            # isdir-then-listdir has a TOCTOU window against a concurrent
+            # compaction's two-rename swap — tolerate it like every other
+            # reader (the recovery docstring's contract) instead of
+            # crashing describe
+            shard_files = [f for f in os.listdir(sdir)
+                           if f.endswith(".parquet")] \
+                if os.path.isdir(sdir) else []
+        except OSError:
+            shard_files = []
         n_shards = len(shard_files)
         # orphan telemetry (round-8 verdict #8): manifest-only retraction
         # leaves stats/filter rows for vanished files in the shards until
@@ -985,7 +997,10 @@ class DataFrameIndexManager:
                 try:
                     col = pq.read_table(os.path.join(sdir, fn),
                                         columns=["path"])["path"]
-                except OSError:
+                except Exception:  # noqa: BLE001 — a concurrent
+                    # refresh writes shards non-atomically to their final
+                    # name; a half-written file raises ArrowInvalid, not
+                    # OSError. Telemetry must degrade, not crash reads.
                     continue
                 known = pc.sum(pc.cast(pc.is_in(col, value_set=live),
                                        pa.int64())).as_py() or 0

@@ -6017,8 +6017,11 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
 # code needs a fresh driver certification. The rotated-out entries
 # keep local DuckDB-parity coverage via tests/test_oracle_parity.py's
 # full sweep; union driver coverage across rounds stays complete.
-_R9_WINDOW = [
-    # round-9 changed surface first (changed code needs a fresh driver
+# the changed-surface head is exported separately so the fast
+# no-cartesian plan sweep (tests/test_plans.py) covers exactly these —
+# two independently maintained magic lengths silently diverge
+CHANGED_HEAD = [
+    # round-9 changed surface (changed code needs a fresh driver
     # certification): the two new queries (same-size-rewrite refresh
     # proof, cap_per_group order_by path), the refresh-accounting +
     # fingerprint consumers, the hot-key-audited asof, the
@@ -6030,6 +6033,8 @@ _R9_WINDOW = [
     "quality_gate_by_lang", "ann_topk_per_label", "ks_drift_doclen",
     "tv_drift_doclen", "contamination_by_lang", "incremental_dedup_stats",
     "curation_pipeline_v3", "split_leakage_audit",
+]
+_R9_WINDOW = CHANGED_HEAD + [
     # oldest-proven-first rotation (tools/rotate_window.py)
     "approx_distinct_parts", "q7_nation_trade",
     "q8_market_share", "q13_order_distribution", "q15_top_supplier",

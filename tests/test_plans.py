@@ -200,17 +200,20 @@ def test_no_cartesian_sweep_changed_head(spark):
     head of the grading window (the rotation policy puts this round's
     new/changed queries first — the only plans that can have REGRESSED
     since the last full sweep). Planning all 50 graded queries took ~30s
-    of the <10 min budget for 37 plans that cannot have changed."""
-    from parquet_index_spark.workload import QUERIES
-    _no_cartesian_sweep(spark, list(QUERIES)[:15])
+    of the ~10 min budget for 37 plans that cannot have changed. The
+    bound is the exported CHANGED_HEAD length, not a magic number, so a
+    longer head next round cannot silently fall out of the fast run."""
+    from parquet_index_spark.workload import CHANGED_HEAD, QUERIES
+    assert list(QUERIES)[:len(CHANGED_HEAD)] == CHANGED_HEAD
+    _no_cartesian_sweep(spark, CHANGED_HEAD)
 
 
 @pytest.mark.slow
 def test_no_cartesian_sweep_all_batch_queries(spark):
     """Slow half: every other registered batch query (already proven
     across prior rounds; `-m ""` runs it)."""
-    from parquet_index_spark.workload import QUERIES
-    _no_cartesian_sweep(spark, list(QUERIES)[15:])
+    from parquet_index_spark.workload import CHANGED_HEAD, QUERIES
+    _no_cartesian_sweep(spark, list(QUERIES)[len(CHANGED_HEAD):])
 
 
 class TestRound4PlanQuality:
