@@ -319,23 +319,28 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
 
     Scale: each round is two shuffle joins + one map-side-combinable min
     aggregation; the driver sees only the per-round changed-count.
-    localCheckpoint() truncates lineage so round N's plan doesn't replay
-    rounds 1..N-1.
+    Per-round checkpoints truncate lineage so round N's plan doesn't
+    replay rounds 1..N-1; they honor ``spark.sql.index.checkpoint.
+    reliable`` (operators/_ckpt) because a lost executor mid-iteration
+    would otherwise fail the whole CC job on a non-replayable local
+    checkpoint block — the iterative operator is the worst case for
+    that failure mode at 100 TB.
 
     Returns (node, component) — one row per node appearing in any edge.
     """
-    und = (edges.select(F.col(id_a).alias("node"), F.col(id_b).alias("nbr"))
-           .union(edges.select(F.col(id_b).alias("node"),
-                               F.col(id_a).alias("nbr")))
-           .distinct()
-           .localCheckpoint(eager=True))
+    from parquet_index_spark.operators._ckpt import checkpoint_corpus
+    und = checkpoint_corpus(
+        edges.select(F.col(id_a).alias("node"), F.col(id_b).alias("nbr"))
+        .union(edges.select(F.col(id_b).alias("node"),
+                            F.col(id_a).alias("nbr")))
+        .distinct())
     # round-0 shortcut: start from min(self, direct neighbors). Duplicate
     # components are near-cliques, so this alone is usually the fixpoint
     # and the loop exits after one confirming round.
-    labels = (und.groupBy("node").agg(F.min("nbr").alias("__m"))
-              .select("node",
-                      F.least("node", "__m").alias("component"))
-              .localCheckpoint(eager=True))
+    labels = checkpoint_corpus(
+        und.groupBy("node").agg(F.min("nbr").alias("__m"))
+        .select("node",
+                F.least("node", "__m").alias("component")))
     converged = False
     for it in range(max_iter):
         nbr_min = (und.join(labels.withColumnRenamed("node", "nbr")
@@ -351,22 +356,22 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         if it == 0:
             # near-clique graphs (the dedup case) are done after round-0
             # init + one confirming hop — don't pay the jump join for them
-            new_labels = hopped.localCheckpoint(eager=True)
+            new_labels = checkpoint_corpus(hopped)
         else:
             # pointer jump: follow the label's label (labels are node ids,
             # so the lookup is a self-join); doubles propagation distance,
             # giving O(log diameter) rounds on chain-shaped graphs
             lut = hopped.select(F.col("node").alias("__ln"),
                                 F.col("component").alias("__lc"))
-            new_labels = (hopped.join(lut,
-                                      hopped["component"] == lut["__ln"],
-                                      "left")
-                          .select(hopped["node"],
-                                  F.least(hopped["component"],
-                                          F.coalesce(lut["__lc"],
-                                                     hopped["component"]))
-                                  .alias("component"))
-                          .localCheckpoint(eager=True))
+            new_labels = checkpoint_corpus(
+                hopped.join(lut,
+                            hopped["component"] == lut["__ln"],
+                            "left")
+                .select(hopped["node"],
+                        F.least(hopped["component"],
+                                F.coalesce(lut["__lc"],
+                                           hopped["component"]))
+                        .alias("component")))
         changed = (new_labels.withColumnRenamed("component", "new_component")
                    .join(labels, "node")
                    .filter(F.col("new_component") != F.col("component"))

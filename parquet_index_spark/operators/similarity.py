@@ -579,10 +579,12 @@ def cosine_topk_grouped(df: DataFrame, query_vec: Sequence[float],
 
     The similarity arithmetic (the 64-dim dot/norm per row — the
     expensive part) runs in ONE scan: the narrow (group, id, sim)
-    projection is localCheckpointed before the cut, so the cut's three
-    metadata/rank passes read the materialized projection instead of
-    recomputing the dot products. The checkpoint makes this call EAGER
-    (it runs the scan when invoked, not at the first action).
+    projection is checkpointed before the cut (honoring
+    ``spark.sql.index.checkpoint.reliable`` — operators/_ckpt), so the
+    cut's three metadata/rank passes read the materialized projection
+    instead of recomputing the dot products. The default local
+    checkpoint makes this call EAGER (it runs the scan when invoked,
+    not at the first action).
     Returns (group, id, sim, rank<=k)."""
     from parquet_index_spark.operators.sampling import cap_per_group
     q = _query_lit(query_vec)
@@ -592,7 +594,8 @@ def cosine_topk_grouped(df: DataFrame, query_vec: Sequence[float],
            .select(F.col(group_col), F.col(id_col), sim.alias("sim")))
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(list(exclude_ids)))
-    out = out.localCheckpoint()
+    from parquet_index_spark.operators._ckpt import checkpoint_corpus
+    out = checkpoint_corpus(out)
     return (cap_per_group(out, group_col, k, None, id_col,
                           score="sim", descending=True, keep_rank=True)
             .withColumnRenamed("__rank", "rank"))
@@ -676,7 +679,8 @@ def semantic_dedup(df: DataFrame, centroids: List[tuple],
         # sides + the flag join); unmaterialized, Catalyst re-plans the
         # scan AND the argmax assignment per reference — 3x corpus scans
         # + 3x quantizer compute (the dedup_group_assignment precedent)
-        assigned = assigned.localCheckpoint()
+        from parquet_index_spark.operators._ckpt import checkpoint_corpus
+        assigned = checkpoint_corpus(assigned)
     pre = (assigned
            .filter(F.col("cluster_id").isNotNull())
            .withColumn("__v", _as_double(F.col(vec_col)))
@@ -807,7 +811,8 @@ def semantic_contamination(train_df: DataFrame, eval_df: DataFrame,
     if materialize:
         # ev is referenced twice (pair probe + flag join); checkpoint so
         # the eval assignment runs once (semantic_dedup's rationale)
-        ev = ev.localCheckpoint()
+        from parquet_index_spark.operators._ckpt import checkpoint_corpus
+        ev = checkpoint_corpus(ev)
     tr = (ivf_assign(train_df, centroids, id_col, vec_col)
           .filter(F.col("cluster_id").isNotNull())
           .withColumn("__tv", _as_double(F.col(vec_col)))

@@ -411,8 +411,9 @@ def vocab_drift(df_a: DataFrame, df_b: DataFrame, group: str,
     # a map-side-combinable agg broadcast back (no per-group window that
     # would funnel a language's whole vocabulary through one task). The
     # checkpointed frame is vocabulary-sized — sublinear in corpus.
-    fa = freqs(df_a, "na").localCheckpoint()
-    fb = freqs(df_b, "nb").localCheckpoint()
+    from parquet_index_spark.operators._ckpt import checkpoint_corpus
+    fa = checkpoint_corpus(freqs(df_a, "na"))
+    fb = checkpoint_corpus(freqs(df_b, "nb"))
     ta = fa.groupBy(group).agg(F.sum("na").alias("Ta"),
                                F.count("*").alias("va"))
     tb = fb.groupBy(group).agg(F.sum("nb").alias("Tb"),

@@ -1980,3 +1980,39 @@ class TestReliableCheckpoint:
             spark.conf.unset("spark.sql.index.checkpoint.reliable")
         assert got == want
         assert got_dd == want_dd and got_dd == [f"d{i}" for i in range(50, 60)]
+
+    def test_iterative_and_projection_sites_identical(self, spark):
+        """The round-9 extension: the CC loop's per-round checkpoints,
+        cosine_topk_grouped's projection, and vocab_drift's frequency
+        frames all honor the flag — identical results with it on."""
+        from parquet_index_spark.operators.dedup import connected_components
+        from parquet_index_spark.operators.similarity import (
+            cosine_topk_grouped)
+        from parquet_index_spark.operators.text import vocab_drift
+        edges = spark.createDataFrame(
+            [Row(id_a=i, id_b=i + 1) for i in range(0, 20, 2)]
+            + [Row(id_a=1, id_b=2), Row(id_a=30, id_b=31)])
+        emb = spark.createDataFrame(
+            [Row(vec_id=i, label=i % 3,
+                 embedding=[float((i * 7 + j) % 5) for j in range(4)])
+             for i in range(30)])
+        docs_a = spark.createDataFrame(
+            [Row(g="en", text=f"tok{i % 7} tok{i % 3}") for i in range(40)])
+        docs_b = spark.createDataFrame(
+            [Row(g="en", text=f"tok{i % 5} tok{i % 2}") for i in range(30)])
+
+        def run():
+            cc = sorted(map(tuple, connected_components(edges).collect()))
+            topk = sorted(map(tuple, cosine_topk_grouped(
+                emb, [1.0, 2.0, 0.5, 3.0], k=2, group_col="label").collect()))
+            vd = sorted(map(tuple, vocab_drift(
+                docs_a, docs_b, "g", "text").collect()))
+            return cc, topk, vd
+
+        want = run()
+        spark.conf.set("spark.sql.index.checkpoint.reliable", "true")
+        try:
+            got = run()
+        finally:
+            spark.conf.unset("spark.sql.index.checkpoint.reliable")
+        assert got == want
