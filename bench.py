@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "idx_term_prefix_search",
     "funnel_conversion_windowed", "tv_drift_doclen",
     "idx_refresh_rewrite", "earliest_events_per_user",
+    "idx_join_dpp_bloom",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the

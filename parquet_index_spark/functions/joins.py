@@ -55,10 +55,108 @@ def salted_join(large: DataFrame, small: DataFrame,
     return out.drop("__salt")
 
 
+def _same_key_family(a, b) -> bool:
+    """True when both join-key types hash identically in the index's
+    filter family: both integral (stat-normalized to the same long) or
+    both string."""
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType, StringType)
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    return (isinstance(a, integral) and isinstance(b, integral)) or (
+        isinstance(a, StringType) and isinstance(b, StringType))
+
+
+def _dim_key_bloom(dim: DataFrame, dim_key: str, n_keys_est: int,
+                   fpp: float) -> "bytes | None":
+    """Distributed bloom over the dim's distinct join keys, hashed with
+    the SAME family the index's dict-value probe uses — the big-dim
+    pruning tier of :func:`dpp_join` (``predicates.InBloom``).
+
+    Executor-side partial filters share one (m, k) sizing derived from
+    ``n_keys_est`` so they OR-merge; partials are tree-folded to <=64
+    blobs before the driver collect (the dedup_against_corpus pattern,
+    dedup.py:527-566). Supported key types: integral (raw int64 ==
+    stat-normalized value) and string; anything else returns None and
+    the caller keeps range-only pruning.
+
+    Sizing: ``fpp`` is the PER-PROBED-VALUE rate, and a fact block
+    probes every one of its dict values (up to dict.maxSize = 4096), so
+    the per-BLOCK false-keep compounds to ~ d*fpp — the default 1e-5
+    keeps it ~4% at the dict cap, where the naive 1% would false-keep
+    essentially every block (1 - 0.99^4096 ~= 1). ~2.9 MB per million
+    keys; an 8192-bit floor kills the tiny-dim granularity regime and k
+    is capped at 24 rounds (fp at the floor is already ~1e-28 — more
+    rounds only cost probe time). A false positive only KEEPS a fact
+    block — soundness never depends on the sizing.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType, StringType)
+
+    from parquet_index_spark.statistics import BloomFilter
+
+    dtype = dim.schema[dim_key].dataType
+    integral = isinstance(dtype, (ByteType, ShortType, IntegerType,
+                                  LongType))
+    if not (integral or isinstance(dtype, StringType)):
+        return None
+    n = max(1, int(n_keys_est))
+    m = max(8192, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = min(24, max(1, round(m / n * math.log(2))))
+
+    keys = (dim.select(F.col(dim_key).alias("__k"))
+            .where(F.col(dim_key).isNotNull()).distinct())
+
+    def _partials(batches):
+        bf = BloomFilter(m, k)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            if integral:
+                bf.put_longs_vectorized(
+                    pdf["__k"].to_numpy(dtype="int64"))
+            else:
+                for v in pdf["__k"]:
+                    bf.put(str(v), "string")
+        if seen:
+            yield pd.DataFrame({"bloom": [bf.to_bytes()]})
+
+    def _or_blobs(blobs) -> "bytes | None":
+        acc = None
+        for blob in blobs:
+            b = np.frombuffer(bytes(blob)[16:], dtype=np.uint8)
+            acc = b.copy() if acc is None else (acc | b)
+        if acc is None:
+            return None
+        out = BloomFilter(m, k)
+        out.bits = bytearray(acc.tobytes())
+        return out.to_bytes()
+
+    partials = keys.mapInPandas(_partials, "bloom binary")
+    if keys.rdd.getNumPartitions() > 64:
+        def _merge_group(pdf):
+            merged = _or_blobs(pdf["bloom"])
+            return pd.DataFrame({"bloom": [merged] if merged else []})
+        partials = (partials
+                    .withColumn("__g", F.spark_partition_id() % 64)
+                    .groupBy("__g").applyInPandas(_merge_group,
+                                                  "bloom binary"))
+    return _or_blobs(row["bloom"] for row in partials.collect())
+
+
 def dpp_join(ctx, fact_path: str, fact_key: str, dim: DataFrame,
              dim_key: str, how: str = "inner",
              max_keys: int = 100_000,
-             max_broadcast_rows: int = 4_000_000) -> DataFrame:
+             max_broadcast_rows: int = 4_000_000,
+             bloom_prune: bool = True,
+             max_bloom_keys: int = 20_000_000,
+             bloom_fpp: float = 1e-5) -> DataFrame:
     """Star-schema join with index-driven file pruning of the fact side —
     the file-level analog of Spark's dynamic partition pruning
     (reference parity: the reference prunes only from literal predicates,
@@ -71,7 +169,22 @@ def dpp_join(ctx, fact_path: str, fact_key: str, dim: DataFrame,
     an IN-set predicate so only fact files whose stats/membership filters
     can contain those keys are scanned, then the dim is joined. Past
     ``max_keys`` the fold degrades to the [min, max] range — still sound,
-    still prunes when the fact is clustered on the key.
+    still prunes when the fact is clustered on the key — PLUS (when
+    ``bloom_prune`` and the estimated key count fits ``max_bloom_keys``)
+    a distributed bloom over the dim's keys folded as
+    ``predicates.InBloom``: fact blocks whose exact DICT filter values
+    all miss the dim bloom are refuted even when key ranges overlap
+    everywhere — file-level semi-join pushdown at ANY dim size (the
+    range tier alone prunes nothing on an unclustered key). Sound by
+    construction: the bloom has no false negatives, dict values are
+    exact, and every other evidence shape keeps the block; bloom false
+    positives only admit extra files, and the join enforces exact row
+    semantics. Costs one extra dim scan (the distributed filter build,
+    tree-merged partials — dedup_against_corpus's shape) and ~2.9 MB of
+    driver/broadcast bytes per million keys at the default 1e-5
+    per-probed-value fpp (sized so the per-BLOCK false-keep stays ~4%
+    even when a block probes dict.maxSize = 4096 values — see
+    :func:`_dim_key_bloom`).
 
     The join itself broadcasts the dim only under a ``limit(n+1)`` ROW
     probe against ``max_broadcast_rows`` (the span_dedup /
@@ -119,11 +232,37 @@ def dpp_join(ctx, fact_path: str, fact_key: str, dim: DataFrame,
         # empty dim: nothing can join; In(()) folds to select zero files
         pruned = fact.filter(P.In(fact_key, ()))
     elif big_dim:
-        # the collected vals are a LIMITed sample — their min/max is not a
-        # sound bound; aggregate the full dim for the true range
-        lo, hi = dim.agg(F.min(dim_key), F.max(dim_key)).head()
-        pruned = fact.filter(P.And((P.Ge(fact_key, lo),
-                                    P.Le(fact_key, hi))))
+        fact_type = fact._metadata.data_schema[fact_key].dataType
+        if not _same_key_family(fact_type, dim.schema[dim_key].dataType):
+            # type-mismatched keys (the join leans on Spark's implicit
+            # cast): BOTH pruning tiers are unsound here — a string
+            # dim's lexicographic min/max is not a numeric bound (the
+            # residual `k >= '1005' AND k <= '905'` silently dropped
+            # every row — latent since the range tier landed, caught by
+            # the round-9 bloom-tier tests), and a bloom built from one
+            # hash family probed with the other yields false negatives.
+            # Full scan (Trivial keeps every file and still records the
+            # prune telemetry); the join itself is exact.
+            pruned = fact.filter(P.Trivial(True))
+        else:
+            # the collected vals are a LIMITed sample — their min/max
+            # is not a sound bound; aggregate the full dim for the true
+            # range (and an approximate key count to size the bloom
+            # tier, same job)
+            lo, hi, n_est = dim.agg(
+                F.min(dim_key), F.max(dim_key),
+                F.approx_count_distinct(dim_key)).head()
+            preds = [P.Ge(fact_key, lo), P.Le(fact_key, hi)]
+            if bloom_prune and n_est <= max_bloom_keys:
+                # approx_count_distinct can undercount (~2% stderr):
+                # size with headroom so the real fpp stays near the
+                # target — undersizing only raises fpp (keeps more
+                # files), never unsound
+                blob = _dim_key_bloom(dim, dim_key,
+                                      int(n_est * 1.1) + 16, bloom_fpp)
+                if blob is not None:
+                    preds.append(P.InBloom(fact_key, blob))
+            pruned = fact.filter(P.And(tuple(preds)))
     else:
         pruned = fact.filter(P.In(fact_key, tuple(vals)))
     if big_dim:

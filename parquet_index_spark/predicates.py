@@ -240,6 +240,41 @@ class NullSafeEq(Predicate):
 
 
 @dataclass(frozen=True)
+class InBloom(Predicate):
+    """Metadata-only semi-join probe: "``column``'s value is (probably)
+    in the key set summarized by ``blob``" — a serialized
+    :class:`statistics.BloomFilter` over the OTHER side's join keys.
+
+    Beyond-reference: built by ``functions.joins.dpp_join`` when the dim
+    side exceeds ``max_keys`` (too many keys to enumerate into an
+    ``In``): the fold refutes a fact block when its DICT filter's exact
+    stored values all miss the dim bloom (no false negatives on the
+    probe side, exact values on the block side => sound); blocks
+    carrying only min/max, bloom, or bitmap evidence soundly scan. The
+    row-level residual is TRUE — the predicate is intentionally
+    approximate and the JOIN itself enforces exact row semantics, so it
+    must only ever appear conjoined with a join (never user-facing,
+    never negated: a NOT over an approximate membership can neither
+    refute blocks nor express a sound residual).
+    """
+    column: str
+    blob: bytes
+
+    def to_spark(self) -> SparkColumn:
+        return F.lit(True)
+
+    def __invert__(self) -> "Predicate":
+        raise TypeError(
+            "InBloom is a metadata-only approximate probe and cannot be "
+            "negated (NOT over it has no sound fold or residual)")
+
+    def __str__(self) -> str:  # keep the blob out of diagnostics
+        return f"in_bloom({self.column}, {len(self.blob)}B)"
+
+    __repr__ = __str__
+
+
+@dataclass(frozen=True)
 class StartsWith(Predicate):
     """Literal-prefix match — ``col LIKE 'p%'`` / ``col.startswith(p)``.
 
@@ -484,7 +519,7 @@ def push_not_down(p: Predicate, negate: bool = False) -> Predicate:
 
 def referenced_columns(p: Predicate) -> set:
     if isinstance(p, (Eq, Ne, In, IsNull, IsNotNull, Gt, Ge, Lt, Le,
-                      StartsWith, NullSafeEq)):
+                      StartsWith, NullSafeEq, InBloom)):
         return {p.column}
     if isinstance(p, (TermMatch, TermPrefixMatch)):
         # folds against whichever term-index generation the table carries

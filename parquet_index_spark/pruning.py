@@ -228,6 +228,19 @@ def _eval(pred: P.Predicate, ctx: BlockStatsContext, tz: str = None) -> np.ndarr
         return _true(ctx)  # unindexed column => scan (ParquetIndexFilters.scala:37-39)
     kind = stats.kind
 
+    if isinstance(pred, P.InBloom):
+        # reverse membership probe (dpp_join's big-dim tier): refute a
+        # block when its exact DICT values all miss the dim-key bloom;
+        # blocks without dict evidence soundly scan
+        memb = ctx.membership(pred.column)
+        if memb is None:
+            return _true(ctx)
+        from parquet_index_spark.statistics import BloomFilter
+        try:
+            probe = BloomFilter.from_bytes(pred.blob)
+        except Exception:  # noqa: BLE001 — unknown blob => scan (sound)
+            return _true(ctx)
+        return memb.refine_against_filter(_true(ctx), probe, kind)
     if isinstance(pred, P.Eq):
         v = _norm_literal(pred.value, kind, tz)
         if v is None:

@@ -98,6 +98,67 @@ def _bloom_any_probe(hash_pairs: List[tuple], int_values: List[int]):
     return probe
 
 
+def _dict_vs_filter_probe(blob: bytes):
+    """Arrow-batched UDF: (dict_long, dict_str) -> might-any-value-hit
+    the broadcast dim-key bloom (``predicates.InBloom``, distributed
+    fold side). The blob rides a Spark broadcast (it can be tens of MB
+    for a 10M-key dim — per-task closure shipping would resend it), is
+    deserialized once per python worker, and each dict block costs one
+    vectorized hash pass (longs) / one probe per unique value (strings).
+    Dict-less blocks return True (cannot refute — sound)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(bytes(blob))
+    _cache: dict = {}
+
+    @pandas_udf("boolean")
+    def probe(dl: pd.Series, ds: pd.Series, blob: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from parquet_index_spark.statistics import (_BITMAP_MAGIC,
+                                                    BitmapFilter,
+                                                    BloomFilter)
+        bf = _cache.get("bf")
+        if bf is None:
+            try:
+                bf = BloomFilter.from_bytes(bc.value)
+            except Exception:  # noqa: BLE001 — unknown blob => scan
+                bf = False
+            _cache["bf"] = bf
+        if bf is False:
+            return pd.Series([True] * len(dl))
+        out = []
+        for a, s, b in zip(dl, ds, blob):
+            if a is not None and len(a):
+                out.append(bool(bf.might_contain_longs_vectorized(
+                    np.asarray(a, dtype=np.int64)).any()))
+            elif s is not None and len(s):
+                out.append(any(bf.might_contain(x, ityp.STRING)
+                               for x in set(s)))
+            elif b is not None and bytes(b[:8]) == _BITMAP_MAGIC:
+                # bitmap = exact long-space value set: enumerate the set
+                # bits and probe (same refutation rule as dict)
+                try:
+                    bm = BitmapFilter.from_bytes(bytes(b))
+                except ValueError:
+                    out.append(True)
+                    continue
+                pos = np.nonzero(np.unpackbits(
+                    np.frombuffer(bytes(bm.bits), dtype=np.uint8),
+                    bitorder="little"))[0]
+                pos = pos[pos < bm.num_bits]
+                out.append(bool(len(pos)) and bool(
+                    bf.might_contain_longs_vectorized(
+                        (bm.vmin + pos).astype(np.int64)).any()))
+            else:
+                out.append(True)
+        return pd.Series(out)
+
+    return probe
+
+
 def _membership_ok(col: str, kind: str, values: list) -> F.Column:
     """Dict/bloom refinement for Eq/In over already-normalized values.
 
@@ -207,6 +268,15 @@ def _compile(pred: P.Predicate, kinds: dict, tz: str = None,
     if kind is None:
         return F.lit(True)
     c = pred.column
+    if isinstance(pred, P.InBloom):
+        # reverse membership probe (dpp_join's big-dim tier): blocks
+        # whose exact DICT values all miss the dim-key bloom are
+        # refuted; everything else (bloom/bitmap/no filter) scans
+        if c not in memb_cols:
+            return F.lit(True)
+        return _dict_vs_filter_probe(pred.blob)(
+            F.col(f"{c}__dict_l"), F.col(f"{c}__dict_s"),
+            F.col(f"{c}__bloom"))
     if isinstance(pred, P.Eq):
         rng = _leaf(c, kind, "eq", pred.value, tz)
         if c not in memb_cols:

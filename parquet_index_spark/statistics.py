@@ -484,6 +484,70 @@ class ColumnMembership:
             out[ids] |= any_val
         return out
 
+    def refine_against_filter(self, candidates, probe: "BloomFilter",
+                              kind: str):
+        """AND the candidate mask with "some of this block's DICT values
+        hit ``probe``" — the reverse-direction membership test behind
+        ``predicates.InBloom`` (fact-block dict values probed against a
+        dim-key bloom).
+
+        Only EXACT evidence can refute: dict blocks (stored distinct
+        values) and — for long-space columns — bitmap blocks (dense
+        offset bitsets), since the probe bloom has no false negatives a
+        block whose every stored value misses cannot contain a probe-set
+        key. Bloom blocks and filter-less blocks pass through (two
+        approximate summaries cannot soundly refute each other without
+        shared geometry). Vectorized: one hash pipeline pass over the
+        concatenated long dict, per-block any() via reduceat over the
+        non-empty segments (empty blocks occupy zero width in the concat
+        array, so consecutive non-empty starts delimit exactly the
+        non-empty blocks); string dicts probe each UNIQUE value once;
+        bitmaps enumerate their set bits per block."""
+        import numpy as np
+        refutable = self.has_dict.copy()
+        bitmap_ok = self.bitmap_group is not None and kind != ityp.STRING
+        if bitmap_ok:
+            refutable[self.bitmap_group[0]] = True
+        out = candidates & ~refutable
+        if not (candidates & refutable).any():
+            return out
+        hit = np.zeros(self.n, dtype=bool)
+
+        def _per_block_any(mask, offsets):
+            starts, ends = offsets[:-1], offsets[1:]
+            nonempty = np.nonzero(ends > starts)[0]
+            if not len(nonempty):
+                return
+            seg = np.add.reduceat(mask.astype(np.int64),
+                                  starts[nonempty])
+            hit[nonempty] |= seg > 0
+
+        if self.dict_long is not None and kind != ityp.STRING:
+            _per_block_any(
+                probe.might_contain_longs_vectorized(self.dict_long),
+                self.long_offsets)
+        if self.dict_str is not None and kind == ityp.STRING:
+            uniq, inv = np.unique(
+                np.asarray(self.dict_str, dtype=object),
+                return_inverse=True)
+            uhit = np.fromiter(
+                (probe.might_contain(u, kind) for u in uniq),
+                dtype=bool, count=len(uniq))
+            _per_block_any(uhit[inv], self.str_offsets)
+        if bitmap_ok:
+            ids, vmins, nbits, offs, concat = self.bitmap_group
+            for j, i in enumerate(ids):
+                if not candidates[i]:
+                    continue
+                seg = concat[offs[j]:offs[j + 1]]
+                pos = np.nonzero(np.unpackbits(seg, bitorder="little"))[0]
+                pos = pos[pos < nbits[j]]
+                if len(pos) and bool(probe.might_contain_longs_vectorized(
+                        (vmins[j] + pos).astype(np.int64)).any()):
+                    hit[i] = True
+        out |= candidates & refutable & hit
+        return out
+
 
 def build_filters(unique_values: Iterable[Any], kind: str, filter_type: str,
                   dict_max_size: int, block_rows: int,

@@ -3151,6 +3151,74 @@ GROUP BY c_name ORDER BY c_name
 """
 
 
+def idx_join_dpp_bloom(spark, sf_dir):
+    """Big-dim star join on the BLOOM pruning tier (round 9,
+    functions/joins.py dpp_join): the dim exceeds ``max_keys`` so its
+    distinct keys cannot be enumerated into an IN fold, and the fact's
+    key SETS are disjoint residue classes whose RANGES fully overlap —
+    the regime where the r7 [min, max] degraded tier prunes nothing. A
+    distributed bloom over the dim's keys (predicates.InBloom) refutes
+    fact files whose exact DICT values all miss: file-level semi-join
+    pushdown at any dim size. The assertion pins that the tier actually
+    pruned (1 of 8 files — the residue construction is deterministic,
+    and at the 1e-5 per-value fpp a false extra file is ~impossible);
+    the oracle is the plain relational join, so wrongly pruned rows
+    fail the hash compare."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_residues",
+                        os.path.basename(os.path.normpath(sf_dir)),
+                        "orders")
+    if not (ctx.index.exists.parquet(path) and os.path.isdir(path)):
+        os.makedirs(path, exist_ok=True)
+        pdf = (_t(spark, sf_dir, "orders")
+               .select("o_orderkey", "o_custkey", "o_totalprice")
+               .toPandas())
+        for i in range(8):
+            part = pdf[pdf["o_custkey"] % 8 == i]
+            pq.write_table(pa.Table.from_pandas(part.reset_index(drop=True),
+                                                preserve_index=False),
+                           os.path.join(path, f"r{i}.parquet"))
+        prev = spark.conf.get("spark.sql.index.parquet.filter.type",
+                              "bloom")
+        spark.conf.set("spark.sql.index.parquet.filter.type", "dict")
+        try:
+            ctx.index.create.mode("overwrite").indexBy("o_custkey") \
+                .parquet(path)
+        finally:
+            spark.conf.set("spark.sql.index.parquet.filter.type", prev)
+    from parquet_index_spark.functions.joins import dpp_join
+    dim = (_t(spark, sf_dir, "customer")
+           .filter(F.col("c_custkey") % 8 == 3)
+           .select("c_custkey", "c_name"))
+    joined = dpp_join(ctx, path, "o_custkey", dim, "c_custkey",
+                      max_keys=10)
+    info = ctx.index.last_prune_info
+    assert info.selected_files == 1 and info.total_files == 8, info
+    return joined.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"))
+
+
+IDX_DPP_BLOOM_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey % 8 = 3
+"""
+
+
 def overlap_join_windows(spark, sf_dir):
     """Interval×interval overlap join (operators/rangejoin.overlap_join):
     ±60 s windows around error events vs ±60 s windows around purchases;
@@ -6008,6 +6076,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_refresh_rewrite": (idx_refresh_rewrite, IDX_REFRESH_REWRITE_SQL),
     "earliest_events_per_user": (earliest_events_per_user,
                                  EARLIEST_EVENTS_SQL),
+    "idx_join_dpp_bloom": (idx_join_dpp_bloom, IDX_DPP_BLOOM_SQL),
 }
 
 # Round-9 grading window (round-5 verdict ask #6 policy): the driver
@@ -6028,11 +6097,12 @@ CHANGED_HEAD = [
     # cap_per_group/top_fraction validation surface, and every consumer
     # of the reliable-checkpoint sites (_bucketed_side_counts,
     # contaminated_docs, dedup_against_corpus)
-    "idx_refresh_rewrite", "earliest_events_per_user",
-    "idx_refresh_append", "asof_join_events", "quota_per_source",
-    "quality_gate_by_lang", "ann_topk_per_label", "ks_drift_doclen",
-    "tv_drift_doclen", "contamination_by_lang", "incremental_dedup_stats",
-    "curation_pipeline_v3", "split_leakage_audit",
+    "idx_join_dpp_bloom", "idx_refresh_rewrite", "earliest_events_per_user",
+    "idx_join_dpp", "idx_refresh_append", "asof_join_events",
+    "quota_per_source", "quality_gate_by_lang", "ann_topk_per_label",
+    "ks_drift_doclen", "tv_drift_doclen", "contamination_by_lang",
+    "incremental_dedup_stats", "curation_pipeline_v3",
+    "split_leakage_audit",
 ]
 _R9_WINDOW = CHANGED_HEAD + [
     # oldest-proven-first rotation (tools/rotate_window.py)
@@ -6048,7 +6118,6 @@ _R9_WINDOW = CHANGED_HEAD + [
     "ivf_ann_topk", "idx_range_scan", "idx_in_or_composite",
     "idx_not_range", "idx_orders_priority", "idx_events_point",
     "idx_column_predicate", "idx_bitmap_point", "q5_nation_volume",
-    "q6_forecast_revenue", "q4_order_exists",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R9_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R9_WINDOW}}

@@ -74,6 +74,7 @@ _CORE = {
     "funnel_conversion_windowed", "tv_drift_doclen",
     "quota_per_source", "ann_topk_per_label",
     "idx_refresh_rewrite", "earliest_events_per_user",
+    "idx_join_dpp_bloom",
 }
 
 

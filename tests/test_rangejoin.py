@@ -363,3 +363,152 @@ class TestRandomizedDifferential:
         got = sorted((r.a_id, r.b_id)
                      for r in out.select("a_id", "b_id").collect())
         assert got == expected
+
+
+class TestDppBloomTier:
+    """Round-9 big-dim pruning tier: past max_keys, a distributed bloom
+    over the dim's keys (predicates.InBloom) refutes fact blocks whose
+    EXACT filter evidence (dict values / bitmap bitsets) all miss —
+    file-level semi-join pushdown where the range tier prunes nothing
+    (fully overlapping key ranges)."""
+
+    N_FILES = 8
+    KEYS_PER_FILE = 60
+
+    def _interleaved_fact(self, spark, tmp_table_dir, filter_type,
+                          name, string_keys=False):
+        """8 files whose key RANGES fully overlap but whose key SETS are
+        disjoint residue classes mod 8 — the layout where min/max pruning
+        is useless and membership evidence is everything."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        path = os.path.join(tmp_table_dir, name)
+        os.makedirs(path)
+        for i in range(self.N_FILES):
+            ks = [100 * j + i for j in range(self.KEYS_PER_FILE)]
+            if string_keys:
+                arr = pa.array([f"k{v:06d}" for v in ks], type=pa.string())
+            else:
+                arr = pa.array(ks, type=pa.int64())
+            pq.write_table(pa.table({"k": arr, "payload": pa.array(
+                [i] * len(ks), type=pa.int64())}),
+                os.path.join(path, f"f{i}.parquet"))
+        from parquet_index_spark import QueryContext
+        ctx = QueryContext(spark)
+        spark.conf.set("spark.sql.index.parquet.filter.type", filter_type)
+        try:
+            ctx.index.create.mode("overwrite").indexBy("k").parquet(path)
+        finally:
+            spark.conf.unset("spark.sql.index.parquet.filter.type")
+        return ctx, path
+
+    def _dim(self, spark, residue=5, n=20, string_keys=False):
+        ks = [100 * j + residue for j in range(n)]
+        if string_keys:
+            rows = [(f"k{v:06d}", f"d{v}") for v in ks]
+            return spark.createDataFrame(rows, "dk: string, d_name: string")
+        return spark.createDataFrame([(v, f"d{v}") for v in ks],
+                                     "dk: long, d_name: string")
+
+    def _plain(self, spark, path, dim):
+        plain = spark.read.parquet(path)
+        return (plain.join(dim, plain["k"] == dim["dk"])
+                .select(plain["k"], plain["payload"], dim["d_name"]))
+
+    @pytest.mark.parametrize("filter_type", ["dict", "bitmap"])
+    def test_prunes_unclustered_key_exact_evidence(self, spark,
+                                                   tmp_metastore,
+                                                   tmp_table_dir,
+                                                   filter_type):
+        from parquet_index_spark.functions.joins import dpp_join
+        ctx, path = self._interleaved_fact(
+            spark, tmp_table_dir, filter_type, f"ifact_{filter_type}")
+        dim = self._dim(spark)  # 20 keys, all in residue file 5
+        out = dpp_join(ctx, path, "k", dim, "dk", max_keys=5) \
+            .select("k", "payload", "d_name")
+        assert_same_rows(out, self._plain(spark, path, dim))
+        info = ctx.index.last_prune_info
+        # range tier alone keeps all 8 files (every range overlaps);
+        # the bloom tier must cut to the single residue file
+        assert info.total_files == self.N_FILES
+        assert info.selected_files == 1, info
+
+    def test_prunes_string_keys_via_dict(self, spark, tmp_metastore,
+                                         tmp_table_dir):
+        from parquet_index_spark.functions.joins import dpp_join
+        ctx, path = self._interleaved_fact(
+            spark, tmp_table_dir, "dict", "ifact_str", string_keys=True)
+        dim = self._dim(spark, string_keys=True)
+        out = dpp_join(ctx, path, "k", dim, "dk", max_keys=5) \
+            .select("k", "payload", "d_name")
+        assert_same_rows(out, self._plain(spark, path, dim))
+        assert ctx.index.last_prune_info.selected_files == 1
+
+    def test_distributed_fold_path_identical(self, spark, tmp_metastore,
+                                             tmp_table_dir):
+        """sparkThreshold=0 forces the Spark-side fold: the pandas-UDF
+        dict/bitmap-vs-bloom probe must keep the same file set."""
+        from parquet_index_spark.functions.joins import dpp_join
+        ctx, path = self._interleaved_fact(
+            spark, tmp_table_dir, "dict", "ifact_spark")
+        dim = self._dim(spark)
+        spark.conf.set("spark.sql.index.pruning.sparkThreshold", "0")
+        try:
+            out = dpp_join(ctx, path, "k", dim, "dk", max_keys=5) \
+                .select("k", "payload", "d_name")
+            assert_same_rows(out, self._plain(spark, path, dim))
+            assert ctx.index.last_prune_info.selected_files == 1
+        finally:
+            spark.conf.unset("spark.sql.index.pruning.sparkThreshold")
+
+    def test_type_family_mismatch_skips_bloom_soundly(self, spark,
+                                                      tmp_metastore,
+                                                      tmp_table_dir):
+        """A string dim key against a long fact key leans on Spark's
+        implicit cast: the bloom tier must NOT engage (hash families
+        differ => false negatives) and results must equal the plain
+        join."""
+        from parquet_index_spark.functions.joins import dpp_join
+        ctx, path = self._interleaved_fact(
+            spark, tmp_table_dir, "dict", "ifact_mismatch")
+        ks = [100 * j + 5 for j in range(20)]
+        dim = spark.createDataFrame([(str(v), f"d{v}") for v in ks],
+                                    "dk: string, d_name: string")
+        out = dpp_join(ctx, path, "k", dim, "dk", max_keys=5) \
+            .select("k", "payload", "d_name")
+        plain = spark.read.parquet(path)
+        expected = (plain.join(dim, plain["k"] == dim["dk"])
+                    .select(plain["k"], plain["payload"], dim["d_name"]))
+        assert_same_rows(out, expected)
+        # no bloom => only the (useless) range tier => all files kept
+        assert ctx.index.last_prune_info.selected_files == self.N_FILES
+
+    def test_bloom_fpp_false_positive_only_keeps_files(self, spark,
+                                                       tmp_metastore,
+                                                       tmp_table_dir):
+        """fpp=0.5 (deliberately terrible) may keep extra files but can
+        never lose rows — soundness does not depend on the fpp."""
+        from parquet_index_spark.functions.joins import dpp_join
+        ctx, path = self._interleaved_fact(
+            spark, tmp_table_dir, "dict", "ifact_fpp")
+        dim = self._dim(spark)
+        out = dpp_join(ctx, path, "k", dim, "dk", max_keys=5,
+                       bloom_fpp=0.5).select("k", "payload", "d_name")
+        assert_same_rows(out, self._plain(spark, path, dim))
+
+    def test_explain_pruning_shows_compact_leaf(self, spark,
+                                                tmp_metastore,
+                                                tmp_table_dir):
+        from parquet_index_spark import predicates as P
+        from parquet_index_spark.functions.joins import _dim_key_bloom
+        ctx, path = self._interleaved_fact(
+            spark, tmp_table_dir, "dict", "ifact_explain")
+        dim = self._dim(spark)
+        blob = _dim_key_bloom(dim, "dk", 20, 0.01)
+        t = ctx.index.parquet(path)
+        diag = t.explain_pruning(
+            P.And((P.Ge("k", 0), P.InBloom("k", blob))))
+        leaf = [k for k in diag["leaves"] if k.startswith("in_bloom")]
+        assert leaf and f"{len(blob)}B" in leaf[0]
+        assert diag["leaves"][leaf[0]] == 1
+        assert diag["overall_files"] == 1

@@ -189,6 +189,39 @@ def main() -> None:
             lambda: cosine_topk_grouped(e, query_vec, k=3,
                                         group_col="label").count())
         r["cosine_topk_rows"] = n9
+        # 13. round-9 big-dim BLOOM pruning tier: residue-interleaved
+        # fact (key ranges fully overlap, key sets ~disjoint per file)
+        # dict-indexed; dim = one residue class, forced past max_keys so
+        # the fold takes the distributed-bloom path. Measures the bloom
+        # build + probe slope AND that file skipping holds at 32x.
+        ipath = os.path.join(ROOT, f"orders_resid_{label}")
+        od = spark.read.parquet(lpath).select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            (F.col("l_orderkey") % 50_000).alias("o_custkey"),
+            F.col("l_extendedprice").alias("o_totalprice"))
+        (od.withColumn("__r", F.col("o_custkey") % 16)
+         .repartitionByRange(16, "__r").drop("__r")
+         .write.mode("overwrite").parquet(ipath))
+        spark.conf.set("spark.sql.index.parquet.filter.type", "dict")
+        spark.conf.set(
+            "spark.sql.index.parquet.filter.dict.maxSize", "65536")
+        try:
+            ctx.index.create.mode("overwrite").indexBy("o_custkey") \
+                .parquet(ipath)
+        finally:
+            spark.conf.unset("spark.sql.index.parquet.filter.type")
+            spark.conf.unset(
+                "spark.sql.index.parquet.filter.dict.maxSize")
+        bdim = (od.select("o_custkey").distinct()
+                .filter("o_custkey % 16 = 3")
+                .withColumnRenamed("o_custkey", "ck")
+                .withColumn("nm", F.concat(F.lit("c"), F.col("ck"))))
+        r["dpp_bloom_sec"], n10 = _timed(
+            lambda: dpp_join(ctx, ipath, "o_custkey", bdim, "ck",
+                             max_keys=10).count())
+        info = ctx.index.last_prune_info
+        r["dpp_bloom_rows"] = n10
+        r["dpp_bloom_files"] = f"{info.selected_files}/{info.total_files}"
         report[label] = r
 
     # slopes: Nx time / 1x time, vs the ideal SCALE
@@ -196,7 +229,7 @@ def main() -> None:
     for k in ("index_build_sec", "token_budget_sec", "dedup_exact_sec",
               "corpus_dedup_sec", "quality_gate_sec", "leakage_audit_sec",
               "ks_drift_sec", "dpp_fallback_sec", "tv_drift_sec",
-              "cap_score_sec", "cosine_topk_sec"):
+              "cap_score_sec", "cosine_topk_sec", "dpp_bloom_sec"):
         a, b = report["1x"][k], report["Nx"][k]
         slopes[k] = round(b / max(a, 1e-9), 2)
     report["slopes_vs_ideal"] = {"ideal": float(SCALE), **slopes}
