@@ -58,12 +58,28 @@ def salted_join(large: DataFrame, small: DataFrame,
 def _same_key_family(a, b) -> bool:
     """True when both join-key types hash identically in the index's
     filter family: both integral (stat-normalized to the same long) or
-    both string."""
+    both string. Gates only the BLOOM tier — see
+    :func:`_range_fold_sound` for the (looser) range-tier condition."""
     from pyspark.sql.types import (ByteType, IntegerType, LongType,
                                    ShortType, StringType)
     integral = (ByteType, ShortType, IntegerType, LongType)
     return (isinstance(a, integral) and isinstance(b, integral)) or (
         isinstance(a, StringType) and isinstance(b, StringType))
+
+
+def _range_fold_sound(a, b) -> bool:
+    """True when the dim's min/max are sound fold bounds for the fact
+    column: equal types (date=date, timestamp=timestamp, string=string,
+    ...) or both integral (widening int compare). A MISMATCHED pair
+    (string dim vs long fact) orders the dim lexicographically while the
+    residual compares numerically — the unsound case the round-9 guard
+    exists for. Deliberately looser than :func:`_same_key_family`:
+    date/timestamp keys have a sound range fold (_norm_literal handles
+    their kinds) even though the bloom tier's raw-int64 hash family
+    cannot serve them."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    return a == b or (isinstance(a, integral) and isinstance(b, integral))
 
 
 def _dim_key_bloom(dim: DataFrame, dim_key: str, n_keys_est: int,
@@ -138,15 +154,22 @@ def _dim_key_bloom(dim: DataFrame, dim_key: str, n_keys_est: int,
         out.bits = bytearray(acc.tobytes())
         return out.to_bytes()
 
-    partials = keys.mapInPandas(_partials, "bloom binary")
-    if keys.rdd.getNumPartitions() > 64:
-        def _merge_group(pdf):
-            merged = _or_blobs(pdf["bloom"])
-            return pd.DataFrame({"bloom": [merged] if merged else []})
-        partials = (partials
-                    .withColumn("__g", F.spark_partition_id() % 64)
-                    .groupBy("__g").applyInPandas(_merge_group,
-                                                  "bloom binary"))
+    # one partial per PARTITION means partial count x blob size hits the
+    # driver at collect time — at the 20M-key ceiling a blob is ~60 MB,
+    # so 64 partials would be ~3.8 GB transient (round-9 review). Bound
+    # the collect at ~256 MB by choosing the partial COUNT from the blob
+    # size and repartitioning the keys to exactly that many build tasks:
+    # per-task memory is one m-bit filter (inserts stream per Arrow
+    # batch), the driver holds <= groups blobs, and no merge stage is
+    # needed at all. Big dims trade build parallelism for memory safety.
+    blob_bytes = (m + 7) // 8 + 16
+    # parallelism grows with the key count (a 200-key dim needs ONE
+    # build task, not 64 empty ones) but is capped by the driver-memory
+    # budget and a sane task ceiling
+    groups = max(1, min(64, (256 << 20) // max(1, blob_bytes),
+                        1 + n // 250_000))
+    partials = keys.repartition(groups).mapInPandas(_partials,
+                                                    "bloom binary")
     return _or_blobs(row["bloom"] for row in partials.collect())
 
 
@@ -233,7 +256,8 @@ def dpp_join(ctx, fact_path: str, fact_key: str, dim: DataFrame,
         pruned = fact.filter(P.In(fact_key, ()))
     elif big_dim:
         fact_type = fact._metadata.data_schema[fact_key].dataType
-        if not _same_key_family(fact_type, dim.schema[dim_key].dataType):
+        dim_type = dim.schema[dim_key].dataType
+        if not _range_fold_sound(fact_type, dim_type):
             # type-mismatched keys (the join leans on Spark's implicit
             # cast): BOTH pruning tiers are unsound here — a string
             # dim's lexicographic min/max is not a numeric bound (the
@@ -253,7 +277,15 @@ def dpp_join(ctx, fact_path: str, fact_key: str, dim: DataFrame,
                 F.min(dim_key), F.max(dim_key),
                 F.approx_count_distinct(dim_key)).head()
             preds = [P.Ge(fact_key, lo), P.Le(fact_key, hi)]
-            if bloom_prune and n_est <= max_bloom_keys:
+            # the bloom tier additionally requires: matching hash
+            # families (integral/string — date/timestamp keys keep the
+            # range fold but cannot ride the raw-int64 bloom), and
+            # EXACT filter evidence on the fact index — against the
+            # default filter.type=bloom nothing is refutable, so the
+            # dim scan + filter build would buy guaranteed-zero pruning
+            if bloom_prune and n_est <= max_bloom_keys \
+                    and _same_key_family(fact_type, dim_type) \
+                    and fact._metadata.filter_type in ("dict", "bitmap"):
                 # approx_count_distinct can undercount (~2% stderr):
                 # size with headroom so the real fpp stays near the
                 # target — undersizing only raises fpp (keeps more

@@ -98,19 +98,44 @@ def _bloom_any_probe(hash_pairs: List[tuple], int_values: List[int]):
     return probe
 
 
+# (session id, blob md5) -> Broadcast, insertion-ordered for eviction:
+# re-compiling the same InBloom (retries, explain + prune, repeated
+# joins on one dim) must not re-broadcast a tens-of-MB blob, and a
+# long-lived session must not accumulate one broadcast per join call
+# (round-9 review). Evicted entries are unpersisted (executor copies
+# drop; the driver can still re-serve an in-flight task).
+_BLOB_BROADCASTS: dict = {}
+_BLOB_BROADCASTS_MAX = 4
+
+
 def _dict_vs_filter_probe(blob: bytes):
-    """Arrow-batched UDF: (dict_long, dict_str) -> might-any-value-hit
-    the broadcast dim-key bloom (``predicates.InBloom``, distributed
-    fold side). The blob rides a Spark broadcast (it can be tens of MB
-    for a 10M-key dim — per-task closure shipping would resend it), is
-    deserialized once per python worker, and each dict block costs one
-    vectorized hash pass (longs) / one probe per unique value (strings).
-    Dict-less blocks return True (cannot refute — sound)."""
+    """Arrow-batched UDF: (dict_long, dict_str, filter_blob) ->
+    might-any-value-hit the broadcast dim-key bloom
+    (``predicates.InBloom``, distributed fold side). The blob rides a
+    Spark broadcast (it can be tens of MB for a 10M-key dim — per-task
+    closure shipping would resend it), is deserialized once per python
+    worker, and each dict block costs one vectorized hash pass (longs)
+    / one probe per unique value (strings); bitmap blocks enumerate
+    their exact set bits. Blocks without exact evidence return True
+    (cannot refute — sound)."""
+    import hashlib
+
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
     spark = SparkSession.getActiveSession()
-    bc = spark.sparkContext.broadcast(bytes(blob))
+    key = (id(spark), hashlib.md5(bytes(blob)).hexdigest())
+    bc = _BLOB_BROADCASTS.get(key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(bytes(blob))
+        _BLOB_BROADCASTS[key] = bc
+        while len(_BLOB_BROADCASTS) > _BLOB_BROADCASTS_MAX:
+            oldest = next(iter(_BLOB_BROADCASTS))
+            old = _BLOB_BROADCASTS.pop(oldest)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — stopped context
+                pass
     _cache: dict = {}
 
     @pandas_udf("boolean")

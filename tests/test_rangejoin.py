@@ -512,3 +512,34 @@ class TestDppBloomTier:
         assert leaf and f"{len(blob)}B" in leaf[0]
         assert diag["leaves"][leaf[0]] == 1
         assert diag["overall_files"] == 1
+
+    def test_big_dim_date_keys_keep_range_fold(self, spark, tmp_metastore,
+                                               tmp_table_dir):
+        """Round-9 review repro: equal-typed DATE keys must KEEP the
+        [min, max] range tier past max_keys (the first family guard
+        disabled it — a silent pruning regression); the bloom tier
+        rightly stays off (date kinds don't ride the raw-int64 hash
+        family)."""
+        from parquet_index_spark import QueryContext
+        from parquet_index_spark.functions.joins import dpp_join
+        path = os.path.join(tmp_table_dir, "datefact")
+        base = (spark.range(0, 16000)
+                .select(F.date_add(F.lit("2024-01-01").cast("date"),
+                                   (F.col("id") % 160).cast("int"))
+                        .alias("d"),
+                        F.col("id").alias("v")))
+        (base.repartitionByRange(8, "d").sortWithinPartitions("d")
+         .write.mode("overwrite").parquet(path))
+        ctx = QueryContext(spark)
+        ctx.index.create.mode("overwrite").indexBy("d").parquet(path)
+        dim = (base.select(F.col("d").alias("dd")).distinct()
+               .filter(F.col("dd").between("2024-02-10", "2024-02-29"))
+               .withColumn("tag", F.lit("x")))
+        out = dpp_join(ctx, path, "d", dim, "dd", max_keys=5) \
+            .select("d", "v", "tag")
+        plain = spark.read.parquet(path)
+        expected = (plain.join(dim, plain["d"] == dim["dd"])
+                    .select(plain["d"], plain["v"], dim["tag"]))
+        assert_same_rows(out, expected)
+        info = ctx.index.last_prune_info
+        assert info.selected_files < info.total_files, info
