@@ -418,3 +418,86 @@ class TestVectorizedMembershipScale:
         for i, f in enumerate(filters):
             expect = cand[i] if f is None else f.might_contain(7, "long")
             assert out[i] == expect, f"block {i}"
+
+
+class TestReverseMembershipProbe:
+    """ColumnMembership.refine_against_filter — the InBloom fold core
+    (round-9 dpp_join big-dim tier): dict/bitmap blocks refute when all
+    their exact values miss the probe bloom; every approximate or
+    absent evidence shape keeps the block."""
+
+    def _probe(self, keys):
+        from parquet_index_spark.statistics import BloomFilter
+        bf = BloomFilter(8192, 17)
+        bf.put_longs_vectorized(np.array(keys, dtype=np.int64))
+        return bf
+
+    def test_dict_refutes_and_keeps(self):
+        from parquet_index_spark.statistics import (BloomFilter,
+                                                    ColumnMembership)
+        n = 5
+        dict_long = [[1, 2, 3],          # misses -> refuted
+                     [100, 200],         # hits -> kept
+                     None,               # no filter -> kept (sound)
+                     [],                 # empty dict -> no evidence, kept
+                     [300]]              # hits -> kept
+        blooms = [None] * n
+        cm = ColumnMembership.build(np.array(dict_long, dtype=object),
+                                    np.array([None] * n, dtype=object),
+                                    np.array(blooms, dtype=object))
+        out = cm.refine_against_filter(np.ones(n, dtype=bool),
+                                       self._probe([100, 300, 999]),
+                                       ityp.LONG)
+        assert list(out) == [False, True, True, True, True]
+        # candidates already False stay False
+        cand = np.array([True, False, True, True, True])
+        out2 = cm.refine_against_filter(cand, self._probe([100, 300]),
+                                        ityp.LONG)
+        assert list(out2) == [False, False, True, True, True]
+
+    def test_string_dict_and_bloom_blocks_kept(self):
+        from parquet_index_spark.statistics import (BloomFilter,
+                                                    ColumnMembership)
+        probe = BloomFilter(8192, 17)
+        for s in ("alpha", "beta"):
+            probe.put(s, ityp.STRING)
+        approx = BloomFilter(64, 3)
+        approx.put(7, ityp.LONG)
+        ds = [["alpha", "zzz"], ["nope", "nada"], None]
+        blooms = [None, None, approx.to_bytes()]
+        cm = ColumnMembership.build(np.array([None] * 3, dtype=object),
+                                    np.array(ds, dtype=object),
+                                    np.array(blooms, dtype=object))
+        out = cm.refine_against_filter(np.ones(3, dtype=bool), probe,
+                                       ityp.STRING)
+        # hit / refuted / bloom block kept (approximate evidence)
+        assert list(out) == [True, False, True]
+
+    def test_bitmap_refutes_exact_long_sets(self):
+        from parquet_index_spark.statistics import (BitmapFilter,
+                                                    ColumnMembership)
+        bm_hit = BitmapFilter.from_values([100, 101])
+        bm_miss = BitmapFilter.from_values([500, 501])
+        blooms = [bm_hit.to_bytes(), bm_miss.to_bytes(), None]
+        cm = ColumnMembership.build(np.array([None] * 3, dtype=object),
+                                    np.array([None] * 3, dtype=object),
+                                    np.array(blooms, dtype=object))
+        out = cm.refine_against_filter(np.ones(3, dtype=bool),
+                                       self._probe([100, 300]),
+                                       ityp.LONG)
+        assert list(out) == [True, False, True]
+        # string kind: bitmaps carry long evidence only -> all kept
+        out2 = cm.refine_against_filter(np.ones(3, dtype=bool),
+                                        self._probe([100]),
+                                        ityp.STRING)
+        assert list(out2) == [True, True, True]
+
+    def test_in_bloom_predicate_contract(self, spark):
+        blob = self._probe([1]).to_bytes()
+        p = P.InBloom("k", blob)
+        with pytest.raises(TypeError, match="negated"):
+            ~p
+        assert "in_bloom(k" in str(p) and "k" in repr(p)
+        assert P.referenced_columns(p) == {"k"}
+        # to_spark is the TRUE residual (join enforces row semantics)
+        assert "true" in str(p.to_spark()).lower()
