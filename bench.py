@@ -826,7 +826,12 @@ def main() -> None:
             "fast_count_files": fast_count.get("files_scanned"),
             "zorder_file_skip": zorder_file_skip,
             "ann_file_skip": ann_file_skip,
-            "term_index_max_fill": term_index_health.get("max_fill"),
+            # health dict is keyed by COLUMN name -> per-column stats
+            # (r9's .get("max_fill") on the outer dict was always null)
+            "term_index_max_fill": max(
+                (c["max_fill"] for c in term_index_health.values()
+                 if isinstance(c, dict) and c.get("max_fill") is not None),
+                default=None),
             "compaction": compaction,
         },
         "board_file": f"BENCH_LOCAL_{_round_label()}{suffix}.json",

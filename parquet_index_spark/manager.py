@@ -1329,7 +1329,13 @@ class DataFrameIndexManager:
             # round-trip compaction) whose stale per-block stats could
             # prune files that now match (round-8 verdict #2). Manifests
             # written before mtime_ns existed carry null => fall back to
-            # the size-only comparison for those rows.
+            # the size-only comparison for those rows. Granularity
+            # caveat: the fingerprint is only as fine as the
+            # filesystem's mtime clock — on a coarse-resolution mount
+            # (1s NFS, FAT) a same-size rewrite landing in the SAME
+            # timestamp tick as the indexed write stays invisible until
+            # either changes; detecting that regime needs a content
+            # fingerprint, which costs a full re-read per refresh.
             if int(old_row["size"]) != cur["size"]:
                 return True
             stored_mtime = old_row.get("mtime_ns")

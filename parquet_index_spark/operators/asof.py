@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
               right_cols: Optional[List[str]] = None,
               suffix: str = "_right", allow_exact_matches: bool = True,
-              how: str = "left", hot_key_audit: bool = True,
+              how: str = "left", hot_key_audit: bool = False,
               hot_key_floor: int = 1_000_000) -> DataFrame:
     """Backward as-of join of ``left`` to ``right`` on time column ``on``
     within key column ``by``.
@@ -42,11 +42,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     map-side-combinable agg over both inputs) and raises a named
     ``UserWarning`` for keys over ``hot_key_floor`` rows — surfacing the
     serialization instead of OOMing a task at 100x scale (round-8
-    verdict #3). Output is identical either way; pass False when the key
-    cardinality profile is already known. NOTE: the probe makes the call
-    EAGER (it runs a Spark job at composition time and re-reads both
-    inputs); streaming inputs skip it automatically (a batch job cannot
-    run on an unstarted stream).
+    verdict #3). OPT-IN (default False): the probe makes the call EAGER
+    (it runs a Spark job at composition time and re-reads both inputs),
+    which would silently change every existing lazy composition's cost
+    profile if it were the default (round-9 ADVICE). Turn it on when a
+    key's cardinality profile is unknown; output is identical either
+    way. Streaming inputs skip it automatically (a batch job cannot run
+    on an unstarted stream).
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]

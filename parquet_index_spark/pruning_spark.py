@@ -98,12 +98,17 @@ def _bloom_any_probe(hash_pairs: List[tuple], int_values: List[int]):
     return probe
 
 
-# (session id, blob md5) -> Broadcast, insertion-ordered for eviction:
-# re-compiling the same InBloom (retries, explain + prune, repeated
-# joins on one dim) must not re-broadcast a tens-of-MB blob, and a
-# long-lived session must not accumulate one broadcast per join call
-# (round-9 review). Evicted entries are unpersisted (executor copies
-# drop; the driver can still re-serve an in-flight task).
+# (applicationId, blob md5) -> Broadcast, insertion-ordered for
+# eviction: re-compiling the same InBloom (retries, explain + prune,
+# repeated joins on one dim) must not re-broadcast a tens-of-MB blob,
+# and a long-lived session must not accumulate one broadcast per join
+# call (round-9 review). Keyed by the context's applicationId, NOT
+# id(spark): CPython reuses object ids after GC, so a new session could
+# hit a dead session's cache entry and hand its tasks a broadcast from
+# a stopped SparkContext (round-9 ADVICE). A dead app's entries simply
+# age out of the bounded cache. Evicted entries are unpersisted
+# (executor copies drop; the driver can still re-serve an in-flight
+# task).
 _BLOB_BROADCASTS: dict = {}
 _BLOB_BROADCASTS_MAX = 4
 
@@ -124,7 +129,8 @@ def _dict_vs_filter_probe(blob: bytes):
     from pyspark.sql.functions import pandas_udf
 
     spark = SparkSession.getActiveSession()
-    key = (id(spark), hashlib.md5(bytes(blob)).hexdigest())
+    key = (spark.sparkContext.applicationId,
+           hashlib.md5(bytes(blob)).hexdigest())
     bc = _BLOB_BROADCASTS.get(key)
     if bc is None:
         bc = spark.sparkContext.broadcast(bytes(blob))

@@ -500,14 +500,25 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
     columns; an update carrying a different partition value than the
     stored row migrates the row between partition directories).
 
-    ``delete_keys`` (iterable of non-null key values) removes those
-    keys IN THE SAME partial rewrite — a CDC batch carrying upserts and
-    deletes pays one pruning pass, one rewrite, one swap, one refresh
-    instead of two of each. Delete and upsert key sets must be disjoint
-    (the caller resolves a key touched by both — write_merge_sink's
-    seq_col latest-wins does); overlap raises rather than guessing an
-    order. Returns {files_total, files_rewritten, rows_updated,
-    rows_inserted, rows_deleted}.
+    ``delete_keys`` (iterable of non-null key values, or a DataFrame
+    carrying the key column) removes those keys IN THE SAME partial
+    rewrite — a CDC batch carrying upserts and deletes pays one pruning
+    pass, one rewrite, one swap, one refresh instead of two of each.
+    The delete side honors the SAME three-tier ``max_keys`` contract as
+    the upserts (round-9 verdict #1): up to ``max_keys`` distinct keys
+    the fold is an exact IN-set and the row cut an ``isin``; above it
+    NOTHING key-sized reaches the driver — the fold degrades to the
+    sound [min, max] range (plus a distributed-bloom ``InBloom`` probe
+    when the fact index carries exact dict/bitmap evidence, the
+    dpp_join big-dim tier) and the row cut becomes a broadcast-guarded
+    ``left_anti`` join. An oversized plain-list input routes through
+    the same guarded path rather than planning a million-literal IN.
+    Delete and upsert key sets must be disjoint (the caller resolves a
+    key touched by both — write_merge_sink's seq_col latest-wins does);
+    overlap raises rather than guessing an order. Returns {files_total,
+    files_rewritten, rows_updated, rows_inserted, rows_deleted,
+    delete_path} where delete_path records the tier taken
+    (None | "in" | "anti").
     """
     import os
 
@@ -541,23 +552,92 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
             ", ".join(f"{n}: {got} != table {want}"
                       for n, got, want in mismatched))
 
-    dels = list(delete_keys or [])
-    if any(d is None for d in dels):
-        raise ValueError("merge_into: delete keys must be non-null")
+    # --- delete keys: normalize to either a bounded driver list (the
+    # exact tier) or a distributed DataFrame (the guarded tier). A list
+    # longer than max_keys is re-parallelized so Catalyst never plans an
+    # unbounded IN and the pruning fold never trusts an unbounded set.
+    dels, dels_df, big_dels = [], None, False
+    lo_d = hi_d = n_est_d = None
+    if isinstance(delete_keys, DataFrame):
+        dels_df_in = delete_keys
+    elif delete_keys:
+        dels = list(delete_keys)
+        if any(d is None for d in dels):
+            raise ValueError("merge_into: delete keys must be non-null")
+        if len(dels) > max_keys:
+            from pyspark.sql.types import StructField, StructType
+            dels_df_in = spark.createDataFrame(
+                [(v,) for v in dels],
+                StructType([StructField(key,
+                                        meta.data_schema[key].dataType)]))
+            dels = []
+        else:
+            dels_df_in = None
+    else:
+        dels_df_in = None
+    if dels_df_in is not None:
+        if key not in dels_df_in.columns:
+            raise ValueError(
+                "merge_into: delete_keys DataFrame must carry the key "
+                f"column {key!r} (got {dels_df_in.columns})")
+        got = dels_df_in.schema[key].dataType
+        want = meta.data_schema[key].dataType
+        if got != want:
+            raise ValueError(
+                f"merge_into: delete key type {got.simpleString()} != "
+                f"table {want.simpleString()} (cast the batch "
+                "explicitly — a mismatched type makes the pruning fold "
+                "unsound)")
+        from parquet_index_spark.operators._ckpt import checkpoint_corpus
+        # one materialization shared by the probe, the null/bounds
+        # aggregate, the bloom build and both row-cut joins
+        dels_df = checkpoint_corpus(dels_df_in.select(key).distinct())
+        sample = [r[0] for r in dels_df.limit(max_keys + 1).collect()]
+        if len(sample) > max_keys:
+            big_dels = True
+            # the key set stays distributed: null check, sound bounds
+            # (the LIMITed sample's min/max would not be) and a
+            # bloom-sizing estimate come from ONE aggregate pass
+            n_null, lo_d, hi_d, n_est_d = dels_df.agg(
+                F.count(F.when(F.col(key).isNull(), 1)),
+                F.min(key), F.max(key),
+                F.approx_count_distinct(key)).head()
+            if n_null:
+                raise ValueError(
+                    "merge_into: delete keys must be non-null")
+        else:
+            # the sample IS the complete distinct set — exact-tier
+            # semantics, identical to the plain-list form
+            dels, dels_df = sample, None
+            if any(d is None for d in dels):
+                raise ValueError(
+                    "merge_into: delete keys must be non-null")
     vals = [r[0] for r in
             updates.select(key).distinct().limit(max_keys + 1).collect()]
     if any(v is None for v in vals):
         raise ValueError("merge_into: update keys must be non-null")
-    overlap = set(dels) & set(vals)
-    if overlap:
-        raise ValueError(
-            "merge_into: delete and upsert key sets overlap "
-            f"(e.g. {sorted(overlap)[:3]}); resolve each key to its "
-            "latest change first (seq_col in write_merge_sink)")
-    if not vals and not dels:
+    if dels:
+        overlap = set(dels) & set(vals)
+        if overlap:
+            raise ValueError(
+                "merge_into: delete and upsert key sets overlap "
+                f"(e.g. {sorted(overlap)[:3]}); resolve each key to its "
+                "latest change first (seq_col in write_merge_sink)")
+    elif big_dels and vals:
+        # distributed disjointness check: one bounded semi-join probe
+        hit = (updates.select(key).join(dels_df, key, "left_semi")
+               .limit(3).collect())
+        if hit:
+            raise ValueError(
+                "merge_into: delete and upsert key sets overlap "
+                f"(e.g. {sorted(r[0] for r in hit)}); resolve each key "
+                "to its latest change first (seq_col in "
+                "write_merge_sink)")
+    if not vals and not dels and not big_dels:
         return {"files_total": len(meta.context().file_paths),
                 "files_rewritten": 0, "rows_updated": 0,
-                "rows_inserted": 0, "rows_deleted": 0}
+                "rows_inserted": 0, "rows_deleted": 0,
+                "delete_path": None}
     if len(vals) > max_keys:
         # LIMITed sample: its min/max is unsound — aggregate the full side
         lo, hi = updates.agg(F.min(key), F.max(key)).head()
@@ -568,6 +648,21 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
         ast = None
     if dels:
         dast = P.In(key, tuple(dels))
+        ast = dast if ast is None else P.Or((ast, dast))
+    elif big_dels:
+        # guarded tier: [min, max] range fold (sound — the key type is
+        # enforced equal to the table's, and min/max came from the FULL
+        # set), tightened by the dpp_join big-dim bloom tier when the
+        # fact index carries exact dict/bitmap evidence (against the
+        # default bloom filter nothing is refutable — skip the build)
+        dpreds = [P.Ge(key, lo_d), P.Le(key, hi_d)]
+        if meta.filter_type in ("dict", "bitmap"):
+            from parquet_index_spark.functions.joins import _dim_key_bloom
+            blob = _dim_key_bloom(dels_df, key,
+                                  int(n_est_d * 1.1) + 16, 1e-5)
+            if blob is not None:
+                dpreds.append(P.InBloom(key, blob))
+        dast = P.And(tuple(dpreds))
         ast = dast if ast is None else P.Or((ast, dast))
     pctx = meta.context()
     affected_rel = set(prune_files(ast, pctx))
@@ -594,6 +689,19 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
                 obs, F.sum(F.when(is_del, F.lit(1)).otherwise(F.lit(0)))
                 .alias("rows_deleted"))
             current = current.filter(~is_del)
+        elif big_dels:
+            # guarded tier: broadcast-probed anti join — the key set
+            # never lands on the driver and Catalyst falls back to a
+            # shuffle join past the broadcast cap instead of planning an
+            # unbounded IN. NULL-keyed table rows never equi-match and
+            # survive, mirroring the isin path. The deleted-row count
+            # costs one extra semi-join pass over the AFFECTED files
+            # only (the Observation trick needs a row-local predicate).
+            from parquet_index_spark.functions.joins import (
+                broadcast_if_small)
+            dset = broadcast_if_small(dels_df)
+            rows_deleted = current.join(dset, key, "left_semi").count()
+            current = current.join(dset, key, "left_anti")
         rows_updated = (updates.join(current.select(key), key, "left_semi")
                         .count())
         merged = current.join(updates.select(key), key, "left_anti") \
@@ -626,7 +734,9 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
             "files_rewritten": len(affected_rel),
             "rows_updated": rows_updated,
             "rows_inserted": rows_inserted,
-            "rows_deleted": rows_deleted}
+            "rows_deleted": rows_deleted,
+            "delete_path": ("anti" if big_dels else
+                            "in" if dels else None)}
 
 
 def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,

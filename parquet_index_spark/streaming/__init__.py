@@ -412,7 +412,8 @@ def write_indexed_sink(stream_df: DataFrame, path: str, checkpoint: str,
 def write_merge_sink(stream_df: DataFrame, path: str, checkpoint: str,
                      ctx, key: str, seq_col: str = None,
                      op_col: str = None, delete_op: str = "d",
-                     timeout: int = 300) -> None:
+                     timeout: int = 300,
+                     max_keys: int = 100_000) -> None:
     """Streaming CDC merge into an INDEXED table: each micro-batch is
     MERGEd (sources.merge_into — the index-accelerated partial rewrite)
     instead of appended, so a change stream keeps a keyed table current
@@ -434,8 +435,13 @@ def write_merge_sink(stream_df: DataFrame, path: str, checkpoint: str,
     order is arrival order (each batch applies fully before the next;
     seq_col cannot reorder them), so the producer must not split one
     key's changes out of order across source files — the standard
-    streaming-CDC contract. Delete keys are bounded by the micro-batch
-    size (driver-collected, like merge_into's key set).
+    streaming-CDC contract. Delete keys stay a DISTRIBUTED DataFrame
+    handed to merge_into, which applies its three-tier ``max_keys``
+    contract: a backlog drain or retention sweep whose one batch
+    carries millions of deletes never collects them to the driver —
+    the fold degrades to range+bloom file pruning and the row cut to a
+    broadcast-guarded anti join (round-9 verdict #1). ``max_keys``
+    passes through as merge_into's tier threshold.
 
     Replay contract: per-batch, per-checkpoint markers under
     ``<path>/_merge_sink_commits`` (Hadoop-FS IO, checkpoint-scoped —
@@ -464,20 +470,19 @@ def write_merge_sink(stream_df: DataFrame, path: str, checkpoint: str,
             b = (b.withColumn("__rn", F.row_number().over(w))
                  .filter(F.col("__rn") == 1).drop("__rn"))
         if op_col is not None:
+            # deletes stay a DataFrame: merge_into probes it with
+            # limit(max_keys+1) and only collects UNDER the cap — an
+            # unbounded batch never materializes its keys on the driver
+            # (it also enforces non-null keys and type match)
             is_del = F.col(op_col) == F.lit(delete_op)
-            del_keys = [r[0] for r in
-                        b.filter(is_del).select(key).distinct().collect()]
-            if any(k is None for k in del_keys):
-                raise ValueError(
-                    "write_merge_sink: delete-op keys must be non-null "
-                    "(same contract as merge_into's upsert keys)")
+            del_keys = b.filter(is_del).select(key)
             b = b.filter(~is_del).drop(op_col)
         else:
-            del_keys = []
+            del_keys = None
         # upserts AND deletes in ONE partial rewrite (one pruning pass,
         # one swap, one refresh per batch; empty batch = no-op)
         merge_into(ctx, path, b.select(*table_cols), key,
-                   delete_keys=del_keys)
+                   max_keys=max_keys, delete_keys=del_keys)
         markers.commit(batch_id)
 
     q = (stream_df.writeStream.foreachBatch(handle)

@@ -1337,6 +1337,80 @@ class TestMergeSink:
         assert t.filter("k = 8").head()["v"] == 801
         assert t.filter("k = 5000").count() == 1
 
+    def test_cross_batch_delete_then_reinsert(self, spark, tmp_path):
+        """Arrival-order contract ACROSS batches (round-9 verdict #7):
+        batch N deletes a key, batch N+1 reinserts it — the reinserted
+        row must be the final state (each batch applies fully before
+        the next; seq_col only orders WITHIN a batch)."""
+        import os
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from parquet_index_spark import QueryContext, streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        spark.conf.set("spark.sql.index.metastore", str(tmp_path / "ms"))
+        ctx = QueryContext(spark)
+        path = self._base_table(spark, ctx, tmp_path, n=1000)
+        cdc = str(tmp_path / "cdc")
+        os.makedirs(cdc)
+
+        def _cdc_file(name, rows, mtime):
+            f = os.path.join(cdc, name)
+            pq.write_table(pa.table({
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "v": pa.array([r[1] for r in rows], pa.int64()),
+                "seq": pa.array([r[2] for r in rows], pa.int64()),
+                "op": pa.array([r[3] for r in rows])}), f)
+            os.utime(f, (mtime, mtime))  # pin file-source batch order
+
+        import time as _time
+        now = _time.time()
+        _cdc_file("b1.parquet", [(8, 800, 1, "d"), (9, 900, 1, "u")],
+                  now - 100)
+        _cdc_file("b2.parquet", [(8, 808, 1, "u"), (9, 900, 2, "d")],
+                  now)
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(cdc).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(cdc))
+        ST.write_merge_sink(stream, path, str(tmp_path / "ck"), ctx, "k",
+                            seq_col="seq", op_col="op")
+        t = ctx.index.parquet(path).df
+        got = t.filter("k = 8").collect()
+        assert len(got) == 1 and got[0]["v"] == 808  # delete then reinsert
+        assert t.filter("k = 9").count() == 0        # upsert then delete
+        assert t.count() == 1000 - 1
+
+    def test_over_cap_deletes_stay_distributed_through_sink(
+            self, spark, tmp_path):
+        """A retention-sweep-sized delete batch (> max_keys distinct
+        keys in ONE micro-batch) rides merge_into's guarded anti tier
+        end-to-end — the availableNow drain applies it exactly."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark import QueryContext, streaming as ST
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        spark.conf.set("spark.sql.index.metastore", str(tmp_path / "ms"))
+        ctx = QueryContext(spark)
+        path = self._base_table(spark, ctx, tmp_path, n=5000)
+        cdc = str(tmp_path / "cdc")
+        batch = (spark.range(1_000, 1_200)
+                 .select(F.col("id").alias("k"),
+                         F.lit(0).cast("long").alias("v"),
+                         F.lit(1).cast("long").alias("seq"),
+                         F.lit("d").alias("op"))
+                 .unionByName(spark.createDataFrame(
+                     [(9_000, 1, 1, "u")], "k long, v long, seq long, "
+                     "op string")))
+        batch.coalesce(1).write.parquet(cdc)
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(cdc).schema).parquet(cdc))
+        ST.write_merge_sink(stream, path, str(tmp_path / "ck"), ctx, "k",
+                            seq_col="seq", op_col="op", max_keys=50)
+        t = ctx.index.parquet(path).df
+        assert t.count() == 5000 - 200 + 1
+        assert t.filter("k >= 1000 AND k < 1200").count() == 0
+        assert t.filter("k = 9000").count() == 1
+
 
 class TestSemanticDedup:
     def test_flags_exact_keep_rule_on_synthetic_clusters(self, spark):

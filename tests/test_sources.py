@@ -1003,6 +1003,186 @@ class TestMergeIntoDeleteKeys:
             merge_into(ctx, path, ups, "k", delete_keys=[7])
 
 
+class TestMergeIntoGuardedDeletes:
+    """Round-9 verdict #1: the delete path honors the SAME three-tier
+    max_keys contract as the upserts — above the cap no key-sized
+    collection reaches the driver, pruning degrades to range(+bloom),
+    and the row cut is a broadcast-guarded anti join."""
+
+    def _table(self, spark, ctx, tmp_table_dir, name, n=10_000):
+        from pyspark.sql import functions as F
+        path = os.path.join(tmp_table_dir, name)
+        (spark.range(0, n)
+         .select(F.when(F.col("id") != 17, F.col("id")).alias("k"),
+                 (F.col("id") % 9).cast("long").alias("v"))
+         .repartitionByRange(8, "k").write.parquet(path))
+        ctx.index.create.indexBy("k").parquet(path)
+        return path
+
+    def test_over_cap_dataframe_deletes_no_driver_collect(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """500 distinct delete keys through max_keys=100: the anti tier
+        engages, the result is exact, the clustered range fold still
+        prunes files, and NO collect during the merge returns more than
+        max_keys+1 rows (the guard assertion — a full key-set collect
+        would surface here as a 500-row result)."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import merge_into
+        path = self._table(spark, ctx, tmp_table_dir, "gd1")
+        dels = (spark.range(2_000, 2_500)
+                .select(F.col("id").alias("k")))
+        sizes = []
+        # patch the RUNTIME class (pyspark.sql.classic overrides the
+        # pyspark.sql.DataFrame base's collect)
+        cls = type(dels)
+        orig = cls.collect
+
+        def spy(self):
+            out = orig(self)
+            sizes.append(len(out))
+            return out
+
+        monkeypatch.setattr(cls, "collect", spy)
+        info = merge_into(ctx, path, spark.createDataFrame(
+            [], "k bigint, v bigint"), "k", max_keys=100,
+            delete_keys=dels)
+        monkeypatch.undo()
+        assert sizes and max(sizes) <= 101, sizes
+        assert info["delete_path"] == "anti"
+        assert info["rows_deleted"] == 500
+        # clustered keys: the [min,max] fold must keep the rewrite
+        # partial even without an IN-set
+        assert info["files_rewritten"] < info["files_total"]
+        t = ctx.index.parquet(path).df
+        assert t.count() == 10_000 - 500
+        assert t.filter("k >= 2000 AND k < 2500").count() == 0
+        assert t.filter("k IS NULL").count() == 1  # NULL-keyed survives
+
+    def test_over_cap_list_routes_through_guarded_path(
+            self, spark, ctx, tmp_table_dir):
+        """An oversized plain-list input must not plan a giant IN — it
+        re-parallelizes into the same guarded tier."""
+        from parquet_index_spark.sources import merge_into
+        path = self._table(spark, ctx, tmp_table_dir, "gd2", n=1000)
+        info = merge_into(ctx, path, spark.createDataFrame(
+            [], "k bigint, v bigint"), "k", max_keys=10,
+            delete_keys=list(range(100, 130)))
+        assert info["delete_path"] == "anti"
+        assert info["rows_deleted"] == 30
+        assert ctx.index.parquet(path).df.count() == 1000 - 30
+
+    def test_under_cap_dataframe_deletes_take_exact_tier(
+            self, spark, ctx, tmp_table_dir):
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import merge_into
+        path = self._table(spark, ctx, tmp_table_dir, "gd3", n=1000)
+        dels = spark.range(5, 8).select(F.col("id").alias("k"))
+        info = merge_into(ctx, path, spark.createDataFrame(
+            [], "k bigint, v bigint"), "k", delete_keys=dels)
+        assert info["delete_path"] == "in"
+        assert info["rows_deleted"] == 3
+        assert ctx.index.parquet(path).df.count() == 997
+
+    def test_over_cap_bloom_tier_prunes_disjoint_residues(
+            self, spark, ctx, tmp_table_dir):
+        """Residue-class layout: every file's key RANGE overlaps every
+        other's, so the range fold alone keeps all files; with dict
+        evidence the InBloom tier must refute the 7 untouched residue
+        files and keep the rewrite partial."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from parquet_index_spark.sources import merge_into
+        path = os.path.join(tmp_table_dir, "gd4")
+        os.makedirs(path)
+        for i in range(8):
+            ks = list(range(i, 8_000, 8))
+            pq.write_table(pa.table({
+                "k": pa.array(ks, pa.int64()),
+                "v": pa.array([x % 9 for x in ks], pa.int64())}),
+                os.path.join(path, f"r{i}.parquet"))
+        prev = spark.conf.get("spark.sql.index.parquet.filter.type",
+                              "bloom")
+        spark.conf.set("spark.sql.index.parquet.filter.type", "dict")
+        try:
+            ctx.index.create.mode("overwrite").indexBy("k").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.index.parquet.filter.type", prev)
+        from pyspark.sql import functions as F
+        dels = (spark.range(0, 1000)
+                .select((F.col("id") * 8 + 3).alias("k")))  # residue 3
+        info = merge_into(ctx, path, spark.createDataFrame(
+            [], "k bigint, v bigint"), "k", max_keys=10,
+            delete_keys=dels)
+        assert info["delete_path"] == "anti"
+        assert info["files_total"] == 8
+        assert info["files_rewritten"] <= 2, info  # bloom refuted >= 6
+        assert info["rows_deleted"] == 1000
+        t = ctx.index.parquet(path).df
+        assert t.count() == 7000
+        assert t.filter("pmod(k, 8) = 3").count() == 0
+
+    def test_over_cap_overlap_with_upserts_rejected(
+            self, spark, ctx, tmp_table_dir):
+        from pyspark.sql import Row, functions as F
+        from parquet_index_spark.sources import merge_into
+        path = self._table(spark, ctx, tmp_table_dir, "gd5", n=1000)
+        ups = spark.createDataFrame([Row(k=105, v=0)], "k bigint, v bigint")
+        dels = spark.range(100, 120).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError, match="overlap"):
+            merge_into(ctx, path, ups, "k", max_keys=10, delete_keys=dels)
+
+    def test_delete_df_contract_violations_rejected(
+            self, spark, ctx, tmp_table_dir):
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import merge_into
+        path = self._table(spark, ctx, tmp_table_dir, "gd6", n=100)
+        empty = spark.createDataFrame([], "k bigint, v bigint")
+        with pytest.raises(ValueError, match="key column"):
+            merge_into(ctx, path, empty, "k",
+                       delete_keys=spark.range(3).select("id"))
+        with pytest.raises(ValueError, match="type"):
+            merge_into(ctx, path, empty, "k", delete_keys=spark.range(3)
+                       .select(F.col("id").cast("int").alias("k")))
+        # null keys: caught under the cap (complete sample) ...
+        nulls = spark.createDataFrame([(1,), (None,)], "k bigint") \
+            .select("k")
+        with pytest.raises(ValueError, match="non-null"):
+            merge_into(ctx, path, empty, "k", delete_keys=nulls)
+        # ... and above it (aggregate null count — no full collect)
+        big_nulls = spark.range(0, 30).select(
+            F.when(F.col("id") != 7, F.col("id")).alias("k"))
+        with pytest.raises(ValueError, match="non-null"):
+            merge_into(ctx, path, empty, "k", max_keys=10,
+                       delete_keys=big_nulls)
+
+    def test_anti_tier_matches_exact_tier_rows(self, spark, ctx,
+                                               tmp_table_dir):
+        """Same deletes through both tiers on twin tables — byte-equal
+        survivors (the guarded path changes the PLAN, never the rows)."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import merge_into
+        pa_ = self._table(spark, ctx, tmp_table_dir, "gd7a", n=2000)
+        pb_ = self._table(spark, ctx, tmp_table_dir, "gd7b", n=2000)
+        keys = [3, 17, 500, 501, 502, 777, 1999, 2500]
+        ups = spark.createDataFrame([(9999, 1), (700, -1)],
+                                    "k bigint, v bigint")
+        a = merge_into(ctx, pa_, ups, "k", delete_keys=keys)
+        b = merge_into(ctx, pb_, ups, "k", max_keys=3,
+                       delete_keys=spark.createDataFrame(
+                           [(k,) for k in keys], "k bigint"))
+        assert a["delete_path"] == "in" and b["delete_path"] == "anti"
+        # 17 is the NULL-keyed row's id (key absent) and 2500 is out of
+        # range: 6 of the 8 keys actually delete
+        assert a["rows_deleted"] == b["rows_deleted"] == 6
+        assert (a["rows_updated"], a["rows_inserted"]) == \
+               (b["rows_updated"], b["rows_inserted"])
+        ta = ctx.index.parquet(pa_).df
+        tb = ctx.index.parquet(pb_).df
+        assert ta.count() == tb.count()
+        assert ta.exceptAll(tb).count() == 0
+        assert tb.exceptAll(ta).count() == 0
+
+
 class TestIndexCurrencyGuardSchemes:
     def test_scheme_qualified_table_path_not_refused(self, spark, ctx,
                                                      tmp_table_dir):
