@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     "idx_term_prefix_search",
     "funnel_conversion_windowed", "tv_drift_doclen",
     "idx_refresh_rewrite", "earliest_events_per_user",
-    "idx_join_dpp_bloom",
+    "idx_join_dpp_bloom", "merge_delete_orders",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the
@@ -68,7 +68,7 @@ BENCH_QUERIES = [
 SELF_BUILDING = {"idx_refresh_append", "idx_delete_range",
                  "idx_update_range", "idx_delete_partitioned",
                  "stream_merge_cdc_ops", "idx_compact_roundtrip",
-                 "idx_refresh_rewrite"}
+                 "idx_refresh_rewrite", "merge_delete_orders"}
 
 
 def _sf_label() -> str:

@@ -1443,6 +1443,67 @@ FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def merge_delete_orders(spark, sf_dir):
+    """Index-accelerated MERGE with a GUARDED delete batch (round-10):
+    the CDC batch carries upserts plus a delete key set forced past
+    ``max_keys``, so merge_into takes the anti tier — deletes stay a
+    distributed DataFrame, pruning folds their [min, max] range (files
+    outside the deleted key band survive untouched), and the row cut is
+    a broadcast-guarded left_anti join. The oracle replicates the whole
+    merge relationally, so the hash compare proves the guarded tier's
+    on-disk semantics, not just its planning."""
+    from parquet_index_spark.sources import merge_into
+    ensure_session_confs(spark)
+    ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set("spark.sql.index.metastore", ms)
+    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_merge",
+                        os.path.basename(os.path.normpath(sf_dir)),
+                        "orders_del")
+    od = _t(spark, sf_dir, "orders")
+    # fresh table every run so the query is re-runnable/deterministic
+    od.repartitionByRange(16, "o_orderkey").write.mode("overwrite") \
+        .parquet(path)
+    ctx.index.create.mode("overwrite").indexBy("o_orderkey").parquet(path)
+    updates = (od.filter("o_orderkey % 100 = 0")
+               .withColumn("o_orderstatus", F.lit("U"))
+               .withColumn("o_totalprice", F.lit(1000.0)))
+    # disjoint from the upsert keys; hundreds-to-thousands of keys at
+    # every graded scale, always past max_keys=50
+    deletes = (od.filter("o_orderkey >= 1000 AND o_orderkey <= 9000 "
+                         "AND o_orderkey % 100 != 0")
+               .select("o_orderkey"))
+    info = merge_into(ctx, path, updates, "o_orderkey", max_keys=50,
+                      delete_keys=deletes)
+    assert info["delete_path"] == "anti", info
+    merged = ctx.index.parquet(path).df
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.countDistinct("o_orderkey").alias("n_keys"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("total"))
+            .orderBy("o_orderstatus"))
+
+
+MERGE_DELETE_SQL = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+merged AS (
+  SELECT * FROM orders
+  WHERE o_orderkey % 100 <> 0
+    AND NOT (o_orderkey BETWEEN 1000 AND 9000)
+  UNION ALL SELECT * FROM upd
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       count(DISTINCT o_orderkey) AS n_keys,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def cube_order_status(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return (orders.cube("o_orderstatus", "o_orderpriority")
@@ -6016,6 +6077,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "setop_active_building_buyers": (setop_active_building_buyers, SETOP_SQL),
     "scalar_functions_showcase": (scalar_functions_showcase, SCALAR_SQL),
     "merge_upsert_orders": (merge_upsert_orders, MERGE_SQL),
+    "merge_delete_orders": (merge_delete_orders, MERGE_DELETE_SQL),
     "bucketed_colocated_join": (bucketed_colocated_join, BUCKETED_JOIN_SQL),
     "customers_without_orders": (customers_without_orders, ANTI_SQL),
     "idx_point_lookup": (idx_point_lookup, IDX_POINT_SQL),
@@ -6103,34 +6165,35 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
 # no-cartesian plan sweep (tests/test_plans.py) covers exactly these —
 # two independently maintained magic lengths silently diverge
 CHANGED_HEAD = [
-    # round-9 changed surface (changed code needs a fresh driver
-    # certification): the two new queries (same-size-rewrite refresh
-    # proof, cap_per_group order_by path), the refresh-accounting +
-    # fingerprint consumers, the hot-key-audited asof, the
-    # cap_per_group/top_fraction validation surface, and every consumer
-    # of the reliable-checkpoint sites (_bucketed_side_counts,
-    # contaminated_docs, dedup_against_corpus)
-    "idx_join_dpp_bloom", "idx_refresh_rewrite", "earliest_events_per_user",
-    "idx_join_dpp", "idx_refresh_append", "asof_join_events",
-    "quota_per_source", "quality_gate_by_lang", "ann_topk_per_label",
-    "ks_drift_doclen", "tv_drift_doclen", "contamination_by_lang",
-    "incremental_dedup_stats", "curation_pipeline_v3",
-    "split_leakage_audit",
+    # round-10 changed surface (changed code needs a fresh driver
+    # certification): the guarded merge_into delete tier and its new
+    # graded query, every merge/CDC-sink consumer, the dpp_join /
+    # broadcast_if_small checkpoint-routing + bloom-clamp sites and
+    # their operator consumers, the rebuilt dpp-bloom fixture, and the
+    # asof default flip
+    "merge_delete_orders", "merge_upsert_orders", "stream_merge_cdc_ops",
+    "stream_merge_upsert", "idx_join_dpp_bloom", "idx_join_dpp",
+    "asof_join_events", "contamination_by_lang", "incremental_dedup_stats",
+    "split_leakage_audit", "curation_pipeline_v3",
 ]
-_R9_WINDOW = CHANGED_HEAD + [
+_R10_WINDOW = CHANGED_HEAD + [
     # oldest-proven-first rotation (tools/rotate_window.py)
-    "approx_distinct_parts", "q7_nation_trade",
-    "q8_market_share", "q13_order_distribution", "q15_top_supplier",
-    "ann_topk_lsh_probed", "stream_dedup_events", "stream_sink_roundtrip",
-    "salted_skew_join", "dedup_exact_stats", "dedup_prefix_groups",
-    "dedup_group_assignment", "dedup_keep_best", "jaccard_neardup_pairs",
-    "simhash_fingerprints", "text_profile_by_lang", "doc_fingerprints",
-    "token_count_stats", "tfidf_top_terms", "bm25_search",
-    "profile_orders_columns", "sample_split_stats", "pack_chunks_by_source",
-    "ann_cosine_topk", "lsh_bucket_histogram", "embedding_similar_pairs",
-    "ivf_ann_topk", "idx_range_scan", "idx_in_or_composite",
-    "idx_not_range", "idx_orders_priority", "idx_events_point",
-    "idx_column_predicate", "idx_bitmap_point", "q5_nation_volume",
+    "q6_forecast_revenue", "q4_order_exists", "q18_large_volume_customers",
+    "q10_returned_items", "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity", "shuffle_shard_stats",
+    "vocab_drift_by_lang", "stream_shuffle_split_stats", "idx_term_search",
+    "idx_term_prefix_search", "idx_term_decontamination", "idx_phrase_search",
+    "idx_delete_range", "idx_update_range", "cohort_retention",
+    "q21_suppliers_kept_waiting", "cube_order_status",
+    "pivot_flag_quantities", "unpivot_order_measures",
+    "listagg_status_by_priority", "approx_percentile_bounds",
+    "range_join_windows", "overlap_join_windows", "time_bucket_gapfill",
+    "top3_orders_per_customer", "distinct_parts_per_flag",
+    "percentile_quantities", "setop_active_building_buyers",
+    "scalar_functions_showcase", "bucketed_colocated_join",
+    "customers_without_orders", "idx_point_lookup", "idx_zorder_range",
+    "q1_pricing_summary", "minhash_lsh_pairs", "multimodal_pipeline",
+    "data_quality_audit", "chunk_overlap_stats",
 ]
-QUERIES = {**{k: QUERIES[k] for k in _R9_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in _R9_WINDOW}}
+QUERIES = {**{k: QUERIES[k] for k in _R10_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in _R10_WINDOW}}

@@ -64,17 +64,16 @@ _CORE = {
     "curation_pipeline_stats", "stratified_sample_langs",
     # time-series / events
     "asof_join_events", "time_bucket_gapfill", "sessionize_events",
-    # round-8/9 graded-window additions stay in core for at least one
+    # round-9/10 graded-window additions stay in core for at least one
     # round after introduction (ADVICE r3): the failure class they carry
     # (oracle typing under stringify-hash) must be visible by default.
     # Earlier rounds' additions rotate out to `slow` once proven —
-    # `-m ""` still sweeps all of them. (Round-7's batch — idx_prefix_
-    # scan, cohort_retention, the chunk pipeline, ks_drift and friends —
-    # rotated out in round 9 after two proven rounds.)
-    "funnel_conversion_windowed", "tv_drift_doclen",
-    "quota_per_source", "ann_topk_per_label",
+    # `-m ""` still sweeps all of them. (Round-8's batch —
+    # funnel_conversion_windowed, tv_drift_doclen, quota_per_source,
+    # ann_topk_per_label — rotated out in round 10 after two proven
+    # rounds.)
     "idx_refresh_rewrite", "earliest_events_per_user",
-    "idx_join_dpp_bloom",
+    "idx_join_dpp_bloom", "merge_delete_orders",
 }
 
 
