@@ -222,6 +222,41 @@ def main() -> None:
         info = ctx.index.last_prune_info
         r["dpp_bloom_rows"] = n10
         r["dpp_bloom_files"] = f"{info.selected_files}/{info.total_files}"
+        # 14. round-10 guarded MERGE (DML/CDC surface): a CDC batch of
+        # upserts + deletes confined to narrow key bands on the
+        # clustered table. Cost must track the AFFECTED files, not the
+        # table — the 1x and Nx runs touch the same absolute key bands,
+        # so a healthy slope is far below ideal. First merge: exact
+        # delete tier (under max_keys). Second: the round-10 guarded
+        # anti tier, forced over the cap — the delete keys stay a
+        # distributed DataFrame end-to-end.
+        from parquet_index_spark.sources import merge_into
+        mpath = os.path.join(ROOT, f"merge_{label}")
+        shutil.rmtree(mpath, ignore_errors=True)
+        shutil.copytree(lpath, mpath)
+        ctx.index.create.mode("overwrite").indexBy("l_orderkey") \
+            .parquet(mpath)
+        mt = spark.read.parquet(mpath)
+        ups = mt.filter("l_orderkey < 300").localCheckpoint()
+        dels_small = (mt.filter("l_orderkey >= 1000 AND l_orderkey < 1050")
+                      .select("l_orderkey").localCheckpoint())
+        r["merge_sec"], minfo = _timed(
+            lambda: merge_into(ctx, mpath, ups, "l_orderkey",
+                               max_keys=500, delete_keys=dels_small))
+        assert minfo["delete_path"] == "in", minfo
+        r["merge_files"] = (f"{minfo['files_rewritten']}/"
+                            f"{minfo['files_total']}")
+        empty = spark.createDataFrame([], mt.schema)
+        dels_big = (spark.read.parquet(mpath)
+                    .filter("l_orderkey >= 4000 AND l_orderkey < 12000")
+                    .select("l_orderkey").localCheckpoint())
+        r["merge_overcap_sec"], oinfo = _timed(
+            lambda: merge_into(ctx, mpath, empty, "l_orderkey",
+                               max_keys=100, delete_keys=dels_big))
+        assert oinfo["delete_path"] == "anti", oinfo
+        r["merge_overcap_files"] = (f"{oinfo['files_rewritten']}/"
+                                    f"{oinfo['files_total']}")
+        r["merge_overcap_deleted"] = oinfo["rows_deleted"]
         report[label] = r
 
     # slopes: Nx time / 1x time, vs the ideal SCALE
@@ -229,7 +264,8 @@ def main() -> None:
     for k in ("index_build_sec", "token_budget_sec", "dedup_exact_sec",
               "corpus_dedup_sec", "quality_gate_sec", "leakage_audit_sec",
               "ks_drift_sec", "dpp_fallback_sec", "tv_drift_sec",
-              "cap_score_sec", "cosine_topk_sec", "dpp_bloom_sec"):
+              "cap_score_sec", "cosine_topk_sec", "dpp_bloom_sec",
+              "merge_sec", "merge_overcap_sec"):
         a, b = report["1x"][k], report["Nx"][k]
         slopes[k] = round(b / max(a, 1e-9), 2)
     report["slopes_vs_ideal"] = {"ideal": float(SCALE), **slopes}
