@@ -5214,10 +5214,11 @@ FROM range(100000, 110000) t(id)
 def earliest_events_per_user(spark, sf_dir):
     """First-N-per-key selection through cap_per_group's ORDER_BY path
     (operators/sampling.py): each user's 3 earliest events with an
-    event_id tiebreak — the any-orderable-type form whose row_number
-    window streams one task per key (documented cost; the score path is
-    the scale form, and since round 9 this path carries the hot-key
-    audit). Oracle: the equivalent ROW_NUMBER CTE."""
+    event_id tiebreak. Since round 10 the timestamp order key rides the
+    DISTRIBUTED bucketed rank cut (an exact monotone unix_micros
+    encoding under the UTC session tz) instead of the one-task-per-key
+    row_number window — the last whole-group-window shape in the repo.
+    Oracle: the equivalent ROW_NUMBER CTE."""
     from parquet_index_spark.operators import sampling as SA
     ev = _t(spark, sf_dir, "events")
     # hot_key_audit off: user_id cardinality scales with the corpus (no

@@ -269,6 +269,78 @@ class TestCapPerGroup:
         with pytest.raises(ValueError, match="exactly one"):
             SA.cap_per_group(grouped, "g", 2)
 
+    def _spy_rank_cut(self, monkeypatch):
+        calls = []
+        orig = SA.top_fraction_per_group
+
+        def spy(*a, **kw):
+            calls.append(kw.get("_cap_rows"))
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(SA, "top_fraction_per_group", spy)
+        return calls
+
+    def test_order_by_monotone_types_ride_distributed_cut(
+            self, spark, monkeypatch):
+        """Round-10 (r9 stretch #8): integral/date/timestamp(+ntz under
+        UTC) order keys rewrite onto the bucketed rank cut — identical
+        keep set to the window form, no per-group window."""
+        import datetime as dt
+        rows = [(i % 3, i,
+                 dt.date(2024, 1, 1) + dt.timedelta(days=(i * 7) % 19),
+                 dt.datetime(2024, 1, 1) +
+                 dt.timedelta(minutes=(i * 13) % 47))
+                for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "g: int, uid: long, d: date, t: timestamp_ntz")
+        for order in ("uid", "d", "t"):
+            calls = self._spy_rank_cut(monkeypatch)
+            got = SA.cap_per_group(df, "g", 4, order, "uid")
+            assert calls == [4], order  # rewrite engaged
+            monkeypatch.undo()
+            want = SA.cap_per_group(  # forced window form
+                df, "g", 4, F.col(order).asc(), "uid",
+                hot_key_audit=False)
+            assert sorted(map(tuple, got.collect())) \
+                == sorted(map(tuple, want.collect())), order
+            assert got.columns == df.columns  # encoding column dropped
+
+    def test_order_by_string_and_desc_keep_window_path(
+            self, spark, monkeypatch):
+        rows = [(i % 2, i, f"s{i:03d}") for i in range(20)]
+        df = spark.createDataFrame(rows, "g: int, uid: long, s: string")
+        calls = self._spy_rank_cut(monkeypatch)
+        out1 = SA.cap_per_group(df, "g", 3, "s", "uid",
+                                hot_key_audit=False)
+        out2 = SA.cap_per_group(df, "g", 3, F.col("uid").desc(), "uid",
+                                hot_key_audit=False)
+        assert calls == []  # neither form rewrote
+        assert {r["uid"] for r in out1.collect()} == {0, 1, 2, 3, 4, 5}
+        assert {r["uid"] for r in out2.collect()} == set(range(14, 20))
+
+    def test_order_by_ntz_respects_session_timezone_gate(
+            self, spark, monkeypatch):
+        """Under a DST session timezone the ntz encoding is unsafe —
+        the rewrite must stand down to the window path."""
+        import datetime as dt
+        rows = [(1, i, dt.datetime(2024, 3, 10, 1, 0) +
+                 dt.timedelta(minutes=30 * i)) for i in range(8)]
+        df = spark.createDataFrame(rows, "g: int, uid: long, t: timestamp_ntz")
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        calls = self._spy_rank_cut(monkeypatch)
+        try:
+            spark.conf.set("spark.sql.session.timeZone",
+                           "America/New_York")
+            out = SA.cap_per_group(df, "g", 3, "t", "uid",
+                                   hot_key_audit=False)
+            assert calls == []  # gate held: window path
+            assert {r["uid"] for r in out.collect()} == {0, 1, 2}
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            SA.cap_per_group(df, "g", 3, "t", "uid").count()
+            assert calls == [3]  # fixed-offset zone: rewrite engages
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
 
 class TestPackChunks:
     @pytest.fixture(scope="class")
@@ -787,11 +859,16 @@ class TestHotKeyAudit:
         return spark.createDataFrame(rows, "g: string, k: long")
 
     def test_cap_per_group_order_by_warns_on_hot_group(self, spark):
+        # a STRING order key (zero-padded so it sorts numerically):
+        # since round 10 integral/date/timestamp keys auto-route onto
+        # the distributed rank cut, so only non-encodable types still
+        # exercise the audited window path
         import warnings
         df = self._skewed(spark)
+        order = F.format_string("%05d", F.col("k"))
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
-            out = SA.cap_per_group(df, "g", 5, "k",
+            out = SA.cap_per_group(df, "g", 5, order,
                                    degenerate_floor=100).collect()
         msgs = [str(x.message) for x in w if "hot key" in str(x.message)]
         assert msgs and "cap_per_group" in msgs[0] and "big" in msgs[0]
@@ -802,15 +879,16 @@ class TestHotKeyAudit:
     def test_cap_per_group_order_by_quiet_under_floor(self, spark):
         import warnings
         df = self._skewed(spark)
+        order = F.format_string("%05d", F.col("k"))
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
-            SA.cap_per_group(df, "g", 5, "k",
+            SA.cap_per_group(df, "g", 5, order,
                              degenerate_floor=10_000).count()
         assert not [x for x in w if "hot key" in str(x.message)]
         # and the audit can be skipped outright (no probe job)
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
-            SA.cap_per_group(df, "g", 5, "k", degenerate_floor=100,
+            SA.cap_per_group(df, "g", 5, order, degenerate_floor=100,
                              hot_key_audit=False).count()
         assert not [x for x in w if "hot key" in str(x.message)]
 
