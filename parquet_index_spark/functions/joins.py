@@ -183,6 +183,35 @@ def _dim_key_bloom(dim: DataFrame, dim_key: str, n_keys_est: int,
     return _or_blobs(row["bloom"] for row in partials.collect())
 
 
+def degraded_key_fold(keys_df: DataFrame, key: str, fact_key: str,
+                      fact_type, filter_type, lo, hi, n_est: int,
+                      bloom_prune: bool = True,
+                      max_bloom_keys: int = 20_000_000,
+                      bloom_fpp: float = 1e-5):
+    """The shared big-key-set pruning fold (round-10 review #5 — one
+    maintained copy for dpp_join AND merge_into's guarded delete tier):
+    [min, max] range predicates over ``fact_key``, tightened by a
+    distributed ``InBloom`` probe over ``keys_df[key]``'s distinct keys
+    when every gate holds — the fact index carries exact dict/bitmap
+    evidence, the hash families match, and the estimated key count fits
+    ``max_bloom_keys`` (past it the blob itself becomes a driver-sized
+    object, so the tier stands down to range-only — sound, just
+    coarser). ``lo``/``hi`` must come from the FULL key set (a LIMITed
+    sample's extremes are not sound bounds). Returns the predicate AST.
+    """
+    from parquet_index_spark import predicates as P
+
+    preds = [P.Ge(fact_key, lo), P.Le(fact_key, hi)]
+    if bloom_prune and n_est <= max_bloom_keys \
+            and filter_type in ("dict", "bitmap") \
+            and _same_key_family(fact_type, keys_df.schema[key].dataType):
+        blob = _dim_key_bloom(keys_df, key, int(n_est * 1.1) + 16,
+                              bloom_fpp)
+        if blob is not None:
+            preds.append(P.InBloom(fact_key, blob))
+    return P.And(tuple(preds))
+
+
 def dpp_join(ctx, fact_path: str, fact_key: str, dim: DataFrame,
              dim_key: str, how: str = "inner",
              max_keys: int = 100_000,
@@ -288,25 +317,21 @@ def dpp_join(ctx, fact_path: str, fact_key: str, dim: DataFrame,
             lo, hi, n_est = dim.agg(
                 F.min(dim_key), F.max(dim_key),
                 F.approx_count_distinct(dim_key)).head()
-            preds = [P.Ge(fact_key, lo), P.Le(fact_key, hi)]
-            # the bloom tier additionally requires: matching hash
-            # families (integral/string — date/timestamp keys keep the
-            # range fold but cannot ride the raw-int64 bloom), and
-            # EXACT filter evidence on the fact index — against the
-            # default filter.type=bloom nothing is refutable, so the
-            # dim scan + filter build would buy guaranteed-zero pruning
-            if bloom_prune and n_est <= max_bloom_keys \
-                    and _same_key_family(fact_type, dim_type) \
-                    and fact._metadata.filter_type in ("dict", "bitmap"):
-                # approx_count_distinct can undercount (~2% stderr):
-                # size with headroom so the real fpp stays near the
-                # target — undersizing only raises fpp (keeps more
-                # files), never unsound
-                blob = _dim_key_bloom(dim, dim_key,
-                                      int(n_est * 1.1) + 16, bloom_fpp)
-                if blob is not None:
-                    preds.append(P.InBloom(fact_key, blob))
-            pruned = fact.filter(P.And(tuple(preds)))
+            # range + InBloom via the shared fold: the bloom tier
+            # additionally requires matching hash families
+            # (integral/string — date/timestamp keys keep the range
+            # fold but cannot ride the raw-int64 bloom), EXACT filter
+            # evidence on the fact index (against the default
+            # filter.type=bloom nothing is refutable), and a key count
+            # under max_bloom_keys. approx_count_distinct can
+            # undercount (~2% stderr): the fold sizes with headroom so
+            # the real fpp stays near target — undersizing only raises
+            # fpp (keeps more files), never unsound.
+            pruned = fact.filter(degraded_key_fold(
+                dim, dim_key, fact_key, fact_type,
+                fact._metadata.filter_type, lo, hi, int(n_est),
+                bloom_prune=bloom_prune, max_bloom_keys=max_bloom_keys,
+                bloom_fpp=bloom_fpp))
     else:
         pruned = fact.filter(P.In(fact_key, tuple(vals)))
     if big_dim:

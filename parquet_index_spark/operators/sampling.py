@@ -288,9 +288,11 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
     # Monotone + strict means (enc asc, tiebreak) orders identically to
     # (orig asc, tiebreak), and both paths sort NULLs first, so the
     # keep set is unchanged (equivalence-tested). Sort-order wrappers
-    # (F.desc(...)) and every other type keep the window form.
+    # (F.desc(...)) and every other type keep the window form — as do
+    # STREAMING inputs: the rank cut's metadata probes checkpoint at
+    # composition time, which a stream cannot (round-10 review #1).
     oc = _as_col(order_by)
-    if not _is_sort_order(oc):
+    if not _is_sort_order(oc) and not df.isStreaming:
         enc = _monotone_long_encoding(df, oc)
         if enc is not None:
             out = top_fraction_per_group(

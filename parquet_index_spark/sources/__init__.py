@@ -623,6 +623,24 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
                 "merge_into: delete and upsert key sets overlap "
                 f"(e.g. {sorted(overlap)[:3]}); resolve each key to its "
                 "latest change first (seq_col in write_merge_sink)")
+        if len(vals) > max_keys:
+            # the upsert keys are a truncated SAMPLE — an overlapping
+            # key outside it would silently bypass the contract
+            # (round-10 review #3): check the delete list against the
+            # FULL update side with one bounded semi-join
+            from pyspark.sql.types import StructField, StructType
+            ddf = spark.createDataFrame(
+                [(v,) for v in dels],
+                StructType([StructField(key,
+                                        meta.data_schema[key].dataType)]))
+            hit = (updates.select(key).join(ddf, key, "left_semi")
+                   .limit(3).collect())
+            if hit:
+                raise ValueError(
+                    "merge_into: delete and upsert key sets overlap "
+                    f"(e.g. {sorted(r[0] for r in hit)}); resolve each "
+                    "key to its latest change first (seq_col in "
+                    "write_merge_sink)")
     elif big_dels and vals:
         # distributed disjointness check: one bounded semi-join probe
         hit = (updates.select(key).join(dels_df, key, "left_semi")
@@ -650,19 +668,18 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
         dast = P.In(key, tuple(dels))
         ast = dast if ast is None else P.Or((ast, dast))
     elif big_dels:
-        # guarded tier: [min, max] range fold (sound — the key type is
-        # enforced equal to the table's, and min/max came from the FULL
-        # set), tightened by the dpp_join big-dim bloom tier when the
-        # fact index carries exact dict/bitmap evidence (against the
-        # default bloom filter nothing is refutable — skip the build)
-        dpreds = [P.Ge(key, lo_d), P.Le(key, hi_d)]
-        if meta.filter_type in ("dict", "bitmap"):
-            from parquet_index_spark.functions.joins import _dim_key_bloom
-            blob = _dim_key_bloom(dels_df, key,
-                                  int(n_est_d * 1.1) + 16, 1e-5)
-            if blob is not None:
-                dpreds.append(P.InBloom(key, blob))
-        dast = P.And(tuple(dpreds))
+        # guarded tier via the SHARED degraded fold (one maintained
+        # copy with dpp_join — round-10 review #5): [min, max] range
+        # (sound — the key type is enforced equal to the table's, and
+        # min/max came from the FULL set) + the InBloom tier when the
+        # fact index carries exact dict/bitmap evidence AND the key
+        # count fits the bloom's own driver-size budget (past
+        # max_bloom_keys the blob itself is driver-sized — range-only)
+        from parquet_index_spark.functions.joins import degraded_key_fold
+        dast = degraded_key_fold(dels_df, key, key,
+                                 meta.data_schema[key].dataType,
+                                 meta.filter_type, lo_d, hi_d,
+                                 int(n_est_d))
         ast = dast if ast is None else P.Or((ast, dast))
     pctx = meta.context()
     affected_rel = set(prune_files(ast, pctx))
@@ -694,12 +711,15 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
             # never lands on the driver and Catalyst falls back to a
             # shuffle join past the broadcast cap instead of planning an
             # unbounded IN. NULL-keyed table rows never equi-match and
-            # survive, mirroring the isin path. The deleted-row count
-            # costs one extra semi-join pass over the AFFECTED files
-            # only (the Observation trick needs a row-local predicate).
-            from parquet_index_spark.functions.joins import (
-                broadcast_if_small)
-            dset = broadcast_if_small(dels_df)
+            # survive, mirroring the isin path. The probe is inline
+            # (dels_df is ALREADY checkpointed — broadcast_if_small
+            # would materialize it a second time, round-10 review #4);
+            # the deleted-row count costs one extra semi-join pass over
+            # the AFFECTED files only (the Observation trick needs a
+            # row-local predicate).
+            bcast_cap = 4_000_000
+            small = (dels_df.limit(bcast_cap + 1).count() <= bcast_cap)
+            dset = F.broadcast(dels_df) if small else dels_df
             rows_deleted = current.join(dset, key, "left_semi").count()
             current = current.join(dset, key, "left_anti")
         rows_updated = (updates.join(current.select(key), key, "left_semi")

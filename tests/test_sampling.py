@@ -318,6 +318,16 @@ class TestCapPerGroup:
         assert {r["uid"] for r in out1.collect()} == {0, 1, 2, 3, 4, 5}
         assert {r["uid"] for r in out2.collect()} == set(range(14, 20))
 
+    def test_order_by_streaming_input_composes_lazily(self, spark,
+                                                      monkeypatch):
+        """Round-10 review #1: a streaming input must keep the lazy
+        window form — the rank cut's composition-time checkpoint probes
+        cannot run on an unstarted stream."""
+        s = spark.readStream.format("rate").load()
+        calls = self._spy_rank_cut(monkeypatch)
+        out = SA.cap_per_group(s, "value", 2, "timestamp", "value")
+        assert calls == [] and out.isStreaming
+
     def test_order_by_ntz_respects_session_timezone_gate(
             self, spark, monkeypatch):
         """Under a DST session timezone the ntz encoding is unsafe —

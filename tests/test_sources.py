@@ -1155,6 +1155,41 @@ class TestMergeIntoGuardedDeletes:
             merge_into(ctx, path, empty, "k", max_keys=10,
                        delete_keys=big_nulls)
 
+    def test_exact_tier_overlap_checked_against_full_updates(
+            self, spark, ctx, tmp_table_dir):
+        """Round-10 review #3: with OVER-CAP upserts, the sampled key
+        list can miss an overlapping delete key — the exact delete tier
+        must still raise via the full-side semi-join check."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import merge_into
+        path = self._table(spark, ctx, tmp_table_dir, "gd8", n=1000)
+        # 500 distinct upsert keys >> max_keys=10: vals is a sample
+        ups = (spark.range(0, 500)
+               .select(F.col("id").alias("k"),
+                       F.lit(-1).cast("long").alias("v")))
+        with pytest.raises(ValueError, match="overlap"):
+            merge_into(ctx, path, ups, "k", max_keys=10,
+                       delete_keys=[499])
+
+    def test_bloom_tier_stands_down_past_max_bloom_keys(self, spark):
+        """Round-10 review #2: the shared degraded fold must NOT build
+        a driver-sized bloom for a key set past max_bloom_keys — the
+        fold degrades to range-only (sound, coarser)."""
+        from pyspark.sql.types import LongType
+        from parquet_index_spark import predicates as P
+        from parquet_index_spark.functions.joins import degraded_key_fold
+        keys = spark.range(0, 100).selectExpr("id AS k")
+        capped = degraded_key_fold(keys, "k", "k", LongType(), "dict",
+                                   0, 99, n_est=50, max_bloom_keys=10)
+        assert not any(isinstance(p, P.InBloom) for p in capped.children)
+        full = degraded_key_fold(keys, "k", "k", LongType(), "dict",
+                                 0, 99, n_est=50)
+        assert any(isinstance(p, P.InBloom) for p in full.children)
+        # no exact evidence on the fact index => no bloom either
+        nofilt = degraded_key_fold(keys, "k", "k", LongType(), "bloom",
+                                   0, 99, n_est=50)
+        assert not any(isinstance(p, P.InBloom) for p in nofilt.children)
+
     def test_anti_tier_matches_exact_tier_rows(self, spark, ctx,
                                                tmp_table_dir):
         """Same deletes through both tiers on twin tables — byte-equal
