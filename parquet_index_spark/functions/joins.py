@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def broadcast_if_small(df: DataFrame,
-                       max_rows: int = 4_000_000) -> DataFrame:
+                       max_rows: int = 4_000_000,
+                       checkpoint: bool = True) -> DataFrame:
     """The repo-standard guarded broadcast: materialize ``df`` once (so
     the probe and the consuming join share ONE materialization instead
     of re-executing the subtree — the count-then-join rule; honors the
@@ -25,9 +26,12 @@ def broadcast_if_small(df: DataFrame,
     corpus materialization site), probe its row count with
     ``limit(n+1)``, and return it broadcast-hinted under the cap or
     plain above it (Catalyst's size-based choice then applies — a
-    shuffle join instead of an executor OOM)."""
-    from parquet_index_spark.operators._ckpt import checkpoint_corpus
-    df = checkpoint_corpus(df)
+    shuffle join instead of an executor OOM). Pass ``checkpoint=False``
+    when ``df`` is ALREADY materialized — checkpointing is not
+    idempotent, so re-wrapping would pay a second materialization."""
+    if checkpoint:
+        from parquet_index_spark.operators._ckpt import checkpoint_corpus
+        df = checkpoint_corpus(df)
     small = df.limit(max_rows + 1).count() <= max_rows
     return F.broadcast(df) if small else df
 

@@ -573,6 +573,15 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     """
     if _cap_rows is None and not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if df.isStreaming:
+        # the metadata probes (extremes/offsets checkpoints) run at
+        # composition time, which a stream cannot — raise the contract
+        # instead of an obscure AnalysisException (round-10 review #2)
+        raise ValueError(
+            "the distributed rank cut is not stream-composable (its "
+            "metadata probes run Spark jobs at composition time); "
+            "apply it per micro-batch inside foreachBatch, or use "
+            "cap_per_group's order_by form (a lazy window)")
     if not 1 <= range_buckets <= (1 << 31):
         # the escape hash is in [0, 2^32) and deg_bkt multiplies it by
         # range_buckets in long arithmetic — the no-overflow guarantee

@@ -551,13 +551,22 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
             "(cast the batch explicitly): " +
             ", ".join(f"{n}: {got} != table {want}"
                       for n, got, want in mismatched))
+    from parquet_index_spark.operators._ckpt import checkpoint_corpus
+    # ONE materialization for the whole merge (count-then-join rule —
+    # round-10 review): the key probe, the over-cap null/bounds
+    # aggregate, the overlap semi-join, the row count, and both rewrite
+    # joins all re-reference updates; without this each re-executes the
+    # caller's full upstream plan. Also decouples a batch derived from
+    # the table ITSELF from the directory before the staged swap.
+    updates = checkpoint_corpus(updates)
 
     # --- delete keys: normalize to either a bounded driver list (the
     # exact tier) or a distributed DataFrame (the guarded tier). A list
     # longer than max_keys is re-parallelized so Catalyst never plans an
     # unbounded IN and the pruning fold never trusts an unbounded set.
     dels, dels_df, big_dels = [], None, False
-    lo_d = hi_d = n_est_d = None
+    exact_dels_df = None  # checkpointed frame kept for the exact tier's
+    lo_d = hi_d = n_est_d = None  # full-side overlap probe
     if isinstance(delete_keys, DataFrame):
         dels_df_in = delete_keys
     elif delete_keys:
@@ -607,8 +616,9 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
                     "merge_into: delete keys must be non-null")
         else:
             # the sample IS the complete distinct set — exact-tier
-            # semantics, identical to the plain-list form
-            dels, dels_df = sample, None
+            # semantics, identical to the plain-list form (the frame
+            # handle survives for the full-side overlap probe)
+            dels, exact_dels_df, dels_df = sample, dels_df, None
             if any(d is None for d in dels):
                 raise ValueError(
                     "merge_into: delete keys must be non-null")
@@ -627,12 +637,15 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
             # the upsert keys are a truncated SAMPLE — an overlapping
             # key outside it would silently bypass the contract
             # (round-10 review #3): check the delete list against the
-            # FULL update side with one bounded semi-join
-            from pyspark.sql.types import StructField, StructType
-            ddf = spark.createDataFrame(
-                [(v,) for v in dels],
-                StructType([StructField(key,
-                                        meta.data_schema[key].dataType)]))
+            # FULL update side with one bounded semi-join (reusing the
+            # already-checkpointed frame when the input was one)
+            ddf = exact_dels_df
+            if ddf is None:
+                from pyspark.sql.types import StructField, StructType
+                ddf = spark.createDataFrame(
+                    [(v,) for v in dels],
+                    StructType([StructField(
+                        key, meta.data_schema[key].dataType)]))
             hit = (updates.select(key).join(ddf, key, "left_semi")
                    .limit(3).collect())
             if hit:
@@ -657,8 +670,15 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
                 "rows_inserted": 0, "rows_deleted": 0,
                 "delete_path": None}
     if len(vals) > max_keys:
-        # LIMITed sample: its min/max is unsound — aggregate the full side
-        lo, hi = updates.agg(F.min(key), F.max(key)).head()
+        # LIMITed sample: its min/max is unsound AND its null check is
+        # incomplete (a NULL key outside the sample would slip through
+        # — round-10 review) — one aggregate over the full side covers
+        # both
+        n_null_u, lo, hi = updates.agg(
+            F.count(F.when(F.col(key).isNull(), 1)),
+            F.min(key), F.max(key)).head()
+        if n_null_u:
+            raise ValueError("merge_into: update keys must be non-null")
         ast = P.And((P.Ge(key, lo), P.Le(key, hi)))
     elif vals:
         ast = P.In(key, tuple(vals))
@@ -711,15 +731,14 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
             # never lands on the driver and Catalyst falls back to a
             # shuffle join past the broadcast cap instead of planning an
             # unbounded IN. NULL-keyed table rows never equi-match and
-            # survive, mirroring the isin path. The probe is inline
-            # (dels_df is ALREADY checkpointed — broadcast_if_small
-            # would materialize it a second time, round-10 review #4);
-            # the deleted-row count costs one extra semi-join pass over
-            # the AFFECTED files only (the Observation trick needs a
+            # survive, mirroring the isin path. checkpoint=False:
+            # dels_df is ALREADY checkpointed (round-10 review #4); the
+            # deleted-row count costs one extra semi-join pass over the
+            # AFFECTED files only (the Observation trick needs a
             # row-local predicate).
-            bcast_cap = 4_000_000
-            small = (dels_df.limit(bcast_cap + 1).count() <= bcast_cap)
-            dset = F.broadcast(dels_df) if small else dels_df
+            from parquet_index_spark.functions.joins import (
+                broadcast_if_small)
+            dset = broadcast_if_small(dels_df, checkpoint=False)
             rows_deleted = current.join(dset, key, "left_semi").count()
             current = current.join(dset, key, "left_anti")
         rows_updated = (updates.join(current.select(key), key, "left_semi")

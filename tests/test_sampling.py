@@ -327,6 +327,11 @@ class TestCapPerGroup:
         calls = self._spy_rank_cut(monkeypatch)
         out = SA.cap_per_group(s, "value", 2, "timestamp", "value")
         assert calls == [] and out.isStreaming
+        # and the score form names its contract instead of crashing in
+        # an eager checkpoint (round-10 review #2)
+        with pytest.raises(ValueError, match="stream-composable"):
+            SA.cap_per_group(s, "value", 2, None, "value",
+                             score="value")
 
     def test_order_by_ntz_respects_session_timezone_gate(
             self, spark, monkeypatch):

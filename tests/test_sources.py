@@ -1155,6 +1155,20 @@ class TestMergeIntoGuardedDeletes:
             merge_into(ctx, path, empty, "k", max_keys=10,
                        delete_keys=big_nulls)
 
+    def test_over_cap_null_update_key_rejected(self, spark, ctx,
+                                               tmp_table_dir):
+        """Round-10 review: a NULL update key OUTSIDE the truncated
+        sample must still raise — the over-cap aggregate carries a
+        full-side null count."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import merge_into
+        path = self._table(spark, ctx, tmp_table_dir, "gd9", n=1000)
+        ups = (spark.range(0, 500)
+               .select(F.when(F.col("id") != 499, F.col("id")).alias("k"),
+                       F.lit(-1).cast("long").alias("v")))
+        with pytest.raises(ValueError, match="update keys must be non-null"):
+            merge_into(ctx, path, ups, "k", max_keys=10)
+
     def test_exact_tier_overlap_checked_against_full_updates(
             self, spark, ctx, tmp_table_dir):
         """Round-10 review #3: with OVER-CAP upserts, the sampled key
