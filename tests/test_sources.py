@@ -1058,6 +1058,7 @@ class TestMergeIntoGuardedDeletes:
         assert t.filter("k >= 2000 AND k < 2500").count() == 0
         assert t.filter("k IS NULL").count() == 1  # NULL-keyed survives
 
+    @pytest.mark.slow
     def test_over_cap_list_routes_through_guarded_path(
             self, spark, ctx, tmp_table_dir):
         """An oversized plain-list input must not plan a giant IN — it
@@ -1204,6 +1205,7 @@ class TestMergeIntoGuardedDeletes:
                                    0, 99, n_est=50)
         assert not any(isinstance(p, P.InBloom) for p in nofilt.children)
 
+    @pytest.mark.slow
     def test_anti_tier_matches_exact_tier_rows(self, spark, ctx,
                                                tmp_table_dir):
         """Same deletes through both tiers on twin tables — byte-equal
