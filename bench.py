@@ -148,6 +148,15 @@ _REBASELINED = {
         "old single-window form — the same deliberate small-scale cost "
         "as quality_gate_by_lang, bought back at scale (STRESS_r08 "
         "ks_drift_sec slope 1.66 vs ideal 32)",
+    "earliest_events_per_user":
+        "r10 routes cap_per_group's order_by path onto the bucketed "
+        "rank cut via an exact monotone unix_micros encoding (r9 "
+        "verdict stretch #8: the last one-task-per-key window shape in "
+        "the repo); steady-state standalone ~1.2s at sf0.1 vs 0.456s "
+        "for the old single-window form — the same deliberate small-"
+        "scale cost as quality_gate_by_lang, bought back at scale "
+        "(STRESS_r10 cap_order_sec slope 1.47 vs ideal 32, constant "
+        "per-task state of one bucket instead of one whole key)",
 }
 
 

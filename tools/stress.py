@@ -182,6 +182,15 @@ def main() -> None:
                                   score="n_chars",
                                   descending=True).count())
         r["cap_score_rows"] = n8
+        # 11b. round-10 distributed ORDER_BY rank cut: first-N-per-group
+        # by an integral order key now rides the same bucketed cut via
+        # the exact monotone encoding (the former one-task-per-group
+        # window shape; evidence for the earliest_events_per_user
+        # rebaseline)
+        r["cap_order_sec"], n8b = _timed(
+            lambda: cap_per_group(d, "lang", 500, "n_chars",
+                                  "doc_id").count())
+        r["cap_order_rows"] = n8b
         # 12. round-8 grouped cosine top-k on the same rank cut: the
         # dot/norm projection is one scan, the cut is distributed
         e = spark.read.parquet(epath)
@@ -264,8 +273,8 @@ def main() -> None:
     for k in ("index_build_sec", "token_budget_sec", "dedup_exact_sec",
               "corpus_dedup_sec", "quality_gate_sec", "leakage_audit_sec",
               "ks_drift_sec", "dpp_fallback_sec", "tv_drift_sec",
-              "cap_score_sec", "cosine_topk_sec", "dpp_bloom_sec",
-              "merge_sec", "merge_overcap_sec"):
+              "cap_score_sec", "cap_order_sec", "cosine_topk_sec",
+              "dpp_bloom_sec", "merge_sec", "merge_overcap_sec"):
         a, b = report["1x"][k], report["Nx"][k]
         slopes[k] = round(b / max(a, 1e-9), 2)
     report["slopes_vs_ideal"] = {"ideal": float(SCALE), **slopes}
