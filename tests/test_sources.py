@@ -1122,6 +1122,38 @@ class TestMergeIntoGuardedDeletes:
         assert t.count() == 7000
         assert t.filter("pmod(k, 8) = 3").count() == 0
 
+    @pytest.mark.slow
+    def test_over_cap_deletes_on_partitioned_table(self, spark, ctx,
+                                                   tmp_table_dir):
+        """Guarded anti tier x hive partitioning: the key pruning is
+        partition-agnostic, the anti cut must respect basePath reads,
+        and untouched partitions survive as directories."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import merge_into
+        path = os.path.join(tmp_table_dir, "gdp")
+        (spark.range(0, 4000)
+         .select(F.col("id").alias("k"),
+                 (F.col("id") % 4).cast("int").alias("p"),
+                 (F.col("id") % 9).cast("long").alias("v"))
+         .repartitionByRange(4, "k").write.partitionBy("p").parquet(path))
+        ctx.index.create.indexBy("k").parquet(path)
+        dels = (spark.range(0, 4000).filter("id % 4 = 2")
+                .select(F.col("id").alias("k")))  # all of partition p=2
+        empty = spark.createDataFrame([], "k bigint, p int, v bigint")
+        info = merge_into(ctx, path, empty, "k", max_keys=10,
+                          delete_keys=dels)
+        assert info["delete_path"] == "anti"
+        assert info["rows_deleted"] == 1000
+        t = ctx.index.parquet(path).df
+        assert t.count() == 3000
+        assert t.filter("p = 2").count() == 0
+        assert t.filter("p = 1").count() == 1000
+        # partition layout survives flat (no nesting, no stray dirs)
+        subdirs = sorted(d for d in os.listdir(path)
+                         if d.startswith("p="))
+        assert subdirs == ["p=0", "p=1", "p=2", "p=3"] or \
+            subdirs == ["p=0", "p=1", "p=3"], subdirs
+
     def test_over_cap_overlap_with_upserts_rejected(
             self, spark, ctx, tmp_table_dir):
         from pyspark.sql import Row, functions as F
