@@ -155,7 +155,7 @@ _REBASELINED = {
         "the repo); steady-state standalone ~1.2s at sf0.1 vs 0.456s "
         "for the old single-window form — the same deliberate small-"
         "scale cost as quality_gate_by_lang, bought back at scale "
-        "(STRESS_r10 cap_order_sec slope 1.47 vs ideal 32, constant "
+        "(STRESS_r10 cap_order_sec slope 1.63 vs ideal 32, constant "
         "per-task state of one bucket instead of one whole key)",
 }
 

@@ -14,6 +14,24 @@ from pyspark.sql import DataFrame
 
 from parquet_index_spark.manager import QueryContext
 
+_STAGE_PARALLEL_FLOOR = 64
+_STAGE_POOL = None
+
+
+def _stage_pool():
+    """One process-wide rename pool for the staged swap (round-10
+    review): PySpark's default pinned-thread py4j mode spawns a paired
+    JVM thread per NEW Python thread and reclaims it only on GC of the
+    connection, so a fresh pool per swap would leak up to 16 JVM
+    threads per CDC micro-batch on a long-running driver. A persistent
+    pool caps the whole process at 16 stage threads/connections."""
+    global _STAGE_POOL
+    if _STAGE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _STAGE_POOL = ThreadPoolExecutor(max_workers=16,
+                                         thread_name_prefix="pis-stage")
+    return _STAGE_POOL
+
 
 def write_indexed(df: DataFrame, path: str,
                   index_by: Optional[List[str]] = None,
@@ -824,8 +842,6 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
             d = os.path.dirname(d)
     moved = []
 
-    _PARALLEL_FLOOR, _POOL = 64, 16
-
     def _rename_one(src, dst):
         if not fs.rename(src, dst):
             raise IOError(f"{label}: could not stage {src} into rewrite")
@@ -835,13 +851,12 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
         """Rename independent sibling files; thread pool past the
         floor. `moved` appends are under a lock; a failure cancels
         nothing in flight but every SUCCESS is recorded, so the
-        caller's reversed-rollback restores exactly what moved."""
-        if len(pairs) <= _PARALLEL_FLOOR:
+        caller's rollback restores exactly what moved."""
+        if len(pairs) <= _STAGE_PARALLEL_FLOOR:
             for src, dst in pairs:
                 _rename_one(src, dst)
             return
         import threading
-        from concurrent.futures import ThreadPoolExecutor
         lock = threading.Lock()
         failed = []
 
@@ -854,8 +869,7 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
                 else:
                     failed.append(src)
 
-        with ThreadPoolExecutor(max_workers=_POOL) as ex:
-            list(ex.map(work, pairs))
+        list(_stage_pool().map(work, pairs))
         if failed:
             raise IOError(
                 f"{label}: could not stage {failed[0]} into rewrite")
@@ -884,25 +898,44 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
             plain.append((src, dst))
         _rename_files(plain)
 
+    def _rollback_and_clear_tmp():
+        """Undo completed stage renames, then drop tmp — but ONLY when
+        every rollback rename succeeded: a file whose rollback failed
+        is still INSIDE tmp, and deleting tmp would silently destroy an
+        untouched original (round-10 review #1 — the parallel pool can
+        have staged ~every sibling by the time a failure surfaces).
+        Instead the tmp dir is left stranded and named loudly;
+        vacuum_table restores manifest-listed files before dropping
+        it."""
+        failed_back = []
+        for dst, src in reversed(moved):
+            try:
+                ok = fs.rename(dst, src)
+            except Exception:  # noqa: BLE001 — same flaky-FS regime
+                ok = False
+            if not ok:
+                failed_back.append(str(dst))
+        if failed_back:
+            raise IOError(
+                f"{label}: rollback could not restore "
+                f"{len(failed_back)} staged file(s) (e.g. "
+                f"{failed_back[0]}); originals remain under {tmp!r} — "
+                "vacuum_table restores them from the index manifest")
+        fs.delete(jtmp, True)
+
     try:
         stage(jpath, jtmp)
     except Exception:
-        for dst, src in reversed(moved):
-            fs.rename(dst, src)  # best-effort rollback; table untouched
-        fs.delete(jtmp, True)
+        _rollback_and_clear_tmp()  # table untouched when this returns
         raise
     fs.delete(jbak, True)
     if not fs.rename(jpath, jbak):
-        for dst, src in reversed(moved):
-            fs.rename(dst, src)
-        fs.delete(jtmp, True)
+        _rollback_and_clear_tmp()
         raise IOError(f"{label}: could not stage {path!r} aside")
     if not fs.rename(jtmp, jpath):
         # restore the original dir, then the untouched files moved out of it
         fs.rename(jbak, jpath)
-        for dst, src in reversed(moved):
-            fs.rename(dst, src)
-        fs.delete(jtmp, True)
+        _rollback_and_clear_tmp()
         raise IOError(f"{label}: could not move rewrite into {path!r}")
     fs.delete(jbak, True)
 
@@ -1201,13 +1234,23 @@ def vacuum_table(spark, path: str) -> dict:
     """Remove leftover staging/backup directories from interrupted DML:
     ``<path>__{merge,delete,update,compact}_{tmp,bak}`` siblings. Every
     mutation here stages beside the table and swaps by rename; a hard
-    crash between staging and swap can strand a sibling dir. Stranded
-    ``*_tmp`` is an unfinished rewrite (the table itself is untouched —
-    safe to drop); stranded ``*_bak`` means the crash hit INSIDE the
+    crash between staging and swap can strand a sibling dir.
+
+    Stranded ``*_tmp`` is an unfinished rewrite — but NOT necessarily
+    disposable: staging renames the UNTOUCHED originals into tmp before
+    the swap, so a mid-stage crash (or a rollback whose renames failed)
+    leaves tmp holding the only copy of real table files (round-10
+    review — deleting tmp blindly silently lost those rows). Vacuum now
+    RESTORES first: any data file under tmp whose table-relative path
+    appears in the table's index manifest but is missing from the table
+    directory is renamed back before the tmp dir is dropped (rewrite
+    OUTPUT files are never manifest-listed — the refresh that would
+    list them only runs after a successful swap — so they are correctly
+    discarded). Stranded ``*_bak`` means the crash hit INSIDE the
     two-rename swap window — the table may BE the rewrite and the bak
     the only copy of the pre-image, so bak dirs are only removed when
     the table directory itself exists and is non-empty. Returns
-    {removed: [paths], kept: [paths]}."""
+    {removed: [paths], kept: [paths], restored: [file paths]}."""
     fs, jpath = _fs_for(spark, path)
     jvm = spark._jvm
     table_ok = False
@@ -1218,7 +1261,19 @@ def vacuum_table(spark, path: str) -> dict:
             if nm.endswith(".parquet") and not nm.startswith(("_", ".")):
                 table_ok = True
                 break
-    removed, kept = [], []
+    # table-relative manifest paths — the authority on which tmp files
+    # are displaced ORIGINALS (indexed before the mutation started)
+    # rather than staged rewrite output (indexed only after a
+    # successful swap)
+    manifest_rel = frozenset()
+    try:
+        ctx = QueryContext(spark)
+        if fs.exists(jpath) and ctx.index.exists.parquet(path):
+            meta = ctx.index.parquet(path)._metadata
+            manifest_rel = frozenset(meta.files["path"].tolist())
+    except Exception:  # noqa: BLE001 — unreadable index => restore none
+        manifest_rel = frozenset()
+    removed, kept, restored = [], [], []
     base = path.rstrip("/")
     for op in ("merge", "delete", "update", "compact"):
         for kind in ("tmp", "bak"):
@@ -1229,6 +1284,24 @@ def vacuum_table(spark, path: str) -> dict:
             if kind == "bak" and not table_ok:
                 kept.append(cand)  # possibly the only copy of the table
                 continue
+            if kind == "tmp" and manifest_rel:
+                qtmp = fs.makeQualified(jcand).toString()
+                files = fs.listFiles(jcand, True)
+                while files.hasNext():
+                    src = files.next().getPath()
+                    u = fs.makeQualified(src).toString()
+                    rel = u[len(qtmp):].lstrip("/")
+                    if rel not in manifest_rel:
+                        continue  # rewrite output, not an original
+                    dst = jvm.org.apache.hadoop.fs.Path(
+                        f"{base}/{rel}")
+                    if fs.exists(dst):
+                        continue  # table already has it (replayed)
+                    parent = dst.getParent()
+                    if parent is not None:
+                        fs.mkdirs(parent)
+                    if fs.rename(src, dst):
+                        restored.append(f"{base}/{rel}")
             fs.delete(jcand, True)
             removed.append(cand)
-    return {"removed": removed, "kept": kept}
+    return {"removed": removed, "kept": kept, "restored": restored}

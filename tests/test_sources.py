@@ -856,19 +856,21 @@ class TestParallelStage:
         path = self._table(spark, ctx, tmp_table_dir, "parrb")
         before = sorted(map(tuple, spark.read.parquet(path).collect()))
         n_before = len(glob.glob(os.path.join(path, "*.parquet")))
+        # poison ONE deterministic untouched file (k=50 lives in the
+        # lowest-range file, so the highest-range file always stages) —
+        # a shared call counter across the 16 pool threads would race
+        # and could miss its trigger (round-10 review)
+        victim = os.path.basename(
+            sorted(glob.glob(os.path.join(path, "*.parquet")))[-1])
 
         class PoisonFS:
             def __init__(self, fs):
                 self._fs = fs
-                self.calls = 0
 
             def rename(self, src, dst):
-                s = src.toUri().getPath()
-                if s.endswith(".parquet") and "__merge_tmp" in \
+                if src.getName() == victim and "__merge_tmp" in \
                         dst.toUri().getPath():
-                    self.calls += 1
-                    if self.calls == 40:  # mid-pool, after successes
-                        return False
+                    return False
                 return self._fs.rename(src, dst)
 
             def __getattr__(self, name):
@@ -895,9 +897,10 @@ class TestParallelStage:
 class TestVacuum:
     def test_removes_stranded_tmp_keeps_orphan_bak(self, spark, ctx,
                                                    tmp_table_dir):
-        """Stranded *_tmp dirs (crash before swap) are always safe to
-        drop; a *_bak with NO live table is potentially the only copy of
-        the pre-image and must be kept."""
+        """Stranded EMPTY *_tmp dirs (crash before any staging) drop
+        cleanly; a *_bak with NO live table is potentially the only
+        copy of the pre-image and must be kept. (Non-empty tmp dirs get
+        the manifest-aware restore — TestVacuumRestore.)"""
         from parquet_index_spark.sources import vacuum_table
         path = os.path.join(tmp_table_dir, "vt")
         spark.range(0, 100).coalesce(1).write.parquet(path)
@@ -914,6 +917,103 @@ class TestVacuum:
         assert info2["removed"] == []
         assert info2["kept"] == [path2 + "__update_bak"]
         assert os.path.exists(path2 + "__update_bak")
+
+
+class TestVacuumRestore:
+    """Round-10 review #1: a stranded tmp can hold the ONLY copy of
+    untouched originals (staging renames them in before the swap; a
+    crash or a failed rollback leaves them there). Vacuum must restore
+    manifest-listed files instead of deleting them with the dir."""
+
+    def _indexed_table(self, spark, ctx, tmp_table_dir, name):
+        from pyspark.sql import functions as F
+        path = os.path.join(tmp_table_dir, name)
+        (spark.range(0, 4000)
+         .select(F.col("id").alias("k"), (F.col("id") % 9).alias("v"))
+         .repartitionByRange(4, "k").write.parquet(path))
+        ctx.index.create.indexBy("k").parquet(path)
+        return path
+
+    def test_restores_displaced_originals_from_stranded_tmp(
+            self, spark, ctx, tmp_table_dir):
+        import glob
+        import shutil
+        from parquet_index_spark.sources import vacuum_table
+        path = self._indexed_table(spark, ctx, tmp_table_dir, "vr")
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        tmp = path + "__merge_tmp"
+        os.makedirs(tmp)
+        # simulate a mid-stage crash: two originals already renamed
+        # into tmp, plus one staged rewrite OUTPUT (not in the
+        # manifest) that must NOT be restored
+        for f in files[:2]:
+            shutil.move(f, os.path.join(tmp, os.path.basename(f)))
+        with open(os.path.join(tmp, "part-rewrite-out.parquet"),
+                  "wb") as fh:
+            fh.write(b"not a real parquet")
+        assert spark.read.parquet(path).count() < 4000  # damaged
+        info = vacuum_table(spark, path)
+        assert sorted(os.path.basename(p) for p in info["restored"]) \
+            == sorted(os.path.basename(f) for f in files[:2])
+        assert info["removed"] == [tmp]
+        assert not os.path.exists(tmp)
+        assert not os.path.exists(
+            os.path.join(path, "part-rewrite-out.parquet"))
+        assert spark.read.parquet(path).count() == 4000  # healed
+        # index still serves the restored files
+        t = ctx.index.parquet(path)
+        assert t.filter("k = 100").count() == 1
+
+    def test_failed_rollback_strands_tmp_then_vacuum_heals(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """End-to-end: a stage failure whose ROLLBACK rename also fails
+        must leave tmp in place (deleting it would destroy the
+        original), name vacuum_table in the error, and vacuum must then
+        restore the file."""
+        import glob
+        from pyspark.sql import functions as F
+        import parquet_index_spark.sources as SRC
+        from parquet_index_spark.sources import merge_into, vacuum_table
+        path = self._indexed_table(spark, ctx, tmp_table_dir, "vr2")
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        stuck = os.path.basename(files[-1])   # stages fine, unrolls not
+        broken = os.path.basename(files[-2])  # fails to stage
+        before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+        class PoisonFS:
+            def __init__(self, fs):
+                self._fs = fs
+
+            def rename(self, src, dst):
+                d = dst.toUri().getPath()
+                if src.getName() == broken and "__merge_tmp" in d:
+                    return False            # stage failure -> rollback
+                if src.getName() == stuck and "__merge_tmp" in \
+                        src.toUri().getPath():
+                    return False            # rollback failure
+                return self._fs.rename(src, dst)
+
+            def __getattr__(self, name):
+                return getattr(self._fs, name)
+
+        orig = SRC._fs_for
+        monkeypatch.setattr(
+            SRC, "_fs_for",
+            lambda spark_, p: (lambda fs, jp: (PoisonFS(fs), jp))(
+                *orig(spark_, p)))
+        ups = spark.createDataFrame([(50, -1)], "k bigint, v bigint")
+        with pytest.raises(IOError, match="vacuum_table"):
+            merge_into(ctx, path, ups, "k")
+        monkeypatch.setattr(SRC, "_fs_for", orig)
+        tmp = path + "__merge_tmp"
+        assert os.path.exists(os.path.join(tmp, stuck))  # NOT deleted
+        info = vacuum_table(spark, path)
+        assert info["restored"] == [os.path.join(path, stuck)]
+        assert sorted(map(tuple, spark.read.parquet(path).collect())) \
+            == before
+        # clean retry completes the merge
+        out = merge_into(ctx, path, ups, "k")
+        assert out["rows_updated"] == 1
 
 
 class TestMergeInto:
