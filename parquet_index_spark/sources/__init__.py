@@ -14,8 +14,11 @@ from pyspark.sql import DataFrame
 
 from parquet_index_spark.manager import QueryContext
 
+import threading as _threading
+
 _STAGE_PARALLEL_FLOOR = 64
 _STAGE_POOL = None
+_STAGE_POOL_LOCK = _threading.Lock()  # built at import: no lock race
 
 
 def _stage_pool():
@@ -24,12 +27,17 @@ def _stage_pool():
     JVM thread per NEW Python thread and reclaims it only on GC of the
     connection, so a fresh pool per swap would leak up to 16 JVM
     threads per CDC micro-batch on a long-running driver. A persistent
-    pool caps the whole process at 16 stage threads/connections."""
+    pool caps the whole process at 16 stage threads/connections.
+    Creation is double-check-locked: two concurrent swaps (two
+    foreachBatch streams on one driver) must not each build a pool and
+    orphan one."""
     global _STAGE_POOL
     if _STAGE_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-        _STAGE_POOL = ThreadPoolExecutor(max_workers=16,
-                                         thread_name_prefix="pis-stage")
+        with _STAGE_POOL_LOCK:
+            if _STAGE_POOL is None:
+                from concurrent.futures import ThreadPoolExecutor
+                _STAGE_POOL = ThreadPoolExecutor(
+                    max_workers=16, thread_name_prefix="pis-stage")
     return _STAGE_POOL
 
 
@@ -862,16 +870,23 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
 
         def work(pair):
             src, dst = pair
-            ok = fs.rename(src, dst)
+            try:  # a RAISING rename must not escape the worker: map()
+                # would re-raise mid-iteration and break the completion
+                # barrier — in-flight renames would keep moving files
+                # into tmp while the caller's rollback already ran
+                # (round-10 review). Record it as a failure instead.
+                ok = fs.rename(src, dst)
+            except Exception:  # noqa: BLE001 — flaky-FS regime
+                ok = False
             with lock:
                 if ok:
                     moved.append((dst, src))
                 else:
                     failed.append(src)
 
-        list(_stage_pool().map(work, pairs))
-        if failed:
-            raise IOError(
+        list(_stage_pool().map(work, pairs))  # full barrier: no worker
+        if failed:                            # can raise, so map always
+            raise IOError(                    # drains every future
                 f"{label}: could not stage {failed[0]} into rewrite")
 
     def stage(src_dir, dst_dir):
@@ -1240,17 +1255,24 @@ def vacuum_table(spark, path: str) -> dict:
     disposable: staging renames the UNTOUCHED originals into tmp before
     the swap, so a mid-stage crash (or a rollback whose renames failed)
     leaves tmp holding the only copy of real table files (round-10
-    review — deleting tmp blindly silently lost those rows). Vacuum now
-    RESTORES first: any data file under tmp whose table-relative path
-    appears in the table's index manifest but is missing from the table
-    directory is renamed back before the tmp dir is dropped (rewrite
-    OUTPUT files are never manifest-listed — the refresh that would
-    list them only runs after a successful swap — so they are correctly
-    discarded). Stranded ``*_bak`` means the crash hit INSIDE the
-    two-rename swap window — the table may BE the rewrite and the bak
-    the only copy of the pre-image, so bak dirs are only removed when
-    the table directory itself exists and is non-empty. Returns
-    {removed: [paths], kept: [paths], restored: [file paths]}."""
+    review — deleting tmp blindly silently lost those rows). Vacuum
+    RESTORES first: any entry under tmp whose table-relative path is in
+    the table's index manifest, OR lives under a ``_``/``.``-prefixed
+    top-level entry (displaced markers and streaming-sink
+    ``_spark_metadata`` commit logs — never manifest-listed), and is
+    missing from the table directory is renamed back before the tmp
+    dir is dropped. Rewrite OUTPUT data files are never manifest-listed
+    (the refresh that would list them only runs after a successful
+    swap), so they are correctly discarded. A NON-EMPTY tmp is KEPT —
+    never deleted — when it cannot be classified (no readable index
+    manifest, e.g. the crash landed inside the two-rename swap window
+    and the table dir itself is absent) or when any displaced entry
+    failed to restore: in those states tmp may hold the only copy.
+    Stranded ``*_bak`` means the crash hit INSIDE the two-rename swap
+    window — the table may BE the rewrite and the bak the only copy of
+    the pre-image, so bak dirs are only removed when the table
+    directory itself exists and is non-empty. Returns {removed:
+    [paths], kept: [paths], restored: [file paths]}."""
     fs, jpath = _fs_for(spark, path)
     jvm = spark._jvm
     table_ok = False
@@ -1261,20 +1283,28 @@ def vacuum_table(spark, path: str) -> dict:
             if nm.endswith(".parquet") and not nm.startswith(("_", ".")):
                 table_ok = True
                 break
-    # table-relative manifest paths — the authority on which tmp files
-    # are displaced ORIGINALS (indexed before the mutation started)
-    # rather than staged rewrite output (indexed only after a
-    # successful swap)
-    manifest_rel = frozenset()
-    try:
-        ctx = QueryContext(spark)
-        if fs.exists(jpath) and ctx.index.exists.parquet(path):
-            meta = ctx.index.parquet(path)._metadata
-            manifest_rel = frozenset(meta.files["path"].tolist())
-    except Exception:  # noqa: BLE001 — unreadable index => restore none
-        manifest_rel = frozenset()
     removed, kept, restored = [], [], []
     base = path.rstrip("/")
+    manifest_rel = None  # lazy: loaded on the first NON-EMPTY tmp only
+
+    def _manifest():
+        """Table-relative manifest paths — the authority on which tmp
+        data files are displaced ORIGINALS (indexed before the mutation
+        started) rather than staged rewrite output. False when
+        unreadable: the caller then KEEPS the tmp dir."""
+        nonlocal manifest_rel
+        if manifest_rel is None:
+            try:
+                ctx = QueryContext(spark)
+                if fs.exists(jpath) and ctx.index.exists.parquet(path):
+                    meta = ctx.index.parquet(path)._metadata
+                    manifest_rel = frozenset(meta.files["path"].tolist())
+                else:
+                    manifest_rel = False
+            except Exception:  # noqa: BLE001 — unreadable => keep tmp
+                manifest_rel = False
+        return manifest_rel
+
     for op in ("merge", "delete", "update", "compact"):
         for kind in ("tmp", "bak"):
             cand = f"{base}__{op}_{kind}"
@@ -1284,24 +1314,41 @@ def vacuum_table(spark, path: str) -> dict:
             if kind == "bak" and not table_ok:
                 kept.append(cand)  # possibly the only copy of the table
                 continue
-            if kind == "tmp" and manifest_rel:
+            if kind == "tmp":
                 qtmp = fs.makeQualified(jcand).toString()
+                entries = []
                 files = fs.listFiles(jcand, True)
                 while files.hasNext():
                     src = files.next().getPath()
                     u = fs.makeQualified(src).toString()
-                    rel = u[len(qtmp):].lstrip("/")
-                    if rel not in manifest_rel:
+                    entries.append((src, u[len(qtmp):].lstrip("/")))
+                rels = _manifest() if entries else frozenset()
+                if rels is False:
+                    kept.append(cand)  # unclassifiable: may hold the
+                    continue           # only copy of displaced files
+                restore_failed = False
+                for src, rel in entries:
+                    displaced = rel in rels or \
+                        rel.split("/", 1)[0].startswith(("_", "."))
+                    if not displaced:
                         continue  # rewrite output, not an original
-                    dst = jvm.org.apache.hadoop.fs.Path(
-                        f"{base}/{rel}")
-                    if fs.exists(dst):
-                        continue  # table already has it (replayed)
-                    parent = dst.getParent()
-                    if parent is not None:
-                        fs.mkdirs(parent)
-                    if fs.rename(src, dst):
+                    dst = jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")
+                    try:
+                        if fs.exists(dst):
+                            continue  # table already has it
+                        parent = dst.getParent()
+                        if parent is not None:
+                            fs.mkdirs(parent)
+                        ok = fs.rename(src, dst)
+                    except Exception:  # noqa: BLE001 — flaky FS
+                        ok = False
+                    if ok:
                         restored.append(f"{base}/{rel}")
+                    else:
+                        restore_failed = True
+                if restore_failed:
+                    kept.append(cand)  # deleting would destroy the
+                    continue           # original we failed to restore
             fs.delete(jcand, True)
             removed.append(cand)
     return {"removed": removed, "kept": kept, "restored": restored}

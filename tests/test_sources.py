@@ -951,18 +951,80 @@ class TestVacuumRestore:
         with open(os.path.join(tmp, "part-rewrite-out.parquet"),
                   "wb") as fh:
             fh.write(b"not a real parquet")
+        # a displaced '_'-prefixed metadata entry (never manifest-
+        # listed; classified by prefix — the _spark_metadata commit-log
+        # case, named innocuously so the read below doesn't resolve the
+        # dir as a FileStreamSink table) must also come back
+        os.makedirs(os.path.join(tmp, "_sink_log"))
+        with open(os.path.join(tmp, "_sink_log", "0"), "w") as fh:
+            fh.write("v1")
         assert spark.read.parquet(path).count() < 4000  # damaged
         info = vacuum_table(spark, path)
         assert sorted(os.path.basename(p) for p in info["restored"]) \
-            == sorted(os.path.basename(f) for f in files[:2])
+            == sorted(os.path.basename(f) for f in files[:2] +
+                      [os.path.join(tmp, "_sink_log", "0")])
         assert info["removed"] == [tmp]
         assert not os.path.exists(tmp)
         assert not os.path.exists(
             os.path.join(path, "part-rewrite-out.parquet"))
+        assert os.path.exists(os.path.join(path, "_sink_log", "0"))
         assert spark.read.parquet(path).count() == 4000  # healed
         # index still serves the restored files
         t = ctx.index.parquet(path)
         assert t.filter("k = 100").count() == 1
+
+    def test_unclassifiable_or_failed_restore_keeps_tmp(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """A non-empty tmp is never deleted when the manifest cannot be
+        read (mid-swap crash: no table dir) or a restore rename fails —
+        in both states it may hold the only copy."""
+        import glob
+        import shutil
+        import parquet_index_spark.sources as SRC
+        from parquet_index_spark.sources import vacuum_table
+        # 1. unreadable manifest: a table dir that vanished mid-swap
+        gone = os.path.join(tmp_table_dir, "vr3")
+        os.makedirs(gone + "__merge_tmp")
+        with open(os.path.join(gone + "__merge_tmp", "part-x.parquet"),
+                  "wb") as fh:
+            fh.write(b"displaced")
+        info = vacuum_table(spark, gone)
+        assert gone + "__merge_tmp" in info["kept"]
+        assert os.path.exists(
+            os.path.join(gone + "__merge_tmp", "part-x.parquet"))
+        # 2. failed restore rename: poison keeps tmp intact
+        path = self._indexed_table(spark, ctx, tmp_table_dir, "vr4")
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        victim = os.path.basename(files[0])
+        tmp = path + "__update_tmp"
+        os.makedirs(tmp)
+        shutil.move(files[0], os.path.join(tmp, victim))
+
+        class PoisonFS:
+            def __init__(self, fs):
+                self._fs = fs
+
+            def rename(self, src, dst):
+                if src.getName() == victim:
+                    return False
+                return self._fs.rename(src, dst)
+
+            def __getattr__(self, name):
+                return getattr(self._fs, name)
+
+        orig = SRC._fs_for
+        monkeypatch.setattr(
+            SRC, "_fs_for",
+            lambda spark_, p: (lambda fs, jp: (PoisonFS(fs), jp))(
+                *orig(spark_, p)))
+        info2 = vacuum_table(spark, path)
+        monkeypatch.undo()
+        assert tmp in info2["kept"] and info2["restored"] == []
+        assert os.path.exists(os.path.join(tmp, victim))
+        # clean vacuum heals
+        info3 = vacuum_table(spark, path)
+        assert info3["restored"] == [os.path.join(path, victim)]
+        assert spark.read.parquet(path).count() == 4000
 
     def test_failed_rollback_strands_tmp_then_vacuum_heals(
             self, spark, ctx, tmp_table_dir, monkeypatch):
