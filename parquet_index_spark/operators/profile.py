@@ -130,7 +130,8 @@ def _bucketed_side_counts(df_a: DataFrame, df_b: DataFrame, group: str,
     mm = per_val.groupBy(F.col("g").alias("__ks_g")).agg(
         F.min(F.col("v").cast("double")).alias("__mn"),
         F.max(F.col("v").cast("double")).alias("__mx"),
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb")).localCheckpoint()
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    mm = checkpoint_corpus(mm)
     n_groups = mm.count()
     mm_b = F.broadcast(mm) if n_groups <= max_broadcast_rows else mm
     base = per_val.join(mm_b,
@@ -279,7 +280,9 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, group: str,
     elif n_groups > max_broadcast_rows:
         offs_b = offs
     else:
-        offs = offs.localCheckpoint()
+        from parquet_index_spark.operators._ckpt import \
+            checkpoint_corpus
+        offs = checkpoint_corpus(offs)
         offs_b = (F.broadcast(offs)
                   if offs.limit(max_broadcast_rows + 1).count()
                   <= max_broadcast_rows else offs)

@@ -612,7 +612,9 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     # drop them).
     mm = df.groupBy(g.alias("__tf_g")).agg(
         F.min(s).alias("__tf_mn"), F.max(s).alias("__tf_mx"),
-        F.count("*").alias("__tf_cnt")).localCheckpoint()
+        F.count("*").alias("__tf_cnt"))
+    from parquet_index_spark.operators._ckpt import checkpoint_corpus
+    mm = checkpoint_corpus(mm)
     mm_small = mm.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
     if mm_small and not degenerate_escape:
         # the audit is only affordable when |groups| is bounded — a tiny
