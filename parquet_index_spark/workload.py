@@ -58,6 +58,14 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _ckpt_corpus(df: DataFrame) -> DataFrame:
+    """Stage-boundary materialization honoring the reliable-checkpoint
+    knob (operators/_ckpt.py) — the workload's pipeline queries use the
+    same contract as the operators they compose."""
+    from parquet_index_spark.operators._ckpt import checkpoint_corpus
+    return checkpoint_corpus(df)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -4749,8 +4757,8 @@ def curation_pipeline_v2(spark, sf_dir):
     # redact+span-dedup subtree is not re-planned per reference
     labeled = (docs.select("doc_id", "lang").join(cleaned, "doc_id")
                .withColumn("n_tok",
-                           token_count("clean_text").cast("long"))
-               .localCheckpoint())
+                           token_count("clean_text").cast("long")))
+    labeled = _ckpt_corpus(labeled)
     sel = token_budget_sample(labeled, "lang",
                               {"en": 600, "de": 400, "fr": 200},
                               "doc_id", "n_tok")
@@ -5548,14 +5556,15 @@ def curation_pipeline_v3(spark, sf_dir):
     # plan vs 7 with checkpoints. At 100 TB each stage output is a small
     # fraction of its input, so materializing it is far cheaper than
     # re-running every prior stage multiplicatively.
-    fresh = dedup_against_corpus(keyed.filter("doc_id % 2 = 1"),
-                                 keyed.filter("doc_id % 2 = 0"),
-                                 key="__k").localCheckpoint()
+    fresh = _ckpt_corpus(dedup_against_corpus(
+        keyed.filter("doc_id % 2 = 1"), keyed.filter("doc_id % 2 = 0"),
+        key="__k"))
     fe = (fresh.join(emb, fresh["doc_id"] == emb["vec_id"])
           .select("doc_id", "lang", "n_chars", "text", "embedding"))
     cents = ivf_seed_centroids(fe, n_centroids=16, id_col="doc_id")
-    sem = (semantic_dedup(fe, cents, threshold=0.35, id_col="doc_id")
-           .filter(~F.col("is_semdup")).localCheckpoint())
+    sem = _ckpt_corpus(
+        semantic_dedup(fe, cents, threshold=0.35, id_col="doc_id")
+        .filter(~F.col("is_semdup")))
     scored = sem.withColumn("q", TX.quality_score("text"))
     gated = top_fraction_per_group(scored, "lang", 0.5, "q",
                                    F.asc("doc_id"), descending=True)
