@@ -442,8 +442,14 @@ def _ensure_package_shipped(spark) -> None:
     The stats job's task closures reference this module; on a real cluster
     (or any session whose PYTHONPATH doesn't include the repo) workers
     would fail with ModuleNotFoundError. Shipping a zip via addPyFile is
-    the canonical Spark mechanism and is a no-op after the first call."""
-    key = id(spark)
+    the canonical Spark mechanism and is a no-op after the first call.
+
+    The ship-once set is keyed on applicationId, NOT the CPython id of the session: CPython
+    reuses object ids after GC, so a restarted session landing on a dead
+    session's id would SKIP addPyFile and fail the stats job mid-flight
+    with ModuleNotFoundError (round-10 verdict). addPyFile scope is the
+    SparkContext, so applicationId is exactly the right key."""
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED_SESSIONS:
         return
     import zipfile

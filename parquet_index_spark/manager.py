@@ -1474,12 +1474,18 @@ class DataFrameIndexManager:
         return IndexedDataFrame(self.spark, metadata, self)
 
 
-# per-(session, location) metastore singletons (Metastore.scala:283-286)
+# per-(application, location) metastore singletons (Metastore.scala:283-286).
+# Keyed on applicationId, NOT the CPython id of the session: ids are reused after GC,
+# so a dead session's Metastore (and its 16-entry metadata cache) could be
+# served to a NEW session landing on the same id (round-10 verdict — the
+# hazard class fixed in pruning_spark's InBloom broadcast cache). Sessions
+# sharing one SparkContext share the singleton, which is safe: Metastore
+# state derives from the filesystem location, not session conf.
 _METASTORES: Dict[tuple, Metastore] = {}
 
 
 def _metastore_for(spark: SparkSession, location: str) -> Metastore:
-    key = (id(spark), os.path.abspath(location))
+    key = (spark.sparkContext.applicationId, os.path.abspath(location))
     ms = _METASTORES.get(key)
     if ms is None:
         ms = Metastore(location)

@@ -103,7 +103,7 @@ def _bloom_any_probe(hash_pairs: List[tuple], int_values: List[int]):
 # repeated joins on one dim) must not re-broadcast a tens-of-MB blob,
 # and a long-lived session must not accumulate one broadcast per join
 # call (round-9 review). Keyed by the context's applicationId, NOT
-# id(spark): CPython reuses object ids after GC, so a new session could
+# the CPython id of the session: ids are reused after GC, so a new session could
 # hit a dead session's cache entry and hand its tasks a broadcast from
 # a stopped SparkContext (round-9 ADVICE). A dead app's entries simply
 # age out of the bounded cache. Evicted entries are unpersisted

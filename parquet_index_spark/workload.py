@@ -34,7 +34,19 @@ from parquet_index_spark.manager import QueryContext
 # helpers
 # ---------------------------------------------------------------------------
 
-_CTX_CACHE: Dict[int, QueryContext] = {}
+_CTX_CACHE: Dict[str, QueryContext] = {}
+
+
+def _session_ctx(spark: SparkSession) -> QueryContext:
+    """Per-application QueryContext singleton. Keyed on applicationId,
+    NOT the CPython id of the session: ids are reused after GC, so a dead
+    session's entry could be served to a NEW session that happens to
+    land on the same id (round-10 verdict — the same hazard class fixed
+    in pruning_spark's InBloom broadcast cache). applicationId is fresh
+    per SparkContext, so a restarted session always gets a fresh
+    QueryContext."""
+    return _CTX_CACHE.setdefault(spark.sparkContext.applicationId,
+                                 QueryContext(spark))
 
 #: idx_compact_roundtrip stashes its maintain_table decision telemetry
 #: here (files before/after, no-op second call) so bench.py can record
@@ -87,7 +99,7 @@ def _indexed(spark: SparkSession, sf_dir: str, table: str, cols: list,
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     path = os.path.join(sf_dir, f"{table}.parquet")
     if not ctx.index.exists.parquet(path):
         key = "spark.sql.index.parquet.filter.type"
@@ -251,7 +263,7 @@ def idx_events_time_range(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     tpath = os.path.join(tempfile.gettempdir(), "spark_graft_tscluster",
                          os.path.basename(os.path.normpath(sf_dir)), "events")
     if not (ctx.index.exists.parquet(tpath) and os.path.isdir(tpath)):
@@ -297,7 +309,7 @@ def idx_fast_count(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     tpath = os.path.join(tempfile.gettempdir(), "spark_graft_tscluster",
                          os.path.basename(os.path.normpath(sf_dir)), "events")
     if not (ctx.index.exists.parquet(tpath) and os.path.isdir(tpath)):
@@ -336,7 +348,7 @@ def idx_zorder_range(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     zpath = os.path.join(tempfile.gettempdir(), "spark_graft_zorder",
                          os.path.basename(os.path.normpath(sf_dir)), "orders")
     if not (ctx.index.exists.parquet(zpath) and os.path.isdir(zpath)):
@@ -373,7 +385,7 @@ def idx_hilbert_range(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     hpath = os.path.join(tempfile.gettempdir(), "spark_graft_hilbert",
                          os.path.basename(os.path.normpath(sf_dir)), "orders")
     if not (ctx.index.exists.parquet(hpath) and os.path.isdir(hpath)):
@@ -1398,7 +1410,7 @@ def merge_upsert_orders(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     path = os.path.join(tempfile.gettempdir(), "spark_graft_merge",
                         os.path.basename(os.path.normpath(sf_dir)), "orders")
     od = _t(spark, sf_dir, "orders")
@@ -1465,7 +1477,7 @@ def merge_delete_orders(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     path = os.path.join(tempfile.gettempdir(), "spark_graft_merge",
                         os.path.basename(os.path.normpath(sf_dir)),
                         "orders_del")
@@ -3191,7 +3203,7 @@ def idx_join_dpp(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     zpath = os.path.join(tempfile.gettempdir(), "spark_graft_zorder",
                          os.path.basename(os.path.normpath(sf_dir)), "orders")
     if not (ctx.index.exists.parquet(zpath) and os.path.isdir(zpath)):
@@ -3237,7 +3249,7 @@ def idx_join_dpp_bloom(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     path = os.path.join(tempfile.gettempdir(), "spark_graft_residues",
                         os.path.basename(os.path.normpath(sf_dir)),
                         "orders")
@@ -4221,7 +4233,7 @@ def idx_delete_range(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     path = os.path.join(tempfile.gettempdir(), "spark_graft_delete",
                         os.path.basename(os.path.normpath(sf_dir)), "orders")
     od = _t(spark, sf_dir, "orders")
@@ -4267,7 +4279,7 @@ def idx_term_search(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     path = os.path.join(tempfile.gettempdir(), "spark_graft_termidx",
                         os.path.basename(os.path.normpath(sf_dir)), "docs")
     docs = _t(spark, sf_dir, "documents")
@@ -4306,7 +4318,7 @@ def idx_term_decontamination(spark, sf_dir):
     sentinel-augmented table with idx_term_search; the oracle replays
     the augmentation and the disjunctive containment."""
     idx_term_search(spark, sf_dir)   # ensures the indexed table exists
-    ctx = _CTX_CACHE[id(spark)]
+    ctx = _session_ctx(spark)
     path = os.path.join(tempfile.gettempdir(), "spark_graft_termidx",
                         os.path.basename(os.path.normpath(sf_dir)), "docs")
     t = ctx.index.parquet(path)
@@ -4330,7 +4342,7 @@ def idx_phrase_search(spark, sf_dir):
     phrase containment, so the hash certifies both the tokenization and
     the adjacency semantics."""
     idx_term_search(spark, sf_dir)   # ensures the indexed table exists
-    ctx = _CTX_CACHE[id(spark)]
+    ctx = _session_ctx(spark)
     path = os.path.join(tempfile.gettempdir(), "spark_graft_termidx",
                         os.path.basename(os.path.normpath(sf_dir)), "docs")
     t = ctx.index.parquet(path)
@@ -4408,7 +4420,7 @@ def idx_term_prefix_search(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     path = os.path.join(tempfile.gettempdir(), "spark_graft_termpfx",
                         os.path.basename(os.path.normpath(sf_dir)), "docs")
     docs = _t(spark, sf_dir, "documents")
@@ -4474,7 +4486,7 @@ def idx_delete_partitioned(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     path = os.path.join(tempfile.gettempdir(), "spark_graft_delete_part",
                         os.path.basename(os.path.normpath(sf_dir)), "orders")
     od = _t(spark, sf_dir, "orders")
@@ -4521,7 +4533,7 @@ def idx_update_range(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     path = os.path.join(tempfile.gettempdir(), "spark_graft_update",
                         os.path.basename(os.path.normpath(sf_dir)), "orders")
     od = _t(spark, sf_dir, "orders")
@@ -4577,7 +4589,7 @@ def stream_merge_upsert(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     root = os.path.join(tempfile.gettempdir(), "spark_graft_stream_merge",
                         os.path.basename(os.path.normpath(sf_dir)))
     base, cdc, ckpt = (os.path.join(root, d)
@@ -4635,7 +4647,7 @@ def stream_merge_cdc_ops(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     root = os.path.join(tempfile.gettempdir(), "spark_graft_stream_cdc",
                         os.path.basename(os.path.normpath(sf_dir)))
     base, cdc, ckpt = (os.path.join(root, d)
@@ -5131,7 +5143,7 @@ def idx_refresh_append(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     path = os.path.join(tempfile.gettempdir(), "spark_graft_refresh",
                         os.path.basename(os.path.normpath(sf_dir)), "orders")
     od = _t(spark, sf_dir, "orders")
@@ -5183,7 +5195,7 @@ def idx_refresh_rewrite(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     path = os.path.join(tempfile.gettempdir(), "spark_graft_rewrite",
                         os.path.basename(os.path.normpath(sf_dir)), "t")
     shutil.rmtree(path, ignore_errors=True)
@@ -5967,7 +5979,7 @@ def idx_compact_roundtrip(spark, sf_dir):
     ms = os.path.join(tempfile.gettempdir(), "spark_graft_metastore",
                       os.path.basename(os.path.normpath(sf_dir)))
     spark.conf.set("spark.sql.index.metastore", ms)
-    ctx = _CTX_CACHE.setdefault(id(spark), QueryContext(spark))
+    ctx = _session_ctx(spark)
     path = os.path.join(tempfile.gettempdir(), "spark_graft_compact",
                         os.path.basename(os.path.normpath(sf_dir)),
                         "orders")
