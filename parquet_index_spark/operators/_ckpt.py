@@ -52,3 +52,21 @@ def checkpoint_corpus(df: DataFrame, eager: bool = True) -> DataFrame:
     if _has_checkpoint_dir(spark):
         return df.checkpoint(eager=eager)
     return df.persist(StorageLevel.DISK_ONLY)
+
+
+def release_corpus(df: DataFrame) -> None:
+    """Release a frame materialized by :func:`checkpoint_corpus` once a
+    bounded operation (a DML call, one micro-batch) is done with it.
+
+    Only the ``persist(DISK_ONLY)`` fallback registers the frame in the
+    CacheManager — and a cached Dataset is pinned for the session, so a
+    long-running CDC sink would accumulate one entry per micro-batch
+    without bound (round-10 ADVICE). ``localCheckpoint``/``checkpoint``
+    frames are not cache-registered; for them this is a no-op. Safe
+    after all actions on the frame have run (the persist fallback keeps
+    lineage, so even an in-flight task recomputes rather than fails)."""
+    try:
+        if df.is_cached:
+            df.unpersist()
+    except Exception:  # noqa: BLE001 — best-effort release
+        pass

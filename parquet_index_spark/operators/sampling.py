@@ -685,8 +685,12 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
             .filter(F.col("__tf_off") < F.col("__tf_k"))
             .select(F.col("__tf_g").alias("__tf_g2"),
                     F.col("__tf_bkt").alias("__tf_b2"),
-                    "__tf_off", "__tf_k")
-            .localCheckpoint())
+                    "__tf_off", "__tf_k"))
+    # the offsets metadata frame rides the SAME reliable-checkpoint knob
+    # as mm above — a bare localCheckpoint here was the one
+    # materialization site reliable=true did not cover (round-10 ADVICE:
+    # a lost executor would hard-fail at this site alone)
+    offs = checkpoint_corpus(offs)
     offs_b = (F.broadcast(offs)
               if offs.limit(max_broadcast_rows + 1).count()
               <= max_broadcast_rows else offs)

@@ -546,6 +546,25 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
     delete_path} where delete_path records the tier taken
     (None | "in" | "anti").
     """
+    from parquet_index_spark.operators._ckpt import release_corpus
+    owned: list = []
+    try:
+        return _merge_into_impl(ctx, path, updates, key, max_keys,
+                                delete_keys, owned)
+    finally:
+        # under the reliable-checkpoint persist fallback each
+        # materialized frame is PINNED in the CacheManager; a
+        # long-running write_merge_sink stream would otherwise
+        # accumulate one cache entry per micro-batch without bound
+        # (round-10 ADVICE). All actions on these frames precede the
+        # swap, so releasing after the merge (or on its failure) is
+        # safe; localCheckpoint/checkpoint modes make this a no-op.
+        for df in owned:
+            release_corpus(df)
+
+
+def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
+                     max_keys: int, delete_keys, owned: list) -> dict:
     import os
 
     from pyspark.sql import functions as F
@@ -585,6 +604,7 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
     # caller's full upstream plan. Also decouples a batch derived from
     # the table ITSELF from the directory before the staged swap.
     updates = checkpoint_corpus(updates)
+    owned.append(updates)
 
     # --- delete keys: normalize to either a bounded driver list (the
     # exact tier) or a distributed DataFrame (the guarded tier). A list
@@ -627,6 +647,7 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
         # one materialization shared by the probe, the null/bounds
         # aggregate, the bloom build and both row-cut joins
         dels_df = checkpoint_corpus(dels_df_in.select(key).distinct())
+        owned.append(dels_df)
         sample = [r[0] for r in dels_df.limit(max_keys + 1).collect()]
         if len(sample) > max_keys:
             big_dels = True
@@ -849,11 +870,17 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
             affected_dirs.add(d)
             d = os.path.dirname(d)
     moved = []
+    # ONE lock guards every `moved` append — serial callers pay an
+    # uncontended acquire, and nothing depends on remembering which
+    # helper is pool-safe (round-10 verdict #3: the unlocked serial
+    # append was correct only because no pooled caller existed yet)
+    mv_lock = _threading.Lock()
 
     def _rename_one(src, dst):
         if not fs.rename(src, dst):
             raise IOError(f"{label}: could not stage {src} into rewrite")
-        moved.append((dst, src))
+        with mv_lock:
+            moved.append((dst, src))
 
     def _rename_files(pairs):
         """Rename independent sibling files; thread pool past the
@@ -864,8 +891,6 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
             for src, dst in pairs:
                 _rename_one(src, dst)
             return
-        import threading
-        lock = threading.Lock()
         failed = []
 
         def work(pair):
@@ -878,7 +903,7 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
                 ok = fs.rename(src, dst)
             except Exception:  # noqa: BLE001 — flaky-FS regime
                 ok = False
-            with lock:
+            with mv_lock:
                 if ok:
                     moved.append((dst, src))
                 else:

@@ -1031,42 +1031,57 @@ class TestVacuumRestore:
         """End-to-end: a stage failure whose ROLLBACK rename also fails
         must leave tmp in place (deleting it would destroy the
         original), name vacuum_table in the error, and vacuum must then
-        restore the file."""
-        import glob
+        restore the file.
+
+        Poisoning is ORDER-INDEPENDENT (the old by-position form assumed
+        listStatus returned name order — OS-dependent, flaky): the first
+        untouched data file to stage succeeds and its rollback fails;
+        the second data-file stage fails, triggering that rollback."""
         from pyspark.sql import functions as F
         import parquet_index_spark.sources as SRC
         from parquet_index_spark.sources import merge_into, vacuum_table
         path = self._indexed_table(spark, ctx, tmp_table_dir, "vr2")
-        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        stuck = os.path.basename(files[-1])   # stages fine, unrolls not
-        broken = os.path.basename(files[-2])  # fails to stage
         before = sorted(map(tuple, spark.read.parquet(path).collect()))
 
         class PoisonFS:
             def __init__(self, fs):
                 self._fs = fs
+                self.staged = []
 
             def rename(self, src, dst):
                 d = dst.toUri().getPath()
-                if src.getName() == broken and "__merge_tmp" in d:
-                    return False            # stage failure -> rollback
-                if src.getName() == stuck and "__merge_tmp" in \
-                        src.toUri().getPath():
-                    return False            # rollback failure
+                s = src.toUri().getPath()
+                if "__merge_tmp" in d and \
+                        src.getName().endswith(".parquet") and \
+                        "__merge_tmp" not in s:
+                    if self.staged:
+                        return False    # 2nd data-file stage -> rollback
+                    if self._fs.rename(src, dst):
+                        self.staged.append(src.getName())
+                        return True
+                    return False
+                if "__merge_tmp" in s and src.getName() in self.staged:
+                    return False        # rollback of the 1st one fails
                 return self._fs.rename(src, dst)
 
             def __getattr__(self, name):
                 return getattr(self._fs, name)
 
         orig = SRC._fs_for
-        monkeypatch.setattr(
-            SRC, "_fs_for",
-            lambda spark_, p: (lambda fs, jp: (PoisonFS(fs), jp))(
-                *orig(spark_, p)))
+        poisons = []
+
+        def poisoned(spark_, p):
+            fs, jp = orig(spark_, p)
+            pf = PoisonFS(fs)
+            poisons.append(pf)
+            return pf, jp
+
+        monkeypatch.setattr(SRC, "_fs_for", poisoned)
         ups = spark.createDataFrame([(50, -1)], "k bigint, v bigint")
         with pytest.raises(IOError, match="vacuum_table"):
             merge_into(ctx, path, ups, "k")
         monkeypatch.setattr(SRC, "_fs_for", orig)
+        stuck = next(pf.staged[0] for pf in poisons if pf.staged)
         tmp = path + "__merge_tmp"
         assert os.path.exists(os.path.join(tmp, stuck))  # NOT deleted
         info = vacuum_table(spark, path)
@@ -1537,3 +1552,42 @@ class TestIndexCurrencyGuardSchemes:
         spark.range(100, 110).coalesce(1).write.mode("append").parquet(path)
         with pytest.raises(ValueError, match="not covered by its index"):
             _require_index_current(spark, shim, "delete_where")
+
+
+class TestMergeReleasesPersistFallback:
+    """Round-10 ADVICE: under ``checkpoint.reliable=true`` with no
+    checkpoint dir, checkpoint_corpus falls back to persist(DISK_ONLY),
+    and a cached Dataset is PINNED in the CacheManager — a long-running
+    CDC sink would accumulate one entry per micro-batch. merge_into must
+    release its per-batch frames on exit (success or failure)."""
+
+    def test_no_pinned_cache_after_merge(self, spark, ctx, tmp_table_dir,
+                                         monkeypatch):
+        from parquet_index_spark.operators import _ckpt
+        from parquet_index_spark.sources import merge_into
+        path = os.path.join(tmp_table_dir, "rel")
+        (spark.range(0, 2_000)
+         .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+         .repartitionByRange(8, "k").write.parquet(path))
+        ctx.index.create.indexBy("k").parquet(path)
+        spark.catalog.clearCache()
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        assert cm.isEmpty()
+        # force the persist fallback even if an earlier test set a
+        # checkpoint dir on the shared context
+        monkeypatch.setattr(_ckpt, "_has_checkpoint_dir", lambda s: False)
+        spark.conf.set("spark.sql.index.checkpoint.reliable", "true")
+        try:
+            ups = spark.createDataFrame(
+                [(3, -1), (2_100, -2)], "k bigint, v bigint")
+            dels = spark.range(500, 700).select(F.col("id").alias("k"))
+            info = merge_into(ctx, path, ups, "k", max_keys=50,
+                              delete_keys=dels)
+        finally:
+            spark.conf.unset("spark.sql.index.checkpoint.reliable")
+        assert info["rows_deleted"] == 200 and info["rows_updated"] == 1
+        # the round-10 ADVICE leak: without release_corpus these two
+        # persisted frames (updates + delete keys) stay pinned forever
+        assert cm.isEmpty()
+        # result is intact after the release
+        assert spark.read.parquet(path).count() == 2_000 - 200 + 1
