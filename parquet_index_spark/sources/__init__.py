@@ -20,6 +20,57 @@ _STAGE_PARALLEL_FLOOR = 64
 _STAGE_POOL = None
 _STAGE_POOL_LOCK = _threading.Lock()  # built at import: no lock race
 
+#: staging sidecar written at the tmp root BEFORE the first rename: one
+#: table-relative path per line for every entry the swap will carry
+#: (displace) into tmp. vacuum_table classifies a stranded tmp from this
+#: list alone — the index manifest is NOT a safe authority, because a
+#: refresh run after the crash silently drops missing files from the
+#: manifest, after which a manifest-based vacuum would classify the only
+#: copies of displaced originals as rewrite output and delete them
+#: (round-10 ADVICE). `_`-prefixed so data readers ignore it.
+STAGE_SIDECAR = "_pis_displaced"
+
+
+def _write_stage_sidecar(fs, jvm, jtmp, rels) -> None:
+    """Persist the displaced-entry list at ``<tmp>/_pis_displaced``.
+    Must complete before the first stage rename: a crash mid-write means
+    nothing was displaced yet, so a partial (or absent) sidecar can
+    never misclassify a displaced original."""
+    p = jvm.org.apache.hadoop.fs.Path(jtmp, STAGE_SIDECAR)
+    out = fs.create(p, True)
+    try:
+        data = "".join(r + "\n" for r in rels).encode("utf-8")
+        if data:
+            out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def _read_stage_sidecar(fs, jvm, jtmp):
+    """(state, rels) for ``<tmp>/_pis_displaced``: ``("ok", frozenset)``
+    when present and readable, ``("absent", None)`` when the staging
+    never started (pre-sidecar crash => tmp holds only rewrite output),
+    ``("unreadable", None)`` on IO errors (the caller keeps tmp)."""
+    p = jvm.org.apache.hadoop.fs.Path(jtmp, STAGE_SIDECAR)
+    try:
+        if not fs.exists(p):
+            return "absent", None
+        br = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(p), "UTF-8"))
+        try:
+            rels = []
+            while True:
+                line = br.readLine()
+                if line is None:
+                    break
+                if line:
+                    rels.append(line)
+        finally:
+            br.close()
+        return "ok", frozenset(rels)
+    except Exception:  # noqa: BLE001 — unreadable => keep tmp
+        return "unreadable", None
+
 
 def _stage_pool():
     """One process-wide rename pool for the staged swap (round-10
@@ -914,29 +965,50 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
             raise IOError(                    # drains every future
                 f"{label}: could not stage {failed[0]} into rewrite")
 
-    def stage(src_dir, dst_dir):
-        plain = []
+    # staging is plan-then-execute (round-11): the walk below only lists
+    # and mkdirs — no renames — so the full displaced-entry list can be
+    # persisted as the tmp sidecar BEFORE the first rename. vacuum_table
+    # then classifies a stranded tmp from the sidecar alone, immune to a
+    # post-crash index refresh rewriting the manifest (round-10 ADVICE).
+    markers, plain, rels = [], [], []
+
+    def plan(src_dir, dst_dir, prefix=""):
         for st in fs.listStatus(src_dir):
             src = st.getPath()
             u = fs.makeQualified(src).toString()
             if u in affected_abs:
                 continue
-            dst = jvm.org.apache.hadoop.fs.Path(dst_dir, src.getName())
+            name = src.getName()
+            if prefix == "" and name == STAGE_SIDECAR:
+                continue  # stale bookkeeping from an interrupted swap:
+                # never carried (the fresh sidecar is written at the
+                # same dst), dies with the bak dir after the swap
+            rel = prefix + name
+            dst = jvm.org.apache.hadoop.fs.Path(dst_dir, name)
             # merge (not rename) a dir when it holds affected files OR
             # the rewrite already created its counterpart (an insert into
             # an existing partition none of whose files matched): Hadoop
             # rename onto an existing dir would NEST src inside it
             if st.isDirectory() and (u in affected_dirs or fs.exists(dst)):
                 fs.mkdirs(dst)  # idempotent if the rewrite made it
-                stage(src, dst)
+                plan(src, dst, rel + "/")
                 continue
-            if src.getName().startswith(("_", ".")):
+            if name.startswith(("_", ".")):
                 if fs.exists(dst):
                     continue  # marker the rewrite produced (_SUCCESS)
-                _rename_one(src, dst)  # markers stay serial (few)
+                markers.append((src, dst))
+                rels.append(rel)
                 continue
             plain.append((src, dst))
-        _rename_files(plain)
+            rels.append(rel)
+
+    def stage(src_dir, dst_dir):
+        plan(src_dir, dst_dir)
+        _write_stage_sidecar(fs, jvm, jtmp, rels)
+        for src, dst in markers:
+            _rename_one(src, dst)  # markers stay serial (few)
+        _rename_files(plain)  # one global batch: the pool threshold
+        # sees the whole table's untouched-file count, not per-dir runs
 
     def _rollback_and_clear_tmp():
         """Undo completed stage renames, then drop tmp — but ONLY when
@@ -960,7 +1032,7 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
                 f"{label}: rollback could not restore "
                 f"{len(failed_back)} staged file(s) (e.g. "
                 f"{failed_back[0]}); originals remain under {tmp!r} — "
-                "vacuum_table restores them from the index manifest")
+                "vacuum_table restores them from the staging sidecar")
         fs.delete(jtmp, True)
 
     try:
@@ -978,6 +1050,14 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
         _rollback_and_clear_tmp()
         raise IOError(f"{label}: could not move rewrite into {path!r}")
     fs.delete(jbak, True)
+    # the sidecar traveled with tmp into the live table — drop it
+    # (best-effort: if this delete is lost, the `_`-prefixed file is
+    # invisible to readers and the next swap skips + replaces it)
+    try:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(jpath, STAGE_SIDECAR),
+                  False)
+    except Exception:  # noqa: BLE001 — cosmetic cleanup only
+        pass
 
 
 def delete_where(ctx, path: str, predicate) -> dict:
@@ -1281,18 +1361,25 @@ def vacuum_table(spark, path: str) -> dict:
     the swap, so a mid-stage crash (or a rollback whose renames failed)
     leaves tmp holding the only copy of real table files (round-10
     review — deleting tmp blindly silently lost those rows). Vacuum
-    RESTORES first: any entry under tmp whose table-relative path is in
-    the table's index manifest, OR lives under a ``_``/``.``-prefixed
-    top-level entry (displaced markers and streaming-sink
-    ``_spark_metadata`` commit logs — never manifest-listed), and is
-    missing from the table directory is renamed back before the tmp
-    dir is dropped. Rewrite OUTPUT data files are never manifest-listed
-    (the refresh that would list them only runs after a successful
-    swap), so they are correctly discarded. A NON-EMPTY tmp is KEPT —
-    never deleted — when it cannot be classified (no readable index
-    manifest, e.g. the crash landed inside the two-rename swap window
-    and the table dir itself is absent) or when any displaced entry
-    failed to restore: in those states tmp may hold the only copy.
+    RESTORES first, classifying from the staging SIDECAR
+    (``<tmp>/_pis_displaced``, written before the first stage rename):
+    any tmp entry whose table-relative path is sidecar-listed (or lives
+    under a sidecar-listed directory — partition dirs rename wholesale)
+    and is missing from the table directory is renamed back before the
+    tmp dir is dropped. The sidecar — not the index manifest — is the
+    authority because an index refresh run after the crash silently
+    drops missing files from the manifest, after which a manifest-based
+    vacuum would delete the only copies of displaced originals as if
+    they were rewrite output (round-10 ADVICE; refresh-independent by
+    construction). A sidecar-less tmp (the crash predates staging, so
+    tmp holds only rewrite output) falls back to the manifest rule:
+    entries that are manifest-listed OR under a ``_``/``.``-prefixed
+    top-level entry restore, the rest discard. A NON-EMPTY tmp is
+    KEPT — never deleted — when it cannot be classified (unreadable
+    sidecar; no sidecar and no readable manifest; sidecar present but
+    the table dir itself is absent, e.g. the crash landed inside the
+    two-rename swap window) or when any displaced entry failed to
+    restore: in those states tmp may hold the only copy.
     Stranded ``*_bak`` means the crash hit INSIDE the two-rename swap
     window — the table may BE the rewrite and the bak the only copy of
     the pre-image, so bak dirs are only removed when the table
@@ -1346,16 +1433,45 @@ def vacuum_table(spark, path: str) -> dict:
                 while files.hasNext():
                     src = files.next().getPath()
                     u = fs.makeQualified(src).toString()
-                    entries.append((src, u[len(qtmp):].lstrip("/")))
-                rels = _manifest() if entries else frozenset()
-                if rels is False:
+                    rel = u[len(qtmp):].lstrip("/")
+                    if rel == STAGE_SIDECAR:
+                        continue  # staging bookkeeping: dies with tmp
+                    entries.append((src, rel))
+                state, side = _read_stage_sidecar(fs, jvm, jcand)
+                if state == "unreadable":
                     kept.append(cand)  # unclassifiable: may hold the
                     continue           # only copy of displaced files
+                if state == "ok":
+                    # refresh-independent classification (round-11):
+                    # the sidecar is the exact displaced set, written
+                    # before the first rename — a post-crash index
+                    # refresh cannot rewrite it
+                    if entries and not fs.exists(jpath):
+                        kept.append(cand)  # nowhere to restore into
+                        continue
+
+                    def _displaced(rel, _s=side):
+                        if rel in _s:
+                            return True
+                        parts = rel.split("/")
+                        return any("/".join(parts[:i]) in _s
+                                   for i in range(1, len(parts)))
+                else:
+                    # no sidecar: staging never started, tmp holds only
+                    # rewrite output — the manifest rule remains for
+                    # pre-sidecar strandings (and is vacuous here: the
+                    # rewrite's own files are never manifest-listed)
+                    rels = _manifest() if entries else frozenset()
+                    if rels is False:
+                        kept.append(cand)
+                        continue
+
+                    def _displaced(rel, _m=rels):
+                        return rel in _m or \
+                            rel.split("/", 1)[0].startswith(("_", "."))
                 restore_failed = False
                 for src, rel in entries:
-                    displaced = rel in rels or \
-                        rel.split("/", 1)[0].startswith(("_", "."))
-                    if not displaced:
+                    if not _displaced(rel):
                         continue  # rewrite output, not an original
                     dst = jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")
                     try:

@@ -1026,22 +1026,15 @@ class TestVacuumRestore:
         assert info3["restored"] == [os.path.join(path, victim)]
         assert spark.read.parquet(path).count() == 4000
 
-    def test_failed_rollback_strands_tmp_then_vacuum_heals(
-            self, spark, ctx, tmp_table_dir, monkeypatch):
-        """End-to-end: a stage failure whose ROLLBACK rename also fails
-        must leave tmp in place (deleting it would destroy the
-        original), name vacuum_table in the error, and vacuum must then
-        restore the file.
-
-        Poisoning is ORDER-INDEPENDENT (the old by-position form assumed
-        listStatus returned name order — OS-dependent, flaky): the first
-        untouched data file to stage succeeds and its rollback fails;
-        the second data-file stage fails, triggering that rollback."""
-        from pyspark.sql import functions as F
+    def _strand_tmp(self, spark, ctx, path, monkeypatch):
+        """Drive a REAL merge into a stranded-tmp state: the first
+        untouched data file stages fine but its rollback fails; the
+        second data-file stage fails, triggering that rollback. Order-
+        independent (the old by-position form assumed listStatus
+        returned name order — OS-dependent, flaky). Returns the name of
+        the displaced original left inside tmp."""
         import parquet_index_spark.sources as SRC
-        from parquet_index_spark.sources import merge_into, vacuum_table
-        path = self._indexed_table(spark, ctx, tmp_table_dir, "vr2")
-        before = sorted(map(tuple, spark.read.parquet(path).collect()))
+        from parquet_index_spark.sources import merge_into
 
         class PoisonFS:
             def __init__(self, fs):
@@ -1081,7 +1074,19 @@ class TestVacuumRestore:
         with pytest.raises(IOError, match="vacuum_table"):
             merge_into(ctx, path, ups, "k")
         monkeypatch.setattr(SRC, "_fs_for", orig)
-        stuck = next(pf.staged[0] for pf in poisons if pf.staged)
+        return next(pf.staged[0] for pf in poisons if pf.staged)
+
+    def test_failed_rollback_strands_tmp_then_vacuum_heals(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """End-to-end: a stage failure whose ROLLBACK rename also fails
+        must leave tmp in place (deleting it would destroy the
+        original), name vacuum_table in the error, and vacuum must then
+        restore the file."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import merge_into, vacuum_table
+        path = self._indexed_table(spark, ctx, tmp_table_dir, "vr2")
+        before = sorted(map(tuple, spark.read.parquet(path).collect()))
+        stuck = self._strand_tmp(spark, ctx, path, monkeypatch)
         tmp = path + "__merge_tmp"
         assert os.path.exists(os.path.join(tmp, stuck))  # NOT deleted
         info = vacuum_table(spark, path)
@@ -1089,8 +1094,56 @@ class TestVacuumRestore:
         assert sorted(map(tuple, spark.read.parquet(path).collect())) \
             == before
         # clean retry completes the merge
+        ups = spark.createDataFrame([(50, -1)], "k bigint, v bigint")
         out = merge_into(ctx, path, ups, "k")
         assert out["rows_updated"] == 1
+
+    def test_vacuum_restores_after_post_crash_refresh(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """Round-10 ADVICE (medium): crash -> index REFRESH -> vacuum
+        must still restore displaced originals. The refresh silently
+        drops missing files from the manifest, so a manifest-based
+        classification would delete the only copies as rewrite output;
+        the staging sidecar written before the first rename is
+        refresh-independent by construction."""
+        import parquet_index_spark.sources as SRC
+        from parquet_index_spark.sources import vacuum_table
+        path = self._indexed_table(spark, ctx, tmp_table_dir, "vr5")
+        before = sorted(map(tuple, spark.read.parquet(path).collect()))
+        stuck = self._strand_tmp(spark, ctx, path, monkeypatch)
+        tmp = path + "__merge_tmp"
+        assert os.path.exists(os.path.join(tmp, stuck))
+        assert os.path.exists(os.path.join(tmp, SRC.STAGE_SIDECAR))
+        # the natural-but-poisonous recovery step: refresh drops the
+        # displaced (missing) file from the manifest
+        ctx.index.refresh.parquet(path)
+        manifest = set(
+            ctx.index.parquet(path)._metadata.files["path"].tolist())
+        assert stuck not in manifest  # the ADVICE precondition holds
+        info = vacuum_table(spark, path)
+        assert info["restored"] == [os.path.join(path, stuck)]
+        assert tmp in info["removed"] and not os.path.exists(tmp)
+        assert sorted(map(tuple, spark.read.parquet(path).collect())) \
+            == before
+        # re-cover the restored file; the index serves the healed table
+        ctx.index.refresh.parquet(path)
+        assert ctx.index.parquet(path).df.count() == 4000
+
+    def test_successful_swap_leaves_no_sidecar_in_live_table(
+            self, spark, ctx, tmp_table_dir):
+        import parquet_index_spark.sources as SRC
+        from parquet_index_spark.sources import merge_into
+        path = self._indexed_table(spark, ctx, tmp_table_dir, "vr6")
+        ups = spark.createDataFrame([(50, -1)], "k bigint, v bigint")
+        out = merge_into(ctx, path, ups, "k")
+        assert out["rows_updated"] == 1
+        assert not os.path.exists(os.path.join(path, SRC.STAGE_SIDECAR))
+        # a second merge over the healed table also stays sidecar-free
+        # (plan() must skip a stale sidecar rather than trip on it)
+        out = merge_into(ctx, path, spark.createDataFrame(
+            [(60, -2)], "k bigint, v bigint"), "k")
+        assert out["rows_updated"] == 1
+        assert not os.path.exists(os.path.join(path, SRC.STAGE_SIDECAR))
 
 
 class TestMergeInto:
