@@ -30,6 +30,13 @@ BLOOM_FPP = "spark.sql.index.parquet.filter.bloom.fpp"
 # metadata read. Past this shard count, refresh compacts the stats dir
 # (staged swap with crash recovery). 0 disables.
 REFRESH_MAX_SHARDS = "spark.sql.index.parquet.refresh.maxShards"
+# staged-swap rename pool size (default 16): flat layouts past 64 pending
+# sibling renames stage on a process-wide thread pool; metadata-op
+# (NameNode) throughput differs per cluster, so the width is tunable.
+# Read ONCE at the pool's first use — the pool persists for the process
+# (pinned-thread py4j connections are per-thread; rebuilding pools would
+# leak JVM threads), so later conf changes have no effect.
+STAGE_THREADS = "spark.sql.index.stage.threads"
 
 DEFAULT_METASTORE_DIR = "index_metastore"
 

@@ -72,23 +72,39 @@ def _read_stage_sidecar(fs, jvm, jtmp):
         return "unreadable", None
 
 
-def _stage_pool():
+def _stage_pool(spark=None):
     """One process-wide rename pool for the staged swap (round-10
     review): PySpark's default pinned-thread py4j mode spawns a paired
     JVM thread per NEW Python thread and reclaims it only on GC of the
-    connection, so a fresh pool per swap would leak up to 16 JVM
-    threads per CDC micro-batch on a long-running driver. A persistent
-    pool caps the whole process at 16 stage threads/connections.
+    connection, so a fresh pool per swap would leak JVM threads per CDC
+    micro-batch on a long-running driver. A persistent pool caps the
+    whole process at one fixed set of stage threads/connections.
     Creation is double-check-locked: two concurrent swaps (two
     foreachBatch streams on one driver) must not each build a pool and
-    orphan one."""
+    orphan one.
+
+    Width comes from ``spark.sql.index.stage.threads`` (default 16),
+    read ONCE at first use — NameNode/metadata-op throughput differs per
+    cluster, and the pool persisting for the process means later conf
+    changes have no effect (round-10 verdict #4)."""
     global _STAGE_POOL
     if _STAGE_POOL is None:
         with _STAGE_POOL_LOCK:
             if _STAGE_POOL is None:
                 from concurrent.futures import ThreadPoolExecutor
+
+                from parquet_index_spark.config import STAGE_THREADS
+                n = 16
+                if spark is not None:
+                    try:
+                        n = int(spark.conf.get(STAGE_THREADS, "16") or 16)
+                    except Exception:  # noqa: BLE001 — conf API drift
+                        n = 16
+                if not 1 <= n <= 256:
+                    raise ValueError(
+                        f"{STAGE_THREADS} must be in [1, 256], got {n}")
                 _STAGE_POOL = ThreadPoolExecutor(
-                    max_workers=16, thread_name_prefix="pis-stage")
+                    max_workers=n, thread_name_prefix="pis-stage")
     return _STAGE_POOL
 
 
@@ -906,8 +922,18 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
 
     jvm = spark._jvm
     fs, jpath = _fs_for(spark, path)
-    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    jbak = jvm.org.apache.hadoop.fs.Path(bak)
+    # py4j cost discipline (round-11, profiled): every dotted package
+    # walk (jvm.org.apache...) is ~5 reflection roundtrips and every
+    # JavaObject attribute lookup is one more — at 17 roundtrips per
+    # staged file the driver chatter, not the renames, dominated the
+    # swap. Bind the Path class and the hot FileSystem members ONCE;
+    # the bound members are safe to call from the pool threads.
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs_rename, fs_exists = fs.rename, fs.exists
+    fs_mkdirs, fs_listStatus = fs.mkdirs, fs.listStatus
+    stat2paths = jvm.org.apache.hadoop.fs.FileUtil.stat2Paths
+    jtmp = HPath(tmp)
+    jbak = HPath(bak)
     # every ancestor dir of an affected file must be merged, not renamed.
     # All comparisons happen in fully-qualified URI space (the
     # _qualified_uris contract): dirname on a URI string is plain
@@ -928,41 +954,47 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
     mv_lock = _threading.Lock()
 
     def _rename_one(src, dst):
-        if not fs.rename(src, dst):
+        if not fs_rename(src, dst):
             raise IOError(f"{label}: could not stage {src} into rewrite")
         with mv_lock:
             moved.append((dst, src))
 
-    def _rename_files(pairs):
-        """Rename independent sibling files; thread pool past the
-        floor. `moved` appends are under a lock; a failure cancels
-        nothing in flight but every SUCCESS is recorded, so the
-        caller's rollback restores exactly what moved."""
-        if len(pairs) <= _STAGE_PARALLEL_FLOOR:
-            for src, dst in pairs:
-                _rename_one(src, dst)
+    def _rename_files(triples):
+        """Rename independent sibling entries ((src_uri, dst_dir, name)
+        — BOTH Path constructions happen in the worker so their py4j
+        roundtrips pool too; a plain staged file costs ZERO serial
+        driver<->JVM hops); thread pool past the floor. `moved` appends
+        are under a lock; a failure cancels nothing in flight but every
+        SUCCESS is recorded, so the caller's rollback restores exactly
+        what moved."""
+        if len(triples) <= _STAGE_PARALLEL_FLOOR:
+            for src_uri, dst_dir, name in triples:
+                _rename_one(HPath(src_uri), HPath(dst_dir, name))
             return
         failed = []
 
-        def work(pair):
-            src, dst = pair
+        def work(t):
+            src_uri, dst_dir, name = t
             try:  # a RAISING rename must not escape the worker: map()
                 # would re-raise mid-iteration and break the completion
                 # barrier — in-flight renames would keep moving files
                 # into tmp while the caller's rollback already ran
                 # (round-10 review). Record it as a failure instead.
-                ok = fs.rename(src, dst)
+                src = HPath(src_uri)
+                dst = HPath(dst_dir, name)
+                ok = fs_rename(src, dst)
             except Exception:  # noqa: BLE001 — flaky-FS regime
                 ok = False
+                src = src_uri
             with mv_lock:
                 if ok:
                     moved.append((dst, src))
                 else:
                     failed.append(src)
 
-        list(_stage_pool().map(work, pairs))  # full barrier: no worker
-        if failed:                            # can raise, so map always
-            raise IOError(                    # drains every future
+        list(_stage_pool(spark).map(work, triples))  # full barrier: no
+        if failed:                            # worker can raise, so map
+            raise IOError(                    # always drains every future
                 f"{label}: could not stage {failed[0]} into rewrite")
 
     # staging is plan-then-execute (round-11): the walk below only lists
@@ -972,38 +1004,71 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
     # post-crash index refresh rewriting the manifest (round-10 ADVICE).
     markers, plain, rels = [], [], []
 
-    def plan(src_dir, dst_dir, prefix=""):
-        for st in fs.listStatus(src_dir):
-            src = st.getPath()
-            u = fs.makeQualified(src).toString()
+    def _dir_names(jdir):
+        """(statuses, names) of one directory. Three py4j roundtrips
+        per entry (array getitem + getName member resolution + call) is
+        the floor reachable without custom JVM helpers — py4j's
+        array-parameter matching cannot express a JVM-side join of the
+        listing into one string, and these are loopback driver<->JVM
+        hops, not NameNode RPC, so they neither pool (GIL-bound) nor
+        grow with cluster latency."""
+        sts = fs_listStatus(jdir)
+        paths = stat2paths(sts)
+        return sts, [p.getName() for p in paths]
+
+    def plan(src_dir, dst_dir, dir_u, prefix=""):
+        sts, names = _dir_names(src_dir)
+        _, tmp_names = _dir_names(dst_dir)
+        tmp_set = set(tmp_names)
+        for i, name in enumerate(names):
+            # child qualified URI by string concat — listStatus children
+            # live directly under dir_u, and dirname/join on these URIs
+            # is plain '/' arithmetic (the _qualified_uris contract), so
+            # a per-entry makeQualified roundtrip would buy nothing
+            u = dir_u + "/" + name
             if u in affected_abs:
                 continue
-            name = src.getName()
             if prefix == "" and name == STAGE_SIDECAR:
                 continue  # stale bookkeeping from an interrupted swap:
                 # never carried (the fresh sidecar is written at the
                 # same dst), dies with the bak dir after the swap
             rel = prefix + name
-            dst = jvm.org.apache.hadoop.fs.Path(dst_dir, name)
-            # merge (not rename) a dir when it holds affected files OR
-            # the rewrite already created its counterpart (an insert into
-            # an existing partition none of whose files matched): Hadoop
-            # rename onto an existing dir would NEST src inside it
-            if st.isDirectory() and (u in affected_dirs or fs.exists(dst)):
-                fs.mkdirs(dst)  # idempotent if the rewrite made it
-                plan(src, dst, rel + "/")
+            if u in affected_dirs:
+                # an ancestor of an affected file is a DIRECTORY by
+                # construction: merge it (Hadoop rename onto an existing
+                # dir would NEST src inside it)
+                dst = HPath(dst_dir, name)
+                fs_mkdirs(dst)  # idempotent if the rewrite made it
+                plan(sts[i].getPath(), dst, u, rel + "/")
                 continue
-            if name.startswith(("_", ".")):
-                if fs.exists(dst):
+            if name in tmp_set:
+                # collides with a rewrite-produced entry — the only site
+                # that still needs a per-entry type probe (rare: _SUCCESS
+                # markers; partition dirs the rewrite re-created)
+                if sts[i].isDirectory():
+                    dst = HPath(dst_dir, name)
+                    plan(sts[i].getPath(), dst, u, rel + "/")
+                    continue
+                if name.startswith(("_", ".")):
                     continue  # marker the rewrite produced (_SUCCESS)
-                markers.append((src, dst))
+                # a data file colliding with rewrite output cannot
+                # happen (fresh UUID names) — surface loudly via the
+                # rename failure rather than silently skipping data
+                plain.append((u, dst_dir, name))
                 rels.append(rel)
                 continue
-            plain.append((src, dst))
+            if name.startswith(("_", ".")):
+                markers.append((sts[i].getPath(), HPath(dst_dir, name)))
+                rels.append(rel)
+                continue
+            # plain entry with no tmp counterpart: renames wholesale
+            # whether file or dir (unaffected partition dirs move as one
+            # rename), so no type probe is needed at all
+            plain.append((u, dst_dir, name))
             rels.append(rel)
 
     def stage(src_dir, dst_dir):
-        plan(src_dir, dst_dir)
+        plan(src_dir, dst_dir, base)
         _write_stage_sidecar(fs, jvm, jtmp, rels)
         for src, dst in markers:
             _rename_one(src, dst)  # markers stay serial (few)
@@ -1017,12 +1082,12 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
         untouched original (round-10 review #1 — the parallel pool can
         have staged ~every sibling by the time a failure surfaces).
         Instead the tmp dir is left stranded and named loudly;
-        vacuum_table restores manifest-listed files before dropping
+        vacuum_table restores sidecar-listed files before dropping
         it."""
         failed_back = []
         for dst, src in reversed(moved):
             try:
-                ok = fs.rename(dst, src)
+                ok = fs_rename(dst, src)
             except Exception:  # noqa: BLE001 — same flaky-FS regime
                 ok = False
             if not ok:
@@ -1054,8 +1119,7 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
     # (best-effort: if this delete is lost, the `_`-prefixed file is
     # invisible to readers and the next swap skips + replaces it)
     try:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(jpath, STAGE_SIDECAR),
-                  False)
+        fs.delete(HPath(jpath, STAGE_SIDECAR), False)
     except Exception:  # noqa: BLE001 — cosmetic cleanup only
         pass
 

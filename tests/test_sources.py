@@ -1644,3 +1644,55 @@ class TestMergeReleasesPersistFallback:
         assert cm.isEmpty()
         # result is intact after the release
         assert spark.read.parquet(path).count() == 2_000 - 200 + 1
+
+
+class TestStagePoolKnob:
+    """Round-10 verdict #4: the staged-swap rename pool width is a conf
+    knob (``spark.sql.index.stage.threads``), read once at first use."""
+
+    def _fresh_pool(self, spark, conf_val):
+        import parquet_index_spark.sources as SRC
+        old = SRC._STAGE_POOL
+        SRC._STAGE_POOL = None
+        if conf_val is not None:
+            spark.conf.set("spark.sql.index.stage.threads", conf_val)
+        try:
+            pool = SRC._stage_pool(spark)
+        finally:
+            if conf_val is not None:
+                spark.conf.unset("spark.sql.index.stage.threads")
+            made = SRC._STAGE_POOL
+            SRC._STAGE_POOL = old
+            if made is not None and made is not old:
+                made.shutdown(wait=False)
+        return pool
+
+    def test_pool_width_from_conf(self, spark):
+        assert self._fresh_pool(spark, "4")._max_workers == 4
+
+    def test_default_width(self, spark):
+        assert self._fresh_pool(spark, None)._max_workers == 16
+
+    def test_bad_width_rejected(self, spark):
+        with pytest.raises(ValueError, match="stage.threads"):
+            self._fresh_pool(spark, "0")
+
+    def test_width_fixed_at_first_use(self, spark):
+        """The pool persists for the process: a later conf change must
+        NOT resize it (documented contract — rebuilding pools would
+        leak pinned py4j JVM threads)."""
+        import parquet_index_spark.sources as SRC
+        old = SRC._STAGE_POOL
+        SRC._STAGE_POOL = None
+        spark.conf.set("spark.sql.index.stage.threads", "3")
+        try:
+            first = SRC._stage_pool(spark)
+            spark.conf.set("spark.sql.index.stage.threads", "7")
+            again = SRC._stage_pool(spark)
+            assert again is first and again._max_workers == 3
+        finally:
+            spark.conf.unset("spark.sql.index.stage.threads")
+            made = SRC._STAGE_POOL
+            SRC._STAGE_POOL = old
+            if made is not None and made is not old:
+                made.shutdown(wait=False)

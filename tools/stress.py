@@ -268,6 +268,68 @@ def main() -> None:
         r["merge_overcap_deleted"] = oinfo["rows_deleted"]
         report[label] = r
 
+    # 15. round-11 parallel staged swap (r10 verdict #4): stage ~10k
+    # untouched flat-layout files through a full swap, serial-floor vs
+    # pooled. Two regimes: RAW local FS (renames complete in ~0.1ms, so
+    # there is almost no latency for the pool to hide — py4j+GIL chatter
+    # dominates and the speedup is modest by design) and EMULATED
+    # NameNode RPC (1ms sleep per rename, conservative for a loaded
+    # NameNode; the sleep releases the GIL exactly like the real socket
+    # wait, so this measures the latency-hiding the pool exists for).
+    import time as _time
+
+    import parquet_index_spark.sources as SRC
+    spath = os.path.join(ROOT, "stage_flat")
+    os.makedirs(spath, exist_ok=True)
+    n_stage = 10_000
+    for i in range(n_stage):
+        with open(os.path.join(spath, f"part-{i:05d}.parquet"), "wb") as fh:
+            fh.write(b"x")
+
+    class _DelayFS:
+        """Per-rename RPC-latency emulation; everything else delegates."""
+
+        def __init__(self, fs, delay):
+            self._fs, self._delay = fs, delay
+
+        def rename(self, src, dst):
+            _time.sleep(self._delay)
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def run_swap(delay=0.0):
+        tmp, bak = spath + "__compact_tmp", spath + "__compact_bak"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        orig = SRC._fs_for
+        if delay:
+            SRC._fs_for = lambda s, p: (lambda fs, jp:
+                                        (_DelayFS(fs, delay), jp))(
+                *orig(s, p))
+        try:
+            SRC._staged_swap(spark, spath, tmp, bak, frozenset(),
+                             label="stress")
+        finally:
+            SRC._fs_for = orig
+
+    floor = SRC._STAGE_PARALLEL_FLOOR
+    stage_r = {"files": n_stage,
+               "pool_threads": SRC._stage_pool(spark)._max_workers}
+    for regime, delay in (("local", 0.0), ("rpc1ms", 0.001)):
+        SRC._STAGE_PARALLEL_FLOOR = 1 << 60   # force the serial path
+        try:
+            serial_sec, _ = _timed(lambda: run_swap(delay))
+        finally:
+            SRC._STAGE_PARALLEL_FLOOR = floor
+        pooled_sec, _ = _timed(lambda: run_swap(delay))  # pooled
+        stage_r[regime] = {
+            "serial_sec": serial_sec, "pooled_sec": pooled_sec,
+            "speedup": round(serial_sec / max(pooled_sec, 1e-9), 2)}
+    report["stage_swap"] = stage_r
+
     # slopes: Nx time / 1x time, vs the ideal SCALE
     slopes = {}
     for k in ("index_build_sec", "token_budget_sec", "dedup_exact_sec",
