@@ -5271,6 +5271,46 @@ ORDER BY event_type
 """
 
 
+def latest_events_per_user(spark, sf_dir):
+    """Latest-N-per-key selection — the mirror of
+    earliest_events_per_user on cap_per_group's DESCENDING order_by
+    path (round-11, r10 verdict #3): each user's 3 most recent events
+    with an event_id tiebreak. The plain timestamp key with
+    descending=True rides the same distributed bucketed rank cut, run
+    in reverse (no encoding negation, so no LONG_MIN hazard); NULL keys
+    sort last exactly like the window's F.desc form. Oracle: the
+    equivalent ROW_NUMBER ... ORDER BY ts DESC CTE."""
+    from parquet_index_spark.operators import sampling as SA
+    ev = _t(spark, sf_dir, "events")
+    kept = SA.cap_per_group(ev, "user_id", 3, F.col("ts"),
+                            F.col("event_id"), descending=True,
+                            hot_key_audit=False)
+    return (kept.groupBy("event_type")
+            .agg(F.count("*").alias("n_kept"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.min("event_id").alias("min_event"),
+                 F.max("event_id").alias("max_event"))
+            .orderBy("event_type"))
+
+
+LATEST_EVENTS_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id) AS rn
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(event_id) AS min_event,
+       max(event_id) AS max_event
+FROM ranked
+WHERE rn <= 3
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def hll_union_sketch_parts(spark, sf_dir):
     """Mergeable-sketch distinct counting: per-(flag, month) DataSketches
     HLL partials unioned to flag level, estimate checked against the
@@ -6174,6 +6214,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "earliest_events_per_user": (earliest_events_per_user,
                                  EARLIEST_EVENTS_SQL),
     "idx_join_dpp_bloom": (idx_join_dpp_bloom, IDX_DPP_BLOOM_SQL),
+    # round-11 additions
+    "latest_events_per_user": (latest_events_per_user, LATEST_EVENTS_SQL),
 }
 
 # Round-9 grading window (round-5 verdict ask #6 policy): the driver
@@ -6187,35 +6229,39 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
 # no-cartesian plan sweep (tests/test_plans.py) covers exactly these —
 # two independently maintained magic lengths silently diverge
 CHANGED_HEAD = [
-    # round-10 changed surface (changed code needs a fresh driver
-    # certification): the guarded merge_into delete tier and its new
-    # graded query, every merge/CDC-sink consumer, the dpp_join /
-    # broadcast_if_small checkpoint-routing + bloom-clamp sites and
-    # their operator consumers, the rebuilt dpp-bloom fixture, and the
-    # asof default flip
+    # round-11 changed surface (changed code needs a fresh driver
+    # certification): the NEW descending rank-cut query and its
+    # ascending sibling (cap_per_group's order_by path gained
+    # descending + the distributed_order_by knob), every consumer of
+    # the rewritten staged swap (merge/CDC sinks, range DML, partition
+    # DML, compaction), merge_into's frame-release wrapper, and
+    # top_fraction's offsets-checkpoint routing (quality gate + grouped
+    # cosine top-k ride the same cut)
+    "latest_events_per_user", "earliest_events_per_user",
     "merge_delete_orders", "merge_upsert_orders", "stream_merge_cdc_ops",
-    "stream_merge_upsert", "idx_join_dpp_bloom", "idx_join_dpp",
-    "asof_join_events", "contamination_by_lang", "incremental_dedup_stats",
-    "split_leakage_audit", "curation_pipeline_v3",
+    "stream_merge_upsert", "idx_delete_range", "idx_update_range",
+    "idx_delete_partitioned", "idx_compact_roundtrip",
+    "quality_gate_by_lang", "ann_cosine_topk",
 ]
-_R10_WINDOW = CHANGED_HEAD + [
-    # oldest-proven-first rotation (tools/rotate_window.py)
-    "q6_forecast_revenue", "q4_order_exists", "q18_large_volume_customers",
-    "q10_returned_items", "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity", "shuffle_shard_stats",
-    "vocab_drift_by_lang", "stream_shuffle_split_stats", "idx_term_search",
-    "idx_term_prefix_search", "idx_term_decontamination", "idx_phrase_search",
-    "idx_delete_range", "idx_update_range", "cohort_retention",
-    "q21_suppliers_kept_waiting", "cube_order_status",
-    "pivot_flag_quantities", "unpivot_order_measures",
-    "listagg_status_by_priority", "approx_percentile_bounds",
-    "range_join_windows", "overlap_join_windows", "time_bucket_gapfill",
-    "top3_orders_per_customer", "distinct_parts_per_flag",
-    "percentile_quantities", "setop_active_building_buyers",
-    "scalar_functions_showcase", "bucketed_colocated_join",
-    "customers_without_orders", "idx_point_lookup", "idx_zorder_range",
-    "q1_pricing_summary", "minhash_lsh_pairs", "multimodal_pipeline",
-    "data_quality_audit", "chunk_overlap_stats",
+_R11_WINDOW = CHANGED_HEAD + [
+    # oldest-proven-first rotation (tools/rotate_window.py): the seven
+    # r7-stale queries lead the fill, advancing the oldest-green round
+    "chunk_dedup_pipeline", "idx_prefix_scan", "idx_null_safe_point",
+    "semantic_dedup_stats", "pack_bins_by_source",
+    "semantic_contamination_stats", "pii_redaction_stats",
+    "span_dedup_stats", "stream_running_anomaly", "token_budget_mixture",
+    "curation_pipeline_v2", "freq_terms_top20", "lang_id_confusion",
+    "rolling_anomaly_events", "stratified_sample_langs",
+    "temperature_sample_langs", "curation_pipeline_stats",
+    "idx_hilbert_range", "trailing_30d_peak_spend",
+    "repetition_flags_by_lang", "hll_union_sketch_parts",
+    "stream_windowed_counts", "stream_session_windows",
+    "stream_funnel_join", "stream_funnel_left_outer",
+    "stream_gapfill_locf", "stream_user_totals", "stream_enrich_join",
+    "json_props_stats", "idx_events_time_range", "idx_fast_count",
+    "sessionize_events", "funnel_conversion", "funnel_conversion_windowed",
+    "q12_priority_shipmode", "rollup_sales", "cumulative_spend",
+    "q2_min_cost_supplier",
 ]
-QUERIES = {**{k: QUERIES[k] for k in _R10_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in _R10_WINDOW}}
+QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in _R11_WINDOW}}

@@ -64,16 +64,17 @@ _CORE = {
     "curation_pipeline_stats", "stratified_sample_langs",
     # time-series / events
     "asof_join_events", "time_bucket_gapfill", "sessionize_events",
-    # round-9/10 graded-window additions stay in core for at least one
+    # recent graded-window additions stay in core for at least one
     # round after introduction (ADVICE r3): the failure class they carry
     # (oracle typing under stringify-hash) must be visible by default.
     # Earlier rounds' additions rotate out to `slow` once proven —
-    # `-m ""` still sweeps all of them. (Round-8's batch —
-    # funnel_conversion_windowed, tv_drift_doclen, quota_per_source,
-    # ann_topk_per_label — rotated out in round 10 after two proven
-    # rounds.)
+    # `-m ""` still sweeps all of them. (Round-9's idx_join_dpp_bloom
+    # rotated out in round 11 after two proven rounds;
+    # earliest_events_per_user stays — its cap_per_group path changed
+    # again this round — as does idx_refresh_rewrite, which rides the
+    # rewritten staged swap.)
     "idx_refresh_rewrite", "earliest_events_per_user",
-    "idx_join_dpp_bloom", "merge_delete_orders",
+    "merge_delete_orders", "latest_events_per_user",
 }
 
 

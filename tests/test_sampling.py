@@ -318,6 +318,66 @@ class TestCapPerGroup:
         assert {r["uid"] for r in out1.collect()} == {0, 1, 2, 3, 4, 5}
         assert {r["uid"] for r in out2.collect()} == set(range(14, 20))
 
+    def test_order_by_descending_rides_distributed_cut(
+            self, spark, monkeypatch):
+        """Round-11 (r10 verdict #3): 'latest N per key' — a plain
+        monotone-typed order_by with descending=True rides the SAME
+        bucketed rank cut (the cut runs descending; no encoding
+        negation, no LONG_MIN hazard). Identical keep set to the
+        window's F.desc form, including NULL order keys (last)."""
+        import datetime as dt
+        rows = []
+        for i in range(60):
+            t = (None if i % 17 == 0 else
+                 dt.datetime(2024, 1, 1) +
+                 dt.timedelta(minutes=(i * 13) % 47))
+            rows.append((i % 3, i, t))
+        df = spark.createDataFrame(rows, "g: int, uid: long, t: timestamp")
+        for order in ("uid", "t"):
+            calls = self._spy_rank_cut(monkeypatch)
+            got = SA.cap_per_group(df, "g", 4, order, "uid",
+                                   descending=True, keep_rank=True)
+            assert calls == [4], order  # rewrite engaged, descending
+            monkeypatch.undo()
+            want = SA.cap_per_group(  # forced window form, F.desc
+                df, "g", 4, F.col(order).desc(), "uid",
+                hot_key_audit=False, keep_rank=True)
+            assert sorted(map(tuple, got.collect())) \
+                == sorted(map(tuple, want.collect())), order
+
+    def test_order_by_descending_on_sort_order_rejected(self, grouped):
+        with pytest.raises(ValueError, match="ambiguous"):
+            SA.cap_per_group(grouped, "g", 2, F.col("v").desc(), "uid",
+                             descending=True)
+
+    def test_order_by_descending_window_fallback_for_strings(
+            self, spark, monkeypatch):
+        rows = [(i % 2, i, f"s{i:03d}") for i in range(20)]
+        df = spark.createDataFrame(rows, "g: int, uid: long, s: string")
+        calls = self._spy_rank_cut(monkeypatch)
+        out = SA.cap_per_group(df, "g", 3, "s", "uid", descending=True,
+                               hot_key_audit=False)
+        assert calls == []  # strings: no encoding, lazy window
+        assert {r["uid"] for r in out.collect()} == set(range(14, 20))
+
+    def test_distributed_order_by_opt_out_stays_lazy(
+            self, spark, monkeypatch):
+        """Round-10 ADVICE: distributed_order_by=False keeps the lazy
+        window even for monotone-typed keys — compose-only callers can
+        refuse the composition-time checkpoint/count jobs. Results are
+        identical to the rewrite's."""
+        rows = [(i % 3, i) for i in range(30)]
+        df = spark.createDataFrame(rows, "g: int, uid: long")
+        calls = self._spy_rank_cut(monkeypatch)
+        lazy = SA.cap_per_group(df, "g", 2, "uid", "uid",
+                                distributed_order_by=False,
+                                hot_key_audit=False)
+        assert calls == []  # no rewrite, no eager probe jobs
+        eager = SA.cap_per_group(df, "g", 2, "uid", "uid")
+        assert calls == [2]
+        assert sorted(map(tuple, lazy.collect())) \
+            == sorted(map(tuple, eager.collect()))
+
     def test_order_by_streaming_input_composes_lazily(self, spark,
                                                       monkeypatch):
         """Round-10 review #1: a streaming input must keep the lazy
