@@ -19,6 +19,13 @@ can inspect an index without writing a script:
   ``range:c:lo,hi`` (either bound may be empty)  ``set:c:a,b,c``
   ``regex:c:pattern``. Prints one JSON line per rule; exit code 1 when
   any rule fails (pipeline-gate friendly).
+- ``vacuum <path>`` — recover from interrupted DML: restore displaced
+  originals from stranded ``*_tmp`` staging dirs (sidecar-classified;
+  see sources.vacuum_table) and drop recoverable leftovers. Prints one
+  JSON line ``{removed, kept, restored}``. Exit 0 when everything was
+  classified and cleaned (restores included); exit 3 when any dir was
+  KEPT for manual inspection — it may hold the only copy of table data,
+  so a 3am pager run must not treat that as success.
 
 Honors ``SPARK_GRAFT_METASTORE`` (falls back to the session default
 resolution). Local-mode session; diagnostics are metadata-only except
@@ -42,7 +49,7 @@ def main(argv) -> int:
         return _usage()
     cmd, path = argv[0], argv[1]
     if cmd not in ("describe", "recommend", "explain", "recommend-ivf",
-                   "validate"):
+                   "validate", "vacuum"):
         return _usage()
     if cmd in ("explain", "validate") and len(argv) < 3:
         return _usage()
@@ -53,9 +60,11 @@ def main(argv) -> int:
 
     # only stop the session on exit if this invocation created it
     # (getOrCreate inside a host process would otherwise kill the
-    # host's session)
-    owns_session = (SparkSession.getActiveSession() is None
-                    and SparkSession.getDefaultSession() is None)
+    # host's session). PySpark's Python API has no getDefaultSession —
+    # referencing it crashed every real ``python -m`` invocation while
+    # in-process tests short-circuited past it on the active session
+    # (round-11, caught by driving the CLI as a subprocess).
+    owns_session = SparkSession.getActiveSession() is None
     spark = (SparkSession.builder.master("local[4]")
              .appName("parquet-index-spark-cli")
              .config("spark.ui.enabled", "false").getOrCreate())
@@ -88,6 +97,12 @@ def main(argv) -> int:
                 failed = failed or not r["passed"]
             if failed:
                 return 1
+        elif cmd == "vacuum":
+            from parquet_index_spark.sources import vacuum_table
+            info = vacuum_table(spark, path)
+            print(json.dumps(info))
+            if info["kept"]:
+                return 3  # dirs held for manual inspection — not clean
         else:
             d = ctx.index.parquet(path).explain_pruning(
                 argv[2], include_saturation=True)

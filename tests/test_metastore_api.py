@@ -663,3 +663,54 @@ class TestSessionCacheKeys:
         assert W._session_ctx(spark) is ctx1
         app = spark.sparkContext.applicationId
         assert app in W._CTX_CACHE
+
+
+class TestVacuumCli:
+    """Round-10 verdict #5: a stranded-tmp recovery at 3am must not
+    require a Python REPL — ``python -m parquet_index_spark vacuum
+    <path>`` with exit 0 (clean, restores included) vs 3 (dirs KEPT
+    for manual inspection)."""
+
+    def test_vacuum_cli_restores_and_exits_clean(self, spark, ctx,
+                                                 tmp_table_dir, capsys):
+        import glob
+        import json
+        import shutil
+
+        from parquet_index_spark.__main__ import main
+        from parquet_index_spark.sources import STAGE_SIDECAR
+        path = os.path.join(tmp_table_dir, "cli_vac")
+        spark.range(0, 400).selectExpr("id AS k").repartition(4, "k") \
+            .write.parquet(path)
+        ctx.index.create.indexBy("k").parquet(path)
+        # strand a tmp holding one displaced original + its sidecar
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        victim = os.path.basename(files[0])
+        tmp = path + "__merge_tmp"
+        os.makedirs(tmp)
+        shutil.move(files[0], os.path.join(tmp, victim))
+        with open(os.path.join(tmp, STAGE_SIDECAR), "w") as fh:
+            fh.write(victim + "\n")
+        assert main(["vacuum", path]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["restored"] == [os.path.join(path, victim)]
+        assert out["removed"] == [tmp] and out["kept"] == []
+        assert not os.path.exists(tmp)
+        assert spark.read.parquet(path).count() == 400
+
+    def test_vacuum_cli_kept_dirs_exit_3(self, spark, tmp_table_dir,
+                                         capsys):
+        import json
+
+        from parquet_index_spark.__main__ import main
+        # unclassifiable: non-empty tmp, no sidecar, no table at all
+        gone = os.path.join(tmp_table_dir, "cli_vac_gone")
+        os.makedirs(gone + "__delete_tmp")
+        with open(os.path.join(gone + "__delete_tmp", "part-x.parquet"),
+                  "wb") as fh:
+            fh.write(b"maybe the only copy")
+        assert main(["vacuum", gone]) == 3
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["kept"] == [gone + "__delete_tmp"]
+        assert os.path.exists(
+            os.path.join(gone + "__delete_tmp", "part-x.parquet"))
