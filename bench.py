@@ -113,8 +113,10 @@ for name in {names!r}:
                   "reps": reps}}
 print("PIPEJSON:" + json.dumps(out))
 """.format(cpus=CPUS, names=list(ISOLATED_PIPELINES), sf=SF_DIR)
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = os.environ.get("PYTHONPATH", "")
     env = dict(os.environ,
-               PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+               PYTHONPATH=here + (os.pathsep + prior if prior else ""))
     r = subprocess.run([_sys.executable, "-c", code],
                        capture_output=True, text=True, timeout=1200,
                        env=env)

@@ -63,8 +63,14 @@ def main(argv) -> int:
     # host's session). PySpark's Python API has no getDefaultSession —
     # referencing it crashed every real ``python -m`` invocation while
     # in-process tests short-circuited past it on the active session
-    # (round-11, caught by driving the CLI as a subprocess).
-    owns_session = SparkSession.getActiveSession() is None
+    # (round-11, caught by driving the CLI as a subprocess). The
+    # _instantiatedSession probe covers the cross-thread case:
+    # getActiveSession is thread-local, but getOrCreate returns the
+    # process-wide instantiated session, which this invocation must
+    # not stop either.
+    owns_session = (
+        SparkSession.getActiveSession() is None
+        and getattr(SparkSession, "_instantiatedSession", None) is None)
     spark = (SparkSession.builder.master("local[4]")
              .appName("parquet-index-spark-cli")
              .config("spark.ui.enabled", "false").getOrCreate())

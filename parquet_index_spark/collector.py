@@ -452,6 +452,10 @@ def _ensure_package_shipped(spark) -> None:
     key = spark.sparkContext.applicationId
     if key in _SHIPPED_SESSIONS:
         return
+    # one live context per process: any other recorded applicationId is
+    # a stopped app — drop it so a session-cycling driver's set stays
+    # bounded (round-11 review)
+    _SHIPPED_SESSIONS.intersection_update({key})
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))

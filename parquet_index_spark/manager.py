@@ -1488,6 +1488,13 @@ def _metastore_for(spark: SparkSession, location: str) -> Metastore:
     key = (spark.sparkContext.applicationId, os.path.abspath(location))
     ms = _METASTORES.get(key)
     if ms is None:
+        # drop dead applications' singletons on insert: one live context
+        # per process, so any OTHER applicationId is a stopped app whose
+        # Metastore (and 16-entry metadata cache) would otherwise
+        # accumulate forever on a session-cycling driver (round-11
+        # review)
+        for stale in [k for k in _METASTORES if k[0] != key[0]]:
+            del _METASTORES[stale]
         ms = Metastore(location)
         _METASTORES[key] = ms
     return ms

@@ -54,6 +54,43 @@ def checkpoint_corpus(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.persist(StorageLevel.DISK_ONLY)
 
 
+# per-application ring of persist-fallback METADATA frames (see
+# checkpoint_metadata): bounded, oldest-unpersisted-first
+_META_RING: dict = {}
+_META_RING_MAX = 64
+
+
+def checkpoint_metadata(df: DataFrame) -> DataFrame:
+    """:func:`checkpoint_corpus` for per-call METADATA frames whose
+    consumers are LAZY (the caller returns a plan built on the frame,
+    so nothing can release it at call end the way merge_into releases
+    its batch frames). Under the persist(DISK_ONLY) fallback a cached
+    Dataset is pinned in the CacheManager, and an operator invoked per
+    micro-batch (the rank cut's documented foreachBatch pattern) would
+    pin one or two frames per batch without bound (round-11 review —
+    the same accumulation class fixed in merge_into). Persist-fallback
+    frames are therefore enrolled in a bounded per-application ring;
+    past ``_META_RING_MAX`` the oldest is unpersisted. Correctness is
+    unaffected: persist keeps lineage, so a still-referenced old handle
+    recomputes instead of failing — only its pinned blocks are freed.
+    local/reliable checkpoint modes bypass the ring entirely."""
+    out = checkpoint_corpus(df)
+    try:
+        if out.is_cached:  # persist fallback was taken
+            from collections import deque
+            app = df.sparkSession.sparkContext.applicationId
+            ring = _META_RING.get(app)
+            if ring is None:
+                _META_RING.clear()  # one live context per process
+                ring = _META_RING[app] = deque()
+            ring.append(out)
+            while len(ring) > _META_RING_MAX:
+                release_corpus(ring.popleft())
+    except Exception:  # noqa: BLE001 — bookkeeping must never fail a job
+        pass
+    return out
+
+
 def release_corpus(df: DataFrame) -> None:
     """Release a frame materialized by :func:`checkpoint_corpus` once a
     bounded operation (a DML call, one micro-batch) is done with it.

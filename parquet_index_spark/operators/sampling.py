@@ -635,8 +635,12 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     mm = df.groupBy(g.alias("__tf_g")).agg(
         F.min(s).alias("__tf_mn"), F.max(s).alias("__tf_mx"),
         F.count("*").alias("__tf_cnt"))
-    from parquet_index_spark.operators._ckpt import checkpoint_corpus
-    mm = checkpoint_corpus(mm)
+    # checkpoint_metadata, not checkpoint_corpus: the returned plan
+    # consumes these frames lazily, so per-micro-batch callers would pin
+    # one persist-fallback cache entry per call without bound — the ring
+    # bounds that (round-11 review)
+    from parquet_index_spark.operators._ckpt import checkpoint_metadata
+    mm = checkpoint_metadata(mm)
     mm_small = mm.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
     if mm_small and not degenerate_escape:
         # the audit is only affordable when |groups| is bounded — a tiny
@@ -712,7 +716,7 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     # as mm above — a bare localCheckpoint here was the one
     # materialization site reliable=true did not cover (round-10 ADVICE:
     # a lost executor would hard-fail at this site alone)
-    offs = checkpoint_corpus(offs)
+    offs = checkpoint_metadata(offs)
     offs_b = (F.broadcast(offs)
               if offs.limit(max_broadcast_rows + 1).count()
               <= max_broadcast_rows else offs)

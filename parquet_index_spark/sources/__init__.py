@@ -94,12 +94,15 @@ def _stage_pool(spark=None):
                 from concurrent.futures import ThreadPoolExecutor
 
                 from parquet_index_spark.config import STAGE_THREADS
-                n = 16
+                raw = None
                 if spark is not None:
-                    try:
-                        n = int(spark.conf.get(STAGE_THREADS, "16") or 16)
-                    except Exception:  # noqa: BLE001 — conf API drift
-                        n = 16
+                    try:  # ONLY the conf read is guarded (API drift);
+                        # a malformed value must fail loudly below, not
+                        # silently build a 16-wide pool for the process
+                        raw = spark.conf.get(STAGE_THREADS, None)
+                    except Exception:  # noqa: BLE001
+                        raw = None
+                n = int(raw) if raw not in (None, "") else 16
                 if not 1 <= n <= 256:
                     raise ValueError(
                         f"{STAGE_THREADS} must be in [1, 256], got {n}")
@@ -392,8 +395,14 @@ def _recover_staged_swap(spark, path: str, tmp_suffix: str,
     (path -> bak, tmp -> path), and a crash between them leaves the
     table path absent with all data intact in the bak dir — a naive
     re-run would then raise 'no parquet data files'. On entry, a
-    bak-dir-without-table state restores the bak (the rewrite in tmp is
-    disposable: it was never visible). Returns True when a recovery
+    bak-dir-without-table state restores the bak, then runs
+    :func:`vacuum_table` instead of deleting tmp blindly: by the swap
+    window, staging has already carried displaced entries (untouched
+    originals; a streaming sink's ``_spark_metadata`` commit log) into
+    tmp, and the restored bak dir LACKS them — vacuum restores them
+    from the staging sidecar before dropping the rewrite output
+    (round-11 review: the old ``fs.delete(tmp)`` destroyed the only
+    copy of whatever staging displaced). Returns True when a recovery
     happened. A bak ALONGSIDE a live table is the normal pre-cleanup
     state of a completed swap and is left for the swap logic to delete."""
     fs, jpath = _fs_for(spark, path)
@@ -405,8 +414,25 @@ def _recover_staged_swap(spark, path: str, tmp_suffix: str,
         raise IOError(
             f"recover: found interrupted swap ({jbak} without {path!r}) "
             "but could not restore it")
-    fs.delete(hpath(path.rstrip("/") + tmp_suffix), True)
+    vacuum_table(spark, path)
     return True
+
+
+def _refuse_stranded_tmp(spark, tmp: str, op: str) -> None:
+    """Refuse to start a rewrite whose staging dir already exists: after
+    a hard crash mid-staging, ``tmp`` can hold the only copies of
+    displaced originals, and the rewrite's ``mode("overwrite")`` write
+    into it would destroy them before the new swap ever runs (round-11
+    review — the staging sidecar protects vacuum, but only if nothing
+    overwrites tmp first). One exists() probe per DML call."""
+    fs, jtmp = _fs_for(spark, tmp)
+    if fs.exists(jtmp):
+        raise IOError(
+            f"{op}: stranded staging dir {tmp!r} from an interrupted "
+            "rewrite — it may hold the only copy of displaced table "
+            "files. Run vacuum_table (or `python -m parquet_index_spark "
+            "vacuum <table>`) first; it restores displaced originals "
+            "from the staging sidecar and removes the leftovers.")
 
 
 def compact_table(spark, path: str, target_file_mb: int = 128,
@@ -495,20 +521,22 @@ def compact_table(spark, path: str, target_file_mb: int = 128,
         out = out.repartition(int(n_target))
     tmp = path.rstrip("/") + "__compact_tmp"
     bak = path.rstrip("/") + "__compact_bak"
+    _refuse_stranded_tmp(spark, tmp, "compact_table")
     writer = out.write.mode("overwrite")
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(tmp)
-    fs, jpath = _fs_for(spark, path)
-    jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
-    jbak = spark._jvm.org.apache.hadoop.fs.Path(bak)
-    fs.delete(jbak, True)
-    if not fs.rename(jpath, jbak):
-        raise IOError(f"compact: could not stage {path!r} aside")
-    if not fs.rename(jtmp, jpath):
-        fs.rename(jbak, jpath)  # roll back; table untouched
-        raise IOError(f"compact: could not move rewrite into {path!r}")
-    fs.delete(jbak, True)
+    # staged swap with marker carry (round-11 review): the old
+    # whole-dir swap (delete bak, rename path aside, rename tmp in)
+    # silently DROPPED every non-data entry at the table root — a
+    # streaming sink's ``_spark_metadata`` commit log, the merge sink's
+    # ``_merge_sink_commits`` markers — destroying exactly-once state
+    # on every compaction. _staged_swap carries them into the rewrite
+    # (sidecar-protected) and brings its rollback + vacuum recovery
+    # semantics along. Every data file is affected (full rewrite), so
+    # the carry set is markers/metadata only — O(markers) renames.
+    _staged_swap(spark, path, tmp, bak, {u for u, _sz in files},
+                 label="compact")
     ctx = QueryContext(spark)
     if ctx.index.exists.parquet(path):
         ctx.index.refresh.parquet(path)
@@ -670,8 +698,18 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
     # joins all re-reference updates; without this each re-executes the
     # caller's full upstream plan. Also decouples a batch derived from
     # the table ITSELF from the directory before the staged swap.
+    # Release-ownership guard (round-11 review): under the reliable
+    # persist fallback, checkpoint_corpus on an ALREADY-cached frame is
+    # a no-op persist returning the caller's own object — releasing it
+    # at merge end would silently drop the caller's cache. Only frames
+    # whose caching this call introduced are released.
+    try:
+        caller_cached = bool(updates.is_cached)
+    except Exception:  # noqa: BLE001 — conservative: don't release
+        caller_cached = True
     updates = checkpoint_corpus(updates)
-    owned.append(updates)
+    if not caller_cached:
+        owned.append(updates)
 
     # --- delete keys: normalize to either a bounded driver list (the
     # exact tier) or a distributed DataFrame (the guarded tier). A list
@@ -868,6 +906,7 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
 
     tmp = path.rstrip("/") + "__merge_tmp"
     bak = path.rstrip("/") + "__merge_bak"
+    _refuse_stranded_tmp(spark, tmp, "merge_into")
     # partitioned: rewrite partition-aware (one task per partition value;
     # see delete_where). A key whose update carries a DIFFERENT partition
     # value migrates naturally — the stale row's file is in the affected
@@ -929,7 +968,7 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
     # swap. Bind the Path class and the hot FileSystem members ONCE;
     # the bound members are safe to call from the pool threads.
     HPath = jvm.org.apache.hadoop.fs.Path
-    fs_rename, fs_exists = fs.rename, fs.exists
+    fs_rename = fs.rename
     fs_mkdirs, fs_listStatus = fs.mkdirs, fs.listStatus
     stat2paths = jvm.org.apache.hadoop.fs.FileUtil.stat2Paths
     jtmp = HPath(tmp)
@@ -1209,6 +1248,7 @@ def delete_where(ctx, path: str, predicate) -> dict:
 
     tmp = path.rstrip("/") + "__delete_tmp"
     bak = path.rstrip("/") + "__delete_bak"
+    _refuse_stranded_tmp(spark, tmp, "delete_where")
     rows_deleted = whole_rows
     if boundary_abs:
         from pyspark.sql import functions as F
@@ -1336,6 +1376,7 @@ def update_where(ctx, path: str, predicate,
     updated = current.select(*out_cols)
     tmp = path.rstrip("/") + "__update_tmp"
     bak = path.rstrip("/") + "__update_bak"
+    _refuse_stranded_tmp(spark, tmp, "update_where")
     # partitioned: hash on the partition columns so each partition value
     # writes from one task (see delete_where)
     out = (updated.repartition(max(1, len(affected_abs)), *pcols)

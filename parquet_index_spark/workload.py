@@ -44,9 +44,17 @@ def _session_ctx(spark: SparkSession) -> QueryContext:
     land on the same id (round-10 verdict — the same hazard class fixed
     in pruning_spark's InBloom broadcast cache). applicationId is fresh
     per SparkContext, so a restarted session always gets a fresh
-    QueryContext."""
-    return _CTX_CACHE.setdefault(spark.sparkContext.applicationId,
-                                 QueryContext(spark))
+    QueryContext. Entries of dead applications are dropped on the next
+    insert (one context per process: a new applicationId means every
+    other app's context is stopped), so a session-cycling driver does
+    not accumulate them."""
+    key = spark.sparkContext.applicationId
+    ctx = _CTX_CACHE.get(key)
+    if ctx is None:
+        for stale in [k for k in _CTX_CACHE if k != key]:
+            del _CTX_CACHE[stale]
+        ctx = _CTX_CACHE[key] = QueryContext(spark)
+    return ctx
 
 #: idx_compact_roundtrip stashes its maintain_table decision telemetry
 #: here (files before/after, no-op second call) so bench.py can record

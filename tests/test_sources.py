@@ -1696,3 +1696,81 @@ class TestStagePoolKnob:
             SRC._STAGE_POOL = old
             if made is not None and made is not old:
                 made.shutdown(wait=False)
+
+
+class TestStrandedTmpGuards:
+    """Round-11 review: a rewrite must refuse to start while a stranded
+    staging dir exists — its mode('overwrite') write into tmp would
+    destroy displaced originals before the sidecar could protect them —
+    and the compact crash-window recovery must restore displaced
+    entries via vacuum instead of deleting tmp blindly."""
+
+    def test_dml_refuses_to_overwrite_stranded_tmp(self, spark, ctx,
+                                                   tmp_table_dir):
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import (delete_where, merge_into,
+                                                 update_where, vacuum_table)
+        path = os.path.join(tmp_table_dir, "guard")
+        (spark.range(0, 1000)
+         .select(F.col("id").alias("k"), (F.col("id") % 9).alias("v"))
+         .repartitionByRange(4, "k").write.parquet(path))
+        ctx.index.create.indexBy("k").parquet(path)
+        ups = spark.createDataFrame([(5, -1)], "k bigint, v bigint")
+        for suffix, call in (
+                ("__merge_tmp", lambda: merge_into(ctx, path, ups, "k")),
+                ("__delete_tmp",
+                 lambda: delete_where(ctx, path, "k < 10")),
+                ("__update_tmp",
+                 lambda: update_where(ctx, path, "k < 10",
+                                      {"v": F.lit(-1)}))):
+            tmp = path + suffix
+            os.makedirs(tmp)
+            with open(os.path.join(tmp, "part-stranded.parquet"),
+                      "wb") as fh:
+                fh.write(b"maybe the only copy")
+            with pytest.raises(IOError, match="vacuum"):
+                call()
+            assert os.path.exists(
+                os.path.join(tmp, "part-stranded.parquet"))
+            # vacuum clears the block (unclassifiable tmp is KEPT, so
+            # plant a sidecar claiming nothing was displaced)
+            from parquet_index_spark.sources import STAGE_SIDECAR
+            open(os.path.join(tmp, STAGE_SIDECAR), "w").close()
+            out = vacuum_table(spark, path)
+            assert tmp in out["removed"]
+        info = merge_into(ctx, path, ups, "k")
+        assert info["rows_updated"] == 1
+
+    def test_compact_crash_window_recovery_restores_displaced(
+            self, spark, ctx, tmp_table_dir):
+        """Simulate the between-the-two-renames crash state for
+        compact: bak holds the data files, tmp holds the rewrite AND a
+        displaced marker dir (sidecar-listed). Recovery must bring the
+        marker back instead of deleting it with tmp."""
+        import shutil
+        from parquet_index_spark.sources import (STAGE_SIDECAR,
+                                                 compact_table)
+        path = os.path.join(tmp_table_dir, "cw")
+        spark.range(0, 200).selectExpr("id AS k").repartition(4, "k") \
+            .write.parquet(path)
+        # displaced marker dir the swap would have carried
+        os.makedirs(os.path.join(path, "_sink_log"))
+        with open(os.path.join(path, "_sink_log", "0"), "w") as fh:
+            fh.write("v1")
+        # crash state: path renamed aside to bak; tmp holds rewrite
+        # output + the displaced marker + the sidecar listing it
+        tmp, bak = path + "__compact_tmp", path + "__compact_bak"
+        os.makedirs(tmp)
+        shutil.move(os.path.join(path, "_sink_log"),
+                    os.path.join(tmp, "_sink_log"))
+        with open(os.path.join(tmp, STAGE_SIDECAR), "w") as fh:
+            fh.write("_sink_log\n")
+        with open(os.path.join(tmp, "part-rewrite.parquet"), "wb") as fh:
+            fh.write(b"rewrite output")
+        os.rename(path, bak)
+        # re-entry heals: bak restored, marker restored from tmp
+        info = compact_table(spark, path, target_file_mb=1)
+        assert os.path.exists(os.path.join(path, "_sink_log", "0"))
+        assert not os.path.exists(bak + "/part-rewrite.parquet")
+        assert spark.read.parquet(path).count() == 200
+        assert info["files_before"] == 4
