@@ -1494,9 +1494,9 @@ def _metastore_for(spark: SparkSession, location: str) -> Metastore:
         # accumulate forever on a session-cycling driver (round-11
         # review)
         for stale in [k for k in _METASTORES if k[0] != key[0]]:
-            del _METASTORES[stale]
-        ms = Metastore(location)
-        _METASTORES[key] = ms
+            _METASTORES.pop(stale, None)  # pop: two racing callers may
+            # both snapshot the same stale key (round-11 review)
+        ms = _METASTORES.setdefault(key, Metastore(location))
     return ms
 
 

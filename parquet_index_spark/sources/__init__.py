@@ -419,20 +419,36 @@ def _recover_staged_swap(spark, path: str, tmp_suffix: str,
 
 
 def _refuse_stranded_tmp(spark, tmp: str, op: str) -> None:
-    """Refuse to start a rewrite whose staging dir already exists: after
-    a hard crash mid-staging, ``tmp`` can hold the only copies of
-    displaced originals, and the rewrite's ``mode("overwrite")`` write
-    into it would destroy them before the new swap ever runs (round-11
-    review — the staging sidecar protects vacuum, but only if nothing
-    overwrites tmp first). One exists() probe per DML call."""
+    """Guard a rewrite whose staging dir already exists. Two states:
+
+    - tmp WITH a sidecar: staging began, so tmp can hold the only
+      copies of displaced originals, and the rewrite's
+      ``mode("overwrite")`` write into it would destroy them before the
+      new swap ever runs (round-11 review). Raise and direct the
+      operator to vacuum_table, whose sidecar classification restores
+      the displaced entries and clears the dir — the retry then runs.
+    - tmp WITHOUT a sidecar: the sidecar is written before the FIRST
+      stage rename, so a sidecar-less tmp provably holds only rewrite
+      output (a crash during ``writer.parquet(tmp)``). Deleting it and
+      proceeding is safe and self-healing — raising here would be a
+      dead-end on unindexed tables, where vacuum's manifest fallback
+      can never classify the dir (round-11 review, second pass).
+
+    One exists() probe per DML call (plus one on the sidecar when tmp
+    exists)."""
     fs, jtmp = _fs_for(spark, tmp)
-    if fs.exists(jtmp):
-        raise IOError(
-            f"{op}: stranded staging dir {tmp!r} from an interrupted "
-            "rewrite — it may hold the only copy of displaced table "
-            "files. Run vacuum_table (or `python -m parquet_index_spark "
-            "vacuum <table>`) first; it restores displaced originals "
-            "from the staging sidecar and removes the leftovers.")
+    if not fs.exists(jtmp):
+        return
+    state, _side = _read_stage_sidecar(fs, spark._jvm, jtmp)
+    if state == "absent":
+        fs.delete(jtmp, True)  # rewrite output only: staging never began
+        return
+    raise IOError(
+        f"{op}: stranded staging dir {tmp!r} from an interrupted "
+        "rewrite — it may hold the only copy of displaced table "
+        "files. Run vacuum_table (or `python -m parquet_index_spark "
+        "vacuum <table>`) first; it restores displaced originals "
+        "from the staging sidecar and removes the leftovers.")
 
 
 def compact_table(spark, path: str, target_file_mb: int = 128,
@@ -643,9 +659,19 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
     """
     from parquet_index_spark.operators._ckpt import release_corpus
     owned: list = []
+    # Release-ownership probe on the CALLER'S OWN object, before any
+    # derived reassignment (round-11 review, second pass: is_cached is a
+    # Python-side instance attribute, so probing a select()-derived
+    # frame always reads False): under the reliable persist fallback a
+    # canonically-equal cached plan unpersisted at merge end would drop
+    # the caller's cache behind its back — skip the release then.
+    try:
+        caller_cached = bool(updates.is_cached)
+    except Exception:  # noqa: BLE001 — conservative: don't release
+        caller_cached = True
     try:
         return _merge_into_impl(ctx, path, updates, key, max_keys,
-                                delete_keys, owned)
+                                delete_keys, owned, caller_cached)
     finally:
         # under the reliable-checkpoint persist fallback each
         # materialized frame is PINNED in the CacheManager; a
@@ -659,7 +685,8 @@ def merge_into(ctx, path: str, updates: DataFrame, key: str,
 
 
 def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
-                     max_keys: int, delete_keys, owned: list) -> dict:
+                     max_keys: int, delete_keys, owned: list,
+                     caller_cached: bool) -> dict:
     import os
 
     from pyspark.sql import functions as F
@@ -668,6 +695,12 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
     from parquet_index_spark.pruning import prune_files
 
     spark = updates.sparkSession
+    # heal a crash between the swap's two renames BEFORE touching the
+    # table (the table dir is absent in that state; the index load
+    # below would fail with an unrelated missing-path error) —
+    # round-11 review, second pass: recovery was compact-only while
+    # all four DML ops share the same window
+    _recover_staged_swap(spark, path, "__merge_tmp", "__merge_bak")
     table = ctx.index.parquet(path)
     meta = table._metadata
     _require_index_current(spark, meta, "merge_into")
@@ -698,15 +731,9 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
     # joins all re-reference updates; without this each re-executes the
     # caller's full upstream plan. Also decouples a batch derived from
     # the table ITSELF from the directory before the staged swap.
-    # Release-ownership guard (round-11 review): under the reliable
-    # persist fallback, checkpoint_corpus on an ALREADY-cached frame is
-    # a no-op persist returning the caller's own object — releasing it
-    # at merge end would silently drop the caller's cache. Only frames
-    # whose caching this call introduced are released.
-    try:
-        caller_cached = bool(updates.is_cached)
-    except Exception:  # noqa: BLE001 — conservative: don't release
-        caller_cached = True
+    # Release-ownership guard (round-11 review): caller_cached was
+    # probed on the caller's ORIGINAL object in the wrapper — only
+    # frames whose caching this call introduced are released at the end.
     updates = checkpoint_corpus(updates)
     if not caller_cached:
         owned.append(updates)
@@ -1196,6 +1223,13 @@ def delete_where(ctx, path: str, predicate) -> dict:
     from parquet_index_spark import collector
     from parquet_index_spark import pruning as PR
 
+    # heal a crash between the swap's two renames BEFORE touching the
+    # table (the table dir is absent in that state; the index load
+    # below would fail with an unrelated missing-path error) —
+    # round-11 review, second pass: recovery was compact-only while
+    # all four DML ops share the same window
+    _recover_staged_swap(ctx.spark_session, path, "__delete_tmp",
+                         "__delete_bak")
     table = ctx.index.parquet(path)
     spark = table._spark
     meta = table._metadata
@@ -1317,6 +1351,13 @@ def update_where(ctx, path: str, predicate,
 
     if not assignments:
         raise ValueError("update_where requires at least one assignment")
+    # heal a crash between the swap's two renames BEFORE touching the
+    # table (the table dir is absent in that state; the index load
+    # below would fail with an unrelated missing-path error) —
+    # round-11 review, second pass: recovery was compact-only while
+    # all four DML ops share the same window
+    _recover_staged_swap(ctx.spark_session, path, "__update_tmp",
+                         "__update_bak")
     table = ctx.index.parquet(path)
     spark = table._spark
     meta = table._metadata
@@ -1565,15 +1606,21 @@ def vacuum_table(spark, path: str) -> dict:
                     # no sidecar: staging never started, tmp holds only
                     # rewrite output — the manifest rule remains for
                     # pre-sidecar strandings (and is vacuous here: the
-                    # rewrite's own files are never manifest-listed)
+                    # rewrite's own files are never manifest-listed).
+                    # ``_temporary`` is the committer's in-progress
+                    # scratch, never table state — restoring it would
+                    # plant junk the next swaps carry forever
+                    # (round-11 review, second pass)
                     rels = _manifest() if entries else frozenset()
                     if rels is False:
                         kept.append(cand)
                         continue
 
                     def _displaced(rel, _m=rels):
-                        return rel in _m or \
-                            rel.split("/", 1)[0].startswith(("_", "."))
+                        top = rel.split("/", 1)[0]
+                        if top == "_temporary":
+                            return False
+                        return rel in _m or top.startswith(("_", "."))
                 restore_failed = False
                 for src, rel in entries:
                     if not _displaced(rel):

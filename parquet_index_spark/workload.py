@@ -52,8 +52,9 @@ def _session_ctx(spark: SparkSession) -> QueryContext:
     ctx = _CTX_CACHE.get(key)
     if ctx is None:
         for stale in [k for k in _CTX_CACHE if k != key]:
-            del _CTX_CACHE[stale]
-        ctx = _CTX_CACHE[key] = QueryContext(spark)
+            _CTX_CACHE.pop(stale, None)  # pop + setdefault: two racing
+            # callers must not KeyError, and must share ONE context
+        ctx = _CTX_CACHE.setdefault(key, QueryContext(spark))
     return ctx
 
 #: idx_compact_roundtrip stashes its maintain_table decision telemetry

@@ -1705,10 +1705,14 @@ class TestStrandedTmpGuards:
     and the compact crash-window recovery must restore displaced
     entries via vacuum instead of deleting tmp blindly."""
 
-    def test_dml_refuses_to_overwrite_stranded_tmp(self, spark, ctx,
-                                                   tmp_table_dir):
+    def test_dml_refuses_to_overwrite_staged_tmp(self, spark, ctx,
+                                                 tmp_table_dir):
+        """A stranded tmp WITH a sidecar (staging began — it may hold
+        displaced originals) blocks every DML op until vacuum clears
+        it; the error names vacuum_table."""
         from pyspark.sql import functions as F
-        from parquet_index_spark.sources import (delete_where, merge_into,
+        from parquet_index_spark.sources import (STAGE_SIDECAR,
+                                                 delete_where, merge_into,
                                                  update_where, vacuum_table)
         path = os.path.join(tmp_table_dir, "guard")
         (spark.range(0, 1000)
@@ -1725,21 +1729,79 @@ class TestStrandedTmpGuards:
                                       {"v": F.lit(-1)}))):
             tmp = path + suffix
             os.makedirs(tmp)
-            with open(os.path.join(tmp, "part-stranded.parquet"),
-                      "wb") as fh:
-                fh.write(b"maybe the only copy")
+            with open(os.path.join(tmp, "part-out.parquet"), "wb") as fh:
+                fh.write(b"staged rewrite output")
+            # empty sidecar: staging began, nothing displaced (yet)
+            open(os.path.join(tmp, STAGE_SIDECAR), "w").close()
             with pytest.raises(IOError, match="vacuum"):
                 call()
-            assert os.path.exists(
-                os.path.join(tmp, "part-stranded.parquet"))
-            # vacuum clears the block (unclassifiable tmp is KEPT, so
-            # plant a sidecar claiming nothing was displaced)
-            from parquet_index_spark.sources import STAGE_SIDECAR
-            open(os.path.join(tmp, STAGE_SIDECAR), "w").close()
+            assert os.path.exists(os.path.join(tmp, "part-out.parquet"))
             out = vacuum_table(spark, path)
             assert tmp in out["removed"]
         info = merge_into(ctx, path, ups, "k")
         assert info["rows_updated"] == 1
+
+    def test_sidecar_less_tmp_self_heals(self, spark, ctx,
+                                         tmp_table_dir):
+        """A tmp WITHOUT a sidecar provably holds only rewrite output
+        (the sidecar precedes the first stage rename), so DML deletes
+        it and proceeds — raising here would be a dead-end on unindexed
+        tables, where vacuum's manifest fallback cannot classify."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.sources import merge_into
+        path = os.path.join(tmp_table_dir, "heal")
+        (spark.range(0, 500)
+         .select(F.col("id").alias("k"), (F.col("id") % 9).alias("v"))
+         .repartitionByRange(4, "k").write.parquet(path))
+        ctx.index.create.indexBy("k").parquet(path)
+        tmp = path + "__merge_tmp"
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "part-crash.parquet"), "wb") as fh:
+            fh.write(b"mid-write crash output")
+        ups = spark.createDataFrame([(5, -1)], "k bigint, v bigint")
+        info = merge_into(ctx, path, ups, "k")
+        assert info["rows_updated"] == 1
+        assert spark.read.parquet(path).count() == 500
+        assert not os.path.exists(os.path.join(path,
+                                               "part-crash.parquet"))
+
+    def test_merge_crash_window_recovery(self, spark, ctx,
+                                         tmp_table_dir):
+        """Recovery from the between-the-two-renames crash is no longer
+        compact-only: a merge bak-without-table state heals on the next
+        merge_into entry, displaced entries restored via the sidecar."""
+        import glob
+        import shutil
+        from parquet_index_spark.sources import (STAGE_SIDECAR,
+                                                 merge_into)
+        path = self._indexed_table_g(spark, ctx, tmp_table_dir, "mcw")
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        carried = os.path.basename(files[-1])
+        before = spark.read.parquet(path).count()
+        tmp, bak = path + "__merge_tmp", path + "__merge_bak"
+        os.makedirs(tmp)
+        shutil.move(files[-1], os.path.join(tmp, carried))
+        with open(os.path.join(tmp, STAGE_SIDECAR), "w") as fh:
+            fh.write(carried + "\n")
+        with open(os.path.join(tmp, "part-rewrite.parquet"), "wb") as fh:
+            fh.write(b"never-visible rewrite")
+        os.rename(path, bak)
+        ups = spark.createDataFrame([(5, -1)], "k bigint, v bigint")
+        info = merge_into(ctx, path, ups, "k")
+        assert info["rows_updated"] == 1
+        assert not os.path.exists(bak) and not os.path.exists(tmp)
+        assert spark.read.parquet(path).count() == before
+        assert not os.path.exists(os.path.join(path,
+                                               "part-rewrite.parquet"))
+
+    def _indexed_table_g(self, spark, ctx, tmp_table_dir, name):
+        from pyspark.sql import functions as F
+        path = os.path.join(tmp_table_dir, name)
+        (spark.range(0, 1000)
+         .select(F.col("id").alias("k"), (F.col("id") % 9).alias("v"))
+         .repartitionByRange(4, "k").write.parquet(path))
+        ctx.index.create.indexBy("k").parquet(path)
+        return path
 
     def test_compact_crash_window_recovery_restores_displaced(
             self, spark, ctx, tmp_table_dir):
@@ -1771,6 +1833,10 @@ class TestStrandedTmpGuards:
         # re-entry heals: bak restored, marker restored from tmp
         info = compact_table(spark, path, target_file_mb=1)
         assert os.path.exists(os.path.join(path, "_sink_log", "0"))
-        assert not os.path.exists(bak + "/part-rewrite.parquet")
+        # the stranded rewrite output was discarded, not restored into
+        # the healed table (check PATH — bak no longer exists at all)
+        assert not os.path.exists(os.path.join(path,
+                                               "part-rewrite.parquet"))
+        assert not os.path.exists(bak)
         assert spark.read.parquet(path).count() == 200
         assert info["files_before"] == 4
