@@ -270,12 +270,18 @@ def main() -> None:
 
     # 15. round-11 parallel staged swap (r10 verdict #4): stage ~10k
     # untouched flat-layout files through a full swap, serial-floor vs
-    # pooled. Two regimes: RAW local FS (renames complete in ~0.1ms, so
-    # there is almost no latency for the pool to hide — py4j+GIL chatter
-    # dominates and the speedup is modest by design) and EMULATED
-    # NameNode RPC (1ms sleep per rename, conservative for a loaded
-    # NameNode; the sleep releases the GIL exactly like the real socket
-    # wait, so this measures the latency-hiding the pool exists for).
+    # pooled. Three regimes: RAW local FS (renames complete in ~0.1ms,
+    # so there is almost no latency for the pool to hide — py4j+GIL
+    # chatter dominates and pooled can even LOSE to serial, by design)
+    # and EMULATED NameNode RPC at 1ms and 5ms per rename (the sleep
+    # releases the GIL exactly like the real socket wait, so this
+    # measures the latency-hiding the pool exists for). The speedup is
+    # bounded by the GIL-held py4j marshalling each rename task cannot
+    # shed (~0.6ms across its 3 roundtrips — 2 Path constructions + the
+    # rename — measured as the pooled rpc1ms-minus-local delta), so it
+    # GROWS with real RPC latency: ~(lat + 0.6ms)/0.6ms ideal →
+    # measured ~1.25x at 1ms, ~3-4x at 5ms, more on a loaded NameNode
+    # (5-20ms under the mass-metadata-op regimes this pool targets).
     import time as _time
 
     import parquet_index_spark.sources as SRC
@@ -318,7 +324,8 @@ def main() -> None:
     floor = SRC._STAGE_PARALLEL_FLOOR
     stage_r = {"files": n_stage,
                "pool_threads": SRC._stage_pool(spark)._max_workers}
-    for regime, delay in (("local", 0.0), ("rpc1ms", 0.001)):
+    for regime, delay in (("local", 0.0), ("rpc1ms", 0.001),
+                          ("rpc5ms", 0.005)):
         SRC._STAGE_PARALLEL_FLOOR = 1 << 60   # force the serial path
         try:
             serial_sec, _ = _timed(lambda: run_swap(delay))
