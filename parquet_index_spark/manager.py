@@ -1493,9 +1493,12 @@ def _metastore_for(spark: SparkSession, location: str) -> Metastore:
         # Metastore (and 16-entry metadata cache) would otherwise
         # accumulate forever on a session-cycling driver (round-11
         # review)
-        for stale in [k for k in _METASTORES if k[0] != key[0]]:
+        for stale in [k for k in list(_METASTORES) if k[0] != key[0]]:
             _METASTORES.pop(stale, None)  # pop: two racing callers may
-            # both snapshot the same stale key (round-11 review)
+            # both snapshot the same stale key; list() first: a pop from
+            # a racing thread mid-iteration would otherwise raise
+            # "dictionary changed size during iteration" (round-11
+            # review, third pass)
         ms = _METASTORES.setdefault(key, Metastore(location))
     return ms
 

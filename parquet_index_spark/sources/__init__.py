@@ -389,8 +389,7 @@ def _require_index_current(spark, meta, op: str) -> None:
             "ctx.index.refresh.parquet(path) first.")
 
 
-def _recover_staged_swap(spark, path: str, tmp_suffix: str,
-                         bak_suffix: str) -> bool:
+def _recover_staged_swap(spark, path: str, bak_suffix: str) -> bool:
     """Heal the compaction crash window: the swap is two renames
     (path -> bak, tmp -> path), and a crash between them leaves the
     table path absent with all data intact in the bak dir — a naive
@@ -418,7 +417,7 @@ def _recover_staged_swap(spark, path: str, tmp_suffix: str,
     return True
 
 
-def _refuse_stranded_tmp(spark, tmp: str, op: str) -> None:
+def _refuse_stranded_tmp(spark, path: str, tmp: str, op: str) -> None:
     """Guard a rewrite whose staging dir already exists. Two states:
 
     - tmp WITH a sidecar: staging began, so tmp can hold the only
@@ -427,12 +426,19 @@ def _refuse_stranded_tmp(spark, tmp: str, op: str) -> None:
       new swap ever runs (round-11 review). Raise and direct the
       operator to vacuum_table, whose sidecar classification restores
       the displaced entries and clears the dir — the retry then runs.
-    - tmp WITHOUT a sidecar: the sidecar is written before the FIRST
-      stage rename, so a sidecar-less tmp provably holds only rewrite
-      output (a crash during ``writer.parquet(tmp)``). Deleting it and
-      proceeding is safe and self-healing — raising here would be a
-      dead-end on unindexed tables, where vacuum's manifest fallback
-      can never classify the dir (round-11 review, second pass).
+    - tmp WITHOUT a sidecar: staging always creates the sidecar FILE
+      (even with zero displaced entries) before the FIRST stage rename,
+      so a sidecar-less tmp from THIS version holds only rewrite output
+      (a crash during ``writer.parquet(tmp)``) and is safe to delete.
+      But a PRE-sidecar-era stranding (a round-10 rollback failure) can
+      hold displaced originals with no sidecar — and those only arise
+      from index-requiring DML, so the manifest rule can always
+      classify them: an INDEXED table's sidecar-less tmp routes through
+      :func:`vacuum_table` (restore manifest-listed / marker-prefixed
+      entries, discard rewrite output); only an UNindexed table's tmp
+      is deleted outright, where no pre-sidecar DML stranding can exist
+      and raising would be a dead-end (round-11 review, third pass —
+      the blind delete destroyed upgrade-era displaced originals).
 
     One exists() probe per DML call (plus one on the sidecar when tmp
     exists)."""
@@ -441,8 +447,18 @@ def _refuse_stranded_tmp(spark, tmp: str, op: str) -> None:
         return
     state, _side = _read_stage_sidecar(fs, spark._jvm, jtmp)
     if state == "absent":
-        fs.delete(jtmp, True)  # rewrite output only: staging never began
-        return
+        try:
+            indexed = QueryContext(spark).index.exists.parquet(path)
+        except Exception:  # noqa: BLE001 — unreadable metastore: let
+            indexed = True  # vacuum classify (or keep) conservatively
+        if indexed:
+            vacuum_table(spark, path)
+            if not fs.exists(jtmp):
+                return
+            # vacuum KEPT the dir: unclassifiable, fall through to raise
+        else:
+            fs.delete(jtmp, True)  # unindexed: rewrite output only
+            return
     raise IOError(
         f"{op}: stranded staging dir {tmp!r} from an interrupted "
         "rewrite — it may hold the only copy of displaced table "
@@ -489,7 +505,12 @@ def compact_table(spark, path: str, target_file_mb: int = 128,
 
     if target_file_mb < 1:
         raise ValueError(f"target_file_mb must be >= 1, got {target_file_mb}")
-    _recover_staged_swap(spark, path, "__compact_tmp", "__compact_bak")
+    _recover_staged_swap(spark, path, "__compact_bak")
+    # fail-fast on a stranded staging dir BEFORE planning the rewrite
+    # (round-11 review, third pass: probing just before the tmp write
+    # wasted the whole rewrite plan on a doomed call)
+    _refuse_stranded_tmp(spark, path, path.rstrip("/") + "__compact_tmp",
+                         "compact_table")
     files = _parquet_files(spark, path)
     if not files:
         raise ValueError(f"no parquet data files under {path!r}")
@@ -537,7 +558,6 @@ def compact_table(spark, path: str, target_file_mb: int = 128,
         out = out.repartition(int(n_target))
     tmp = path.rstrip("/") + "__compact_tmp"
     bak = path.rstrip("/") + "__compact_bak"
-    _refuse_stranded_tmp(spark, tmp, "compact_table")
     writer = out.write.mode("overwrite")
     if pcols:
         writer = writer.partitionBy(*pcols)
@@ -588,7 +608,7 @@ def maintain_table(spark, path: str, max_files: int = 64,
     """
     if max_files < 1:
         raise ValueError(f"max_files must be >= 1, got {max_files}")
-    _recover_staged_swap(spark, path, "__compact_tmp", "__compact_bak")
+    _recover_staged_swap(spark, path, "__compact_bak")
     files = _parquet_files(spark, path)
     if not files:
         raise ValueError(f"no parquet data files under {path!r}")
@@ -700,7 +720,13 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
     # below would fail with an unrelated missing-path error) —
     # round-11 review, second pass: recovery was compact-only while
     # all four DML ops share the same window
-    _recover_staged_swap(spark, path, "__merge_tmp", "__merge_bak")
+    _recover_staged_swap(spark, path, "__merge_bak")
+    # fail-fast on a stranded staging dir BEFORE the batch's eager
+    # compute (round-11 review, third pass: the probe sat just before
+    # the tmp write, after minutes of checkpoint/aggregate work on a
+    # real CDC batch that was doomed to raise)
+    _refuse_stranded_tmp(spark, path, path.rstrip("/") + "__merge_tmp",
+                         "merge_into")
     table = ctx.index.parquet(path)
     meta = table._metadata
     _require_index_current(spark, meta, "merge_into")
@@ -933,7 +959,6 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
 
     tmp = path.rstrip("/") + "__merge_tmp"
     bak = path.rstrip("/") + "__merge_bak"
-    _refuse_stranded_tmp(spark, tmp, "merge_into")
     # partitioned: rewrite partition-aware (one task per partition value;
     # see delete_where). A key whose update carries a DIFFERENT partition
     # value migrates naturally — the stale row's file is in the affected
@@ -1228,8 +1253,9 @@ def delete_where(ctx, path: str, predicate) -> dict:
     # below would fail with an unrelated missing-path error) —
     # round-11 review, second pass: recovery was compact-only while
     # all four DML ops share the same window
-    _recover_staged_swap(ctx.spark_session, path, "__delete_tmp",
-                         "__delete_bak")
+    _recover_staged_swap(ctx.spark_session, path, "__delete_bak")
+    _refuse_stranded_tmp(ctx.spark_session, path,
+                         path.rstrip("/") + "__delete_tmp", "delete_where")
     table = ctx.index.parquet(path)
     spark = table._spark
     meta = table._metadata
@@ -1282,7 +1308,6 @@ def delete_where(ctx, path: str, predicate) -> dict:
 
     tmp = path.rstrip("/") + "__delete_tmp"
     bak = path.rstrip("/") + "__delete_bak"
-    _refuse_stranded_tmp(spark, tmp, "delete_where")
     rows_deleted = whole_rows
     if boundary_abs:
         from pyspark.sql import functions as F
@@ -1356,8 +1381,9 @@ def update_where(ctx, path: str, predicate,
     # below would fail with an unrelated missing-path error) —
     # round-11 review, second pass: recovery was compact-only while
     # all four DML ops share the same window
-    _recover_staged_swap(ctx.spark_session, path, "__update_tmp",
-                         "__update_bak")
+    _recover_staged_swap(ctx.spark_session, path, "__update_bak")
+    _refuse_stranded_tmp(ctx.spark_session, path,
+                         path.rstrip("/") + "__update_tmp", "update_where")
     table = ctx.index.parquet(path)
     spark = table._spark
     meta = table._metadata
@@ -1417,7 +1443,6 @@ def update_where(ctx, path: str, predicate,
     updated = current.select(*out_cols)
     tmp = path.rstrip("/") + "__update_tmp"
     bak = path.rstrip("/") + "__update_bak"
-    _refuse_stranded_tmp(spark, tmp, "update_where")
     # partitioned: hash on the partition columns so each partition value
     # writes from one task (see delete_where)
     out = (updated.repartition(max(1, len(affected_abs)), *pcols)
@@ -1529,10 +1554,54 @@ def vacuum_table(spark, path: str) -> dict:
     Stranded ``*_bak`` means the crash hit INSIDE the two-rename swap
     window — the table may BE the rewrite and the bak the only copy of
     the pre-image, so bak dirs are only removed when the table
-    directory itself exists and is non-empty. Returns {removed:
-    [paths], kept: [paths], restored: [file paths]}."""
+    directory itself exists and is non-empty. When the table dir is
+    ABSENT and a bak exists ALONGSIDE the op's sidecar-bearing tmp —
+    the state a swap-window crash always leaves, since staging fully
+    completes before the renames — vacuum HEALS the window first
+    (round-11 review, third pass): the bak is renamed back to the table
+    path, the same restore every DML entry point performs, and the tmp
+    classification then completes the recovery by restoring the
+    sidecar-listed displaced entries into it, so the 3am CLI run
+    recovers the table instead of exiting 3 on two kept dirs. An orphan
+    bak WITHOUT that corroborating tmp stays kept as before. Returns
+    {removed: [paths], kept: [paths], restored: [file paths; the table
+    path itself for a whole-table bak restore]}."""
     fs, jpath = _fs_for(spark, path)
     jvm = spark._jvm
+    # heal the swap-window crash FIRST (round-11 review, third pass):
+    # bak present with the table dir ABSENT means the crash landed
+    # between the swap's two renames — the bak holds the pre-image of
+    # the rewritten files and IS the table. The DML entry points
+    # self-heal this state, but the 3am runbook path is THIS function
+    # (and the CLI wrapping it), which previously kept both dirs and
+    # recovered nothing: exit 3, dead end. Restoring bak first also
+    # gives the tmp classification below a table dir to restore the
+    # sidecar-listed displaced entries into, completing the recovery in
+    # one call — the same sequence as _recover_staged_swap. A failed
+    # restore rename leaves bak in place; the main loop then KEEPS it
+    # (table_ok is false), never deletes it.
+    removed, kept, restored = [], [], []
+    base = path.rstrip("/")
+    for op in ("merge", "delete", "update", "compact"):
+        jbak = jvm.org.apache.hadoop.fs.Path(f"{base}__{op}_bak")
+        jtmp = jvm.org.apache.hadoop.fs.Path(f"{base}__{op}_tmp")
+        if not (fs.exists(jbak) and not fs.exists(jpath)
+                and fs.exists(jtmp)):
+            continue
+        # corroborate the swap window before restoring: by the time the
+        # swap renames run, staging has fully completed, so the genuine
+        # crash state ALWAYS has the op's tmp with a readable sidecar
+        # alongside. An orphan bak with no such tmp is ambiguous
+        # (possibly the only copy of a pre-image) and stays KEPT, the
+        # pre-round-11 contract.
+        state, _s = _read_stage_sidecar(fs, jvm, jtmp)
+        if state != "ok":
+            continue
+        try:
+            if fs.rename(jbak, jpath):
+                restored.append(path)  # whole-table restore
+        except Exception:  # noqa: BLE001 — flaky FS: keep bak
+            pass
     table_ok = False
     if fs.exists(jpath):
         it = fs.listFiles(jpath, True)
@@ -1541,8 +1610,6 @@ def vacuum_table(spark, path: str) -> dict:
             if nm.endswith(".parquet") and not nm.startswith(("_", ".")):
                 table_ok = True
                 break
-    removed, kept, restored = [], [], []
-    base = path.rstrip("/")
     manifest_rel = None  # lazy: loaded on the first NON-EMPTY tmp only
 
     def _manifest():

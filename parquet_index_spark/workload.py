@@ -51,9 +51,10 @@ def _session_ctx(spark: SparkSession) -> QueryContext:
     key = spark.sparkContext.applicationId
     ctx = _CTX_CACHE.get(key)
     if ctx is None:
-        for stale in [k for k in _CTX_CACHE if k != key]:
+        for stale in [k for k in list(_CTX_CACHE) if k != key]:
             _CTX_CACHE.pop(stale, None)  # pop + setdefault: two racing
-            # callers must not KeyError, and must share ONE context
+            # callers must not KeyError, and must share ONE context;
+            # list() first so a racing pop cannot break the iteration
         ctx = _CTX_CACHE.setdefault(key, QueryContext(spark))
     return ctx
 

@@ -698,6 +698,42 @@ class TestVacuumCli:
         assert not os.path.exists(tmp)
         assert spark.read.parquet(path).count() == 400
 
+    def test_vacuum_cli_heals_swap_window_crash(self, spark, ctx,
+                                                tmp_table_dir, capsys):
+        """Round-11 review (third pass): the crash BETWEEN the swap's
+        two renames (bak present, table dir absent, tmp fully staged)
+        previously dead-ended the CLI with exit 3 on two kept dirs —
+        while every DML entry self-heals the same state. vacuum_table
+        now restores the bak first, then the sidecar-listed displaced
+        entries, so the 3am runbook path recovers the table."""
+        import glob
+        import json
+        import shutil
+
+        from parquet_index_spark.__main__ import main
+        from parquet_index_spark.sources import STAGE_SIDECAR
+        path = os.path.join(tmp_table_dir, "cli_swapwin")
+        spark.range(0, 400).selectExpr("id AS k").repartition(4, "k") \
+            .write.parquet(path)
+        ctx.index.create.indexBy("k").parquet(path)
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        carried = os.path.basename(files[-1])
+        tmp, bak = path + "__merge_tmp", path + "__merge_bak"
+        os.makedirs(tmp)
+        shutil.move(files[-1], os.path.join(tmp, carried))
+        with open(os.path.join(tmp, STAGE_SIDECAR), "w") as fh:
+            fh.write(carried + "\n")
+        with open(os.path.join(tmp, "part-rewrite.parquet"), "wb") as fh:
+            fh.write(b"never-visible rewrite")
+        os.rename(path, bak)
+        assert main(["vacuum", path]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["kept"] == []
+        assert path in out["restored"]           # whole-table bak restore
+        assert os.path.join(path, carried) in out["restored"]
+        assert not os.path.exists(bak) and not os.path.exists(tmp)
+        assert spark.read.parquet(path).count() == 400
+
     def test_vacuum_cli_kept_dirs_exit_3(self, spark, tmp_table_dir,
                                          capsys):
         import json

@@ -1743,10 +1743,13 @@ class TestStrandedTmpGuards:
 
     def test_sidecar_less_tmp_self_heals(self, spark, ctx,
                                          tmp_table_dir):
-        """A tmp WITHOUT a sidecar provably holds only rewrite output
-        (the sidecar precedes the first stage rename), so DML deletes
-        it and proceeds — raising here would be a dead-end on unindexed
-        tables, where vacuum's manifest fallback cannot classify."""
+        """A current-version tmp WITHOUT a sidecar holds only rewrite
+        output (the sidecar file precedes the first stage rename), so
+        DML clears it and proceeds. On an INDEXED table the clearing
+        routes through vacuum's manifest classification (round-11
+        review, third pass — see the pre-sidecar test below); the junk
+        part file is not manifest-listed, so it is discarded either
+        way."""
         from pyspark.sql import functions as F
         from parquet_index_spark.sources import merge_into
         path = os.path.join(tmp_table_dir, "heal")
@@ -1764,6 +1767,36 @@ class TestStrandedTmpGuards:
         assert spark.read.parquet(path).count() == 500
         assert not os.path.exists(os.path.join(path,
                                                "part-crash.parquet"))
+
+    def test_presidecar_stranding_on_indexed_table_restores(
+            self, spark, ctx, tmp_table_dir):
+        """Upgrade hazard (round-11 review, third pass): a PRE-sidecar
+        -era stranding (round-10 rollback failure) holds displaced
+        ORIGINALS in a tmp with no sidecar. The sidecar-less self-heal
+        must not blind-delete those: on an indexed table the entry
+        guard routes through vacuum's manifest rule, which restores the
+        manifest-listed original before the merge proceeds."""
+        import glob
+        import shutil
+        from parquet_index_spark.sources import merge_into
+        path = self._indexed_table_g(spark, ctx, tmp_table_dir, "presc")
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        displaced = os.path.basename(files[-1])
+        before = spark.read.parquet(path).count()
+        tmp = path + "__merge_tmp"
+        os.makedirs(tmp)
+        # r10-era stranding: displaced original in tmp, NO sidecar
+        shutil.move(files[-1], os.path.join(tmp, displaced))
+        with open(os.path.join(tmp, "part-rewrite.parquet"), "wb") as fh:
+            fh.write(b"stale rewrite output")
+        ups = spark.createDataFrame([(5, -1)], "k bigint, v bigint")
+        info = merge_into(ctx, path, ups, "k")
+        assert info["rows_updated"] == 1
+        assert not os.path.exists(tmp)
+        assert os.path.exists(os.path.join(path, displaced))
+        assert spark.read.parquet(path).count() == before
+        assert not os.path.exists(os.path.join(path,
+                                               "part-rewrite.parquet"))
 
     def test_merge_crash_window_recovery(self, spark, ctx,
                                          tmp_table_dir):
