@@ -258,12 +258,19 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
       path, in BOTH directions (round-11 extended the round-10
       ascending cut to ``descending=True`` — no encoding negation, the
       cut itself runs descending, so there is no LONG_MIN overflow
-      hazard). Everything else (strings, floats, explicit asc/desc
-      wrappers) keeps the classic one-shuffle ``row_number() OVER
-      (PARTITION BY group ORDER BY ...)`` — correct for any orderable
-      type but streaming each group through a single task; keep it for
-      bounded groups. NULL order keys sort exactly like the window
-      form: first ascending, last descending.
+      hazard). float/double keys also ride the cut when a
+      composition-time probe finds the column NaN-free (round-11 —
+      they are already numeric, ties resolve through Spark's own
+      comparisons so ``-0.0``/``0.0`` behave exactly like the window);
+      a NaN anywhere stands the call down to the window with a named
+      warning (the score contract is non-NaN, and the window's
+      NaN-greatest ordering must be preserved). Everything else
+      (strings, decimals, explicit asc/desc wrappers) keeps the classic
+      one-shuffle ``row_number() OVER (PARTITION BY group ORDER BY
+      ...)`` — correct for any orderable type but streaming each group
+      through a single task; keep it for bounded groups. NULL order
+      keys sort exactly like the window form: first ascending, last
+      descending.
       Symmetric with the score path's degenerate audit (round-8 verdict
       #3), a dominant group no longer serializes SILENTLY: groups over
       ``degenerate_floor`` rows raise a named ``UserWarning`` (one extra
@@ -315,6 +322,8 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
     if distributed_order_by and not _is_sort_order(oc) \
             and not df.isStreaming:
         enc = _monotone_long_encoding(df, oc)
+        if enc is None:
+            enc = _nan_free_float_key(df, oc)
         if enc is not None:
             out = top_fraction_per_group(
                 df.withColumn("__cap_ord", enc), group, 1.0, "__cap_ord",
@@ -350,10 +359,10 @@ def _monotone_long_encoding(df: DataFrame, col) -> "Column | None":
       can merge distinct wall times inside a spring-forward gap, which
       would silently reorder ties at the cut.
 
-    Strings/floats/decimals return None: strings have no numeric
-    encoding, floats would change the documented NaN behavior (the
-    window path sorts NaN greatest; the score path's contract is
-    non-NaN), decimals can exceed long range.
+    Strings/decimals return None: strings have no numeric encoding,
+    decimals can exceed long range. float/double are handled separately
+    (:func:`_nan_free_float_key` — already numeric, no encoding needed,
+    but gated on a NaN probe).
     """
     import re as _re
 
@@ -379,6 +388,46 @@ def _monotone_long_encoding(df: DataFrame, col) -> "Column | None":
                 _re.fullmatch(r"[+-]\d{2}:\d{2}", tz or ""):
             return F.unix_micros(col.cast("timestamp"))
     return None
+
+
+def _nan_free_float_key(df: DataFrame, col) -> "Column | None":
+    """float/double order keys for the distributed rank cut (round-11):
+    they are already numeric, so no encoding is needed — the score path
+    buckets on the double cast (exact for floats) and resolves ties
+    with Spark's OWN comparisons, so ``-0.0``/``0.0`` tie exactly like
+    the window form and NULLs land where default ordering puts them
+    (same contract as the window: first asc / last desc).
+
+    The ONE reason floats were excluded is NaN: the score contract is
+    non-NaN, while the window path sorts NaN greatest (all NaNs tie).
+    A composition-time probe — one map-side-combinable aggregate over
+    the single column (the rewrite is already eager; this joins its
+    existing checkpoint/count probes) — verifies the column is NaN-free
+    and stands down to the audited window with a named warning when it
+    is not. Infinities pass the gate: they keep the cut CORRECT (bucket
+    order still == score order — every finite row of an infinite-span
+    group lands in bucket 0 and the exact in-bucket rank window decides)
+    but collapse that group's bucketization, which the non-finite-span
+    arm of top_fraction_per_group's degenerate audit names."""
+    from pyspark.sql.types import DoubleType, FloatType
+    try:
+        dt = df.select(col).schema[0].dataType
+    except Exception:  # noqa: BLE001 — unresolvable: let the window
+        return None    # path raise the real analysis error
+    if not isinstance(dt, (FloatType, DoubleType)):
+        return None
+    row = df.agg(
+        F.max(F.when(F.isnan(col), F.lit(1)).otherwise(F.lit(0)))).first()
+    if row and row[0]:
+        import warnings
+        warnings.warn(
+            "cap_per_group: the float order_by column contains NaN — "
+            "the distributed rank cut's score contract is non-NaN, so "
+            "this call keeps the one-task-per-group window form. "
+            "Filter the NaNs (or re-map them) to ride the distributed "
+            "cut.", UserWarning, stacklevel=3)
+        return None
+    return col
 
 
 def pack_chunks(df: DataFrame, tokens: ColumnOrName, budget: int,
@@ -642,23 +691,39 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     from parquet_index_spark.operators._ckpt import checkpoint_metadata
     mm = checkpoint_metadata(mm)
     mm_small = mm.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
-    if mm_small and not degenerate_escape:
+    if mm_small:
         # the audit is only affordable when |groups| is bounded — a tiny
-        # filter over the checkpointed frame, no data rescans. With the
-        # escape on, the warning below can never fire, so skip the
-        # collect entirely rather than run a job whose result is unused.
-        deg = (mm.filter((F.col("__tf_mn") == F.col("__tf_mx"))
+        # filter over the checkpointed frame, no data rescans. Two
+        # degenerate shapes collapse a group to ONE bucket:
+        # - constant score (span == 0): the escape's tiebreak-hash
+        #   sub-bucketing handles it, so with the escape on this arm is
+        #   skipped rather than warn about a handled case;
+        # - NON-FINITE span (an infinite score makes span Inf, so every
+        #   finite row's pos/span floors to bucket 0; +-Inf extremes
+        #   make span NaN, same collapse — round-11 review): the cut
+        #   stays CORRECT (the exact in-bucket rank window decides) but
+        #   serializes the group, and the ESCAPE CANNOT fix it (scores
+        #   are not tied, so hash sub-bucketing would break rank order)
+        #   — this arm is audited even with the escape on.
+        span = F.col("__tf_mx") - F.col("__tf_mn")
+        nonfinite = F.isnan(span) | (span == F.lit(float("inf")))
+        shape = nonfinite if degenerate_escape else \
+            nonfinite | (F.col("__tf_mn") == F.col("__tf_mx"))
+        deg = (mm.filter(shape
                          & (F.col("__tf_cnt") > F.lit(int(degenerate_floor))))
                .select("__tf_g", "__tf_cnt").limit(20).collect())
         if deg:
             import warnings
             warnings.warn(
-                "top_fraction_per_group: constant-score group(s) "
+                "top_fraction_per_group: constant-score or "
+                "infinite-score-span group(s) "
                 f"{[(r[0], r[1]) for r in deg]} exceed "
                 f"degenerate_floor={degenerate_floor} rows and collapse "
                 "to ONE score bucket — the rank window degenerates to a "
-                "single task per such group. Pass degenerate_escape=True "
-                "(tiebreak-hash sub-bucketing) or pre-thin these groups.",
+                "single task per such group. For constant scores pass "
+                "degenerate_escape=True (tiebreak-hash sub-bucketing); "
+                "for infinite scores clamp or re-map them — the escape "
+                "cannot sub-bucket a non-tied group.",
                 UserWarning, stacklevel=2)
     mm_b = F.broadcast(mm) if mm_small else mm
     base = df.join(mm_b, g.eqNullSafe(F.col("__tf_g")))

@@ -5321,6 +5321,41 @@ ORDER BY event_type
 """
 
 
+def float_rank_docs_per_lang(spark, sf_dir):
+    """Top-N-per-key on a FLOAT order key — cap_per_group's round-11
+    float/double rank-cut path: a NaN-free double column rides the same
+    distributed bucketed cut as the monotone-encodable types (it is
+    already numeric; a composition-time probe gates on NaN). The score
+    is tie-heavy by construction (``n_chars % 97 / 8.0`` — exact binary
+    division, bit-identical in Spark and DuckDB) so the doc_id tiebreak
+    is load-bearing, and ``-0.0``/``0.0``-class tie semantics are pinned
+    by the oracle's ROW_NUMBER ... ORDER BY score DESC, doc_id."""
+    from parquet_index_spark.operators import sampling as SA
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "score", (F.col("n_chars") % 97).cast("double") / F.lit(8.0))
+    kept = SA.cap_per_group(scored, "lang", 3, F.col("score"),
+                            F.col("doc_id"), descending=True,
+                            hot_key_audit=False)
+    return kept.select("lang", "doc_id", "score").orderBy("lang", "doc_id")
+
+
+FLOAT_RANK_DOCS_SQL = """
+WITH scored AS (
+  SELECT lang, doc_id,
+         CAST(n_chars % 97 AS DOUBLE) / 8.0 AS score
+  FROM documents),
+ranked AS (
+  SELECT lang, doc_id, score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scored)
+SELECT lang, doc_id, score
+FROM ranked WHERE rn <= 3
+ORDER BY lang, doc_id
+"""
+
+
 def hll_union_sketch_parts(spark, sf_dir):
     """Mergeable-sketch distinct counting: per-(flag, month) DataSketches
     HLL partials unioned to flag level, estimate checked against the
@@ -6226,6 +6261,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "idx_join_dpp_bloom": (idx_join_dpp_bloom, IDX_DPP_BLOOM_SQL),
     # round-11 additions
     "latest_events_per_user": (latest_events_per_user, LATEST_EVENTS_SQL),
+    "float_rank_docs_per_lang": (float_rank_docs_per_lang,
+                                 FLOAT_RANK_DOCS_SQL),
 }
 
 # Round-9 grading window (round-5 verdict ask #6 policy): the driver
@@ -6240,13 +6277,15 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
 # two independently maintained magic lengths silently diverge
 CHANGED_HEAD = [
     # round-11 changed surface (changed code needs a fresh driver
-    # certification): the NEW descending rank-cut query and its
-    # ascending sibling (cap_per_group's order_by path gained
-    # descending + the distributed_order_by knob), every consumer of
+    # certification): the NEW float-order-key rank-cut query, the NEW
+    # descending rank-cut query and its ascending sibling
+    # (cap_per_group's order_by path gained float/double keys,
+    # descending, and the distributed_order_by knob), every consumer of
     # the rewritten staged swap (merge/CDC sinks, range DML, partition
     # DML, compaction), merge_into's frame-release wrapper, and
     # top_fraction's offsets-checkpoint routing (quality gate + grouped
     # cosine top-k ride the same cut)
+    "float_rank_docs_per_lang",
     "latest_events_per_user", "earliest_events_per_user",
     "merge_delete_orders", "merge_upsert_orders", "stream_merge_cdc_ops",
     "stream_merge_upsert", "idx_delete_range", "idx_update_range",

@@ -345,6 +345,66 @@ class TestCapPerGroup:
             assert sorted(map(tuple, got.collect())) \
                 == sorted(map(tuple, want.collect())), order
 
+    def test_order_by_float_rides_distributed_cut(self, spark,
+                                                  monkeypatch):
+        """Round-11: NaN-free float/double order keys ride the bucketed
+        rank cut directly (already numeric; no encoding). Equivalence
+        with the window form in both directions, including NULL keys
+        and a -0.0/0.0 tie pair (Spark comparisons tie them, so the
+        tiebreak decides identically on both paths), and infinities
+        (correct, bucket-collapsed)."""
+        rows = []
+        for i in range(60):
+            v = (None if i % 17 == 0 else
+                 -0.0 if i % 13 == 0 else
+                 0.0 if i % 13 == 1 else
+                 float("inf") if i == 30 else
+                 float("-inf") if i == 31 else
+                 (i * 7 % 19) / 4.0)
+            rows.append((i % 3, i, v))
+        df = spark.createDataFrame(rows, "g: int, uid: long, v: double")
+        for desc in (False, True):
+            calls = self._spy_rank_cut(monkeypatch)
+            got = SA.cap_per_group(df, "g", 4, "v", "uid",
+                                   descending=desc, keep_rank=True)
+            assert calls == [4], desc  # float rewrite engaged
+            monkeypatch.undo()
+            want = SA.cap_per_group(
+                df, "g", 4, F.col("v").desc() if desc else F.col("v").asc(),
+                "uid", hot_key_audit=False, keep_rank=True)
+            assert sorted(map(tuple, got.collect())) \
+                == sorted(map(tuple, want.collect())), desc
+            assert got.columns == df.columns + ["__rank"]
+
+    def test_order_by_float_nan_falls_back_to_window(self, spark,
+                                                     monkeypatch):
+        rows = [(i % 2, i,
+                 float("nan") if i == 7 else float(i)) for i in range(20)]
+        df = spark.createDataFrame(rows, "g: int, uid: long, v: double")
+        calls = self._spy_rank_cut(monkeypatch)
+        with pytest.warns(UserWarning, match="contains NaN"):
+            out = SA.cap_per_group(df, "g", 3, "v", "uid",
+                                   hot_key_audit=False)
+        assert calls == []  # NaN gate held: window path
+        # window semantics: NaN sorts greatest, so it is never kept
+        assert {r["uid"] for r in out.collect()} == {0, 1, 2, 3, 4, 5}
+
+    def test_nonfinite_span_triggers_degenerate_audit(self, spark):
+        """Round-11 review: an infinite score makes a group's span
+        non-finite — every finite row collapses into bucket 0. Correct
+        but serialized, and the escape cannot fix it (scores are not
+        tied) — the audit must name it, escape on or off."""
+        rows = [(1, i, float("inf") if i == 0 else float(i))
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "g: int, uid: long, v: double")
+        for esc in (False, True):
+            with pytest.warns(UserWarning, match="infinite-score-span"):
+                out = SA.top_fraction_per_group(
+                    df, "g", 0.5, "v", "uid", degenerate_floor=10,
+                    degenerate_escape=esc)
+                n = out.count()
+            assert n == 25, esc  # cut stays exact despite the collapse
+
     def test_order_by_descending_on_sort_order_rejected(self, grouped):
         with pytest.raises(ValueError, match="ambiguous"):
             SA.cap_per_group(grouped, "g", 2, F.col("v").desc(), "uid",
