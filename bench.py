@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "funnel_conversion_windowed", "tv_drift_doclen",
     "idx_refresh_rewrite", "earliest_events_per_user",
     "idx_join_dpp_bloom", "merge_delete_orders",
-    "latest_events_per_user",
+    "latest_events_per_user", "float_rank_docs_per_lang",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the
