@@ -253,7 +253,8 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
       wrappers — prefers the lowest; pass a PLAIN column with
       ``descending=True`` for "latest N per key"): plain columns whose
       type has an exact monotone long encoding (integral, date,
-      timestamp; timestamp_ntz under a fixed-offset session timezone)
+      timestamp, decimal(p<=18) via its unscaled value; timestamp_ntz
+      under a fixed-offset session timezone)
       are rewritten onto the SAME distributed rank cut as the score
       path, in BOTH directions (round-11 extended the round-10
       ascending cut to ``descending=True`` — no encoding negation, the
@@ -265,7 +266,8 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
       a NaN anywhere stands the call down to the window with a named
       warning (the score contract is non-NaN, and the window's
       NaN-greatest ordering must be preserved). Everything else
-      (strings, decimals, explicit asc/desc wrappers) keeps the classic
+      (strings, decimals wider than 18 digits, explicit asc/desc
+      wrappers) keeps the classic
       one-shuffle ``row_number() OVER (PARTITION BY group ORDER BY
       ...)`` — correct for any orderable type but streaming each group
       through a single task; keep it for bounded groups. NULL order
@@ -300,8 +302,9 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
             max_broadcast_rows=max_broadcast_rows, _cap_rows=int(n))
     # round-10 (r9 verdict stretch #8), extended round-11 to descending:
     # an order_by whose type has an EXACT strictly-monotone long
-    # encoding (integral, date, timestamp — and timestamp_ntz under a
-    # fixed-offset session timezone) rides the distributed bucketed
+    # encoding (integral, date, timestamp, decimal(p<=18) — and
+    # timestamp_ntz under a fixed-offset session timezone) rides the
+    # distributed bucketed
     # rank cut instead of the one-task-per-group window: encode, cut as
     # score with k = n in the REQUESTED direction, drop the encoding.
     # Monotone + strict means (enc, tiebreak) orders identically to
@@ -359,22 +362,31 @@ def _monotone_long_encoding(df: DataFrame, col) -> "Column | None":
       can merge distinct wall times inside a spring-forward gap, which
       would silently reorder ties at the cut.
 
-    Strings/decimals return None: strings have no numeric encoding,
-    decimals can exceed long range. float/double are handled separately
-    (:func:`_nan_free_float_key` — already numeric, no encoding needed,
-    but gated on a NaN probe).
+    - decimal(p<=18, s>=0) -> the UNSCALED value ``col * 10^s`` cast
+      long: integral by construction, strictly monotone, and bounded by
+      10^18 - 1 < Long.MAX, with the multiply exact in Spark decimal
+      arithmetic (result precision <= 37 < 38). Wider precisions return
+      None — their unscaled value can exceed long range.
+
+    Strings return None: no numeric encoding. float/double are handled
+    separately (:func:`_nan_free_float_key` — already numeric, no
+    encoding needed, but gated on a NaN probe).
     """
     import re as _re
 
-    from pyspark.sql.types import (ByteType, DateType, IntegerType,
-                                   LongType, ShortType, TimestampNTZType,
-                                   TimestampType)
+    from pyspark.sql.types import (ByteType, DateType, DecimalType,
+                                   IntegerType, LongType, ShortType,
+                                   TimestampNTZType, TimestampType)
     try:
         dt = df.select(col).schema[0].dataType
     except Exception:  # noqa: BLE001 — unresolvable: let the window
         return None    # path raise the real analysis error
     if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
         return col.cast("long")
+    if isinstance(dt, DecimalType):
+        if dt.precision <= 18 and dt.scale >= 0:
+            return (col * F.lit(10 ** dt.scale)).cast("long")
+        return None
     if isinstance(dt, DateType):
         return F.unix_date(col)
     if isinstance(dt, TimestampType):

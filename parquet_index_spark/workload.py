@@ -5356,6 +5356,51 @@ ORDER BY lang, doc_id
 """
 
 
+def top_price_orders_per_cust(spark, sf_dir):
+    """Top-N-per-key on a DECIMAL order key — cap_per_group's round-11
+    unscaled-value encoding: each customer's 2 highest-value orders by
+    o_totalprice cast to DECIMAL(18,2) (both engines round the same
+    IEEE double half-up, so the derived key is identical), encoded as
+    the exact unscaled long and cut on the distributed bucketed rank.
+    Output rolls up per order priority with the decimal-exact sum cast
+    to double once (the q1 money pattern)."""
+    from parquet_index_spark.operators import sampling as SA
+    orders = _t(spark, sf_dir, "orders")
+    dec = orders.withColumn(
+        "price_d", F.col("o_totalprice").cast("decimal(18,2)"))
+    kept = SA.cap_per_group(dec, "o_custkey", 2, F.col("price_d"),
+                            F.col("o_orderkey"), descending=True,
+                            hot_key_audit=False)
+    return (kept.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_kept"),
+                 F.min("o_orderkey").alias("min_order"),
+                 F.max("o_orderkey").alias("max_order"),
+                 F.sum("price_d").cast("double").alias("sum_price"))
+            .orderBy("o_orderpriority"))
+
+
+TOP_PRICE_ORDERS_SQL = """
+WITH dec AS (
+  SELECT o_custkey, o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price_d
+  FROM orders),
+ranked AS (
+  SELECT o_orderpriority, o_orderkey, price_d,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY price_d DESC, o_orderkey) AS rn
+  FROM dec)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       min(o_orderkey) AS min_order,
+       max(o_orderkey) AS max_order,
+       CAST(sum(price_d) AS DOUBLE) AS sum_price
+FROM ranked
+WHERE rn <= 2
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def hll_union_sketch_parts(spark, sf_dir):
     """Mergeable-sketch distinct counting: per-(flag, month) DataSketches
     HLL partials unioned to flag level, estimate checked against the
@@ -6263,6 +6308,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "latest_events_per_user": (latest_events_per_user, LATEST_EVENTS_SQL),
     "float_rank_docs_per_lang": (float_rank_docs_per_lang,
                                  FLOAT_RANK_DOCS_SQL),
+    "top_price_orders_per_cust": (top_price_orders_per_cust,
+                                  TOP_PRICE_ORDERS_SQL),
 }
 
 # Round-9 grading window (round-5 verdict ask #6 policy): the driver
@@ -6277,15 +6324,16 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
 # two independently maintained magic lengths silently diverge
 CHANGED_HEAD = [
     # round-11 changed surface (changed code needs a fresh driver
-    # certification): the NEW float-order-key rank-cut query, the NEW
-    # descending rank-cut query and its ascending sibling
-    # (cap_per_group's order_by path gained float/double keys,
-    # descending, and the distributed_order_by knob), every consumer of
+    # certification): the NEW float- and decimal-order-key rank-cut
+    # queries, the NEW descending rank-cut query and its ascending
+    # sibling (cap_per_group's order_by path gained float/double keys,
+    # decimal(p<=18) unscaled-value encoding, descending, and the
+    # distributed_order_by knob), every consumer of
     # the rewritten staged swap (merge/CDC sinks, range DML, partition
     # DML, compaction), merge_into's frame-release wrapper, and
     # top_fraction's offsets-checkpoint routing (quality gate + grouped
     # cosine top-k ride the same cut)
-    "float_rank_docs_per_lang",
+    "float_rank_docs_per_lang", "top_price_orders_per_cust",
     "latest_events_per_user", "earliest_events_per_user",
     "merge_delete_orders", "merge_upsert_orders", "stream_merge_cdc_ops",
     "stream_merge_upsert", "idx_delete_range", "idx_update_range",

@@ -75,7 +75,7 @@ _CORE = {
     # rewritten staged swap.)
     "idx_refresh_rewrite", "earliest_events_per_user",
     "merge_delete_orders", "latest_events_per_user",
-    "float_rank_docs_per_lang",
+    "float_rank_docs_per_lang", "top_price_orders_per_cust",
 }
 
 

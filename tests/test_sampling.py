@@ -345,6 +345,37 @@ class TestCapPerGroup:
             assert sorted(map(tuple, got.collect())) \
                 == sorted(map(tuple, want.collect())), order
 
+    def test_order_by_decimal_rides_distributed_cut(self, spark,
+                                                    monkeypatch):
+        """Round-11: decimal(p<=18) order keys encode as their UNSCALED
+        value (col * 10^s cast long — exact, strictly monotone) and
+        ride the bucketed rank cut; wider precisions keep the window
+        (their unscaled value can exceed long range)."""
+        from decimal import Decimal
+        rows = [(i % 3, i,
+                 None if i % 17 == 0 else
+                 Decimal(f"{(i * 7) % 23}.{i % 100:02d}"))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "g: int, uid: long, p: decimal(12,2)")
+        for desc in (False, True):
+            calls = self._spy_rank_cut(monkeypatch)
+            got = SA.cap_per_group(df, "g", 4, "p", "uid",
+                                   descending=desc)
+            assert calls == [4], desc  # decimal rewrite engaged
+            monkeypatch.undo()
+            want = SA.cap_per_group(
+                df, "g", 4, F.col("p").desc() if desc else F.col("p").asc(),
+                "uid", hot_key_audit=False)
+            assert sorted(map(tuple, got.collect())) \
+                == sorted(map(tuple, want.collect())), desc
+            assert got.columns == df.columns
+        # precision 20 > 18: no safe encoding, window path
+        wide = df.withColumn("p", F.col("p").cast("decimal(20,2)"))
+        calls = self._spy_rank_cut(monkeypatch)
+        SA.cap_per_group(wide, "g", 4, "p", "uid",
+                         hot_key_audit=False).count()
+        assert calls == []
+
     def test_order_by_float_rides_distributed_cut(self, spark,
                                                   monkeypatch):
         """Round-11: NaN-free float/double order keys ride the bucketed
