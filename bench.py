@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "idx_refresh_rewrite", "earliest_events_per_user",
     "idx_join_dpp_bloom", "merge_delete_orders",
     "latest_events_per_user", "float_rank_docs_per_lang",
-    "top_price_orders_per_cust",
+    "top_price_orders_per_cust", "first_urls_per_lang",
 ]
 
 # e2e DML/lifecycle queries rebuild their own table+index every run (the

@@ -265,14 +265,20 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
       comparisons so ``-0.0``/``0.0`` behave exactly like the window);
       a NaN anywhere stands the call down to the window with a named
       warning (the score contract is non-NaN, and the window's
-      NaN-greatest ordering must be preserved). Everything else
-      (strings, decimals wider than 18 digits, explicit asc/desc
-      wrappers) keeps the classic
-      one-shuffle ``row_number() OVER (PARTITION BY group ORDER BY
-      ...)`` — correct for any orderable type but streaming each group
-      through a single task; keep it for bounded groups. NULL order
-      keys sort exactly like the window form: first ascending, last
-      descending.
+      NaN-greatest ordering must be preserved). Default-collation
+      STRING keys ride it too (round-11): a 7-byte UTF-8 prefix after
+      the global common prefix buckets monotonically under Spark's
+      byte-wise string order, and the original column leads the
+      in-bucket order so the cut stays exact — "top N per key by
+      URL/path" without one task per key (stands down under
+      ``degenerate_escape``, whose tiebreak hashing cannot take the
+      injected sort order). Everything else (collated strings, decimals
+      wider than 18 digits, explicit asc/desc wrappers) keeps the
+      classic one-shuffle ``row_number() OVER (PARTITION BY group ORDER
+      BY ...)`` — correct for any orderable type but streaming each
+      group through a single task; keep it for bounded groups. NULL
+      order keys sort exactly like the window form: first ascending,
+      last descending.
       Symmetric with the score path's degenerate audit (round-8 verdict
       #3), a dominant group no longer serializes SILENTLY: groups over
       ``degenerate_floor`` rows raise a named ``UserWarning`` (one extra
@@ -325,12 +331,27 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
     if distributed_order_by and not _is_sort_order(oc) \
             and not df.isStreaming:
         enc = _monotone_long_encoding(df, oc)
+        pre_tb = ()
         if enc is None:
             enc = _nan_free_float_key(df, oc)
+        if enc is None and not degenerate_escape:
+            # strings (round-11): a 7-byte UTF-8 prefix (after stripping
+            # the GLOBAL common prefix — 'https://'-class keys would
+            # otherwise collapse every row into one bucket) is a
+            # monotone-but-not-strict long encoding under Spark's
+            # UTF8_BINARY ordering, so the ORIGINAL column leads the
+            # in-bucket order: ordering by (enc, orig) == ordering by
+            # orig, buckets stay monotone, and the rank stays exact.
+            # degenerate_escape stands down (it hashes tiebreaks, and
+            # the injected sort-order tiebreak cannot be hashed).
+            enc = _string_prefix_encoding(df, oc)
+            if enc is not None:
+                pre_tb = (oc.desc() if descending else oc,)
         if enc is not None:
             out = top_fraction_per_group(
                 df.withColumn("__cap_ord", enc), group, 1.0, "__cap_ord",
-                *tiebreak, descending=descending, keep_rank=keep_rank,
+                *pre_tb, *tiebreak, descending=descending,
+                keep_rank=keep_rank,
                 range_buckets=range_buckets,
                 degenerate_escape=degenerate_escape,
                 degenerate_floor=degenerate_floor,
@@ -440,6 +461,52 @@ def _nan_free_float_key(df: DataFrame, col) -> "Column | None":
             "cut.", UserWarning, stacklevel=3)
         return None
     return col
+
+
+def _string_prefix_encoding(df: DataFrame, col) -> "Column | None":
+    """A MONOTONE (not strict) long encoding of a default-collation
+    string column for the distributed rank cut (round-11): the 7 UTF-8
+    bytes after the column's GLOBAL common prefix, zero-padded and read
+    as an unsigned integer (< 2^56, so exact in a long).
+
+    Monotone under Spark's default UTF8_BINARY ordering — string
+    comparison is unsigned byte-wise, so a fixed-offset byte slice
+    never inverts order — but NOT strict: distinct strings sharing the
+    slice collide. The CALLER must therefore lead the in-bucket order
+    with the original column; bucketization only needs monotonicity
+    (equal strings always share a bucket, bucket order == string
+    order), the same contract that lets >2^53 timestamp encodings
+    survive the double-cast bucket arithmetic.
+
+    The common prefix of the column's global (min, max) — one tiny agg;
+    every value between two strings shares their common prefix under
+    byte-wise ordering — is stripped before the slice: real-world keys
+    ('https://'-class URLs, shared path roots) would otherwise encode
+    identically and collapse every group into one bucket. Groups that
+    still share their whole slice degrade gracefully: fewer buckets,
+    exact results, and the constant-span degenerate audit names the
+    worst case. Returns None for non-string / collated columns (a
+    non-binary collation orders differently than bytes), all-NULL
+    columns, and unresolvable expressions."""
+    from pyspark.sql.types import StringType
+    try:
+        dt = df.select(col).schema[0].dataType
+    except Exception:  # noqa: BLE001 — unresolvable: let the window
+        return None    # path raise the real analysis error
+    if not isinstance(dt, StringType) or dt.simpleString() != "string":
+        return None  # collated string: byte order is not its order
+    row = df.agg(F.min(col), F.max(col)).first()
+    if row is None or row[0] is None:
+        return None  # empty / all-NULL: nothing to bucket
+    lo, hi = row[0].encode("utf-8"), row[1].encode("utf-8")
+    ncp = 0
+    for a, b in zip(lo, hi):
+        if a != b:
+            break
+        ncp += 1
+    return F.conv(
+        F.rpad(F.hex(F.substring(F.encode(col, "UTF-8"), ncp + 1, 7)),
+               14, "0"), 16, 10).cast("long")
 
 
 def pack_chunks(df: DataFrame, tokens: ColumnOrName, budget: int,

@@ -76,6 +76,7 @@ _CORE = {
     "idx_refresh_rewrite", "earliest_events_per_user",
     "merge_delete_orders", "latest_events_per_user",
     "float_rank_docs_per_lang", "top_price_orders_per_cust",
+    "first_urls_per_lang",
 }
 
 

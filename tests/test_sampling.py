@@ -305,18 +305,59 @@ class TestCapPerGroup:
                 == sorted(map(tuple, want.collect())), order
             assert got.columns == df.columns  # encoding column dropped
 
-    def test_order_by_string_and_desc_keep_window_path(
+    def test_order_by_string_rides_cut_wrappers_keep_window(
             self, spark, monkeypatch):
+        """Round-11: default-collation strings ride the prefix-bucketed
+        cut; explicit F.desc wrappers still keep the lazy window."""
         rows = [(i % 2, i, f"s{i:03d}") for i in range(20)]
         df = spark.createDataFrame(rows, "g: int, uid: long, s: string")
         calls = self._spy_rank_cut(monkeypatch)
         out1 = SA.cap_per_group(df, "g", 3, "s", "uid",
                                 hot_key_audit=False)
+        assert calls == [3]  # string rewrite engaged
+        monkeypatch.undo()
+        calls = self._spy_rank_cut(monkeypatch)
         out2 = SA.cap_per_group(df, "g", 3, F.col("uid").desc(), "uid",
                                 hot_key_audit=False)
-        assert calls == []  # neither form rewrote
+        assert calls == []  # wrapper: lazy window
         assert {r["uid"] for r in out1.collect()} == {0, 1, 2, 3, 4, 5}
         assert {r["uid"] for r in out2.collect()} == set(range(14, 20))
+
+    def test_order_by_string_cut_equals_window(self, spark, monkeypatch):
+        """String prefix-bucket cut == window form: shared long prefixes
+        (common-prefix strip is load-bearing), prefix collisions past 7
+        bytes (the in-bucket original-column order is load-bearing),
+        NULLs, multibyte UTF-8, both directions."""
+        rows = []
+        for i in range(80):
+            s = (None if i % 19 == 0 else
+                 f"https://h{i % 7}.example.com/p/{'x' * (i % 5)}{i % 13:02d}"
+                 if i % 3 else f"https://h{i % 7}.example.com/ü/{i % 11}")
+            rows.append((i % 3, i, s))
+        df = spark.createDataFrame(rows, "g: int, uid: long, s: string")
+        for desc in (False, True):
+            calls = self._spy_rank_cut(monkeypatch)
+            got = SA.cap_per_group(df, "g", 4, "s", "uid",
+                                   descending=desc, keep_rank=True)
+            assert calls == [4], desc
+            monkeypatch.undo()
+            want = SA.cap_per_group(
+                df, "g", 4, F.col("s").desc() if desc else F.col("s").asc(),
+                "uid", hot_key_audit=False, keep_rank=True)
+            assert sorted(map(tuple, got.collect())) \
+                == sorted(map(tuple, want.collect())), desc
+            assert got.columns == df.columns + ["__rank"]
+
+    def test_order_by_string_stands_down_under_escape(self, spark,
+                                                      monkeypatch):
+        rows = [(1, i, f"k{i}") for i in range(10)]
+        df = spark.createDataFrame(rows, "g: int, uid: long, s: string")
+        calls = self._spy_rank_cut(monkeypatch)
+        out = SA.cap_per_group(df, "g", 2, "s", "uid",
+                               degenerate_escape=True,
+                               hot_key_audit=False)
+        assert calls == []  # escape on: strings keep the window
+        assert out.count() == 2
 
     def test_order_by_descending_rides_distributed_cut(
             self, spark, monkeypatch):
@@ -441,14 +482,14 @@ class TestCapPerGroup:
             SA.cap_per_group(grouped, "g", 2, F.col("v").desc(), "uid",
                              descending=True)
 
-    def test_order_by_descending_window_fallback_for_strings(
-            self, spark, monkeypatch):
+    def test_order_by_descending_string_rides_cut(self, spark,
+                                                  monkeypatch):
         rows = [(i % 2, i, f"s{i:03d}") for i in range(20)]
         df = spark.createDataFrame(rows, "g: int, uid: long, s: string")
         calls = self._spy_rank_cut(monkeypatch)
         out = SA.cap_per_group(df, "g", 3, "s", "uid", descending=True,
                                hot_key_audit=False)
-        assert calls == []  # strings: no encoding, lazy window
+        assert calls == [3]  # round-11: strings ride the prefix cut
         assert {r["uid"] for r in out.collect()} == set(range(14, 20))
 
     def test_distributed_order_by_opt_out_stays_lazy(
@@ -1025,13 +1066,14 @@ class TestHotKeyAudit:
         return spark.createDataFrame(rows, "g: string, k: long")
 
     def test_cap_per_group_order_by_warns_on_hot_group(self, spark):
-        # a STRING order key (zero-padded so it sorts numerically):
-        # since round 10 integral/date/timestamp keys auto-route onto
-        # the distributed rank cut, so only non-encodable types still
-        # exercise the audited window path
+        # a WIDE-DECIMAL order key (precision 20 > 18, no safe unscaled
+        # encoding): round 10/11 auto-route integral/date/timestamp/
+        # float/decimal(<=18)/string keys onto the distributed rank
+        # cut, so only the remaining non-encodable types still exercise
+        # the audited window path
         import warnings
         df = self._skewed(spark)
-        order = F.format_string("%05d", F.col("k"))
+        order = F.col("k").cast("decimal(20,0)")
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             out = SA.cap_per_group(df, "g", 5, order,
