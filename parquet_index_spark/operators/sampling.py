@@ -330,11 +330,19 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
             "F.desc wrapper) is ambiguous — pass the plain column")
     if distributed_order_by and not _is_sort_order(oc) \
             and not df.isStreaming:
-        enc = _monotone_long_encoding(df, oc)
+        # resolve the order key's dtype ONCE and dispatch (round-11
+        # review, fourth pass: three helpers each re-resolved it)
+        try:
+            odt = df.select(oc).schema[0].dataType
+        except Exception:  # noqa: BLE001 — unresolvable: let the
+            odt = None     # window path raise the real analysis error
+        enc = None
         pre_tb = ()
-        if enc is None:
-            enc = _nan_free_float_key(df, oc)
-        if enc is None and not degenerate_escape:
+        if odt is not None:
+            enc = _monotone_long_encoding(df, oc, odt)
+        if enc is None and odt is not None:
+            enc = _nan_free_float_key(df, oc, odt)
+        if enc is None and odt is not None and not degenerate_escape:
             # strings (round-11): a 7-byte UTF-8 prefix (after stripping
             # the GLOBAL common prefix — 'https://'-class keys would
             # otherwise collapse every row into one bucket) is a
@@ -344,7 +352,7 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
             # orig, buckets stay monotone, and the rank stays exact.
             # degenerate_escape stands down (it hashes tiebreaks, and
             # the injected sort-order tiebreak cannot be hashed).
-            enc = _string_prefix_encoding(df, oc)
+            enc = _string_prefix_encoding(df, oc, odt)
             if enc is not None:
                 pre_tb = (oc.desc() if descending else oc,)
         if enc is not None:
@@ -370,7 +378,7 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
     return kept if keep_rank else kept.drop("__rank")
 
 
-def _monotone_long_encoding(df: DataFrame, col) -> "Column | None":
+def _monotone_long_encoding(df: DataFrame, col, dt) -> "Column | None":
     """An EXACT strictly-monotone long encoding of ``col`` for the
     distributed rank cut, or None when the type has no safe one.
 
@@ -398,10 +406,6 @@ def _monotone_long_encoding(df: DataFrame, col) -> "Column | None":
     from pyspark.sql.types import (ByteType, DateType, DecimalType,
                                    IntegerType, LongType, ShortType,
                                    TimestampNTZType, TimestampType)
-    try:
-        dt = df.select(col).schema[0].dataType
-    except Exception:  # noqa: BLE001 — unresolvable: let the window
-        return None    # path raise the real analysis error
     if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
         return col.cast("long")
     if isinstance(dt, DecimalType):
@@ -423,7 +427,7 @@ def _monotone_long_encoding(df: DataFrame, col) -> "Column | None":
     return None
 
 
-def _nan_free_float_key(df: DataFrame, col) -> "Column | None":
+def _nan_free_float_key(df: DataFrame, col, dt) -> "Column | None":
     """float/double order keys for the distributed rank cut (round-11):
     they are already numeric, so no encoding is needed — the score path
     buckets on the double cast (exact for floats) and resolves ties
@@ -443,10 +447,6 @@ def _nan_free_float_key(df: DataFrame, col) -> "Column | None":
     but collapse that group's bucketization, which the non-finite-span
     arm of top_fraction_per_group's degenerate audit names."""
     from pyspark.sql.types import DoubleType, FloatType
-    try:
-        dt = df.select(col).schema[0].dataType
-    except Exception:  # noqa: BLE001 — unresolvable: let the window
-        return None    # path raise the real analysis error
     if not isinstance(dt, (FloatType, DoubleType)):
         return None
     row = df.agg(
@@ -463,7 +463,7 @@ def _nan_free_float_key(df: DataFrame, col) -> "Column | None":
     return col
 
 
-def _string_prefix_encoding(df: DataFrame, col) -> "Column | None":
+def _string_prefix_encoding(df: DataFrame, col, dt) -> "Column | None":
     """A MONOTONE (not strict) long encoding of a default-collation
     string column for the distributed rank cut (round-11): the 7 UTF-8
     bytes after the column's GLOBAL common prefix, zero-padded and read
@@ -482,17 +482,28 @@ def _string_prefix_encoding(df: DataFrame, col) -> "Column | None":
     every value between two strings shares their common prefix under
     byte-wise ordering — is stripped before the slice: real-world keys
     ('https://'-class URLs, shared path roots) would otherwise encode
-    identically and collapse every group into one bucket. Groups that
-    still share their whole slice degrade gracefully: fewer buckets,
-    exact results, and the constant-span degenerate audit names the
-    worst case. Returns None for non-string / collated columns (a
-    non-binary collation orders differently than bytes), all-NULL
-    columns, and unresolvable expressions."""
+    identically and collapse every group into one bucket.
+
+    The snapshot is CORRECTNESS-SAFE even if the input changes between
+    composition and execution (round-11 review, fourth pass — a frozen
+    prefix applied blind to a row WITHOUT it is non-monotone): the
+    encoding is guarded per row. A value that does not carry the
+    snapshot prefix sorts either below every prefixed value (it
+    compares less than the prefix) or above all of them (its first
+    differing byte is greater), so such rows clamp to dedicated edge
+    encodings (0 / 2^57) around the stripped region (shifted by +1).
+    That keeps the encoding monotone for ANY execution-time input —
+    clamped rows tie, and the caller's leading original-column order
+    resolves ties exactly — so staleness can only cost bucketing
+    parallelism, never rows. All comparisons run on the hex rendering
+    of the UTF-8 bytes (hex digits are ASCII-ordered, so hex-string
+    order == byte order, and a mid-codepoint prefix boundary needs no
+    decodable literal). Groups that still share their whole slice
+    degrade gracefully: fewer buckets, exact results, the constant-span
+    degenerate audit names the worst case. Returns None for
+    non-string / collated columns (a non-binary collation orders
+    differently than bytes) and all-NULL columns."""
     from pyspark.sql.types import StringType
-    try:
-        dt = df.select(col).schema[0].dataType
-    except Exception:  # noqa: BLE001 — unresolvable: let the window
-        return None    # path raise the real analysis error
     if not isinstance(dt, StringType) or dt.simpleString() != "string":
         return None  # collated string: byte order is not its order
     row = df.agg(F.min(col), F.max(col)).first()
@@ -504,9 +515,18 @@ def _string_prefix_encoding(df: DataFrame, col) -> "Column | None":
         if a != b:
             break
         ncp += 1
-    return F.conv(
-        F.rpad(F.hex(F.substring(F.encode(col, "UTF-8"), ncp + 1, 7)),
-               14, "0"), 16, 10).cast("long")
+    s_hex = F.hex(F.encode(col, "UTF-8"))
+    sliced = F.conv(
+        F.rpad(F.substring(s_hex, 2 * ncp + 1, 14), 14, "0"),
+        16, 10).cast("long") + F.lit(1)
+    if ncp == 0:
+        return F.when(col.isNull(), F.lit(None).cast("long")) \
+            .otherwise(sliced)
+    p_hex = lo[:ncp].hex().upper()
+    return (F.when(col.isNull(), F.lit(None).cast("long"))
+            .when(s_hex.startswith(F.lit(p_hex)), sliced)
+            .when(s_hex < F.lit(p_hex), F.lit(0))
+            .otherwise(F.lit(1 << 57)))
 
 
 def pack_chunks(df: DataFrame, tokens: ColumnOrName, budget: int,
@@ -770,7 +790,13 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     from parquet_index_spark.operators._ckpt import checkpoint_metadata
     mm = checkpoint_metadata(mm)
     mm_small = mm.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
-    if mm_small:
+    try:
+        from pyspark.sql.types import DoubleType, FloatType
+        _s_float = isinstance(df.select(_as_col(score)).schema[0].dataType,
+                              (FloatType, DoubleType))
+    except Exception:  # noqa: BLE001 — unresolvable: assume auditable
+        _s_float = True
+    if mm_small and (not degenerate_escape or _s_float):
         # the audit is only affordable when |groups| is bounded — a tiny
         # filter over the checkpointed frame, no data rescans. Two
         # degenerate shapes collapse a group to ONE bucket:
@@ -783,7 +809,11 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
         #   stays CORRECT (the exact in-bucket rank window decides) but
         #   serializes the group, and the ESCAPE CANNOT fix it (scores
         #   are not tied, so hash sub-bucketing would break rank order)
-        #   — this arm is audited even with the escape on.
+        #   — this arm is audited even with the escape on, but ONLY for
+        #   float/double scores: every other score type is finite after
+        #   the double cast, so with the escape on the whole collect
+        #   would be a statically-unsatisfiable job per call (round-10's
+        #   deliberate skip, restored by the dtype gate).
         span = F.col("__tf_mx") - F.col("__tf_mn")
         nonfinite = F.isnan(span) | (span == F.lit(float("inf")))
         shape = nonfinite if degenerate_escape else \

@@ -6397,8 +6397,11 @@ _R11_WINDOW = CHANGED_HEAD + [
     "stream_gapfill_locf", "stream_user_totals", "stream_enrich_join",
     "json_props_stats", "idx_events_time_range", "idx_fast_count",
     "sessionize_events", "funnel_conversion", "funnel_conversion_windowed",
-    "q12_priority_shipmode", "rollup_sales", "cumulative_spend",
-    "q2_min_cost_supplier",
+    "q12_priority_shipmode",
 ]
+# the driver grades the FIRST 50 keys — a window longer than 50 would
+# silently push its tail out of grading (round-11 review: the three new
+# rank-cut queries grew the head past 50 before the fill was trimmed)
+assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R11_WINDOW}}

@@ -348,6 +348,39 @@ class TestCapPerGroup:
                 == sorted(map(tuple, want.collect())), desc
             assert got.columns == df.columns + ["__rank"]
 
+    def test_order_by_string_stale_prefix_stays_exact(self, spark,
+                                                      monkeypatch):
+        """Round-11 review (fourth pass): the common-prefix snapshot is
+        taken at composition time — rows WITHOUT that prefix appearing
+        at execution (appended files, non-deterministic expressions)
+        must not break the cut. The per-row guard clamps them to edge
+        encodings (ties, resolved by the leading original-column
+        order), so the result stays exactly the window's. Simulated by
+        probing a prefix-bearing SUBSET while the cut runs on a frame
+        holding below- and above-prefix violators."""
+        rows = [(i % 2, i, f"https://h{i % 5}.example.com/{i:03d}")
+                for i in range(40)]
+        rows += [(0, 100, "aaa.org/z"), (1, 101, "aab.org/a"),
+                 (0, 102, "zzz.org/x"), (1, 103, None)]
+        df = spark.createDataFrame(rows, "g: int, uid: long, s: string")
+        real = SA._string_prefix_encoding
+        probed = df.filter(F.col("s").startswith("https://"))
+
+        def stale(_df, col, dt):
+            return real(probed, col, dt)
+
+        monkeypatch.setattr(SA, "_string_prefix_encoding", stale)
+        for desc in (False, True):
+            got = SA.cap_per_group(df, "g", 3, "s", "uid",
+                                   descending=desc)
+            want = SA.cap_per_group(
+                df, "g", 3, F.col("s").desc() if desc else F.col("s").asc(),
+                "uid", hot_key_audit=False)
+            assert sorted(map(tuple, got.collect())) \
+                == sorted(map(tuple, want.collect())), desc
+            if not desc:  # the below-prefix violators must win asc
+                assert {r["uid"] for r in got.collect()} >= {100, 101}
+
     def test_order_by_string_stands_down_under_escape(self, spark,
                                                       monkeypatch):
         rows = [(1, i, f"k{i}") for i in range(10)]
