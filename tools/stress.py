@@ -191,6 +191,18 @@ def main() -> None:
             lambda: cap_per_group(d, "lang", 500, "n_chars",
                                   "doc_id").count())
         r["cap_order_rows"] = n8b
+        # 11c. round-11 STRING order key on the same cut: first-N URLs
+        # per group — the shared 'https://' prefix forces the
+        # common-prefix strip, the 7-byte slice buckets, the original
+        # column decides in-bucket. The former one-task-per-group
+        # window shape for the commonest real-world key type.
+        url = F.concat(F.lit("https://"), F.col("source"),
+                       F.lit(".example.com/"), F.col("lang"),
+                       F.lit("/"), F.col("doc_id").cast("string"))
+        r["cap_url_sec"], n8c = _timed(
+            lambda: cap_per_group(d.withColumn("url", url), "lang", 500,
+                                  "url", "doc_id").count())
+        r["cap_url_rows"] = n8c
         # 12. round-8 grouped cosine top-k on the same rank cut: the
         # dot/norm projection is one scan, the cut is distributed
         e = spark.read.parquet(epath)
@@ -280,8 +292,9 @@ def main() -> None:
     # shed (~0.6ms across its 3 roundtrips — 2 Path constructions + the
     # rename — measured as the pooled rpc1ms-minus-local delta), so it
     # GROWS with real RPC latency: ~(lat + 0.6ms)/0.6ms ideal →
-    # measured ~1.25x at 1ms, ~3-4x at 5ms, more on a loaded NameNode
-    # (5-20ms under the mass-metadata-op regimes this pool targets).
+    # measured 1.3-2.6x at 1ms and 5.4-6x at 5ms across runs, more on a
+    # loaded NameNode (5-20ms under the mass-metadata-op regimes this
+    # pool targets).
     import time as _time
 
     import parquet_index_spark.sources as SRC
@@ -342,7 +355,8 @@ def main() -> None:
     for k in ("index_build_sec", "token_budget_sec", "dedup_exact_sec",
               "corpus_dedup_sec", "quality_gate_sec", "leakage_audit_sec",
               "ks_drift_sec", "dpp_fallback_sec", "tv_drift_sec",
-              "cap_score_sec", "cap_order_sec", "cosine_topk_sec",
+              "cap_score_sec", "cap_order_sec", "cap_url_sec",
+              "cosine_topk_sec",
               "dpp_bloom_sec", "merge_sec", "merge_overcap_sec"):
         a, b = report["1x"][k], report["Nx"][k]
         slopes[k] = round(b / max(a, 1e-9), 2)
