@@ -393,9 +393,13 @@ def _monotone_long_encoding(df: DataFrame, col, dt) -> "Column | None":
 
     - decimal(p<=18, s>=0) -> the UNSCALED value ``col * 10^s`` cast
       long: integral by construction, strictly monotone, and bounded by
-      10^18 - 1 < Long.MAX, with the multiply exact in Spark decimal
-      arithmetic (result precision <= 37 < 38). Wider precisions return
-      None — their unscaled value can exceed long range.
+      10^18 - 1 < Long.MAX. The multiply is exact NOT because the
+      static result precision stays under 38 (for s >= 10 the long
+      literal makes the raw precision p+20+1 = up to 39, capped at 38)
+      but because the PRODUCT is integral with <= 18 digits — any
+      precision/scale adjustment of an integral value that fits the
+      capped type rounds exactly. Wider input precisions return None —
+      their unscaled value can exceed long range.
 
     Strings return None: no numeric encoding. float/double are handled
     separately (:func:`_nan_free_float_key` — already numeric, no
@@ -515,7 +519,12 @@ def _string_prefix_encoding(df: DataFrame, col, dt) -> "Column | None":
         if a != b:
             break
         ncp += 1
-    s_hex = F.hex(F.encode(col, "UTF-8"))
+    # truncate BEFORE the hex render: only the first ncp+7 bytes are
+    # ever consumed (startswith needs ncp, the < guard decides within
+    # ncp, the slice reads ncp+1..ncp+7), so a long text/path key must
+    # not materialize a 2x-size hex copy of the whole string per row
+    # (round-11 review, fifth pass)
+    s_hex = F.hex(F.substring(F.encode(col, "UTF-8"), 1, ncp + 7))
     sliced = F.conv(
         F.rpad(F.substring(s_hex, 2 * ncp + 1, 14), 14, "0"),
         16, 10).cast("long") + F.lit(1)
@@ -790,13 +799,18 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     from parquet_index_spark.operators._ckpt import checkpoint_metadata
     mm = checkpoint_metadata(mm)
     mm_small = mm.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
-    try:
-        from pyspark.sql.types import DoubleType, FloatType
-        _s_float = isinstance(df.select(_as_col(score)).schema[0].dataType,
-                              (FloatType, DoubleType))
-    except Exception:  # noqa: BLE001 — unresolvable: assume auditable
-        _s_float = True
-    if mm_small and (not degenerate_escape or _s_float):
+    _audit = mm_small
+    if _audit and degenerate_escape:
+        # dtype probe only when its result is consumed (escape on): the
+        # plan re-analysis it costs must not land on every default call
+        try:
+            from pyspark.sql.types import DoubleType, FloatType
+            _audit = isinstance(
+                df.select(_as_col(score)).schema[0].dataType,
+                (FloatType, DoubleType))
+        except Exception:  # noqa: BLE001 — unresolvable: assume auditable
+            _audit = True
+    if _audit:
         # the audit is only affordable when |groups| is bounded — a tiny
         # filter over the checkpointed frame, no data rescans. Two
         # degenerate shapes collapse a group to ONE bucket:

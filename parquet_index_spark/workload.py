@@ -6401,7 +6401,12 @@ _R11_WINDOW = CHANGED_HEAD + [
 ]
 # the driver grades the FIRST 50 keys — a window longer than 50 would
 # silently push its tail out of grading (round-11 review: the three new
-# rank-cut queries grew the head past 50 before the fill was trimmed)
-assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
+# rank-cut queries grew the head past 50 before the fill was trimmed).
+# Explicit raise, not assert: python -O strips asserts, which would
+# disable exactly the silent-truncation guard this line exists for.
+if len(_R11_WINDOW) != 50:
+    raise RuntimeError(
+        f"grading window must be exactly 50 entries, got "
+        f"{len(_R11_WINDOW)} — the driver grades only the first 50")
 QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _R11_WINDOW}}
