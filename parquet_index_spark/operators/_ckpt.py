@@ -60,7 +60,7 @@ _META_RING: dict = {}
 _META_RING_MAX = 64
 
 
-def checkpoint_metadata(df: DataFrame) -> DataFrame:
+def checkpoint_metadata(df: DataFrame, eager: bool = True) -> DataFrame:
     """:func:`checkpoint_corpus` for per-call METADATA frames whose
     consumers are LAZY (the caller returns a plan built on the frame,
     so nothing can release it at call end the way merge_into releases
@@ -73,8 +73,16 @@ def checkpoint_metadata(df: DataFrame) -> DataFrame:
     past ``_META_RING_MAX`` the oldest is unpersisted. Correctness is
     unaffected: persist keeps lineage, so a still-referenced old handle
     recomputes instead of failing — only its pinned blocks are freed.
-    local/reliable checkpoint modes bypass the ring entirely."""
-    out = checkpoint_corpus(df)
+    local/reliable checkpoint modes bypass the ring entirely.
+
+    ``eager=False`` defers materialization to the caller's FIRST action
+    on the returned frame (round-12, verdict #3): a caller that must
+    run a probe job anyway (a broadcast-sizing count, an audit
+    aggregate) fuses the checkpoint materialization into that job
+    instead of paying a dedicated eager job first — halving the
+    composition-time job count of every rank-cut call. persist-mode
+    frames are lazy regardless (persist only marks)."""
+    out = checkpoint_corpus(df, eager=eager)
     try:
         if out.is_cached:  # persist fallback was taken
             from collections import deque

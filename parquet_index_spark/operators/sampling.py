@@ -232,7 +232,8 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
                   degenerate_floor: int = 1_000_000,
                   max_broadcast_rows: int = 4_000_000,
                   hot_key_audit: bool = True,
-                  distributed_order_by: bool = True) -> DataFrame:
+                  distributed_order_by: bool = True,
+                  order_key_range: "tuple | None" = None) -> DataFrame:
     """Per-group quota: keep at most ``n`` rows per group — the "cap
     documents per domain" primitive of web-corpus curation. ``tiebreak``
     columns make the cut deterministic — always include a unique id so
@@ -259,20 +260,22 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
       path, in BOTH directions (round-11 extended the round-10
       ascending cut to ``descending=True`` — no encoding negation, the
       cut itself runs descending, so there is no LONG_MIN overflow
-      hazard). float/double keys also ride the cut when a
-      composition-time probe finds the column NaN-free (round-11 —
-      they are already numeric, ties resolve through Spark's own
-      comparisons so ``-0.0``/``0.0`` behave exactly like the window);
-      a NaN anywhere stands the call down to the window with a named
-      warning (the score contract is non-NaN, and the window's
-      NaN-greatest ordering must be preserved). Default-collation
+      hazard). float/double keys ALWAYS ride the cut (round-12 — they
+      are already numeric, ties resolve through Spark's own
+      comparisons so ``-0.0``/``0.0`` behave exactly like the window,
+      and NaN rows route to a dedicated greatest-sentinel bucket at
+      EXECUTION time, mirroring the NULL bucket, so they land exactly
+      where the window's NaN-greatest ordering puts them; the round-11
+      composition-time NaN probe — a full input scan whose verdict
+      could drift stale before execution — is gone). Default-collation
       STRING keys ride it too (round-11): a 7-byte UTF-8 prefix after
       the global common prefix buckets monotonically under Spark's
       byte-wise string order, and the original column leads the
       in-bucket order so the cut stays exact — "top N per key by
-      URL/path" without one task per key (stands down under
-      ``degenerate_escape``, whose tiebreak hashing cannot take the
-      injected sort order). Everything else (collated strings, decimals
+      URL/path" without one task per key (stands down WITH A NAMED
+      WARNING under ``degenerate_escape``, whose tiebreak hashing
+      cannot take the injected sort order). Everything else (collated
+      strings, decimals
       wider than 18 digits, explicit asc/desc wrappers) keeps the
       classic one-shuffle ``row_number() OVER (PARTITION BY group ORDER
       BY ...)`` — correct for any orderable type but streaming each
@@ -286,11 +289,20 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
       the group cardinality profile is already known).
 
       Eagerness: the rank-cut rewrite (and the audit) run Spark jobs at
-      COMPOSITION time. ``distributed_order_by=False`` opts a
-      compose-only caller out of the rewrite entirely — the call stays
-      a lazy window at the documented one-task-per-group cost (the same
-      lazy-composition knob precedent as asof_join's hot_key_audit).
-      Streaming inputs always take the lazy window.
+      COMPOSITION time — two fused probe jobs for the cut itself
+      (round-12 shaved the per-call floor from five), plus ONE extra
+      min/max scan of the input for a STRING key (the common-prefix
+      snapshot). ``order_key_range=(lo, hi)`` skips that string scan:
+      the snapshot derives from the caller-supplied bounds instead.
+      The bounds are ADVISORY — the per-row drift guard clamps values
+      outside the implied prefix to edge encodings, so a wrong range
+      costs bucketing parallelism, never rows (the same staleness
+      contract as the probed snapshot). Other key types ignore it
+      (they have no probe left to skip). ``distributed_order_by=False``
+      opts a compose-only caller out of the rewrite entirely — the
+      call stays a lazy window at the documented one-task-per-group
+      cost (the same lazy-composition knob precedent as asof_join's
+      hot_key_audit). Streaming inputs always take the lazy window.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -341,8 +353,16 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
         if odt is not None:
             enc = _monotone_long_encoding(df, oc, odt)
         if enc is None and odt is not None:
-            enc = _nan_free_float_key(df, oc, odt)
-        if enc is None and odt is not None and not degenerate_escape:
+            # float/double (round-12): already numeric — no encoding, no
+            # probe. NaN rows are handled at EXECUTION time by the cut's
+            # dedicated greatest-sentinel bucket (see
+            # top_fraction_per_group), so they rank exactly like the
+            # window form even when they appear AFTER composition (the
+            # round-11 probe's verdict could drift stale).
+            from pyspark.sql.types import DoubleType, FloatType
+            if isinstance(odt, (FloatType, DoubleType)):
+                enc = oc
+        if enc is None and odt is not None:
             # strings (round-11): a 7-byte UTF-8 prefix (after stripping
             # the GLOBAL common prefix — 'https://'-class keys would
             # otherwise collapse every row into one bucket) is a
@@ -351,10 +371,28 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
             # in-bucket order: ordering by (enc, orig) == ordering by
             # orig, buckets stay monotone, and the rank stays exact.
             # degenerate_escape stands down (it hashes tiebreaks, and
-            # the injected sort-order tiebreak cannot be hashed).
-            enc = _string_prefix_encoding(df, oc, odt)
-            if enc is not None:
-                pre_tb = (oc.desc() if descending else oc,)
+            # the injected sort-order tiebreak cannot be hashed) — with
+            # a NAMED warning (round-12, r11 verdict #4: the silent skip
+            # left "why did my string key not ride the cut" unanswered).
+            from pyspark.sql.types import StringType
+            if isinstance(odt, StringType) and degenerate_escape:
+                import warnings
+                warnings.warn(
+                    "cap_per_group: degenerate_escape=True stands the "
+                    "string order_by key down from the distributed rank "
+                    "cut (the escape sub-buckets by a HASH of the "
+                    "tiebreak columns, and the string cut injects the "
+                    "original column as a leading sort-order tiebreak, "
+                    "which cannot be hashed) — this call keeps the "
+                    "one-task-per-group window form. Drop "
+                    "degenerate_escape (string keys rarely tie "
+                    "group-wide) to ride the distributed cut.",
+                    UserWarning, stacklevel=2)
+            elif not degenerate_escape:
+                enc = _string_prefix_encoding(df, oc, odt,
+                                              order_key_range)
+                if enc is not None:
+                    pre_tb = (oc.desc() if descending else oc,)
         if enc is not None:
             out = top_fraction_per_group(
                 df.withColumn("__cap_ord", enc), group, 1.0, "__cap_ord",
@@ -402,8 +440,8 @@ def _monotone_long_encoding(df: DataFrame, col, dt) -> "Column | None":
       their unscaled value can exceed long range.
 
     Strings return None: no numeric encoding. float/double are handled
-    separately (:func:`_nan_free_float_key` — already numeric, no
-    encoding needed, but gated on a NaN probe).
+    separately in the caller (already numeric, no encoding needed; NaN
+    rows route to the cut's execution-time sentinel bucket).
     """
     import re as _re
 
@@ -431,43 +469,9 @@ def _monotone_long_encoding(df: DataFrame, col, dt) -> "Column | None":
     return None
 
 
-def _nan_free_float_key(df: DataFrame, col, dt) -> "Column | None":
-    """float/double order keys for the distributed rank cut (round-11):
-    they are already numeric, so no encoding is needed — the score path
-    buckets on the double cast (exact for floats) and resolves ties
-    with Spark's OWN comparisons, so ``-0.0``/``0.0`` tie exactly like
-    the window form and NULLs land where default ordering puts them
-    (same contract as the window: first asc / last desc).
-
-    The ONE reason floats were excluded is NaN: the score contract is
-    non-NaN, while the window path sorts NaN greatest (all NaNs tie).
-    A composition-time probe — one map-side-combinable aggregate over
-    the single column (the rewrite is already eager; this joins its
-    existing checkpoint/count probes) — verifies the column is NaN-free
-    and stands down to the audited window with a named warning when it
-    is not. Infinities pass the gate: they keep the cut CORRECT (bucket
-    order still == score order — every finite row of an infinite-span
-    group lands in bucket 0 and the exact in-bucket rank window decides)
-    but collapse that group's bucketization, which the non-finite-span
-    arm of top_fraction_per_group's degenerate audit names."""
-    from pyspark.sql.types import DoubleType, FloatType
-    if not isinstance(dt, (FloatType, DoubleType)):
-        return None
-    row = df.agg(
-        F.max(F.when(F.isnan(col), F.lit(1)).otherwise(F.lit(0)))).first()
-    if row and row[0]:
-        import warnings
-        warnings.warn(
-            "cap_per_group: the float order_by column contains NaN — "
-            "the distributed rank cut's score contract is non-NaN, so "
-            "this call keeps the one-task-per-group window form. "
-            "Filter the NaNs (or re-map them) to ride the distributed "
-            "cut.", UserWarning, stacklevel=3)
-        return None
-    return col
-
-
-def _string_prefix_encoding(df: DataFrame, col, dt) -> "Column | None":
+def _string_prefix_encoding(df: DataFrame, col, dt,
+                            key_range: "tuple | None" = None
+                            ) -> "Column | None":
     """A MONOTONE (not strict) long encoding of a default-collation
     string column for the distributed rank cut (round-11): the 7 UTF-8
     bytes after the column's GLOBAL common prefix, zero-padded and read
@@ -486,7 +490,11 @@ def _string_prefix_encoding(df: DataFrame, col, dt) -> "Column | None":
     every value between two strings shares their common prefix under
     byte-wise ordering — is stripped before the slice: real-world keys
     ('https://'-class URLs, shared path roots) would otherwise encode
-    identically and collapse every group into one bucket.
+    identically and collapse every group into one bucket. A caller who
+    already knows the key domain passes ``key_range=(lo, hi)`` and
+    skips that scan entirely (round-12, r11 verdict stretch #8): the
+    prefix derives from the supplied bounds, and the per-row drift
+    guard below makes wrong bounds cost only parallelism, never rows.
 
     The snapshot is CORRECTNESS-SAFE even if the input changes between
     composition and execution (round-11 review, fourth pass — a frozen
@@ -510,9 +518,17 @@ def _string_prefix_encoding(df: DataFrame, col, dt) -> "Column | None":
     from pyspark.sql.types import StringType
     if not isinstance(dt, StringType) or dt.simpleString() != "string":
         return None  # collated string: byte order is not its order
-    row = df.agg(F.min(col), F.max(col)).first()
-    if row is None or row[0] is None:
-        return None  # empty / all-NULL: nothing to bucket
+    if key_range is not None:
+        if (len(key_range) != 2
+                or not all(isinstance(v, str) for v in key_range)):
+            raise ValueError(
+                "order_key_range for a string key must be a (lo, hi) "
+                f"pair of strings, got {key_range!r}")
+        row = tuple(key_range)
+    else:
+        row = df.agg(F.min(col), F.max(col)).first()
+        if row is None or row[0] is None:
+            return None  # empty / all-NULL: nothing to bucket
     lo, hi = row[0].encode("utf-8"), row[1].encode("utf-8")
     ncp = 0
     for a, b in zip(lo, hi):
@@ -693,9 +709,18 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     ``tiebreak`` must include a unique id so reruns keep identical rows.
     ``ceil(fraction * n)`` uses IEEE double multiply — correctly rounded
     in every engine, so a SQL oracle draws the identical boundary.
-    ``score`` must be numeric and non-NaN; NULL scores sort the way the
-    default Spark ordering would (first when ascending, last when
-    descending). NULL groups are quota'd as their own group.
+    ``score`` must be numeric; NULL scores sort the way the default
+    Spark ordering would (first when ascending, last when descending),
+    and NaN scores sort GREATEST among values (Spark's numeric
+    ordering) — both are routed to dedicated sentinel buckets at
+    execution time (round-12: NaN handling moved from a composition-
+    time stand-down to the same exec-time clamp the NULL bucket always
+    had, so NaN rows appearing AFTER composition — the drift the
+    string path hardens against — rank correctly instead of silently
+    landing in bucket 0). All NaNs of a group share one bucket, like
+    NULLs: a group dominated by NaN scores serializes that bucket
+    (pre-thin or re-map them). NULL groups are quota'd as their own
+    group.
 
     Scale shape — DISTRIBUTED rank cut, never one task per group: a
     naive ``row_number() OVER (PARTITION BY group ORDER BY score)``
@@ -749,6 +774,18 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     The checkpoint also pins each metadata frame so the final plan scans
     the data exactly three times (extremes agg, bucket-count agg, the
     rank pass) instead of re-planning the subtree per reference.
+
+    Composition cost (round-12, r11 verdict #3): exactly TWO probe
+    jobs per call. Each metadata frame is LAZILY checkpointed and its
+    materialization fuses into the one probe job it needs anyway — for
+    the extremes frame a single aggregate returns the broadcast-sizing
+    count AND the degenerate-audit sample (``collect_list`` over the
+    audit predicate — bounded: entries need > ``degenerate_floor``
+    rows each, so there are at most rows/floor of them); for the
+    offsets frame the sizing count is the materializing action. The
+    prior shape (eager checkpoint + ``limit(cap+1).count()`` + audit
+    collect, per frame) cost five jobs per call, a fixed ~0.5 s of
+    driver job-floor latency per pipeline stage at local job scale.
     """
     if _cap_rows is None and not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
@@ -788,75 +825,74 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     # and broadcast only under the row cap. groupBy is NULL-safe (NULL
     # is its own group) and the join back uses eqNullSafe so NULL groups
     # keep cap_per_group semantics (a name equi-join would silently
-    # drop them).
+    # drop them). Extremes are over NON-NaN values only: NaN rows take
+    # the sentinel bucket below, and a NaN-poisoned max would otherwise
+    # turn every finite row's bucket arithmetic to NaN.
+    finite = ~F.isnan(s)
     mm = df.groupBy(g.alias("__tf_g")).agg(
-        F.min(s).alias("__tf_mn"), F.max(s).alias("__tf_mx"),
+        F.min(F.when(finite, s)).alias("__tf_mn"),
+        F.max(F.when(finite, s)).alias("__tf_mx"),
         F.count("*").alias("__tf_cnt"))
     # checkpoint_metadata, not checkpoint_corpus: the returned plan
     # consumes these frames lazily, so per-micro-batch callers would pin
     # one persist-fallback cache entry per call without bound — the ring
-    # bounds that (round-11 review)
+    # bounds that (round-11 review). LAZY: the probe aggregate below is
+    # the materializing action, so checkpoint + broadcast-sizing count +
+    # degenerate audit cost ONE job instead of three (round-12).
     from parquet_index_spark.operators._ckpt import checkpoint_metadata
-    mm = checkpoint_metadata(mm)
-    mm_small = mm.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
-    _audit = mm_small
-    if _audit and degenerate_escape:
-        # dtype probe only when its result is consumed (escape on): the
-        # plan re-analysis it costs must not land on every default call
-        try:
-            from pyspark.sql.types import DoubleType, FloatType
-            _audit = isinstance(
-                df.select(_as_col(score)).schema[0].dataType,
-                (FloatType, DoubleType))
-        except Exception:  # noqa: BLE001 — unresolvable: assume auditable
-            _audit = True
-    if _audit:
-        # the audit is only affordable when |groups| is bounded — a tiny
-        # filter over the checkpointed frame, no data rescans. Two
-        # degenerate shapes collapse a group to ONE bucket:
-        # - constant score (span == 0): the escape's tiebreak-hash
-        #   sub-bucketing handles it, so with the escape on this arm is
-        #   skipped rather than warn about a handled case;
-        # - NON-FINITE span (an infinite score makes span Inf, so every
-        #   finite row's pos/span floors to bucket 0; +-Inf extremes
-        #   make span NaN, same collapse — round-11 review): the cut
-        #   stays CORRECT (the exact in-bucket rank window decides) but
-        #   serializes the group, and the ESCAPE CANNOT fix it (scores
-        #   are not tied, so hash sub-bucketing would break rank order)
-        #   — this arm is audited even with the escape on, but ONLY for
-        #   float/double scores: every other score type is finite after
-        #   the double cast, so with the escape on the whole collect
-        #   would be a statically-unsatisfiable job per call (round-10's
-        #   deliberate skip, restored by the dtype gate).
-        span = F.col("__tf_mx") - F.col("__tf_mn")
-        nonfinite = F.isnan(span) | (span == F.lit(float("inf")))
-        shape = nonfinite if degenerate_escape else \
-            nonfinite | (F.col("__tf_mn") == F.col("__tf_mx"))
-        deg = (mm.filter(shape
-                         & (F.col("__tf_cnt") > F.lit(int(degenerate_floor))))
-               .select("__tf_g", "__tf_cnt").limit(20).collect())
-        if deg:
-            import warnings
-            warnings.warn(
-                "top_fraction_per_group: constant-score or "
-                "infinite-score-span group(s) "
-                f"{[(r[0], r[1]) for r in deg]} exceed "
-                f"degenerate_floor={degenerate_floor} rows and collapse "
-                "to ONE score bucket — the rank window degenerates to a "
-                "single task per such group. For constant scores pass "
-                "degenerate_escape=True (tiebreak-hash sub-bucketing); "
-                "for infinite scores clamp or re-map them — the escape "
-                "cannot sub-bucket a non-tied group.",
-                UserWarning, stacklevel=2)
+    mm = checkpoint_metadata(mm, eager=False)
+    # degenerate-audit sample, fused into the sizing count. Two shapes
+    # collapse a group to ONE bucket:
+    # - constant score (span == 0): the escape's tiebreak-hash
+    #   sub-bucketing handles it, so with the escape on this arm is
+    #   skipped rather than warn about a handled case;
+    # - NON-FINITE span (+-Inf extremes — NaN no longer reaches the
+    #   extremes): the cut stays CORRECT (the exact in-bucket rank
+    #   window decides) but serializes the group, and the ESCAPE CANNOT
+    #   fix it (scores are not tied, so hash sub-bucketing would break
+    #   rank order) — audited even with the escape on.
+    # collect_list skips the NULLs the unmatched WHEN produces, so only
+    # degenerate groups accumulate — bounded by rows/degenerate_floor
+    # entries (each needs > floor rows), metadata-sized at any scale.
+    span_m = F.col("__tf_mx") - F.col("__tf_mn")
+    nonfinite = F.isnan(span_m) | (span_m == F.lit(float("inf")))
+    shape = nonfinite if degenerate_escape else \
+        nonfinite | (F.col("__tf_mn") == F.col("__tf_mx"))
+    n_groups, deg = mm.agg(
+        F.count("*"),
+        F.slice(F.collect_list(
+            F.when(shape & (F.col("__tf_cnt")
+                            > F.lit(int(degenerate_floor))),
+                   F.struct("__tf_g", "__tf_cnt"))), 1, 20)).first()
+    mm_small = n_groups <= max_broadcast_rows
+    if deg:
+        import warnings
+        warnings.warn(
+            "top_fraction_per_group: constant-score or "
+            "infinite-score-span group(s) "
+            f"{[(r[0], r[1]) for r in deg]} exceed "
+            f"degenerate_floor={degenerate_floor} rows and collapse "
+            "to ONE score bucket — the rank window degenerates to a "
+            "single task per such group. For constant scores pass "
+            "degenerate_escape=True (tiebreak-hash sub-bucketing); "
+            "for infinite scores clamp or re-map them — the escape "
+            "cannot sub-bucket a non-tied group.",
+            UserWarning, stacklevel=2)
     mm_b = F.broadcast(mm) if mm_small else mm
     base = df.join(mm_b, g.eqNullSafe(F.col("__tf_g")))
     # monotone bucketization: lower bucket == better rank position.
     # Equal scores always share a bucket; NULL scores get a sentinel
-    # bucket at the end Spark's default null ordering puts them.
+    # bucket at the end Spark's default null ordering puts them, and
+    # NaN scores a sentinel at the GREATEST-value position (round-12:
+    # Spark orders NaN above every other numeric, so ascending it sits
+    # just before the trailing NULLs' side, descending just after the
+    # leading edge — all NaNs tie and the in-bucket tiebreak decides,
+    # exactly the window form's NaN semantics).
     span = F.col("__tf_mx") - F.col("__tf_mn")
     pos = (F.col("__tf_mx") - s) if descending else (s - F.col("__tf_mn"))
     raw = F.floor(pos / span * F.lit(int(range_buckets)))
     null_bkt = int(range_buckets) if descending else -1
+    nan_bkt = -1 if descending else int(range_buckets)
     # the escape hash: [0, 2^32) from the tiebreak columns; bucket =
     # floor(h * B / 2^32) in long arithmetic (h < 2^32, B <= 2^31 —
     # no overflow), monotone in h, equal h shares a bucket. It also
@@ -865,13 +901,19 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     if degenerate_escape:
         h = F.pmod(F.xxhash64(*[_as_col(t) for t in tiebreak]),
                    F.lit(1 << 32))
-        esc_h = F.when(s.isNotNull() & (span <= F.lit(0.0)), h) \
+        # NaN rows are EXCLUDED from the escape hash: they live in the
+        # sentinel bucket, and a nonzero esc_h there would precede the
+        # tiebreaks in the rank window's order — changing which tied
+        # NaN rows are kept vs the window form's pure-tiebreak order
+        esc_h = F.when(s.isNotNull() & ~F.isnan(s)
+                       & (span <= F.lit(0.0)), h) \
             .otherwise(F.lit(0)).cast("long")
         deg_bkt = F.floor(esc_h * F.lit(int(range_buckets)) / F.lit(1 << 32))
     else:
         esc_h = F.lit(0).cast("long")
         deg_bkt = F.lit(0)
     bkt = (F.when(s.isNull(), F.lit(null_bkt))
+           .when(F.isnan(s), F.lit(nan_bkt))
            .when(span <= F.lit(0.0), deg_bkt)
            .otherwise(F.least(raw, F.lit(int(range_buckets) - 1))))
     base = base.withColumn("__tf_bkt", bkt.cast("long")) \
@@ -903,11 +945,13 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     # the offsets metadata frame rides the SAME reliable-checkpoint knob
     # as mm above — a bare localCheckpoint here was the one
     # materialization site reliable=true did not cover (round-10 ADVICE:
-    # a lost executor would hard-fail at this site alone)
-    offs = checkpoint_metadata(offs)
+    # a lost executor would hard-fail at this site alone). LAZY + one
+    # full count: the count IS the materializing action (round-12 —
+    # the limit(cap+1) short-circuit bought nothing once the checkpoint
+    # forced a full materialization anyway, and cost a second job)
+    offs = checkpoint_metadata(offs, eager=False)
     offs_b = (F.broadcast(offs)
-              if offs.limit(max_broadcast_rows + 1).count()
-              <= max_broadcast_rows else offs)
+              if offs.count() <= max_broadcast_rows else offs)
     # (4) exact rank only inside surviving buckets: the window partitions
     # by (group, bucket) — per-task state is one bucket. offset + local
     # rank IS the global rank (bucket order == score order, equal scores

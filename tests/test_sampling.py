@@ -6,7 +6,7 @@ pin the determinism/portability contracts the operators advertise."""
 
 import duckdb
 import pytest
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row, Window, functions as F
 
 from parquet_index_spark.operators import dedup as D
 from parquet_index_spark.operators import sampling as SA
@@ -15,6 +15,17 @@ from parquet_index_spark.operators import sampling as SA
 @pytest.fixture(scope="module")
 def keyed(spark):
     return spark.range(0, 2000).withColumnRenamed("id", "k")
+
+
+def _nan_norm(rows):
+    """Row tuples with NaN mapped to a comparable sentinel: tuple
+    equality treats nan != nan, so equivalence asserts over NaN-bearing
+    results need the rewrite."""
+    import math
+    return sorted(
+        tuple("<NaN>" if isinstance(x, float) and math.isnan(x) else x
+              for x in t)
+        for t in map(tuple, rows))
 
 
 class TestHashBucket:
@@ -366,8 +377,8 @@ class TestCapPerGroup:
         real = SA._string_prefix_encoding
         probed = df.filter(F.col("s").startswith("https://"))
 
-        def stale(_df, col, dt):
-            return real(probed, col, dt)
+        def stale(_df, col, dt, key_range=None):
+            return real(probed, col, dt, key_range)
 
         monkeypatch.setattr(SA, "_string_prefix_encoding", stale)
         for desc in (False, True):
@@ -386,11 +397,81 @@ class TestCapPerGroup:
         rows = [(1, i, f"k{i}") for i in range(10)]
         df = spark.createDataFrame(rows, "g: int, uid: long, s: string")
         calls = self._spy_rank_cut(monkeypatch)
-        out = SA.cap_per_group(df, "g", 2, "s", "uid",
-                               degenerate_escape=True,
-                               hot_key_audit=False)
+        # round-12 (r11 verdict #4): the stand-down is NAMED, not silent
+        with pytest.warns(UserWarning, match="stands the string"):
+            out = SA.cap_per_group(df, "g", 2, "s", "uid",
+                                   degenerate_escape=True,
+                                   hot_key_audit=False)
         assert calls == []  # escape on: strings keep the window
         assert out.count() == 2
+
+    def test_order_by_string_key_range_skips_probe(self, spark,
+                                                   monkeypatch):
+        """Round-12 (r11 verdict stretch #8): order_key_range=(lo, hi)
+        derives the common-prefix snapshot from the caller's bounds —
+        no min/max scan of the input at composition time — and a WRONG
+        range still returns the exact keep set (the per-row drift guard
+        clamps out-of-prefix values to edge encodings)."""
+        rows = [(i % 2, i, f"https://h{i % 5}.example.com/{i:03d}")
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "g: int, uid: long, s: string")
+        want = SA.cap_per_group(
+            df, "g", 3, F.col("s").asc(), "uid",
+            hot_key_audit=False).collect()
+        sc = spark.sparkContext
+
+        def compose_jobs(group, **kw):
+            calls = self._spy_rank_cut(monkeypatch)
+            sc.setJobGroup(group, "okr composition probe")
+            try:
+                out = SA.cap_per_group(df, "g", 3, "s", "uid", **kw)
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+            assert calls == [3]
+            monkeypatch.undo()
+            return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+        probed, n_probed = compose_jobs("okr_probed")
+        got, n_ranged = compose_jobs(
+            "okr_ranged", order_key_range=("https://h0", "https://h5"))
+        assert n_ranged < n_probed  # the min/max scan was skipped
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, want))
+        # deliberately-wrong bounds: exact rows, parallelism-only cost
+        wrong = SA.cap_per_group(
+            df, "g", 3, "s", "uid",
+            order_key_range=("zzz://nope", "zzz://nopezzz"))
+        assert sorted(map(tuple, wrong.collect())) \
+            == sorted(map(tuple, want))
+        with pytest.raises(ValueError, match="pair of strings"):
+            SA.cap_per_group(df, "g", 3, "s", "uid",
+                             order_key_range=(1, 2))
+
+    def test_rank_cut_composition_job_floor(self, spark):
+        """Round-12 (r11 verdict #3): composing one distributed rank
+        cut costs exactly TWO probe jobs (fused checkpoint + sizing
+        count + audit per metadata frame) — the r11 shape cost five,
+        a fixed ~0.5s of driver job floor per pipeline stage."""
+        sc = spark.sparkContext
+        df = spark.createDataFrame(
+            [(i % 3, i, float(i % 7)) for i in range(90)],
+            "g: int, uid: long, v: double")
+        # AQE off for the census: with it on, each ACTION fans into
+        # per-shuffle-stage sub-jobs and the count measures AQE, not
+        # the composition's driver-blocking action floor
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        sc.setJobGroup("tf_census", "rank-cut composition probe jobs")
+        try:
+            SA.top_fraction_per_group(df, "g", 0.5, "v", "uid")
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        ids = sc.statusTracker().getJobIdsForGroup("tf_census")
+        # 2 probe actions + the mm broadcast-exchange job the offs count
+        # triggers (broadcast exchanges submit their own job); the r11
+        # shape cost 5 probe actions + that same broadcast
+        assert len(ids) <= 3, ids
 
     def test_order_by_descending_rides_distributed_cut(
             self, spark, monkeypatch):
@@ -481,18 +562,63 @@ class TestCapPerGroup:
                 == sorted(map(tuple, want.collect())), desc
             assert got.columns == df.columns + ["__rank"]
 
-    def test_order_by_float_nan_falls_back_to_window(self, spark,
-                                                     monkeypatch):
+    def test_order_by_float_nan_rides_cut_exec_time(self, spark,
+                                                    monkeypatch):
+        """Round-12 (r11 ADVICE #1): NaN order keys no longer stand the
+        call down — they route to the cut's execution-time greatest-
+        sentinel bucket, so the keep set matches the window form's
+        NaN-greatest ordering in BOTH directions, with no composition-
+        time probe whose verdict could drift stale."""
         rows = [(i % 2, i,
-                 float("nan") if i == 7 else float(i)) for i in range(20)]
+                 None if i == 11 else
+                 float("nan") if i in (7, 9) else float(i))
+                for i in range(20)]
         df = spark.createDataFrame(rows, "g: int, uid: long, v: double")
-        calls = self._spy_rank_cut(monkeypatch)
-        with pytest.warns(UserWarning, match="contains NaN"):
-            out = SA.cap_per_group(df, "g", 3, "v", "uid",
-                                   hot_key_audit=False)
-        assert calls == []  # NaN gate held: window path
-        # window semantics: NaN sorts greatest, so it is never kept
-        assert {r["uid"] for r in out.collect()} == {0, 1, 2, 3, 4, 5}
+        for desc in (False, True):
+            calls = self._spy_rank_cut(monkeypatch)
+            got = SA.cap_per_group(df, "g", 3, "v", "uid",
+                                   descending=desc, keep_rank=True)
+            assert calls == [3], desc  # NaN no longer blocks the rewrite
+            monkeypatch.undo()
+            want = SA.cap_per_group(
+                df, "g", 3, F.col("v").desc() if desc else F.col("v").asc(),
+                "uid", hot_key_audit=False, keep_rank=True)
+            assert _nan_norm(got.collect()) \
+                == _nan_norm(want.collect()), desc
+        # ascending: NULL first (uid 11), NaN greatest — never kept at
+        # n=3
+        asc = SA.cap_per_group(df, "g", 3, "v", "uid")
+        assert {r["uid"] for r in asc.collect()} == {0, 2, 4, 11, 1, 3}
+        # descending: the two NaNs lead group 1 (then 19), none in g0
+        desc_out = SA.cap_per_group(df, "g", 3, "v", "uid",
+                                    descending=True)
+        assert {r["uid"] for r in desc_out.collect()} \
+            == {7, 9, 19, 18, 16, 14}
+
+    def test_score_path_nan_matches_window(self, spark):
+        """The score path itself now accepts NaN: all NaNs of a group
+        share the sentinel bucket and tie, the tiebreak decides —
+        identical to the window ordering. Includes an all-NaN group."""
+        rows = ([("a", i, float("nan") if i % 5 == 0 else float(i % 7))
+                 for i in range(40)]
+                + [("allnan", i, float("nan")) for i in range(40, 50)]
+                + [("a", 100, None)])
+        df = spark.createDataFrame(rows, "g: string, uid: long, v: double")
+        for desc in (False, True):
+            got = SA.top_fraction_per_group(
+                df, "g", 0.4, "v", "uid", descending=desc,
+                keep_rank=True, range_buckets=5)
+            w = Window.partitionBy("g").orderBy(
+                F.col("v").desc() if desc else F.col("v").asc(),
+                F.col("uid"))
+            n_w = Window.partitionBy("g")
+            want = (df.withColumn("__rank", F.row_number().over(w))
+                    .withColumn("__n", F.count("*").over(n_w))
+                    .filter(F.col("__rank")
+                            <= F.ceil(F.lit(0.4) * F.col("__n")))
+                    .drop("__n"))
+            assert _nan_norm(got.collect()) \
+                == _nan_norm(want.collect()), desc
 
     def test_nonfinite_span_triggers_degenerate_audit(self, spark):
         """Round-11 review: an infinite score makes a group's span
