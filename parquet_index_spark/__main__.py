@@ -25,7 +25,11 @@ can inspect an index without writing a script:
   JSON line ``{removed, kept, restored}``. Exit 0 when everything was
   classified and cleaned (restores included); exit 3 when any dir was
   KEPT for manual inspection — it may hold the only copy of table data,
-  so a 3am pager run must not treat that as success.
+  so a 3am pager run must not treat that as success. Exit 4 when the
+  table's single-writer lock is HELD by a live writer (vacuum mutates,
+  so it refuses to pull staged files out from under one) — the JSON
+  error line names the holder; a crashed holder's lock self-expires
+  after ``spark.sql.index.writer.lock.ttlSeconds`` (default 600).
 
 Honors ``SPARK_GRAFT_METASTORE`` (falls back to the session default
 resolution). Local-mode session; diagnostics are metadata-only except
@@ -104,8 +108,14 @@ def main(argv) -> int:
             if failed:
                 return 1
         elif cmd == "vacuum":
-            from parquet_index_spark.sources import vacuum_table
-            info = vacuum_table(spark, path)
+            from parquet_index_spark.sources import (ConcurrentWriterError,
+                                                     vacuum_table)
+            try:
+                info = vacuum_table(spark, path)
+            except ConcurrentWriterError as e:
+                print(json.dumps({"error": "writer_lock_held",
+                                  "detail": str(e)}))
+                return 4  # a live writer holds the table — do not touch
             print(json.dumps(info))
             if info["kept"]:
                 return 3  # dirs held for manual inspection — not clean

@@ -37,6 +37,23 @@ REFRESH_MAX_SHARDS = "spark.sql.index.parquet.refresh.maxShards"
 # (pinned-thread py4j connections are per-thread; rebuilding pools would
 # leak JVM threads), so later conf changes have no effect.
 STAGE_THREADS = "spark.sql.index.stage.threads"
+# staged-swap rename pool latency gate (round-12, r11 verdict #2): past
+# the pending-sibling floor the swap times its first renames serially and
+# pools the remainder ONLY when the mean per-op latency exceeds this many
+# microseconds. Default 1000 µs sits between the measured regimes
+# (STRESS_r11: local-FS renames ~0.68 ms/op where the pool LOSES 1.5x to
+# GIL-held py4j marshalling; >=1 ms emulated NameNode RPC where it wins
+# 2.6-6x). 0 disables the probe (always pool past the floor).
+STAGE_MIN_OP_MICROS = "spark.sql.index.stage.minOpMicros"
+# single-writer lease TTL (round-12, r11 verdict #1): every mutating
+# entry point (merge_into, delete_where, update_where, compact_table,
+# maintain_table, vacuum_table) acquires a create-exclusive sibling lock
+# file and heartbeats its mtime while held; a lock whose mtime is older
+# than this many seconds is presumed abandoned (crashed driver) and
+# taken over. Two LIVE writers therefore fail loudly instead of
+# interleaving staged swaps; a crashed writer's lock self-expires within
+# one TTL. Assumes writer clocks agree within a fraction of the TTL.
+WRITER_LOCK_TTL = "spark.sql.index.writer.lock.ttlSeconds"
 
 DEFAULT_METASTORE_DIR = "index_metastore"
 

@@ -6361,52 +6361,48 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
 # no-cartesian plan sweep (tests/test_plans.py) covers exactly these —
 # two independently maintained magic lengths silently diverge
 CHANGED_HEAD = [
-    # round-11 changed surface (changed code needs a fresh driver
-    # certification): the NEW float-, decimal-, and string-order-key
-    # rank-cut queries, the NEW descending rank-cut query and its
-    # ascending sibling (cap_per_group's order_by path gained
-    # float/double keys, decimal(p<=18) unscaled-value encoding,
-    # string prefix-bucket encoding, descending, and the
-    # distributed_order_by knob), every consumer of
-    # the rewritten staged swap (merge/CDC sinks, range DML, partition
-    # DML, compaction), merge_into's frame-release wrapper, and
-    # top_fraction's offsets-checkpoint routing (quality gate + grouped
-    # cosine top-k ride the same cut)
+    # round-12 changed surface (changed code needs a fresh driver
+    # certification): every rank-cut rider (the probe fusion + the
+    # execution-time NaN sentinel bucket rewired top_fraction_per_group
+    # itself, so the float/decimal/string/descending order_by queries,
+    # the quality gate, grouped cosine top-k, and pipeline v3 all sit
+    # on changed code), and every DML/maintenance consumer (the
+    # single-writer lease now wraps merge/delete/update/compact/vacuum,
+    # and the staged swap gained the latency-gated rename pool)
     "float_rank_docs_per_lang", "top_price_orders_per_cust",
     "first_urls_per_lang",
     "latest_events_per_user", "earliest_events_per_user",
+    "quality_gate_by_lang", "ann_cosine_topk", "curation_pipeline_v3",
     "merge_delete_orders", "merge_upsert_orders", "stream_merge_cdc_ops",
     "stream_merge_upsert", "idx_delete_range", "idx_update_range",
     "idx_delete_partitioned", "idx_compact_roundtrip",
-    "quality_gate_by_lang", "ann_cosine_topk",
 ]
-_R11_WINDOW = CHANGED_HEAD + [
-    # oldest-proven-first rotation (tools/rotate_window.py): the seven
-    # r7-stale queries lead the fill, advancing the oldest-green round
-    "chunk_dedup_pipeline", "idx_prefix_scan", "idx_null_safe_point",
-    "semantic_dedup_stats", "pack_bins_by_source",
-    "semantic_contamination_stats", "pii_redaction_stats",
-    "span_dedup_stats", "stream_running_anomaly", "token_budget_mixture",
-    "curation_pipeline_v2", "freq_terms_top20", "lang_id_confusion",
-    "rolling_anomaly_events", "stratified_sample_langs",
-    "temperature_sample_langs", "curation_pipeline_stats",
-    "idx_hilbert_range", "trailing_30d_peak_spend",
-    "repetition_flags_by_lang", "hll_union_sketch_parts",
-    "stream_windowed_counts", "stream_session_windows",
-    "stream_funnel_join", "stream_funnel_left_outer",
-    "stream_gapfill_locf", "stream_user_totals", "stream_enrich_join",
-    "json_props_stats", "idx_events_time_range", "idx_fast_count",
-    "sessionize_events", "funnel_conversion", "funnel_conversion_windowed",
-    "q12_priority_shipmode",
+_R12_WINDOW = CHANGED_HEAD + [
+    # oldest-proven-first rotation (tools/rotate_window.py): the ten
+    # r8-stale queries lead the fill, advancing the oldest-green round
+    # r8 -> r9 (r11 verdict ask #5)
+    "rollup_sales", "cumulative_spend", "q2_min_cost_supplier",
+    "q9_product_profit", "q11_important_parts", "q14_brand_revenue_share",
+    "q16_supplier_part_counts", "q20_part_suppliers",
+    "q3_shipping_priority", "q19_disjunctive_predicates",
+    "idx_refresh_append", "approx_distinct_parts",
+    "q7_nation_trade", "q8_market_share", "q13_order_distribution",
+    "q15_top_supplier", "ann_topk_per_label", "ann_topk_lsh_probed",
+    "stream_dedup_events", "stream_sink_roundtrip", "salted_skew_join",
+    "dedup_exact_stats", "dedup_prefix_groups", "dedup_group_assignment",
+    "dedup_keep_best", "jaccard_neardup_pairs", "simhash_fingerprints",
+    "text_profile_by_lang", "doc_fingerprints", "token_count_stats",
+    "tfidf_top_terms", "bm25_search", "profile_orders_columns",
+    "ks_drift_doclen",
 ]
 # the driver grades the FIRST 50 keys — a window longer than 50 would
 # silently push its tail out of grading (round-11 review: the three new
 # rank-cut queries grew the head past 50 before the fill was trimmed).
 # Explicit raise, not assert: python -O strips asserts, which would
 # disable exactly the silent-truncation guard this line exists for.
-if len(_R11_WINDOW) != 50:
+if len(_R12_WINDOW) != 50:
     raise RuntimeError(
         f"grading window must be exactly 50 entries, got "
-        f"{len(_R11_WINDOW)} — the driver grades only the first 50")
-QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in _R11_WINDOW}}
+        f"{len(_R12_WINDOW)} — the driver grades only the first 50")
+QUERIES = {**{k: QUERIES[k] for k in _R12_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in _R12_WINDOW}}

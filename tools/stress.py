@@ -334,9 +334,17 @@ def main() -> None:
         finally:
             SRC._fs_for = orig
 
+    # round-12 (r11 verdict #2): the pool is latency-gated — a 16-rename
+    # serial probe keeps local FS on the serial loop (where the pool
+    # measurably LOST 1.5x to GIL-held py4j marshalling) and pools only
+    # past spark.sql.index.stage.minOpMicros (default 1 ms). The "auto"
+    # row per regime is therefore the shipped behavior: expect
+    # mode=serial / speedup ~1.0 on local, mode=pooled with the r11-class
+    # wins at 1-5 ms emulated NameNode RPC.
     floor = SRC._STAGE_PARALLEL_FLOOR
     stage_r = {"files": n_stage,
-               "pool_threads": SRC._stage_pool(spark)._max_workers}
+               "pool_threads": SRC._stage_pool(spark)._max_workers,
+               "gate_min_op_micros": 1000.0}
     for regime, delay in (("local", 0.0), ("rpc1ms", 0.001),
                           ("rpc5ms", 0.005)):
         SRC._STAGE_PARALLEL_FLOOR = 1 << 60   # force the serial path
@@ -344,10 +352,13 @@ def main() -> None:
             serial_sec, _ = _timed(lambda: run_swap(delay))
         finally:
             SRC._STAGE_PARALLEL_FLOOR = floor
-        pooled_sec, _ = _timed(lambda: run_swap(delay))  # pooled
+        auto_sec, _ = _timed(lambda: run_swap(delay))  # gated (shipped)
         stage_r[regime] = {
-            "serial_sec": serial_sec, "pooled_sec": pooled_sec,
-            "speedup": round(serial_sec / max(pooled_sec, 1e-9), 2)}
+            "serial_sec": serial_sec, "auto_sec": auto_sec,
+            "auto_mode": SRC._STAGE_LAST_MODE["mode"],
+            "probe_us": (round(SRC._STAGE_LAST_MODE["probe_us"], 1)
+                         if SRC._STAGE_LAST_MODE["probe_us"] else None),
+            "speedup": round(serial_sec / max(auto_sec, 1e-9), 2)}
     report["stage_swap"] = stage_r
 
     # slopes: Nx time / 1x time, vs the ideal SCALE
