@@ -740,6 +740,52 @@ def main() -> None:
 
     compaction = _section(_compaction_section)
 
+    def _partition_collapse_section():
+        """Directory-coalescing pruning signal (r11 verdict stretch #7,
+        SURVEY §7 de-risk): on a 2000-partition hive table where the
+        index keeps 3 partitions, the reader must receive 3 DIRECTORY
+        paths — not thousands of per-file paths — via
+        manager._collapse_to_directories. 2000 partitions is the
+        per-round-affordable stand-in for the 100k-partition regime the
+        path was built for; the signal is the path COUNT, which is
+        scale-independent (whole surviving partitions always collapse
+        to one path each)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        n_parts = 2000
+        pc_dir = os.path.join(skip_dir, f"hive{n_parts}")
+        if not os.path.exists(os.path.join(pc_dir, "p=0")):
+            for i in range(n_parts):
+                d = os.path.join(pc_dir, f"p={i}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(
+                    pa.table({"k": pa.array(
+                        [i * 10 + j for j in range(5)], "int64")}),
+                    os.path.join(d, "part-0.parquet"))
+        build = None
+        if not qctx.index.exists.parquet(pc_dir):
+            t0 = time.time()
+            qctx.index.create.indexBy("k").parquet(pc_dir)
+            build = round(time.time() - t0, 2)
+        t = qctx.index.parquet(pc_dir)
+        pred = "p IN (3, 700, 1500)"
+        t0 = time.time()
+        n_rows = t.filter(pred).count()
+        scan_sec = round(time.time() - t0, 3)
+        info = qctx.index.last_prune_info
+        ast, _res = t._compile(pred)
+        reader_paths = t._collapse_to_directories(sorted(t._prune(ast)))
+        return {"partitions": n_parts,
+                "files_total": info.total_files,
+                "files_selected": info.selected_files,
+                "reader_paths": len(reader_paths),
+                "all_directories": all(
+                    not p.endswith(".parquet") for p in reader_paths),
+                "rows": n_rows, "scan_sec": scan_sec,
+                "index_build_sec": build}
+
+    partition_collapse = _section(_partition_collapse_section)
+
     # Fresh-JVM pipeline measurements (r10 verdict #8): v2/v3 board
     # numbers come from an isolated subprocess — cold first invocation
     # and min-of-3 steady state — so the regression gate judges clean
@@ -897,6 +943,7 @@ def main() -> None:
         "term_search": term_search,
         "term_index_health": term_index_health,
         "compaction": compaction,
+        "partition_collapse": partition_collapse,
     }
     # full payload to a committed per-round file: the driver's own
     # capture truncates stdout ("parsed": null since r4), which starved
@@ -946,6 +993,11 @@ def main() -> None:
                  if isinstance(c, dict) and c.get("max_fill") is not None),
                 default=None),
             "compaction": compaction,
+            "partition_collapse": {
+                k: partition_collapse.get(k)
+                for k in ("partitions", "reader_paths",
+                          "files_selected", "error")
+                if k in partition_collapse},
         },
         "board_file": f"BENCH_LOCAL_{_round_label()}{suffix}.json",
     }

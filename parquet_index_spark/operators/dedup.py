@@ -583,11 +583,16 @@ def dedup_against_corpus(df_new: DataFrame, corpus: DataFrame,
         & _might(F.xxhash64(F.col(key))))
     # checkpoint the (small) candidate key set: it is referenced by the
     # size probe AND the semi-join; unmaterialized, each reference
-    # re-runs the new side's scan + bloom probe + distinct shuffle
+    # re-runs the new side's scan + bloom probe + distinct shuffle.
+    # LAZY + full count (round-12): the sizing count is the
+    # materializing action, so checkpoint + probe cost ONE job — the
+    # limit(n+1) short-circuit bought nothing once the checkpoint
+    # forced a full materialization anyway
     from parquet_index_spark.operators._ckpt import checkpoint_corpus
     candidates = checkpoint_corpus(
-        flagged.filter("__maybe").select(F.col(key)).distinct())
-    n_cand = candidates.limit(max_broadcast_keys + 1).count()
+        flagged.filter("__maybe").select(F.col(key)).distinct(),
+        eager=False)
+    n_cand = candidates.count()
     if n_cand <= max_broadcast_keys:
         matched = (corpus.join(F.broadcast(candidates), key, "left_semi")
                    .select(F.col(key)).distinct())

@@ -678,9 +678,11 @@ def semantic_dedup(df: DataFrame, centroids: List[tuple],
         # the assigned frame is referenced three times (both self-join
         # sides + the flag join); unmaterialized, Catalyst re-plans the
         # scan AND the argmax assignment per reference — 3x corpus scans
-        # + 3x quantizer compute (the dedup_group_assignment precedent)
+        # + 3x quantizer compute (the dedup_group_assignment precedent).
+        # LAZY (round-12): the first downstream action materializes it
+        # once for all three references; no dedicated composition job
         from parquet_index_spark.operators._ckpt import checkpoint_corpus
-        assigned = checkpoint_corpus(assigned)
+        assigned = checkpoint_corpus(assigned, eager=False)
     pre = (assigned
            .filter(F.col("cluster_id").isNotNull())
            .withColumn("__v", _as_double(F.col(vec_col)))

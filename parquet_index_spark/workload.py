@@ -83,9 +83,14 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def _ckpt_corpus(df: DataFrame) -> DataFrame:
     """Stage-boundary materialization honoring the reliable-checkpoint
     knob (operators/_ckpt.py) — the workload's pipeline queries use the
-    same contract as the operators they compose."""
+    same contract as the operators they compose. LAZY (round-12,
+    r11 verdict #3): the boundary still materializes exactly once (the
+    next stage's first action computes it, every later reference reads
+    the checkpointed blocks), but the dedicated eager result-stage job
+    per boundary is gone — part of shaving the pipelines' fixed
+    composition job floor."""
     from parquet_index_spark.operators._ckpt import checkpoint_corpus
-    return checkpoint_corpus(df)
+    return checkpoint_corpus(df, eager=False)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
