@@ -375,7 +375,13 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
             # a NAMED warning (round-12, r11 verdict #4: the silent skip
             # left "why did my string key not ride the cut" unanswered).
             from pyspark.sql.types import StringType
-            if isinstance(odt, StringType) and degenerate_escape:
+            # default-collation strings only: a collated column never
+            # rides the cut (byte order is not its order), so warning
+            # "drop degenerate_escape to ride it" there would be false
+            # advice (round-12 review)
+            is_plain_string = (isinstance(odt, StringType)
+                               and odt.simpleString() == "string")
+            if is_plain_string and degenerate_escape:
                 import warnings
                 warnings.warn(
                     "cap_per_group: degenerate_escape=True stands the "
@@ -851,26 +857,29 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     #   window decides) but serializes the group, and the ESCAPE CANNOT
     #   fix it (scores are not tied, so hash sub-bucketing would break
     #   rank order) — audited even with the escape on.
-    # collect_list skips the NULLs the unmatched WHEN produces, so only
-    # degenerate groups accumulate — bounded by rows/degenerate_floor
-    # entries (each needs > floor rows), metadata-sized at any scale.
+    # the audit aggregates to BOUNDED buffers (round-12 review: a
+    # collect_list of matches, even sliced afterwards, materializes
+    # every degenerate group in one reducer — an OOM when millions of
+    # groups trip a small degenerate_floor): a count of degenerate
+    # groups plus the WORST one (max_by row count) — constant-size
+    # state regardless of how many groups degenerate.
     span_m = F.col("__tf_mx") - F.col("__tf_mn")
     nonfinite = F.isnan(span_m) | (span_m == F.lit(float("inf")))
     shape = nonfinite if degenerate_escape else \
         nonfinite | (F.col("__tf_mn") == F.col("__tf_mx"))
-    n_groups, deg = mm.agg(
+    deg_hit = shape & (F.col("__tf_cnt") > F.lit(int(degenerate_floor)))
+    n_groups, deg_n, deg_worst = mm.agg(
         F.count("*"),
-        F.slice(F.collect_list(
-            F.when(shape & (F.col("__tf_cnt")
-                            > F.lit(int(degenerate_floor))),
-                   F.struct("__tf_g", "__tf_cnt"))), 1, 20)).first()
+        F.count(F.when(deg_hit, F.lit(1))),
+        F.max(F.when(deg_hit,
+                     F.struct("__tf_cnt", "__tf_g")))).first()
     mm_small = n_groups <= max_broadcast_rows
-    if deg:
+    if deg_n:
         import warnings
         warnings.warn(
             "top_fraction_per_group: constant-score or "
-            "infinite-score-span group(s) "
-            f"{[(r[0], r[1]) for r in deg]} exceed "
+            f"infinite-score-span group(s) — {deg_n} of them, worst "
+            f"{(deg_worst[1], deg_worst[0])} — exceed "
             f"degenerate_floor={degenerate_floor} rows and collapse "
             "to ONE score bucket — the rank window degenerates to a "
             "single task per such group. For constant scores pass "

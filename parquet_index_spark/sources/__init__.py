@@ -18,6 +18,7 @@ import threading as _threading
 
 _STAGE_PARALLEL_FLOOR = 64
 _STAGE_PROBE_N = 16
+_STAGE_MIN_OP_MICROS_DEFAULT = 1000.0  # shared with tools/stress.py
 _STAGE_POOL = None
 _STAGE_POOL_LOCK = _threading.Lock()  # built at import: no lock race
 #: diagnostics for the last staged swap's pool decision (read by the
@@ -239,9 +240,20 @@ def acquire_writer_lease(spark, path: str, op: str) -> _WriterLease:
       nesting): reentrant, depth-counted.
     - lock mtime older than ``spark.sql.index.writer.lock.ttlSeconds``
       (default 600): the holder is presumed crashed — its heartbeat
-      would have refreshed the mtime — and the lease is taken over
-      (delete + re-create-exclusive; a takeover race leaves exactly one
-      winner, the loser raises).
+      would have refreshed the mtime — and the lease is taken over.
+
+    Takeover race discipline (round-12 review): takeover is
+    re-stat -> delete -> create-exclusive -> READ-BACK VERIFY. The
+    re-stat immediately before the delete confirms the lock is still
+    the same stale file first observed (same mtime) so a fresh lock a
+    faster racer just created is not deleted; create-exclusive is the
+    atomic arbiter between racers whose deletes both targeted the
+    stale file; and the read-back verify catches the remaining
+    interleaving (our create landing between a racer's stat and
+    delete) before this writer ever touches the table. The unguarded
+    window is one metadata-op wide and requires two takeovers racing
+    inside it after a full TTL expiry — the same residual every
+    filesystem-marker lease (no compare-and-swap primitive) carries.
 
     Atomicity note: HDFS/ABFS ``create(overwrite=false)`` is atomic;
     raw local FS approximates it (exists-then-create) — fine for the
@@ -288,12 +300,42 @@ def acquire_writer_lease(spark, path: str, op: str) -> _WriterLease:
         "acquired_utc": _t.strftime("%Y-%m-%dT%H:%M:%SZ", _t.gmtime()),
     }).encode("utf-8")
     for attempt in (1, 2):
+        created = False
+        create_exc = None
         try:
             out = fs.create(jlock, False)  # create-exclusive
+            created = True
+        except Exception as exc:  # noqa: BLE001 — exists (or FS error)
+            create_exc = exc
+        if created:
+            # write the owner record; a failure here must not strand
+            # this writer's OWN fresh lock (it would block every
+            # writer, itself included, for a full TTL with no owner to
+            # read — round-12 review): delete it and surface the real
+            # IO error, not a ConcurrentWriterError
             try:
-                out.write(bytearray(payload))
-            finally:
-                out.close()
+                try:
+                    out.write(bytearray(payload))
+                finally:
+                    out.close()
+            except Exception as exc:  # noqa: BLE001
+                try:
+                    fs.delete(jlock, False)
+                except Exception:  # noqa: BLE001 — TTL self-expires it
+                    pass
+                raise IOError(
+                    f"{op}: created the writer lock at {uri} but could "
+                    f"not write the owner record ({exc}); the lock was "
+                    "removed — retry the operation.") from exc
+            # read-back verify: a takeover racer whose stale-stat
+            # preceded our create may have deleted+replaced our fresh
+            # lock — never proceed on a lock that is not ours
+            holder = _read_lock_owner(fs, jlock)
+            if holder is not None and holder.get("token") != token:
+                raise ConcurrentWriterError(
+                    f"{op}: lost a stale-lock takeover race for "
+                    f"{path!r} to {holder.get('owner', '<unreadable>')} "
+                    f"— the lock at {uri} is theirs now.")
             lease = _WriterLease(fs, jlock, uri, token, ttl)
             with _WRITER_LEASES_LOCK:
                 _WRITER_LEASES[uri] = lease
@@ -303,29 +345,39 @@ def acquire_writer_lease(spark, path: str, op: str) -> _WriterLease:
                         name="pis-writer-heartbeat")
                     _HEARTBEAT_THREAD.start()
             return lease
-        except Exception:  # noqa: BLE001 — exists (or FS hiccup)
+        try:
+            st = fs.getFileStatus(jlock)
+            mtime_ms = st.getModificationTime()
+            age = _t.time() - mtime_ms / 1000.0
+        except Exception:  # noqa: BLE001 — no lock file after a failed
+            if attempt == 1:   # create: either it vanished between the
+                continue       # two calls (retry once) or the create
+            raise IOError(     # itself is broken (permissions, missing
+                f"{op}: could not create the writer lock at {uri} and "
+                f"no existing lock is readable — filesystem problem, "
+                f"not a concurrent writer: {create_exc}") from create_exc
+        if age > ttl and attempt == 1:
+            # presumed-crashed holder: ONE takeover attempt. Re-stat
+            # directly before the delete (round-12 review): if the
+            # mtime moved since the stat above, a racer already took
+            # over and created a FRESH lock — deleting it would let two
+            # writers in; back off to the contention raise instead.
             try:
-                st = fs.getFileStatus(jlock)
-                age = _t.time() - st.getModificationTime() / 1000.0
-            except Exception:  # noqa: BLE001 — gone between probe and
-                continue       # stat: retry the create once
-            if age > ttl and attempt == 1:
-                # presumed-crashed holder: one takeover attempt (the
-                # loser of a takeover race lands in the raise below)
-                try:
+                if fs.getFileStatus(jlock).getModificationTime() \
+                        == mtime_ms:
                     fs.delete(jlock, False)
-                except Exception:  # noqa: BLE001
-                    pass
-                continue
-            holder = _read_lock_owner(fs, jlock) or {}
-            raise ConcurrentWriterError(
-                f"{op}: table {path!r} is locked by another writer "
-                f"{holder.get('owner', '<unreadable>')} running "
-                f"{holder.get('op', '?')} (lock age {age:.0f}s, "
-                f"ttl {ttl:.0f}s, at {uri}). If that writer crashed, "
-                "the lock self-expires after the TTL; lower "
-                "spark.sql.index.writer.lock.ttlSeconds to take over "
-                "sooner.")
+            except Exception:  # noqa: BLE001 — gone already: fine
+                pass
+            continue
+        holder = _read_lock_owner(fs, jlock) or {}
+        raise ConcurrentWriterError(
+            f"{op}: table {path!r} is locked by another writer "
+            f"{holder.get('owner', '<unreadable>')} running "
+            f"{holder.get('op', '?')} (lock age {age:.0f}s, "
+            f"ttl {ttl:.0f}s, at {uri}). If that writer crashed, "
+            "the lock self-expires after the TTL; lower "
+            "spark.sql.index.writer.lock.ttlSeconds to take over "
+            "sooner.")
     raise ConcurrentWriterError(
         f"{op}: could not acquire the writer lock at {uri} after a "
         "takeover attempt — another writer won the race.")
@@ -1363,7 +1415,8 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
             raw = spark.conf.get(STAGE_MIN_OP_MICROS, None)
         except Exception:  # noqa: BLE001 — conf surface drift
             raw = None
-        floor_us = float(raw) if raw not in (None, "") else 1000.0
+        floor_us = (float(raw) if raw not in (None, "")
+                    else _STAGE_MIN_OP_MICROS_DEFAULT)
         if floor_us < 0:
             raise ValueError(
                 f"{STAGE_MIN_OP_MICROS} must be >= 0, got {floor_us}")

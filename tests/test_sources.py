@@ -2154,3 +2154,74 @@ class TestStagePoolLatencyGate:
                                                tmp_table_dir):
         mode = self._flat_swap(spark, tmp_table_dir, "gate_small", n=10)
         assert mode["mode"] == "under_floor"
+
+    def test_lost_takeover_race_detected_by_readback(self, spark, ctx,
+                                                     tmp_table_dir,
+                                                     monkeypatch):
+        """Round-12 review: a racer whose stale-stat preceded our
+        create can delete+replace our fresh lock; the read-back verify
+        must refuse to proceed on a lock that is not ours."""
+        import parquet_index_spark.sources as SRC
+        path = os.path.join(tmp_table_dir, "lease_race")
+        os.makedirs(path)
+        real = SRC._read_lock_owner
+
+        def foreign(fs, jlock):
+            out = real(fs, jlock)
+            if out is not None:
+                out = dict(out, token="someone-else")
+            return out
+
+        monkeypatch.setattr(SRC, "_read_lock_owner", foreign)
+        with pytest.raises(SRC.ConcurrentWriterError,
+                           match="lost a stale-lock takeover race"):
+            SRC.acquire_writer_lease(spark, path, "race_op")
+        monkeypatch.undo()
+        # the foreign lock (simulated) is left alone; clean it for
+        # the fixture teardown
+        lock = path + "__pis_writer_lock"
+        if os.path.exists(lock):
+            os.remove(lock)
+
+    def test_partial_lock_write_cleans_up_own_lock(self, spark, ctx,
+                                                   tmp_table_dir,
+                                                   monkeypatch):
+        """Round-12 review: create succeeded but the owner-record write
+        failed — the writer must delete its OWN fresh lock (else it
+        blocks every writer, itself included, for a TTL with no owner
+        to read) and surface an IOError, not ConcurrentWriterError."""
+        import parquet_index_spark.sources as SRC
+        path = os.path.join(tmp_table_dir, "lease_pw")
+        os.makedirs(path)
+        real = SRC._fs_for
+
+        class BrokenWriteFS:
+            def __init__(self, fs):
+                self._fs = fs
+
+            def create(self, p, overwrite):
+                out = self._fs.create(p, overwrite)
+
+                class BrokenStream:
+                    def write(self, _data):
+                        raise RuntimeError("disk full")
+
+                    def close(self):
+                        out.close()
+
+                return BrokenStream()
+
+            def __getattr__(self, a):
+                return getattr(self._fs, a)
+
+        monkeypatch.setattr(
+            SRC, "_fs_for",
+            lambda s, p: (lambda fs, jp: (BrokenWriteFS(fs), jp))(
+                *real(s, p)))
+        with pytest.raises(IOError, match="could not write the owner"):
+            SRC.acquire_writer_lease(spark, path, "pw_op")
+        monkeypatch.undo()
+        assert not os.path.exists(path + "__pis_writer_lock")
+        # and the surface recovers: a normal op acquires cleanly
+        from parquet_index_spark.sources import vacuum_table
+        assert vacuum_table(spark, path)["kept"] == []

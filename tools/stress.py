@@ -344,7 +344,7 @@ def main() -> None:
     floor = SRC._STAGE_PARALLEL_FLOOR
     stage_r = {"files": n_stage,
                "pool_threads": SRC._stage_pool(spark)._max_workers,
-               "gate_min_op_micros": 1000.0}
+               "gate_min_op_micros": SRC._STAGE_MIN_OP_MICROS_DEFAULT}
     for regime, delay in (("local", 0.0), ("rpc1ms", 0.001),
                           ("rpc5ms", 0.005)):
         SRC._STAGE_PARALLEL_FLOOR = 1 << 60   # force the serial path
@@ -357,7 +357,8 @@ def main() -> None:
             "serial_sec": serial_sec, "auto_sec": auto_sec,
             "auto_mode": SRC._STAGE_LAST_MODE["mode"],
             "probe_us": (round(SRC._STAGE_LAST_MODE["probe_us"], 1)
-                         if SRC._STAGE_LAST_MODE["probe_us"] else None),
+                         if SRC._STAGE_LAST_MODE["probe_us"] is not None
+                         else None),
             "speedup": round(serial_sec / max(auto_sec, 1e-9), 2)}
     report["stage_swap"] = stage_r
 
