@@ -173,6 +173,17 @@ class _WriterLease:
             _WRITER_LEASES.pop(self.uri, None)
         try:
             holder = _read_lock_owner(self.fs, self.jlock)
+            if holder == {}:
+                # unreadable (transient IO?): almost certainly still
+                # ours, but deleting a lock we cannot verify risks
+                # removing a foreign one — leave it to TTL expiry
+                import warnings
+                warnings.warn(
+                    f"writer lease: lock at {self.uri} could not be "
+                    "read back at release — leaving it in place (it "
+                    "self-expires after the TTL).",
+                    UserWarning, stacklevel=2)
+                return
             if holder is not None and holder.get("token") != self.token:
                 # a TTL takeover happened while we ran (our heartbeat
                 # stalled past the TTL): the lock is someone else's now

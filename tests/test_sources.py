@@ -2084,77 +2084,6 @@ class TestWriterLease:
         finally:
             os.remove(lock)
 
-
-class TestStagePoolLatencyGate:
-    """Round-12 (r11 verdict #2): past the pending-sibling floor, a
-    16-rename serial probe decides pool vs serial — local FS (per-op
-    dominated by GIL-held py4j marshalling, where STRESS_r11 measured
-    the pool LOSING 1.5x) stays serial; high-latency FS pools; the
-    probe is knob-disableable."""
-
-    def _flat_swap(self, spark, tmp_table_dir, name, n=200, delay=0.0,
-                   monkeypatch=None):
-        import time as _t
-
-        import parquet_index_spark.sources as SRC
-        path = os.path.join(tmp_table_dir, name)
-        os.makedirs(path)
-        for i in range(n):
-            with open(os.path.join(path, f"part-{i:04d}.parquet"),
-                      "wb") as fh:
-                fh.write(b"x")
-        tmp = path + "__compact_tmp"
-        os.makedirs(tmp)
-        open(os.path.join(tmp, "_SUCCESS"), "w").close()
-        if delay and monkeypatch is not None:
-            orig = SRC._fs_for
-
-            class DelayFS:
-                def __init__(self, fs):
-                    self._fs = fs
-
-                def rename(self, src, dst):
-                    _t.sleep(delay)
-                    return self._fs.rename(src, dst)
-
-                def __getattr__(self, a):
-                    return getattr(self._fs, a)
-
-            monkeypatch.setattr(
-                SRC, "_fs_for",
-                lambda s, p: (lambda fs, jp: (DelayFS(fs), jp))(
-                    *orig(s, p)))
-        SRC._staged_swap(spark, path, tmp, path + "__compact_bak",
-                         frozenset(), label="gate-test")
-        assert len([f for f in os.listdir(path)
-                    if f.endswith(".parquet")]) == n
-        return SRC._STAGE_LAST_MODE.copy()
-
-    def test_local_fs_auto_serial(self, spark, tmp_table_dir):
-        mode = self._flat_swap(spark, tmp_table_dir, "gate_local")
-        assert mode["mode"] == "serial", mode
-        assert mode["probe_us"] is not None and mode["probe_us"] < 1000
-
-    def test_high_latency_fs_pools(self, spark, tmp_table_dir,
-                                   monkeypatch):
-        mode = self._flat_swap(spark, tmp_table_dir, "gate_slow",
-                               delay=0.002, monkeypatch=monkeypatch)
-        assert mode["mode"] == "pooled", mode
-        assert mode["probe_us"] > 1000
-
-    def test_probe_disabled_always_pools(self, spark, tmp_table_dir):
-        spark.conf.set("spark.sql.index.stage.minOpMicros", "0")
-        try:
-            mode = self._flat_swap(spark, tmp_table_dir, "gate_off")
-            assert mode == {"mode": "pooled", "probe_us": None}
-        finally:
-            spark.conf.unset("spark.sql.index.stage.minOpMicros")
-
-    def test_under_floor_stays_serial_unprobed(self, spark,
-                                               tmp_table_dir):
-        mode = self._flat_swap(spark, tmp_table_dir, "gate_small", n=10)
-        assert mode["mode"] == "under_floor"
-
     def test_lost_takeover_race_detected_by_readback(self, spark, ctx,
                                                      tmp_table_dir,
                                                      monkeypatch):
@@ -2225,3 +2154,74 @@ class TestStagePoolLatencyGate:
         # and the surface recovers: a normal op acquires cleanly
         from parquet_index_spark.sources import vacuum_table
         assert vacuum_table(spark, path)["kept"] == []
+
+
+class TestStagePoolLatencyGate:
+    """Round-12 (r11 verdict #2): past the pending-sibling floor, a
+    16-rename serial probe decides pool vs serial — local FS (per-op
+    dominated by GIL-held py4j marshalling, where STRESS_r11 measured
+    the pool LOSING 1.5x) stays serial; high-latency FS pools; the
+    probe is knob-disableable."""
+
+    def _flat_swap(self, spark, tmp_table_dir, name, n=200, delay=0.0,
+                   monkeypatch=None):
+        import time as _t
+
+        import parquet_index_spark.sources as SRC
+        path = os.path.join(tmp_table_dir, name)
+        os.makedirs(path)
+        for i in range(n):
+            with open(os.path.join(path, f"part-{i:04d}.parquet"),
+                      "wb") as fh:
+                fh.write(b"x")
+        tmp = path + "__compact_tmp"
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        if delay and monkeypatch is not None:
+            orig = SRC._fs_for
+
+            class DelayFS:
+                def __init__(self, fs):
+                    self._fs = fs
+
+                def rename(self, src, dst):
+                    _t.sleep(delay)
+                    return self._fs.rename(src, dst)
+
+                def __getattr__(self, a):
+                    return getattr(self._fs, a)
+
+            monkeypatch.setattr(
+                SRC, "_fs_for",
+                lambda s, p: (lambda fs, jp: (DelayFS(fs), jp))(
+                    *orig(s, p)))
+        SRC._staged_swap(spark, path, tmp, path + "__compact_bak",
+                         frozenset(), label="gate-test")
+        assert len([f for f in os.listdir(path)
+                    if f.endswith(".parquet")]) == n
+        return SRC._STAGE_LAST_MODE.copy()
+
+    def test_local_fs_auto_serial(self, spark, tmp_table_dir):
+        mode = self._flat_swap(spark, tmp_table_dir, "gate_local")
+        assert mode["mode"] == "serial", mode
+        assert mode["probe_us"] is not None and mode["probe_us"] < 1000
+
+    def test_high_latency_fs_pools(self, spark, tmp_table_dir,
+                                   monkeypatch):
+        mode = self._flat_swap(spark, tmp_table_dir, "gate_slow",
+                               delay=0.002, monkeypatch=monkeypatch)
+        assert mode["mode"] == "pooled", mode
+        assert mode["probe_us"] > 1000
+
+    def test_probe_disabled_always_pools(self, spark, tmp_table_dir):
+        spark.conf.set("spark.sql.index.stage.minOpMicros", "0")
+        try:
+            mode = self._flat_swap(spark, tmp_table_dir, "gate_off")
+            assert mode == {"mode": "pooled", "probe_us": None}
+        finally:
+            spark.conf.unset("spark.sql.index.stage.minOpMicros")
+
+    def test_under_floor_stays_serial_unprobed(self, spark,
+                                               tmp_table_dir):
+        mode = self._flat_swap(spark, tmp_table_dir, "gate_small", n=10)
+        assert mode["mode"] == "under_floor"
