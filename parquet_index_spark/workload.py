@@ -5414,7 +5414,14 @@ def first_urls_per_lang(spark, sf_dir):
     encodes to ONE bucket); the cut buckets on the next 7 UTF-8 bytes
     and orders exactly on the original string in-bucket. Spark and
     DuckDB both compare strings byte-wise for ASCII, so the oracle's
-    ROW_NUMBER ... ORDER BY url pins the semantics."""
+    ROW_NUMBER ... ORDER BY url pins the semantics.
+
+    Round-12: this stage passes ``order_key_range`` — the caller KNOWS
+    every key starts with 'https://', so the common-prefix snapshot
+    derives from the declared bounds and the composition-time min/max
+    scan of the corpus is skipped entirely (the probe-free rank cut;
+    bounds are advisory — wrong ones cost bucketing parallelism, never
+    rows, so declaring the scheme prefix is always safe)."""
     from parquet_index_spark.operators import sampling as SA
     docs = _t(spark, sf_dir, "documents")
     url = F.concat(F.lit("https://"), F.col("source"),
@@ -5422,7 +5429,8 @@ def first_urls_per_lang(spark, sf_dir):
                    F.lpad(F.col("doc_id").cast("string"), 8, "0"))
     kept = SA.cap_per_group(docs.withColumn("url", url), "lang", 3,
                             F.col("url"), F.col("doc_id"),
-                            hot_key_audit=False)
+                            hot_key_audit=False,
+                            order_key_range=("https://", "https://~"))
     return kept.select("lang", "doc_id", "url").orderBy("lang", "doc_id")
 
 
