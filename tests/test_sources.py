@@ -1741,6 +1741,34 @@ class TestStrandedTmpGuards:
         info = merge_into(ctx, path, ups, "k")
         assert info["rows_updated"] == 1
 
+    def test_vacuum_kept_tmp_raises_distinct_runbook_message(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """Round-12 (r11 ADVICE #2): when the guard's own vacuum call
+        KEEPS the sidecar-less tmp (unclassifiable), the error must NOT
+        loop the operator back to 'run vacuum first' — vacuum just ran;
+        the message directs manual inspection instead."""
+        from pyspark.sql import functions as F
+        import parquet_index_spark.sources as SRC
+        from parquet_index_spark.sources import delete_where
+        path = os.path.join(tmp_table_dir, "keptmsg")
+        (spark.range(0, 200)
+         .select(F.col("id").alias("k"), (F.col("id") % 9).alias("v"))
+         .repartitionByRange(2, "k").write.parquet(path))
+        ctx.index.create.indexBy("k").parquet(path)
+        tmp = path + "__delete_tmp"
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "part-x.parquet"), "wb") as fh:
+            fh.write(b"unclassifiable")
+        # force the unclassifiable outcome: vacuum keeps the dir
+        monkeypatch.setattr(
+            SRC, "vacuum_table",
+            lambda s, p: {"removed": [], "kept": [tmp], "restored": []})
+        with pytest.raises(IOError,
+                           match="Re-running vacuum will not resolve"):
+            delete_where(ctx, path, "k < 10")
+        monkeypatch.undo()
+        assert os.path.exists(os.path.join(tmp, "part-x.parquet"))
+
     def test_sidecar_less_tmp_self_heals(self, spark, ctx,
                                          tmp_table_dir):
         """A current-version tmp WITHOUT a sidecar holds only rewrite
