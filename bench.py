@@ -195,10 +195,12 @@ _REBASELINED = {
         "fresh-JVM COLD 14.9 -> 7.6s measured same-box same-day. The "
         "3.662s best-prior bar is the r9 tail reading the r11 "
         "adjudication already ruled non-representative of the fixed "
-        "job-floor distribution (quiet-box steady ~5.0-5.4s across "
-        "r11-r12 fresh-JVM min-of-3 runs; the remaining jobs are AQE "
-        "query-stage materializations — real corpus passes that "
-        "amortize at scale, see COVERAGE round-12 notes)",
+        "job-floor distribution (quiet-box fresh-JVM min-of-3 steady "
+        "4.53s at sf0.1 / 4.97s at sf0.01 this round — scale-"
+        "independent, down from r11's 5.08s; loaded-box readings run "
+        "5.4-6.8s. The remaining jobs are AQE query-stage "
+        "materializations — real corpus passes that amortize at "
+        "scale, see COVERAGE round-12 notes)",
     "quality_gate_by_lang":
         "r7 replaces the whole-group rank window (r6 verdict scale-"
         "killer #1: one task sorts the dominant language at 100 TB) "
