@@ -30,6 +30,11 @@ can inspect an index without writing a script:
   so it refuses to pull staged files out from under one) — the JSON
   error line names the holder; a crashed holder's lock self-expires
   after ``spark.sql.index.writer.lock.ttlSeconds`` (default 600).
+- ``lock <path>`` — read-only single-writer lock status: one JSON line
+  ``{held, owner, op, age_sec, ttl_sec, stale, uri}``. Exit 0 when the
+  table is free (or the lock is stale — the next writer takes over);
+  exit 4 when a live writer holds it. Never mutates anything — the
+  runbook probe to run BEFORE a manual vacuum or takeover.
 
 Honors ``SPARK_GRAFT_METASTORE`` (falls back to the session default
 resolution). Local-mode session; diagnostics are metadata-only except
@@ -53,7 +58,7 @@ def main(argv) -> int:
         return _usage()
     cmd, path = argv[0], argv[1]
     if cmd not in ("describe", "recommend", "explain", "recommend-ivf",
-                   "validate", "vacuum"):
+                   "validate", "vacuum", "lock"):
         return _usage()
     if cmd in ("explain", "validate") and len(argv) < 3:
         return _usage()
@@ -119,6 +124,12 @@ def main(argv) -> int:
             print(json.dumps(info))
             if info["kept"]:
                 return 3  # dirs held for manual inspection — not clean
+        elif cmd == "lock":
+            from parquet_index_spark.sources import writer_lock_status
+            st = writer_lock_status(spark, path)
+            print(json.dumps(st))
+            if st["held"] and not st["stale"]:
+                return 4  # a live writer holds the table
         else:
             d = ctx.index.parquet(path).explain_pruning(
                 argv[2], include_saturation=True)

@@ -394,6 +394,38 @@ def acquire_writer_lease(spark, path: str, op: str) -> _WriterLease:
         "takeover attempt — another writer won the race.")
 
 
+def writer_lock_status(spark, path: str) -> dict:
+    """Read-only view of a table's single-writer lock for operator
+    tooling (`python -m parquet_index_spark lock <path>`): {held,
+    owner, op, age_sec, ttl_sec, stale, uri}. ``stale`` means the
+    mtime is past the TTL — the holder is presumed crashed and the
+    next writer will take the lease over. Never mutates anything."""
+    import time as _t
+
+    from parquet_index_spark.config import WRITER_LOCK_TTL
+
+    fs, _ = _fs_for(spark, path)
+    jlock = spark._jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + WRITER_LOCK_SUFFIX)
+    uri = fs.makeQualified(jlock).toString()
+    try:
+        raw = spark.conf.get(WRITER_LOCK_TTL, None)
+    except Exception:  # noqa: BLE001
+        raw = None
+    ttl = float(raw) if raw not in (None, "") else _WRITER_LOCK_TTL_DEFAULT
+    out = {"held": False, "owner": None, "op": None, "age_sec": None,
+           "ttl_sec": ttl, "stale": False, "uri": uri}
+    try:
+        st = fs.getFileStatus(jlock)
+    except Exception:  # noqa: BLE001 — no lock file
+        return out
+    holder = _read_lock_owner(fs, jlock) or {}
+    age = round(_t.time() - st.getModificationTime() / 1000.0, 1)
+    out.update(held=True, owner=holder.get("owner", "<unreadable>"),
+               op=holder.get("op"), age_sec=age, stale=age > ttl)
+    return out
+
+
 class _writer_lease:
     """``with _writer_lease(spark, path, op):`` around every mutating
     entry point. Context-manager form keeps acquire/release pairing

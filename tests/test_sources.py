@@ -2112,6 +2112,35 @@ class TestWriterLease:
         finally:
             os.remove(lock)
 
+
+    def test_lock_cli_status_probe(self, spark, ctx, tmp_table_dir,
+                                   capsys):
+        """``python -m parquet_index_spark lock <path>`` — the
+        read-only runbook probe: exit 0 + held=False on a free table,
+        exit 4 naming the holder on a live lock, exit 0 + stale=True on
+        an expired one; never mutates the lock."""
+        import json
+
+        from parquet_index_spark.__main__ import main
+        path = os.path.join(tmp_table_dir, "lease_cli_lock")
+        os.makedirs(path)
+        assert main(["lock", path]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["held"] is False
+        lock = self._foreign_lock(path)
+        assert main(["lock", path]) == 4
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["held"] and out["owner"] == "otherhost:pid9999"
+        assert out["op"] == "merge_into" and not out["stale"]
+        import time
+        t = time.time() - 700
+        os.utime(lock, (t, t))
+        assert main(["lock", path]) == 0  # stale: next writer takes over
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["held"] and out["stale"]
+        assert os.path.exists(lock)  # read-only: never mutated
+        os.remove(lock)
+
     def test_lost_takeover_race_detected_by_readback(self, spark, ctx,
                                                      tmp_table_dir,
                                                      monkeypatch):
