@@ -384,19 +384,30 @@ def write_indexed_sink(stream_df: DataFrame, path: str, checkpoint: str,
     index) also exists. Index refresh is incremental (only new files are
     scanned, manager._refresh_index) and crash-safe by the refresh path's
     own staged-swap; a batch whose refresh crashed is re-refreshed on
-    replay because its marker lands only afterwards."""
+    replay because its marker lands only afterwards.
+
+    Each batch appends under the table's SINGLE-WRITER LEASE (round-12):
+    an append landing inside a concurrent compaction's two-rename swap
+    window would write into a zombie table dir and fail the swap —
+    exactly the CDC-stream-vs-cron-maintenance race the lease exists
+    for. The cron side (maintain_table/compact_table) takes the same
+    lease, so the two serialize; a batch arriving while maintenance
+    holds the lock fails loudly and the checkpoint replays it."""
+    from parquet_index_spark.sources import _writer_lease
     markers = _ReplayMarkers(stream_df.sparkSession, path,
                              "_index_sink_commits", checkpoint)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if markers.committed(batch_id):
             return  # replay of a fully committed batch
-        batch_df.write.mode("append").parquet(path)
-        if ctx.index.exists.parquet(path):
-            ctx.index.refresh.parquet(path)
-        else:
-            ctx.index.create.indexBy(*index_columns).parquet(path)
-        markers.commit(batch_id)
+        with _writer_lease(batch_df.sparkSession, path,
+                           "write_indexed_sink"):
+            batch_df.write.mode("append").parquet(path)
+            if ctx.index.exists.parquet(path):
+                ctx.index.refresh.parquet(path)
+            else:
+                ctx.index.create.indexBy(*index_columns).parquet(path)
+            markers.commit(batch_id)
 
     q = (stream_df.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint)
