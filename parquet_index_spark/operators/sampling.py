@@ -348,6 +348,7 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
             odt = df.select(oc).schema[0].dataType
         except Exception:  # noqa: BLE001 — unresolvable: let the
             odt = None     # window path raise the real analysis error
+        from pyspark.sql.types import DoubleType, FloatType, StringType
         enc = None
         pre_tb = ()
         if odt is not None:
@@ -359,7 +360,6 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
             # top_fraction_per_group), so they rank exactly like the
             # window form even when they appear AFTER composition (the
             # round-11 probe's verdict could drift stale).
-            from pyspark.sql.types import DoubleType, FloatType
             if isinstance(odt, (FloatType, DoubleType)):
                 enc = oc
         if enc is None and odt is not None:
@@ -374,7 +374,6 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
             # the injected sort-order tiebreak cannot be hashed) — with
             # a NAMED warning (round-12, r11 verdict #4: the silent skip
             # left "why did my string key not ride the cut" unanswered).
-            from pyspark.sql.types import StringType
             # default-collation strings only: a collated column never
             # rides the cut (byte order is not its order), so warning
             # "drop degenerate_escape to ride it" there would be false

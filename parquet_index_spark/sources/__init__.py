@@ -238,6 +238,25 @@ def _heartbeat_loop() -> None:
         _t.sleep(0.5)
 
 
+def _lock_ref(spark, path: str):
+    """(fs, jlock, uri, ttl) for a table's writer lock — the shared
+    resolution between acquire and the read-only status probe."""
+    from parquet_index_spark.config import WRITER_LOCK_TTL
+
+    fs, _ = _fs_for(spark, path)
+    jlock = spark._jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + WRITER_LOCK_SUFFIX)
+    uri = fs.makeQualified(jlock).toString()
+    try:
+        raw = spark.conf.get(WRITER_LOCK_TTL, None)
+    except Exception:  # noqa: BLE001 — conf surface drift
+        raw = None
+    ttl = float(raw) if raw not in (None, "") else _WRITER_LOCK_TTL_DEFAULT
+    if ttl <= 0:
+        raise ValueError(f"{WRITER_LOCK_TTL} must be > 0, got {ttl}")
+    return fs, jlock, uri, ttl
+
+
 def acquire_writer_lease(spark, path: str, op: str) -> _WriterLease:
     """Acquire the single-writer lease for ``path`` (create-exclusive
     ``<path>__pis_writer_lock``), mirroring the reference's
@@ -278,20 +297,8 @@ def acquire_writer_lease(spark, path: str, op: str) -> _WriterLease:
     import time as _t
     import uuid as _uuid
 
-    from parquet_index_spark.config import WRITER_LOCK_TTL
-
     global _HEARTBEAT_THREAD
-    fs, _ = _fs_for(spark, path)
-    jlock = spark._jvm.org.apache.hadoop.fs.Path(
-        path.rstrip("/") + WRITER_LOCK_SUFFIX)
-    uri = fs.makeQualified(jlock).toString()
-    try:
-        raw = spark.conf.get(WRITER_LOCK_TTL, None)
-    except Exception:  # noqa: BLE001 — conf surface drift
-        raw = None
-    ttl = float(raw) if raw not in (None, "") else _WRITER_LOCK_TTL_DEFAULT
-    if ttl <= 0:
-        raise ValueError(f"{WRITER_LOCK_TTL} must be > 0, got {ttl}")
+    fs, jlock, uri, ttl = _lock_ref(spark, path)
     with _WRITER_LEASES_LOCK:
         held = _WRITER_LEASES.get(uri)
         if held is not None:
@@ -402,17 +409,7 @@ def writer_lock_status(spark, path: str) -> dict:
     next writer will take the lease over. Never mutates anything."""
     import time as _t
 
-    from parquet_index_spark.config import WRITER_LOCK_TTL
-
-    fs, _ = _fs_for(spark, path)
-    jlock = spark._jvm.org.apache.hadoop.fs.Path(
-        path.rstrip("/") + WRITER_LOCK_SUFFIX)
-    uri = fs.makeQualified(jlock).toString()
-    try:
-        raw = spark.conf.get(WRITER_LOCK_TTL, None)
-    except Exception:  # noqa: BLE001
-        raw = None
-    ttl = float(raw) if raw not in (None, "") else _WRITER_LOCK_TTL_DEFAULT
+    fs, jlock, uri, ttl = _lock_ref(spark, path)
     out = {"held": False, "owner": None, "op": None, "age_sec": None,
            "ttl_sec": ttl, "stale": False, "uri": uri}
     try:
