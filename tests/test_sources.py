@@ -2113,6 +2113,61 @@ class TestWriterLease:
             os.remove(lock)
 
 
+
+    def test_two_real_sessions_race_second_writer_refused(
+            self, spark, ctx, tmp_table_dir):
+        """The r11 verdict's literal done-criterion: TWO real driver
+        sessions. A subprocess session acquires the lease and holds it;
+        this session's delete_where fails loudly naming that holder;
+        after the subprocess releases, the same delete succeeds and no
+        lock is left behind."""
+        import subprocess
+        import sys
+        import textwrap
+        import time
+
+        from parquet_index_spark.sources import (ConcurrentWriterError,
+                                                 delete_where)
+        path = self._table(spark, ctx, tmp_table_dir, "lease_2proc")
+        flag = os.path.join(tmp_table_dir, "lease_2proc_held")
+        code = textwrap.dedent("""
+            import sys, time
+            from pyspark.sql import SparkSession
+            spark = (SparkSession.builder.master("local[2]")
+                     .appName("pis-lease-holder")
+                     .config("spark.ui.enabled", "false").getOrCreate())
+            import parquet_index_spark.sources as SRC
+            lease = SRC.acquire_writer_lease(spark, sys.argv[1],
+                                             "subprocess_hold")
+            with open(sys.argv[2], "w") as fh:
+                fh.write(lease.token)
+            time.sleep(float(sys.argv[3]))
+            lease.release()
+            spark.stop()
+        """)
+        env = dict(os.environ,
+                   PYTHONPATH=os.path.dirname(
+                       os.path.dirname(os.path.abspath(__file__))))
+        proc = subprocess.Popen(
+            [sys.executable, "-c", code, path, flag, "25"], env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        try:
+            deadline = time.time() + 120
+            while not os.path.exists(flag) and time.time() < deadline \
+                    and proc.poll() is None:
+                time.sleep(0.2)
+            assert os.path.exists(flag), "holder session never acquired"
+            with pytest.raises(ConcurrentWriterError,
+                               match="locked by another writer"):
+                delete_where(ctx, path, "k >= 990")
+            assert proc.wait(timeout=120) == 0
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert not os.path.exists(path + "__pis_writer_lock")
+        info = delete_where(ctx, path, "k >= 990")  # holder released
+        assert info["rows_deleted"] == 10
+
     def test_lock_cli_status_probe(self, spark, ctx, tmp_table_dir,
                                    capsys):
         """``python -m parquet_index_spark lock <path>`` — the
