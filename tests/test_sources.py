@@ -2114,6 +2114,50 @@ class TestWriterLease:
 
 
 
+
+    def test_takeover_hammer_at_most_one_winner(self, spark, ctx,
+                                                tmp_table_dir):
+        """Protocol hammer: 8 threads race the SAME stale lock. The
+        create-exclusive arbiter plus the read-back verify must leave
+        AT MOST one winner (zero is legal — interleaved writes can
+        garble the record, and then every racer must refuse rather
+        than proceed); when there is a winner, the on-disk token is
+        the winner's and its release cleans up."""
+        import json
+        import threading
+        import time
+
+        import parquet_index_spark.sources as SRC
+        path = os.path.join(tmp_table_dir, "lease_hammer")
+        os.makedirs(path)
+        lock = self._foreign_lock(path, age_sec=700)  # stale
+        winners, errors = [], []
+        gate = threading.Barrier(8)
+
+        def racer():
+            try:
+                gate.wait(timeout=30)
+                lease = SRC.acquire_writer_lease(spark, path, "hammer")
+                winners.append(lease)
+            except SRC.ConcurrentWriterError as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=racer) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(winners) <= 1, "two writers both hold the lease"
+        assert len(winners) + len(errors) == 8
+        if winners:
+            with open(lock) as fh:
+                assert json.loads(fh.read())["token"] == winners[0].token
+            winners[0].release()
+            assert not os.path.exists(lock)
+        else:
+            # all refused: the stranded record self-expires via TTL
+            os.remove(lock)
+
     def test_two_real_sessions_race_second_writer_refused(
             self, spark, ctx, tmp_table_dir):
         """The r11 verdict's literal done-criterion: TWO real driver
