@@ -381,6 +381,11 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
             is_plain_string = (isinstance(odt, StringType)
                                and odt.simpleString() == "string")
             if is_plain_string and degenerate_escape:
+                # phrased as POTENTIALLY cut-eligible (round-13 ADVICE):
+                # eligibility also needs a non-empty, not-all-NULL key
+                # (_string_prefix_encoding returns None there), which
+                # this arm deliberately does not probe — the warning
+                # must stay scan-free
                 import warnings
                 warnings.warn(
                     "cap_per_group: degenerate_escape=True stands the "
@@ -389,9 +394,10 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
                     "tiebreak columns, and the string cut injects the "
                     "original column as a leading sort-order tiebreak, "
                     "which cannot be hashed) — this call keeps the "
-                    "one-task-per-group window form. Drop "
-                    "degenerate_escape (string keys rarely tie "
-                    "group-wide) to ride the distributed cut.",
+                    "one-task-per-group window form. If the key is "
+                    "otherwise cut-eligible (non-empty, not all NULL), "
+                    "dropping degenerate_escape (string keys rarely "
+                    "tie group-wide) lets it ride the distributed cut.",
                     UserWarning, stacklevel=2)
             elif not degenerate_escape:
                 enc = _string_prefix_encoding(df, oc, odt,

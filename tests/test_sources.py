@@ -2122,7 +2122,10 @@ class TestWriterLease:
         AT MOST one winner (zero is legal — interleaved writes can
         garble the record, and then every racer must refuse rather
         than proceed); when there is a winner, the on-disk token is
-        the winner's and its release cleans up."""
+        the winner's and its release cleans up. A refusal is either
+        ConcurrentWriterError (a verified foreign holder) or a plain
+        IOError (round-13: a persistently unreadable record — a
+        racer's mid-write lock — is refused WITHOUT attributing it)."""
         import json
         import threading
         import time
@@ -2139,7 +2142,7 @@ class TestWriterLease:
                 gate.wait(timeout=30)
                 lease = SRC.acquire_writer_lease(spark, path, "hammer")
                 winners.append(lease)
-            except SRC.ConcurrentWriterError as e:
+            except IOError as e:  # ConcurrentWriterError subclasses it
                 errors.append(e)
 
         threads = [threading.Thread(target=racer) for _ in range(8)]
@@ -2310,6 +2313,209 @@ class TestWriterLease:
         # and the surface recovers: a normal op acquires cleanly
         from parquet_index_spark.sources import vacuum_table
         assert vacuum_table(spark, path)["kept"] == []
+
+    @staticmethod
+    def _inert_settimes_fs(SRC, monkeypatch):
+        """Patch _fs_for so FileSystem.setTimes silently no-ops —
+        the S3A behavior (Hadoop S3AFileSystem.setTimes is empty)."""
+        real = SRC._fs_for
+
+        class InertSetTimesFS:
+            def __init__(self, fs):
+                self._fs = fs
+
+            def setTimes(self, p, mtime, atime):
+                return None  # silent no-op, exactly like S3A
+
+            def __getattr__(self, a):
+                return getattr(self._fs, a)
+
+        monkeypatch.setattr(
+            SRC, "_fs_for",
+            lambda s, p: (lambda fs, jp: (InertSetTimesFS(fs), jp))(
+                *real(s, p)))
+
+    def test_inert_settimes_heartbeat_falls_back_to_rewrite(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """Round-13 (r12 verdict #2): on a filesystem whose setTimes is
+        a silent no-op (S3A), the FIRST beat detects the inert refresh
+        (stat-before/after), warns naming the scheme, and every beat —
+        including that first one — still advances the lock mtime by
+        rewriting the owner payload in place. Token and payload are
+        unchanged, so release's read-back verify still passes."""
+        import json
+        import time
+        import warnings as W
+
+        import parquet_index_spark.sources as SRC
+        path = os.path.join(tmp_table_dir, "lease_inert")
+        os.makedirs(path)
+        self._inert_settimes_fs(SRC, monkeypatch)
+        lock = path + "__pis_writer_lock"
+        lease = SRC.acquire_writer_lease(spark, path, "s3a_sim_op")
+        try:
+            m0 = os.path.getmtime(lock)
+            time.sleep(0.05)  # local-FS mtime granularity headroom
+            with W.catch_warnings(record=True) as rec:
+                W.simplefilter("always")
+                lease._beat()  # first beat: probe + fallback rewrite
+            assert lease.mtime_refresh_ok is False
+            assert any("setTimes did not advance" in str(w.message)
+                       for w in rec), [str(w.message) for w in rec]
+            m1 = os.path.getmtime(lock)
+            assert m1 > m0  # the rewrite carried a fresh mtime
+            with open(lock) as fh:  # payload survives the rewrite
+                assert json.loads(fh.read())["token"] == lease.token
+            time.sleep(0.05)
+            with W.catch_warnings(record=True) as rec2:
+                W.simplefilter("always")
+                lease._beat()  # later beats: rewrite, no re-warn
+            assert os.path.getmtime(lock) > m1
+            assert not any("setTimes" in str(w.message) for w in rec2)
+        finally:
+            lease.release()
+        assert not os.path.exists(lock)
+
+    def test_inert_settimes_live_lock_never_goes_stale(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """The r12 verdict's done-criterion: with setTimes inert, the
+        heartbeat THREAD still keeps a live lock fresh past the TTL —
+        writer_lock_status never reports stale, so no second live
+        writer would take over."""
+        import time
+
+        import parquet_index_spark.sources as SRC
+        path = os.path.join(tmp_table_dir, "lease_inert_live")
+        os.makedirs(path)
+        self._inert_settimes_fs(SRC, monkeypatch)
+        prev = spark.conf.get("spark.sql.index.writer.lock.ttlSeconds",
+                              None)
+        spark.conf.set("spark.sql.index.writer.lock.ttlSeconds", "2")
+        try:
+            lease = SRC.acquire_writer_lease(spark, path, "long_s3a_op")
+            try:
+                deadline = time.time() + 3.0  # hold well past the TTL
+                while time.time() < deadline:
+                    st = SRC.writer_lock_status(spark, path)
+                    assert st["held"] and not st["stale"], st
+                    time.sleep(0.3)
+            finally:
+                lease.release()
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.index.writer.lock.ttlSeconds")
+            else:
+                spark.conf.set(
+                    "spark.sql.index.writer.lock.ttlSeconds", prev)
+
+    def test_takeover_hammer_on_inert_settimes_fs(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """The 8-thread stale-lock hammer re-run against the inert-
+        setTimes FS (r12 verdict #2 done-criterion): the takeover
+        discipline never depended on setTimes, so at most one winner
+        holds the lease and its release cleans up."""
+        import json
+        import threading
+
+        import parquet_index_spark.sources as SRC
+        path = os.path.join(tmp_table_dir, "lease_hammer_inert")
+        os.makedirs(path)
+        self._inert_settimes_fs(SRC, monkeypatch)
+        lock = self._foreign_lock(path, age_sec=700)  # stale
+        winners, errors = [], []
+        gate = threading.Barrier(8)
+
+        def racer():
+            try:
+                gate.wait(timeout=30)
+                lease = SRC.acquire_writer_lease(spark, path, "hammer")
+                winners.append(lease)
+            except IOError as e:  # ConcurrentWriterError subclasses it
+                errors.append(e)
+
+        threads = [threading.Thread(target=racer) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(winners) <= 1, "two writers both hold the lease"
+        assert len(winners) + len(errors) == 8
+        if winners:
+            with open(lock) as fh:
+                assert json.loads(fh.read())["token"] == winners[0].token
+            winners[0].release()
+            assert not os.path.exists(lock)
+        else:
+            os.remove(lock)
+
+    def test_unreadable_readback_retries_then_ioerror(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """Round-13 ADVICE: an unreadable payload ({}) at the acquire
+        read-back verify is a transient IO blip, not a lost takeover
+        race — retry once; if still unreadable, delete our OWN fresh
+        lock and raise IOError (a ConcurrentWriterError here would
+        both mislead and strand the lock for a full TTL)."""
+        import parquet_index_spark.sources as SRC
+        path = os.path.join(tmp_table_dir, "lease_unreadable")
+        os.makedirs(path)
+        real = SRC._read_lock_owner
+        calls = {"n": 0}
+
+        def flaky_then_ok(fs, jlock):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return {}  # one transient read error
+            return real(fs, jlock)
+
+        monkeypatch.setattr(SRC, "_read_lock_owner", flaky_then_ok)
+        lease = SRC.acquire_writer_lease(spark, path, "flaky_op")
+        assert calls["n"] == 2  # the retry recovered the record
+        lease.release()
+        monkeypatch.undo()
+        assert not os.path.exists(path + "__pis_writer_lock")
+        # persistently unreadable: IOError, and the lock is LEFT IN
+        # PLACE to TTL-expire (inside a takeover race the unreadable
+        # file can be a racer's mid-write lock — deleting it could
+        # evict that racer; mirrors the release()-path discipline)
+        monkeypatch.setattr(SRC, "_read_lock_owner",
+                            lambda fs, jlock: {})
+        with pytest.raises(IOError,
+                           match="could not read the owner record back"):
+            SRC.acquire_writer_lease(spark, path, "dead_read_op")
+        monkeypatch.undo()
+        assert os.path.exists(path + "__pis_writer_lock")
+        os.remove(path + "__pis_writer_lock")  # simulate TTL expiry
+        # and the surface recovers cleanly
+        lease = SRC.acquire_writer_lease(spark, path, "after_op")
+        lease.release()
+        assert not os.path.exists(path + "__pis_writer_lock")
+
+    def test_heartbeat_thread_exits_when_idle(self, spark, ctx,
+                                              tmp_table_dir):
+        """Round-13 ADVICE: the heartbeat daemon exits once the lease
+        registry empties (no permanent 0.5s wakeup / pinned py4j
+        thread after one short DML) and restarts lazily on the next
+        acquire."""
+        import time
+
+        import parquet_index_spark.sources as SRC
+        path = os.path.join(tmp_table_dir, "lease_idle")
+        os.makedirs(path)
+        lease = SRC.acquire_writer_lease(spark, path, "idle_probe")
+        t1 = SRC._HEARTBEAT_THREAD
+        assert t1 is not None and t1.is_alive()
+        lease.release()
+        t1.join(timeout=10)  # exits within one 0.5s tick
+        assert not t1.is_alive()
+        deadline = time.time() + 5
+        while SRC._HEARTBEAT_THREAD is t1 and time.time() < deadline:
+            time.sleep(0.05)
+        assert SRC._HEARTBEAT_THREAD is not t1  # handed back (None)
+        lease2 = SRC.acquire_writer_lease(spark, path, "idle_probe2")
+        t2 = SRC._HEARTBEAT_THREAD
+        assert t2 is not None and t2.is_alive() and t2 is not t1
+        lease2.release()
+        assert not os.path.exists(path + "__pis_writer_lock")
 
 
 class TestStagePoolLatencyGate:
