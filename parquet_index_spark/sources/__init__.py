@@ -145,18 +145,37 @@ class _WriterLease:
     the outer acquisition); a second thread in the same process is a
     concurrent writer like any other and fails loudly."""
 
-    def __init__(self, fs, jlock, uri, token, ttl, payload=b""):
+    def __init__(self, fs, jlock, uri, token, ttl, payload=b"",
+                 op="?"):
         self.fs, self.jlock, self.uri = fs, jlock, uri
         self.token, self.ttl = token, ttl
         self.payload = payload
+        self.op = op
         self.thread_id = _threading.get_ident()
         self.depth = 1
         #: tri-state setTimes verdict: None = unprobed, True = mtime
         #: refresh works on this filesystem, False = inert (S3A-class)
         #: — every later beat rewrites the payload in place instead
         self.mtime_refresh_ok = None
+        #: thread id currently holding a cross-thread reentry (see
+        #: :meth:`reenter`), or None
+        self.reentered_by = None
         import time as _t
         self.last_beat = _t.monotonic()
+
+    def reenter(self):
+        """Context manager transferring thread ownership to the CALLING
+        thread for its duration — for a holder whose work legitimately
+        continues on another thread: a streaming sink acquires the
+        lease once at query setup (round-13, r12 verdict #5), but
+        Structured Streaming runs ``foreachBatch`` on the engine's
+        micro-batch thread, where the handler's nested mutating calls
+        (merge_into, refresh) must nest reentrantly instead of refusing
+        their own sink's lease. Sound because the engine SERIALIZES a
+        query's micro-batches — at most one handler runs at a time; a
+        SECOND simultaneous reentry (which would mean two concurrent
+        writers under one lease) is refused loudly."""
+        return _LeaseReentry(self)
 
     def _beat(self) -> None:
         """Refresh the lock mtime so a LIVE long-running mutation never
@@ -255,6 +274,47 @@ class _WriterLease:
             self.fs.delete(self.jlock, False)
         except Exception:  # noqa: BLE001 — a failed delete leaves a
             pass  # stale lock that self-expires after one TTL
+
+
+class _LeaseReentry:
+    """``with lease.reenter():`` — temporary cross-thread ownership
+    transfer (streaming foreachBatch handlers; see
+    :meth:`_WriterLease.reenter`). Ownership swaps under
+    ``_WRITER_LEASES_LOCK`` so a concurrent acquire's thread-id check
+    never observes a torn state."""
+
+    def __init__(self, lease):
+        self._lease = lease
+
+    def __enter__(self):
+        lease = self._lease
+        me = _threading.get_ident()
+        with _WRITER_LEASES_LOCK:
+            if lease.depth <= 0:
+                raise ConcurrentWriterError(
+                    f"reenter: the lease for {lease.uri} was already "
+                    "released — the streaming query outlived its "
+                    "sink's lease (a bug in the sink teardown order).")
+            if lease.reentered_by is not None \
+                    and lease.reentered_by != me:
+                raise ConcurrentWriterError(
+                    f"reenter: the lease for {lease.uri} is already "
+                    f"reentered by thread {lease.reentered_by} — "
+                    "micro-batches must be serialized; a second "
+                    "simultaneous reentry means two concurrent "
+                    "writers.")
+            self._prev_thread = lease.thread_id
+            self._prev_reenter = lease.reentered_by
+            lease.reentered_by = me
+            lease.thread_id = me
+        return lease
+
+    def __exit__(self, *exc):
+        lease = self._lease
+        with _WRITER_LEASES_LOCK:
+            lease.thread_id = self._prev_thread
+            lease.reentered_by = self._prev_reenter
+        return False
 
 
 def _read_lock_owner(fs, jlock):
@@ -372,7 +432,8 @@ def acquire_writer_lease(spark, path: str, op: str) -> _WriterLease:
                 return held
             raise ConcurrentWriterError(
                 f"{op}: table {path!r} is being mutated by another "
-                f"writer in THIS process (thread {held.thread_id}, "
+                f"writer in THIS process (running "
+                f"{getattr(held, 'op', '?')}, thread {held.thread_id}, "
                 f"lease {held.token}); single-writer contract — "
                 "serialize the mutations.")
     token = (f"{_socket.gethostname()}:{_os.getpid()}:"
@@ -442,7 +503,7 @@ def acquire_writer_lease(spark, path: str, op: str) -> _WriterLease:
                     f"{op}: lost a stale-lock takeover race for "
                     f"{path!r} to {holder.get('owner', '<unreadable>')} "
                     f"— the lock at {uri} is theirs now.")
-            lease = _WriterLease(fs, jlock, uri, token, ttl, payload)
+            lease = _WriterLease(fs, jlock, uri, token, ttl, payload, op)
             with _WRITER_LEASES_LOCK:
                 _WRITER_LEASES[uri] = lease
                 # lazily (re)started: the loop exits when the registry

@@ -386,38 +386,50 @@ def write_indexed_sink(stream_df: DataFrame, path: str, checkpoint: str,
     own staged-swap; a batch whose refresh crashed is re-refreshed on
     replay because its marker lands only afterwards.
 
-    Each batch appends under the table's SINGLE-WRITER LEASE (round-12):
-    an append landing inside a concurrent compaction's two-rename swap
+    The whole query runs under the table's SINGLE-WRITER LEASE: an
+    append landing inside a concurrent compaction's two-rename swap
     window would write into a zombie table dir and fail the swap —
     exactly the CDC-stream-vs-cron-maintenance race the lease exists
     for. The cron side (maintain_table/compact_table) takes the same
-    lease, so the two serialize; a batch arriving while maintenance
-    holds the lock fails loudly and the checkpoint replays it."""
-    from parquet_index_spark.sources import _writer_lease
+    lease, so the two serialize. Round-13 (r12 verdict #5): the lease
+    is acquired ONCE at query setup and released on query stop — the
+    heartbeat keeps it fresh across batches — instead of per
+    micro-batch (~5 metadata RPCs and a lock-file churn per batch at
+    sub-second triggers), and a concurrent maintenance job's refusal
+    now names the STREAMING QUERY as holder rather than a transient
+    batch. Each handler invocation reenters the lease on the engine's
+    micro-batch thread (lease.reenter() — sound because the engine
+    serializes a query's micro-batches). The per-batch replay markers
+    (exactly-once skip of committed batches) are untouched."""
+    from parquet_index_spark.sources import acquire_writer_lease
     markers = _ReplayMarkers(stream_df.sparkSession, path,
                              "_index_sink_commits", checkpoint)
 
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if markers.committed(batch_id):
-            return  # replay of a fully committed batch
-        with _writer_lease(batch_df.sparkSession, path,
-                           "write_indexed_sink"):
-            batch_df.write.mode("append").parquet(path)
-            if ctx.index.exists.parquet(path):
-                ctx.index.refresh.parquet(path)
-            else:
-                ctx.index.create.indexBy(*index_columns).parquet(path)
-            markers.commit(batch_id)
+    lease = acquire_writer_lease(stream_df.sparkSession, path,
+                                 "write_indexed_sink (streaming query)")
+    try:
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            if markers.committed(batch_id):
+                return  # replay of a fully committed batch
+            with lease.reenter():
+                batch_df.write.mode("append").parquet(path)
+                if ctx.index.exists.parquet(path):
+                    ctx.index.refresh.parquet(path)
+                else:
+                    ctx.index.create.indexBy(*index_columns).parquet(path)
+                markers.commit(batch_id)
 
-    q = (stream_df.writeStream.foreachBatch(handle)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True)
-         .start())
-    if not q.awaitTermination(timeout):
-        q.stop()
-        raise TimeoutError(
-            f"availableNow drain into indexed table {path!r} exceeded "
-            f"{timeout}s")
+        q = (stream_df.writeStream.foreachBatch(handle)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True)
+             .start())
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError(
+                f"availableNow drain into indexed table {path!r} "
+                f"exceeded {timeout}s")
+    finally:
+        lease.release()
 
 
 def write_merge_sink(stream_df: DataFrame, path: str, checkpoint: str,
@@ -459,8 +471,16 @@ def write_merge_sink(stream_df: DataFrame, path: str, checkpoint: str,
     see :class:`_ReplayMarkers`) make replays of committed batches
     no-ops; a crash between the merge and its marker re-runs the merge
     on replay, which is idempotent (same keys replaced with the same
-    rows, same keys deleted)."""
-    from parquet_index_spark.sources import merge_into
+    rows, same keys deleted).
+
+    Lease contract (round-13, r12 verdict #5): ONE single-writer lease
+    spans the whole query — acquired at setup, heartbeat-kept across
+    batches, released on stop — so per-batch lock churn is gone and a
+    concurrent maintenance job's refusal names the streaming query.
+    Each batch's merge_into nests under it via lease.reenter() on the
+    engine's micro-batch thread."""
+    from parquet_index_spark.sources import (acquire_writer_lease,
+                                             merge_into)
 
     markers = _ReplayMarkers(stream_df.sparkSession, path,
                              "_merge_sink_commits", checkpoint)
@@ -471,39 +491,47 @@ def write_merge_sink(stream_df: DataFrame, path: str, checkpoint: str,
     table_cols = [f.name for f in
                   ctx.index.parquet(path)._metadata.data_schema.fields]
 
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if markers.committed(batch_id):
-            return  # replay of a fully committed batch
-        b = batch_df
-        if seq_col is not None:
-            from pyspark.sql import Window
-            w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
-            b = (b.withColumn("__rn", F.row_number().over(w))
-                 .filter(F.col("__rn") == 1).drop("__rn"))
-        if op_col is not None:
-            # deletes stay a DataFrame: merge_into probes it with
-            # limit(max_keys+1) and only collects UNDER the cap — an
-            # unbounded batch never materializes its keys on the driver
-            # (it also enforces non-null keys and type match)
-            is_del = F.col(op_col) == F.lit(delete_op)
-            del_keys = b.filter(is_del).select(key)
-            b = b.filter(~is_del).drop(op_col)
-        else:
-            del_keys = None
-        # upserts AND deletes in ONE partial rewrite (one pruning pass,
-        # one swap, one refresh per batch; empty batch = no-op)
-        merge_into(ctx, path, b.select(*table_cols), key,
-                   max_keys=max_keys, delete_keys=del_keys)
-        markers.commit(batch_id)
+    lease = acquire_writer_lease(stream_df.sparkSession, path,
+                                 "write_merge_sink (streaming query)")
+    try:
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            if markers.committed(batch_id):
+                return  # replay of a fully committed batch
+            b = batch_df
+            if seq_col is not None:
+                from pyspark.sql import Window
+                w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+                b = (b.withColumn("__rn", F.row_number().over(w))
+                     .filter(F.col("__rn") == 1).drop("__rn"))
+            if op_col is not None:
+                # deletes stay a DataFrame: merge_into probes it with
+                # limit(max_keys+1) and only collects UNDER the cap — an
+                # unbounded batch never materializes its keys on the
+                # driver (it also enforces non-null keys and type match)
+                is_del = F.col(op_col) == F.lit(delete_op)
+                del_keys = b.filter(is_del).select(key)
+                b = b.filter(~is_del).drop(op_col)
+            else:
+                del_keys = None
+            # upserts AND deletes in ONE partial rewrite (one pruning
+            # pass, one swap, one refresh per batch; empty batch =
+            # no-op), nested under the query-scoped lease
+            with lease.reenter():
+                merge_into(ctx, path, b.select(*table_cols), key,
+                           max_keys=max_keys, delete_keys=del_keys)
+                markers.commit(batch_id)
 
-    q = (stream_df.writeStream.foreachBatch(handle)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True)
-         .start())
-    if not q.awaitTermination(timeout):
-        q.stop()
-        raise TimeoutError(
-            f"availableNow CDC merge into {path!r} exceeded {timeout}s")
+        q = (stream_df.writeStream.foreachBatch(handle)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True)
+             .start())
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError(
+                f"availableNow CDC merge into {path!r} exceeded "
+                f"{timeout}s")
+    finally:
+        lease.release()
 
 
 def run_available_now(stream_df: DataFrame, query_name: str,

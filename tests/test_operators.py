@@ -1211,6 +1211,76 @@ class TestMergeSink:
         got = t.filter("k = 7").collect()
         assert len(got) == 1 and got[0]["v"] == 222  # latest seq wins
 
+    def test_query_scoped_lease_one_token_and_refusal(
+            self, spark, tmp_path, monkeypatch):
+        """Round-13 (r12 verdict #5): a 3-batch CDC stream holds ONE
+        lease token for the whole query — acquired at setup, reentered
+        per micro-batch (nested merge_into acquisitions are reentrant,
+        same token), released on stop — and a concurrent compact_table
+        during the stream is refused NAMING THE STREAMING QUERY as the
+        holder, not a transient batch."""
+        import glob
+        import threading
+        import time
+
+        from pyspark.sql import functions as F
+        from parquet_index_spark import QueryContext, streaming as ST
+        import parquet_index_spark.sources as SRC
+        from parquet_index_spark.workload import ensure_session_confs
+        ensure_session_confs(spark)
+        spark.conf.set("spark.sql.index.metastore", str(tmp_path / "ms"))
+        ctx = QueryContext(spark)
+        path = self._base_table(spark, ctx, tmp_path, n=1000)
+        schema = spark.read.parquet(path).schema
+        cdc = str(tmp_path / "cdc")
+        (spark.range(0, 30)
+         .select((F.col("id") * 10).alias("k"),
+                 F.lit(-5).cast("long").alias("v"),
+                 F.lit(1).cast("long").alias("seq"))
+         .repartition(3).write.parquet(cdc))  # 3 files -> 3 batches
+        acquired = []
+        real_acquire = SRC.acquire_writer_lease
+
+        def spy(sp, p, op):
+            lease = real_acquire(sp, p, op)
+            acquired.append((op, lease.token))
+            return lease
+
+        monkeypatch.setattr(SRC, "acquire_writer_lease", spy)
+        refusals = []
+        lock = path + "__pis_writer_lock"
+
+        def rival():
+            deadline = time.time() + 60
+            while not os.path.exists(lock) and time.time() < deadline:
+                time.sleep(0.05)
+            try:
+                SRC.compact_table(spark, path)
+                refusals.append("NOT REFUSED")
+            except SRC.ConcurrentWriterError as e:
+                refusals.append(str(e))
+
+        rival_t = threading.Thread(target=rival)
+        rival_t.start()
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(cdc))
+        ST.write_merge_sink(stream, path, str(tmp_path / "ck"), ctx, "k")
+        rival_t.join(timeout=120)
+        # one token for the whole query: the setup acquire leads, every
+        # nested per-batch acquire is reentrant on the SAME token
+        assert acquired[0][0] == "write_merge_sink (streaming query)"
+        assert len(acquired) >= 4, acquired  # setup + 3 batch merges
+        assert len({tok for _, tok in acquired}) == 1, acquired
+        markers = glob.glob(os.path.join(path, "_merge_sink_commits", "*"))
+        assert len(markers) == 3  # three micro-batches really ran
+        # the rival was refused naming the streaming query as holder
+        assert refusals and refusals[0] != "NOT REFUSED", refusals
+        assert "write_merge_sink (streaming query)" in refusals[0]
+        # released on stop; the merge applied
+        assert not os.path.exists(lock)
+        t = ctx.index.parquet(path).df
+        assert t.filter("v = -5").count() == 30
+
     def test_replayed_committed_batch_is_noop(self, spark, tmp_path):
         """The replay guard: a batch whose (checkpoint, batch_id) marker
         already exists is skipped entirely. Simulated by committing the
