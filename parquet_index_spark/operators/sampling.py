@@ -297,7 +297,10 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
       The bounds are ADVISORY — the per-row drift guard clamps values
       outside the implied prefix to edge encodings, so a wrong range
       costs bucketing parallelism, never rows (the same staleness
-      contract as the probed snapshot). Other key types ignore it
+      contract as the probed snapshot). For the ``score=`` form a
+      NUMERIC (lo, hi) rides :func:`top_fraction_per_group`'s
+      ``score_range`` instead — the extremes probe is skipped too
+      (round-13). Other key types ignore it
       (they have no probe left to skip). ``distributed_order_by=False``
       opts a compose-only caller out of the rewrite entirely — the
       call stays a lazy window at the documented one-task-per-group
@@ -312,12 +315,17 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
             "single-task per group) or score (numeric, distributed "
             "rank cut)")
     if score is not None:
+        # order_key_range doubles as the NUMERIC probe-free bypass here
+        # (round-13): for the score form the score IS the order key, so
+        # a caller-supplied (lo, hi) rides top_fraction_per_group's
+        # score_range — extremes probe skipped, one probe job per call
         return top_fraction_per_group(
             df, group, 1.0, score, *tiebreak, descending=descending,
             keep_rank=keep_rank, range_buckets=range_buckets,
             degenerate_escape=degenerate_escape,
             degenerate_floor=degenerate_floor,
-            max_broadcast_rows=max_broadcast_rows, _cap_rows=int(n))
+            max_broadcast_rows=max_broadcast_rows,
+            score_range=order_key_range, _cap_rows=int(n))
     # round-10 (r9 verdict stretch #8), extended round-11 to descending:
     # an order_by whose type has an EXACT strictly-monotone long
     # encoding (integral, date, timestamp, decimal(p<=18) — and
@@ -707,6 +715,7 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
                            degenerate_escape: bool = False,
                            degenerate_floor: int = 1_000_000,
                            max_broadcast_rows: int = 4_000_000,
+                           score_range: "tuple | None" = None,
                            _cap_rows: "int | None" = None) -> DataFrame:
     """Per-group FRACTIONAL quota: keep the best ``ceil(fraction * n)``
     rows of every group, preferring the lowest ``score`` (pass
@@ -797,6 +806,25 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     prior shape (eager checkpoint + ``limit(cap+1).count()`` + audit
     collect, per frame) cost five jobs per call, a fixed ~0.5 s of
     driver job-floor latency per pipeline stage at local job scale.
+
+    ``score_range=(lo, hi)`` (round-13, r12 verdict stretch #8 — the
+    numeric analog of the string path's ``order_key_range``): a caller
+    who KNOWS the score domain (a quality heuristic in [0, 1], a
+    probability, a bounded model logit) skips the per-group extremes
+    probe entirely — ONE probe job per call (the offsets sizing count),
+    no extremes scan, no extremes broadcast join. Buckets derive from
+    the single GLOBAL (lo, hi) instead of per-group extremes; bucket
+    order is still monotone in the score, so the keep set and ranks
+    are IDENTICAL (equivalence-tested) — the bounds are ADVISORY for
+    parallelism only: scores outside them clamp to the edge buckets
+    (never a lost row, the same staleness contract as the string
+    path's drift guard), and a group whose scores occupy a narrow
+    slice of the global range just gets fewer effective buckets. What
+    the bypass gives up is the per-group machinery the probe paid for:
+    the constant-score degenerate AUDIT cannot run (no per-group span)
+    and ``degenerate_escape`` is rejected (its constant-span trigger
+    is per-group) — callers owning the score domain usually know its
+    tie structure too. Requires finite lo < hi.
     """
     if _cap_rows is None and not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
@@ -828,9 +856,50 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
                     "(no F.asc/F.desc wrappers — a sort order cannot be "
                     "hashed; ascending is the default order anyway): "
                     f"got {t}")
+    if score_range is not None:
+        import math as _math
+        if degenerate_escape:
+            raise ValueError(
+                "degenerate_escape needs the per-group extremes probe "
+                "(its constant-score trigger is a per-group span) — "
+                "drop score_range or drop the escape")
+        if (len(score_range) != 2
+                or not all(isinstance(v, (int, float))
+                           and not isinstance(v, bool)
+                           and _math.isfinite(v) for v in score_range)):
+            raise ValueError(
+                "score_range must be a (lo, hi) pair of finite "
+                f"numbers, got {score_range!r}")
+        if not float(score_range[0]) < float(score_range[1]):
+            raise ValueError(
+                "score_range needs lo < hi (a zero-width range cannot "
+                f"be bucketized), got {score_range!r}")
     g = _as_col(group)
     s = _as_col(score).cast("double")
     s_dir = (_as_col(score).desc() if descending else _as_col(score).asc())
+    null_bkt0 = int(range_buckets) if descending else -1
+    nan_bkt0 = -1 if descending else int(range_buckets)
+    if score_range is not None:
+        # (1') PROBE-FREE bucketization from the caller's global
+        # (lo, hi) — no extremes scan, no extremes join, no audit
+        # (round-13; see the docstring's score_range contract). The
+        # clamp makes the bounds advisory: out-of-range scores land in
+        # the edge buckets (monotone, never a lost row); +-Inf scores
+        # floor to +-Long extremes and clamp the same way.
+        lo_b = F.lit(float(score_range[0]))
+        hi_b = F.lit(float(score_range[1]))
+        span_g = hi_b - lo_b
+        pos_g = (hi_b - s) if descending else (s - lo_b)
+        raw_g = F.floor(pos_g / span_g * F.lit(int(range_buckets)))
+        bkt = (F.when(s.isNull(), F.lit(null_bkt0))
+               .when(F.isnan(s), F.lit(nan_bkt0))
+               .otherwise(F.least(F.greatest(raw_g, F.lit(0)),
+                                  F.lit(int(range_buckets) - 1))))
+        base = (df.withColumn("__tf_bkt", bkt.cast("long"))
+                .withColumn("__tf_h", F.lit(0).cast("long"))
+                .withColumn("__tf_g", g))
+        return _rank_cut_tail(df, base, s_dir, tiebreak, fraction,
+                              _cap_rows, max_broadcast_rows, keep_rank)
     # (1) per-group score extremes (+ row count for the degenerate
     # audit): tiny agg, checkpointed (one scan, reused by probe + join)
     # and broadcast only under the row cap. groupBy is NULL-safe (NULL
@@ -905,8 +974,7 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
     span = F.col("__tf_mx") - F.col("__tf_mn")
     pos = (F.col("__tf_mx") - s) if descending else (s - F.col("__tf_mn"))
     raw = F.floor(pos / span * F.lit(int(range_buckets)))
-    null_bkt = int(range_buckets) if descending else -1
-    nan_bkt = -1 if descending else int(range_buckets)
+    null_bkt, nan_bkt = null_bkt0, nan_bkt0
     # the escape hash: [0, 2^32) from the tiebreak columns; bucket =
     # floor(h * B / 2^32) in long arithmetic (h < 2^32, B <= 2^31 —
     # no overflow), monotone in h, equal h shares a bucket. It also
@@ -932,9 +1000,23 @@ def top_fraction_per_group(df: DataFrame, group: ColumnOrName,
            .otherwise(F.least(raw, F.lit(int(range_buckets) - 1))))
     base = base.withColumn("__tf_bkt", bkt.cast("long")) \
         .withColumn("__tf_h", esc_h)
+    return _rank_cut_tail(df, base, s_dir, tiebreak, fraction,
+                          _cap_rows, max_broadcast_rows, keep_rank)
+
+
+def _rank_cut_tail(df: DataFrame, base: DataFrame, s_dir,
+                   tiebreak, fraction: float, _cap_rows,
+                   max_broadcast_rows: int,
+                   keep_rank: bool) -> DataFrame:
+    """Stages (2)-(4) of the distributed rank cut, shared by the probed
+    (per-group extremes) and probe-free (``score_range``) bucketization
+    paths: per-(group, bucket) counts, metadata-frame offsets/k, and
+    the exact in-bucket rank window. ``base`` must carry ``__tf_g``,
+    ``__tf_bkt`` (monotone in the requested order), and ``__tf_h``."""
     # (2)+(3) per-(group, bucket) counts; offsets / n / k over the tiny
     # frame (windows over metadata, not data); buckets fully past the
     # cut are dropped here, so they never reach the rank shuffle
+    from parquet_index_spark.operators._ckpt import checkpoint_metadata
     cnts = (base.groupBy("__tf_g", "__tf_bkt")
             .agg(F.count("*").alias("__tf_c")))
     w_off = (Window.partitionBy("__tf_g").orderBy("__tf_bkt")

@@ -5758,8 +5758,14 @@ def curation_pipeline_v3(spark, sf_dir):
         semantic_dedup(fe, cents, threshold=0.35, id_col="doc_id")
         .filter(~F.col("is_semdup")))
     scored = sem.withColumn("q", TX.quality_score("text"))
+    # score_range: quality_score is [0.5, 1.0] by construction (three
+    # {0.5, 1.0} components averaged), so the gate rides the PROBE-FREE
+    # rank cut (round-13, r12 verdict stretch #8) — one probe job for
+    # this stage instead of two, identical keep set (equivalence-tested
+    # in tests/test_sampling.py)
     gated = top_fraction_per_group(scored, "lang", 0.5, "q",
-                                   F.asc("doc_id"), descending=True)
+                                   F.asc("doc_id"), descending=True,
+                                   score_range=(0.5, 1.0))
     sel = token_budget_sample(
         gated, "lang",
         {"en": 6000, "de": 3000, "fr": 3000, "es": 2000, "zh": 2000},

@@ -950,6 +950,95 @@ class TestTopFractionPerGroup:
             for descending in (True, False)
             for buckets in (1, 7, 4096)])
 
+    def test_score_range_probe_free_equivalence(self, spark):
+        """Round-13 (r12 verdict stretch #8): score_range=(lo, hi)
+        skips the per-group extremes probe; the keep set AND ranks are
+        identical to the probed path — for exact, loose, and
+        deliberately-WRONG bounds (out-of-range scores clamp to edge
+        buckets: parallelism-only cost, never rows) — across NULL and
+        NaN scores, NULL groups, and both directions."""
+        import math
+        rows = []
+        for g in ("a", "b", None, "tiny"):
+            n = {"a": 90, "b": 41, None: 23, "tiny": 1}[g]
+            for i in range(n):
+                if g == "a" and i % 13 == 0:
+                    s = None
+                elif g == "a" and i % 17 == 0:
+                    s = float("nan")
+                elif g == "b" and i == 7:
+                    s = 2.5       # outside the advisory (0, 1) bounds
+                elif g == "b" and i == 8:
+                    s = -1.0      # outside on the low side
+                else:
+                    s = ((i * 37) % 100) / 100.0
+                rows.append((g, i, s))
+        df = spark.createDataFrame(rows, "g: string, k: long, score: double")
+
+        def norm(rows_):
+            out = []
+            for g, k, s, rank in rows_:
+                out.append((g is None, g or "", k, s is None,
+                            "NaN" if (s is not None and math.isnan(s))
+                            else s, rank))
+            return sorted(out)
+
+        for frac, desc in [(0.3, True), (0.5, False), (1.0, True)]:
+            probed = SA.top_fraction_per_group(
+                df, "g", frac, "score", F.asc("k"), descending=desc,
+                keep_rank=True)
+            want = norm(map(tuple, probed.collect()))
+            for bounds in [(0.0, 1.0), (-10.0, 10.0), (5.0, 6.0)]:
+                free = SA.top_fraction_per_group(
+                    df, "g", frac, "score", F.asc("k"), descending=desc,
+                    keep_rank=True, score_range=bounds)
+                assert norm(map(tuple, free.collect())) == want, \
+                    (frac, desc, bounds)
+        # the cap_per_group plumb: order_key_range rides score_range
+        capped = SA.cap_per_group(df, "g", 5, score="score",
+                                  order_key_range=(0.0, 1.0))
+        want_cap = SA.cap_per_group(df, "g", 5, score="score")
+        def norm2(rows_):
+            return norm((g, k, s, 0) for g, k, s in rows_)
+        assert norm2(map(tuple, capped.collect())) \
+            == norm2(map(tuple, want_cap.collect()))
+        # contract violations
+        with pytest.raises(ValueError, match="finite"):
+            SA.top_fraction_per_group(df, "g", 0.5, "score",
+                                      score_range=(0.0, float("inf")))
+        with pytest.raises(ValueError, match="lo < hi"):
+            SA.top_fraction_per_group(df, "g", 0.5, "score",
+                                      score_range=(1.0, 1.0))
+        with pytest.raises(ValueError, match="extremes probe"):
+            SA.top_fraction_per_group(df, "g", 0.5, "score", "k",
+                                      degenerate_escape=True,
+                                      score_range=(0.0, 1.0))
+
+    def test_score_range_skips_extremes_probe(self, spark):
+        """The bypass's point: ONE composition probe job (the offsets
+        sizing count) instead of two — no extremes scan, no extremes
+        broadcast join in the plan."""
+        sc = spark.sparkContext
+        df = spark.createDataFrame(
+            [(i % 3, i, float(i % 7)) for i in range(90)],
+            "g: int, uid: long, v: double")
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        sc.setJobGroup("tfsr_census", "probe-free rank cut composition")
+        try:
+            out = SA.top_fraction_per_group(df, "g", 0.5, "v", "uid",
+                                            score_range=(0.0, 7.0))
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        ids = sc.statusTracker().getJobIdsForGroup("tfsr_census")
+        assert len(ids) <= 2, ids  # offs count (+ its broadcast), no mm
+        # and the result is still the exact cut
+        got = {(r["g"], r["uid"]) for r in out.collect()}
+        want = {(r["g"], r["uid"]) for r in SA.top_fraction_per_group(
+            df, "g", 0.5, "v", "uid").collect()}
+        assert got == want
+
 
 class TestTopFractionDegenerate:
     """Round-7 verdict #4: the constant-score collapse must SURFACE
