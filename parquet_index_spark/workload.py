@@ -6380,48 +6380,50 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
 # no-cartesian plan sweep (tests/test_plans.py) covers exactly these —
 # two independently maintained magic lengths silently diverge
 CHANGED_HEAD = [
-    # round-12 changed surface (changed code needs a fresh driver
-    # certification): every rank-cut rider (the probe fusion + the
-    # execution-time NaN sentinel bucket rewired top_fraction_per_group
-    # itself, so the float/decimal/string/descending order_by queries,
-    # the quality gate, grouped cosine top-k, and pipeline v3 all sit
-    # on changed code), and every DML/maintenance consumer (the
-    # single-writer lease now wraps merge/delete/update/compact/vacuum,
-    # and the staged swap gained the latency-gated rename pool)
+    # round-13 changed surface (changed code needs a fresh driver
+    # certification): every rank-cut rider (_rank_cut_tail factored
+    # stages 2-4 out of top_fraction_per_group and score_range rewired
+    # its head, so the order_by/score queries, the quality gate,
+    # grouped cosine top-k, and pipeline v3 — which ADOPTED the
+    # probe-free gate — all sit on changed code), every DML consumer
+    # (the lease heartbeat gained the object-store rewrite fallback and
+    # the acquire read-back changed), and the two merge-sink streaming
+    # queries (one lease per query, reentered per micro-batch)
+    "curation_pipeline_v3", "quality_gate_by_lang", "quota_per_source",
     "float_rank_docs_per_lang", "top_price_orders_per_cust",
     "first_urls_per_lang",
     "latest_events_per_user", "earliest_events_per_user",
-    "quality_gate_by_lang", "ann_cosine_topk", "curation_pipeline_v3",
+    "ann_topk_per_label",
     "merge_delete_orders", "merge_upsert_orders", "stream_merge_cdc_ops",
     "stream_merge_upsert", "idx_delete_range", "idx_update_range",
     "idx_delete_partitioned", "idx_compact_roundtrip",
 ]
-_R12_WINDOW = CHANGED_HEAD + [
-    # oldest-proven-first rotation (tools/rotate_window.py): the ten
-    # r8-stale queries lead the fill, advancing the oldest-green round
-    # r8 -> r9 (r11 verdict ask #5)
-    "rollup_sales", "cumulative_spend", "q2_min_cost_supplier",
-    "q9_product_profit", "q11_important_parts", "q14_brand_revenue_share",
-    "q16_supplier_part_counts", "q20_part_suppliers",
-    "q3_shipping_priority", "q19_disjunctive_predicates",
-    "idx_refresh_append", "approx_distinct_parts",
-    "q7_nation_trade", "q8_market_share", "q13_order_distribution",
-    "q15_top_supplier", "ann_topk_per_label", "ann_topk_lsh_probed",
-    "stream_dedup_events", "stream_sink_roundtrip", "salted_skew_join",
-    "dedup_exact_stats", "dedup_prefix_groups", "dedup_group_assignment",
-    "dedup_keep_best", "jaccard_neardup_pairs", "simhash_fingerprints",
-    "text_profile_by_lang", "doc_fingerprints", "token_count_stats",
-    "tfidf_top_terms", "bm25_search", "profile_orders_columns",
-    "ks_drift_doclen",
+_R13_WINDOW = CHANGED_HEAD + [
+    # oldest-proven-first rotation (tools/rotate_window.py): the
+    # sixteen r9-stale queries lead the fill, advancing the
+    # oldest-green round r9 -> r10 (r12 verdict ask #3)
+    "tv_drift_doclen", "sample_split_stats", "pack_chunks_by_source",
+    "lsh_bucket_histogram", "embedding_similar_pairs", "ivf_ann_topk",
+    "idx_range_scan", "idx_in_or_composite", "idx_not_range",
+    "idx_orders_priority", "idx_events_point", "idx_column_predicate",
+    "idx_bitmap_point", "q5_nation_volume", "idx_refresh_rewrite",
+    "idx_term_search", "idx_term_prefix_search",
+    "idx_term_decontamination", "idx_phrase_search", "cohort_retention",
+    "asof_join_events", "q21_suppliers_kept_waiting", "cube_order_status",
+    "pivot_flag_quantities", "unpivot_order_measures",
+    "listagg_status_by_priority", "approx_percentile_bounds",
+    "range_join_windows", "overlap_join_windows", "time_bucket_gapfill",
+    "idx_join_dpp", "top3_orders_per_customer",
+    "distinct_parts_per_flag",
 ]
 # the driver grades the FIRST 50 keys — a window longer than 50 would
 # silently push its tail out of grading (round-11 review: the three new
 # rank-cut queries grew the head past 50 before the fill was trimmed).
 # Explicit raise, not assert: python -O strips asserts, which would
 # disable exactly the silent-truncation guard this line exists for.
-if len(_R12_WINDOW) != 50:
+if len(_R13_WINDOW) != 50:
     raise RuntimeError(
         f"grading window must be exactly 50 entries, got "
-        f"{len(_R12_WINDOW)} — the driver grades only the first 50")
-QUERIES = {**{k: QUERIES[k] for k in _R12_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in _R12_WINDOW}}
+        f"{len(_R13_WINDOW)} — the driver grades only the first 50")
+QUERIES = {**{k: QUERIES[k] for k in _R13_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in _R13_WINDOW}}
