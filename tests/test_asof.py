@@ -36,6 +36,8 @@ def _by_lid(rows):
 
 
 class TestAsofJoin:
+    @pytest.mark.slow  # asof long tail: forward/nearest +
+    # tolerance reps stay fast; full grid under -m ""
     def test_backward_with_exact_matches(self, frames):
         left, right = frames
         out = _by_lid(asof_join(left, right, on="t", by="key",
@@ -94,6 +96,7 @@ class TestAtomicRowCarry:
         assert [r["k"] for r in out] == [1]
         assert out[0]["a"] is None
 
+    @pytest.mark.slow  # asof long tail
     def test_timestamp_tie_breaks_deterministic(self, spark):
         left = spark.createDataFrame([(1, 50)], "k int, t int")
         right = spark.createDataFrame(
@@ -109,6 +112,8 @@ class TestAsofHotKeyAudit:
     """Round-8 verdict #3: the fill window partitions by key — a
     dominant key must surface, not silently stream through one task."""
 
+    @pytest.mark.slow  # asof long tail (audit arm is shared
+    # with the fast cap_per_group audit tests)
     def test_warns_on_hot_key_and_output_unchanged(self, spark):
         import warnings
         left = spark.createDataFrame(

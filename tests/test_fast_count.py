@@ -41,10 +41,13 @@ PREDICATES = [
     "id = 4242",
     pytest.param("id IN (1, 2, 3, 9999)", marks=pytest.mark.slow),
     pytest.param("id <> 5000", marks=pytest.mark.slow),
-    "bucket IS NULL",
+    pytest.param("bucket IS NULL", marks=pytest.mark.slow),
     pytest.param("bucket IS NOT NULL", marks=pytest.mark.slow),
     pytest.param("id < 100 OR id >= 9900", marks=pytest.mark.slow),
-    "key >= 'k02500' AND key < 'k07500'",
+    pytest.param("key >= 'k02500' AND key < 'k07500'",
+                 marks=pytest.mark.slow),  # round-13 budget trim: the
+    # NULL and string-range shapes join the -m "" long tail; interior
+    # range, point, and the unclustered column stay the fast reps
     pytest.param("id BETWEEN 0 AND 9999", marks=pytest.mark.slow),
     pytest.param("id > 100000", marks=pytest.mark.slow),
     "bucket = 3",          # unclustered column: correct, mostly scanned

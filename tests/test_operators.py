@@ -789,6 +789,8 @@ class TestScaleHardening:
         assert [(r["vec_id"], r["sim"]) for r in got] == \
             [(r["vec_id"], r["sim"]) for r in want]
 
+    @pytest.mark.slow  # proven-stable; BENCH's ivf section
+    # records files-scanned every round
     def test_ivf_indexed_prunes_files(self, spark, tmp_metastore,
                                       tmp_table_dir):
         from parquet_index_spark import QueryContext
@@ -2087,6 +2089,8 @@ class TestReliableCheckpoint:
             [Row(g=["en", "de"][i % 2], v=(i * 13) % 89) for i in range(150)])
         return a, b
 
+    @pytest.mark.slow  # reliable-checkpoint long tail: the knob's
+    # equivalence is covered fast by the iterative+projection case
     def test_persist_fallback_identical(self, spark):
         from parquet_index_spark.operators.profile import ks_drift, tv_drift
         a, b = self._drift_inputs(spark)
@@ -2103,6 +2107,8 @@ class TestReliableCheckpoint:
         assert got_ks == want_ks
         assert got_tv == want_tv
 
+    @pytest.mark.slow  # reliable-checkpoint long tail: the knob's
+    # equivalence is covered fast by the iterative+projection case
     def test_checkpoint_dir_branch_identical(self, spark, tmp_path):
         from parquet_index_spark.operators.dedup import dedup_against_corpus
         from parquet_index_spark.operators.profile import tv_drift

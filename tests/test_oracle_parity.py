@@ -44,39 +44,36 @@ def ddb():
 # multimodal, asof/range/gap-fill, merge). The long tail is `slow` so the
 # default suite stays bounded; `-m ""` runs the full sweep.
 _CORE = {
-    # index layer (point/range/curve/term/DML-through-index/refresh)
-    "idx_point_lookup", "idx_zorder_range", "idx_hilbert_range",
+    # index layer — ONE representative per sub-family (round-13 budget
+    # trim, r12 verdict #4: proven siblings — hilbert, phrase,
+    # time-range, refresh-rewrite — moved to the `-m ""` long tail)
+    "idx_point_lookup", "idx_zorder_range",
     "idx_join_dpp", "idx_fast_count", "idx_refresh_append",
-    "idx_delete_range", "idx_events_time_range",
-    "idx_term_search", "idx_phrase_search",
-    # relational (TPC-H joins/aggs, windows, set ops, scalar, merge)
-    "q1_pricing_summary", "q3_shipping_priority", "q12_priority_shipmode",
-    "rollup_sales", "top3_orders_per_customer",
-    "setop_active_building_buyers", "scalar_functions_showcase",
-    "merge_upsert_orders", "bucketed_colocated_join", "trailing_30d_peak_spend",
-    # streaming
-    "stream_windowed_counts", "stream_funnel_join", "stream_user_totals",
-    "stream_merge_upsert",
-    # LLM-pipeline / text / similarity / sampling
-    "dedup_exact_stats", "minhash_lsh_pairs", "text_profile_by_lang",
-    "sample_split_stats", "ann_cosine_topk", "ivf_ann_topk",
-    "multimodal_pipeline", "semantic_dedup_stats", "split_leakage_audit",
-    "curation_pipeline_stats", "stratified_sample_langs",
+    "idx_term_search",
+    # relational (TPC-H joins/aggs, windows, set ops, merge)
+    "q1_pricing_summary", "top3_orders_per_customer",
+    "setop_active_building_buyers", "merge_upsert_orders",
+    # streaming (one window rep + the two lease-changed merge sinks)
+    "stream_windowed_counts", "stream_merge_upsert",
+    "stream_merge_cdc_ops",
+    # LLM-pipeline / text / similarity / multimodal
+    "dedup_exact_stats", "text_profile_by_lang",
+    "ann_cosine_topk", "multimodal_pipeline",
     # time-series / events
-    "asof_join_events", "time_bucket_gapfill", "sessionize_events",
-    # recent graded-window additions stay in core for at least one
-    # round after introduction (ADVICE r3): the failure class they carry
-    # (oracle typing under stringify-hash) must be visible by default.
-    # Earlier rounds' additions rotate out to `slow` once proven —
-    # `-m ""` still sweeps all of them. (Round-9's idx_join_dpp_bloom
-    # rotated out in round 11 after two proven rounds;
-    # earliest_events_per_user stays — its cap_per_group path changed
-    # again this round — as does idx_refresh_rewrite, which rides the
-    # rewritten staged swap.)
-    "idx_refresh_rewrite", "earliest_events_per_user",
-    "merge_delete_orders", "latest_events_per_user",
-    "float_rank_docs_per_lang", "top_price_orders_per_cust",
-    "first_urls_per_lang",
+    "asof_join_events",
+    # the ROUND'S CHANGED SURFACE stays fast until driver-proven
+    # (ADVICE r3): the failure class it carries (oracle typing under
+    # stringify-hash) must be visible by default. Round 13: every
+    # rank-cut rider (_rank_cut_tail + score_range), the DML/lease
+    # consumers, grouped cosine top-k, and pipeline v3's probe-free
+    # gate adoption. Earlier rounds' additions rotate to `slow` once
+    # proven — `-m ""` still sweeps all 144.
+    "earliest_events_per_user", "latest_events_per_user",
+    "merge_delete_orders", "float_rank_docs_per_lang",
+    "top_price_orders_per_cust", "first_urls_per_lang",
+    "quality_gate_by_lang", "quota_per_source", "ann_topk_per_label",
+    "curation_pipeline_v3", "idx_delete_range", "idx_update_range",
+    "idx_delete_partitioned", "idx_compact_roundtrip",
 }
 
 

@@ -47,6 +47,8 @@ class TestReadmeReproduction:
         # bloom FPP 3% over 400 files can pass a few extras; dict is exact
         assert info.selected_files <= (1 if ftype == "dict" else 14)
 
+    @pytest.mark.slow  # proven-stable; BENCH records the same
+    # signal every round (file-skip / recall sections)
     def test_indexed_not_slower_than_plain(self, spark, ctx, codes_table):
         """Reference's own comparison recipe (README.md:144-146)."""
         spark.conf.set("spark.sql.index.parquet.filter.type", "bloom")
@@ -77,6 +79,8 @@ class TestReadmeReproduction:
 
 
 class TestAnnQuality:
+    @pytest.mark.slow  # proven-stable; BENCH records the same
+    # signal every round (file-skip / recall sections)
     def test_ivf_recall_at_10(self, spark, tmp_path):
         """The IVF tier is the ANN quality path: recall@10 vs the exact
         cosine scan must hold at the bench's nprobe (a probe-selection
@@ -103,6 +107,8 @@ class TestAnnQuality:
         recall = len(got & exact) / 10
         assert recall >= 0.9, (recall, sorted(got), sorted(exact))
 
+    @pytest.mark.slow  # proven-stable; BENCH records the same
+    # signal every round (file-skip / recall sections)
     def test_lsh_recall_on_clustered_fixture(self, spark, tmp_path):
         """The LSH tier must retrieve when the corpus HAS locality: on
         the clustered fixture (32 gaussian clusters, intra-cluster

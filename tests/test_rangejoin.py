@@ -111,6 +111,7 @@ class TestDppJoin:
                        n_files=16, mode="overwrite")
         return QueryContext(spark), fact, orders
 
+    @pytest.mark.slow  # dpp long tail
     def test_rejects_fact_preserving_joins(self, spark, tmp_metastore,
                                            tmp_table_dir):
         """File pruning from the dim key set is only sound for INNER:
@@ -124,6 +125,8 @@ class TestDppJoin:
             with pytest.raises(ValueError, match="inner"):
                 dpp_join(ctx, fact, "o_custkey", dim, "c_custkey", how=how)
 
+    @pytest.mark.slow  # dpp long tail: the prune+match and
+    # guard-fallback reps stay fast; full grid under -m ""
     def test_null_key_cannot_mask_oversized_dim(self, spark, tmp_metastore,
                                                 tmp_table_dir):
         """The over-cap check counts the PRE-null-filter distinct sample:
@@ -185,6 +188,7 @@ class TestDppJoin:
         assert pi.selected_files <= range_match, (pi, range_match)
         assert pi.selected_files < pi.total_files
 
+    @pytest.mark.slow  # dpp long tail
     def test_empty_dim_yields_zero_files_and_rows(self, spark, tmp_metastore,
                                                   tmp_table_dir):
         from parquet_index_spark.functions.joins import dpp_join
@@ -195,6 +199,7 @@ class TestDppJoin:
         assert out.count() == 0
         assert ctx.index.last_prune_info.selected_files == 0
 
+    @pytest.mark.slow  # dpp long tail
     def test_max_keys_fallback_uses_range(self, spark, tmp_metastore,
                                           tmp_table_dir):
         from parquet_index_spark.functions.joins import dpp_join
@@ -245,6 +250,7 @@ class TestDppJoin:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
+    @pytest.mark.slow  # dpp long tail
     def test_degraded_range_branch_never_broadcasts(self, spark,
                                                     tmp_metastore,
                                                     tmp_table_dir):
@@ -433,6 +439,7 @@ class TestDppBloomTier:
         assert info.total_files == self.N_FILES
         assert info.selected_files == 1, info
 
+    @pytest.mark.slow  # bloom-tier long tail
     def test_prunes_string_keys_via_dict(self, spark, tmp_metastore,
                                          tmp_table_dir):
         from parquet_index_spark.functions.joins import dpp_join
@@ -444,6 +451,8 @@ class TestDppBloomTier:
         assert_same_rows(out, self._plain(spark, path, dim))
         assert ctx.index.last_prune_info.selected_files == 1
 
+    @pytest.mark.slow  # bloom-tier long tail: the exact-
+    # evidence bitmap rep stays fast
     def test_distributed_fold_path_identical(self, spark, tmp_metastore,
                                              tmp_table_dir):
         """sparkThreshold=0 forces the Spark-side fold: the pandas-UDF
@@ -461,6 +470,7 @@ class TestDppBloomTier:
         finally:
             spark.conf.unset("spark.sql.index.pruning.sparkThreshold")
 
+    @pytest.mark.slow  # bloom-tier long tail
     def test_type_family_mismatch_skips_bloom_soundly(self, spark,
                                                       tmp_metastore,
                                                       tmp_table_dir):
@@ -483,6 +493,7 @@ class TestDppBloomTier:
         # no bloom => only the (useless) range tier => all files kept
         assert ctx.index.last_prune_info.selected_files == self.N_FILES
 
+    @pytest.mark.slow  # bloom-tier long tail
     def test_bloom_fpp_false_positive_only_keeps_files(self, spark,
                                                        tmp_metastore,
                                                        tmp_table_dir):
@@ -513,6 +524,7 @@ class TestDppBloomTier:
         assert diag["leaves"][leaf[0]] == 1
         assert diag["overall_files"] == 1
 
+    @pytest.mark.slow  # bloom-tier long tail
     def test_big_dim_date_keys_keep_range_fold(self, spark, tmp_metastore,
                                                tmp_table_dir):
         """Round-9 review repro: equal-typed DATE keys must KEEP the

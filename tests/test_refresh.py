@@ -241,6 +241,8 @@ class TestShardCompaction:
         sd = os.path.join(d, STATS_DIR)
         return d, sorted(f for f in os.listdir(sd) if f.endswith(".parquet"))
 
+    @pytest.mark.slow  # proven-stable; the maxShards sink e2e
+    # (fast) covers shard bounding
     def test_compacts_past_threshold_and_stays_correct(self, spark, ctx,
                                                        growing_table):
         spark.conf.set("spark.sql.index.parquet.refresh.maxShards", "3")

@@ -983,17 +983,25 @@ class TestTopFractionPerGroup:
                             else s, rank))
             return sorted(out)
 
-        for frac, desc in [(0.3, True), (0.5, False), (1.0, True)]:
-            probed = SA.top_fraction_per_group(
-                df, "g", frac, "score", F.asc("k"), descending=desc,
-                keep_rank=True)
-            want = norm(map(tuple, probed.collect()))
-            for bounds in [(0.0, 1.0), (-10.0, 10.0), (5.0, 6.0)]:
-                free = SA.top_fraction_per_group(
+        # exact bounds across (frac, direction); loose and WRONG bounds
+        # on one representative point (the drift-guard clamp is
+        # per-row arithmetic, independent of frac/direction)
+        grid = [(0.3, True, (0.0, 1.0)), (0.5, False, (0.0, 1.0)),
+                (1.0, True, (0.0, 1.0)),
+                (0.3, True, (-10.0, 10.0)), (0.3, True, (5.0, 6.0))]
+        want_cache = {}
+        for frac, desc, bounds in grid:
+            if (frac, desc) not in want_cache:
+                probed = SA.top_fraction_per_group(
                     df, "g", frac, "score", F.asc("k"), descending=desc,
-                    keep_rank=True, score_range=bounds)
-                assert norm(map(tuple, free.collect())) == want, \
-                    (frac, desc, bounds)
+                    keep_rank=True)
+                want_cache[(frac, desc)] = norm(map(tuple,
+                                                    probed.collect()))
+            free = SA.top_fraction_per_group(
+                df, "g", frac, "score", F.asc("k"), descending=desc,
+                keep_rank=True, score_range=bounds)
+            assert norm(map(tuple, free.collect())) \
+                == want_cache[(frac, desc)], (frac, desc, bounds)
         # the cap_per_group plumb: order_key_range rides score_range
         capped = SA.cap_per_group(df, "g", 5, score="score",
                                   order_key_range=(0.0, 1.0))
@@ -1196,7 +1204,11 @@ class TestPackBins:
 
 
 class TestTokenBudgetPrefixSumEquivalence:
-    @pytest.mark.parametrize("bits", [0, 4, 12])
+    @pytest.mark.parametrize("bits", [
+        0,  # fast representative (round-13 budget trim)
+        pytest.param(4, marks=pytest.mark.slow),
+        pytest.param(12, marks=pytest.mark.slow),
+    ])
     def test_identical_keep_set_across_bucketings(self, spark, bits):
         """The distributed prefix sum must select the BYTE-IDENTICAL
         document set and cumsum values at any range-bucket granularity:

@@ -169,6 +169,8 @@ class TestZOrder:
         with pytest.raises(ValueError, match="62 usable"):
             with_hilbert_key(df, ["x", "y"], bits=32)
 
+    @pytest.mark.slow  # proven-stable; the zordered sibling is
+    # the fast representative, BENCH records hilbert box skips
     def test_hilbert_layout_prunes_on_either_dimension(self, spark, ctx,
                                                        tmp_table_dir):
         from parquet_index_spark.sources import write_zordered
@@ -844,6 +846,9 @@ class TestParallelStage:
         info2 = ctx.index.last_prune_info
         assert info2.selected_files <= 2, info2
 
+    @pytest.mark.slow  # staged-swap crash-matrix long tail: the
+    # sidecar/restore/rollback semantics are covered fast by
+    # test_merge_crash_window_recovery (round-13, r12 verdict #4)
     def test_parallel_stage_failure_rolls_back(self, spark, ctx,
                                                tmp_table_dir,
                                                monkeypatch):
@@ -934,6 +939,9 @@ class TestVacuumRestore:
         ctx.index.create.indexBy("k").parquet(path)
         return path
 
+    @pytest.mark.slow  # staged-swap crash-matrix long tail: the
+    # sidecar/restore/rollback semantics are covered fast by
+    # test_merge_crash_window_recovery (round-13, r12 verdict #4)
     def test_restores_displaced_originals_from_stranded_tmp(
             self, spark, ctx, tmp_table_dir):
         import glob
@@ -973,6 +981,9 @@ class TestVacuumRestore:
         t = ctx.index.parquet(path)
         assert t.filter("k = 100").count() == 1
 
+    @pytest.mark.slow  # staged-swap crash-matrix long tail: the
+    # sidecar/restore/rollback semantics are covered fast by
+    # test_merge_crash_window_recovery (round-13, r12 verdict #4)
     def test_unclassifiable_or_failed_restore_keeps_tmp(
             self, spark, ctx, tmp_table_dir, monkeypatch):
         """A non-empty tmp is never deleted when the manifest cannot be
@@ -1076,6 +1087,9 @@ class TestVacuumRestore:
         monkeypatch.setattr(SRC, "_fs_for", orig)
         return next(pf.staged[0] for pf in poisons if pf.staged)
 
+    @pytest.mark.slow  # staged-swap crash-matrix long tail: the
+    # sidecar/restore/rollback semantics are covered fast by
+    # test_merge_crash_window_recovery (round-13, r12 verdict #4)
     def test_failed_rollback_strands_tmp_then_vacuum_heals(
             self, spark, ctx, tmp_table_dir, monkeypatch):
         """End-to-end: a stage failure whose ROLLBACK rename also fails
@@ -1098,6 +1112,9 @@ class TestVacuumRestore:
         out = merge_into(ctx, path, ups, "k")
         assert out["rows_updated"] == 1
 
+    @pytest.mark.slow  # staged-swap crash-matrix long tail: the
+    # sidecar/restore/rollback semantics are covered fast by
+    # test_merge_crash_window_recovery (round-13, r12 verdict #4)
     def test_vacuum_restores_after_post_crash_refresh(
             self, spark, ctx, tmp_table_dir, monkeypatch):
         """Round-10 ADVICE (medium): crash -> index REFRESH -> vacuum
@@ -1796,6 +1813,9 @@ class TestStrandedTmpGuards:
         assert not os.path.exists(os.path.join(path,
                                                "part-crash.parquet"))
 
+    @pytest.mark.slow  # staged-swap crash-matrix long tail: the
+    # sidecar/restore/rollback semantics are covered fast by
+    # test_merge_crash_window_recovery (round-13, r12 verdict #4)
     def test_presidecar_stranding_on_indexed_table_restores(
             self, spark, ctx, tmp_table_dir):
         """Upgrade hazard (round-11 review, third pass): a PRE-sidecar
@@ -1864,6 +1884,9 @@ class TestStrandedTmpGuards:
         ctx.index.create.indexBy("k").parquet(path)
         return path
 
+    @pytest.mark.slow  # staged-swap crash-matrix long tail: the
+    # sidecar/restore/rollback semantics are covered fast by
+    # test_merge_crash_window_recovery (round-13, r12 verdict #4)
     def test_compact_crash_window_recovery_restores_displaced(
             self, spark, ctx, tmp_table_dir):
         """Simulate the between-the-two-renames crash state for
@@ -2196,7 +2219,7 @@ class TestWriterLease:
                    PYTHONPATH=os.path.dirname(
                        os.path.dirname(os.path.abspath(__file__))))
         proc = subprocess.Popen(
-            [sys.executable, "-c", code, path, flag, "25"], env=env,
+            [sys.executable, "-c", code, path, flag, "6"], env=env,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         try:
             deadline = time.time() + 120
@@ -2564,9 +2587,23 @@ class TestStagePoolLatencyGate:
         return SRC._STAGE_LAST_MODE.copy()
 
     def test_local_fs_auto_serial(self, spark, tmp_table_dir):
-        mode = self._flat_swap(spark, tmp_table_dir, "gate_local")
+        """The serial arm of the gate, made host-independent (round-13):
+        this VM's quiet-box py4j rename roundtrip hovers AT the 1 ms
+        default gate (measured 950-1100 us), so asserting 'local always
+        probes under the default' flaked on the boundary. With the gate
+        raised well above any sane local probe, the decision must be
+        serial; at the DEFAULT gate the decision must simply MATCH the
+        probe the harness just took — the gate logic, not the host."""
+        spark.conf.set("spark.sql.index.stage.minOpMicros", "50000")
+        try:
+            mode = self._flat_swap(spark, tmp_table_dir, "gate_local")
+        finally:
+            spark.conf.unset("spark.sql.index.stage.minOpMicros")
         assert mode["mode"] == "serial", mode
-        assert mode["probe_us"] is not None and mode["probe_us"] < 1000
+        assert mode["probe_us"] is not None and mode["probe_us"] < 50000
+        mode_def = self._flat_swap(spark, tmp_table_dir, "gate_local_d")
+        want = "pooled" if mode_def["probe_us"] > 1000 else "serial"
+        assert mode_def["mode"] == want, mode_def
 
     def test_high_latency_fs_pools(self, spark, tmp_table_dir,
                                    monkeypatch):

@@ -260,7 +260,10 @@ class TestTermIndexLifecycle:
 
 
 class TestTermIndexSoundness:
-    @pytest.mark.parametrize("filter_type", ["bloom", "dict"])
+    @pytest.mark.parametrize("filter_type", [
+        "dict",  # fast representative (round-13 budget trim)
+        pytest.param("bloom", marks=pytest.mark.slow),
+    ])
     def test_randomized_differential(self, spark, ctx, tmp_table_dir,
                                      filter_type):
         """Seeded randomized sweep: for random corpora and random terms
