@@ -300,8 +300,15 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
       contract as the probed snapshot). For the ``score=`` form a
       NUMERIC (lo, hi) rides :func:`top_fraction_per_group`'s
       ``score_range`` instead — the extremes probe is skipped too
-      (round-13). Other key types ignore it
-      (they have no probe left to skip). ``distributed_order_by=False``
+      (round-13). And a plain NAMED integral/date/timestamp/decimal/
+      float order_by key with a known domain rides the same bypass
+      (round-13): the pair is re-encoded through the key's monotone
+      long encoding on a 2-row local frame (Spark's own cast/timezone
+      semantics, one tiny driver job) and the full-corpus extremes
+      probe is skipped — "latest N per key over a known time range"
+      composes with ONE probe job. Expression keys, escape callers,
+      and non-fixed-tz ntz keys keep the probed path.
+      ``distributed_order_by=False``
       opts a compose-only caller out of the rewrite entirely — the
       call stays a lazy window at the documented one-task-per-group
       cost (the same lazy-composition knob precedent as asof_join's
@@ -413,6 +420,21 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
                 if enc is not None:
                     pre_tb = (oc.desc() if descending else oc,)
         if enc is not None:
+            # round-13: a numeric/date/timestamp/decimal key with a
+            # caller-known domain rides the PROBE-FREE cut too —
+            # order_key_range's (lo, hi) are encoded through the SAME
+            # monotone encoding (on a 2-row local frame, so Spark's own
+            # cast/timezone semantics apply — one tiny driver job
+            # replaces the full-corpus extremes scan) and passed as
+            # top_fraction_per_group's score_range. Only plain NAMED
+            # columns qualify (the 2-row re-encoding needs an unbound
+            # column reference); the string path consumed the range
+            # above, float/double pass raw values through unencoded.
+            enc_range = None
+            if order_key_range is not None and not pre_tb \
+                    and not degenerate_escape:
+                enc_range = _encode_key_range(
+                    df, order_by, odt, enc, order_key_range)
             out = top_fraction_per_group(
                 df.withColumn("__cap_ord", enc), group, 1.0, "__cap_ord",
                 *pre_tb, *tiebreak, descending=descending,
@@ -420,7 +442,8 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
                 range_buckets=range_buckets,
                 degenerate_escape=degenerate_escape,
                 degenerate_floor=degenerate_floor,
-                max_broadcast_rows=max_broadcast_rows, _cap_rows=int(n))
+                max_broadcast_rows=max_broadcast_rows,
+                score_range=enc_range, _cap_rows=int(n))
             return out.drop("__cap_ord")
     if hot_key_audit and not df.isStreaming:
         audit_hot_keys(
@@ -704,6 +727,61 @@ def token_budget_sample(df: DataFrame, stratum: str, budgets: Dict,
     # name-joins put join keys first; restore the caller's column order
     keep = list(df.columns) + (["__prior"] if keep_cumsum else [])
     return out.select(*keep)
+
+
+def _encode_key_range(df: DataFrame, order_by, dt, enc,
+                      key_range) -> "tuple | None":
+    """Encode a caller-supplied (lo, hi) ORDER-KEY domain through the
+    SAME monotone long encoding the rank-cut rewrite applies to the
+    column (round-13): the pair is run through the encoding on a 2-row
+    LOCAL frame — so Spark's own cast and session-timezone semantics
+    apply, exactly as they do to the data — and returned as
+    :func:`top_fraction_per_group`'s ``score_range``. One tiny driver
+    job replaces the full-corpus per-group extremes probe; monotone
+    encoding means encoded bounds bracket every in-domain encoded key,
+    and the score_range clamp makes wrong bounds cost bucketing
+    parallelism, never rows. Returns None when the bypass cannot apply
+    (the order key is an EXPRESSION — the 2-row re-encode needs an
+    unbound named column); raises on malformed ranges so a caller's
+    typo fails loudly instead of silently probing."""
+    from pyspark.sql.types import DoubleType, FloatType, StructField, \
+        StructType
+    if not isinstance(order_by, str):
+        return None
+    if (not isinstance(key_range, (tuple, list)) or len(key_range) != 2
+            or any(v is None for v in key_range)):
+        raise ValueError(
+            "order_key_range must be a non-NULL (lo, hi) pair, got "
+            f"{key_range!r}")
+    if isinstance(dt, (FloatType, DoubleType)):
+        # float/double keys ride the cut unencoded — the bounds pass
+        # straight through (score_range validates finiteness/order)
+        lo, hi = key_range
+        if not all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                   for v in (lo, hi)):
+            raise ValueError(
+                "order_key_range for a float/double key must be a "
+                f"numeric (lo, hi) pair, got {key_range!r}")
+        return (float(lo), float(hi))
+    spark = df.sparkSession
+    try:
+        tiny = spark.createDataFrame(
+            [(key_range[0],), (key_range[1],)],
+            StructType([StructField(order_by, dt)]))
+        enc2 = _monotone_long_encoding(tiny, F.col(order_by), dt)
+        vals = [r[0] for r in tiny.select(enc2).collect()]
+    except Exception as exc:  # noqa: BLE001 — surface the typo loudly
+        raise ValueError(
+            f"order_key_range {key_range!r} could not be encoded for "
+            f"the {dt.simpleString()} order key: {exc}") from exc
+    lo, hi = vals
+    if lo is None or hi is None or not lo < hi:
+        raise ValueError(
+            f"order_key_range {key_range!r} needs lo < hi after "
+            f"encoding (got {vals}) — a zero-width domain cannot be "
+            "bucketized; widen the bounds or drop the range to use "
+            "the probed path")
+    return (lo, hi)
 
 
 def top_fraction_per_group(df: DataFrame, group: ColumnOrName,

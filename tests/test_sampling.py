@@ -1022,6 +1022,59 @@ class TestTopFractionPerGroup:
                                       degenerate_escape=True,
                                       score_range=(0.0, 1.0))
 
+    def test_numeric_order_key_range_rides_probe_free_cut(self, spark):
+        """Round-13: a plain named integral/date/timestamp/decimal key
+        with a caller-known domain skips the extremes probe — the
+        bounds are re-encoded through the key's own monotone encoding
+        (2-row local frame) and ride score_range. Identical keep set
+        for exact, loose, and WRONG bounds; census drops to <= 2 jobs
+        (the 2-row encode + the offsets count)."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+        rows = []
+        for i in range(60):
+            t = (None if i % 17 == 0 else
+                 dt.datetime(2024, 1, 1) +
+                 dt.timedelta(minutes=(i * 13) % 47))
+            rows.append((i % 3, i, t))
+        df = spark.createDataFrame(rows, "g: int, uid: long, t: timestamp")
+        for key, bounds_grid in [
+            ("uid", [(0, 60), (-1000, 1000)]),
+            ("t", [(dt.datetime(2024, 1, 1),
+                    dt.datetime(2024, 1, 2)),
+                   (dt.datetime(2020, 1, 1),
+                    dt.datetime(2020, 1, 2))]),  # WRONG: clamp only
+        ]:
+            want = sorted(map(tuple, SA.cap_per_group(
+                df, "g", 4, key, "uid", descending=True).collect()))
+            for bounds in bounds_grid:
+                got = SA.cap_per_group(df, "g", 4, key, "uid",
+                                       descending=True,
+                                       order_key_range=bounds)
+                assert sorted(map(tuple, got.collect())) == want, \
+                    (key, bounds)
+        # census: composing with the range costs <= 2 jobs (2-row
+        # encode + offsets count) vs 3 for the probed path
+        sc = spark.sparkContext
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        sc.setJobGroup("okr_num", "numeric order_key_range census")
+        try:
+            SA.cap_per_group(df, "g", 4, "uid", "uid",
+                             order_key_range=(0, 60))
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        assert len(sc.statusTracker().getJobIdsForGroup("okr_num")) <= 2
+        # malformed ranges fail loudly, never silently probe
+        with pytest.raises(ValueError, match="could not be encoded"):
+            SA.cap_per_group(df, "g", 4, "t", "uid",
+                             order_key_range=("no", "pe"))
+        with pytest.raises(ValueError, match="lo < hi"):
+            SA.cap_per_group(df, "g", 4, "uid", "uid",
+                             order_key_range=(5, 5))
+
     def test_score_range_skips_extremes_probe(self, spark):
         """The bypass's point: ONE composition probe job (the offsets
         sizing count) instead of two — no extremes scan, no extremes
