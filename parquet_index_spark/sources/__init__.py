@@ -199,43 +199,88 @@ class _WriterLease:
         import time as _t
         try:
             if self.mtime_refresh_ok is not False:
-                before = None
-                if self.mtime_refresh_ok is None:
-                    before = self.fs.getFileStatus(
-                        self.jlock).getModificationTime()
-                self.fs.setTimes(self.jlock, int(_t.time() * 1000), -1)
-                if self.mtime_refresh_ok is None:
-                    after = self.fs.getFileStatus(
-                        self.jlock).getModificationTime()
-                    if after == before:
-                        self.mtime_refresh_ok = False
-                        import warnings
-                        warnings.warn(
-                            "writer lease: FileSystem.setTimes did not "
-                            f"advance the lock mtime at {self.uri} "
-                            "(object stores like S3A no-op it) — "
-                            "falling back to rewriting the lock "
-                            "payload per heartbeat so a LIVE writer's "
-                            "lock never looks stale. If lock writes "
-                            "are expensive on this store, raise "
-                            "spark.sql.index.writer.lock.ttlSeconds.",
-                            UserWarning, stacklevel=2)
-                    else:
-                        self.mtime_refresh_ok = True
+                # the setTimes probe gets its OWN except (round-13
+                # ADVICE #1): some object-store connectors RAISE
+                # (UnsupportedOperationException) instead of silently
+                # no-opping — letting that escape to the blanket
+                # swallow below would leave mtime_refresh_ok unprobed
+                # forever and a LIVE writer's lock would still go
+                # stale at the TTL. Any exception here is the same
+                # verdict as an inert no-op: flip to rewrite mode and
+                # fall through to the rewrite IN THIS SAME BEAT.
+                try:
+                    before = None
+                    if self.mtime_refresh_ok is None:
+                        before = self.fs.getFileStatus(
+                            self.jlock).getModificationTime()
+                    self.fs.setTimes(self.jlock, int(_t.time() * 1000),
+                                     -1)
+                    if self.mtime_refresh_ok is None:
+                        after = self.fs.getFileStatus(
+                            self.jlock).getModificationTime()
+                        if after == before:
+                            self.mtime_refresh_ok = False
+                            self._warn_inert_settimes("did not advance "
+                                                      "the lock mtime")
+                        else:
+                            self.mtime_refresh_ok = True
+                except Exception as exc:  # noqa: BLE001 — raising
+                    # connectors are verdict "inert", same as no-op
+                    if self.mtime_refresh_ok is None:
+                        self._warn_inert_settimes(f"raised ({exc})")
+                    self.mtime_refresh_ok = False
                 if self.mtime_refresh_ok is not False:
                     self.last_beat = _t.monotonic()
                     return
             # inert-setTimes fallback: rewrite the identical owner
             # payload — same token, so release's read-back still
-            # matches — purely to carry a fresh mtime
-            out = self.fs.create(self.jlock, True)
-            try:
-                out.write(bytearray(self.payload))
-            finally:
-                out.close()
-            self.last_beat = _t.monotonic()
+            # matches — purely to carry a fresh mtime. The rewrite
+            # runs UNDER the registry lock with a still-registered
+            # check (round-13 ADVICE #2): release() pops the registry
+            # under this same lock before deleting the lock file, so
+            # an already-scheduled beat can never recreate a released
+            # lock with a dead token (which would refuse every writer,
+            # this process included, for a full TTL).
+            with _WRITER_LEASES_LOCK:
+                if _WRITER_LEASES.get(self.uri) is not self \
+                        or self.depth <= 0:
+                    return
+                # takeover guard: if our heartbeat stalled past the
+                # TTL and another writer legally took the lock over,
+                # create(overwrite) would stomp the WINNER's lock and
+                # let two writers in — read back first and only
+                # rewrite a lock that is still ours (or gone: a
+                # takeover-in-flight deleted it; recreating ours makes
+                # the racer's create-exclusive fail and read-back
+                # raise lost-race — one winner either way, and we are
+                # demonstrably alive). Unreadable ({}) could be a
+                # racer mid-write: skip this beat, the next one (well
+                # inside the TTL) retries.
+                holder = _read_lock_owner(self.fs, self.jlock)
+                if holder == {}:
+                    return
+                if holder is not None \
+                        and holder.get("token") != self.token:
+                    return
+                out = self.fs.create(self.jlock, True)
+                try:
+                    out.write(bytearray(self.payload))
+                finally:
+                    out.close()
+                self.last_beat = _t.monotonic()
         except Exception:  # noqa: BLE001 — see docstring
             pass
+
+    def _warn_inert_settimes(self, what: str) -> None:
+        import warnings
+        warnings.warn(
+            f"writer lease: FileSystem.setTimes {what} at {self.uri} "
+            "(object stores like S3A no-op or reject it) — falling "
+            "back to rewriting the lock payload per heartbeat so a "
+            "LIVE writer's lock never looks stale. If lock writes are "
+            "expensive on this store, raise "
+            "spark.sql.index.writer.lock.ttlSeconds.",
+            UserWarning, stacklevel=3)
 
     def release(self) -> None:
         with _WRITER_LEASES_LOCK:

@@ -2399,6 +2399,131 @@ class TestWriterLease:
             lease.release()
         assert not os.path.exists(lock)
 
+    def test_raising_settimes_heartbeat_falls_back_same_beat(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """Round-14 (r13 ADVICE #1): some object-store connectors
+        RAISE from setTimes (UnsupportedOperationException) instead of
+        silently no-opping. The probe must treat any exception as the
+        inert verdict — warn once naming the scheme and rewrite the
+        payload IN THE SAME BEAT — not let it escape to the blanket
+        swallow where mtime_refresh_ok stays unprobed forever and a
+        live writer's lock still goes stale at the TTL."""
+        import json
+        import time
+        import warnings as W
+
+        import parquet_index_spark.sources as SRC
+        path = os.path.join(tmp_table_dir, "lease_raise")
+        os.makedirs(path)
+        real = SRC._fs_for
+
+        class RaisingSetTimesFS:
+            def __init__(self, fs):
+                self._fs = fs
+
+            def setTimes(self, p, mtime, atime):
+                raise RuntimeError(
+                    "UnsupportedOperationException: setTimes")
+
+            def __getattr__(self, a):
+                return getattr(self._fs, a)
+
+        monkeypatch.setattr(
+            SRC, "_fs_for",
+            lambda s, p: (lambda fs, jp: (RaisingSetTimesFS(fs), jp))(
+                *real(s, p)))
+        lock = path + "__pis_writer_lock"
+        lease = SRC.acquire_writer_lease(spark, path, "raising_op")
+        try:
+            m0 = os.path.getmtime(lock)
+            time.sleep(0.05)
+            with W.catch_warnings(record=True) as rec:
+                W.simplefilter("always")
+                lease._beat()  # probe raises -> fallback, same beat
+            assert lease.mtime_refresh_ok is False
+            assert any("FileSystem.setTimes raised" in str(w.message)
+                       for w in rec), [str(w.message) for w in rec]
+            assert os.path.getmtime(lock) > m0  # rewrite landed NOW
+            with open(lock) as fh:
+                assert json.loads(fh.read())["token"] == lease.token
+            time.sleep(0.05)
+            with W.catch_warnings(record=True) as rec2:
+                W.simplefilter("always")
+                lease._beat()  # later beats: rewrite, no re-warn, no
+                m1 = os.path.getmtime(lock)  # re-probe of setTimes
+            assert not any("setTimes" in str(w.message) for w in rec2)
+            assert m1 > m0
+        finally:
+            lease.release()
+        assert not os.path.exists(lock)
+
+    def test_rewrite_beat_cannot_resurrect_released_lock(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """Round-14 (r13 ADVICE #2): an already-scheduled beat racing
+        release() in rewrite-fallback mode must NOT recreate the lock
+        after release popped the registry and deleted the file — a
+        resurrected dead-token lock would refuse every writer (this
+        process included) for a full TTL. The beat's rewrite re-checks
+        registration under the registry lock, so a beat that runs
+        entirely AFTER release is a no-op."""
+        import parquet_index_spark.sources as SRC
+        path = os.path.join(tmp_table_dir, "lease_resurrect")
+        os.makedirs(path)
+        self._inert_settimes_fs(SRC, monkeypatch)
+        lock = path + "__pis_writer_lock"
+        lease = SRC.acquire_writer_lease(spark, path, "resurrect_op")
+        lease._beat()  # probe: flips to rewrite-fallback mode
+        assert lease.mtime_refresh_ok is False
+        lease.release()
+        assert not os.path.exists(lock)
+        lease._beat()  # the stale scheduled beat lands after release
+        assert not os.path.exists(lock), \
+            "a post-release beat resurrected the released lock"
+        # and the surface is immediately reusable by the next writer
+        nxt = SRC.acquire_writer_lease(spark, path, "next_op")
+        nxt.release()
+
+    def test_rewrite_beat_never_stomps_takeover_winner(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """A stalled holder in rewrite-fallback mode that resumes
+        beating AFTER a legal TTL takeover must not create(overwrite)
+        the WINNER's lock — that would put two live writers under one
+        path. The beat reads the owner back and skips on a foreign
+        token."""
+        import json
+
+        import parquet_index_spark.sources as SRC
+        path = os.path.join(tmp_table_dir, "lease_stomp")
+        os.makedirs(path)
+        self._inert_settimes_fs(SRC, monkeypatch)
+        lock = path + "__pis_writer_lock"
+        lease = SRC.acquire_writer_lease(spark, path, "stalled_op")
+        lease._beat()
+        assert lease.mtime_refresh_ok is False
+        # simulate the takeover: the winner replaced the lock file
+        winner = {"owner": "otherhost:pid999", "op": "takeover_op",
+                  "token": "winner-token", "acquired_utc": "x"}
+        with open(lock, "w") as fh:
+            fh.write(json.dumps(winner))
+        # drop the ChecksumFileSystem sidecar so the Java read sees the
+        # foreign token instead of a checksum error (= unreadable {})
+        crc = os.path.join(os.path.dirname(lock),
+                           "." + os.path.basename(lock) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        lease._beat()  # stalled holder resumes
+        with open(lock) as fh:
+            assert json.loads(fh.read())["token"] == "winner-token", \
+                "the stalled holder's beat stomped the winner's lock"
+        # release() sees the foreign token, warns, leaves it in place
+        import warnings as W
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            lease.release()
+        assert any("taken over" in str(w.message) for w in rec)
+        assert os.path.exists(lock)
+        os.remove(lock)  # cleanup for the tmp dir
+
     def test_inert_settimes_live_lock_never_goes_stale(
             self, spark, ctx, tmp_table_dir, monkeypatch):
         """The r12 verdict's done-criterion: with setTimes inert, the
