@@ -35,6 +35,13 @@ _STAGE_LAST_MODE: dict = {"mode": None, "probe_us": None}
 #: copies of displaced originals as rewrite output and delete them
 #: (round-10 ADVICE). `_`-prefixed so data readers ignore it.
 STAGE_SIDECAR = "_pis_displaced"
+#: fencing stamp (round-14, r13 verdict #2): the staging writer's lease
+#: token, written into tmp AFTER the sidecar and BEFORE the first stage
+#: rename. Forensics for a stranded tmp ("which lease staged this") and
+#: the durable half of the commit fence — the live half is the
+#: owner-record read-back _staged_swap performs immediately before the
+#: commit rename (see _verify_swap_fence).
+SWAP_TOKEN = "_pis_swap_token"
 
 
 def _write_stage_sidecar(fs, jvm, jtmp, rels) -> None:
@@ -48,6 +55,19 @@ def _write_stage_sidecar(fs, jvm, jtmp, rels) -> None:
         data = "".join(r + "\n" for r in rels).encode("utf-8")
         if data:
             out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def _write_swap_token(fs, jvm, jtmp, token: str) -> None:
+    """Stamp the staging writer's lease token at ``<tmp>/_pis_swap_token``.
+    Written AFTER the sidecar (so a crash between the two writes leaves
+    a sidecar-classified tmp, never a token-only one the manifest rule
+    would restore as junk) and BEFORE the first stage rename."""
+    p = jvm.org.apache.hadoop.fs.Path(jtmp, SWAP_TOKEN)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(token.encode("utf-8")))
     finally:
         out.close()
 
@@ -131,6 +151,16 @@ class ConcurrentWriterError(IOError):
     staged swaps — a CDC stream racing a cron compaction — can strand
     states the sidecar cannot classify, so the surface refuses up front
     and names the holder instead."""
+
+
+class StaleWriterFenceError(ConcurrentWriterError):
+    """A writer whose lease was legally taken over (its heartbeat
+    stalled past the TTL, a second writer presumed it crashed) resumed
+    and tried to COMMIT its staged swap (round-14, r13 verdict #2): the
+    classic fencing gap of marker-file leases. The swap commit verifies
+    the lock's owner token immediately before the point-of-no-return
+    rename and refuses on a mismatch, rolling the staging back — the
+    table stays the takeover winner's."""
 
 
 _WRITER_LEASES: dict = {}  # qualified lock URI -> _WriterLease
@@ -1584,6 +1614,46 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
 
     jvm = spark._jvm
     fs, jpath = _fs_for(spark, path)
+    # fencing (round-14, r13 verdict #2): the swap runs under the
+    # caller's single-writer lease, but a holder whose heartbeat
+    # stalled past the TTL can have LOST that lease to a legal
+    # takeover while its rewrite ran — landing its staged swap anyway
+    # would overwrite the winner's table (the classic fencing gap of
+    # marker-file leases). Resolve the holder's token now; verify it
+    # is STILL the lock's owner (a) before staging disturbs the table
+    # and (b) decisively, immediately before the point-of-no-return
+    # commit rename. An unleased caller (no registered lease for this
+    # path — internal/test direct calls) skips the fence: it has no
+    # token to fence with, and the lease wrappers on every public
+    # mutating entry point are the contract.
+    _f_fs, _f_jlock, _f_uri, _f_ttl = _lock_ref(spark, path)
+    with _WRITER_LEASES_LOCK:
+        _f_lease = _WRITER_LEASES.get(_f_uri)
+    fence_token = _f_lease.token if _f_lease is not None else None
+
+    def _verify_swap_fence(when: str) -> None:
+        if fence_token is None:
+            return
+        holder = _read_lock_owner(_f_fs, _f_jlock)
+        if holder == {}:
+            holder = _read_lock_owner(_f_fs, _f_jlock)  # one retry
+        if holder == {}:
+            raise IOError(
+                f"{label}: could not read the writer lock back at "
+                f"{_f_uri} {when} — refusing to commit a swap whose "
+                "lease cannot be verified (IO problem or a takeover "
+                "racer mid-write); the staging was rolled back, retry "
+                "the operation.")
+        if holder is None or holder.get("token") != fence_token:
+            raise StaleWriterFenceError(
+                f"{label}: this writer's lease for {path!r} was taken "
+                f"over {when} (lock "
+                f"{'is gone' if holder is None else 'now belongs to ' + str(holder.get('owner'))}"
+                f" — our heartbeat stalled past the TTL?); refusing to "
+                "land the staged swap over the new writer's table. "
+                "The staging was rolled back; re-run the operation, "
+                "and raise spark.sql.index.writer.lock.ttlSeconds if "
+                "this writer legitimately pauses that long.")
     # py4j cost discipline (round-11, profiled): every dotted package
     # walk (jvm.org.apache...) is ~5 reflection roundtrips and every
     # JavaObject attribute lookup is one more — at 17 roundtrips per
@@ -1728,10 +1798,10 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
             u = dir_u + "/" + name
             if u in affected_abs:
                 continue
-            if prefix == "" and name == STAGE_SIDECAR:
+            if prefix == "" and name in (STAGE_SIDECAR, SWAP_TOKEN):
                 continue  # stale bookkeeping from an interrupted swap:
-                # never carried (the fresh sidecar is written at the
-                # same dst), dies with the bak dir after the swap
+                # never carried (the fresh sidecar/token are written at
+                # the same dst), dies with the bak dir after the swap
             rel = prefix + name
             if u in affected_dirs:
                 # an ancestor of an affected file is a DIRECTORY by
@@ -1770,6 +1840,8 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
     def stage(src_dir, dst_dir):
         plan(src_dir, dst_dir, base)
         _write_stage_sidecar(fs, jvm, jtmp, rels)
+        if fence_token is not None:  # after the sidecar, before the
+            _write_swap_token(fs, jvm, jtmp, fence_token)  # 1st rename
         for src, dst in markers:
             _rename_one(src, dst)  # markers stay serial (few)
         _rename_files(plain)  # one global batch: the pool threshold
@@ -1801,7 +1873,15 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
         fs.delete(jtmp, True)
 
     try:
+        # fail fast: nothing staged yet, so the except-rollback just
+        # drops the tmp dir (pure rewrite output at this point)
+        _verify_swap_fence("before staging")
         stage(jpath, jtmp)
+        # decisive fence: the last instant the commit can be refused.
+        # The residual window shrinks from the whole rewrite+staging
+        # span to one metadata op between this read and the rename —
+        # the same one-op floor the lease takeover itself carries.
+        _verify_swap_fence("during the rewrite")
     except Exception:
         _rollback_and_clear_tmp()  # table untouched when this returns
         raise
@@ -1815,13 +1895,14 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
         _rollback_and_clear_tmp()
         raise IOError(f"{label}: could not move rewrite into {path!r}")
     fs.delete(jbak, True)
-    # the sidecar traveled with tmp into the live table — drop it
-    # (best-effort: if this delete is lost, the `_`-prefixed file is
+    # the sidecar/token traveled with tmp into the live table — drop
+    # them (best-effort: if a delete is lost, the `_`-prefixed file is
     # invisible to readers and the next swap skips + replaces it)
-    try:
-        fs.delete(HPath(jpath, STAGE_SIDECAR), False)
-    except Exception:  # noqa: BLE001 — cosmetic cleanup only
-        pass
+    for bookkeeping in (STAGE_SIDECAR, SWAP_TOKEN):
+        try:
+            fs.delete(HPath(jpath, bookkeeping), False)
+        except Exception:  # noqa: BLE001 — cosmetic cleanup only
+            pass
 
 
 def delete_where(ctx, path: str, predicate) -> dict:
@@ -2282,7 +2363,7 @@ def _vacuum_table_impl(spark, path: str) -> dict:
                     src = files.next().getPath()
                     u = fs.makeQualified(src).toString()
                     rel = u[len(qtmp):].lstrip("/")
-                    if rel == STAGE_SIDECAR:
+                    if rel in (STAGE_SIDECAR, SWAP_TOKEN):
                         continue  # staging bookkeeping: dies with tmp
                     entries.append((src, rel))
                 state, side = _read_stage_sidecar(fs, jvm, jcand)

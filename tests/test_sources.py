@@ -2666,6 +2666,154 @@ class TestWriterLease:
         assert not os.path.exists(path + "__pis_writer_lock")
 
 
+class TestSwapFencing:
+    """Round-14 (r13 verdict #2): the staged-swap commit is FENCED by
+    the lease token — a stalled ex-holder that lost a TTL takeover can
+    stage a rewrite but can never land it over the winner's table."""
+
+    @staticmethod
+    def _table(spark, ctx, tmp_table_dir, name):
+        from pyspark.sql import functions as F
+        path = os.path.join(tmp_table_dir, name)
+        (spark.range(0, 50_000)
+         .select("id", (F.col("id") % 7).alias("v"))
+         .repartitionByRange(8, "id").sortWithinPartitions("id")
+         .write.parquet(path))
+        ctx.index.create.mode("overwrite").indexBy("id").parquet(path)
+        return path
+
+    @staticmethod
+    def _takeover(lock, token="winner-token"):
+        """Simulate a legal TTL takeover by a second driver: the lock
+        file now carries the winner's owner record. The ChecksumFS
+        sidecar is dropped so the Java read sees the new payload
+        instead of a checksum error."""
+        import json
+        os.remove(lock)
+        with open(lock, "w") as fh:
+            fh.write(json.dumps({
+                "owner": "winnerhost:pid777", "op": "takeover_op",
+                "token": token, "acquired_utc": "x"}))
+        crc = os.path.join(os.path.dirname(lock),
+                           "." + os.path.basename(lock) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    def test_stalled_holder_commit_refused_after_takeover(
+            self, spark, ctx, tmp_table_dir):
+        """The done-criterion: a paused holder resumes AFTER a takeover
+        and its commit is REFUSED — the fail-fast fence fires before
+        staging ever disturbs the winner's table, the table is
+        unchanged, and no staging leftovers remain."""
+        import warnings as W
+
+        import parquet_index_spark.sources as SRC
+        path = self._table(spark, ctx, tmp_table_dir, "fence_e2e")
+        lock = path + "__pis_writer_lock"
+        before = sorted(r.id for r in spark.read.parquet(path).collect())
+        # the "paused holder": acquires, then its lease is taken over
+        lease = SRC.acquire_writer_lease(spark, path, "stalled_dml")
+        self._takeover(lock)
+        # ...and resumes: the DML reenters the same registered lease
+        # (same thread), stages, and the fence refuses the commit
+        with pytest.raises(SRC.StaleWriterFenceError,
+                           match="taken over"):
+            SRC.delete_where(ctx, path, "id >= 10000 AND id < 20000")
+        after = sorted(r.id for r in spark.read.parquet(path).collect())
+        assert after == before, "the refused swap still changed rows"
+        for leftover in ("__delete_tmp", "__delete_bak"):
+            assert not os.path.exists(path + leftover), leftover
+        with W.catch_warnings(record=True):
+            W.simplefilter("always")
+            lease.release()  # foreign token: warns, leaves the lock
+        os.remove(lock)
+        # the winner's surface is intact: a fresh writer works
+        info = SRC.delete_where(ctx, path, "id >= 10000 AND id < 11000")
+        assert info["rows_deleted"] == 1000
+
+    def test_takeover_during_staging_rolls_back_at_commit(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """The decisive commit-point fence: the takeover lands WHILE
+        the rewrite is staging (after the fail-fast check passed), so
+        the refusal happens at the last instant before the commit
+        rename and the rollback restores every staged file."""
+        import warnings as W
+
+        import parquet_index_spark.sources as SRC
+        path = self._table(spark, ctx, tmp_table_dir, "fence_mid")
+        lock = path + "__pis_writer_lock"
+        before = sorted((r.id, r.v) for r in
+                        spark.read.parquet(path).collect())
+        real_sidecar = SRC._write_stage_sidecar
+        fired = {"n": 0}
+
+        def hijack(fs, jvm, jtmp, rels):
+            real_sidecar(fs, jvm, jtmp, rels)
+            if fired["n"] == 0:  # first swap only
+                fired["n"] += 1
+                self._takeover(lock)
+
+        monkeypatch.setattr(SRC, "_write_stage_sidecar", hijack)
+        from pyspark.sql import functions as F
+        with pytest.raises(SRC.StaleWriterFenceError,
+                           match="during the rewrite"):
+            SRC.update_where(ctx, path, "id >= 10000 AND id < 20000",
+                             {"v": F.lit(99)})
+        monkeypatch.undo()
+        after = sorted((r.id, r.v) for r in
+                       spark.read.parquet(path).collect())
+        assert after == before, \
+            "the rolled-back swap left row changes behind"
+        for leftover in ("__update_tmp", "__update_bak"):
+            assert not os.path.exists(path + leftover), leftover
+        with W.catch_warnings(record=True):
+            W.simplefilter("always")
+        os.remove(lock)
+
+    def test_successful_swap_stamps_and_cleans_token(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """The token sidecar is stamped into tmp before the first stage
+        rename (observed via a spy) and is GONE from the live table
+        after a successful swap."""
+        import parquet_index_spark.sources as SRC
+        path = self._table(spark, ctx, tmp_table_dir, "fence_ok")
+        seen = {}
+        real_token = SRC._write_swap_token
+
+        def spy(fs, jvm, jtmp, token):
+            seen["token"] = token
+            real_token(fs, jvm, jtmp, token)
+
+        monkeypatch.setattr(SRC, "_write_swap_token", spy)
+        info = SRC.delete_where(ctx, path, "id >= 10000 AND id < 20000")
+        assert info["rows_deleted"] == 10_000
+        assert seen.get("token"), "no token was stamped into tmp"
+        assert not os.path.exists(
+            os.path.join(path, SRC.SWAP_TOKEN)), \
+            "the token sidecar leaked into the live table"
+        assert not os.path.exists(path + "__pis_writer_lock")
+
+    def test_vacuum_never_restores_token_sidecar(
+            self, spark, ctx, tmp_table_dir):
+        """A stranded tmp's token stamp is staging bookkeeping: vacuum
+        classifies and clears the tmp without planting the token file
+        into the table."""
+        import parquet_index_spark.sources as SRC
+        path = self._table(spark, ctx, tmp_table_dir, "fence_vac")
+        tmp = path + "__delete_tmp"
+        os.makedirs(tmp)
+        # a stranded staging dir: sidecar + token, no displaced files
+        fs, _ = SRC._fs_for(spark, tmp)
+        jvm = spark._jvm
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        SRC._write_stage_sidecar(fs, jvm, jtmp, [])
+        SRC._write_swap_token(fs, jvm, jtmp, "stranded-token")
+        res = SRC.vacuum_table(spark, path)
+        assert tmp in res["removed"], res
+        assert not os.path.exists(os.path.join(path, SRC.SWAP_TOKEN))
+        assert res["restored"] == []
+
+
 class TestStagePoolLatencyGate:
     """Round-12 (r11 verdict #2): past the pending-sibling floor, a
     16-rename serial probe decides pool vs serial — local FS (per-op
