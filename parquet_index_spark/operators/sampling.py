@@ -434,7 +434,7 @@ def cap_per_group(df: DataFrame, group: ColumnOrName, n: int,
             if order_key_range is not None and not pre_tb \
                     and not degenerate_escape:
                 enc_range = _encode_key_range(
-                    df, order_by, odt, enc, order_key_range)
+                    df, order_by, odt, order_key_range)
             out = top_fraction_per_group(
                 df.withColumn("__cap_ord", enc), group, 1.0, "__cap_ord",
                 *pre_tb, *tiebreak, descending=descending,
@@ -729,7 +729,7 @@ def token_budget_sample(df: DataFrame, stratum: str, budgets: Dict,
     return out.select(*keep)
 
 
-def _encode_key_range(df: DataFrame, order_by, dt, enc,
+def _encode_key_range(df: DataFrame, order_by, dt,
                       key_range) -> "tuple | None":
     """Encode a caller-supplied (lo, hi) ORDER-KEY domain through the
     SAME monotone long encoding the rank-cut rewrite applies to the

@@ -6380,50 +6380,48 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
 # no-cartesian plan sweep (tests/test_plans.py) covers exactly these —
 # two independently maintained magic lengths silently diverge
 CHANGED_HEAD = [
-    # round-13 changed surface (changed code needs a fresh driver
-    # certification): every rank-cut rider (_rank_cut_tail factored
-    # stages 2-4 out of top_fraction_per_group and score_range rewired
-    # its head, so the order_by/score queries, the quality gate,
-    # grouped cosine top-k, and pipeline v3 — which ADOPTED the
-    # probe-free gate — all sit on changed code), every DML consumer
-    # (the lease heartbeat gained the object-store rewrite fallback and
-    # the acquire read-back changed), and the two merge-sink streaming
-    # queries (one lease per query, reentered per micro-batch)
-    "curation_pipeline_v3", "quality_gate_by_lang", "quota_per_source",
-    "float_rank_docs_per_lang", "top_price_orders_per_cust",
-    "first_urls_per_lang",
-    "latest_events_per_user", "earliest_events_per_user",
-    "ann_topk_per_label",
-    "merge_delete_orders", "merge_upsert_orders", "stream_merge_cdc_ops",
+    # round-14 changed surface (changed code needs a fresh driver
+    # certification): every staged-swap consumer — the swap commit is
+    # now FENCED by the lease token (stamp + owner read-back before
+    # the commit rename) and the heartbeat's rewrite fallback gained
+    # the release-race and takeover-stomp guards — so the four DML
+    # index queries, the two merge queries, and the two merge-sink
+    # streaming queries all sit on changed code
+    "merge_upsert_orders", "merge_delete_orders", "stream_merge_cdc_ops",
     "stream_merge_upsert", "idx_delete_range", "idx_update_range",
     "idx_delete_partitioned", "idx_compact_roundtrip",
 ]
-_R13_WINDOW = CHANGED_HEAD + [
-    # oldest-proven-first rotation (tools/rotate_window.py): the
-    # sixteen r9-stale queries lead the fill, advancing the
-    # oldest-green round r9 -> r10 (r12 verdict ask #3)
-    "tv_drift_doclen", "sample_split_stats", "pack_chunks_by_source",
-    "lsh_bucket_histogram", "embedding_similar_pairs", "ivf_ann_topk",
-    "idx_range_scan", "idx_in_or_composite", "idx_not_range",
-    "idx_orders_priority", "idx_events_point", "idx_column_predicate",
-    "idx_bitmap_point", "q5_nation_volume", "idx_refresh_rewrite",
-    "idx_term_search", "idx_term_prefix_search",
-    "idx_term_decontamination", "idx_phrase_search", "cohort_retention",
-    "asof_join_events", "q21_suppliers_kept_waiting", "cube_order_status",
-    "pivot_flag_quantities", "unpivot_order_measures",
-    "listagg_status_by_priority", "approx_percentile_bounds",
-    "range_join_windows", "overlap_join_windows", "time_bucket_gapfill",
-    "idx_join_dpp", "top3_orders_per_customer",
-    "distinct_parts_per_flag",
+_R14_WINDOW = CHANGED_HEAD + [
+    # oldest-proven-first rotation (tools/rotate_window.py): the 25
+    # r10-stale queries lead the fill, advancing the oldest-green
+    # round r10 -> r11 (r13 verdict ask #1), then 17 r11-stale
+    "percentile_quantities", "setop_active_building_buyers",
+    "scalar_functions_showcase", "bucketed_colocated_join",
+    "customers_without_orders", "idx_point_lookup", "idx_zorder_range",
+    "q1_pricing_summary", "minhash_lsh_pairs", "multimodal_pipeline",
+    "data_quality_audit", "chunk_overlap_stats", "contamination_by_lang",
+    "q6_forecast_revenue", "q4_order_exists",
+    "q18_large_volume_customers", "q10_returned_items",
+    "q17_small_quantity_revenue", "q22_global_sales_opportunity",
+    "incremental_dedup_stats", "shuffle_shard_stats",
+    "vocab_drift_by_lang", "stream_shuffle_split_stats",
+    "split_leakage_audit", "idx_join_dpp_bloom", "pii_redaction_stats",
+    "span_dedup_stats", "stream_running_anomaly", "token_budget_mixture",
+    "curation_pipeline_v2", "freq_terms_top20", "lang_id_confusion",
+    "rolling_anomaly_events", "stratified_sample_langs",
+    "temperature_sample_langs", "curation_pipeline_stats",
+    "idx_hilbert_range", "trailing_30d_peak_spend",
+    "repetition_flags_by_lang", "hll_union_sketch_parts",
+    "stream_windowed_counts", "stream_session_windows",
 ]
 # the driver grades the FIRST 50 keys — a window longer than 50 would
 # silently push its tail out of grading (round-11 review: the three new
 # rank-cut queries grew the head past 50 before the fill was trimmed).
 # Explicit raise, not assert: python -O strips asserts, which would
 # disable exactly the silent-truncation guard this line exists for.
-if len(_R13_WINDOW) != 50:
+if len(_R14_WINDOW) != 50:
     raise RuntimeError(
         f"grading window must be exactly 50 entries, got "
-        f"{len(_R13_WINDOW)} — the driver grades only the first 50")
-QUERIES = {**{k: QUERIES[k] for k in _R13_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in _R13_WINDOW}}
+        f"{len(_R14_WINDOW)} — the driver grades only the first 50")
+QUERIES = {**{k: QUERIES[k] for k in _R14_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in _R14_WINDOW}}

@@ -708,6 +708,137 @@ class TestCapPerGroup:
             spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+class TestOrderKeyRangeFuzz:
+    """Round-14 (r13 verdict ask #5): seeded randomized sweep of the
+    probe-free cut's advisory-bounds contract — for every monotone-
+    encodable key type × bounds quality (exact / loose / wrong-low /
+    wrong-high) × NULL/NaN mix × direction, order_key_range must keep
+    the IDENTICAL row set as the probed path (wrong bounds cost
+    bucketing parallelism, never rows), and malformed ranges (inverted,
+    degenerate) must raise, never silently probe."""
+
+    N = 240
+    SEED = 1404
+
+    @staticmethod
+    def _rows(rng, kind):
+        """(rows, schema, exact_bounds) for one key type; ~12% NULLs,
+        plus NaNs for float/double."""
+        import datetime as dt
+        from decimal import Decimal
+        vals, lo, hi = [], None, None
+        for i in range(TestOrderKeyRangeFuzz.N):
+            if rng.random() < 0.12:
+                vals.append(None)
+                continue
+            x = rng.randint(-50_000, 50_000)
+            if kind == "long":
+                vals.append(x)
+            elif kind == "date":
+                vals.append(dt.date(2020, 1, 1) +
+                            dt.timedelta(days=abs(x) % 4000))
+            elif kind == "timestamp":
+                vals.append(dt.datetime(2022, 1, 1) +
+                            dt.timedelta(seconds=abs(x) * 37))
+            elif kind == "decimal":
+                vals.append(Decimal(x) / Decimal(100))
+            elif kind == "double":
+                vals.append(float("nan") if rng.random() < 0.08
+                            else x / 7.0)
+            elif kind == "string":
+                vals.append("k%05d" % (abs(x) % 90_000))
+        present = [v for v in vals if v is not None
+                   and not (kind == "double" and v != v)]
+        lo, hi = min(present), max(present)
+        schema = {"long": "long", "date": "date",
+                  "timestamp": "timestamp", "decimal": "decimal(12,2)",
+                  "double": "double", "string": "string"}[kind]
+        rows = [(i % 7, i, v) for i, v in enumerate(vals)]
+        return rows, f"g: int, uid: long, k: {schema}", (lo, hi)
+
+    @staticmethod
+    def _bounds_grid(kind, lo, hi):
+        """exact, loose, wrong-low (entirely below the data),
+        wrong-high (entirely above) — all ordered lo < hi."""
+        import datetime as dt
+        from decimal import Decimal
+        if kind == "long":
+            d = 10_000
+        elif kind == "date":
+            d = dt.timedelta(days=500)
+        elif kind == "timestamp":
+            d = dt.timedelta(days=30)
+        elif kind == "decimal":
+            d = Decimal("100")
+        elif kind == "double":
+            d = 1000.0
+        else:  # string: prefix-space shifts
+            return [(lo, hi + "~"), ("a", "zzz"),
+                    ("A0", "A1"), ("z~0", "z~9")]
+        return [(lo, hi + d), (lo - d, hi + d),
+                (lo - 3 * d, lo - d), (hi + d, hi + 3 * d)]
+
+    @staticmethod
+    def _norm(rows):
+        """Sorted tuple list with NaN mapped to a sentinel — NaN != NaN
+        would make identical keep sets compare unequal."""
+        def fix(v):
+            return "__nan__" if isinstance(v, float) and v != v else v
+        return sorted(tuple(fix(v) for v in r) for r in rows)
+
+    @pytest.mark.parametrize("kind", [
+        # fast lane: the two most distinctive paths — double (raw
+        # passthrough + NaN sentinel bucket) and timestamp (monotone
+        # long re-encode on the 2-row frame); the other four encode
+        # variants run in the full `-m ""` sweep
+        pytest.param("long", marks=pytest.mark.slow),
+        pytest.param("date", marks=pytest.mark.slow),
+        "timestamp",
+        pytest.param("decimal", marks=pytest.mark.slow),
+        "double",
+        pytest.param("string", marks=pytest.mark.slow),
+    ])
+    def test_advisory_bounds_never_change_rows(self, spark, kind):
+        import random
+        rng = random.Random(self.SEED + hash(kind) % 1000)
+        rows, schema, (lo, hi) = self._rows(rng, kind)
+        df = spark.createDataFrame(rows, schema)
+        # one direction per kind, alternating — both directions are
+        # covered across the six parametrized kinds while the suite
+        # stays inside the fast-lane budget (r13 ADVICE #3)
+        kinds = ["long", "date", "timestamp", "decimal", "double",
+                 "string"]
+        desc = bool(kinds.index(kind) % 2)
+        want = self._norm(SA.cap_per_group(
+            df, "g", 5, "k", "uid", descending=desc).collect())
+        for bounds in self._bounds_grid(kind, lo, hi):
+            got = SA.cap_per_group(df, "g", 5, "k", "uid",
+                                   descending=desc,
+                                   order_key_range=bounds)
+            assert self._norm(got.collect()) == want, \
+                (kind, desc, bounds)
+        if kind == "string":
+            # a string range is a prefix-strip HINT: inverted and
+            # degenerate pairs are symmetric/harmless by construction
+            # (the common-prefix computation is order-insensitive and
+            # violators clamp to edge buckets), so they must keep the
+            # identical rows, not raise
+            want = self._norm(SA.cap_per_group(
+                df, "g", 5, "k", "uid").collect())
+            for bounds in [(hi, lo), (lo, lo)]:
+                got = SA.cap_per_group(df, "g", 5, "k", "uid",
+                                       order_key_range=bounds)
+                assert self._norm(got.collect()) == want, bounds
+            return
+        # malformed: inverted and degenerate raise, never probe
+        with pytest.raises(ValueError):
+            SA.cap_per_group(df, "g", 5, "k", "uid",
+                             order_key_range=(hi, lo))
+        with pytest.raises(ValueError):
+            SA.cap_per_group(df, "g", 5, "k", "uid",
+                             order_key_range=(lo, lo))
+
+
 class TestPackChunks:
     @pytest.fixture(scope="class")
     def docs(self, spark):
