@@ -1087,9 +1087,9 @@ class TestVacuumRestore:
         monkeypatch.setattr(SRC, "_fs_for", orig)
         return next(pf.staged[0] for pf in poisons if pf.staged)
 
-    @pytest.mark.slow  # staged-swap crash-matrix long tail: the
-    # sidecar/restore/rollback semantics are covered fast by
-    # test_merge_crash_window_recovery (round-13, r12 verdict #4)
+    # fast lane (round-14, r13 ADVICE #3): no automatic full-sweep
+    # runner exists here, so the ROLLBACK-FAILS failure mode keeps its
+    # one default-run rep (~11 s)
     def test_failed_rollback_strands_tmp_then_vacuum_heals(
             self, spark, ctx, tmp_table_dir, monkeypatch):
         """End-to-end: a stage failure whose ROLLBACK rename also fails
@@ -1813,9 +1813,9 @@ class TestStrandedTmpGuards:
         assert not os.path.exists(os.path.join(path,
                                                "part-crash.parquet"))
 
-    @pytest.mark.slow  # staged-swap crash-matrix long tail: the
-    # sidecar/restore/rollback semantics are covered fast by
-    # test_merge_crash_window_recovery (round-13, r12 verdict #4)
+    # fast lane (round-14, r13 ADVICE #3): no automatic full-sweep
+    # runner exists here, so the PRE-SIDECAR-STRANDING failure mode
+    # keeps its one default-run rep (~11 s)
     def test_presidecar_stranding_on_indexed_table_restores(
             self, spark, ctx, tmp_table_dir):
         """Upgrade hazard (round-11 review, third pass): a PRE-sidecar
