@@ -138,4 +138,7 @@ class TestAnnQuality:
             # that scans every file is a full brute-force scan in costume
             info = ctx.index.last_prune_info
             assert info.selected_files < info.total_files, info
-        assert min(recalls) >= 0.8, recalls
+        # 0.8 -> 0.9 with the round-14 bench recall gate (measured 1.0
+        # on this fixture since round 5); the two thresholds move
+        # together so the test and the bench gate never disagree
+        assert min(recalls) >= 0.9, recalls

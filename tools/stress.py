@@ -229,6 +229,64 @@ def _lease_stress(spark, SRC, regimes=(("rpc1ms", 0.001),
                     os.remove(lock)  # loser-side leftovers
             r["race_winners"] = race_winners
             r["max_winners_per_race"] = max(race_winners)
+            # phase C: fenced commit (round-14, r13 verdict stretch
+            # #7) — an ex-holder whose lease was taken over while its
+            # rewrite ran attempts to land its staged swap under this
+            # regime's metadata-RPC latency; the commit fence must
+            # refuse it (StaleWriterFenceError), leave the table
+            # byte-identical, and never accept a stale commit.
+            import warnings as _warnings
+
+            from parquet_index_spark import QueryContext
+            from parquet_index_spark.sources import delete_where
+            ctx = QueryContext(spark)
+            fc = {"attempts": 0, "stale_commits_accepted": 0,
+                  "refusal_ms": []}
+            for i in range(3):
+                fpath = os.path.join(ROOT,
+                                     f"lease_fence_{regime}_{i}")
+                (spark.range(0, 20_000)
+                 .selectExpr("id", "id % 5 as v")
+                 .repartitionByRange(4, "id")
+                 .write.mode("overwrite").parquet(fpath))
+                ctx.index.create.mode("overwrite") \
+                   .indexBy("id").parquet(fpath)
+                lk = fpath + "__pis_writer_lock"
+                stalled = SRC.acquire_writer_lease(
+                    spark, fpath, "stalled_dml")
+                # the takeover winner replaces the lock (instant —
+                # only the ex-holder's own ops carry the RPC delay)
+                os.remove(lk)
+                with open(lk, "w") as fh:
+                    fh.write(_json.dumps({
+                        "owner": "winner:pid9", "op": "takeover",
+                        "token": "winner", "acquired_utc": "x"}))
+                crc = os.path.join(os.path.dirname(lk),
+                                   "." + os.path.basename(lk) + ".crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
+                n0 = spark.read.parquet(fpath).count()
+                fc["attempts"] += 1
+                t0 = _time.time()
+                try:
+                    delete_where(ctx, fpath,
+                                 "id >= 5000 AND id < 10000")
+                    fc["stale_commits_accepted"] += 1
+                except SRC.StaleWriterFenceError:
+                    fc["refusal_ms"].append(round(
+                        (_time.time() - t0) * 1000.0, 1))
+                with _warnings.catch_warnings():
+                    _warnings.simplefilter("ignore")
+                    stalled.release()
+                if os.path.exists(lk):
+                    os.remove(lk)
+                assert spark.read.parquet(fpath).count() == n0, \
+                    f"{regime} fence {i}: refused swap changed rows"
+            fc["p50_refusal_ms"] = (
+                round(statistics.median(fc["refusal_ms"]), 1)
+                if fc["refusal_ms"] else None)
+            assert fc["stale_commits_accepted"] == 0, fc
+            r["fenced_commit"] = fc
         finally:
             SRC._fs_for = orig
             if proc.poll() is None:
