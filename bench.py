@@ -281,6 +281,30 @@ def _regressions(cold: dict, best: dict, warm: dict) -> dict:
     return out
 
 
+RECALL_GATE_MIN = 0.9
+
+
+def _recall_gate_rc(ann_clustered: dict, ivf_file_skip: dict) -> int:
+    """ANN recall gate (round-14, r13 verdict stretch #8): the
+    recall_ok bits were report-only — nothing failed if retrieval
+    quality regressed. The bench now exits non-zero when the
+    clustered-LSH or IVF recall@10 drops below ``RECALL_GATE_MIN``, so
+    a recall regression breaks the run loudly instead of shipping a
+    green-looking board. A section that ERRORED stays rc=0 here — its
+    error is already surfaced in n_errors/the section payload, and
+    gating on an absent number would conflate IO flakes with
+    retrieval-quality regressions."""
+    rc = 0
+    for gate_name, section in (("ann_clustered_recall", ann_clustered),
+                               ("ivf_file_skip", ivf_file_skip)):
+        r10 = section.get("recall_at_10")
+        if r10 is not None and r10 < RECALL_GATE_MIN:
+            print(f"RECALL GATE FAILED: {gate_name} recall@10={r10} "
+                  f"< {RECALL_GATE_MIN}", file=sys.stderr)
+            rc = 1
+    return rc
+
+
 def main() -> None:
     spark = (
         SparkSession.builder
@@ -1097,23 +1121,7 @@ def main() -> None:
         f"compact bench line is {len(line)} chars; driver capture is 2000")
     print(line)
     spark.stop()
-    # ANN recall gate (round-14, r13 verdict stretch #8): the recall_ok
-    # bits were report-only — nothing failed if retrieval quality
-    # regressed. The bench now exits non-zero when the clustered-LSH or
-    # IVF recall@10 drops below 0.9, so a recall regression breaks the
-    # run loudly instead of shipping a green-looking board. A section
-    # that ERRORED stays rc=0 here — its error is already surfaced in
-    # n_errors/the section payload, and gating on an absent number
-    # would conflate IO flakes with retrieval-quality regressions.
-    rc = 0
-    for gate_name, section in (("ann_clustered_recall", ann_clustered),
-                               ("ivf_file_skip", ivf_file_skip)):
-        r10 = section.get("recall_at_10")
-        if r10 is not None and r10 < 0.9:
-            print(f"RECALL GATE FAILED: {gate_name} recall@10={r10} "
-                  "< 0.9", file=sys.stderr)
-            rc = 1
-    sys.exit(rc)
+    sys.exit(_recall_gate_rc(ann_clustered, ivf_file_skip))
 
 
 if __name__ == "__main__":

@@ -142,3 +142,36 @@ class TestAnnQuality:
         # on this fixture since round 5); the two thresholds move
         # together so the test and the bench gate never disagree
         assert min(recalls) >= 0.9, recalls
+
+
+class TestRecallGate:
+    """Round-14 (r13 verdict stretch #8): the bench's ANN recall gate
+    must return non-zero when either retrieval-quality section drops
+    below RECALL_GATE_MIN, zero when healthy or errored (an errored
+    section surfaces through n_errors, not a recall verdict)."""
+
+    def test_gate_rc(self, capsys):
+        import sys as _sys
+        sys_path_added = False
+        import os
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if root not in _sys.path:
+            _sys.path.insert(0, root)
+            sys_path_added = True
+        try:
+            from bench import _recall_gate_rc
+            ok = {"recall_at_10": 1.0}
+            bad = {"recall_at_10": 0.5}
+            errored = {"error": "io blip"}
+            assert _recall_gate_rc(ok, ok) == 0
+            assert _recall_gate_rc(bad, ok) == 1
+            assert _recall_gate_rc(ok, bad) == 1
+            assert _recall_gate_rc(bad, bad) == 1
+            assert _recall_gate_rc(errored, ok) == 0
+            boundary = {"recall_at_10": 0.9}
+            assert _recall_gate_rc(boundary, boundary) == 0
+            err = capsys.readouterr().err
+            assert "RECALL GATE FAILED" in err
+        finally:
+            if sys_path_added:
+                _sys.path.remove(root)
