@@ -135,7 +135,11 @@ def generate(sf: float, outdir: str) -> None:
         "event_id": np.arange(ne, dtype=np.int64),
         "ts": pa.array(np.sort(e0 + rng.integers(0, espan, ne)),
                        pa.timestamp("us")),
-        "user_id": rng.integers(0, nc, ne),
+        # measured domain: users = customers/10 at every shipped sf
+        # (sf0.1: 1,500 distinct over 15,000 customers), ~67 events
+        # per user — the state-key count of the stateful streaming ops
+        # must scale at the driver's rate, not the customer count's
+        "user_id": rng.integers(0, max(nc // 10, 1), ne),
         "event_type": pa.array(rng.choice(
             ["click", "view", "purchase", "signup", "error"], ne)),
         "value": np.round(rng.exponential(50.0, ne), 2),
