@@ -1028,10 +1028,32 @@ def _refuse_stranded_tmp(spark, path: str, tmp: str, op: str) -> None:
             return
     raise IOError(
         f"{op}: stranded staging dir {tmp!r} from an interrupted "
-        "rewrite — it may hold the only copy of displaced table "
+        f"rewrite{_staged_by(fs, spark._jvm, jtmp)} — it may hold the "
+        "only copy of displaced table "
         "files. Run vacuum_table (or `python -m parquet_index_spark "
         "vacuum <table>`) first; it restores displaced originals "
         "from the staging sidecar and removes the leftovers.")
+
+
+def _staged_by(fs, jvm, jtmp) -> str:
+    """Forensic suffix for stranded-tmp messages: the lease token
+    stamped at ``<tmp>/_pis_swap_token`` identifies WHICH writer
+    (host:pid:appId:nonce) staged the dir — the first question a 3am
+    operator asks. Empty string when absent/unreadable (pre-round-14
+    strandings, unleased callers)."""
+    try:
+        p = jvm.org.apache.hadoop.fs.Path(jtmp, SWAP_TOKEN)
+        if not fs.exists(p):
+            return ""
+        stream = fs.open(p)
+        try:
+            token = bytes(stream.readAllBytes()).decode(
+                "utf-8", "replace").strip()
+        finally:
+            stream.close()
+        return f" (staged by lease {token})" if token else ""
+    except Exception:  # noqa: BLE001 — forensics only, never block
+        return ""
 
 
 def compact_table(spark, path: str, target_file_mb: int = 128,

@@ -2793,6 +2793,28 @@ class TestSwapFencing:
             "the token sidecar leaked into the live table"
         assert not os.path.exists(path + "__pis_writer_lock")
 
+    def test_stranded_tmp_refusal_names_staging_lease(
+            self, spark, ctx, tmp_table_dir):
+        """Operator forensics: the stranded-tmp refusal names the lease
+        token stamped into <tmp>/_pis_swap_token, so a 3am operator can
+        tell WHICH writer staged the leftover dir."""
+        import parquet_index_spark.sources as SRC
+        path = self._table(spark, ctx, tmp_table_dir, "fence_who")
+        tmp = path + "__delete_tmp"
+        os.makedirs(tmp)
+        fs, _ = SRC._fs_for(spark, tmp)
+        jvm = spark._jvm
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        SRC._write_stage_sidecar(fs, jvm, jtmp, ["somefile.parquet"])
+        SRC._write_swap_token(fs, jvm, jtmp, "host:pid7:app-1:cafe01")
+        with pytest.raises(IOError, match="staged by lease "
+                                          "host:pid7:app-1:cafe01"):
+            SRC.delete_where(ctx, path, "id < 100")
+        # cleanup so the class's tmp dir teardown stays quiet
+        import shutil
+        shutil.rmtree(tmp)
+        assert not os.path.exists(path + "__pis_writer_lock")
+
     def test_vacuum_never_restores_token_sidecar(
             self, spark, ctx, tmp_table_dir):
         """A stranded tmp's token stamp is staging bookkeeping: vacuum
