@@ -527,12 +527,25 @@ def q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
     charge = disc_price * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax", 12, 2))
+    # q1 sums nearly ALL of lineitem, so its money totals are the first
+    # to cross ~1e10, where the exact-decimal -> double cast becomes
+    # ulp-visible between engines (Spark's BigDecimal.doubleValue is
+    # correctly rounded; DuckDB's hugeint*10^-s path can double-round —
+    # observed one-ulp repr divergence at sf1.0). Rounding the EXACT
+    # decimal to cents first keeps both casts single-rounding (<= 13
+    # significant digits up to ~9e13, i.e. past sf1000): scale-robust
+    # value-hash parity with no precision loss a money total cares
+    # about. The oracle SQL applies the identical round-then-cast.
     return (li.filter("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(_dsum(_dec("l_quantity"), "sum_qty"),
-                 _dsum(_dec("l_extendedprice"), "sum_base_price"),
-                 _dsum(disc_price, "sum_disc_price"),
-                 _dsum(charge, "sum_charge"),
+            .agg(F.round(F.sum(_dec("l_quantity")), 2)
+                 .cast("double").alias("sum_qty"),
+                 F.round(F.sum(_dec("l_extendedprice")), 2)
+                 .cast("double").alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 2)
+                 .cast("double").alias("sum_disc_price"),
+                 F.round(F.sum(charge), 2)
+                 .cast("double").alias("sum_charge"),
                  F.round(F.sum(_dec("l_quantity")).cast("double")
                          / F.count("*"), 4).alias("avg_qty"),
                  F.count("*").alias("count_order"))
@@ -541,13 +554,13 @@ def q1_pricing_summary(spark, sf_dir):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
            * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-           * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              / count(*), 4) AS avg_qty,
        count(*) AS count_order
@@ -6386,7 +6399,10 @@ CHANGED_HEAD = [
     # the commit rename) and the heartbeat's rewrite fallback gained
     # the release-race and takeover-stomp guards — so the four DML
     # index queries, the two merge queries, and the two merge-sink
-    # streaming queries all sit on changed code
+    # streaming queries all sit on changed code. q1_pricing_summary
+    # also changed this round (lockstep round-to-cents before the
+    # decimal->double cast, fixing a one-ulp oracle divergence first
+    # visible at sf1.0) — it is already graded at window position 16.
     "merge_upsert_orders", "merge_delete_orders", "stream_merge_cdc_ops",
     "stream_merge_upsert", "idx_delete_range", "idx_update_range",
     "idx_delete_partitioned", "idx_compact_roundtrip",
