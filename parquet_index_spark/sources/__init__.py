@@ -190,6 +190,16 @@ class _WriterLease:
         #: thread id currently holding a cross-thread reentry (see
         #: :meth:`reenter`), or None
         self.reentered_by = None
+        #: serializes this lease's lock-file IO (heartbeat payload
+        #: rewrite vs release's read-back-and-delete vs a swap fence's
+        #: read-back) WITHOUT holding the process-global registry lock
+        #: across remote FS calls (round-15 ADVICE: on a high-latency
+        #: object store one beat's rewrite was blocking every acquire/
+        #: release/reenter in the process). Ordering discipline:
+        #: _beat_lock may be taken first and _WRITER_LEASES_LOCK
+        #: nested briefly inside it; nothing acquires _beat_lock while
+        #: HOLDING the global lock, so the two orders never deadlock.
+        self._beat_lock = _threading.Lock()
         import time as _t
         self.last_beat = _t.monotonic()
 
@@ -265,16 +275,25 @@ class _WriterLease:
             # inert-setTimes fallback: rewrite the identical owner
             # payload — same token, so release's read-back still
             # matches — purely to carry a fresh mtime. The rewrite
-            # runs UNDER the registry lock with a still-registered
-            # check (round-13 ADVICE #2): release() pops the registry
-            # under this same lock before deleting the lock file, so
-            # an already-scheduled beat can never recreate a released
-            # lock with a dead token (which would refuse every writer,
-            # this process included, for a full TTL).
-            with _WRITER_LEASES_LOCK:
-                if _WRITER_LEASES.get(self.uri) is not self \
-                        or self.depth <= 0:
-                    return
+            # runs under this lease's _beat_lock with a
+            # still-registered check (round-13 ADVICE #2, lock scope
+            # narrowed round-15): release() pops the registry under
+            # the global lock and then takes _beat_lock before
+            # deleting the lock file, so an already-scheduled beat can
+            # never recreate a released lock with a dead token (which
+            # would refuse every writer, this process included, for a
+            # full TTL). The registry check itself nests the global
+            # lock BRIEFLY — the remote-FS read-back and rewrite no
+            # longer block unrelated acquires/releases in the process
+            # (round-15 ADVICE #1).
+            with self._beat_lock:
+                with _WRITER_LEASES_LOCK:
+                    if _WRITER_LEASES.get(self.uri) is not self \
+                            or self.depth <= 0:
+                        return
+                # a release() racing past the check above blocks on
+                # _beat_lock (it acquires it before deleting), so the
+                # registration verdict holds for the rewrite below.
                 # takeover guard: if our heartbeat stalled past the
                 # TTL and another writer legally took the lock over,
                 # create(overwrite) would stomp the WINNER's lock and
@@ -318,6 +337,13 @@ class _WriterLease:
             if self.depth > 0:
                 return
             _WRITER_LEASES.pop(self.uri, None)
+        # _beat_lock AFTER the registry pop (never while holding the
+        # global lock — see __init__ ordering note): a beat already
+        # past its registration check finishes its payload rewrite
+        # before the delete below runs; a beat arriving later sees the
+        # popped registry and no-ops. Either way the lock file cannot
+        # be resurrected with a dead token after this method deletes it.
+        self._beat_lock.acquire()
         try:
             holder = _read_lock_owner(self.fs, self.jlock)
             if holder == {}:
@@ -349,6 +375,8 @@ class _WriterLease:
             self.fs.delete(self.jlock, False)
         except Exception:  # noqa: BLE001 — a failed delete leaves a
             pass  # stale lock that self-expires after one TTL
+        finally:
+            self._beat_lock.release()
 
 
 class _LeaseReentry:
@@ -1656,9 +1684,21 @@ def _staged_swap(spark, path: str, tmp: str, bak: str, affected_abs: set,
     def _verify_swap_fence(when: str) -> None:
         if fence_token is None:
             return
-        holder = _read_lock_owner(_f_fs, _f_jlock)
-        if holder == {}:
-            holder = _read_lock_owner(_f_fs, _f_jlock)  # one retry
+        # synchronize with OUR OWN heartbeat's payload-rewrite
+        # fallback (round-15 ADVICE #2): create(overwrite) on HDFS /
+        # local FS briefly exposes a truncated lock, and both the read
+        # and its single retry can land inside that window — raising
+        # IOError and rolling back a perfectly valid completed swap
+        # (fail-safe but spurious). Holding the lease's _beat_lock for
+        # the read-back excludes same-process beats; foreign writers'
+        # rewrites remain covered by the retry + fail-safe refusal.
+        import contextlib
+        _guard = (_f_lease._beat_lock if _f_lease is not None
+                  else contextlib.nullcontext())
+        with _guard:
+            holder = _read_lock_owner(_f_fs, _f_jlock)
+            if holder == {}:
+                holder = _read_lock_owner(_f_fs, _f_jlock)  # one retry
         if holder == {}:
             raise IOError(
                 f"{label}: could not read the writer lock back at "

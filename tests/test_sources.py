@@ -2524,6 +2524,66 @@ class TestWriterLease:
         assert os.path.exists(lock)
         os.remove(lock)  # cleanup for the tmp dir
 
+    def test_rewrite_beat_fs_io_runs_outside_global_registry_lock(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """Round-15 ADVICE #1: the rewrite-fallback beat must NOT hold
+        the process-global _WRITER_LEASES_LOCK across the remote-FS
+        read-back + payload rewrite — on a high-latency object store
+        one beat was blocking every acquire/release/reenter in the
+        process. The registry check nests the global lock briefly; the
+        FS IO runs under the lease's own _beat_lock only. Pinned by a
+        probe inside FileSystem.create: the global lock is acquirable
+        while the rewrite's create runs, and the per-lease _beat_lock
+        is held."""
+        import parquet_index_spark.sources as SRC
+        path = os.path.join(tmp_table_dir, "lease_lockscope")
+        os.makedirs(path)
+        real = SRC._fs_for
+        state = {"armed": False, "lease": None}
+        probes = []
+
+        class ProbingFS:
+            def __init__(self, fs):
+                self._fs = fs
+
+            def setTimes(self, p, mtime, atime):
+                return None  # inert, like S3A
+
+            def create(self, p, overwrite=True):
+                if state["armed"]:
+                    got = SRC._WRITER_LEASES_LOCK.acquire(timeout=1.0)
+                    if got:
+                        SRC._WRITER_LEASES_LOCK.release()
+                    probes.append(
+                        (got, state["lease"]._beat_lock.locked()))
+                return self._fs.create(p, overwrite)
+
+            def __getattr__(self, a):
+                return getattr(self._fs, a)
+
+        monkeypatch.setattr(
+            SRC, "_fs_for",
+            lambda s, p: (lambda fs, jp: (ProbingFS(fs), jp))(
+                *real(s, p)))
+        lease = SRC.acquire_writer_lease(spark, path, "lockscope_op")
+        try:
+            state["lease"] = lease
+            state["armed"] = True
+            import warnings as W
+            with W.catch_warnings():
+                W.simplefilter("ignore")
+                lease._beat()  # probe flips + rewrite in the same beat
+            assert lease.mtime_refresh_ok is False
+            assert probes, "the rewrite never reached create()"
+            assert all(g for g, _ in probes), \
+                "the beat held _WRITER_LEASES_LOCK across FS create"
+            assert all(b for _, b in probes), \
+                "the rewrite ran outside the lease's _beat_lock"
+        finally:
+            state["armed"] = False
+            lease.release()
+        assert not os.path.exists(path + "__pis_writer_lock")
+
     def test_inert_settimes_live_lock_never_goes_stale(
             self, spark, ctx, tmp_table_dir, monkeypatch):
         """The r12 verdict's done-criterion: with setTimes inert, the
@@ -2813,6 +2873,59 @@ class TestSwapFencing:
         # cleanup so the class's tmp dir teardown stays quiet
         import shutil
         shutil.rmtree(tmp)
+        assert not os.path.exists(path + "__pis_writer_lock")
+
+    def test_fence_read_excludes_same_process_beat_window(
+            self, spark, ctx, tmp_table_dir, monkeypatch):
+        """Round-15 ADVICE #2: the fence's lock read-back synchronizes
+        on the lease's _beat_lock, so our OWN heartbeat's
+        create(overwrite) rewrite — which briefly exposes a truncated
+        lock on HDFS/local FS — can never make the fence observe an
+        unreadable lock twice and roll back a valid completed swap.
+        Simulated by a thread that holds _beat_lock with a forced
+        unreadable-({}) window active ~98% of the time: the fence
+        waits out the window (it acquires _beat_lock, under which the
+        flag is always clear) and the swap commits."""
+        import threading
+        import time
+
+        import parquet_index_spark.sources as SRC
+        path = self._table(spark, ctx, tmp_table_dir, "fence_beatwin")
+        lock_uri_tail = "fence_beatwin__pis_writer_lock"
+        real_read = SRC._read_lock_owner
+        flag = {"on": False}
+        stop = {"now": False}
+
+        def patched_read(fs, jlock):
+            if flag["on"] and str(jlock).endswith(lock_uri_tail):
+                return {}  # mid-rewrite truncated window
+            return real_read(fs, jlock)
+
+        monkeypatch.setattr(SRC, "_read_lock_owner", patched_read)
+        # the table's lease, acquired up front so delete_where reenters
+        # it (same thread) and the fence resolves THIS lease's token
+        lease = SRC.acquire_writer_lease(spark, path, "beatwin_dml")
+
+        def toggler():
+            while not stop["now"]:
+                with lease._beat_lock:
+                    flag["on"] = True
+                    time.sleep(0.05)
+                    flag["on"] = False
+                time.sleep(0.001)
+
+        t = threading.Thread(target=toggler, daemon=True)
+        t.start()
+        try:
+            info = SRC.delete_where(ctx, path,
+                                    "id >= 10000 AND id < 20000")
+            assert info["rows_deleted"] == 10_000, info
+        finally:
+            stop["now"] = True
+            t.join(timeout=2)
+            lease.release()
+        for leftover in ("__delete_tmp", "__delete_bak"):
+            assert not os.path.exists(path + leftover), leftover
         assert not os.path.exists(path + "__pis_writer_lock")
 
     def test_vacuum_never_restores_token_sidecar(
