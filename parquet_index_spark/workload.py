@@ -1926,23 +1926,84 @@ FROM ranked GROUP BY group_id ORDER BY group_id
 
 
 def jaccard_neardup_pairs(spark, sf_dir):
+    """Default-routed n-gram Jaccard (round 15, r14 verdict #1): the
+    operator preflights the shared-shingle candidate estimate Σ df·(df-1)/2
+    and auto-routes candidate generation through MinHash-LSH banding past
+    the budget — the oracle mirrors BOTH branches behind the same
+    estimate gate (empty-input gating, so the unselected branch streams
+    zero rows in DuckDB too). At the graded scales the estimate is under
+    budget (exact branch); at sf1.0 the saturated synthetic vocabulary
+    (347M candidates) trips the route and parity runs through the LSH
+    branch."""
+    import warnings
     from parquet_index_spark.operators import dedup as D
     docs = _t(spark, sf_dir, "documents")
-    return (D.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.6)
-            .orderBy("id_a", "id_b"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        out = D.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.6,
+                                    max_candidate_pairs=20_000_000)
+    return out.orderBy("id_a", "id_b")
 
 
 JACCARD_SQL = r"""
 WITH """ + _SHINGLES_CTE + r""",
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+-- the operator's preflight: exact shared-shingle candidate count over
+-- capped-df shingles; past the 20M budget candidates come from
+-- MinHash-LSH banding instead (saturation routing, round 15)
+est AS (SELECT coalesce(sum(df * (df - 1) // 2), 0) AS e
+        FROM dfreq WHERE df <= 500),
+-- exact branch: INPUT emptied when routed, so the quadratic self-join
+-- streams zero rows regardless of optimizer constant-folding
+ex_exact AS (SELECT doc_id, s FROM ex
+             WHERE (SELECT e FROM est) <= 20000000),
 rare_ex AS (
-  SELECT doc_id, s FROM ex
-  WHERE s IN (SELECT s FROM ex GROUP BY s HAVING count(*) <= 500)
+  SELECT doc_id, s FROM ex_exact
+  WHERE s IN (SELECT s FROM dfreq WHERE df <= 500)
 ),
-cand AS (
+cand_exact AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM rare_ex a JOIN rare_ex b ON a.s = b.s AND a.doc_id < b.doc_id
 ),
+-- LSH branch (identical arithmetic to _LSH_PAIRS_CTES: 16 minhashes,
+-- 4 bands x 4 rows, bucket cap 1000), gated the same way
+sh_lsh AS (SELECT doc_id, shingles FROM sh
+           WHERE (SELECT e FROM est) > 20000000),
+hashed AS (
+  SELECT doc_id,
+         list_transform(shingles,
+           s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h1s,
+         list_transform(shingles,
+           s -> CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) | 1) AS h2s
+  FROM sh_lsh
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> list_min(list_transform(generate_series(1, len(h1s)),
+             j -> (h1s[j] + i * h2s[j]) % 4294967311))
+         ) AS minhash
+  FROM hashed
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(
+           list_transform(minhash[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)),
+           ',')) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
+),
+band_ok AS (
+  SELECT b, band_key FROM bands
+  GROUP BY b, band_key HAVING count(DISTINCT doc_id) <= 1000
+),
+cand_lsh AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+  JOIN band_ok k ON l.b = k.b AND l.band_key = k.band_key
+),
+cand AS (SELECT * FROM cand_exact UNION SELECT * FROM cand_lsh),
 scored AS (
   SELECT id_a, id_b,
          round(len(list_intersect(sa.shingles, sb.shingles))

