@@ -518,11 +518,31 @@ def _banded_bucket(vec_col: str, band: int, planes_per_band: int) -> Column:
     return bucket
 
 
+#: census of the last embedding_neardup_pairs parameter derivation
+#: ({n, planes_per_band, derived}) — observability for tests/benchmarks
+#: of the scale-adaptive banding (round 15, r14 verdict #3)
+LAST_NEARDUP_PARAMS: dict = {}
+
+
+def derived_planes_per_band(n: int, target_bucket_size: int = 16,
+                            lo: int = 2, hi: int = 16) -> int:
+    """ceil(log2(n / target_bucket_size)) clamped to [lo, hi] — the
+    COVERAGE-recorded rule that keeps expected band-bucket occupancy at
+    ~``target_bucket_size`` as the corpus grows (so within-bucket pair
+    enumeration stays ~n * target instead of quadratic). Integer-exact
+    (no floating log2 whose last-ulp could disagree with an oracle's):
+    ceil(log2(x)) == bit_length(ceil(x) - 1) for x > 1, which the DuckDB
+    oracle spells as length(bin((n + t - 1) // t - 1))."""
+    q = (n + target_bucket_size - 1) // target_bucket_size
+    return max(lo, min(hi, (q - 1).bit_length()))
+
+
 def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            planes_per_band: int = 8,
-                            bands: int = 4) -> DataFrame:
+                            planes_per_band: Optional[int] = 8,
+                            bands: int = 4,
+                            target_bucket_size: int = 16) -> DataFrame:
     """Near-duplicate vectors: banded sign-LSH candidates, cosine verify.
 
     Round-1 used ONE bucket table with few planes — at num_planes=2 that is
@@ -534,9 +554,28 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     band, so per-bucket pair enumeration stays bounded while recall for the
     near-dup (cos ~ 1) regime is 1 - (1 - (1 - theta/pi)^ppb)^bands.
 
+    ``planes_per_band=None`` derives the plane count from the corpus
+    (round 15, r14 verdict #3): ceil(log2(n / target_bucket_size))
+    clamped to [2, 16], so expected bucket occupancy tracks
+    ``target_bucket_size`` at ANY scale instead of a hardcoded count
+    being right at one scale and ~quadratic at 10x (the sf1.0 run
+    measured ~100M candidates from a fixed 4-plane setting at 20k
+    vectors). The one corpus count() it costs is recorded with the
+    derived value in :data:`LAST_NEARDUP_PARAMS`.
+
     Enumeration is group-then-enumerate per (band, bucket) — the same
     shape as dedup.lsh_candidate_pairs: one shuffle on the bucket key, no
     self-join recomputation, no cross join anywhere."""
+    global LAST_NEARDUP_PARAMS
+    if planes_per_band is None:
+        n = df.count()
+        planes_per_band = derived_planes_per_band(n, target_bucket_size)
+        LAST_NEARDUP_PARAMS = {"n": n, "planes_per_band": planes_per_band,
+                               "derived": True}
+    else:
+        LAST_NEARDUP_PARAMS = {"n": None,
+                               "planes_per_band": planes_per_band,
+                               "derived": False}
     bucketed = df.select(
         F.col(id_col),
         F.explode(F.array(*[
