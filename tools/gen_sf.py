@@ -110,6 +110,16 @@ def generate(sf: float, outdir: str) -> None:
     }))
 
     nl = n["lineitem"]
+    # independent l_orderkey / l_linenumber draws are DELIBERATE
+    # (round-15 ADVICE adjudication): the SHIPPED sf0.1 lineitem is
+    # itself independent-draw, not TPC-H per-order clustered — measured
+    # with DuckDB: 456,861 distinct (l_orderkey, l_linenumber) pairs
+    # over 600,000 rows (composite-key collisions present), per-order
+    # counts 1..17 distributed ~Poisson(4) (not uniform 1-7), 2,764
+    # orders with ZERO lineitems (= e^-4 * 150k, the Poisson zero
+    # class), and only 13,079/147,236 orders with sequential
+    # linenumbers starting at 1. A TPC-H-style repeat-each-order-1-7
+    # generation would BREAK scale replication fidelity, not improve it.
     qty = rng.integers(1, 51, nl).astype(np.float64)
     sdate = d0 + rng.integers(1, span_days + 94, nl) * day_ms
     _write(outdir, "lineitem", pa.table({
