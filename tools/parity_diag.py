@@ -72,6 +72,16 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
+            # SPARK_GRAFT_SAMPLED=1: substitute the at-scale sampled
+            # oracle (cluster-subset certification) where the full
+            # verification side is infeasible — see
+            # workload.SCALE_SAMPLED_ORACLES (round 15)
+            if os.environ.get("SPARK_GRAFT_SAMPLED") == "1":
+                from parquet_index_spark.workload import (
+                    SCALE_SAMPLED_ORACLES)
+                if name in SCALE_SAMPLED_ORACLES:
+                    result_filter, oracle = SCALE_SAMPLED_ORACLES[name]
+                    sdf = result_filter(sdf)
             spdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"{name:34s} SPARK-ERROR {e}")
