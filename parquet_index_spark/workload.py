@@ -6502,51 +6502,51 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
 # no-cartesian plan sweep (tests/test_plans.py) covers exactly these —
 # two independently maintained magic lengths silently diverge
 CHANGED_HEAD = [
-    # round-14 changed surface (changed code needs a fresh driver
-    # certification): every staged-swap consumer — the swap commit is
-    # now FENCED by the lease token (stamp + owner read-back before
-    # the commit rename) and the heartbeat's rewrite fallback gained
-    # the release-race and takeover-stomp guards — so the four DML
-    # index queries, the two merge queries, and the two merge-sink
-    # streaming queries all sit on changed code. q1_pricing_summary
-    # also changed this round (lockstep round-to-cents before the
-    # decimal->double cast, fixing a one-ulp oracle divergence first
-    # visible at sf1.0) — it is already graded at window position 16.
+    # round-15 changed surface (changed code needs a fresh driver
+    # certification): jaccard_neardup_pairs gained the saturation
+    # preflight + MinHash-LSH candidate routing (oracle now mirrors
+    # both branches behind the estimate gate); embedding_similar_pairs
+    # adopted the corpus-derived planes_per_band (oracle derives the
+    # identical count from count(*)). The staged-swap consumers sit on
+    # changed code again — the heartbeat rewrite moved under a
+    # per-lease lock (global registry lock no longer held across FS
+    # IO) and the swap fence's read-back synchronizes on that same
+    # lock — so the four DML index queries, the two merge queries, and
+    # the two merge-sink streaming queries re-certify.
+    "jaccard_neardup_pairs", "embedding_similar_pairs",
     "merge_upsert_orders", "merge_delete_orders", "stream_merge_cdc_ops",
     "stream_merge_upsert", "idx_delete_range", "idx_update_range",
     "idx_delete_partitioned", "idx_compact_roundtrip",
 ]
-_R14_WINDOW = CHANGED_HEAD + [
-    # oldest-proven-first rotation (tools/rotate_window.py): the 25
-    # r10-stale queries lead the fill, advancing the oldest-green
-    # round r10 -> r11 (r13 verdict ask #1), then 17 r11-stale
-    "percentile_quantities", "setop_active_building_buyers",
-    "scalar_functions_showcase", "bucketed_colocated_join",
-    "customers_without_orders", "idx_point_lookup", "idx_zorder_range",
-    "q1_pricing_summary", "minhash_lsh_pairs", "multimodal_pipeline",
-    "data_quality_audit", "chunk_overlap_stats", "contamination_by_lang",
-    "q6_forecast_revenue", "q4_order_exists",
-    "q18_large_volume_customers", "q10_returned_items",
-    "q17_small_quantity_revenue", "q22_global_sales_opportunity",
-    "incremental_dedup_stats", "shuffle_shard_stats",
-    "vocab_drift_by_lang", "stream_shuffle_split_stats",
-    "split_leakage_audit", "idx_join_dpp_bloom", "pii_redaction_stats",
-    "span_dedup_stats", "stream_running_anomaly", "token_budget_mixture",
-    "curation_pipeline_v2", "freq_terms_top20", "lang_id_confusion",
-    "rolling_anomaly_events", "stratified_sample_langs",
-    "temperature_sample_langs", "curation_pipeline_stats",
-    "idx_hilbert_range", "trailing_30d_peak_spend",
-    "repetition_flags_by_lang", "hll_union_sketch_parts",
-    "stream_windowed_counts", "stream_session_windows",
+_R15_WINDOW = CHANGED_HEAD + [
+    # oldest-proven-first rotation (tools/rotate_window.py): the 18
+    # r11-stale queries lead the fill, advancing the oldest-green
+    # round r11 -> r12 (r14 verdict ask #2), then r12-stale
+    "stream_funnel_join", "stream_funnel_left_outer",
+    "stream_gapfill_locf", "stream_user_totals", "stream_enrich_join",
+    "json_props_stats", "idx_events_time_range", "idx_fast_count",
+    "sessionize_events", "funnel_conversion",
+    "funnel_conversion_windowed", "q12_priority_shipmode",
+    "chunk_dedup_pipeline", "idx_prefix_scan", "idx_null_safe_point",
+    "semantic_dedup_stats", "pack_bins_by_source",
+    "semantic_contamination_stats", "idx_refresh_append",
+    "rollup_sales", "cumulative_spend", "approx_distinct_parts",
+    "q2_min_cost_supplier", "q7_nation_trade", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q13_order_distribution",
+    "q14_brand_revenue_share", "q15_top_supplier",
+    "q16_supplier_part_counts", "q20_part_suppliers",
+    "q3_shipping_priority", "ann_topk_lsh_probed", "stream_dedup_events",
+    "stream_sink_roundtrip", "salted_skew_join", "dedup_exact_stats",
+    "dedup_prefix_groups", "dedup_group_assignment",
 ]
 # the driver grades the FIRST 50 keys — a window longer than 50 would
 # silently push its tail out of grading (round-11 review: the three new
 # rank-cut queries grew the head past 50 before the fill was trimmed).
 # Explicit raise, not assert: python -O strips asserts, which would
 # disable exactly the silent-truncation guard this line exists for.
-if len(_R14_WINDOW) != 50:
+if len(_R15_WINDOW) != 50:
     raise RuntimeError(
         f"grading window must be exactly 50 entries, got "
-        f"{len(_R14_WINDOW)} — the driver grades only the first 50")
-QUERIES = {**{k: QUERIES[k] for k in _R14_WINDOW},
-           **{k: v for k, v in QUERIES.items() if k not in _R14_WINDOW}}
+        f"{len(_R15_WINDOW)} — the driver grades only the first 50")
+QUERIES = {**{k: QUERIES[k] for k in _R15_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in _R15_WINDOW}}

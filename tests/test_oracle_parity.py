@@ -63,24 +63,18 @@ _CORE = {
     "asof_join_events",
     # the ROUND'S CHANGED SURFACE stays fast until driver-proven
     # (ADVICE r3): the failure class it carries (oracle typing under
-    # stringify-hash) must be visible by default. Round 13: every
-    # rank-cut rider (_rank_cut_tail + score_range), the DML/lease
-    # consumers, grouped cosine top-k, and pipeline v3's probe-free
-    # gate adoption. Earlier rounds' additions rotate to `slow` once
-    # proven — `-m ""` still sweeps all 144.
-    "earliest_events_per_user", "latest_events_per_user",
-    "merge_delete_orders", "float_rank_docs_per_lang",
-    "top_price_orders_per_cust", "first_urls_per_lang",
-    "quality_gate_by_lang", "quota_per_source", "ann_topk_per_label",
-    "curation_pipeline_v3", "idx_delete_range", "idx_update_range",
+    # stringify-hash) must be visible by default. Round 15: the
+    # saturation-routed Jaccard (dual-branch gated oracle), the
+    # derived-planes embedding pairs, and the lease/fence DML
+    # consumers (heartbeat lock-scope + fence synchronization change).
+    # Earlier rounds' additions rotate to `slow` once proven —
+    # `-m ""` still sweeps all 144.
+    "jaccard_neardup_pairs", "embedding_similar_pairs",
+    "merge_delete_orders", "idx_delete_range", "idx_update_range",
     "idx_delete_partitioned", "idx_compact_roundtrip",
 }
 
 
-@pytest.mark.parametrize(
-    "name",
-    [n if n in _CORE else pytest.param(n, marks=pytest.mark.slow)
-     for n in QUERIES])
 def _above_graded_sf() -> bool:
     """True when the sweep runs past the shipped/graded scale factors
     (locally generated sf1.0+ data) — the regime where the
@@ -91,6 +85,10 @@ def _above_graded_sf() -> bool:
         return False
 
 
+@pytest.mark.parametrize(
+    "name",
+    [n if n in _CORE else pytest.param(n, marks=pytest.mark.slow)
+     for n in QUERIES])
 def test_query_matches_oracle(spark, name, ddb):
     fn, oracle = QUERIES[name]
     df = fn(spark, SF_DIR)

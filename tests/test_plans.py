@@ -208,6 +208,36 @@ def test_no_cartesian_sweep_changed_head(spark):
     _no_cartesian_sweep(spark, CHANGED_HEAD)
 
 
+def test_window_rotation_staleness_invariant():
+    """Round-15 (r14 verdict stretch #8): the graded window's fill
+    (everything after CHANGED_HEAD) must lead with the OLDEST-proven
+    queries — no query outside the first-50 window may have an older
+    latest-green driver round than any fill entry, and never-graded
+    queries can never sit outside the window. Derived from the
+    committed CORRECTNESS_r*.json captures, the same source
+    tools/rotate_window.py uses, so a bad hand-rotation cannot ship
+    silently."""
+    import os
+
+    from parquet_index_spark.workload import CHANGED_HEAD, QUERIES
+    from tools.rotate_window import latest_green_rounds
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = latest_green_rounds(repo)
+    keys = list(QUERIES)
+    window, rest = keys[:50], keys[50:]
+    assert len(set(window)) == 50
+    assert set(CHANGED_HEAD) <= set(window)
+    fill = [q for q in window if q not in CHANGED_HEAD]
+    worst_fill = max(latest.get(q, 0) for q in fill)
+    stalest_out = min(latest.get(q, 0) for q in rest)
+    assert worst_fill <= stalest_out, (
+        f"rotation violated: a fill query was last proven r{worst_fill} "
+        f"while an outside query sits at r{stalest_out} — oldest-green "
+        "queries must lead the window")
+    assert stalest_out > 0, \
+        "a never-driver-graded query sits outside the graded window"
+
+
 @pytest.mark.slow
 def test_no_cartesian_sweep_all_batch_queries(spark):
     """Slow half: every other registered batch query (already proven

