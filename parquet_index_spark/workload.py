@@ -140,8 +140,19 @@ def _dec(col: str, p: int = 18, s: int = 2):
 
 
 def _dsum(expr, alias: str):
-    """Exact decimal sum, emitted as DOUBLE (see module docstring)."""
-    return F.sum(expr).cast("double").alias(alias)
+    """Exact decimal sum rounded to cents, emitted as DOUBLE.
+
+    The round-to-cents BEFORE the decimal->double cast is the q1
+    one-ulp fix applied systematically (round 15; COVERAGE sf1.0
+    record #1): both engines sum exactly in decimal, but DuckDB's
+    hugeint-times-10^-s cast can double-round while Spark's
+    BigDecimal.doubleValue is correctly rounded — invisible until a
+    money sum crosses ~1e10. Rounding the exact decimal to scale 2
+    first keeps both casts single-rounding up to ~9e13 (i.e. past
+    sf1000). For scale-2 inputs the round is a numeric no-op; for
+    decimal-product sums (scale 4+, the class q1 actually hit) the
+    matching oracle applies the identical round(sum(...), 2)."""
+    return F.round(F.sum(expr), 2).cast("double").alias(alias)
 
 
 # ---------------------------------------------------------------------------
@@ -588,8 +599,8 @@ def q3_shipping_priority(spark, sf_dir):
 
 Q3_SQL = """
 SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -627,8 +638,8 @@ def q5_nation_volume(spark, sf_dir):
 
 Q5_SQL = """
 SELECT n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -654,8 +665,8 @@ def q6_forecast_revenue(spark, sf_dir):
 
 
 Q6_SQL = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1026,8 +1037,8 @@ def q10_returned_items(spark, sf_dir):
 
 Q10_SQL = """
 SELECT c_custkey, c_name, c_mktsegment,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1084,8 +1095,8 @@ def q19_disjunctive_predicates(spark, sf_dir):
 
 
 Q19_SQL = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
@@ -1255,7 +1266,7 @@ def q7_nation_trade(spark, sf_dir):
 
 Q7_SQL = """
 SELECT supp_nation, cust_nation, l_year,
-       CAST(sum(volume) AS DOUBLE) AS revenue
+       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
@@ -1351,11 +1362,11 @@ def q9_product_profit(spark, sf_dir):
 
 Q9_SQL = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
                 - CAST(p_retailprice AS DECIMAL(18,2))
                   * CAST(l_quantity AS DECIMAL(18,2))
-                  * CAST(0.8 AS DECIMAL(3,1))) AS DOUBLE) AS profit
+                  * CAST(0.8 AS DECIMAL(3,1))), 2) AS DOUBLE) AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -3053,7 +3064,7 @@ def q11_important_parts(spark, sf_dir):
     return (per_part.join(F.broadcast(total))
             .filter(F.col("value_dec") > F.col("threshold"))
             .select(F.col("l_partkey").alias("p_partkey"),
-                    F.col("value_dec").cast("double").alias("part_value"))
+                    F.round(F.col("value_dec"), 2).cast("double").alias("part_value"))
             .orderBy(F.desc("part_value"), "p_partkey"))
 
 
@@ -3069,7 +3080,7 @@ WITH per_part AS (
     WHERE n_name = 'NATION_3')
   GROUP BY l_partkey
 )
-SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+SELECT l_partkey AS p_partkey, CAST(round(value_dec, 2) AS DOUBLE) AS part_value
 FROM per_part
 WHERE value_dec > (SELECT sum(value_dec) * CAST(0.001 AS DECIMAL(4,3))
                    FROM per_part)
@@ -3094,7 +3105,7 @@ def q15_top_supplier(spark, sf_dir):
             .filter(F.col("rev_dec") == F.col("max_rev"))
             .join(supp, F.col("l_suppkey") == supp.s_suppkey)
             .select("s_suppkey", "s_name",
-                    F.col("rev_dec").cast("double").alias("total_revenue"))
+                    F.round(F.col("rev_dec"), 2).cast("double").alias("total_revenue"))
             .orderBy("s_suppkey"))
 
 
@@ -3109,7 +3120,7 @@ WITH revenue AS (
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+SELECT s_suppkey, s_name, CAST(round(rev_dec, 2) AS DOUBLE) AS total_revenue
 FROM revenue JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
 ORDER BY s_suppkey
