@@ -2442,9 +2442,15 @@ WITH params AS (
   FROM embeddings
 ),
 dots AS (
+  -- per-plane md5-seeded coefficients (round 15): h1/h2 from md5(p),
+  -- decorrelating the planes — same seeds as _banded_bucket
   SELECT vec_id, p,
          sum(CAST(embedding[d + 1] AS DOUBLE)
-             * (((p * 73856093 + d * 19349663) % 10007) / 10007.0 - 0.5)) AS pd
+             * (((CAST('0x' || substr(md5(CAST(p AS VARCHAR)), 1, 8)
+                       AS BIGINT)
+                  + d * (CAST('0x' || substr(md5(CAST(p AS VARCHAR)), 9, 8)
+                              AS BIGINT) | 1))
+                 % 10007) / 10007.0 - 0.5)) AS pd
   FROM embeddings,
        (SELECT unnest(generate_series(
           0, (SELECT 4 * ppb - 1 FROM params))) AS p),
