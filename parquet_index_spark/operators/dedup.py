@@ -379,18 +379,24 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     Returns (node, component) — one row per node appearing in any edge.
     """
     from parquet_index_spark.operators._ckpt import checkpoint_corpus
+    # LAZY checkpoints throughout (round-15): every boundary here is
+    # followed by an action that materializes it anyway — the und/labels
+    # frames by iteration 0's changed-count, each round's new_labels by
+    # its own changed-count — so the dedicated eager materialization job
+    # per boundary (2 + 2/round) is gone; each round now costs exactly
+    # ONE job and the corpus passes are unchanged.
     und = checkpoint_corpus(
         edges.select(F.col(id_a).alias("node"), F.col(id_b).alias("nbr"))
         .union(edges.select(F.col(id_b).alias("node"),
                             F.col(id_a).alias("nbr")))
-        .distinct())
+        .distinct(), eager=False)
     # round-0 shortcut: start from min(self, direct neighbors). Duplicate
     # components are near-cliques, so this alone is usually the fixpoint
     # and the loop exits after one confirming round.
     labels = checkpoint_corpus(
         und.groupBy("node").agg(F.min("nbr").alias("__m"))
         .select("node",
-                F.least("node", "__m").alias("component")))
+                F.least("node", "__m").alias("component")), eager=False)
     converged = False
     for it in range(max_iter):
         nbr_min = (und.join(labels.withColumnRenamed("node", "nbr")
@@ -406,7 +412,7 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         if it == 0:
             # near-clique graphs (the dedup case) are done after round-0
             # init + one confirming hop — don't pay the jump join for them
-            new_labels = checkpoint_corpus(hopped)
+            new_labels = checkpoint_corpus(hopped, eager=False)
         else:
             # pointer jump: follow the label's label (labels are node ids,
             # so the lookup is a self-join); doubles propagation distance,
@@ -421,7 +427,7 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                         F.least(hopped["component"],
                                 F.coalesce(lut["__lc"],
                                            hopped["component"]))
-                        .alias("component")))
+                        .alias("component")), eager=False)
         changed = (new_labels.withColumnRenamed("component", "new_component")
                    .join(labels, "node")
                    .filter(F.col("new_component") != F.col("component"))
@@ -487,10 +493,26 @@ def span_dedup(df: DataFrame, text_col: str = "text",
         F.sequence(F.lit(0),
                    F.ceil(F.size(toks) / F.lit(k)).cast("int") - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)))
-    bad = repeated_spans(df, text_col, id_col, span_tokens, max_docs)
-    exploded = (df.select(F.col(id_col), spans.alias("__spans"))
-                .select(F.col(id_col),
-                        F.posexplode("__spans").alias("pos", "span")))
+    # ONE tokenize+span pass over the corpus (round-15): the frequency
+    # agg, the reassembly stream and the per-doc totals all derive from
+    # a single lazily-checkpointed (id, spans) projection. The old shape
+    # re-ran the upstream plan — tokenization, span building, and any
+    # caller-side map work like curation_pipeline_v2's PII-redaction
+    # regex chain — once per reference (3x the corpus scan at any
+    # scale). The checkpointed frame is span-sized (~the text itself),
+    # so materializing it once is far cheaper than re-deriving it
+    # twice; lazy means the bad-span size probe below materializes it.
+    from parquet_index_spark.operators._ckpt import checkpoint_corpus
+    spans_df = checkpoint_corpus(
+        df.select(F.col(id_col), spans.alias("__spans")), eager=False)
+    exploded = spans_df.select(F.col(id_col),
+                               F.posexplode("__spans").alias("pos", "span"))
+    # same span-frequency cut repeated_spans computes, derived from the
+    # shared projection instead of a second tokenize pass (pos is
+    # ignored by the agg, so posexplode == explode here)
+    bad = (exploded.groupBy("span")
+           .agg(F.countDistinct(id_col).alias("n_docs"))
+           .filter(F.col("n_docs") > max_docs))
     # persist so the size probe and the join share ONE materialization
     # of the frequency agg; limit(n+1).count() bounds the probe itself —
     # never a full count of a pathological offending set
@@ -507,8 +529,8 @@ def span_dedup(df: DataFrame, text_col: str = "text",
                                 F.struct("pos", "span"))),
                             lambda s: s["span"])).alias("clean_text"),
                     F.count("*").alias("n_kept")))
-    totals = df.select(F.col(id_col),
-                       F.size(spans).alias("n_spans"))
+    totals = spans_df.select(F.col(id_col),
+                             F.size("__spans").alias("n_spans"))
     # a document whose every span was removed vanishes from `kept`; the
     # left join resurrects it with empty text (caller gates on it)
     return (totals.join(rebuilt, id_col, "left")

@@ -1564,19 +1564,26 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
 
     n_updates = updates.count()
     rows_deleted = 0
+    obs_cur = obs_mid = obs_kept = None
     if affected_abs:
+        from pyspark.sql import Observation
         current = (spark.read.schema(meta.data_schema)
                    .option("basePath", meta.table_path)
                    .parquet(*sorted(affected_abs)))
+        # Every MERGE counter rides the rewrite write itself
+        # (CollectMetrics via observe — the update_where precedent,
+        # round-4 VERDICT #2): the old shape paid one extra semi-join
+        # pass over the affected files for rows_updated and, on the
+        # guarded delete tier, a second one for rows_deleted. Row
+        # counts are observed at three points of the ONE rewrite scan —
+        # before the delete cut, after it, after the update anti-join —
+        # and the counters are their differences (exact because both
+        # cuts only ever REMOVE rows from the affected stream).
+        obs_cur = Observation("merge_rows_in")
+        current = current.observe(obs_cur, F.count(F.lit(1)).alias("n"))
         if dels:
-            # count inside the rewrite read (CollectMetrics), then cut;
             # NULL-keyed table rows survive (isin is NULL for them)
-            from pyspark.sql import Observation
             is_del = F.coalesce(F.col(key).isin(dels), F.lit(False))
-            obs = Observation("merge_deletes")
-            current = current.observe(
-                obs, F.sum(F.when(is_del, F.lit(1)).otherwise(F.lit(0)))
-                .alias("rows_deleted"))
             current = current.filter(~is_del)
         elif big_dels:
             # guarded tier: broadcast-probed anti join — the key set
@@ -1584,25 +1591,23 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
             # shuffle join past the broadcast cap instead of planning an
             # unbounded IN. NULL-keyed table rows never equi-match and
             # survive, mirroring the isin path. checkpoint=False:
-            # dels_df is ALREADY checkpointed (round-10 review #4); the
-            # deleted-row count costs one extra semi-join pass over the
-            # AFFECTED files only (the Observation trick needs a
-            # row-local predicate).
+            # dels_df is ALREADY checkpointed (round-10 review #4).
             from parquet_index_spark.functions.joins import (
                 broadcast_if_small)
             dset = broadcast_if_small(dels_df, checkpoint=False)
-            rows_deleted = current.join(dset, key, "left_semi").count()
             current = current.join(dset, key, "left_anti")
-        rows_updated = (updates.join(current.select(key), key, "left_semi")
-                        .count())
-        merged = current.join(updates.select(key), key, "left_anti") \
-            .unionByName(updates)
+        if dels or big_dels:
+            obs_mid = Observation("merge_rows_after_delete")
+            current = current.observe(obs_mid,
+                                      F.count(F.lit(1)).alias("n"))
+        kept = current.join(updates.select(key), key, "left_anti")
+        obs_kept = Observation("merge_rows_kept")
+        kept = kept.observe(obs_kept, F.count(F.lit(1)).alias("n"))
+        merged = kept.unionByName(updates)
         n_out = max(1, len(affected_abs))
     else:
-        rows_updated = 0
         merged = updates
         n_out = 1
-    rows_inserted = n_updates - rows_updated
 
     tmp = path.rstrip("/") + "__merge_tmp"
     bak = path.rstrip("/") + "__merge_bak"
@@ -1617,8 +1622,16 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(tmp)
-    if dels and affected_abs:
-        rows_deleted = int(obs.get["rows_deleted"] or 0)
+    if affected_abs:
+        cur_n = int(obs_cur.get["n"] or 0)
+        mid_n = (int(obs_mid.get["n"] or 0) if obs_mid is not None
+                 else cur_n)
+        kept_n = int(obs_kept.get["n"] or 0)
+        rows_deleted = cur_n - mid_n
+        rows_updated = mid_n - kept_n
+    else:
+        rows_updated = 0
+    rows_inserted = n_updates - rows_updated
     _staged_swap(spark, path, tmp, bak, affected_abs, label="merge")
     ctx.index.refresh.parquet(path)
     return {"files_total": len(all_rel),
@@ -2078,6 +2091,13 @@ def _delete_where_impl(ctx, path: str, predicate) -> dict:
         # DELETE removes rows where pred is TRUE; rows where it is NULL
         # survive (SQL three-valued semantics) — hence coalesce, not ~pred
         kept = current.filter(F.coalesce(~residual, F.lit(True)))
+        # surviving-row count rides the rewrite write itself
+        # (CollectMetrics via observe — the update_where precedent): the
+        # old shape re-read the ENTIRE rewritten tmp dir just to count,
+        # doubling the IO of every boundary rewrite at scale
+        from pyspark.sql import Observation
+        obs_kept = Observation("delete_rows_kept")
+        kept = kept.observe(obs_kept, F.count(F.lit(1)).alias("n"))
         # partitioned: hash on the partition columns so each partition
         # value writes from one task — one output file per touched
         # partition, no task×partition file explosion under partitionBy
@@ -2088,7 +2108,7 @@ def _delete_where_impl(ctx, path: str, predicate) -> dict:
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(tmp)
-        n_after = (spark.read.schema(meta.data_schema).parquet(tmp).count())
+        n_after = int(obs_kept.get["n"] or 0)
         rows_deleted += n_before - n_after
     else:
         # whole-file drops only: stage an empty rewrite dir for the swap
