@@ -58,6 +58,143 @@ def _py_norm(vec: Sequence[float]) -> float:
     return math.sqrt(acc)
 
 
+# ---------------------------------------------------------------------------
+# Vectorized similarity arithmetic (round-15 optimization).
+#
+# The HOF forms above (zip_with + aggregate folds) are CodegenFallback
+# expressions — every element is an interpreted lambda call, and the IVF
+# assignment alone measured 1.6 s for 2000 x 64-dim rows x 16 centroids at
+# sf0.1. These Arrow kernels move the same arithmetic into numpy batches
+# (guide §4.2) while keeping the RESULT bit-identical:
+#
+# - accumulation is SEQUENTIAL over dimensions (``acc = acc + x_i * y_i``
+#   as a vectorized statement per dimension), so every partial sum is the
+#   exact IEEE double the left-to-right HOF fold produces — never numpy's
+#   pairwise/BLAS summation, whose last-ulp drift could cross a rounding
+#   boundary;
+# - rounding, division-by-norm composition, argmax/threshold comparisons
+#   all stay SPARK expressions on the returned doubles, so the cut points
+#   and tie rules are literally the same code as before;
+# - a NULL vector or a length mismatch against the constant matrix yields
+#   NULL, matching zip_with's pad-with-null + fold-to-null semantics.
+# ---------------------------------------------------------------------------
+
+
+def _lr_dots_norm_udf(mat: "list | None"):
+    """pandas_udf: array<double> -> array<double> of
+    ``[dot(v, mat[0]), ..., dot(v, mat[k-1]), norm(v)]`` with the exact
+    left-to-right fold order of the HOF ``dot``/``norm`` expressions.
+    ``mat`` rows must share one dimension; a data row of a DIFFERENT
+    dimension gets NULL dots (zip_with semantics) but a real norm."""
+    M = (np.asarray([[float(x) for x in row] for row in mat],
+                    dtype=np.float64) if mat else None)
+    k = 0 if M is None else M.shape[0]
+
+    @F.pandas_udf("array<double>")
+    def kern(embs: pd.Series) -> pd.Series:
+        arrs = [None if e is None else np.asarray(e, dtype=np.float64)
+                for e in embs]
+        by_len: dict = {}
+        for i, a in enumerate(arrs):
+            if a is not None:
+                by_len.setdefault(a.shape[0], []).append(i)
+        res: list = [None] * len(arrs)
+        for d, idxs in by_len.items():
+            V = np.stack([arrs[i] for i in idxs])
+            n = V.shape[0]
+            nacc = np.zeros(n)
+            for i in range(d):
+                x = V[:, i]
+                nacc = nacc + x * x
+            nrm = np.sqrt(nacc)
+            if k and M.shape[1] == d:
+                acc = np.zeros((n, k))
+                for i in range(d):
+                    acc = acc + V[:, i:i + 1] * M[None, :, i]
+                for r, j in enumerate(idxs):
+                    res[j] = acc[r].tolist() + [float(nrm[r])]
+            else:
+                # dimension mismatch: zip_with pads with NULL and the
+                # fold yields NULL — dots are NULL, the norm is real
+                for r, j in enumerate(idxs):
+                    res[j] = [None] * k + [float(nrm[r])]
+        return pd.Series(res)
+
+    return kern
+
+
+def _pair_dot_fn(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Left-to-right dot of two array<double> columns — bit-identical to
+    ``dot(a, b)``'s HOF fold; NULL on a NULL side or a length mismatch
+    (zip_with pad-with-null semantics)."""
+    arrs_a = [None if e is None else np.asarray(e, dtype=np.float64)
+              for e in a]
+    arrs_b = [None if e is None else np.asarray(e, dtype=np.float64)
+              for e in b]
+    by_len: dict = {}
+    for i, (x, y) in enumerate(zip(arrs_a, arrs_b)):
+        if x is not None and y is not None and x.shape[0] == y.shape[0]:
+            by_len.setdefault(x.shape[0], []).append(i)
+    res: list = [None] * len(arrs_a)
+    for d, idxs in by_len.items():
+        A = np.stack([arrs_a[i] for i in idxs])
+        B = np.stack([arrs_b[i] for i in idxs])
+        acc = np.zeros(A.shape[0])
+        for i in range(d):
+            acc = acc + A[:, i] * B[:, i]
+        for r, j in enumerate(idxs):
+            res[j] = float(acc[r])
+    # nullable Float64: a None (NULL side / length mismatch) must reach
+    # Spark as NULL, not NaN — Spark orders NaN ABOVE every threshold
+    return pd.Series(pd.array(res, dtype="Float64"))
+
+
+def _lr_pair_dot(a, b) -> Column:
+    """Column form of :func:`_pair_dot_fn` (the pandas_udf is created
+    lazily — decorating at import time needs an active session)."""
+    return F.pandas_udf(_pair_dot_fn, "double")(a, b)
+
+
+def _lr_plane_dots_udf(seeds: "list[tuple]"):
+    """pandas_udf: array<double> -> array<double> of the row's dot
+    products against one closed-form LCG hyperplane per ``(h1, h2)``
+    seed — plane coefficient i is ``((h1 + i*h2) % 10007)/10007.0 -
+    0.5``, generated per row DIMENSION exactly like the HOF
+    ``transform(dims, ...)`` forms, and folded left-to-right so every
+    dot is the bit-identical double. The sign tests / bucket-bit
+    composition stay Spark expressions at the call sites."""
+    seeds = [(int(h1), int(h2)) for h1, h2 in seeds]
+
+    @F.pandas_udf("array<double>")
+    def kern(embs: pd.Series) -> pd.Series:
+        arrs = [None if e is None else np.asarray(e, dtype=np.float64)
+                for e in embs]
+        by_len: dict = {}
+        for i, a in enumerate(arrs):
+            if a is not None:
+                by_len.setdefault(a.shape[0], []).append(i)
+        res: list = [None] * len(arrs)
+        planes_cache: dict = {}
+        for d, idxs in by_len.items():
+            P = planes_cache.get(d)
+            if P is None:
+                dims = np.arange(d, dtype=np.int64)
+                P = np.stack([
+                    ((h1 + dims * h2) % 10007).astype(np.float64)
+                    / 10007.0 - 0.5
+                    for h1, h2 in seeds])  # k x d
+                planes_cache[d] = P
+            V = np.stack([arrs[i] for i in idxs])
+            acc = np.zeros((V.shape[0], len(seeds)))
+            for i in range(d):
+                acc = acc + V[:, i:i + 1] * P[None, :, i]
+            for r, j in enumerate(idxs):
+                res[j] = acc[r].tolist()
+        return pd.Series(res)
+
+    return kern
+
+
 def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 exclude_ids: Sequence[int] = ()) -> DataFrame:
@@ -66,12 +203,12 @@ def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     Returns (id, sim rounded to 4, rank). Ties break by id so the result is
     deterministic. The plan is scan -> project -> global top-k (Spark's
     TakeOrderedAndProject — no full sort)."""
-    q = _query_lit(query_vec)
-    # norm(q) is a per-query constant (driver-folded); the double-cast
-    # array is materialized once and shared by the dot and norm folds
-    emb = F.col("__vd")
-    sim = F.round(dot(emb, q) / (norm(emb) * F.lit(_py_norm(query_vec))), 4)
-    out = (df.withColumn("__vd", _as_double(F.col(vec_col)))
+    # round-15: per-row dot + norm run in one Arrow kernel (identical
+    # left-to-right fold; rounding and ordering stay Spark expressions)
+    kern = _lr_dots_norm_udf([list(query_vec)])
+    dn = F.col("__dn")
+    sim = F.round(dn[0] / (dn[1] * F.lit(_py_norm(query_vec))), 4)
+    out = (df.withColumn("__dn", kern(_as_double(F.col(vec_col))))
            .select(F.col(id_col), sim.alias("sim")))
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(list(exclude_ids)))
@@ -96,25 +233,19 @@ def plane_value(plane: int, dim: int) -> Column:
 def lsh_bucket(vec_col: str = "embedding", num_planes: int = 8) -> Column:
     """Sign-LSH bucket id: bit p = 1 iff dot(vec, plane_p) > 0.
 
-    Unrolled over planes (python ints) so shift amounts are literals; the
-    per-plane dot stays a codegen'd zip_with/aggregate over the vector."""
-    emb = _as_double(F.col(vec_col))
-    dims = F.sequence(F.lit(0), F.size(emb) - 1)
-
-    # NB: single-arg lambdas only — pyspark binds a second lambda parameter
-    # (even a defaulted one) to the array index column
-    def coeff_fn(p: int):
-        # long arithmetic: p*73856093 + d*19349663 tops 2^31 under ANSI mode
-        return lambda d: ((F.lit(p * 73856093).cast("long")
-                           + d.cast("long") * 19349663) % 10007
-                          ).cast("double") / 10007.0 - 0.5
-
+    round-15: the per-plane dots (``num_planes`` interpreted HOF folds
+    per row) run as ONE Arrow batch kernel with the identical plane
+    formula and fold order (_lr_plane_dots_udf); the sign tests and
+    bucket-bit sum stay Spark expressions over the returned array, so
+    the bucket ids are bit-identical to the HOF form (and to the SQL
+    oracle that spells the same closed-form planes)."""
+    seeds = [(p * 73856093, 19349663) for p in range(num_planes)]
+    dn = _lr_plane_dots_udf(seeds)(_as_double(F.col(vec_col)))
     # long arithmetic: up to 63 planes, and the output dtype matches the
     # BIGINT the SQL oracle emits (int32 vs int64 hashes differently)
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        coeffs = F.transform(dims, coeff_fn(p))
-        bucket = bucket + F.when(dot(emb, coeffs) > 0,
+        bucket = bucket + F.when(dn[p] > 0,
                                  F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
 
@@ -362,16 +493,30 @@ def ivf_assign(df: DataFrame, centroids: List[tuple],
 
 def _ivf_assign_literal(df: DataFrame, centroids: List[tuple],
                         vec_col: str) -> DataFrame:
-    normed = (df.withColumn("__vd", _as_double(F.col(vec_col)))
-              .withColumn("__vnorm", norm(F.col("__vd"))))
-    best = F.array_max(_centroid_sim_structs("__vd", centroids, "__vnorm"))
+    # round-15: the k HOF dot folds + the norm fold (interpreted
+    # CodegenFallback lambdas — ~1.6 s for 2000 rows x 16 centroids at
+    # sf0.1) run as ONE Arrow batch kernel with the identical
+    # left-to-right fold order; rounding, the /(norms) composition and
+    # the tie-to-larger-cid argmax stay the same Spark expressions
+    # (_centroid_sim_structs documents the portable arithmetic the SQL
+    # oracle mirrors), so every rounded sim is bit-identical
+    kern = _lr_dots_norm_udf([vec for _, vec in centroids])
+    k = len(centroids)
+    dn = F.col("__dn")
+    structs = F.array(*[
+        F.struct(F.round(dn[i] / (dn[k] * F.lit(_py_norm(cvec))), 6)
+                 .alias("sim"),
+                 F.lit(int(cid)).cast("long").alias("cid"))
+        for i, (cid, cvec) in enumerate(centroids)])
+    best = F.array_max(structs)
+    normed = df.withColumn("__dn", kern(_as_double(F.col(vec_col))))
     # NULL embeddings must keep cluster_id NULL (the broadcast path's
     # contract): without the guard, array_max over structs with NULL sims
     # still surfaces a cid and silently adopts orphan rows into a cluster
     return (normed.withColumn("cluster_id",
                               F.when(F.col(vec_col).isNotNull(),
                                      best["cid"]))
-            .drop("__vd", "__vnorm"))
+            .drop("__dn"))
 
 
 def ivf_refine(df: DataFrame, centroids: List[tuple], iterations: int = 1,
@@ -515,24 +660,19 @@ def _banded_bucket(vec_col: str, band: int, planes_per_band: int) -> Column:
     CAST('0x' || substr(md5(p), ..) AS BIGINT)."""
     import hashlib
 
-    emb = _as_double(F.col(vec_col))
-    dims = F.sequence(F.lit(0), F.size(emb) - 1)
-
-    def coeff_fn(p: int):
-        h = hashlib.md5(str(p).encode()).hexdigest()
-        h1 = int(h[:8], 16)
-        h2 = int(h[8:16], 16) | 1
-        # long arithmetic: h1 + d*h2 tops 2^31 under ANSI mode
-        return lambda d: ((F.lit(h1).cast("long")
-                           + d.cast("long") * F.lit(h2).cast("long"))
-                          % 10007
-                          ).cast("double") / 10007.0 - 0.5
-
-    bucket = F.lit(0).cast("long")
+    # round-15 vectorization: the per-plane dots run as one Arrow batch
+    # kernel with the identical seeded-plane formula and fold order
+    # (_lr_plane_dots_udf, see lsh_bucket); sign tests and bucket-bit
+    # composition stay Spark expressions — bit-identical bucket ids
+    seeds = []
     for j in range(planes_per_band):
         p = band * planes_per_band + j
-        coeffs = F.transform(dims, coeff_fn(p))
-        bucket = bucket + F.when(dot(emb, coeffs) > 0,
+        h = hashlib.md5(str(p).encode()).hexdigest()
+        seeds.append((int(h[:8], 16), int(h[8:16], 16) | 1))
+    dn = _lr_plane_dots_udf(seeds)(_as_double(F.col(vec_col)))
+    bucket = F.lit(0).cast("long")
+    for j in range(planes_per_band):
+        bucket = bucket + F.when(dn[j] > 0,
                                  F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long"))
     return bucket
@@ -614,12 +754,18 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     candidates = (buckets.select(F.explode(pair_expr).alias("p"))
                   .select("p.id_a", "p.id_b")
                   .distinct())
+    # round-15: pair cosine via the Arrow kernels (bit-identical fold;
+    # rounding stays Spark-side); per-side norms computed ONCE per row
+    # before the join instead of per candidate pair
+    _norm_kern = _lr_dots_norm_udf(None)
     ea = df.select(F.col(id_col).alias("id_a"),
-                   F.col(vec_col).alias("__va"))
+                   _as_double(F.col(vec_col)).alias("__va"))
+    ea = ea.withColumn("__na", _norm_kern(F.col("__va"))[0])
     eb = df.select(F.col(id_col).alias("id_b"),
-                   F.col(vec_col).alias("__vb"))
-    sim = F.round(cosine(_as_double(F.col("__va")),
-                         _as_double(F.col("__vb"))), 4)
+                   _as_double(F.col(vec_col)).alias("__vb"))
+    eb = eb.withColumn("__nb", _norm_kern(F.col("__vb"))[0])
+    sim = F.round(_lr_pair_dot(F.col("__va"), F.col("__vb"))
+                  / (F.col("__na") * F.col("__nb")), 4)
     return (candidates.join(ea, "id_a").join(eb, "id_b")
             .select("id_a", "id_b", sim.alias("sim"))
             .filter(F.col("sim") >= threshold))
@@ -646,10 +792,12 @@ def cosine_topk_grouped(df: DataFrame, query_vec: Sequence[float],
     not at the first action).
     Returns (group, id, sim, rank<=k)."""
     from parquet_index_spark.operators.sampling import cap_per_group
-    q = _query_lit(query_vec)
-    emb = F.col("__vd")
-    sim = F.round(dot(emb, q) / (norm(emb) * F.lit(_py_norm(query_vec))), 4)
-    out = (df.withColumn("__vd", _as_double(F.col(vec_col)))
+    # round-15: same Arrow dot/norm kernel as cosine_topk (bit-identical
+    # fold; rounding stays a Spark expression)
+    kern = _lr_dots_norm_udf([list(query_vec)])
+    dn = F.col("__dn")
+    sim = F.round(dn[0] / (dn[1] * F.lit(_py_norm(query_vec))), 4)
+    out = (df.withColumn("__dn", kern(_as_double(F.col(vec_col))))
            .select(F.col(group_col), F.col(id_col), sim.alias("sim")))
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(list(exclude_ids)))
@@ -742,13 +890,14 @@ def semantic_dedup(df: DataFrame, centroids: List[tuple],
         # once for all three references; no dedicated composition job
         from parquet_index_spark.operators._ckpt import checkpoint_corpus
         assigned = checkpoint_corpus(assigned, eager=False)
+    _norm_kern = _lr_dots_norm_udf(None)
     pre = (assigned
            .filter(F.col("cluster_id").isNotNull())
            .withColumn("__v", _as_double(F.col(vec_col)))
            .select(F.col("cluster_id"),
                    F.col(id_col).alias("__id"),
                    F.col("__v"),
-                   norm(F.col("__v")).alias("__n")))
+                   _norm_kern(F.col("__v"))[0].alias("__n")))
     if max_cluster_size is not None:
         # cluster census is a tiny map-side-combinable agg (<= k rows);
         # broadcast the surviving cluster ids so oversize clusters never
@@ -764,7 +913,7 @@ def semantic_dedup(df: DataFrame, centroids: List[tuple],
                    F.col("__v").alias("__yv"), F.col("__n").alias("__yn"))
     dup_ids = (x.join(y, "cluster_id")
                .filter(F.col("__yid") < F.col("__xid"))
-               .filter(F.round(dot(F.col("__xv"), F.col("__yv"))
+               .filter(F.round(_lr_pair_dot(F.col("__xv"), F.col("__yv"))
                                / (F.col("__xn") * F.col("__yn")), 6)
                        >= F.lit(float(threshold)))
                .select(F.col("__xid").alias(id_col)).distinct()
@@ -874,17 +1023,18 @@ def semantic_contamination(train_df: DataFrame, eval_df: DataFrame,
         # the eval assignment runs once (semantic_dedup's rationale)
         from parquet_index_spark.operators._ckpt import checkpoint_corpus
         ev = checkpoint_corpus(ev)
+    _norm_kern = _lr_dots_norm_udf(None)
     tr = (ivf_assign(train_df, centroids, id_col, vec_col)
           .filter(F.col("cluster_id").isNotNull())
           .withColumn("__tv", _as_double(F.col(vec_col)))
           .select("cluster_id", F.col("__tv"),
-                  norm(F.col("__tv")).alias("__tn")))
+                  _norm_kern(F.col("__tv"))[0].alias("__tn")))
     e = (ev.filter(F.col("cluster_id").isNotNull())
          .withColumn("__ev", _as_double(F.col(vec_col)))
          .select("cluster_id", F.col(id_col).alias("__eid"),
-                 F.col("__ev"), norm(F.col("__ev")).alias("__en")))
+                 F.col("__ev"), _norm_kern(F.col("__ev"))[0].alias("__en")))
     hits = (e.join(tr, "cluster_id")
-            .filter(F.round(dot(F.col("__ev"), F.col("__tv"))
+            .filter(F.round(_lr_pair_dot(F.col("__ev"), F.col("__tv"))
                             / (F.col("__en") * F.col("__tn")), 6)
                     >= F.lit(float(threshold)))
             .select(F.col("__eid").alias(id_col)).distinct()

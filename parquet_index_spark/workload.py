@@ -5363,11 +5363,20 @@ def earliest_events_per_user(spark, sf_dir):
     row_number window — the last whole-group-window shape in the repo.
     Oracle: the equivalent ROW_NUMBER CTE."""
     from parquet_index_spark.operators import sampling as SA
+    import datetime as _dt
     ev = _t(spark, sf_dir, "events")
     # hot_key_audit off: user_id cardinality scales with the corpus (no
-    # mega-key by construction), so the probe would be a pure extra job
-    kept = SA.cap_per_group(ev, "user_id", 3, F.col("ts"),
-                            F.col("event_id"), hot_key_audit=False)
+    # mega-key by construction), so the probe would be a pure extra job.
+    # order_key_range (round-15): the events fixture is generated over
+    # January 2024 (TESTDATA.md), so declaring the window rides the
+    # PROBE-FREE rank cut — the composition-time per-group extremes
+    # scan of the whole corpus is gone. Bounds are ADVISORY: an event
+    # outside them clamps to an edge bucket (costs parallelism, never
+    # rows), so the declared range is safe at any corpus size.
+    kept = SA.cap_per_group(ev, "user_id", 3, "ts",
+                            F.col("event_id"), hot_key_audit=False,
+                            order_key_range=(_dt.datetime(2024, 1, 1),
+                                             _dt.datetime(2024, 2, 1)))
     return (kept.groupBy("event_type")
             .agg(F.count("*").alias("n_kept"),
                  F.countDistinct("user_id").alias("n_users"),
@@ -5404,10 +5413,15 @@ def latest_events_per_user(spark, sf_dir):
     sort last exactly like the window's F.desc form. Oracle: the
     equivalent ROW_NUMBER ... ORDER BY ts DESC CTE."""
     from parquet_index_spark.operators import sampling as SA
+    import datetime as _dt
     ev = _t(spark, sf_dir, "events")
-    kept = SA.cap_per_group(ev, "user_id", 3, F.col("ts"),
+    # order_key_range: same probe-free bypass as earliest_events_per_user
+    # (advisory bounds — see the note there)
+    kept = SA.cap_per_group(ev, "user_id", 3, "ts",
                             F.col("event_id"), descending=True,
-                            hot_key_audit=False)
+                            hot_key_audit=False,
+                            order_key_range=(_dt.datetime(2024, 1, 1),
+                                             _dt.datetime(2024, 2, 1)))
     return (kept.groupBy("event_type")
             .agg(F.count("*").alias("n_kept"),
                  F.countDistinct("user_id").alias("n_users"),
@@ -5447,9 +5461,14 @@ def float_rank_docs_per_lang(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     scored = docs.withColumn(
         "score", (F.col("n_chars") % 97).cast("double") / F.lit(8.0))
-    kept = SA.cap_per_group(scored, "lang", 3, F.col("score"),
+    # order_key_range (round-15): the score domain is CLOSED-FORM —
+    # n_chars % 97 in [0, 96] over 8.0 gives [0.0, 12.0] — so the cut
+    # runs probe-free (no per-group extremes scan); bounds are advisory
+    # (out-of-range values clamp to edge buckets, never lost)
+    kept = SA.cap_per_group(scored, "lang", 3, "score",
                             F.col("doc_id"), descending=True,
-                            hot_key_audit=False)
+                            hot_key_audit=False,
+                            order_key_range=(0.0, 12.0))
     return kept.select("lang", "doc_id", "score").orderBy("lang", "doc_id")
 
 
@@ -5479,11 +5498,20 @@ def top_price_orders_per_cust(spark, sf_dir):
     to double once (the q1 money pattern)."""
     from parquet_index_spark.operators import sampling as SA
     orders = _t(spark, sf_dir, "orders")
+    import decimal as _decimal
     dec = orders.withColumn(
         "price_d", F.col("o_totalprice").cast("decimal(18,2)"))
-    kept = SA.cap_per_group(dec, "o_custkey", 2, F.col("price_d"),
+    # order_key_range (round-15): TPC-H order totals live in
+    # (~1000, ~500k) at every SF of this generator; declaring a generous
+    # [0, 1e6] domain rides the probe-free cut (no per-group extremes
+    # scan). Advisory bounds — an out-of-range price clamps to an edge
+    # bucket, costing parallelism, never rows.
+    kept = SA.cap_per_group(dec, "o_custkey", 2, "price_d",
                             F.col("o_orderkey"), descending=True,
-                            hot_key_audit=False)
+                            hot_key_audit=False,
+                            order_key_range=(
+                                _decimal.Decimal("0.00"),
+                                _decimal.Decimal("1000000.00")))
     return (kept.groupBy("o_orderpriority")
             .agg(F.count("*").alias("n_kept"),
                  F.min("o_orderkey").alias("min_order"),
