@@ -505,22 +505,29 @@ def span_dedup(df: DataFrame, text_col: str = "text",
     from parquet_index_spark.operators._ckpt import checkpoint_corpus
     spans_df = checkpoint_corpus(
         df.select(F.col(id_col), spans.alias("__spans")), eager=False)
-    exploded = spans_df.select(F.col(id_col),
-                               F.posexplode("__spans").alias("pos", "span"))
+    exploded = (spans_df.select(F.col(id_col),
+                                F.posexplode("__spans").alias("pos", "span"))
+                .withColumn("__h", F.md5("span")))
     # same span-frequency cut repeated_spans computes, derived from the
     # shared projection instead of a second tokenize pass (pos is
-    # ignored by the agg, so posexplode == explode here)
-    bad = (exploded.groupBy("span")
+    # ignored by the agg, so posexplode == explode here). The agg and
+    # the anti join are keyed by md5(span), NOT the span text (round-15,
+    # guide §2.3 — shuffle keys, not payloads): countDistinct plans TWO
+    # exchanges of its grouping key, so raw spans would shuffle ~the
+    # corpus bytes twice; the 32-byte digest cuts that an order of
+    # magnitude. Same 128-bit-collision contract as exact_duplicates'
+    # md5 dup_key — distinct spans sharing a digest are out of scope.
+    bad = (exploded.groupBy("__h")
            .agg(F.countDistinct(id_col).alias("n_docs"))
            .filter(F.col("n_docs") > max_docs))
     # persist so the size probe and the join share ONE materialization
     # of the frequency agg; limit(n+1).count() bounds the probe itself —
     # never a full count of a pathological offending set
-    bad_spans = bad.select("span").persist()
+    bad_spans = bad.select("__h").persist()
     small = (bad_spans.limit(broadcast_limit + 1).count()
              <= broadcast_limit)
     bad_side = F.broadcast(bad_spans) if small else bad_spans
-    kept = exploded.join(bad_side, "span", "left_anti")
+    kept = exploded.join(bad_side, "__h", "left_anti").drop("__h")
     rebuilt = (kept.groupBy(id_col)
                .agg(F.concat_ws(
                         " ",

@@ -108,6 +108,68 @@ class TestSimilarity:
         assert sum(r["n_vectors"] for r in hist) == emb.count()
         assert 1 < len(hist) <= 16
 
+    def test_arrow_kernels_bit_identical_to_hof_forms(self, emb):
+        """round-15 vectorization pin: the Arrow kernels (_lr_dots_norm_udf,
+        _lr_pair_dot, _lr_plane_dots_udf) must reproduce the interpreted
+        HOF dot/norm folds BIT-IDENTICALLY on real data — the sequential
+        per-dimension accumulation is the load-bearing property (numpy's
+        pairwise/BLAS summation would drift in the last ulp and could
+        cross a rounding boundary)."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.operators.similarity import (
+            _as_double, _lr_dots_norm_udf, _lr_pair_dot, dot, norm)
+        v = _as_double(F.col("embedding"))
+        row = emb.filter("vec_id = 3").head()
+        q = [float(x) for x in row["embedding"]]
+        kern = _lr_dots_norm_udf([q])
+        diff = emb.select(
+            F.sum((kern(v)[0] != dot(v, F.array(*[F.lit(x) for x in q])))
+                  .cast("int")).alias("d_dot"),
+            F.sum((kern(v)[1] != norm(v)).cast("int")).alias("d_norm"),
+        ).head()
+        assert diff["d_dot"] == 0 and diff["d_norm"] == 0, diff
+        # pair form: self-join a slice, compare the pair dots
+        a = emb.select(F.col("vec_id").alias("ia"), v.alias("va")) \
+            .filter("ia < 40")
+        b = emb.select(F.col("vec_id").alias("ib"), v.alias("vb")) \
+            .filter("ib < 40")
+        pairs = a.join(b, F.col("ia") < F.col("ib"))
+        d = pairs.select(
+            F.sum((_lr_pair_dot(F.col("va"), F.col("vb"))
+                   != dot(F.col("va"), F.col("vb"))).cast("int")).alias("d")
+        ).head()
+        assert d["d"] == 0, d
+
+    def test_lsh_bucket_matches_hof_formula(self, emb):
+        """round-15 vectorization pin: lsh_bucket's Arrow plane-dot kernel
+        must yield the exact bucket ids of the pre-vectorization HOF form
+        (the SQL oracles spell the same closed-form planes)."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.operators.similarity import _as_double, dot
+
+        def hof_bucket(num_planes=8):
+            embc = _as_double(F.col("embedding"))
+            dims = F.sequence(F.lit(0), F.size(embc) - 1)
+
+            def coeff_fn(p):
+                return lambda d: ((F.lit(p * 73856093).cast("long")
+                                   + d.cast("long") * 19349663) % 10007
+                                  ).cast("double") / 10007.0 - 0.5
+
+            bucket = F.lit(0).cast("long")
+            for p in range(num_planes):
+                coeffs = F.transform(dims, coeff_fn(p))
+                bucket = bucket + F.when(
+                    dot(embc, coeffs) > 0,
+                    F.lit(1 << p).cast("long")).otherwise(
+                    F.lit(0).cast("long"))
+            return bucket
+
+        d = emb.select(
+            F.sum((hof_bucket() != S.lsh_bucket()).cast("int")).alias("d")
+        ).head()
+        assert d["d"] == 0, d
+
     def test_ann_lsh_subset_of_bucket(self, emb):
         row = emb.filter("vec_id = 7").head()
         q = [float(x) for x in row["embedding"]]
