@@ -472,7 +472,8 @@ def repeated_spans(df: DataFrame, text_col: str = "text",
 def span_dedup(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", span_tokens: int = 8,
                max_docs: int = 2,
-               broadcast_limit: int = 2_000_000) -> DataFrame:
+               broadcast_limit: int = 2_000_000,
+               materialize: bool = True) -> DataFrame:
     """C4/MassiveText-style repeated-span removal: drop every span that
     occurs in more than ``max_docs`` distinct documents and reassemble
     each document from its surviving spans, order preserved.
@@ -502,9 +503,14 @@ def span_dedup(df: DataFrame, text_col: str = "text",
     # scale). The checkpointed frame is span-sized (~the text itself),
     # so materializing it once is far cheaper than re-deriving it
     # twice; lazy means the bad-span size probe below materializes it.
+    # ``materialize=False`` opts out (the semantic_dedup knob): a caller
+    # whose upstream is a plain column read trades 3 cheap re-scans for
+    # skipping the checkpoint write — measured faster at small scale;
+    # results identical either way.
     from parquet_index_spark.operators._ckpt import checkpoint_corpus
-    spans_df = checkpoint_corpus(
-        df.select(F.col(id_col), spans.alias("__spans")), eager=False)
+    spans_df = df.select(F.col(id_col), spans.alias("__spans"))
+    if materialize:
+        spans_df = checkpoint_corpus(spans_df, eager=False)
     exploded = (spans_df.select(F.col(id_col),
                                 F.posexplode("__spans").alias("pos", "span"))
                 .withColumn("__h", F.md5("span")))

@@ -5089,7 +5089,13 @@ def span_dedup_stats(spark, sf_dir):
     hash."""
     from parquet_index_spark.operators.dedup import span_dedup
     docs = _t(spark, sf_dir, "documents")
-    cleaned = span_dedup(docs, span_tokens=4, max_docs=2)
+    # materialize=False: the upstream here is a bare column read, so
+    # three pipelined re-scans are cheaper than writing the spans
+    # checkpoint (round-15; curation_pipeline_v2 keeps the default —
+    # its upstream is the PII-redaction regex chain, where the one-pass
+    # materialization measured 3.4x faster)
+    cleaned = span_dedup(docs, span_tokens=4, max_docs=2,
+                         materialize=False)
     labeled = docs.select("doc_id", "lang").join(cleaned, "doc_id")
     return (labeled.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
