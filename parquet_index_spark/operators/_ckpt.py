@@ -99,6 +99,53 @@ def checkpoint_metadata(df: DataFrame, eager: bool = True) -> DataFrame:
     return out
 
 
+def checkpoint_corpus_observed(df: DataFrame, *metrics,
+                               name: str = "pis_ckpt_obs"):
+    """:func:`checkpoint_corpus` (eager) that additionally computes
+    aggregate metrics DURING the materialization pass itself
+    (``Dataset.observe`` / CollectMetrics — round 15): counts and
+    bounds the caller would otherwise pay dedicated probe jobs for —
+    each a full pass over the frame at scale — ride the one
+    materialization scan for free. Returns ``(frame, metrics_dict)``.
+
+    All three materialization modes deliver: local and reliable
+    checkpoints fire the metrics on the eager materialization action
+    (verified — the eager path runs as a Dataset action, so the
+    CollectMetrics listener sees the full row stream); the
+    ``persist(DISK_ONLY)`` fallback only MARKS the frame, so one
+    explicit ``count()`` materializes it and fires the metrics — the
+    same single full pass the checkpoint modes pay, never a hang on
+    ``Observation.get``. Metric expressions must be deterministic
+    aggregates (the CollectMetrics contract)."""
+    from pyspark.sql import Observation
+    obs = Observation(name)
+    out = checkpoint_corpus(df.observe(obs, *metrics), eager=True)
+    try:
+        cached = bool(out.is_cached)
+    except Exception:  # noqa: BLE001 — py4j surface drift
+        cached = True  # unknown: materialize explicitly, never hang
+    if cached:
+        # persist fallback: the plan retains CollectMetrics, so this
+        # single pass caches the frame AND fires the metrics
+        out.count()
+    # bounded read: the metrics fired on an action that already
+    # COMPLETED above in every supported mode, so this returns
+    # immediately — the watchdog only turns an engine-drift surprise
+    # into a named error instead of an indefinite Observation.get hang
+    import threading
+    box = {}
+    reader = threading.Thread(target=lambda: box.setdefault("m", obs.get),
+                              daemon=True)
+    reader.start()
+    reader.join(300)
+    if "m" not in box:
+        raise RuntimeError(
+            "checkpoint_corpus_observed: observation metrics were not "
+            "delivered by the materialization action (engine drift?) — "
+            "fall back to checkpoint_corpus + explicit probe jobs")
+    return out, dict(box["m"])
+
+
 def release_corpus(df: DataFrame) -> None:
     """Release a frame materialized by :func:`checkpoint_corpus` once a
     bounded operation (a DML call, one micro-batch) is done with it.

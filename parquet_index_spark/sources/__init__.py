@@ -1397,17 +1397,29 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
             "(cast the batch explicitly): " +
             ", ".join(f"{n}: {got} != table {want}"
                       for n, got, want in mismatched))
-    from parquet_index_spark.operators._ckpt import checkpoint_corpus
+    from parquet_index_spark.operators._ckpt import (
+        checkpoint_corpus_observed)
     # ONE materialization for the whole merge (count-then-join rule —
     # round-10 review): the key probe, the over-cap null/bounds
     # aggregate, the overlap semi-join, the row count, and both rewrite
     # joins all re-reference updates; without this each re-executes the
     # caller's full upstream plan. Also decouples a batch derived from
     # the table ITSELF from the directory before the staged swap.
+    # Round-15 (guide §1.4): the batch row count, the key null check
+    # and the full-side key bounds ride the materialization scan as
+    # CollectMetrics — the dedicated updates.count() job and the
+    # over-cap null/bounds aggregate (each a full batch pass at scale)
+    # are gone.
     # Release-ownership guard (round-11 review): caller_cached was
     # probed on the caller's ORIGINAL object in the wrapper — only
     # frames whose caching this call introduced are released at the end.
-    updates = checkpoint_corpus(updates)
+    updates, _um = checkpoint_corpus_observed(
+        updates,
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col(key).isNull(), 1)).alias("n_null"),
+        F.min(key).alias("lo"), F.max(key).alias("hi"),
+        name="merge_updates_ckpt")
+    n_updates = int(_um["n"] or 0)
     if not caller_cached:
         owned.append(updates)
 
@@ -1448,28 +1460,36 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
                 f"table {want.simpleString()} (cast the batch "
                 "explicitly — a mismatched type makes the pruning fold "
                 "unsound)")
-        from parquet_index_spark.operators._ckpt import checkpoint_corpus
-        # one materialization shared by the probe, the null/bounds
-        # aggregate, the bloom build and both row-cut joins
-        dels_df = checkpoint_corpus(dels_df_in.select(key).distinct())
+        # one materialization shared by the row-cut joins and the bloom
+        # build; the tier decision (exact key count), the null check and
+        # the sound full-set [min, max] bounds ride that SAME scan as
+        # CollectMetrics (round-15, guide §1.4) — the old shape paid a
+        # limit-probe job plus, on the guarded tier, a dedicated
+        # null/bounds/approx-distinct aggregate (a second full pass over
+        # the key set at scale). The frame is already DISTINCT, so the
+        # observed row count IS the exact key count — it also replaces
+        # the approx_count_distinct bloom-sizing estimate with the exact
+        # value (sizing-only: a bloom false positive only admits files).
+        dels_df, _dm = checkpoint_corpus_observed(
+            dels_df_in.select(key).distinct(),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col(key).isNull(), 1)).alias("n_null"),
+            F.min(key).alias("lo"), F.max(key).alias("hi"),
+            name="merge_dels_ckpt")
         owned.append(dels_df)
-        sample = [r[0] for r in dels_df.limit(max_keys + 1).collect()]
-        if len(sample) > max_keys:
+        if int(_dm["n"] or 0) > max_keys:
             big_dels = True
-            # the key set stays distributed: null check, sound bounds
-            # (the LIMITed sample's min/max would not be) and a
-            # bloom-sizing estimate come from ONE aggregate pass
-            n_null, lo_d, hi_d, n_est_d = dels_df.agg(
-                F.count(F.when(F.col(key).isNull(), 1)),
-                F.min(key), F.max(key),
-                F.approx_count_distinct(key)).head()
-            if n_null:
+            if _dm["n_null"]:
                 raise ValueError(
                     "merge_into: delete keys must be non-null")
+            lo_d, hi_d = _dm["lo"], _dm["hi"]
+            n_est_d = int(_dm["n"])
         else:
-            # the sample IS the complete distinct set — exact-tier
-            # semantics, identical to the plain-list form (the frame
-            # handle survives for the full-side overlap probe)
+            # the distinct set fits the driver cap: collect it — the
+            # exact-tier semantics, identical to the plain-list form
+            # (the frame handle survives for the full-side overlap
+            # probe)
+            sample = [r[0] for r in dels_df.collect()]
             dels, exact_dels_df, dels_df = sample, dels_df, None
             if any(d is None for d in dels):
                 raise ValueError(
@@ -1524,14 +1544,12 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
     if len(vals) > max_keys:
         # LIMITed sample: its min/max is unsound AND its null check is
         # incomplete (a NULL key outside the sample would slip through
-        # — round-10 review) — one aggregate over the full side covers
-        # both
-        n_null_u, lo, hi = updates.agg(
-            F.count(F.when(F.col(key).isNull(), 1)),
-            F.min(key), F.max(key)).head()
-        if n_null_u:
+        # — round-10 review). The FULL-side null count and key bounds
+        # were observed on the checkpoint materialization scan
+        # (round-15), so the dedicated full-batch aggregate is gone.
+        if _um["n_null"]:
             raise ValueError("merge_into: update keys must be non-null")
-        ast = P.And((P.Ge(key, lo), P.Le(key, hi)))
+        ast = P.And((P.Ge(key, _um["lo"]), P.Le(key, _um["hi"])))
     elif vals:
         ast = P.In(key, tuple(vals))
     else:
@@ -1562,7 +1580,8 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
             "have no partial-rewrite granularity)")
     affected_abs = _qualified_uris(spark, meta.table_path, affected_rel)
 
-    n_updates = updates.count()
+    # n_updates observed on the batch checkpoint scan (round-15) — the
+    # dedicated count() pass over the materialized batch is gone
     rows_deleted = 0
     obs_cur = obs_mid = obs_kept = None
     if affected_abs:

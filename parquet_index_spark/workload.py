@@ -5737,8 +5737,14 @@ def quality_gate_by_lang(spark, sf_dir):
     from parquet_index_spark.operators.sampling import top_fraction_per_group
     docs = _t(spark, sf_dir, "documents")
     scored = docs.withColumn("q", TX.quality_score("text"))
+    # score_range: quality_score is [0.5, 1.0] by construction (three
+    # {0.5, 1.0} components averaged — see operators/text.py), so the
+    # gate rides the PROBE-FREE rank cut exactly like v3's (round-15):
+    # the per-group extremes scan and its broadcast join leave the
+    # plan; bounds are advisory, keep set identical
     kept = top_fraction_per_group(scored, "lang", 0.3, "q",
-                                  F.asc("doc_id"), descending=True)
+                                  F.asc("doc_id"), descending=True,
+                                  score_range=(0.5, 1.0))
     return (kept.groupBy("lang")
             .agg(F.count("*").alias("n_kept"),
                  F.min("q").alias("min_quality"),

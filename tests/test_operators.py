@@ -2205,6 +2205,70 @@ class TestKsDrift:
         assert (r["n_a"], r["n_b"], r["ks"]) == (1, 1, 0.0)
 
 
+class TestCheckpointObserved:
+    """Round-15 (guide §1.4): checkpoint_corpus_observed rides aggregate
+    metrics (CollectMetrics) on the materialization scan itself, so
+    merge_into's key probes (count / null check / full-set bounds) no
+    longer pay dedicated probe jobs — each a full pass at scale. The
+    contract: metrics are EXACT over the materialized rows, delivered
+    without extra full passes in checkpoint modes, and never hang in
+    the persist fallback (which pays the one explicit pass the
+    checkpoint modes fuse)."""
+
+    @staticmethod
+    def _metrics():
+        # built lazily: Column construction needs a live SparkContext
+        return (F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("k").isNull(), 1)).alias("n_null"),
+                F.min("k").alias("lo"), F.max("k").alias("hi"))
+
+    def _frame(self, spark):
+        rows = [Row(k=v) for v in [7, 3, None, 11, 3, 5]]
+        return spark.createDataFrame(rows)
+
+    def test_local_mode_metrics_and_frame(self, spark):
+        from parquet_index_spark.operators._ckpt import (
+            checkpoint_corpus_observed)
+        out, m = checkpoint_corpus_observed(self._frame(spark),
+                                            *self._metrics())
+        assert (m["n"], m["n_null"], m["lo"], m["hi"]) == (6, 1, 3, 11)
+        # the frame stays fully usable (the metrics did not consume it)
+        assert sorted(r[0] for r in out.collect() if r[0] is not None) \
+            == [3, 3, 5, 7, 11]
+
+    def test_persist_fallback_metrics(self, spark):
+        from parquet_index_spark.operators._ckpt import (
+            checkpoint_corpus_observed, release_corpus)
+        spark.conf.set("spark.sql.index.checkpoint.reliable", "true")
+        try:
+            # no checkpoint dir => persist(DISK_ONLY) fallback: the
+            # helper must materialize explicitly (never hang on
+            # Observation.get) and deliver the same exact metrics
+            out, m = checkpoint_corpus_observed(self._frame(spark),
+                                                *self._metrics())
+            assert (m["n"], m["n_null"], m["lo"], m["hi"]) == (6, 1, 3, 11)
+            assert out.is_cached
+            release_corpus(out)
+        finally:
+            spark.conf.unset("spark.sql.index.checkpoint.reliable")
+
+    @pytest.mark.slow  # reliable-checkpoint long tail, matching the
+    # TestReliableCheckpoint convention
+    def test_checkpoint_dir_branch_metrics(self, spark, tmp_path):
+        from parquet_index_spark.operators._ckpt import (
+            checkpoint_corpus_observed)
+        spark.conf.set("spark.sql.index.checkpoint.reliable", "true")
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "obs_ckpt"))
+        try:
+            out, m = checkpoint_corpus_observed(self._frame(spark),
+                                                *self._metrics())
+            assert (m["n"], m["n_null"], m["lo"], m["hi"]) == (6, 1, 3, 11)
+            assert sorted(r[0] for r in out.collect() if r[0] is not None) \
+                == [3, 3, 5, 7, 11]
+        finally:
+            spark.conf.unset("spark.sql.index.checkpoint.reliable")
+
+
 class TestReliableCheckpoint:
     """Round-8 verdict #5: corpus-sized materializations honor
     ``spark.sql.index.checkpoint.reliable`` — identical results, but a
