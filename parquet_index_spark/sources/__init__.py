@@ -1583,21 +1583,26 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
     # n_updates observed on the batch checkpoint scan (round-15) — the
     # dedicated count() pass over the materialized batch is gone
     rows_deleted = 0
-    obs_cur = obs_mid = obs_kept = None
+    obs_cur = obs_mid = None
     if affected_abs:
         from pyspark.sql import Observation
         current = (spark.read.schema(meta.data_schema)
                    .option("basePath", meta.table_path)
                    .parquet(*sorted(affected_abs)))
-        # Every MERGE counter rides the rewrite write itself
-        # (CollectMetrics via observe — the update_where precedent,
-        # round-4 VERDICT #2): the old shape paid one extra semi-join
-        # pass over the affected files for rows_updated and, on the
-        # guarded delete tier, a second one for rows_deleted. Row
-        # counts are observed at three points of the ONE rewrite scan —
-        # before the delete cut, after it, after the update anti-join —
-        # and the counters are their differences (exact because both
-        # cuts only ever REMOVE rows from the affected stream).
+        # rows_deleted rides the rewrite write itself (CollectMetrics
+        # via observe — the update_where precedent, round-4 VERDICT
+        # #2): row counts observed before and after the delete cut on
+        # the ONE rewrite scan, counter = the difference — exact
+        # because the cut removes exactly the delete-key-matched table
+        # rows, the same per-table-row semantics the old dedicated
+        # semi-join count had. rows_updated can NOT ride the same
+        # differential: (rows before − rows after) the update
+        # anti-join counts removed TABLE rows, but the contract counts
+        # UPDATE rows with a match — they differ as soon as one key
+        # maps to several table rows (caught by the round-15 full
+        # matrix on the duplicate-key fixture: differential said 2,
+        # contract says 1, and rows_inserted went negative), so it
+        # keeps its dedicated semi-join count below.
         obs_cur = Observation("merge_rows_in")
         current = current.observe(obs_cur, F.count(F.lit(1)).alias("n"))
         if dels:
@@ -1620,8 +1625,6 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
             current = current.observe(obs_mid,
                                       F.count(F.lit(1)).alias("n"))
         kept = current.join(updates.select(key), key, "left_anti")
-        obs_kept = Observation("merge_rows_kept")
-        kept = kept.observe(obs_kept, F.count(F.lit(1)).alias("n"))
         merged = kept.unionByName(updates)
         n_out = max(1, len(affected_abs))
     else:
@@ -1641,15 +1644,26 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(tmp)
+    rows_updated = 0
     if affected_abs:
         cur_n = int(obs_cur.get["n"] or 0)
         mid_n = (int(obs_mid.get["n"] or 0) if obs_mid is not None
                  else cur_n)
-        kept_n = int(obs_kept.get["n"] or 0)
         rows_deleted = cur_n - mid_n
-        rows_updated = mid_n - kept_n
-    else:
-        rows_updated = 0
+        if n_updates:
+            # UPDATE-row semantics (see the counter note above): one
+            # semi-join count over the affected files' keys — update
+            # rows whose key survives the delete cut. Runs AFTER the
+            # rewrite write so the write stays the observed stream's
+            # FIRST action: under AQE an empty batch (or an empty join
+            # side at runtime) collapses this probe's plan, dropping
+            # the CollectMetrics nodes, and an observation fulfilled by
+            # the collapsed probe completes with a schemaless row that
+            # Observation.get cannot decode. The source files are
+            # untouched until the staged swap below, so the probe reads
+            # the same rows either way; an empty batch skips it.
+            rows_updated = (updates.join(current.select(key), key,
+                                         "left_semi").count())
     rows_inserted = n_updates - rows_updated
     _staged_swap(spark, path, tmp, bak, affected_abs, label="merge")
     ctx.index.refresh.parquet(path)
