@@ -87,6 +87,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     Shape: explode shingles -> (h1, h2) projection -> num_hashes min()
     aggregations (map-side combinable; one row per document shuffles)."""
+    from parquet_index_spark.operators._parallel import widen_rows
+    df = widen_rows(df)  # shingle HOFs are interpreted — engage every core
     sh = F.array_distinct(shingles(text_col, shingle_k))
     exploded = df.select(F.col(id_col), F.explode(sh).alias("__shingle"))
     md5c = F.md5(F.col("__shingle"))
@@ -214,6 +216,8 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: Optional[DataFrame] = None,
     LSH recall (near-1 in the >= 0.5 regime this operator targets).
 
     Returns (id_a, id_b, jaccard) with jaccard rounded to 6 digits."""
+    from parquet_index_spark.operators._parallel import widen_rows
+    df = widen_rows(df)  # shingle HOFs are interpreted — engage every core
     sh = df.select(F.col(id_col),
                    F.array_distinct(shingles(text_col, shingle_k)).alias("sh"))
     if candidates is None:
@@ -455,6 +459,8 @@ def repeated_spans(df: DataFrame, text_col: str = "text",
     (span -> distinct docs) aggregation; the output is only the
     offending spans, which is bounded by corpus boilerplate volume —
     small enough to broadcast back in :func:`span_dedup`."""
+    from parquet_index_spark.operators._parallel import widen_rows
+    df = widen_rows(df)  # span-build HOFs are interpreted — engage every core
     toks = tokens(text_col)
     k = span_tokens
     spans = F.transform(
@@ -508,7 +514,10 @@ def span_dedup(df: DataFrame, text_col: str = "text",
     # skipping the checkpoint write — measured faster at small scale;
     # results identical either way.
     from parquet_index_spark.operators._ckpt import checkpoint_corpus
-    spans_df = df.select(F.col(id_col), spans.alias("__spans"))
+    from parquet_index_spark.operators._parallel import widen_rows
+    # span-build HOFs are interpreted — engage every core (no-op on any
+    # input already at cluster parallelism; see _parallel.widen_rows)
+    spans_df = widen_rows(df).select(F.col(id_col), spans.alias("__spans"))
     if materialize:
         spans_df = checkpoint_corpus(spans_df, eager=False)
     exploded = (spans_df.select(F.col(id_col),

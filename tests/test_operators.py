@@ -2359,3 +2359,54 @@ class TestReliableCheckpoint:
         finally:
             spark.conf.unset("spark.sql.index.checkpoint.reliable")
         assert got == want
+
+
+class TestWidenRows:
+    """_parallel.widen_rows: the parallelism floor CPU-heavy per-row
+    operators apply before their interpreted HOF projections."""
+
+    def test_narrow_input_widens_to_default_parallelism(self, spark):
+        from parquet_index_spark.operators._parallel import widen_rows
+        df = spark.range(0, 1000).coalesce(1)
+        assert df.rdd.getNumPartitions() == 1
+        out = widen_rows(df)
+        assert (out.rdd.getNumPartitions()
+                == spark.sparkContext.defaultParallelism)
+
+    def test_wide_input_is_a_noop(self, spark):
+        from parquet_index_spark.operators._parallel import widen_rows
+        target = spark.sparkContext.defaultParallelism
+        df = spark.range(0, 1000).repartition(target + 3)
+        out = widen_rows(df)
+        assert out is df  # identical object: no exchange inserted
+
+    def test_results_identical_through_consumers(self, spark):
+        """The repartition is row-preserving: a shingle aggregation over
+        a widened narrow input returns exactly the rows of the same
+        aggregation over the raw input (the minhash/span consumers are
+        all content-keyed aggregations like this one)."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.operators._parallel import widen_rows
+        from parquet_index_spark.operators.dedup import shingles
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 7} tok{i % 3} tok{i % 5} tok{i % 2}")
+             for i in range(200)], "doc_id int, text string").coalesce(1)
+
+        def agg(frame):
+            return sorted(map(tuple,
+                (frame.select("doc_id",
+                              F.explode(shingles("text", 3)).alias("s"))
+                 .groupBy("s").agg(F.countDistinct("doc_id").alias("n"))
+                 .collect())))
+
+        assert agg(widen_rows(docs)) == agg(docs)
+
+    def test_streaming_frame_passes_through(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from parquet_index_spark.operators._parallel import widen_rows
+        src = str(tmp_path / "stream_src")
+        spark.range(0, 10).select(
+            F.col("id"), F.lit("t").alias("text")).write.parquet(src)
+        sdf = (spark.readStream.schema("id long, text string")
+               .parquet(src))
+        assert widen_rows(sdf) is sdf
