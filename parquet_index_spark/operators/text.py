@@ -59,10 +59,13 @@ def stopword_ratio(text_col: str = "text", lang: str = "en") -> Column:
 
 
 def avg_token_len(text_col: str = "text") -> Column:
+    # sum of token lengths == length of their empty-separator
+    # concatenation — same integer, but concat_ws/length are codegen'd
+    # while an F.aggregate fold is an interpreted per-element lambda
+    # (round-15; tokens() never yields NULL elements, so concat_ws's
+    # NULL-skipping cannot diverge from the old fold)
     toks = tokens(text_col)
-    total = F.aggregate(toks, F.lit(0).cast("long"),
-                        lambda acc, t: acc + F.length(t))
-    return total / F.size(toks)
+    return F.length(F.concat_ws("", toks)) / F.size(toks)
 
 
 def quality_score(text_col: str = "text") -> Column:

@@ -1879,7 +1879,11 @@ def dedup_keep_best(spark, sf_dir):
     g = (D.connected_components(pairs, "id_a", "id_b")
          .select(F.col("node").alias("doc_id"),
                  F.col("component").alias("group_id")))
-    scored = g.join(docs, "doc_id") \
+    from parquet_index_spark.operators._parallel import widen_rows
+    # the broadcast join preserves the docs scan's byte-based split
+    # count, so the interpreted quality_score HOF would run on 1-2
+    # tasks for a compact corpus — widen first (no-op when wide)
+    scored = widen_rows(g.join(docs, "doc_id")) \
         .select("doc_id", "group_id", X.quality_score("text").alias("quality"))
     w = Window.partitionBy("group_id").orderBy(F.col("quality").desc(),
                                                F.col("doc_id").asc())
@@ -5734,8 +5738,12 @@ def quality_gate_by_lang(spark, sf_dir):
     whole-group row_number remains); the oracle spells the identical
     scoring and IEEE-double cut."""
     from parquet_index_spark.operators import text as TX
+    from parquet_index_spark.operators._parallel import widen_rows
     from parquet_index_spark.operators.sampling import top_fraction_per_group
-    docs = _t(spark, sf_dir, "documents")
+    # quality_score's stopword filter is an interpreted HOF and the
+    # scorer feeds every rank-cut consumer — floor the scan's
+    # parallelism at cluster cores (no-op on an already-wide scan)
+    docs = widen_rows(_t(spark, sf_dir, "documents"))
     scored = docs.withColumn("q", TX.quality_score("text"))
     # score_range: quality_score is [0.5, 1.0] by construction (three
     # {0.5, 1.0} components averaged — see operators/text.py), so the
