@@ -99,6 +99,27 @@ def checkpoint_metadata(df: DataFrame, eager: bool = True) -> DataFrame:
     return out
 
 
+def observation_get_bounded(obs, timeout_sec: float = 300.0):
+    """Bounded read of ``Observation.get``: returns the metrics dict, or
+    ``None`` when the metrics were not delivered within ``timeout_sec``.
+
+    ``Observation.get`` blocks indefinitely until an action on the
+    observed frame delivers the metrics. The known failure class (the
+    merge_into counter notes): AQE empty-relation propagation can
+    collapse a subtree and drop its CollectMetrics node, fulfilling the
+    observation with a row the reader cannot decode — or never. Callers
+    that observed a frame whose action has ALREADY COMPLETED use this
+    so an engine-drift surprise degrades to a named fallback (an
+    explicit probe job) instead of hanging the DML call forever."""
+    import threading
+    box: dict = {}
+    reader = threading.Thread(target=lambda: box.setdefault("m", obs.get),
+                              daemon=True)
+    reader.start()
+    reader.join(timeout_sec)
+    return dict(box["m"]) if "m" in box else None
+
+
 def checkpoint_corpus_observed(df: DataFrame, *metrics,
                                name: str = "pis_ckpt_obs"):
     """:func:`checkpoint_corpus` (eager) that additionally computes
@@ -132,18 +153,13 @@ def checkpoint_corpus_observed(df: DataFrame, *metrics,
     # COMPLETED above in every supported mode, so this returns
     # immediately — the watchdog only turns an engine-drift surprise
     # into a named error instead of an indefinite Observation.get hang
-    import threading
-    box = {}
-    reader = threading.Thread(target=lambda: box.setdefault("m", obs.get),
-                              daemon=True)
-    reader.start()
-    reader.join(300)
-    if "m" not in box:
+    got = observation_get_bounded(obs)
+    if got is None:
         raise RuntimeError(
             "checkpoint_corpus_observed: observation metrics were not "
             "delivered by the materialization action (engine drift?) — "
             "fall back to checkpoint_corpus + explicit probe jobs")
-    return out, dict(box["m"])
+    return out, got
 
 
 def release_corpus(df: DataFrame) -> None:

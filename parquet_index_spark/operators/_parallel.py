@@ -22,26 +22,96 @@ and locally sorted before exchange (``spark.sql.execution.
 sortBeforeRepartition``, default true — deterministic under retries);
 every consumer is an aggregation or join keyed by row content, so
 results are partitioning-independent.
+
+The partition probe walks the PREPARED PHYSICAL PLAN instead of calling
+``df.rdd.getNumPartitions()`` (round-16, r15 verdict #5 + ADVICE): the
+``.rdd`` conversion forces a second physical planning of the subtree
+into a Python-serialization wrapper per call — and under AQE the RDD
+conversion can materialize broadcast stages early. The walk reads leaf
+scan split counts and propagates them up (min under Coalesce, sum under
+Union, streamed side under a broadcast join — the build side never
+bounds output width); a shuffle exchange anywhere means the width is
+``spark.sql.shuffle.partitions``-controlled — already scale-adaptive,
+never widened. The walk costs only driver tree traversal over the
+QueryExecution the later action reuses.
+
+Target override: ``spark.sql.index.widen.target`` (session conf, int).
+``sparkContext.defaultParallelism`` is a plan-time value — under
+dynamic allocation it can lag the runtime executor count in either
+direction; a deployment that knows its steady-state core count can pin
+the floor explicitly. Default (unset/empty) keeps defaultParallelism.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+WIDEN_TARGET_CONF = "spark.sql.index.widen.target"
+
+# sentinel: a shuffle exchange was seen — output width follows
+# shuffle.partitions (conf-adaptive), treat as "already wide"
+_CONF_WIDE = 1 << 30
+
+
+def _scala_children(node) -> list:
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _walk_partitions(node) -> int:
+    """Output partition count of a prepared SparkPlan subtree (see the
+    module docstring). Raises on unknown surfaces — the caller treats
+    that as 'leave the frame untouched'."""
+    name = node.getClass().getSimpleName()
+    if name.startswith("AdaptiveSparkPlan"):
+        return _walk_partitions(node.initialPlan())
+    if "ShuffleExchange" in name or "AQEShuffleRead" in name:
+        return _CONF_WIDE
+    if ("BroadcastExchange" in name or name.startswith("ReusedExchange")
+            or "SubqueryBroadcast" in name):
+        # a broadcast build side never bounds the output width: report
+        # 0 so max() at the join node picks the streamed side
+        return 0
+    kids = _scala_children(node)
+    if not kids:
+        rdds = node.inputRDDs()  # CodegenSupport / InputRDDCodegen
+        if rdds.size() == 0:
+            raise ValueError(f"leaf {name} reports no input RDD")
+        return int(rdds.apply(0).getNumPartitions())
+    if name == "CoalesceExec":
+        return min(_walk_partitions(kids[0]), int(node.numPartitions()))
+    if name == "UnionExec":
+        return sum(_walk_partitions(k) for k in kids)
+    return max(_walk_partitions(k) for k in kids)
+
+
+def _plan_output_partitions(df: DataFrame):
+    """Partition count of ``df``'s prepared physical plan, or ``None``
+    when the plan carries a surface the walk does not know (the caller
+    then leaves the frame untouched — the pre-round-16 exception
+    behavior)."""
+    try:
+        return _walk_partitions(df._jdf.queryExecution().executedPlan())
+    except Exception:  # noqa: BLE001 — unknown plan surface: leave as-is
+        return None
+
 
 def widen_rows(df: DataFrame) -> DataFrame:
-    """Repartition ``df`` up to the session's default parallelism when
-    its plan carries fewer partitions; no-op otherwise (see module
-    docstring). Streaming frames (no static partitioning to inspect)
-    pass through untouched."""
+    """Repartition ``df`` up to the session's default parallelism (or
+    the ``spark.sql.index.widen.target`` override) when its plan
+    carries fewer partitions; no-op otherwise (see module docstring).
+    Streaming frames (no static partitioning to inspect) pass through
+    untouched."""
     if df.isStreaming:
         return df
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
     try:
-        n = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — unconvertible plan: leave as-is
-        return df
-    if n < target:
+        raw = spark.conf.get(WIDEN_TARGET_CONF, None)
+    except Exception:  # noqa: BLE001 — conf surface drift
+        raw = None
+    target = (int(raw) if raw not in (None, "")
+              else spark.sparkContext.defaultParallelism)
+    n = _plan_output_partitions(df)
+    if n is not None and n < target:
         return df.repartition(target)
     return df

@@ -3,8 +3,14 @@
 Two tiers, both pure DataFrame logic:
 
 - brute-force cosine top-k: exact baseline; one scan + one top-k. Element
-  arithmetic runs in double precision via higher-order functions (zip_with /
-  aggregate) inside codegen — no UDF, no collect of the corpus.
+  arithmetic runs in double precision — the reference forms are
+  higher-order functions (zip_with / aggregate), and the hot paths hand
+  whole Arrow batches to numpy kernels (pandas UDFs, round 15) that
+  reproduce the HOF folds bit-identically; no collect of the corpus
+  either way. The kernels add an executor-side pyarrow/pandas runtime
+  dependency (already required by the bloom/mapInPandas operators and
+  declared with the package); the HOF helpers (``dot``/``norm``/
+  ``cosine``) remain for expression-only composition.
 - sign-LSH bucketing: the scale path. Random hyperplanes come from a
   *closed-form* integer formula (LCG-style), so bucket assignment is
   deterministic and portable to any SQL engine — at 100 TB you search only
@@ -76,7 +82,18 @@ def _py_norm(vec: Sequence[float]) -> float:
 #   all stay SPARK expressions on the returned doubles, so the cut points
 #   and tie rules are literally the same code as before;
 # - a NULL vector or a length mismatch against the constant matrix yields
-#   NULL, matching zip_with's pad-with-null + fold-to-null semantics.
+#   NULL, matching zip_with's pad-with-null + fold-to-null semantics;
+# - a vector containing an element-level NULL yields NULL dots/norms
+#   (round-16, ADVICE): Arrow surfaces element nulls to pandas as NaN, so
+#   without the guard a NULL element would flow through as NaN — and Spark
+#   orders NaN ABOVE every threshold (NaN > 0 is TRUE), flipping sign bits
+#   and rankings where the HOF fold yields NULL. The guard maps any
+#   NaN-bearing vector to NULL, which matches the fold-to-NULL semantics
+#   for NULL elements; a data row carrying a LITERAL NaN value (which the
+#   HOF fold would propagate as NaN) is indistinguishable from a NULL
+#   element once in Arrow and maps to NULL too — that single documented
+#   divergence is pinned by test (NaN payloads never rank above real
+#   similarities under either form).
 # ---------------------------------------------------------------------------
 
 
@@ -101,6 +118,9 @@ def _lr_dots_norm_udf(mat: "list | None"):
         res: list = [None] * len(arrs)
         for d, idxs in by_len.items():
             V = np.stack([arrs[i] for i in idxs])
+            # element-level NULLs arrive as NaN (module note): the HOF
+            # fold over a NULL element is NULL — emit all-NULL slots
+            bad = np.isnan(V).any(axis=1)
             n = V.shape[0]
             nacc = np.zeros(n)
             for i in range(d):
@@ -112,12 +132,14 @@ def _lr_dots_norm_udf(mat: "list | None"):
                 for i in range(d):
                     acc = acc + V[:, i:i + 1] * M[None, :, i]
                 for r, j in enumerate(idxs):
-                    res[j] = acc[r].tolist() + [float(nrm[r])]
+                    res[j] = ([None] * (k + 1) if bad[r]
+                              else acc[r].tolist() + [float(nrm[r])])
             else:
                 # dimension mismatch: zip_with pads with NULL and the
                 # fold yields NULL — dots are NULL, the norm is real
                 for r, j in enumerate(idxs):
-                    res[j] = [None] * k + [float(nrm[r])]
+                    res[j] = [None] * (k + 1) if bad[r] \
+                        else [None] * k + [float(nrm[r])]
         return pd.Series(res)
 
     return kern
@@ -139,11 +161,13 @@ def _pair_dot_fn(a: pd.Series, b: pd.Series) -> pd.Series:
     for d, idxs in by_len.items():
         A = np.stack([arrs_a[i] for i in idxs])
         B = np.stack([arrs_b[i] for i in idxs])
+        # element-level NULLs arrive as NaN (module note): NULL out
+        bad = np.isnan(A).any(axis=1) | np.isnan(B).any(axis=1)
         acc = np.zeros(A.shape[0])
         for i in range(d):
             acc = acc + A[:, i] * B[:, i]
         for r, j in enumerate(idxs):
-            res[j] = float(acc[r])
+            res[j] = None if bad[r] else float(acc[r])
     # nullable Float64: a None (NULL side / length mismatch) must reach
     # Spark as NULL, not NaN — Spark orders NaN ABOVE every threshold
     return pd.Series(pd.array(res, dtype="Float64"))
@@ -185,11 +209,14 @@ def _lr_plane_dots_udf(seeds: "list[tuple]"):
                     for h1, h2 in seeds])  # k x d
                 planes_cache[d] = P
             V = np.stack([arrs[i] for i in idxs])
+            # element-level NULLs arrive as NaN (module note): NULL out
+            bad = np.isnan(V).any(axis=1)
             acc = np.zeros((V.shape[0], len(seeds)))
             for i in range(d):
                 acc = acc + V[:, i:i + 1] * P[None, :, i]
             for r, j in enumerate(idxs):
-                res[j] = acc[r].tolist()
+                res[j] = ([None] * len(seeds) if bad[r]
+                          else acc[r].tolist())
         return pd.Series(res)
 
     return kern

@@ -1646,9 +1646,38 @@ def _merge_into_impl(ctx, path: str, updates: DataFrame, key: str,
     writer.parquet(tmp)
     rows_updated = 0
     if affected_abs:
-        cur_n = int(obs_cur.get["n"] or 0)
-        mid_n = (int(obs_mid.get["n"] or 0) if obs_mid is not None
-                 else cur_n)
+        # bounded reads (round-16, ADVICE): the rewrite write above is
+        # the observed stream's action, so these return immediately in
+        # every healthy run — the watchdog guards the documented AQE
+        # empty-relation class (a dropped CollectMetrics node would
+        # otherwise block Observation.get forever). On a miss, fall
+        # back to explicit probe jobs over the SOURCE files, which are
+        # untouched until the staged swap below — the exact pre-r15
+        # counters, just slower.
+        from parquet_index_spark.operators._ckpt import (
+            observation_get_bounded)
+        got_cur = observation_get_bounded(obs_cur)
+        got_mid = (observation_get_bounded(obs_mid)
+                   if obs_mid is not None else got_cur)
+        if got_cur is None or got_mid is None:
+            probe = (spark.read.schema(meta.data_schema)
+                     .option("basePath", meta.table_path)
+                     .parquet(*sorted(affected_abs)))
+            cur_n = probe.count() if got_cur is None \
+                else int(got_cur["n"] or 0)
+            if obs_mid is None:
+                mid_n = cur_n
+            elif got_mid is not None:
+                mid_n = int(got_mid["n"] or 0)
+            elif dels:
+                mid_n = probe.filter(
+                    ~F.coalesce(F.col(key).isin(dels),
+                                F.lit(False))).count()
+            else:
+                mid_n = probe.join(dels_df, key, "left_anti").count()
+        else:
+            cur_n = int(got_cur["n"] or 0)
+            mid_n = int(got_mid["n"] or 0)
         rows_deleted = cur_n - mid_n
         if n_updates:
             # UPDATE-row semantics (see the counter note above): one
@@ -2141,7 +2170,15 @@ def _delete_where_impl(ctx, path: str, predicate) -> dict:
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(tmp)
-        n_after = int(obs_kept.get["n"] or 0)
+        # bounded read + explicit fallback (round-16, ADVICE): the write
+        # above delivered the metrics in every healthy run; on the
+        # documented AQE dropped-CollectMetrics class, re-count the
+        # already-written tmp dir (the pre-r15 shape) instead of hanging
+        from parquet_index_spark.operators._ckpt import (
+            observation_get_bounded)
+        got = observation_get_bounded(obs_kept)
+        n_after = (int(got["n"] or 0) if got is not None
+                   else spark.read.parquet(tmp).count())
         rows_deleted += n_before - n_after
     else:
         # whole-file drops only: stage an empty rewrite dir for the swap
@@ -2272,7 +2309,18 @@ def _update_where_impl(ctx, path: str, predicate,
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(tmp)
-    rows_updated = obs.get["rows_updated"] or 0  # sum is NULL on 0 rows
+    # bounded read + explicit fallback (round-16, ADVICE): source files
+    # are untouched until the swap, so a dropped-CollectMetrics miss
+    # re-counts the hit rows from them instead of hanging
+    from parquet_index_spark.operators._ckpt import observation_get_bounded
+    got = observation_get_bounded(obs)
+    if got is not None:
+        rows_updated = got["rows_updated"] or 0  # sum is NULL on 0 rows
+    else:
+        rows_updated = (spark.read.schema(meta.data_schema)
+                        .option("basePath", meta.table_path)
+                        .parquet(*sorted(affected_abs))
+                        .filter(hit).count())
     _staged_swap(spark, path, tmp, bak, affected_abs, label="update")
     ctx.index.refresh.parquet(path)
     return {"files_total": len(all_rel),

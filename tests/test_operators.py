@@ -140,6 +140,44 @@ class TestSimilarity:
         ).head()
         assert d["d"] == 0, d
 
+    def test_arrow_kernels_null_elements_yield_null(self, spark):
+        """round-16 ADVICE pin: a vector containing an element-level NULL
+        must yield NULL dots/norms/plane-dots from the Arrow kernels —
+        matching the HOF fold-to-NULL semantics — never NaN (Spark
+        orders NaN ABOVE every threshold, so a NaN leak would set LSH
+        sign bits and rank such rows FIRST in cosine_topk). A literal
+        NaN element is indistinguishable from a NULL element once in
+        Arrow and maps to NULL too (documented divergence from the HOF
+        form's NaN propagation — under both forms such rows never rank
+        above real similarities)."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark.operators.similarity import (
+            _lr_dots_norm_udf, _lr_pair_dot, _lr_plane_dots_udf)
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0]),
+             (2, [1.0, None, 3.0]),
+             (3, [float("nan"), 2.0, 3.0]),
+             (4, None)],
+            "id int, v array<double>")
+        kern = _lr_dots_norm_udf([[1.0, 1.0, 1.0]])
+        rows = {r["id"]: r for r in df.select(
+            "id", kern(F.col("v"))[0].alias("d"),
+            kern(F.col("v"))[1].alias("n"),
+            _lr_pair_dot(F.col("v"), F.col("v")).alias("p"),
+            _lr_plane_dots_udf([(1, 7)])(F.col("v"))[0].alias("pl"),
+        ).collect()}
+        ok = rows[1]
+        assert ok["d"] == 6.0 and ok["p"] == 14.0
+        assert ok["n"] is not None and ok["pl"] is not None
+        for bad_id in (2, 3, 4):
+            r = rows[bad_id]
+            assert r["d"] is None and r["n"] is None, r
+            assert r["p"] is None and r["pl"] is None, r
+        # threshold / sign-bit behavior: NULL never passes a > cut
+        n_pass = df.filter(
+            _lr_pair_dot(F.col("v"), F.col("v")) > 0).count()
+        assert n_pass == 1
+
     def test_lsh_bucket_matches_hof_formula(self, emb):
         """round-15 vectorization pin: lsh_bucket's Arrow plane-dot kernel
         must yield the exact bucket ids of the pre-vectorization HOF form
@@ -2225,6 +2263,24 @@ class TestCheckpointObserved:
     def _frame(self, spark):
         rows = [Row(k=v) for v in [7, 3, None, 11, 3, 5]]
         return spark.createDataFrame(rows)
+
+    def test_observation_get_bounded(self, spark):
+        """round-16 ADVICE pin: the bounded Observation.get read returns
+        the metrics dict when an action delivered them, and None (never
+        a hang) when no action ever will — the DML sites use the None
+        path to fall back to explicit probe jobs."""
+        from pyspark.sql import Observation
+        from parquet_index_spark.operators._ckpt import (
+            observation_get_bounded)
+        obs = Observation("t_ogb_hit")
+        df = self._frame(spark).observe(obs, F.count(F.lit(1)).alias("n"))
+        df.count()
+        got = observation_get_bounded(obs)
+        assert got == {"n": 6}
+        stale = Observation("t_ogb_miss")
+        self._frame(spark).observe(stale, F.count(F.lit(1)).alias("n"))
+        # no action ran on the observed frame: must time out to None
+        assert observation_get_bounded(stale, timeout_sec=0.5) is None
 
     def test_local_mode_metrics_and_frame(self, spark):
         from parquet_index_spark.operators._ckpt import (
