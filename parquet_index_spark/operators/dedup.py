@@ -589,6 +589,12 @@ def dedup_against_corpus(df_new: DataFrame, corpus: DataFrame,
        ``max_broadcast_keys`` (sound, just costlier). False positives
        fall out here, so the result is exact regardless of fpp.
 
+    Routing (round-16): a corpus whose row count fits
+    ``max_broadcast_keys`` skips both passes — its distinct keys are
+    broadcast and the anti join runs directly (the approximate pass
+    exists to shrink an un-broadcastable corpus; a broadcast-sized one
+    needs no shrinking). Identical results either way.
+
     NULL keys follow SQL anti-join semantics (never equal, always kept).
     At corpus sizes where a single bloom would exceed broadcast budget
     (billions of keys), raise ``fpp`` or pre-partition by key range and
@@ -610,6 +616,25 @@ def dedup_against_corpus(df_new: DataFrame, corpus: DataFrame,
 
     spark = df_new.sparkSession
     n = int(expected_corpus_items or corpus.count())
+    # Direct exact route (round-16, guide §1.2/§2.4): when the corpus
+    # row count already fits the broadcast-key budget, the bloom
+    # machinery buys nothing — the approximate pass exists to shrink an
+    # un-broadcastable corpus down to a candidate set the exact pass can
+    # broadcast, but a corpus of <= max_broadcast_keys rows IS that
+    # broadcastable set. One broadcast anti-join replaces bloom build +
+    # driver OR-merge + candidate checkpoint + sizing probe + semi-join
+    # (4 fewer jobs, and at scale: two fewer full passes over the
+    # corpus and one fewer over the batch). Result identical — both
+    # shapes are exactly ``df_new ANTI JOIN corpus ON key`` (NULL keys
+    # never equal, always kept). The routing count is the same sizing
+    # count the bloom path pays anyway; callers passing
+    # ``expected_corpus_items`` route on their (over)estimate, which
+    # can only send a small corpus down the (sound) bloom path.
+    if 0 <= n <= max_broadcast_keys:
+        return (df_new.join(
+            F.broadcast(corpus.select(F.col(key)).distinct()),
+            [key], "left_anti")
+            .select(*df_new.columns))  # USING join reorders; restore
     n = max(n, 1)
     m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
     k = max(1, round(m / n * math.log(2)))
@@ -647,7 +672,10 @@ def dedup_against_corpus(df_new: DataFrame, corpus: DataFrame,
     # so monotonically_increasing_id (pid << 33 | row) is a multiple of
     # 2^33 for every row and mod-64 of it is always 0 — that form
     # collapsed the merge into one task holding all partials at once
-    if hashed.rdd.getNumPartitions() > 64:
+    from parquet_index_spark.operators._parallel import (
+        _plan_output_partitions)
+    n_corpus_parts = _plan_output_partitions(hashed)
+    if n_corpus_parts is None or n_corpus_parts > 64:
         def _merge_group(pdf):
             return pd.DataFrame({"bloom": [_or_blobs(pdf["bloom"])]})
         partials = (partials

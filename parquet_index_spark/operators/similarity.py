@@ -863,6 +863,117 @@ def clustered_embeddings(spark, n_clusters: int = 32, per_cluster: int = 128,
     return df, [list(map(float, c)) for c in centers]
 
 
+#: per-task pair budget for semantic_dedup's within-cluster self-join
+#: (round-16, guide §2.5 targeted skew): a cluster of |c| rows generates
+#: |c|^2/2 candidate pairs on ONE task in the at-scale shuffle-join
+#: regime, so clusters whose pair count exceeds this budget are split
+#: into ceil(|c|^2 / budget) deterministic salt blocks — a work-per-task
+#: bound (the maxPartitionBytes idea applied to pair enumeration), not a
+#: cluster-size constant: ~4M pairs is a few seconds of Arrow kernel
+#: work at any scale. Clusters under the budget keep split factor 1 —
+#: zero replication, the exact plan shape of the unsalted join.
+SEMDEDUP_PAIRS_PER_TASK = 4_000_000
+
+
+def _cross_gram_candidates(x: DataFrame, y: DataFrame, group_keys,
+                           id_type: str, threshold: float,
+                           pairs_only_y_lt_x: bool) -> DataFrame:
+    """Within-group candidate pairs via a blocked cross-gram kernel
+    (round-16, guide §2.3/§8 "shuffle payloads once, move proxies").
+
+    The previous shape — an equi self-join producing one ROW per
+    candidate pair, each carrying BOTH embedding arrays into a pair-dot
+    kernel — materializes |pairs| * 2 * dim * 8 bytes through the
+    shuffle and the Arrow boundary: ~25 GB for the 20k-vector / 16-
+    cluster corpus (12.5M pairs at dim 64), measured 56-71 s locally.
+    Here each vector crosses the boundary ONCE per block ((1 + s) copies
+    total with salt fan-out s, s = 1 for every cluster under the pair
+    budget); the kernel computes the whole block's dot matrix natively
+    and emits only ``(xid, dot, xn, yn)`` for pairs whose raw ratio
+    clears ``threshold - 1e-6`` — a strict superset of the survivors,
+    since round-half-up at 6 decimals moves a value by < 5e-7. The
+    EXACT decision ``round(dot / (xn * yn), 6) >= threshold`` stays a
+    Spark expression at the call site, on bit-identical doubles:
+
+    - dots accumulate sequentially over dimensions as per-dimension
+      outer products (``acc += outer(Vx[:, i], Vy[:, i])``) — entry
+      [a, b] sees exactly the left-to-right fold of ``_pair_dot_fn``;
+    - norms use the same sequential fold as ``_lr_dots_norm_udf``;
+    - a non-finite ratio (zero norms) is NEVER dropped by the margin
+      (NaN compares false to ``<``), so Spark applies its own NaN/Inf
+      comparison semantics to those pairs exactly as before;
+    - rows with NULL vectors or element-level NULLs (NaN in Arrow, see
+      the module note) produce NULL pair sims under the fold forms,
+      which can never pass ``>= threshold`` — the kernel skips them;
+    - pairs of mismatched dimension have NULL sims (zip_with padding):
+      the kernel crosses only same-dimension blocks.
+
+    Per-task memory is the block's dot matrix: ~SEMDEDUP_PAIRS_PER_TASK
+    * 8 bytes (~32 MB) plus the ratio copy — bounded by the same budget
+    that sizes the salt fan-out.
+    """
+    margin = float(threshold) - 1e-6
+
+    def kern(xs: pd.DataFrame, ys: pd.DataFrame) -> pd.DataFrame:
+        out_x: list = []
+        out_d: list = []
+        out_xn: list = []
+        out_yn: list = []
+        if len(xs) and len(ys):
+            ax = [None if e is None else np.asarray(e, dtype=np.float64)
+                  for e in xs["__v"]]
+            ay = [None if e is None else np.asarray(e, dtype=np.float64)
+                  for e in ys["__v"]]
+            bx: dict = {}
+            for i, a in enumerate(ax):
+                if a is not None and not np.isnan(a).any():
+                    bx.setdefault(a.shape[0], []).append(i)
+            by: dict = {}
+            for j, a in enumerate(ay):
+                if a is not None and not np.isnan(a).any():
+                    by.setdefault(a.shape[0], []).append(j)
+            for d, xi in bx.items():
+                yj = by.get(d)
+                if not yj:
+                    continue
+                Vx = np.stack([ax[i] for i in xi])
+                Vy = np.stack([ay[j] for j in yj])
+                nx = np.zeros(len(xi))
+                ny = np.zeros(len(yj))
+                for i in range(d):
+                    cx = Vx[:, i]
+                    nx = nx + cx * cx
+                    cy = Vy[:, i]
+                    ny = ny + cy * cy
+                nx = np.sqrt(nx)
+                ny = np.sqrt(ny)
+                acc = np.zeros((len(xi), len(yj)))
+                for i in range(d):
+                    acc = acc + np.outer(Vx[:, i], Vy[:, i])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ratio = acc / np.outer(nx, ny)
+                keep = ~(ratio < margin)  # NaN/Inf stay: Spark decides
+                xid = xs["__id"].to_numpy()[xi]
+                if pairs_only_y_lt_x:
+                    yid = ys["__id"].to_numpy()[yj]
+                    keep &= yid[None, :] < xid[:, None]
+                r, c = np.nonzero(keep)
+                out_x.extend(xid[r].tolist())
+                out_d.extend(acc[r, c].tolist())
+                out_xn.extend(nx[r].tolist())
+                out_yn.extend(ny[c].tolist())
+        return pd.DataFrame({
+            "__xid": pd.Series(out_x),
+            "__dot": pd.Series(np.asarray(out_d, dtype=np.float64)),
+            "__xn": pd.Series(np.asarray(out_xn, dtype=np.float64)),
+            "__yn": pd.Series(np.asarray(out_yn, dtype=np.float64))})
+
+    schema = f"__xid {id_type}, __dot double, __xn double, __yn double"
+    return (x.groupBy(*group_keys)
+            .cogroup(y.groupBy(*group_keys))
+            .applyInPandas(kern, schema))
+
+
 def semantic_dedup(df: DataFrame, centroids: List[tuple],
                    threshold: float = 0.95, id_col: str = "vec_id",
                    vec_col: str = "embedding",
@@ -885,8 +996,15 @@ def semantic_dedup(df: DataFrame, centroids: List[tuple],
     never an all-pairs product. Within-cluster cost is |c|^2, so the
     quantizer must scale with the corpus (k ~ n / target_cluster_size,
     the paper uses k in the tens of thousands at web scale); pair sims
-    are one codegen'd HOF dot per pair, rounded to 6 decimals so any
-    engine draws the same cut. Adds ``cluster_id`` and ``is_semdup``;
+    are one vectorized dot per pair, rounded to 6 decimals so any
+    engine draws the same cut. A cluster whose pair count exceeds
+    ``SEMDEDUP_PAIRS_PER_TASK`` is additionally split into
+    deterministic salt blocks sized from the cluster census (round-16):
+    one near-cap cluster would otherwise serialize its |c|^2 work on a
+    single task of the shuffle-join regime, while clusters under the
+    budget keep split factor 1 and the unsalted plan shape — the pair
+    set, and therefore every flag, is identical either way (pinned by
+    test). Adds ``cluster_id`` and ``is_semdup``;
     rows with NULL embeddings keep cluster_id NULL and are never
     flagged.
 
@@ -917,34 +1035,71 @@ def semantic_dedup(df: DataFrame, centroids: List[tuple],
         # once for all three references; no dedicated composition job
         from parquet_index_spark.operators._ckpt import checkpoint_corpus
         assigned = checkpoint_corpus(assigned, eager=False)
-    _norm_kern = _lr_dots_norm_udf(None)
     pre = (assigned
            .filter(F.col("cluster_id").isNotNull())
            .withColumn("__v", _as_double(F.col(vec_col)))
            .select(F.col("cluster_id"),
                    F.col(id_col).alias("__id"),
-                   F.col("__v"),
-                   _norm_kern(F.col("__v"))[0].alias("__n")))
+                   F.col("__v")))
+    group_keys = ["cluster_id"]
     if max_cluster_size is not None:
-        # cluster census is a tiny map-side-combinable agg (<= k rows);
-        # broadcast the surviving cluster ids so oversize clusters never
-        # reach the self-join
-        ok = (pre.groupBy("cluster_id")
-              .agg(F.count("*").alias("__cn"))
-              .filter(F.col("__cn") <= F.lit(int(max_cluster_size)))
-              .select("cluster_id"))
+        # cluster census: a tiny map-side-combinable agg (<= k rows).
+        # The subtree is referenced under both self-join sides; AQE's
+        # query-stage reuse runs the identical canonicalized agg ONCE
+        # at runtime (a checkpoint here was tried and reverted in
+        # round 16 — its materialization boundary cost more locally
+        # than the reuse saves). It carries two per-cluster values:
+        # - the cap filter (oversize clusters never reach the self-join);
+        # - ``__nsalt`` (round-16, guide §2.5 targeted skew): the pair
+        #   stage groups by cluster_id, so ONE near-cap cluster
+        #   serializes its |c|^2 gram work on one task (the round-15
+        #   finding; round-15's uniform salting measured slower because
+        #   it replicated EVERY cluster). Instead the split factor is
+        #   per cluster, derived from its measured size so a task
+        #   enumerates at most ~SEMDEDUP_PAIRS_PER_TASK pairs: small
+        #   clusters get __nsalt = 1 (zero replication, the unsplit
+        #   block shape), the hot cluster alone fans out. x keeps one
+        #   deterministic salt (pmod of the id hash — never rand(), see
+        #   SPARK-38388), y replicates to every salt, so each (x, y)
+        #   pair lands in exactly one block and the pair set — and
+        #   every downstream flag — is identical (pinned by test).
+        cn = F.col("__cn")
+        census = pre.groupBy("cluster_id").agg(F.count("*").alias("__cn"))
+        ok = (census
+              .filter(cn <= F.lit(int(max_cluster_size)))
+              .select("cluster_id",
+                      F.least(F.greatest(F.ceil(
+                          cn.cast("double") * cn
+                          / F.lit(float(SEMDEDUP_PAIRS_PER_TASK))), F.lit(1)),
+                          cn).cast("long").alias("__nsalt")))
         pre = pre.join(F.broadcast(ok), "cluster_id")
-    x = pre.select("cluster_id", F.col("__id").alias("__xid"),
-                   F.col("__v").alias("__xv"), F.col("__n").alias("__xn"))
-    y = pre.select("cluster_id", F.col("__id").alias("__yid"),
-                   F.col("__v").alias("__yv"), F.col("__n").alias("__yn"))
-    dup_ids = (x.join(y, "cluster_id")
-               .filter(F.col("__yid") < F.col("__xid"))
-               .filter(F.round(_lr_pair_dot(F.col("__xv"), F.col("__yv"))
+        x_cols = [F.pmod(F.xxhash64(F.col("__id")),
+                         F.col("__nsalt")).alias("__salt")]
+        y_cols = [F.explode(F.sequence(
+            F.lit(0).cast("long"), F.col("__nsalt") - 1)).alias("__salt")]
+        group_keys = ["cluster_id", "__salt"]
+    else:
+        x_cols = y_cols = []
+    x = pre.select("cluster_id", "__id", "__v", *x_cols)
+    # fresh aliases on the y side: both sides project the same lineage,
+    # and the self-join ambiguity check needs distinct attribute ids
+    y = pre.select(F.col("cluster_id").alias("cluster_id"),
+                   F.col("__id").alias("__id"),
+                   F.col("__v").alias("__v"), *y_cols)
+    id_type = dict(df.dtypes)[id_col]
+    cand = _cross_gram_candidates(x, y, group_keys, id_type, threshold,
+                                  pairs_only_y_lt_x=True)
+    dup_ids = (cand
+               .filter(F.round(F.col("__dot")
                                / (F.col("__xn") * F.col("__yn")), 6)
                        >= F.lit(float(threshold)))
                .select(F.col("__xid").alias(id_col)).distinct()
                .withColumn("__dup", F.lit(True)))
+    # flag join left UN-hinted (round-16, measured): a checkpointed
+    # sizing probe + broadcast guard was tried and REVERTED — the
+    # dedicated probe job and the lost pipelining doubled the local
+    # query (0.88 -> 1.9 s) while AQE already reuses identical query
+    # stages and converts the join from actual runtime sizes.
     return (assigned.join(dup_ids, [id_col], "left")
             .withColumn("is_semdup",
                         F.coalesce(F.col("__dup"), F.lit(False)))
@@ -1050,21 +1205,28 @@ def semantic_contamination(train_df: DataFrame, eval_df: DataFrame,
         # the eval assignment runs once (semantic_dedup's rationale)
         from parquet_index_spark.operators._ckpt import checkpoint_corpus
         ev = checkpoint_corpus(ev)
-    _norm_kern = _lr_dots_norm_udf(None)
+    # cross-gram candidate kernel (round-16): same blocked dot-matrix
+    # shape as semantic_dedup's pair stage — each vector crosses the
+    # Python boundary once instead of once per candidate pair, and only
+    # (eval id, dot, norms) rows above the conservative margin come
+    # back; the exact rounded-threshold decision stays a Spark
+    # expression below. The train side needs a dummy id column for the
+    # shared kernel; it is never emitted.
     tr = (ivf_assign(train_df, centroids, id_col, vec_col)
           .filter(F.col("cluster_id").isNotNull())
-          .withColumn("__tv", _as_double(F.col(vec_col)))
-          .select("cluster_id", F.col("__tv"),
-                  _norm_kern(F.col("__tv"))[0].alias("__tn")))
+          .withColumn("__v", _as_double(F.col(vec_col)))
+          .select("cluster_id", F.col(id_col).alias("__id"), "__v"))
     e = (ev.filter(F.col("cluster_id").isNotNull())
-         .withColumn("__ev", _as_double(F.col(vec_col)))
-         .select("cluster_id", F.col(id_col).alias("__eid"),
-                 F.col("__ev"), _norm_kern(F.col("__ev"))[0].alias("__en")))
-    hits = (e.join(tr, "cluster_id")
-            .filter(F.round(_lr_pair_dot(F.col("__ev"), F.col("__tv"))
-                            / (F.col("__en") * F.col("__tn")), 6)
+         .withColumn("__v", _as_double(F.col(vec_col)))
+         .select("cluster_id", F.col(id_col).alias("__id"), "__v"))
+    id_type = dict(eval_df.dtypes)[id_col]
+    cand = _cross_gram_candidates(e, tr, ["cluster_id"], id_type,
+                                  threshold, pairs_only_y_lt_x=False)
+    hits = (cand
+            .filter(F.round(F.col("__dot")
+                            / (F.col("__xn") * F.col("__yn")), 6)
                     >= F.lit(float(threshold)))
-            .select(F.col("__eid").alias(id_col)).distinct()
+            .select(F.col("__xid").alias(id_col)).distinct()
             .withColumn("__hit", F.lit(True)))
     return (ev.join(hits, [id_col], "left")
             .withColumn("is_contaminated",

@@ -178,6 +178,30 @@ class TestSimilarity:
             _lr_pair_dot(F.col("v"), F.col("v")) > 0).count()
         assert n_pass == 1
 
+    def test_semantic_dedup_salted_split_identical(self, spark, emb,
+                                                   monkeypatch):
+        """round-16 skew pin: the census-driven salt split of oversized
+        clusters (SEMDEDUP_PAIRS_PER_TASK work-per-task bound) must
+        yield the IDENTICAL flag set — each (x, y) pair meets exactly
+        once whether a cluster is split or not. Forcing a tiny pair
+        budget makes every cluster split to its row count (the maximum
+        fan-out), the worst case for double- or zero-counting pairs."""
+        from parquet_index_spark.operators import similarity as S
+
+        def flags(**kw):
+            cents = S.ivf_seed_centroids(emb, n_centroids=4)
+            return {(r["vec_id"], r["cluster_id"], r["is_semdup"])
+                    for r in S.semantic_dedup(
+                        emb, cents, threshold=0.3, **kw).collect()}
+
+        base = flags()
+        assert any(f[2] for f in base)  # fixture has real near-dups
+        monkeypatch.setattr(S, "SEMDEDUP_PAIRS_PER_TASK", 4)
+        assert flags() == base
+        # cap=None path (no census, no salt) agrees on the same corpus
+        # (no cluster here is anywhere near the default cap)
+        assert flags(max_cluster_size=None) == base
+
     def test_lsh_bucket_matches_hof_formula(self, emb):
         """round-15 vectorization pin: lsh_bucket's Arrow plane-dot kernel
         must yield the exact bucket ids of the pre-vectorization HOF form
