@@ -93,9 +93,27 @@ def _ckpt_corpus(df: DataFrame) -> DataFrame:
     return checkpoint_corpus(df, eager=False)
 
 
+# schema memo for the immutable $SF_DIR source tables (round-16): every
+# bare spark.read.parquet(path) runs a dedicated 1-task footer job to
+# infer the schema — even re-reading a path the session already read —
+# so each 2-table query paid 2 fixed jobs per invocation. Caching the
+# SCHEMA (metadata only — the same thing a production caller passing an
+# explicit .schema(...) supplies; no rows, no results, no skipped
+# computation) removes that job from every repeat read. Keyed by
+# absolute path; the source tables are read-only for the whole process
+# lifetime (DML queries build their own tables elsewhere).
+_SCHEMA_MEMO: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_MEMO.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def _epoch_us(col) -> Column:
@@ -2610,7 +2628,8 @@ def stream_windowed_counts(spark, sf_dir):
     name = f"pis_stream_counts_{_STREAM_COUNTER['n']}"
     stream = ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
     agg = ST.windowed_event_counts(stream, "1 hour", "2 hours")
-    return (ST.run_available_now(agg, name)
+    return (ST.run_available_now(agg, name, source_path=os.path.join(
+        sf_dir, "events.parquet"))
             .orderBy("window_start", "event_type"))
 
 
@@ -2632,7 +2651,8 @@ def stream_session_windows(spark, sf_dir):
     name = f"pis_stream_sessions_{_STREAM_COUNTER['n']}"
     stream = ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
     agg = ST.session_windows(stream, "30 minutes", "2 hours")
-    return (ST.run_available_now(agg, name)
+    return (ST.run_available_now(agg, name, source_path=os.path.join(
+        sf_dir, "events.parquet"))
             .orderBy("user_id", "session_start"))
 
 
@@ -2646,7 +2666,9 @@ def stream_dedup_events(spark, sf_dir):
     name = f"pis_stream_dedup_{_STREAM_COUNTER['n']}"
     stream = ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
     deduped = ST.dedup_stream(stream, ["user_id", "event_type"])
-    return (ST.run_available_now(deduped, name, output_mode="append")
+    return (ST.run_available_now(deduped, name, output_mode="append",
+                                 source_path=os.path.join(
+                                     sf_dir, "events.parquet"))
             .orderBy("user_id", "event_type"))
 
 
@@ -2667,7 +2689,9 @@ def stream_funnel_join(spark, sf_dir):
     name = f"pis_stream_funnel_{_STREAM_COUNTER['n']}"
     stream = ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
     joined = ST.event_funnel_join(stream, "click", "purchase", "30 minutes")
-    return (ST.run_available_now(joined, name, output_mode="append")
+    return (ST.run_available_now(joined, name, output_mode="append",
+                                 source_path=os.path.join(
+                                     sf_dir, "events.parquet"))
             .orderBy("user_id", "from_id", "to_id"))
 
 
@@ -2730,7 +2754,9 @@ def stream_gapfill_locf(spark, sf_dir):
     stream = (ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
               .filter(F.col("user_id") < 5))
     filled = ST.stream_bucket_gapfill(stream, "1 hour", "2 hours")
-    return (ST.run_available_now(filled, name, output_mode="append")
+    return (ST.run_available_now(filled, name, output_mode="append",
+                                 source_path=os.path.join(
+                                     sf_dir, "events.parquet"))
             .orderBy("user_id", "bucket_start"))
 
 
@@ -2785,7 +2811,9 @@ def stream_user_totals(spark, sf_dir):
     stream = (ST.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
               .filter(F.col("user_id") < 50))
     totals = ST.stateful_user_totals(stream)
-    drained = ST.run_available_now(totals, name, output_mode="update")
+    drained = ST.run_available_now(totals, name, output_mode="update",
+                                   source_path=os.path.join(
+                                       sf_dir, "events.parquet"))
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (drained.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -2826,7 +2854,9 @@ def stream_enrich_join(spark, sf_dir):
     enriched = (stream.filter(F.col("event_type") == "purchase")
                 .join(broadcast_if_small(cust), "user_id")
                 .select("event_id", "value", "c_mktsegment"))
-    drained = ST.run_available_now(enriched, name, output_mode="append")
+    drained = ST.run_available_now(enriched, name, output_mode="append",
+                                   source_path=os.path.join(
+                                       sf_dir, "events.parquet"))
     return (drained.groupBy("c_mktsegment")
             .agg(F.count("*").alias("n_purchases"),
                  _dsum(_dec("value"), "total_value"))
@@ -2889,7 +2919,8 @@ def stream_funnel_left_outer(spark, sf_dir):
     stream = ST.read_event_stream(spark, path)
     joined = ST.event_funnel_join(stream, "click", "purchase", "30 minutes",
                                   how="left_outer")
-    drained = ST.run_available_now(joined, name, output_mode="append")
+    drained = ST.run_available_now(joined, name, output_mode="append",
+                                   source_path=path)
     batch = (spark.read.schema(ST.EVENTS_SCHEMA).parquet(path)
              .withColumn("event_time", F.col("ts")))
     side_max = (batch.filter(F.col("event_type").isin("click", "purchase"))
@@ -4990,7 +5021,9 @@ def stream_running_anomaly(spark, sf_dir):
     stream = ST.read_event_stream(spark,
                                   os.path.join(sf_dir, "events.parquet"))
     drained = ST.run_available_now(ST.stream_running_anomaly(stream),
-                                   name, output_mode="append")
+                                   name, output_mode="append",
+                                   source_path=os.path.join(
+                                       sf_dir, "events.parquet"))
     return (drained.groupBy((F.col("user_id") % 10).alias("bucket"))
             .agg(F.count("*").alias("n_events"),
                  F.sum(F.col("is_anomaly").cast("long"))
@@ -6239,7 +6272,8 @@ def stream_shuffle_split_stats(spark, sf_dir):
                           "event_id")
     drained = ST.run_available_now(
         routed.select("event_id", "shard", "split"), name,
-        output_mode="append")
+        output_mode="append",
+        source_path=os.path.join(sf_dir, "events.parquet"))
     return (drained.groupBy("shard", "split")
             .agg(F.count("*").alias("n_events"),
                  F.min("event_id").alias("first_event"))

@@ -2267,6 +2267,59 @@ class TestKsDrift:
         assert (r["n_a"], r["n_b"], r["ks"]) == (1, 1, 0.0)
 
 
+class TestStreamStatePartitions:
+    """Round-16 (guide §2.2): availableNow drains derive their
+    state-partition count from the backlog's footer row count, capped
+    at the session shuffle.partitions — only small drains shrink."""
+
+    def test_suggest_clamps_to_session(self, spark, tmp_path):
+        from parquet_index_spark import streaming as ST
+        src = str(tmp_path / "ev")
+        spark.range(0, 1000).write.parquet(src)
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", 32)
+            # 1000 rows << one partition budget -> floor of 1
+            assert ST.suggest_state_partitions(spark, src) == 1
+            # tiny per-partition budget -> capped at the session value
+            spark.conf.set(ST.STREAM_ROWS_CONF, 10)
+            assert ST.suggest_state_partitions(spark, src) == 32
+            spark.conf.set(ST.STREAM_ROWS_CONF, 100)
+            assert ST.suggest_state_partitions(spark, src) == 10
+        finally:
+            spark.conf.unset(ST.STREAM_ROWS_CONF)
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        # unreadable path: None (caller keeps the session value)
+        assert ST.suggest_state_partitions(
+            spark, str(tmp_path / "missing")) is None
+
+    def test_drain_results_partition_invariant(self, spark, tmp_path):
+        """The derived count must not change results, and the session
+        conf must be restored after the drain."""
+        from pyspark.sql import functions as F
+        from parquet_index_spark import streaming as ST
+        src = str(tmp_path / "ev2")
+        rows = [(i, i % 7, "click",
+                 f"2024-01-01 0{i % 10}:0{i % 6}:00") for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, s string"
+        ).select("event_id", "user_id", "event_type",
+                 F.col("s").cast("timestamp_ntz").alias("ts"),
+                 F.lit(1.0).alias("value"), F.lit("u").alias("url"))
+        df.write.parquet(src)
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+
+        def drain(i, source_path):
+            ev = ST.read_event_stream(spark, src)
+            agg = ST.windowed_event_counts(ev)
+            out = ST.run_available_now(agg, f"t_ssp_{i}",
+                                       source_path=source_path)
+            return sorted(map(tuple, out.collect()))
+
+        assert drain(0, src) == drain(1, None)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
 class TestCheckpointObserved:
     """Round-15 (guide §1.4): checkpoint_corpus_observed rides aggregate
     metrics (CollectMetrics) on the materialization scan itself, so
