@@ -8,9 +8,11 @@ Two tiers, both pure DataFrame logic:
   whole Arrow batches to numpy kernels (pandas UDFs, round 15) that
   reproduce the HOF folds bit-identically; no collect of the corpus
   either way. The kernels add an executor-side pyarrow/pandas runtime
-  dependency (already required by the bloom/mapInPandas operators and
-  declared with the package); the HOF helpers (``dot``/``norm``/
-  ``cosine``) remain for expression-only composition.
+  dependency — the same one the bloom/mapInPandas operators already
+  carry; the package ships as a source tree, so the requirement is
+  documented in README "Running" rather than in packaging metadata.
+  The HOF helpers (``dot``/``norm``/``cosine``) remain for
+  expression-only composition.
 - sign-LSH bucketing: the scale path. Random hyperplanes come from a
   *closed-form* integer formula (LCG-style), so bucket assignment is
   deterministic and portable to any SQL engine — at 100 TB you search only
